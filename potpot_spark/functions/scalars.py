@@ -1,0 +1,170 @@
+"""Scalar-function surface (SURVEY.md §2.8: E24-E28).
+
+The reference's only "functions" are the codec pair
+``to_tuple``/``from_tuple`` (``/root/reference/src/types.rs:135-156``)
+and seeded xxHash64 (``hashtable.rs:52-80``).  The engine declares the
+standard analytical scalar surface; everything here is a built-in JVM
+expression inside whole-stage codegen — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LOWER(c_mktsegment) AS seg_lower,
+               SUBSTRING(c_name, 1, 9) AS name_prefix,
+               LENGTH(c_name) AS name_len,
+               CONCAT_WS('/', c_mktsegment, c_name) AS seg_name,
+               REPLACE(c_name, '#', '-') AS name_dashed,
+               TRIM(c_name) AS name_trim
+        FROM customer
+    """,
+    tags=("E24",),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — string scalar functions over customer names."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.trim("c_name").alias("name_trim"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+               CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+                   AS days_to_2002
+        FROM orders
+    """,
+    tags=("E25",),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — temporal scalar functions over o_orderdate (stored as
+    timestamp[ms]; cast to DATE consistently on both sides —
+    SURVEY.md §7 risk item)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DATE values round-trip differently through pandas in the two
+        # engines (datetime.date vs Timestamp); format as ISO strings
+        # for the comparable output while still exercising the cast
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@query(
+    "scalar_math_decimal",
+    oracle="""
+        SELECT p_partkey,
+               ROUND(p_retailprice, 1) AS price_round1,
+               ABS(p_retailprice - 1000.0) AS dist_from_1000,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+               p_size % 7 AS size_mod7
+        FROM part
+    """,
+    tags=("E26",),
+)
+def scalar_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 — math + decimal casts (TPC-H money arithmetic).  Note the
+    engine-portability casts: Spark CEIL/FLOOR return BIGINT natively,
+    DuckDB returns DOUBLE — the oracle casts to match."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_round1"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_from_1000"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
+@query(
+    "scalar_array_map_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               UNNEST([user_id, event_id * 2]) AS arr_elem
+        FROM events
+    """,
+    tags=("E27",),
+)
+def scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 — JSON extraction + array construction + explode (Spark's
+    UDTF-equivalent) over the events.props JSON column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.explode(F.array(F.col("user_id"), F.col("event_id") * 2)).alias("arr_elem"),
+    )
+
+
+@query("scalar_hash_xxhash64", oracle=None, tags=("E28", "rows-only"))
+def scalar_hash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — xxHash64 over the point-get key, the direct analog of the
+    reference's seeded xxHash64 bucket placement
+    (``/root/reference/src/hashtable.rs:52-80``).  Spark's seed is
+    fixed at 42 while the reference seeds per-table
+    (``hashtable.rs:95-97``); hash values are internal in both systems
+    so there is no cross-engine oracle — rows-only check."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.xxhash64("o_orderkey").alias("h_key"),
+        (F.pmod(F.xxhash64("o_orderkey"), F.lit(511))).alias("bucket_511"),
+    )
+
+
+@query(
+    "scalar_hash_portable",
+    oracle="""
+        SELECT o_orderkey,
+               md5(CAST(o_orderkey AS VARCHAR)) AS h_md5,
+               sha256(CAST(o_orderkey AS VARCHAR)) AS h_sha256
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("E28",),
+)
+def scalar_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — portable cryptographic hashes (identical hex across
+    engines, unlike xxhash64): the cross-checkable half of the hash
+    surface."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    key_str = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.md5(key_str).alias("h_md5"),
+        F.sha2(key_str, 256).alias("h_sha256"),
+    )

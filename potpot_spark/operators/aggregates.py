@@ -1,0 +1,143 @@
+"""Aggregation operators (SURVEY.md §2.5: E14-E17).
+
+The reference has zero aggregation machinery (module list at
+``/root/reference/src/lib.rs:1-12``); its hash-table page
+(``hashtable.rs:90-168``) is the moral ancestor of a hash-aggregate's
+build side.  Spark's HashAggregate with partial (map-side) combine is
+the scalable form: pre-aggregation happens before the shuffle, so the
+exchange carries one row per (partition, group) — the difference
+between shipping 100 TB and shipping megabytes.
+
+All money sums use the exact-decimal path from
+``potpot_spark.functions.numeric`` so results are independent of
+partitioning / summation order (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import davg, dec, dsum
+from potpot_spark.registry import query
+
+Q1_CUTOFF = "2000-12-01"
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the engine's flagship query
+    (SURVEY.md §7 milestone 0; ``entry()`` runs this).
+
+    Shape notes for scale: filter pushes to the scan; partial
+    aggregation combines map-side over only ~6 groups, so the shuffle
+    is tiny regardless of input size.
+    """
+    one = F.lit(1).cast("decimal(4,2)")
+    price = dec("l_extendedprice", 2, 12)
+    disc = dec("l_discount", 2, 4)
+    tax = dec("l_tax", 2, 4)
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2, 12).alias("sum_qty"),
+            dsum("l_extendedprice", 2, 12).alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity", 2, 12).alias("avg_qty"),
+            davg("l_extendedprice", 2, 12).alias("avg_price"),
+            davg("l_discount", 2, 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_hash_groupby",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)
+                AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("E14", "flagship"),
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 — hash group-by with sum/avg/count (TPC-H Q1 shape)."""
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("E15",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 — distinct aggregation.  Spark expands this to a two-phase
+    plan (partial distinct on (status, custkey), then count) — the
+    scalable form of COUNT(DISTINCT)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("E16", "rows-only"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 — HyperLogLog++ approximate distinct.  No SQL oracle:
+    DuckDB's approx sketch differs; the driver records a rows-only
+    check and tests/test_aggregates.py bounds the relative error
+    against the exact count instead."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("n_custs_approx"))
+    )
+
+
+@query(
+    "agg_grouping_sets_cube_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("E17",),
+)
+def agg_grouping_sets_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — ROLLUP hierarchy totals.  Spark expands to a single Expand
+    + HashAggregate (one pass over the data, no re-scan per level)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", 2, 12).alias("sum_qty"), F.count("*").alias("n"))
+    )

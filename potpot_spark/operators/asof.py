@@ -1,0 +1,115 @@
+"""As-of join (SURVEY.md §2.4: E13) — nearest-prior-event join.
+
+Spark has no native as-of join; the scalable construction is the
+"union trick": union both inputs tagged, sort within each key
+partition by (ts, side), and carry the reference side's value forward
+with ``last(..., ignoreNulls=True)``.  Cost: ONE shuffle on the key,
+no join explosion, no per-row probe — this is how you as-of join two
+100 TB streams.  (A windowed equi-join would need a bounded time range;
+this form needs none.)
+
+DuckDB's native ``ASOF JOIN`` is the oracle (inclusive match:
+``p.ts >= c.ts``); ordering the reference side *before* the probe side
+at equal timestamps reproduces the inclusive semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Generic as-of join: for each probe row, attach the latest
+    reference row with ``reference.ts <= probe.ts`` (inclusive) for the
+    same ``on`` key.
+
+    ``reference`` must be unique per (on, ts) — pre-aggregate it if
+    not, or the carried value is nondeterministic.
+    """
+    side_ref, side_probe = (0, 1) if inclusive else (1, 0)
+    ref_tagged = reference.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(side_ref).alias("_side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema if t.name not in (on, ts)],
+    )
+    probe_tagged = probe.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(side_probe).alias("_side"),
+        *[F.lit(None).cast(reference.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(t.name).alias(f"_p_{t.name}") for t in probe.schema if t.name not in (on, ts)],
+    )
+    unioned = ref_tagged.unionByName(probe_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    out = unioned.select(
+        F.col(on),
+        F.col(ts),
+        F.col("_side"),
+        *[F.col(f"_p_{t.name}").alias(t.name) for t in probe.schema if t.name not in (on, ts)],
+        *carried,
+    )
+    return out.where(F.col("_side") == (1 if inclusive else 0)).drop("_side")
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+        WITH events_us AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events_us WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts, value FROM events_us
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_value AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("E13",),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 — for every purchase event, the value of the user's latest
+    click at-or-before the purchase (NULL if none yet).  Clicks are
+    pre-aggregated to one row per (user_id, ts) with MAX(value) so the
+    carried value is deterministic under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts", value_cols=["click_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("click_value").alias("last_click_value"),
+    )

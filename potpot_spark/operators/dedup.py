@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines
+(SURVEY.md §2.10: E34, E35 + simhash + n-gram Jaccard).
+
+Everything runs JVM-side on DataFrame built-ins — shingling with
+``transform``/``slice``, hashing with ``xxhash64``, set algebra with
+``array_intersect``/``array_union`` — no Python in the row path.  The
+MinHash/SimHash signatures use Spark's fixed-seed xxhash64, so their
+values have no cross-engine oracle (rows-only checks, like the
+reference's unfinished-hash tests-as-spec at
+``/root/reference/src/hashtable.rs:382-418``); the exact n-gram Jaccard
+variant IS oracle-checked against DuckDB.
+
+Scale design: never all-pairs.  Exact dedup is a hash group-by;
+MinHash pairs come from LSH band buckets (shuffle on band hash);
+n-gram Jaccard pairs come from blocking keys.  All-pairs appears only
+in tests as the ground truth for recall measurement.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+# --- shingling helpers (JVM expressions) ---------------------------------
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def word_shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (JVM higher-order fns)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tok, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
+    """num_hashes MinHash values: min over shingles of xxhash64(seed_i, s).
+
+    Permutation i is realized by prefixing a distinct seed literal —
+    deterministic across runs and cluster layouts.
+    """
+    return [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+# --- E34: exact dedup ----------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(lower(text)) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(text))
+    """,
+    tags=("E34",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 — exact content dedup: hash normalized text, keep min
+    doc_id per hash.  One hash group-by — the same map-side-combine
+    shape as E14, flat cost at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.col("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- E35: MinHash + LSH near-dedup --------------------------------------
+
+NUM_HASHES = 32
+BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.6 w/ high prob
+
+
+def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    tok = tokens()
+    sh = word_shingles(tok, 3)
+    return docs.where(F.size(tok) >= 3).select(
+        "doc_id",
+        sh.alias("shingles"),
+        *minhash_signature(sh, num_hashes),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Band the signature, bucket-join within (band_id, band_hash).
+
+    The exploded band table shuffles on the band hash — skewed buckets
+    (boilerplate-heavy corpora) are the known hazard; AQE skew-join
+    splitting handles moderate skew, and a bucket-size cap would be the
+    100 TB guard (documented, not needed at test scale).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    exploded = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """LSH candidates verified with exact Jaccard over shingle sets."""
+    sigs = minhash_docs(docs)
+    cands = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@query("dedup_near_minhash", oracle=None, tags=("E35", "rows-only"))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — MinHash+LSH near-dedup, exact-Jaccard verified at 0.6.
+    Deterministic (fixed hash seeds) so the rows-only check is stable;
+    recall vs brute force is bounded in tests/test_dedup.py."""
+    return near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash64(tok: Column) -> Column:
+    """64-bit SimHash: per-bit majority vote over token hashes.
+
+    Bit i of the signature is 1 iff sum over tokens of
+    (bit i of xxhash64(token) ? +1 : -1) is positive.  Pure JVM
+    expression tree (64 bit-votes), one pass, no shuffle.
+    """
+    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+
+    def bit_mask(i: int) -> int:
+        # bit 63 is the sign bit: its mask is the most-negative long
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    def vote(i: int):
+        mask = bit_mask(i)
+        # exactly-two-arg lambda: pyspark binds extra params as lambda vars
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), vote(i)) for i in range(64)
+    ]
+    return reduce(
+        lambda acc, iv: acc.bitwiseOR(
+            F.when(iv[1] > 0, F.lit(bit_mask(iv[0])).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
+        enumerate(bit_votes),
+        F.lit(0).cast("long"),
+    )
+
+
+@query("dedup_simhash", oracle=None, tags=("E35", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures per document (near-dup via Hamming distance
+    on 16-bit chunk collisions downstream).  Rows-only: signature
+    values depend on Spark's xxhash64 seed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(tokens()).alias("simhash"))
+
+
+# --- exact n-gram Jaccard (oracle-checked) -------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(
+                   CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard_sim
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 10
+        WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+    """,
+    tags=("E35",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over blocked candidate pairs (same
+    lang, |n_chars| within 10) — the oracle-checkable exact-similarity
+    complement of MinHash.  Blocking keeps the join quadratic only
+    within small blocks; at 100 TB the block key would gain a length
+    band + prefix token."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    sh = d.where(F.size(tok) >= 3).select("doc_id", "lang", "n_chars", word_shingles(tok, 3).alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+        )
+        .where(sim >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Join operators (SURVEY.md §2.4: E8-E12).
+
+The reference has no joins (``/root/reference/src/lib.rs:1-12``); its
+hash-index build/probe pair (``hashtable.rs:143-168``) is exactly the
+build/probe of a broadcast-hash join, which is the mapping we exploit:
+small dimensions are broadcast (build side on every executor), big
+fact-fact joins shuffle on the key and sort-merge.
+
+Scale notes per operator are in each docstring; the broadcast hints are
+load-bearing — without statistics a 100 TB plan could degrade to a
+shuffled join of a 5-row dimension table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum
+from potpot_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("E8",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — equi inner join orders x customer, aggregated per segment.
+    Catalyst picks broadcast-hash while customer fits the threshold and
+    sort-merge beyond it; AQE can demote/promote at runtime.  Both
+    sides shuffle on the same key exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2, 12).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    tags=("E9",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — explicit broadcast of the dimension tables (nation: 25
+    rows, region: 5 rows).  The fact side streams map-side with zero
+    shuffle for the joins; only the final 600-group aggregate
+    exchanges.  This is the plan shape that survives 100 TB."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal", 2, 12).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+                   AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("E10",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — left outer join preserving customers with zero orders
+    (COUNT over the null-extended side counts 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)).cast("double").alias("total_spent"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        WITH cust_nations AS (
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        ),
+        supp_nations AS (
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               (c.nationkey IS NOT NULL) AS has_customers,
+               (s.nationkey IS NOT NULL) AS has_suppliers
+        FROM cust_nations c FULL OUTER JOIN supp_nations s
+          ON c.nationkey = s.nationkey
+    """,
+    tags=("E10",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — full outer join: which nations have customers and/or
+    suppliers; unmatched sides survive null-extended."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.alias("c").join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full").select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.col("c.nationkey").isNotNull().alias("has_customers"),
+        F.col("s.nationkey").isNotNull().alias("has_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0
+        )
+    """,
+    tags=("E11",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — left-semi join (EXISTS): customers with at least one big
+    order.  Semi join carries no payload from the right side — the
+    shuffle ships only the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+    """,
+    tags=("E11",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — left-anti join (NOT EXISTS): customers who never placed a
+    very large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+        SELECT p.p_brand,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p
+          ON l.l_partkey = p.p_partkey
+         AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+        GROUP BY p.p_brand
+    """,
+    tags=("E12",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — join with a range predicate.  Deliberately anchored on an
+    equi conjunct (l_partkey = p_partkey) so Spark still plans a hash /
+    sort-merge join and evaluates the range as a post-join residual —
+    the scalable shape.  A pure theta join would be a broadcast
+    nested-loop: correct, but only acceptable when one side is tiny."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(
+            p,
+            (l.l_partkey == p.p_partkey)
+            & (l.l_quantity >= p.p_size - 5)
+            & (l.l_quantity <= p.p_size + 5),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice", 2, 12).alias("revenue"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Multimodal-column plumbing (SURVEY.md §2.10: E38).
+
+Image/audio/video payloads are opaque ``binary`` columns + a typed
+metadata struct; decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` so each Python worker sees columnar batches, never
+rows.  The decode itself is STUBBED deterministically (no media libs
+in this container — the real implementation would swap `_fake_decode`
+for PIL/ffmpeg); schema, batching, and partition behavior are real and
+oracle-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary payload + metadata struct to each document (the
+    documents table stands in for a media corpus; the payload is the
+    utf-8 encoding of the text)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_struct_col",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_bytes,
+               'text/plain' AS mime,
+               lang AS meta_lang,
+               CAST(n_chars AS BIGINT) AS meta_chars
+        FROM documents
+    """,
+    tags=("E38",),
+)
+def multimodal_struct_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — binary payload + struct metadata carried through ops and
+    flattened back out; proves BinaryType/StructType survive the
+    engine's operator surface losslessly."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.length(F.col("payload")).alias("payload_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+    )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a media decoder.
+
+    A real build replaces this body with PIL / torchaudio / pyav frame
+    sampling; the Spark-side contract (Arrow batches in, Arrow batches
+    out, one row per input row) is exactly what production needs.
+    """
+    for pdf in batches:
+        n = pdf["payload"].str.len()
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (n % 640 + 1).astype("int32"),
+                "height": (n * 7 % 480 + 1).astype("int32"),
+                "n_frames": (pdf["doc_id"] % 3 + 1).astype("int32"),
+                "decode_ok": n > 0,
+            }
+        )
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INT) AS height,
+               CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+               octet_length(encode(text)) > 0 AS decode_ok
+        FROM documents
+    """,
+    tags=("E38",),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — Arrow-batched decode pipeline over binary payloads via
+    ``mapInPandas``.  The decode is a deterministic fake (see
+    ``_fake_decode``), which lets the full distributed plumbing be
+    oracle-verified: the SQL twin recomputes the same formula."""
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(_fake_decode, DECODE_SCHEMA)

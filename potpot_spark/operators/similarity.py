@@ -1,0 +1,200 @@
+"""Similarity search over embeddings (SURVEY.md §2.10: E36).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the embedding corpus — a map-side nested loop with
+NO shuffle of the corpus, then a per-query top-k window.  At 100 TB
+corpus scale the same plan holds: queries broadcast, corpus streams.
+
+The approximate scale path is sign-LSH (random-hyperplane) bucketing:
+corpus and queries hash to sign-bit buckets, probe joins only its
+bucket.  Deterministic hyperplanes -> deterministic output
+(rows-only check; recall vs brute force bounded in tests).
+
+All arithmetic is double (`float` inputs upcast first) so Spark and
+the DuckDB oracle perform identical IEEE operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(queries_df: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x streamed corpus."""
+    q = F.broadcast(
+        queries_df.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("q_emb"))
+    )
+    c = corpus.select(F.col("vec_id"), as_double(F.col("embedding")).alias("c_emb"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "sim_search_topk_cosine",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        prod AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   UNNEST(q.embedding)::DOUBLE AS qx,
+                   UNNEST(e.embedding)::DOUBLE AS ex
+            FROM q, embeddings e
+        ),
+        sims AS (
+            SELECT query_id, vec_id,
+                   SUM(qx * ex) / (SQRT(SUM(qx * qx)) * SQRT(SUM(ex * ex))) AS cos
+            FROM prod GROUP BY query_id, vec_id
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+        FROM (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM sims
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+    tags=("E36",),
+)
+def sim_search_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — exact cosine top-{TOP_K} for {N_QUERIES} query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(queries_df, emb, TOP_K)
+
+
+# --- sign-LSH approximate path ------------------------------------------
+
+N_PLANES = 6  # 2^6 = 64 buckets
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no RNG: a fixed integer
+    hash mix per (plane, coordinate), mapped to [-1, 1])."""
+    coords = []
+    for j in range(dim):
+        h = (plane * 1_000_003 + j * 7_919 + 12_345) * 2_654_435_761 % (2**32)
+        coords.append((h / 2**31) - 1.0)
+    return coords
+
+
+def bucket_id(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("sim_search_lsh_bucketed", oracle=None, tags=("E36", "rows-only"))
+def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 (scale path) — sign-LSH bucketed ANN: corpus partitions by
+    bucket; each query probes only its own bucket, so per-query cost is
+    corpus/64 instead of corpus.  Deterministic hyperplanes ->
+    rows-only check is stable; recall measured in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    corpus = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("c_emb"),
+        bucket_id(as_double(F.col("embedding")), dim).alias("bucket"),
+    )
+    queries_df = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("q_emb"),
+            bucket_id(as_double(F.col("embedding")), dim).alias("bucket"),
+        )
+    )
+    scored = queries_df.join(corpus, "bucket").select(
+        "query_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH prod AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   UNNEST(a.embedding)::DOUBLE AS ax,
+                   UNNEST(b.embedding)::DOUBLE AS bx
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+        FROM (
+            SELECT vec_a, vec_b,
+                   SUM(ax * bx) / (SQRT(SUM(ax * ax)) * SQRT(SUM(bx * bx))) AS cos
+            FROM prod GROUP BY vec_a, vec_b
+        )
+        WHERE cos >= 0.35
+    """,
+    tags=("E36", "E35"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.35; the synthetic
+    embeddings top out at ~0.45 intra-label cosine, so the threshold is
+    set where the operator has work to do) blocked by
+    label — the embedding-space member of the dedup family.  Blocking
+    bounds the pair join; the label key stands in for a coarse
+    quantizer (IVF cell) at real scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,211 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2.10: E37 + language-ID, quality scoring, token counting,
+fingerprinting).
+
+All pure JVM expression trees (split / higher-order array functions /
+regexp) — a 100 TB corpus pass stays inside whole-stage codegen with
+zero Python and zero shuffle except the final small aggregates.
+Every deterministic op carries a DuckDB oracle that re-implements the
+same formula; that differential IS the test (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import davg, dsum
+from potpot_spark.registry import query
+
+# Stopword profiles for the n-gram/stopword language-ID heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def _tok(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _count_in(tok: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda x: F.array_contains(wl, x)))
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({lst})))"
+
+
+@query(
+    "text_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars)
+                   AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("E37",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — corpus statistics per language tag."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars", 2, 18).alias("avg_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_words"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def _langid_spark() -> list[Column]:
+    tok = _tok()
+    return [_count_in(tok, LANG_PROFILES[lang]).alias(f"score_{lang}") for lang in LANG_PROFILES]
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_count_in(LANG_PROFILES["en"])} AS score_en,
+                   {_sql_count_in(LANG_PROFILES["es"])} AS score_es,
+                   {_sql_count_in(LANG_PROFILES["fr"])} AS score_fr,
+                   {_sql_count_in(LANG_PROFILES["de"])} AS score_de,
+                   {_sql_count_in(LANG_PROFILES["zh"])} AS score_zh
+            FROM documents
+        )
+        SELECT doc_id, lang AS tagged_lang,
+               CASE
+                   WHEN score_en >= score_es AND score_en >= score_fr
+                        AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+                   WHEN score_es >= score_fr AND score_es >= score_de
+                        AND score_es >= score_zh THEN 'es'
+                   WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+                   WHEN score_de >= score_zh THEN 'de'
+                   ELSE 'zh'
+               END AS predicted_lang
+        FROM scored
+    """,
+    tags=("E37",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a fixed tie-break order
+    (en > es > fr > de > zh) so prediction is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", F.col("lang").alias("tagged_lang"), *_langid_spark())
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_PROFILES}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "tagged_lang", predicted.alias("predicted_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS word_count,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
+               ROUND(
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> x IN ('the', 'and', 'of', 'a', 'to', 'is', 'in'))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_word_len
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0
+    """,
+    tags=("E37",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction: length, punctuation density, stopword
+    ratio, average word length — the standard pre-filter features for
+    corpus curation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_raw = F.split(F.col("text"), " ")
+    stop = _count_in(_tok(), ("the", "and", "of", "a", "to", "is", "in"))
+    return (
+        d.where(F.size(tok_raw) > 0)
+        .select(
+            "doc_id",
+            F.size(tok_raw).alias("word_count"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,!?;:]"), 0)).alias("punct_count"),
+            F.round(stop.cast("double") / F.size(tok_raw), 6).alias("stopword_ratio"),
+            F.round(F.col("n_chars").cast("double") / F.size(tok_raw), 6).alias("avg_word_len"),
+        )
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\w+')) AS n_word_tokens,
+               CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens_est
+        FROM documents
+    """,
+    tags=("E37",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex word tokens + the chars/4 BPE-rate
+    estimate used for LLM budget accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).alias("n_word_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_tokens_est"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS bag_fingerprint
+        FROM documents
+    """,
+    tags=("E37",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token bag —
+    order-insensitive content identity (catches shuffled plagiarism
+    that exact-hash dedup misses)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(_tok())), " ")).alias("bag_fingerprint"),
+    )
+
+
+@query("text_rolling_hash", oracle=None, tags=("E37", "rows-only"))
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (acc*31+xxhash64
+    per token, mod 2^61-1) — the streaming-friendly fingerprint
+    variant.  Rows-only: depends on Spark's xxhash64 seed."""
+    d = load_table(spark, sf_dir, "documents")
+    # modulus 2^31-1 keeps acc*31 + h far below long overflow (ANSI mode)
+    mersenne = F.lit((1 << 31) - 1).cast("long")
+    rolling = F.aggregate(
+        _tok(),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), mersenne), mersenne),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))

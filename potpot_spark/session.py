@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engine's physical machinery (16 KB paged file with
+O_DIRECT + fsync, ``/root/reference/src/storage.rs:57-84``; clock-swept
+buffer pool, ``bufferpool.rs:39-73``; CRC32 page checksums,
+``aligned.rs:61-64``) maps onto Spark/Parquet built-ins (SURVEY.md
+§4.2), so the only "storage engine" code we own is configuration.
+
+The defaults below are chosen for the 100 TB / 1000-executor target and
+merely *tested* on local[32]:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so plans
+  re-optimize with real statistics at any scale.
+- Shuffle partitions: small fixed number locally (env-tunable); on a
+  real cluster AQE's coalescing makes the initial number far less
+  critical than in static planning.
+- Broadcast threshold left at default 10 MB; dimension tables are also
+  hinted explicitly with ``F.broadcast`` at call sites so plans stay
+  broadcast-joins even if statistics are missing.
+- Arrow enabled for every pandas interchange (vectorized UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_session", "DEFAULT_CONFS"]
+
+DEFAULT_CONFS: dict[str, str] = {
+    # Runtime adaptivity: re-plan with actual stats — critical at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas/python interchange (vectorized, not per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scan efficiency: pushdown + vectorized reader are defaults,
+    # set explicitly so a regression is loud.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Timestamps in testdata are ms/ns precision; use java8 time API.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep partition files reasonably sized when writing.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def _local_cores() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count so tiny
+    local runs don't pay 200-partition scheduling overhead; on a real
+    cluster this should be ~2-3x total executor cores and AQE coalesces
+    downward from there.
+    """
+    cores = _local_cores()
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cores)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,52 @@
+"""Structured-Streaming harness: run a finite stream to completion and
+return the materialized result as a batch DataFrame.
+
+The driver's contract wants ``queries()`` entries to return collectable
+DataFrames, so streaming operators execute with
+``trigger(availableNow=True)`` into an in-memory sink and hand back the
+sink table.  On a real cluster the same pipeline runs unbounded with a
+kafka/file source and a real sink; only this harness is test-specific.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from potpot_spark.catalog import load_events_raw, nanos_to_ts, table_path
+
+_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — file-based streaming source over the events table (schema
+    pinned from the batch footer; file sources require explicit
+    schemas).  ts arrives as int64 nanos (see catalog.load_events_raw)
+    and is converted to microsecond TimestampType in-stream."""
+    schema = load_events_raw(spark, sf_dir).schema
+    # The file stream source requires a directory (or glob) path; the
+    # fixture is a single file, so glob-escape its last character.
+    path = table_path(sf_dir, "events")
+    glob_path = f"{path[:-1]}[{path[-1]}]"
+    raw = spark.readStream.schema(schema).parquet(glob_path)
+    return raw.withColumn("ts", nanos_to_ts("ts"))
+
+
+def run_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute the streaming query over all currently-available data
+    (availableNow trigger), then return the memory-sink table."""
+    spark = stream_df.sparkSession
+    name = f"potpot_stream_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="potpot_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
