@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md protocol).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+materialization through the noop sink (no driver-side collect cost),
+and prints ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from potpot_spark import registry
+from potpot_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> None:
+    """Force full execution without shipping rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    only = sys.argv[1:]
+    spark = get_session("potpot_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in registry.specs().items():
+        if only and not any(f in name for f in only):
+            continue
+        t0 = time.perf_counter()
+        try:
+            materialize(spec.fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            dt = time.perf_counter() - t0
+            print(f"# BENCH ERROR {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

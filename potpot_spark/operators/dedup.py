@@ -94,12 +94,16 @@ BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.6 w/ high prob
 
 def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     tok = tokens()
-    sh = word_shingles(tok, 3)
-    return docs.where(F.size(tok) >= 3).select(
-        "doc_id",
-        sh.alias("shingles"),
-        *minhash_signature(sh, num_hashes),
+    # Two-stage projection: materialize the shingle array once, then
+    # derive the 32 minhash columns from the *column reference*.
+    # Passing the shingle expression into every minhash column would
+    # make codegen rebuild the array 33x per row (CollapseProject
+    # keeps non-cheap multiply-referenced projections separate).
+    with_shingles = docs.where(F.size(tok) >= 3).select(
+        "doc_id", word_shingles(tok, 3).alias("shingles")
     )
+    sh = F.col("shingles")
+    return with_shingles.select("doc_id", "shingles", *minhash_signature(sh, num_hashes))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -144,8 +148,14 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, num_hashes: int = N
 
 
 def near_dup_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """LSH candidates verified with exact Jaccard over shingle sets."""
-    sigs = minhash_docs(docs)
+    """LSH candidates verified with exact Jaccard over shingle sets.
+
+    The signature table feeds three consumers (two explode sides + the
+    verify join); cache it so the shingle/minhash pipeline runs once.
+    At warehouse scale the equivalent is materializing signatures to a
+    table keyed by doc_id and reusing it across dedup runs.
+    """
+    sigs = minhash_docs(docs).persist()
     cands = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "shingles")
     verified = (
@@ -168,14 +178,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -------------------------------------------------------------
 
 
-def simhash64(tok: Column) -> Column:
-    """64-bit SimHash: per-bit majority vote over token hashes.
+def simhash64(hashes: Column) -> Column:
+    """64-bit SimHash from a token-hash array: per-bit majority vote.
 
     Bit i of the signature is 1 iff sum over tokens of
-    (bit i of xxhash64(token) ? +1 : -1) is positive.  Pure JVM
-    expression tree (64 bit-votes), one pass, no shuffle.
+    (bit i of hash ? +1 : -1) is positive.  Pure JVM expression tree
+    (64 bit-votes), no shuffle.  Pass a *materialized column* of
+    hashes, not an expression — the 64 votes each scan the array, so
+    an inlined expression would rebuild it 64x per row.
     """
-    hashes = F.transform(tok, lambda t: F.xxhash64(t))
 
     def bit_mask(i: int) -> int:
         # bit 63 is the sign bit: its mask is the most-negative long
@@ -206,7 +217,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 16-bit chunk collisions downstream).  Rows-only: signature
     values depend on Spark's xxhash64 seed."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(tokens()).alias("simhash"))
+    hashed = d.select(
+        "doc_id", F.transform(tokens(), lambda t: F.xxhash64(t)).alias("tok_hashes")
+    )
+    return hashed.select("doc_id", simhash64(F.col("tok_hashes")).alias("simhash"))
 
 
 # --- exact n-gram Jaccard (oracle-checked) -------------------------------
@@ -244,26 +258,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over blocked candidate pairs (same
     lang, |n_chars| within 10) — the oracle-checkable exact-similarity
-    complement of MinHash.  Blocking keeps the join quadratic only
-    within small blocks; at 100 TB the block key would gain a length
-    band + prefix token."""
+    complement of MinHash.
+
+    Scale shape: the semantic block (lang, |n_chars|<=10) is realized
+    as an EQUI join on (lang, length-band) — side A explodes into its
+    band and both neighbors, side B stays in its own band, so every
+    qualifying pair meets on exactly one key and the shuffle spreads
+    over lang x band keys instead of 5 lang-only keys (which made a
+    per-language cross product).  The |n_chars| predicate remains as a
+    residual filter, so results are identical to the naive form the
+    oracle computes.  Shingles compare as xxhash64 longs, not strings
+    (same Jaccard, ~10x cheaper intersections; hash-collision
+    probability over the corpus is ~1e-14 per pair)."""
     d = load_table(spark, sf_dir, "documents")
     tok = tokens()
-    sh = d.where(F.size(tok) >= 3).select("doc_id", "lang", "n_chars", word_shingles(tok, 3).alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    band = (F.col("n_chars") / 20).cast("int")
+    hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
+    sh = d.where(F.size(tok) >= 3).select(
+        "doc_id", "lang", "n_chars", hashed.alias("shingles_h"), band.alias("band")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang"),
+        F.col("n_chars").alias("chars_a"),
+        F.col("shingles_h").alias("sh_a"),
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)).alias("jband"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("n_chars").alias("chars_b"),
+        F.col("shingles_h").alias("sh_b"),
+        F.col("band").alias("jband"),
+    )
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+        a.join(b, ["lang", "jband"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)
         )
         .where(sim >= 0.3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(sim, 6).alias("jaccard_sim"),
-        )
+        .select("doc_a", "doc_b", F.round(sim, 6).alias("jaccard_sim"))
     )

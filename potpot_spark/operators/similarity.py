@@ -97,7 +97,8 @@ def sim_search_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sign-LSH approximate path ------------------------------------------
 
-N_PLANES = 6  # 2^6 = 64 buckets
+N_PLANES = 6  # 2^6 = 64 buckets per table
+N_TABLES = 4  # OR-construction: candidate if bucket-equal in ANY table
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -110,10 +111,11 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return coords
 
 
-def bucket_id(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+def bucket_id(emb: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket for one LSH table (table selects the plane set)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = _hyperplane(dim, p)
+        plane = _hyperplane(dim, table * n_planes + p)
         proj = F.aggregate(
             F.zip_with(emb, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
             F.lit(0.0),
@@ -123,27 +125,52 @@ def bucket_id(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def _with_table_buckets(df: DataFrame, id_col: str, emb_col: str, dim: int) -> DataFrame:
+    """Explode each vector into its (table, bucket) postings — the L-way
+    replication of a multi-table LSH index (standard recall/cost
+    trade: corpus storage x L, probe cost corpus/2^planes x L)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), bucket_id(F.col(emb_col), dim, t).alias("bucket")
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.select(
+        id_col, emb_col, F.explode(entries).alias("e")
+    ).select(id_col, emb_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+
+
 @query("sim_search_lsh_bucketed", oracle=None, tags=("E36", "rows-only"))
 def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E36 (scale path) — sign-LSH bucketed ANN: corpus partitions by
-    bucket; each query probes only its own bucket, so per-query cost is
-    corpus/64 instead of corpus.  Deterministic hyperplanes ->
-    rows-only check is stable; recall measured in tests/test_similarity.py."""
+    """E36 (scale path) — multi-table sign-LSH ANN: 4 tables x 6
+    hyperplanes; a vector is a candidate if it shares a bucket with the
+    query in ANY table (OR-construction), candidates are reranked with
+    exact cosine.  Per-query probe cost is ~L/2^planes of the corpus
+    instead of a full scan.  Deterministic hyperplanes -> rows-only
+    check is stable; recall measured in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
-    corpus = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("c_emb"),
-        bucket_id(as_double(F.col("embedding")), dim).alias("bucket"),
+    corpus = _with_table_buckets(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("c_emb")), "vec_id", "c_emb", dim
     )
     queries_df = F.broadcast(
-        emb.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            as_double(F.col("embedding")).alias("q_emb"),
-            bucket_id(as_double(F.col("embedding")), dim).alias("bucket"),
+        _with_table_buckets(
+            emb.where(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("q_emb")
+            ),
+            "query_id",
+            "q_emb",
+            dim,
         )
     )
-    scored = queries_df.join(corpus, "bucket").select(
+    candidates = (
+        queries_df.join(corpus, ["tbl", "bucket"])
+        .select("query_id", "q_emb", "vec_id", "c_emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
         "query_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))

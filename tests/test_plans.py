@@ -1,0 +1,114 @@
+"""Plan-shape tests (SURVEY.md §5.2 item 4): assert the physical plans
+have the properties that survive a 100x scale-up — pushdown reaches the
+scan, projections prune, dimensions broadcast, aggregates combine
+map-side, top-k avoids a global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from potpot_spark import registry
+from potpot_spark.catalog import load_table
+from potpot_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+    reads_only_columns,
+)
+
+registry.load_all()
+
+
+def test_point_get_pushes_filter(spark, sf_dir):
+    df = registry.get("filter_eq_point_get").fn(spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderkey"), formatted_plan(df)
+
+
+def test_flagship_pushes_shipdate_filter(spark, sf_dir):
+    df = registry.get("agg_hash_groupby").fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate"), formatted_plan(df)
+
+
+def test_project_prunes_columns(spark, sf_dir):
+    df = registry.get("project").fn(spark, sf_dir)
+    assert reads_only_columns(df, {"c_custkey", "c_name", "c_mktsegment"}, "customer"), formatted_plan(df)
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    df = registry.get("agg_hash_groupby").fn(spark, sf_dir)
+    needed = {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+    assert reads_only_columns(df, needed, "lineitem"), formatted_plan(df)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = registry.get("join_broadcast").fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    """Map-side combine: a partial_ aggregate must appear below the
+    exchange so only group-rows shuffle."""
+    df = registry.get("agg_hash_groupby").fn(spark, sf_dir)
+    assert "partial_" in formatted_plan(df), formatted_plan(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must not global-sort: TakeOrderedAndProject."""
+    df = registry.get("sort_limit_topk").fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df), formatted_plan(df)
+
+
+def test_semi_join_no_payload_columns(spark, sf_dir):
+    """Semi join prunes the right side to the join key only."""
+    df = registry.get("join_semi").fn(spark, sf_dir)
+    assert reads_only_columns(df, {"o_custkey", "o_totalprice"}, "orders"), formatted_plan(df)
+
+
+def test_window_topk_group_limit(spark, sf_dir):
+    """rank<=k filters push a WindowGroupLimit below the shuffle where
+    supported (Spark 3.5+)."""
+    df = registry.get("win_rank_topk_per_group").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_no_cartesian_in_theta_join(spark, sf_dir):
+    """The range join must keep its equi anchor (hash/sort-merge), not
+    degrade to a cartesian/BNL product."""
+    df = registry.get("join_theta_range").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_has_no_python_udf_in_hot_path(spark, sf_dir):
+    """Text analysis stays JVM-side: no BatchEvalPython (row-at-a-time
+    Python) anywhere; only ArrowEvalPython/MapInPandas where declared."""
+    for name in ("text_lang_id", "text_quality_score", "dedup_simhash", "text_fingerprint"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_filter_pushdown_conf(spark):
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+
+
+def test_broadcast_hint_survives_composition(spark, sf_dir):
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    df = c.join(n, c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+    assert has_broadcast_join(df)

