@@ -106,6 +106,30 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+        SELECT n.n_name,
+               COUNT(s.s_suppkey) AS n_suppliers
+        FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("E10",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — right outer join preserving nations with zero suppliers.
+    Catalyst flips build/probe sides freely for outer joins with a
+    broadcastable preserved side; at scale the preserved (right)
+    dimension broadcasts and the streamed fact side never shuffles."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
         WITH cust_nations AS (

@@ -112,3 +112,32 @@ def test_broadcast_hint_survives_composition(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     df = c.join(n, c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
     assert has_broadcast_join(df)
+
+
+def test_q3_composite_plan_shape(spark, sf_dir):
+    """TPC-H Q3 shape: filters push to every scan, customer broadcasts,
+    top-10 is TakeOrderedAndProject (no global sort)."""
+    df = registry.get("tpch_q3_shipping_priority").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_shipdate"), plan
+    assert has_pushed_filter(df, "o_orderdate"), plan
+    assert has_pushed_filter(df, "c_mktsegment"), plan
+    assert has_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join stays hash/merge (no cartesian), and
+    the dimension chain broadcasts."""
+    df = registry.get("tpch_q5_local_supplier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df), plan
+    assert "partial_" in plan, plan
+
+
+def test_q10_returnflag_pushdown(spark, sf_dir):
+    df = registry.get("tpch_q10_returned_items").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_returnflag"), plan
+    assert "TakeOrderedAndProject" in plan, plan
