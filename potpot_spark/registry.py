@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.relational",
     "potpot_spark.operators.joins",
     "potpot_spark.operators.tpch",
+    "potpot_spark.operators.tpch_suite",
     "potpot_spark.operators.aggregates",
     "potpot_spark.operators.windows",
     "potpot_spark.operators.asof",

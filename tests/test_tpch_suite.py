@@ -1,0 +1,96 @@
+"""Plan-shape tests for the extended TPC-H suite (operators/tpch_suite.py):
+each query's physical plan must have the properties that make it viable
+at 100 TB — scan-level pushdown, broadcast dims, partial aggregation,
+semi/anti joins that never materialize the probe side."""
+
+from __future__ import annotations
+
+from potpot_spark import registry
+from potpot_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+    reads_only_columns,
+)
+
+registry.load_all()
+
+
+def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
+    df = registry.get("tpch_q4_order_priority").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderdate"), plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pure-scan query: all predicates push down and only the
+    4 needed columns of 11 are read."""
+    df = registry.get("tpch_q6_forecast_revenue").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_shipdate"), plan
+    assert has_pushed_filter(df, "l_discount"), plan
+    assert has_pushed_filter(df, "l_quantity"), plan
+    assert reads_only_columns(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, "lineitem"
+    ), plan
+    assert "partial_" in plan, plan
+
+
+def test_q7_double_nation_broadcast(spark, sf_dir):
+    df = registry.get("tpch_q7_volume_shipping").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_part_filter_before_broadcast(spark, sf_dir):
+    df = registry.get("tpch_q8_market_share").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "p_type"), plan
+    assert has_broadcast_join(df), plan
+
+
+def test_q14_rowgroup_pruning_range(spark, sf_dir):
+    df = registry.get("tpch_q14_promo_revenue").fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate"), formatted_plan(df)
+
+
+def test_q16_anti_join_prunes_blocklist(spark, sf_dir):
+    """The NOT IN blocklist reads only (s_suppkey, s_acctbal)."""
+    df = registry.get("tpch_q16_supplier_count").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert reads_only_columns(df, {"s_suppkey", "s_acctbal"}, "supplier"), plan
+
+
+def test_q17_single_scalar_subquery_aggregate(spark, sf_dir):
+    """The per-part avg must be aggregate-then-join with a map-side
+    partial — not a per-row recompute."""
+    df = registry.get("tpch_q17_small_qty_revenue").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_semi_join(spark, sf_dir):
+    df = registry.get("tpch_q18_large_volume_customer").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q19_common_predicates_pushed(spark, sf_dir):
+    """From the OR-of-ANDs Catalyst must derive per-side implied
+    filters and push them below the join."""
+    df = registry.get("tpch_q19_discounted_revenue").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_quantity"), plan
+    assert has_pushed_filter(df, "p_brand") or has_pushed_filter(df, "p_size"), plan
+
+
+def test_q22_anti_join_only_keys(spark, sf_dir):
+    df = registry.get("tpch_q22_global_sales_opportunity").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert reads_only_columns(df, {"o_custkey", "o_orderdate"}, "orders"), plan
