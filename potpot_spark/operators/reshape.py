@@ -1,0 +1,104 @@
+"""Reshaping operators: pivot, unpivot (melt), and array explode.
+
+Absent from the reference (whose rows never change shape after
+``Row::to_tuple``, ``/root/reference/src/types.rs:135-142``); declared
+engine surface because every analytics user reshapes.
+
+Scale notes:
+- pivot is given an EXPLICIT value list — without it Spark runs an
+  extra collect-distinct job over the full table before planning, which
+  at 100 TB is a full scan just to discover column names;
+- unpivot is a zero-shuffle narrow transform (each row expands locally);
+- explode multiplies row count by array length — partition sizing must
+  account for the fan-out factor, so the operator repartitions by a
+  post-explode key when the downstream needs balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "reshape_pivot_event_counts",
+    oracle="""
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY day
+    """,
+    tags=("E14", "E27"),
+)
+def reshape_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via ``pivot`` with an explicit value
+    list (one aggregate pass; no discovery scan).  Internally a normal
+    partial-aggregated groupBy whose output schema is the value list."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    piv = (
+        e.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # driver compare treats missing combination as 0, like the CASE sums
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "reshape_unpivot_measures",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS value
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("E5", "E22"),
+)
+def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via ``unpivot`` — a narrow (no-shuffle) transform;
+    the l_orderkey predicate still pushes to the scan below it."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "reshape_explode_embedding",
+    oracle="""
+        SELECT vec_id,
+               CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings WHERE vec_id < 20
+    """,
+    tags=("E27",),
+)
+def reshape_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fan-out with position via ``posexplode`` (Spark's generator
+    runs inside whole-stage codegen; row count multiplies by the vector
+    dimension, which downstream sizing must budget for)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("bigint"))

@@ -51,11 +51,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _OPERATOR_MODULES = [
     "potpot_spark.sources.scan",
     "potpot_spark.sources.sink",
+    "potpot_spark.sources.formats",
+    "potpot_spark.sources.layout",
     "potpot_spark.operators.relational",
     "potpot_spark.operators.joins",
     "potpot_spark.operators.tpch",
     "potpot_spark.operators.tpch_suite",
     "potpot_spark.operators.aggregates",
+    "potpot_spark.operators.stats",
+    "potpot_spark.operators.reshape",
+    "potpot_spark.operators.sampling",
     "potpot_spark.operators.windows",
     "potpot_spark.operators.asof",
     "potpot_spark.operators.dedup",

@@ -1,0 +1,90 @@
+"""Format connectors beyond parquet: CSV and JSON-lines round trips.
+
+The reference's only format is its slotted page + tagged tuple
+(``/root/reference/src/page.rs:17-31``, ``types.rs:135-156``); an
+engine users can switch to needs the interchange formats their data
+already lives in.  Both operators write a deterministic slice to a
+scratch dir in the engine format, read it back with an EXPLICIT schema
+(schema inference is a full extra pass over the data at 100 TB — never
+rely on it in production paths), and return the round-tripped rows; the
+oracle reads the same slice straight from parquet, so the round trip
+must be lossless.
+
+Scale notes: CSV/JSON are row-oriented, splittable (uncompressed / with
+splittable codecs), but carry no column statistics — no predicate
+pushdown, no column pruning.  The engine treats them as INGEST formats:
+read once with explicit schema, write parquet, query the parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("E1", "E2"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector: parquet slice -> headered CSV -> read back with an
+    explicit schema (``inferSchema`` would cost a second full pass)."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 300)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_csv_"), "orders_csv")
+    src.write.mode("overwrite").option("header", True).csv(target)
+    return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(target)
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+        SELECT event_id, event_type, user_id, props
+        FROM events WHERE event_id < 300
+    """,
+    tags=("E1", "E2", "E27"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round trip with explicit schema.  ``props``
+    is a JSON string column carried opaquely — parsing it is a separate
+    operator (``scalar_array_map_json``), not a scan concern."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 300)
+        .select("event_id", "event_type", "user_id", "props")
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_json_"), "events_json")
+    src.write.mode("overwrite").json(target)
+    return spark.read.schema(_JSON_SCHEMA).json(target)

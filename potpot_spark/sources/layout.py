@@ -1,0 +1,114 @@
+"""Physical-layout sinks: hive-partitioned and bucketed writes.
+
+These are the engine's answer to the reference's two physical-design
+ideas — page-addressed placement (``/root/reference/src/storage.rs:57-84``)
+and the hash index (``hashtable.rs:90-168``) — re-expressed as the two
+layout tools that actually matter at 100 TB:
+
+- **partitionBy(col)**: directory-level partition pruning; a filter on
+  the partition column skips whole directories before any I/O.  The
+  analytical descendant of "seek directly to the page you need".
+- **bucketBy(n, key)**: pre-hash-partition data on the join/agg key at
+  write time; two tables bucketed the same way join with ZERO shuffle
+  (asserted in tests/test_layout.py).  This is the reference's
+  xxHash64-slot placement (``hashtable.rs:152-155``) promoted from one
+  16 KB page to a cluster layout.
+
+Cardinality discipline (scale note): partition columns must be
+low-cardinality (here: 3-value status / 5-value flag).  Partitioning by
+a high-cardinality key produces millions of small files — the classic
+100 TB pipeline failure; bucketing is the high-cardinality tool.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum, dsum_expr
+from potpot_spark.registry import query
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {dsum_expr('o_totalprice')} AS totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus
+    """,
+    tags=("E2", "E1"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders hive-partitioned by o_orderstatus, read back with a
+    partition filter: the scan touches only the status=F directory
+    (PartitionFilters in the plan — test_layout asserts it), so at
+    100 TB the other partitions cost zero I/O."""
+    src = load_table(spark, sf_dir, "orders")
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_part_"), "orders_by_status")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
+    back = spark.read.parquet(target).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("totalprice"),
+    )
+
+
+@query(
+    "sink_bucketed_join_noshuffle",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               {dsum_expr('l.l_extendedprice')} AS price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 5000
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("E2", "E8"),
+)
+def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join: write lineitem and orders bucketed 8 ways on
+    the join key, then join the bucketed tables.  Both sides are
+    already hash-placed, so the physical plan has NO shuffle exchange
+    on either side (asserted in test_layout) — at 100 TB this converts
+    the biggest repeated fact-fact join from a full-network shuffle to
+    a local merge per bucket."""
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="potpot_bucket_")
+    l_name, o_name = f"li_b_{run}", f"ord_b_{run}"
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, l_name))
+        .saveAsTable(l_name)
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, o_name))
+        .saveAsTable(o_name)
+    )
+    lb, ob = spark.table(l_name), spark.table(o_name)
+    # hint("merge"): at test SF the probe side fits a broadcast, which
+    # would hide the property under test; at 100 TB fact-fact scale SMJ
+    # over co-bucketed sorted tables (zero exchange, zero sort) is the
+    # plan this layout exists to produce.
+    return (
+        lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("price"),
+        )
+    )
