@@ -35,6 +35,11 @@ def main() -> int:
     spark = get_session("potpot_bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
+    # Untimed warmup: JVM JIT, codegen compiler, parquet footer caches and
+    # the noop-writer path all initialize here so the first measured query
+    # isn't charged ~2s of one-time session cost.
+    materialize(spark.range(100_000).selectExpr("id % 7 AS k", "id AS v").groupBy("k").sum("v"))
+    materialize(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in registry.specs().items():

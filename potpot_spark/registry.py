@@ -64,6 +64,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.windows",
     "potpot_spark.operators.asof",
     "potpot_spark.operators.dedup",
+    "potpot_spark.operators.graph",
     "potpot_spark.operators.similarity",
     "potpot_spark.operators.text",
     "potpot_spark.operators.multimodal",

