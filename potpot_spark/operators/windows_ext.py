@@ -1,0 +1,112 @@
+"""Extended window-function surface: distribution functions and value
+navigation (complements operators/windows.py rank/analytic/frame ops).
+
+All JVM-side Window evaluation; one shuffle on the partition key, sort
+within partitions.  percent_rank/cume_dist are exact rationals computed
+from integer ranks, so they compare exactly across engines — no
+rounding grain needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from potpot_spark.catalog import load_table
+from potpot_spark.registry import query
+
+
+@query(
+    "win_distribution",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ntile(4) OVER w AS spend_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("E18",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per customer: quartile bucketing
+    (ntile), relative rank, cumulative distribution.  The orderBy
+    carries o_orderkey as tiebreak so bucket assignment is total-order
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_value_navigation",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               last_value(o_totalprice) OVER w AS max_price,
+               CAST(o_totalprice AS DOUBLE) - first_value(o_totalprice) OVER w AS above_min
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("E19",),
+)
+def win_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value navigation over the full-partition frame: nth/last/first
+    value.  The explicit unbounded frame matters — the default frame
+    (UNBOUNDED PRECEDING..CURRENT ROW) silently changes last_value to
+    'current row' in both engines."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("max_price"),
+        (F.col("o_totalprice") - F.first("o_totalprice").over(w)).alias("above_min"),
+    )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+        SELECT user_id, event_id,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+               ) AS events_10min
+        FROM events
+        WHERE user_id < 50
+    """,
+    tags=("E20",),
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: events per user in the trailing 10
+    minutes.  Spark's rangeBetween is numeric, so the timestamp is
+    projected to epoch MICROseconds (the native precision after the
+    parquet ns->us truncation) and the frame is 600e6 us — exactly the
+    oracle's INTERVAL 10 MINUTE, with no sub-second clipping."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_10min"),
+    )

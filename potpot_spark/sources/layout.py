@@ -112,3 +112,46 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("price"),
         )
     )
+
+
+@query(
+    "sink_insert_overwrite_dynamic",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {dsum_expr("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9 ELSE o_totalprice END", scale=4)} AS totalprice
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("E2",),
+)
+def sink_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the engine's UPDATE-a-slice
+    primitive: rewrite ONLY the partitions present in the incoming
+    batch, leave every other partition's files untouched.
+
+    Here: orders written partitioned by status, then the status='O'
+    partition is replaced with a 10%%-discounted version under
+    ``partitionOverwriteMode=dynamic``; reading the table back must show
+    discounted O rows and untouched F/P rows (the oracle computes the
+    same end state from the source).  At 100 TB this is the daily
+    backfill pattern: reprocess one day-partition without touching the
+    other ~3650."""
+    src = load_table(spark, sf_dir, "orders")
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_dynow_"), "orders_dyn")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
+    discounted = (
+        src.where(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        discounted.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=4).alias("totalprice"),
+    )
