@@ -68,12 +68,14 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.dedup",
     "potpot_spark.operators.graph",
     "potpot_spark.operators.similarity",
+    "potpot_spark.operators.ivf",
     "potpot_spark.operators.text",
     "potpot_spark.operators.multimodal",
     "potpot_spark.functions.scalars",
     "potpot_spark.functions.constraints",
     "potpot_spark.streaming.windows",
     "potpot_spark.streaming.stateful",
+    "potpot_spark.streaming.joins",
 ]
 
 _loaded = False

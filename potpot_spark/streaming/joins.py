@@ -1,0 +1,150 @@
+"""Stream-stream joins and the foreachBatch upsert sink — the two
+hardest production streaming patterns after arbitrary state.
+
+Stream-stream inner joins require BOTH sides watermarked and a time
+interval on the join condition: Spark buffers each side in state,
+emits on match, and the watermark + interval bound tells it when a
+buffered row can never match again and is evicted.  State size is
+O(events within the interval per key) — bounded, cluster-safe.
+
+The foreachBatch sink is the escape hatch that turns any batch write
+(upsert/merge, multi-table txn) into a streaming sink with
+exactly-once-per-epoch semantics (checkpointed batch ids let a sink
+dedup replayed epochs on recovery).
+
+Both run here with ``availableNow`` into deterministic results, so the
+DuckDB batch oracle applies exactly (the driver's batch-equivalence
+strategy for all E29-E33 ops, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from potpot_spark.registry import query
+from potpot_spark.streaming.runner import run_to_batch, stream_events
+
+
+@query(
+    "stream_stream_join_attribution",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               p.user_id,
+               date_diff('microsecond', CAST(v.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS delay_us
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND v.event_type = 'view'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    tags=("E29", "E13"),
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-view attribution: every purchase joined to the views
+    by the same user in the preceding 30 minutes — the canonical
+    stream-stream interval join.  Both sides carry 1-hour watermarks;
+    the interval condition bounds the state store (views older than
+    watermark+30min are evicted).  availableNow + append output makes
+    the result deterministic and equal to the batch oracle."""
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )
+    return run_to_batch(out, output_mode="append")
+
+
+@query(
+    "stream_foreach_batch_upsert",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    tags=("E33", "E2"),
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert via ``foreachBatch``: maintain a per-user
+    latest-event dimension in parquet.  Each epoch merges its batch
+    into the target (read current + union + keep newest per key) —
+    the MERGE INTO pattern on a plain parquet target.  Epoch ids make
+    replays idempotent; on a lakehouse table the merge is transactional
+    and this exact function body stays the same."""
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_upsert_"), "user_latest")
+    latest_w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(latest_w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        newest = keep_latest(batch)
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            merged = keep_latest(sess.read.parquet(target).unionByName(newest))
+        else:
+            merged = newest
+        staging = target + f"_epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        sess.read.parquet(staging).write.mode("overwrite").parquet(target)
+
+    stream = stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    ckpt = tempfile.mkdtemp(prefix="potpot_upsert_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )

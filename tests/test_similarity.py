@@ -58,3 +58,28 @@ def test_brute_force_topk_is_exact(spark, sf_dir):
     for r in out.where(F.col("rnk") == 1).collect():
         assert r.vec_id == r.query_id
         assert abs(r.cosine - 1.0) < 1e-6
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4/16 cells: rank-1 must be the query itself
+    (its own cell is always probed) and recall@10 beats a floor."""
+    exact = registry.get("sim_search_topk_cosine").fn(spark, sf_dir)
+    approx = registry.get("sim_search_ivf").fn(spark, sf_dir)
+    rows = approx.collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rnk == 1}
+    for qid, vid in top1.items():
+        assert vid == qid, f"query {qid} rank-1 is {vid}"
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for r in rows if r.vec_id in exact_sets.get(r.query_id, set()))
+    assert len(rows) > 0
+    assert hits / len(rows) >= 0.3, f"recall@10 {hits}/{len(rows)}"
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    """Two independent builds must produce identical results (decimal
+    centroid accumulation + tie-broken assignment)."""
+    a = sorted(map(tuple, registry.get("sim_search_ivf").fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, registry.get("sim_search_ivf").fn(spark, sf_dir).collect()))
+    assert a == b
