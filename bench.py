@@ -40,6 +40,37 @@ def main() -> int:
     # isn't charged ~2s of one-time session cost.
     materialize(spark.range(100_000).selectExpr("id % 7 AS k", "id AS v").groupBy("k").sum("v"))
     materialize(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")))
+    # Streaming warmup: the micro-batch engine + state-store providers
+    # cost ~5-7s once per JVM; without this the first streaming query
+    # in the loop absorbs it.
+    from pyspark.sql import functions as F
+
+    from potpot_spark.streaming.runner import run_to_batch, stream_events
+
+    run_to_batch(stream_events(spark, SF_DIR).groupBy("event_type").count(), "complete")
+    # Stream-stream join machinery (symmetric hash join state managers)
+    # JITs separately from aggregation state; warm it on a pruned slice.
+    _a = (
+        stream_events(spark, SF_DIR)
+        .where(F.col("event_id") < 50)
+        .select(F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    _b = (
+        stream_events(spark, SF_DIR)
+        .where(F.col("event_id") < 50)
+        .select(F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+    )
+    run_to_batch(
+        _a.join(
+            _b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ),
+        "append",
+    )
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in registry.specs().items():

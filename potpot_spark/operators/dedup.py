@@ -274,6 +274,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tokens()
     band = (F.col("n_chars") / 20).cast("int")
     hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
+    # Both join sides recompute this subtree; measured at sf0.1, the
+    # recompute (pure codegen: split+slice+xxhash64) is CHEAPER than
+    # persisting the wide shingle arrays (cache write + eviction
+    # pressure), so no .persist() here.  At warehouse scale the right
+    # move is materializing signatures to a table once per corpus, not
+    # an in-job cache.
     sh = d.where(F.size(tok) >= 3).select(
         "doc_id", "lang", "n_chars", hashed.alias("shingles_h"), band.alias("band")
     )
