@@ -64,6 +64,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.windows",
     "potpot_spark.operators.windows_ext",
     "potpot_spark.operators.skew",
+    "potpot_spark.operators.timeseries",
     "potpot_spark.operators.asof",
     "potpot_spark.operators.dedup",
     "potpot_spark.operators.graph",
