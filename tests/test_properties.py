@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis): the engine's determinism claims
+hold under adversarial physical layouts.
+
+The central scale claim (functions/numeric.py, README "Design for
+100 TB") is that declared results are independent of partitioning —
+what a 1000-executor cluster would produce is what local[32] produces.
+These properties drive random repartitionings through the flagship
+aggregate and the hash-systematic sampler and require bit-identical
+results.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from potpot_spark import registry
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.constraints import MAX_TEXT_BYTES, text_violations
+from potpot_spark.operators.aggregates import pricing_summary
+
+registry.load_all()
+
+_SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@given(n=st.integers(min_value=1, max_value=48))
+@_SLOW
+def test_flagship_invariant_under_repartition(spark, sf_dir, n):
+    """Decimal-accumulated aggregates must not change by an ulp when the
+    input is split into n partitions (summation-order independence)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = _rows(pricing_summary(li))
+    got = _rows(pricing_summary(li.repartition(n)))
+    assert got == base, f"result changed at {n} partitions"
+
+
+@given(n=st.integers(min_value=1, max_value=48))
+@_SLOW
+def test_hash_sample_invariant_under_repartition(spark, sf_dir, n):
+    """The hash-systematic sample keeps the same rows regardless of
+    layout — the property that makes it reproducible across clusters."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = _rows(o.where(bucket.isin("0", "1")).select("o_orderkey"))
+    got = _rows(o.repartition(n).where(bucket.isin("0", "1")).select("o_orderkey"))
+    assert got == base
+
+
+@given(
+    body=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=400,
+    ),
+    pad=st.integers(min_value=0, max_value=2048),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_text_constraint_classifies_exactly_at_1024_bytes(spark, body, pad):
+    """The ported reference constraint (types.rs:16: Text <= 1024 BYTES)
+    must classify by UTF-8 byte length, not char count, at any
+    unicode content."""
+    s = body + "a" * pad
+    df = spark.createDataFrame([(s,)], ["t"])
+    violations = text_violations(df, "t").count()
+    expected = 1 if len(s.encode("utf-8")) > MAX_TEXT_BYTES else 0
+    assert violations == expected
