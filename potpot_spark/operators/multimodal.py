@@ -114,3 +114,52 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verified: the SQL twin recomputes the same formula."""
     d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(_fake_decode, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_feature", T.LongType()),
+    ]
+)
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling stand-in: emits ``doc_id % 3 + 1`` frames per
+    payload (a real build decodes and samples every k-th frame).  The
+    contract exercised here is the FAN-OUT batch shape — mapInPandas
+    output rows are decoupled from input rows, which is how video
+    decode (1 row -> N frames) must run distributed."""
+    for pdf in batches:
+        n_frames = (pdf["doc_id"] % 3 + 1).astype("int64")
+        reps = pdf.loc[pdf.index.repeat(n_frames)].reset_index(drop=True)
+        frame_no = reps.groupby("doc_id").cumcount() + 1
+        payload_bytes = reps["payload"].str.len()
+        yield pd.DataFrame(
+            {
+                "doc_id": reps["doc_id"],
+                "frame_no": frame_no.astype("int32"),
+                "frame_feature": (payload_bytes * frame_no % 255).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(unnest(range(1, doc_id % 3 + 2)) AS INT) AS frame_no,
+               CAST(octet_length(encode(text)) * unnest(range(1, doc_id % 3 + 2)) % 255 AS BIGINT)
+                   AS frame_feature
+        FROM documents
+    """,
+    tags=("E38",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — video-style frame sampling: each payload fans out to 1-3
+    frame rows inside an Arrow batch (``mapInPandas`` with output
+    cardinality != input cardinality), partitioning preserved, feature
+    formula oracle-verified."""
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(_fake_frame_sample, FRAME_SCHEMA)
