@@ -155,10 +155,13 @@ def events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixture events are sparse — ~few events/user/day — so an 8 h
     gap is what yields statistically meaningful stage-2/3 counts;
     production web data would use 30 min).
-    Sessionization: lag+cumsum windows (one shuffle on user_id); each
-    funnel stage is min-timestamp aggregate-then-join on the same
-    (user, session) key — Catalyst/AQE reuse the partitioning, so the
-    whole funnel is one fact shuffle plus small key-set joins."""
+    Plan shape: ONE events scan -> sessionization window (shuffle on
+    user_id) -> one groupBy(user, session) collecting per-stage
+    timestamp arrays -> stage logic as JVM array expressions (filter /
+    array_min) -> one-row count.  The naive per-stage aggregate-then-
+    join formulation (the oracle's CTE form) re-scans and re-windows
+    the fact table per stage — 12 scans / 9 exchanges vs 1 scan here;
+    sessions are tiny so the collected arrays are bounded."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond gap: matches the oracle's INTERVAL comparison exactly
@@ -171,30 +174,29 @@ def events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    key = ["user_id", "session_id"]
-    v = (
-        sess.where(F.col("event_type") == "view")
-        .groupBy(*key)
-        .agg(F.min("ts").alias("vt"))
+
+    def ts_of(kind: str):
+        # collect_list drops nulls, so this gathers exactly the stage's rows
+        return F.collect_list(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stages = sess.groupBy("user_id", "session_id").agg(
+        ts_of("view").alias("vts"), ts_of("click").alias("cts"), ts_of("purchase").alias("pts")
     )
-    c = (
-        sess.where(F.col("event_type") == "click")
-        .join(v, key)
-        .where(F.col("ts") >= F.col("vt"))
-        .groupBy(*key)
-        .agg(F.min("ts").alias("ct"))
+    vt = F.array_min("vts")  # MIN(view ts); null when no view
+    # pt depends on ct, so the stage cascade is two stacked projections
+    # (null vt/ct make the filters empty -> nulls cascade, exactly the
+    # oracle's inner-join semantics)
+    staged = stages.select(
+        vt.alias("vt"),
+        F.array_min(F.filter("cts", lambda x: x >= vt)).alias("ct"),
+        "pts",
+    ).select(
+        "vt", "ct", F.array_min(F.filter("pts", lambda x: x >= F.col("ct"))).alias("pt")
     )
-    p = (
-        sess.where(F.col("event_type") == "purchase")
-        .join(c, key)
-        .where(F.col("ts") >= F.col("ct"))
-        .groupBy(*key)
-        .agg(F.min("ts").alias("pt"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("sessions_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("sessions_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("sessions_purchase")))
+    return staged.agg(
+        F.count("vt").alias("sessions_view"),
+        F.count("ct").alias("sessions_click"),
+        F.count("pt").alias("sessions_purchase"),
     )
 
 

@@ -94,3 +94,15 @@ def test_q22_anti_join_only_keys(spark, sf_dir):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan, plan
     assert reads_only_columns(df, {"o_custkey", "o_orderdate"}, "orders"), plan
+
+
+def test_funnel_single_fact_pass(spark, sf_dir):
+    """The sessionized funnel must evaluate all three stages from ONE
+    pass over events (collect-array form) — the naive per-stage
+    aggregate-then-join shape re-scans the fact table per stage."""
+    import re
+
+    df = registry.get("events_funnel_sessionized").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans <= 2, f"{n_scans} scans:\n{plan}"
