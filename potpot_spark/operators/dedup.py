@@ -270,7 +270,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes.  Shingles compare as xxhash64 longs, not strings
     (same Jaccard, ~10x cheaper intersections; hash-collision
     probability over the corpus is ~1e-14 per pair)."""
-    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Banded exact n-gram Jaccard pairs over any documents-shaped
+    DataFrame (doc_id, text, lang, n_chars) — reused by the CC
+    clustering (operators/graph.py) and the corpus filter pipeline
+    (operators/pipeline.py) on pre-filtered inputs."""
     tok = tokens()
     band = (F.col("n_chars") / 20).cast("int")
     hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
@@ -304,6 +311,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)
         )
-        .where(sim >= 0.3)
+        .where(sim >= threshold)
         .select("doc_a", "doc_b", F.round(sim, 6).alias("jaccard_sim"))
     )

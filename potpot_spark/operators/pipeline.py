@@ -1,0 +1,128 @@
+"""End-to-end training-corpus filter pipeline — the showcase composite
+that chains the LLM-data operators into one declarative job:
+
+    documents
+      -> quality gate   (word count >= 10 — stands in for the full
+                         quality-score cut; same plan shape)
+      -> language gate  (lang in {en, es, fr, de})
+      -> exact dedup    (md5(lower(text)); keep min doc_id per hash)
+      -> near-dup dedup (banded n-gram Jaccard pairs -> connected
+                         components -> keep the canonical min-id doc
+                         per cluster)
+      -> kept corpus    (doc_id, lang, n_chars)
+
+Everything is one lazy DataFrame graph except the CC rounds (driver
+loop, operators/graph.py); the whole pipeline is oracle-checked as ONE
+unit — a DuckDB CTE chain ending in a recursive-CTE component
+computation must produce the identical kept set.  That is the property
+a 100 TB corpus job needs: every stage is semantics-preserving and the
+composition is reproducible on any cluster layout.
+
+Scale shape: gates push into the parquet scan; exact dedup is one hash
+aggregate; the pair graph is banded (never all-pairs); CC rounds are
+proportional to near-dup cluster diameter (tiny).  The kept set is
+emitted as ids + metadata — at warehouse scale you'd semi-join it back
+against the raw corpus to materialize text, keeping the pipeline
+output narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.operators.dedup import ngram_jaccard_pairs
+from potpot_spark.operators.graph import connected_components
+from potpot_spark.registry import query
+
+KEEP_LANGS = ("en", "es", "fr", "de")
+MIN_WORDS = 10
+NEAR_DUP_THRESHOLD = 0.3
+
+
+@query(
+    "pipeline_corpus_filter",
+    oracle=f"""
+        WITH RECURSIVE q AS (
+            SELECT * FROM documents
+            WHERE len(string_split(text, ' ')) >= {MIN_WORDS}
+              AND lang IN ('en', 'es', 'fr', 'de')
+        ),
+        keep_exact AS (
+            SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))
+        ),
+        s AS (
+            SELECT q.* FROM q JOIN keep_exact ON q.doc_id = keep_exact.doc_id
+        ),
+        sh AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')
+                       )
+                   ) AS shingles
+            FROM s
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang
+             AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 10
+            WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  >= {NEAR_DUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM s
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.label < e.dst
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        )
+        SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars
+        FROM s JOIN comp ON s.doc_id = comp.node
+        WHERE comp.node = comp.component
+    """,
+    tags=("E34", "E35", "E37", "E55"),
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality -> language -> exact-dedup -> near-dup-canonical corpus
+    filter, verified end-to-end against a single SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.where(
+        (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
+        & F.col("lang").isin(*KEEP_LANGS)
+    )
+    keep_exact = (
+        q.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    survivors = q.join(
+        keep_exact, q.doc_id == keep_exact.keep_id, "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(survivors, NEAR_DUP_THRESHOLD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        survivors.select(F.col("doc_id").alias("node")), pairs
+    )
+    canonical = comp.where(F.col("node") == F.col("component")).select(
+        F.col("node").alias("canon_id")
+    )
+    return (
+        survivors.join(canonical, survivors.doc_id == canonical.canon_id, "left_semi")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )

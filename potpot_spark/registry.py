@@ -68,6 +68,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.asof",
     "potpot_spark.operators.dedup",
     "potpot_spark.operators.graph",
+    "potpot_spark.operators.pipeline",
     "potpot_spark.operators.similarity",
     "potpot_spark.operators.ivf",
     "potpot_spark.operators.text",
