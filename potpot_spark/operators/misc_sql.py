@@ -1,0 +1,185 @@
+"""SQL-surface completions: conditional expressions, filtered
+aggregates, regexp functions, null-ordering semantics, and
+edit-distance fuzzy matching.
+
+Individually small, collectively what makes an engine *complete
+enough to switch to* — each is a `queries()` entry so the driver's
+oracle gate pins its exact ANSI semantics (null propagation, regexp
+dialect overlap, NULLS FIRST/LAST order) against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum_expr
+from potpot_spark.registry import query
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               greatest(o_totalprice, 150000.0) AS floor_price,
+               least(CAST(o_orderkey AS DOUBLE), 1000.0) AS capped_key
+        FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("E7", "E24"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: CASE ladders, NULLIF/COALESCE
+    null-channeling, GREATEST/LEAST — all codegen'd JVM expressions."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("floor_price"),
+        F.least(F.col("o_orderkey").cast("double"), F.lit(1000.0)).alias("capped_key"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS discounted_lines,
+               COUNT(*) FILTER (WHERE l_quantity >= 40) AS bulk_lines,
+               {dsum_expr('l_extendedprice', scale=2)} AS total_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("E14",),
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-predicated
+    aggregates in ONE pass over the fact table (the alternative — one
+    scan per predicate — multiplies 100 TB scans)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(disc, 1)).alias("discounted_lines"),
+        F.count(F.when(F.col("l_quantity") >= 40, 1)).alias("bulk_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.sum(F.when(disc, F.col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("discounted_price"),
+    )
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               len(regexp_extract_all(text, '[0-9]+')) AS number_count,
+               contains(regexp_replace(text, '[aeiou]', '_', 'g'), '_') AS has_vowel,
+               regexp_matches(text, '^[A-Z]') AS starts_upper
+        FROM documents WHERE doc_id < 200
+    """,
+    tags=("E24",),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface on the dialect intersection of Spark (Java regex)
+    and DuckDB (RE2): extraction, global count, global replace,
+    anchored match."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("number_count"),
+        F.regexp_replace("text", "[aeiou]", "_").contains("_").alias("has_vowel"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+        SELECT event_id,
+               nullif(event_type, 'error') AS maybe_type,
+               value
+        FROM events
+        WHERE event_id < 500
+        ORDER BY nullif(event_type, 'error') NULLS FIRST, value DESC, event_id
+        LIMIT 100
+    """,
+    tags=("E21",),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering (engines default differently:
+    Spark NULLS FIRST asc, DuckDB NULLS LAST — portable queries must
+    say what they mean).  Result order itself isn't hashed by the
+    driver (order-insensitive compare), but the LIMIT makes the kept
+    SET order-dependent, which is what pins the semantics."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    maybe = F.nullif(F.col("event_type"), F.lit("error"))
+    return (
+        e.select("event_id", maybe.alias("maybe_type"), "value")
+        .orderBy(
+            F.col("maybe_type").asc_nulls_first(),
+            F.col("value").desc(),
+            F.col("event_id").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "text_edit_distance_block",
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS prefix_edit_dist
+        FROM documents a
+        JOIN documents b
+          ON a.lang = b.lang
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 5
+        WHERE levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) <= 20
+    """,
+    tags=("E35", "E24"),
+)
+def text_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on blocked candidate pairs (same
+    lang, similar length) over an 80-char prefix.  Levenshtein is
+    O(len^2) per pair — the prefix cap and the blocking keys are what
+    keep it tractable; full-text edit distance at corpus scale is
+    always wrong."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 80).alias("prefix")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("n_chars").alias("chars_a"),
+        F.col("prefix").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("n_chars").alias("chars_b"),
+        F.col("prefix").alias("pb"),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, "lang")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 5)
+        )
+        .where(dist <= 20)
+        .select("doc_a", "doc_b", dist.alias("prefix_edit_dist"))
+    )

@@ -88,3 +88,36 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(tempfile.mkdtemp(prefix="potpot_json_"), "events_json")
     src.write.mode("overwrite").json(target)
     return spark.read.schema(_JSON_SCHEMA).json(target)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS discount_pct
+        FROM orders WHERE o_orderkey < 200
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 0.1 AS discount_pct
+        FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400
+    """,
+    tags=("E1", "E3"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a v1 batch (3 columns) and a v2 batch
+    (adds ``discount_pct``) land in the same dataset; ``mergeSchema``
+    reconciles the footers and v1 rows surface NULL for the new column
+    — additive-column evolution without rewriting history.  At 100 TB,
+    rewriting old files for every schema change is a non-starter;
+    merge-on-read is the only viable policy (pay the footer-merge cost
+    explicitly — it is OFF by default for scan-planning speed)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_evo_"), "orders_evolving")
+    src.where(F.col("o_orderkey") < 200).write.mode("append").parquet(target)
+    (
+        src.where((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 400))
+        .withColumn("discount_pct", F.lit(0.1))
+        .write.mode("append")
+        .parquet(target)
+    )
+    return spark.read.option("mergeSchema", True).parquet(target)
