@@ -113,3 +113,55 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("click_value").alias("last_click_value"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+        WITH events_us AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events_us WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts, value FROM events_us
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_value END
+                   AS fresh_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("E13",),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 variant — as-of join with a staleness tolerance: the latest
+    prior click counts only if it happened within 1 hour of the
+    purchase (pandas ``merge_asof(tolerance=...)`` semantics).  Same
+    one-shuffle union construction; the reference timestamp is carried
+    alongside the value and the tolerance is a post-filter, so the
+    scale shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts="ts", value_cols=["click_value", "click_ts"]
+    )
+    fresh = F.when(
+        F.unix_micros("ts") - F.unix_micros("click_ts") <= 3600 * 1_000_000,
+        F.col("click_value"),
+    )
+    return joined.select("event_id", "user_id", "ts", fresh.alias("fresh_click_value"))
