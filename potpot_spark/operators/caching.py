@@ -1,0 +1,132 @@
+"""Caching and maintenance operators — the engine-side descendants of
+the reference's buffer pool and page-file machinery.
+
+``cache_buffer_pool_analog`` is the direct analog of the reference's
+core design: ``BufferPool::read_page`` admits hot pages to memory and
+serves repeated reads from cache
+(``/root/reference/src/bufferpool.rs:103-126``, clock eviction at
+``bufferpool.rs:39-73``).  Spark's block manager is the same idea at
+cluster scale: ``df.persist(StorageLevel)`` admits computed partitions,
+LRU evicts, and every downstream consumer reads the cached form
+(``InMemoryTableScan`` — plan-asserted in tests).  What the reference
+hand-built, the engine configures.
+
+``maintenance_compact_small_files`` is the ops-side complement of
+"one file per task is the scalable write layout" (sources/sink.py):
+streaming appends and dynamic overwrites accumulate small files; a
+periodic compaction rewrite restores scan efficiency.  At 100 TB this
+runs per-partition as a maintenance job; the correctness contract —
+byte-identical table content before and after — is exactly what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum, dsum_expr
+from potpot_spark.registry import query
+
+
+@query(
+    "cache_buffer_pool_analog",
+    oracle=f"""
+        SELECT 'by_flag' AS grain, l_returnflag AS key,
+               COUNT(*) AS n, {dsum_expr('l_extendedprice')} AS price
+        FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'by_status', l_linestatus,
+               COUNT(*), {dsum_expr('l_extendedprice')}
+        FROM lineitem WHERE l_quantity >= 25 GROUP BY l_linestatus
+    """,
+    tags=("E1",),
+)
+def cache_buffer_pool_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates over one persisted working set: the filtered slice
+    is computed once, admitted to the block manager (MEMORY_AND_DISK —
+    spill instead of OOM, the delayed-write discipline the reference
+    left as a TODO at ``bufferpool.rs:3-8``), and both consumers read
+    the cached partitions (``InMemoryTableScan``)."""
+    hot = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 25)
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    by_flag = hot.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("price")
+    )
+    by_status = hot.groupBy(F.col("l_linestatus").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("price")
+    )
+    return by_flag.select(F.lit("by_flag").alias("grain"), "key", "n", "price").unionByName(
+        by_status.select(F.lit("by_status").alias("grain"), "key", "n", "price")
+    )
+
+
+@query(
+    "scalar_map_lookup",
+    oracle="""
+        SELECT o_orderkey,
+               CASE o_orderstatus
+                   WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
+                   WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_name
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("E24",),
+)
+def scalar_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map dimension lookup: tiny static mappings belong in the
+    expression tree (``create_map`` literal -> codegen'd lookup), not
+    in a broadcast join — zero build side, zero join, works in any
+    context including streaming."""
+    status_map = F.create_map(
+        F.lit("O"), F.lit("open"),
+        F.lit("F"), F.lit("fulfilled"),
+        F.lit("P"), F.lit("pending"),
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(status_map[F.col("o_orderstatus")], F.lit("unknown")).alias("status_name"),
+    )
+
+
+@query(
+    "maintenance_compact_small_files",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows, {dsum_expr('o_totalprice')} AS totalprice,
+               COUNT(DISTINCT o_orderkey) AS n_keys
+        FROM orders WHERE o_orderkey < 5000
+    """,
+    tags=("E2",),
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented dataset (64 tiny files,
+    simulating accumulated streaming appends) is rewritten into a
+    handful of right-sized files; table content must be identical
+    (oracle) and the file count verifiably drops.  The compaction
+    repartitions by a stable key so the rewrite also restores
+    clustering for downstream key-range scans."""
+    src = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    base = tempfile.mkdtemp(prefix="potpot_compact_")
+    fragmented = os.path.join(base, "fragmented")
+    compacted = os.path.join(base, "compacted")
+    src.repartition(64).write.mode("overwrite").parquet(fragmented)
+    frag_df = spark.read.parquet(fragmented)
+    frag_df.repartition(4, "o_orderkey").write.mode("overwrite").parquet(compacted)
+    n_frag = len([f for f in os.listdir(fragmented) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_comp < n_frag, f"compaction did not reduce files: {n_comp} vs {n_frag}"
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("totalprice"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

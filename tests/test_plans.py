@@ -141,3 +141,12 @@ def test_q10_returnflag_pushdown(spark, sf_dir):
     plan = formatted_plan(df)
     assert has_pushed_filter(df, "l_returnflag"), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cache_op_reads_from_memory(spark, sf_dir):
+    """The persisted working set must serve both aggregates from the
+    block manager (InMemoryTableScan) — the reference's buffer-pool
+    read path re-expressed (bufferpool.rs:103-126)."""
+    df = registry.get("cache_buffer_pool_analog").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
