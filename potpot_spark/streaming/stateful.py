@@ -63,3 +63,110 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_batch(counted, output_mode="update")
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# --- transformWithState (Spark 4.x arbitrary-state API) ------------------
+
+# The TWS driver worker speaks protobuf to the JVM state server; without
+# google.protobuf the query crashes at init, so registration is gated on
+# BOTH the API and protobuf being importable (this container lacks
+# protobuf — the operator then simply is not declared, rather than
+# shipping a query that can never run).
+try:  # Spark 4.0+: the successor API to applyInPandasWithState
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        """Per-user running (count, value-sum) via ValueState — the
+        pattern for CDC reducers / custom sketches on the new API:
+        named state variables, per-key Arrow batches, optional timers."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", T.StructType([
+                    T.StructField("n", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, v = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [v]})
+
+        def close(self) -> None:
+            pass
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAS_TWS = False
+
+
+TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _register_tws(fn):
+    if not _HAS_TWS:  # API or protobuf missing: do not declare the query
+        return fn
+    return query(
+        "stream_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+        tags=("E33",),
+    )(fn)
+
+
+@_register_tws
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 (Spark 4 API) — per-user running totals via
+    ``transformWithStateInPandas``: named ValueState in the state
+    store, per-key Arrow batches, update output mode.  The final
+    emission per user equals the batch aggregate (oracle, rounded at
+    1e-4: the pandas per-batch sum and DuckDB's sequential sum differ
+    in double ulps)."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
+    s = stream_events(spark, sf_dir).select("user_id", "value")
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotals(),
+        outputStructType=TWS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store (the HDFS-backed
+    # default lacks the column-family support it needs); scoped to this
+    # query — the provider is captured at stream start.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        res = run_to_batch(out, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # keep the last (cumulative) emission per user; counts are monotone
+    w_latest = res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("tv"),
+    )
+    return w_latest.select("user_id", "n_events", F.round("tv", 4).alias("total_value"))
