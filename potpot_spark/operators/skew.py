@@ -112,3 +112,57 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value") * F.col("weight"), scale=6).alias("weighted_value"),
     )
+
+
+BAND_MINUTES = 15
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               COUNT(*) AS neighbor_events
+        FROM events p
+        JOIN events n
+          ON p.user_id = n.user_id
+         AND p.event_type = 'purchase'
+         AND n.event_id <> p.event_id
+         AND abs(date_diff('microsecond', CAST(p.ts AS TIMESTAMP),
+                           CAST(n.ts AS TIMESTAMP))) <= 15 * 60 * 1000000
+        GROUP BY p.event_id
+    """,
+    tags=("E12", "E8"),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-neighborhood join via banding: events within +/-15 min of
+    each purchase by the same user.  A naive |Δt| <= 15min predicate
+    on top of the user equi-key degrades into a per-user cross product
+    (quadratic in the hot user's events); banding adds floor(ts/15min)
+    to the JOIN KEY — the probe side explodes into its band and both
+    neighbors, every qualifying pair meets on exactly one (user, band)
+    key, and |Δt| remains as a residual filter.  Same trick as the
+    n-gram length-banding (operators/dedup.py), applied to time — the
+    general recipe for range joins at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    band = F.floor(F.unix_micros("ts") / (BAND_MINUTES * 60 * 1_000_000))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    neighbors = e.select(
+        F.col("event_id").alias("n_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("n_us"),
+        band.alias("band"),
+    )
+    return (
+        purchases.join(neighbors, ["user_id", "band"])
+        .where(
+            (F.col("n_id") != F.col("purchase_id"))
+            & (F.abs(F.col("p_us") - F.col("n_us")) <= BAND_MINUTES * 60 * 1_000_000)
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("neighbor_events"))
+    )
