@@ -468,3 +468,99 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.sum(dec("c_acctbal", scale=4)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   COALESCE(cnt, 0) AS c_count
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS cnt
+                FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("E10", "E14"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (urgent
+    orders excluded standing in for the comment filter — fixtures carry
+    no o_comment).  Aggregate-before-join: orders collapses to one row
+    per customer BEFORE the outer join, so the join input is |customer|
+    + |distinct custkeys| rows instead of |customer| + |orders| — at
+    100 TB that is the difference between joining a fact table and
+    joining a key list.  The second aggregate (on c_count) is over at
+    most a few hundred distinct values and AQE coalesces it to a
+    handful of partitions."""
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST({_REV} AS DECIMAL(18,4))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("E14", "E9"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    revenue "view" is computed once; its global max is a one-row
+    aggregate broadcast back onto it (never a per-row recompute), and
+    the equality filter runs on the EXACT decimal sum — a double
+    comparison could select different suppliers on different partition
+    counts when two sums differ in the last ulp.  Supplier join happens
+    after the max-filter, when at most a handful of rows remain."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), scale=4)).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
