@@ -209,3 +209,80 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), mersenne), mersenne),
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST(t.start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(t.start AS BIGINT) AS chunk_start,
+               substr(d.text, CAST(t.start AS INT) + 1, {CHUNK_CHARS}) AS chunk_text
+        FROM documents d,
+             UNNEST(range(0, greatest(1, length(d.text)), {CHUNK_STRIDE})) AS t(start)
+    """,
+    tags=("E37", "E47"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard pre-tokenization
+    fan-out of a training pipeline (chunk 200 chars, stride 150, 50
+    overlap).  Start offsets come from ``F.sequence`` + ``posexplode``
+    — pure codegen'd expressions, one narrow fan-out, NO shuffle and no
+    Python: a 100 TB corpus chunks at scan speed and each output
+    partition stays colocated with its input split.  Oracle enumerates
+    the identical offsets with DuckDB range()."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.length("text") - 1),
+        F.lit(CHUNK_STRIDE),
+    )
+    return d.select(
+        "doc_id", "text", F.posexplode(starts).alias("pos", "start")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.expr(f"substring(text, start + 1, {CHUNK_CHARS})").alias("chunk_text"),
+    )
+
+
+# Portable regex subset: POSIX classes only — no \d / \w shorthands
+# whose semantics drift between Java (Spark) and RE2 (DuckDB).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_NUM_RE = "[0-9][0-9-]{6,}"
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_NUM_RE}', '<NUM>', 'g') AS redacted,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_NUM_RE}')) AS n_numbers
+        FROM documents
+    """,
+    tags=("E37", "E72"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction sweep: mask email-shaped and long-digit-run
+    tokens, and count what was masked (the audit column a compliance
+    pipeline needs).  Row-local regexp_replace in whole-stage codegen —
+    zero shuffle, scan-speed at 100 TB.  The regexes stay inside the
+    Java/RE2 common dialect (explicit classes, no backslash
+    shorthands) so Spark and the DuckDB oracle mask identical spans."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE))).cast("bigint").alias("n_numbers"),
+    )
