@@ -150,3 +150,47 @@ def test_cache_op_reads_from_memory(spark, sf_dir):
     df = registry.get("cache_buffer_pool_analog").fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_q13_aggregates_orders_before_join(spark, sf_dir):
+    """Q13 must collapse orders per customer BEFORE the outer join (a
+    partial aggregate under the exchange) and push the priority filter
+    to the orders scan."""
+    df = registry.get("tpch_q13_customer_distribution").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderpriority"), plan
+    assert "partial_" in plan, plan
+
+
+def test_q15_broadcasts_max_and_supplier(spark, sf_dir):
+    """Q15's one-row max and the supplier dim must broadcast; the
+    shipdate window must reach the lineitem scan."""
+    df = registry.get("tpch_q15_top_supplier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_shipdate"), plan
+    assert has_broadcast_join(df), plan
+
+
+def test_range_banded_join_stays_hash(spark, sf_dir):
+    """The banded range join must execute as an equi join on
+    (user, band) — never a cartesian/BNL pair explosion."""
+    df = registry.get("join_range_banded").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_has_no_shuffle_or_python(spark, sf_dir):
+    """Sliding-window chunking is a narrow fan-out: no Exchange, no
+    Python evaluation anywhere in the plan."""
+    df = registry.get("text_chunk_sliding").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_redaction_prunes_to_two_columns(spark, sf_dir):
+    """Redaction reads only (doc_id, text) from the corpus scan."""
+    df = registry.get("text_redact_pii").fn(spark, sf_dir)
+    assert reads_only_columns(df, {"doc_id", "text"}, "documents"), formatted_plan(df)
