@@ -79,7 +79,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col("node"), F.col("node").alias("component")).localCheckpoint()
+    # Only edge endpoints can ever change label — singletons are fixed
+    # points and sit out the loop entirely.  On a near-dup corpus |V(E)|
+    # is orders of magnitude below |V| (most documents are unique), so
+    # every round's shuffle runs over the pair graph, not the corpus.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select(F.col("node"), F.col("node").alias("component"))
+        .localCheckpoint()
+    )
     # Labels only ever decrease (min semiring), so Σcomponent strictly
     # decreases on every non-converged round: a one-row sum aggregate is
     # a complete convergence test — no per-round diff join needed.
@@ -101,7 +110,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
             break
         prev_sum = cur_sum
     sym.unpersist()
-    return labels
+    # Singletons re-enter labelled by themselves.
+    return nodes.join(labels, "node", "left").select(
+        F.col("node"), F.coalesce("component", "node").alias("component")
+    )
 
 
 @query(
