@@ -34,19 +34,40 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", nanos_to_ts("ts"))
 
 
-def run_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_batch(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
+) -> DataFrame:
     """Execute the streaming query over all currently-available data
-    (availableNow trigger), then return the memory-sink table."""
+    (availableNow trigger), then return the memory-sink table.
+
+    The state-store instance count is frozen from
+    ``spark.sql.shuffle.partitions`` when a checkpoint is created, and
+    every instance pays per-micro-batch snapshot/commit overhead — so
+    it should track the stream's key cardinality and throughput, NOT
+    the batch session's shuffle width.  Each call here creates a fresh
+    checkpoint, so the conf is scoped to the stream start and restored
+    after; results are partition-count independent (grouped aggregates
+    + exact-decimal sums).  At production scale the same knob is sized
+    once per pipeline (keys / target state per instance), not left at
+    the batch default.
+    """
     spark = stream_df.sparkSession
     name = f"potpot_stream_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix="potpot_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
