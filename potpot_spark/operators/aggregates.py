@@ -141,3 +141,55 @@ def agg_grouping_sets_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .rollup("l_returnflag", "l_linestatus")
         .agg(dsum("l_quantity", 2, 12).alias("sum_qty"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "agg_mode_argmax",
+    oracle="""
+        SELECT c_mktsegment,
+               o_orderpriority AS modal_priority,
+               cnt AS modal_count
+        FROM (
+            SELECT c_mktsegment, o_orderpriority, cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY cnt DESC, o_orderpriority
+                   ) AS rn
+            FROM (
+                SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment, o_orderpriority
+            )
+        )
+        WHERE rn = 1
+    """,
+    tags=("E14", "E18"),
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break — the arg-max
+    pattern.  Built-in ``F.mode`` breaks ties arbitrarily (different
+    answers on different partitionings), so the engine form is
+    count-then-rank: aggregate to (group, value, count), then
+    row_number ordered by (count DESC, value).  The window runs over
+    |groups x distinct values| rows (tiny), never over the fact table;
+    the heavy aggregate underneath is an ordinary two-stage partial
+    agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )

@@ -52,3 +52,77 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(tempfile.mkdtemp(prefix="potpot_sink_"), "orders_slice")
     append_parquet(out, target)
     return spark.read.parquet(target)
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+        WITH changes AS (
+            SELECT o_orderkey,
+                   o_custkey,
+                   ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                   'P' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+                   o_custkey, o_totalprice, 'N'
+            FROM orders WHERE o_orderkey % 293 = 0
+        )
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+               COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+               COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                    WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM orders b
+        FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    """,
+    tags=("E2", "R1"),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / upsert-by-key: apply a change set (updates +
+    inserts) to a base table — the analytical completion of the
+    reference's ``query::insert`` (``/root/reference/src/query.rs:3-5``),
+    which only ever appends.  Expressed as a FULL OUTER join on the key
+    with per-column COALESCE (changes win), plus an audit column saying
+    what happened to each row.  The change set is derived
+    deterministically from the base (every 97th key updated, every
+    293rd re-keyed past max as an insert) so the op is self-contained
+    and oracle-exact.  At 100 TB the same plan holds: the change set is
+    tiny relative to base, AQE broadcasts it, and the base table scan
+    is the only large input; with a partitioned base the join collapses
+    to the touched partitions (see sink_insert_overwrite_dynamic for
+    the partition-slice variant)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    max_key = base.agg(F.max("o_orderkey").alias("mx"))
+    updates = base.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("P").alias("o_orderstatus"),
+    )
+    inserts = (
+        base.where(F.col("o_orderkey") % 293 == 0)
+        .join(F.broadcast(max_key))
+        .select(
+            (F.col("o_orderkey") + F.col("mx")).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer").select(
+        F.coalesce("c.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("c.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
