@@ -130,3 +130,41 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
         dsum("o_totalprice").alias("totalprice"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@query(
+    "maintenance_delete_keys",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderstatus
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < -900
+        )
+    """,
+    tags=("E11", "R1"),
+)
+def maintenance_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set deletion (GDPR-style forget-user): drop every order
+    belonging to a tombstoned customer set — the DELETE half of the
+    CRUD surface the reference's OLTP design implies (insert:
+    sink_merge_upsert; get: filter_eq_point_get).  Expressed as a
+    LEFT ANTI join against the tombstone keys: the key list is tiny so
+    it broadcasts, the fact scan is the only large input, and nothing
+    shuffles.  In a partitioned warehouse the rewrite then lands via
+    dynamic partition overwrite (sink_insert_overwrite_dynamic) so
+    only partitions containing deleted rows are rewritten."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    tombstones = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < -900)
+        .select(F.col("c_custkey").alias("del_key"))
+    )
+    return o.join(
+        F.broadcast(tombstones), o.o_custkey == F.col("del_key"), "left_anti"
+    )

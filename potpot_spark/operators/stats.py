@@ -143,3 +143,43 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+BIN_LO = 0.0
+BIN_HI = 500_000.0
+N_BINS = 20
+
+
+@query(
+    "feature_binning_histogram",
+    oracle=f"""
+        SELECT LEAST(CAST(FLOOR((o_totalprice - {BIN_LO})
+                         / (({BIN_HI} - {BIN_LO}) / {N_BINS})) AS BIGINT),
+                     {N_BINS - 1}) AS bin,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("E14", "E26"),
+)
+def feature_binning_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram / feature binning over a money column: the
+    bin id is a closed-form expression (floor((x-lo)/width), top edge
+    clamped), so the whole histogram is one partial-aggregated groupBy
+    with NO sort and no data-dependent boundaries — identical bins on
+    any engine, any partitioning, any scale.  Quantile-boundary binning
+    is the two-pass variant (agg_percentiles_exact supplies the
+    boundaries)."""
+    o = load_table(spark, sf_dir, "orders")
+    width = (BIN_HI - BIN_LO) / N_BINS
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - BIN_LO) / width).cast("bigint"),
+        F.lit(N_BINS - 1),
+    )
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

@@ -223,3 +223,101 @@ def agg_hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("days_merged"),
         )
     )
+
+
+GAP_START = "2024-01-10 00:00:00"
+GAP_END = "2024-01-16 23:00:00"
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle=f"""
+        SELECT CAST(t.hour AS TIMESTAMP) AS hour,
+               COALESCE(e.n_events, 0) AS n_events,
+               COALESCE(e.revenue, 0.0) AS revenue
+        FROM UNNEST(generate_series(TIMESTAMP '{GAP_START}',
+                                    TIMESTAMP '{GAP_END}',
+                                    INTERVAL 1 HOUR)) AS t(hour)
+        LEFT JOIN (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(*) AS n_events,
+                   {dsum_expr('value', scale=4)} AS revenue
+            FROM events
+            WHERE ts >= TIMESTAMP '{GAP_START}'
+              AND ts < TIMESTAMP '{GAP_END}' + INTERVAL 1 HOUR
+            GROUP BY 1
+        ) e USING (hour)
+    """,
+    tags=("E25", "E10"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gap filling: generate the complete hour
+    spine for a fixed week with ``F.sequence`` (one row explodes to 168
+    — no table scan builds the spine), left-join the hourly aggregate,
+    and zero-fill missing hours.  The spine side is a handful of rows
+    so it broadcasts; the aggregate underneath is the usual partial
+    agg over a pushed-down time slice of the fact table.  This is the
+    dashboarding/feature-engineering primitive dense time series need
+    — without it, downstream window math silently skips empty hours."""
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(GAP_START).cast("timestamp"),
+                F.lit(GAP_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    hourly = (
+        e.where(
+            (F.col("ts") >= GAP_START)
+            & (F.col("ts") < F.lit(GAP_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=4).alias("revenue"),
+        )
+    )
+    return F.broadcast(spine).join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "analytics_retention_cohort",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("E14", "E8"),
+)
+def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct per (cohort week, activity week) — the standard product-
+    analytics retention triangle.  The first-seen aggregate collapses
+    events to one row per user BEFORE the join back (key-list join, not
+    fact-fact), both aggregates share the user_id shuffle key, and the
+    final distinct-count is exact (small result) — at larger
+    cardinalities the HLL-sketch variant (agg_hll_daily_sketches)
+    makes the same matrix mergeable."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy("cohort_week", F.date_trunc("week", "ts").alias("activity_week"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
