@@ -72,3 +72,43 @@ def sample_stratified_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     sampled = l.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
     return sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("sampled_rows"))
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+        SELECT CASE
+                 WHEN h < 8  THEN 'train'
+                 WHEN h < 9  THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT lang, n_chars,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) AS h
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """,
+    tags=("E48", "E37"),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashed key —
+    the split a training pipeline must be able to reproduce bit-for-bit
+    months later on a regenerated corpus.  The split is a pure
+    expression on md5(doc_id) (no seed state, no partitioning
+    dependence, engine-portable — proved by the oracle), so membership
+    survives repartitioning, backfills, and engine swaps.  Returned as
+    per-(split, lang) counts: the skew check run before every training
+    job."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    split = (
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -286,3 +286,55 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_NUM_RE))).cast("bigint").alias("n_numbers"),
     )
+
+
+TOP_TERMS_K = 5
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle=f"""
+        SELECT lang, term, cnt, rank
+        FROM (
+            SELECT lang, term, cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, term
+                   ) AS rank
+            FROM (
+                SELECT lang, t.term, COUNT(*) AS cnt
+                FROM documents d,
+                     UNNEST(string_split(lower(d.text), ' ')) AS t(term)
+                WHERE len(t.term) >= 3
+                  AND t.term NOT IN ({", ".join(f"'{w}'" for w in STOPWORDS)})
+                GROUP BY lang, t.term
+            )
+        )
+        WHERE rank <= {TOP_TERMS_K}
+    """,
+    tags=("E37", "E18"),
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary per language: tokenize → explode → count →
+    rank, with stopwords and short tokens dropped BEFORE the explode so
+    the shuffled token stream shrinks at the scan.  The count is a
+    two-stage partial aggregate over (lang, term); the window then runs
+    over the aggregated vocabulary (millions of rows at 100 TB, not
+    trillions) and WindowGroupLimit prunes it to k per language below
+    the final sort.  Deterministic tie-break on the term itself."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower("text"), " ")).alias("term")
+    terms = (
+        d.select("lang", tok)
+        .where((F.length("term") >= 3) & (~F.col("term").isin(*STOPWORDS)))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("lang", "term", "cnt", F.col("rank").cast("bigint").alias("rank"))
+    )
