@@ -168,3 +168,71 @@ def scalar_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(key_str).alias("h_md5"),
         F.sha2(key_str, 256).alias("h_sha256"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 4095 AS key_and,
+               o_orderkey | 15 AS key_or,
+               xor(o_orderkey, 255) AS key_xor,
+               o_orderkey << 2 AS key_shl,
+               o_orderkey >> 3 AS key_shr,
+               bit_count(o_orderkey) AS key_popcount
+        FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("E24", "R14"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation scalar family (AND/OR/XOR/shifts/popcount) —
+    the expression surface behind the reference's planned 2-bit-per-slot
+    occupancy bitmap (``/root/reference/src/hashtable.rs:157-161``):
+    slot-state math like ``state >> (2*slot) & 3`` is exactly these
+    operators.  All whole-stage-codegen JVM intrinsics."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(4095)).alias("key_and"),
+        k.bitwiseOR(F.lit(15)).alias("key_or"),
+        k.bitwiseXOR(F.lit(255)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+        F.bit_count(k).cast("bigint").alias("key_popcount"),
+    )
+
+
+@query(
+    "agg_bitmap_occupancy",
+    oracle="""
+        SELECT o_custkey,
+               bit_or(1 << (EXTRACT(year FROM o_orderdate) - 1995)) AS years_bitmap,
+               bit_count(bit_or(1 << (EXTRACT(year FROM o_orderdate) - 1995)))
+                   AS n_active_years
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("E14", "R14"),
+)
+def agg_bitmap_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy bitmap as an aggregation primitive: one bit per order
+    year, OR-merged per customer; popcount = distinct active years.
+    This is the reference's occupancy-bitmap design
+    (``/root/reference/src/hashtable.rs:157-161``) promoted from a page
+    slot tracker to a distributed aggregate — bit_or is associative and
+    commutative, so the bitmap merges map-side like any partial agg and
+    rolls up losslessly across any partitioning (the same property the
+    HLL sketches exploit at higher cardinality, E67)."""
+    o = load_table(spark, sf_dir, "orders")
+    # shiftleft's bit-count argument is Column-valued only via SQL expr
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), year(o_orderdate) - 1995)")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.bit_or(bit).alias("years_bitmap"))
+        .select(
+            "o_custkey",
+            "years_bitmap",
+            F.bit_count("years_bitmap").cast("bigint").alias("n_active_years"),
+        )
+    )
