@@ -80,16 +80,32 @@ def train_ivf_centroids(corpus: DataFrame, k: int = K_CELLS, iters: int = N_ITER
 
 def assign_cells(vectors: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
     """Attach the n nearest cell ids to each vector (n=1: assignment;
-    n=nprobe: probe set).  Centroids broadcast — the corpus never
-    shuffles for assignment."""
+    n=nprobe: probe set).  Centroids broadcast, so scoring never
+    shuffles the corpus.  The n=1 argmin is a ``min(struct(d2, cell))``
+    aggregation, NOT a window: min() combines map-side, so one row per
+    vector crosses the exchange instead of k (a window's partitionBy
+    would shuffle the full corpus x k scored rows AND sort them — the
+    difference between an O(|V|) and O(k|V|) exchange at 100 TB).
+    Struct ordering = (d2 asc, cell_id asc): ties break to the lowest
+    cell id, same contract as the window form."""
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         *vectors.columns,
         "cell_id",
         sq_dist(F.col("emb"), F.col("centroid")).alias("d2"),
     )
-    w = Window.partitionBy(*[c for c in ("vec_id", "query_id") if c in vectors.columns]).orderBy(
-        F.col("d2").asc(), F.col("cell_id").asc()
-    )
+    keys = [c for c in ("vec_id", "query_id") if c in vectors.columns]
+    if n == 1:
+        payload = [c for c in vectors.columns if c not in keys]
+        return (
+            scored.groupBy(*keys)
+            .agg(
+                F.min(F.struct("d2", "cell_id")).alias("_best"),
+                # every scored row of a vector carries identical payload
+                *[F.first(c).alias(c) for c in payload],
+            )
+            .select(*keys, *payload, F.col("_best.cell_id").alias("cell_id"))
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col("d2").asc(), F.col("cell_id").asc())
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
         .where(F.col("cell_rank") <= n)
