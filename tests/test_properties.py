@@ -73,3 +73,39 @@ def test_text_constraint_classifies_exactly_at_1024_bytes(spark, body, pad):
     violations = text_violations(df, "t").count()
     expected = 1 if len(s.encode("utf-8")) > MAX_TEXT_BYTES else 0
     assert violations == expected
+
+
+@given(n=st.integers(min_value=1, max_value=48))
+@_SLOW
+def test_split_assignment_invariant_under_repartition(spark, sf_dir, n):
+    """Train/val/test membership is a pure key expression: the per-split
+    counts cannot move under any physical layout (the property that
+    makes the split reproducible months later on a regenerated
+    corpus)."""
+    from potpot_spark.operators.sampling import sample_train_test_split
+
+    base = _rows(sample_train_test_split(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents").repartition(n)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    split = F.when(h < 8, "train").when(h < 9, "val").otherwise("test")
+    got = _rows(
+        d.groupBy(split.alias("split"), F.col("lang")).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        )
+    )
+    assert got == base
+
+
+@given(n=st.integers(min_value=1, max_value=48))
+@_SLOW
+def test_bitmap_aggregate_invariant_under_repartition(spark, sf_dir, n):
+    """bit_or is associative+commutative, so the occupancy bitmap must
+    be bit-identical under any partitioning — the property that lets
+    it merge map-side and roll up losslessly."""
+    o = load_table(spark, sf_dir, "orders").repartition(n)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), year(o_orderdate) - 1995)")
+    got = _rows(o.groupBy("o_custkey").agg(F.bit_or(bit).alias("b")))
+    base = _rows(
+        load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.bit_or(bit).alias("b"))
+    )
+    assert got == base
