@@ -193,3 +193,32 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("modal_count"),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS wavg_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_weight
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("E14", "E26"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: both the
+    numerator and denominator accumulate in exact decimal, and the
+    single double division happens once per group — so the weighted
+    mean is bit-identical on any partitioning (a naive
+    sum(w*x)/sum(w) over doubles drifts with AQE layout).  Both sums
+    combine map-side; one exchange total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(dec(F.col("l_extendedprice") * F.col("l_quantity"), scale=4)).cast("double")
+    den = F.sum(dec("l_quantity", scale=4)).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        (num / den).alias("wavg_price"),
+        den.alias("total_weight"),
+    )

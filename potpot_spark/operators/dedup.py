@@ -314,3 +314,43 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.3) -> DataFrame:
         .where(sim >= threshold)
         .select("doc_a", "doc_b", F.round(sim, 6).alias("jaccard_sim"))
     )
+
+
+INCR_SPLIT = 400
+
+
+@query(
+    "dedup_incremental_new_only",
+    oracle=f"""
+        SELECT n.doc_id, n.lang, n.n_chars
+        FROM documents n
+        WHERE n.doc_id >= {INCR_SPLIT}
+          AND NOT EXISTS (
+              SELECT 1 FROM documents e
+              WHERE e.doc_id < {INCR_SPLIT}
+                AND md5(lower(e.text)) = md5(lower(n.text))
+          )
+    """,
+    tags=("E34", "E11"),
+)
+def dedup_incremental_new_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: of an incoming batch, keep only
+    documents whose normalized content hash is NOT already in the
+    existing corpus (here: existing = doc_id < {split}, incoming = the
+    rest — the fixture stand-in for yesterday's corpus vs today's
+    crawl).  Anti join on the 16-byte content hash, never on text: the
+    shuffle carries hashes, not documents, and on a warehouse the
+    existing side is a pre-materialized hash index scanned
+    hash-bucketed (bucketBy on content_hash makes the anti join
+    exchange-free — sink_bucketed_join_noshuffle shows the layout).
+    The streaming twin is stream_dedup_late_data; this is the batch
+    backfill path of the same contract."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.col("text")))
+    existing = d.where(F.col("doc_id") < INCR_SPLIT).select(h.alias("content_hash"))
+    incoming = d.where(F.col("doc_id") >= INCR_SPLIT).select(
+        "doc_id", "lang", "n_chars", h.alias("content_hash")
+    )
+    return incoming.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
