@@ -155,3 +155,49 @@ def sink_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=4).alias("totalprice"),
     )
+
+
+@query(
+    "scan_bucket_pruned_point_get",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey = 4242
+    """,
+    tags=("E6", "R15"),
+)
+def scan_bucket_pruned_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over a bucketed table WITH BUCKET PRUNING — the
+    closest Spark analog of the reference's hash-index probe
+    (``/root/reference/src/hashtable.rs:143-168``): key → hash → read
+    exactly one of n hash slots.  The write hash-places rows into 8
+    bucket files on o_orderkey; an equality filter then lets Spark
+    prune to the single bucket that can contain the key
+    (SelectedBucketsCount 1/8 in the plan — asserted in test_plans),
+    so the point get reads 1/n of the table's files before row-group
+    min/max and dictionary filters narrow further.  At 100 TB with
+    n=4096 buckets this is the difference between a full-table scan
+    and a single-file probe."""
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="potpot_bprune_")
+    name = f"ord_bp_{run}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, name))
+        .saveAsTable(name)
+    )
+    # autoBucketedScan only counts *distribution* consumers (joins/aggs)
+    # as a reason to keep a bucketed scan; a pure filter would be
+    # planned as a plain scan and lose SelectedBucketsCount pruning.
+    # The conf must still be false when the action plans (planning is
+    # lazy), so it stays set: the only effect on other queries is that
+    # bucketed tables keep their bucketed scans, which is what every
+    # consumer here wants anyway.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return spark.table(name).where(F.col("o_orderkey") == 4242)

@@ -194,3 +194,11 @@ def test_redaction_prunes_to_two_columns(spark, sf_dir):
     """Redaction reads only (doc_id, text) from the corpus scan."""
     df = registry.get("text_redact_pii").fn(spark, sf_dir)
     assert reads_only_columns(df, {"doc_id", "text"}, "documents"), formatted_plan(df)
+
+
+def test_point_get_prunes_to_one_bucket(spark, sf_dir):
+    """The bucketed point lookup must read exactly one of 8 bucket
+    files — the hash-index probe property (hashtable.rs:143-168)."""
+    df = registry.get("scan_bucket_pruned_point_get").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
