@@ -163,7 +163,7 @@ def sink_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT o_orderkey, o_custkey,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
-        WHERE o_orderkey = 4242
+        WHERE o_orderkey = 1000
     """,
     tags=("E6", "R15"),
 )
@@ -200,4 +200,4 @@ def scan_bucket_pruned_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed tables keep their bucketed scans, which is what every
     # consumer here wants anyway.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    return spark.table(name).where(F.col("o_orderkey") == 4242)
+    return spark.table(name).where(F.col("o_orderkey") == 1000)
