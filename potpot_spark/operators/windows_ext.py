@@ -110,3 +110,53 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("events_10min"),
     )
+
+
+@query(
+    "win_gaps_islands_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY d) AS INT) AS g
+            FROM days
+        )
+        SELECT user_id,
+               strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+               strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+               COUNT(*) AS streak_days
+        FROM grp
+        GROUP BY user_id, g
+    """,
+    tags=("E18", "E14"),
+)
+def win_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the date-minus-row_number trick (consecutive days share a constant
+    group key; any gap shifts it).  The window runs over the DISTINCT
+    (user, day) set — events collapse to at most |users| x |days| rows
+    before any sort — and the distinct, the window, and the final
+    aggregate all share the user_id partitioning, so the whole
+    pipeline is one logical shuffle at 100 TB.  The pattern is the
+    engine-side form of every "current streak" / uptime / contiguous-
+    coverage question."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub("d", F.row_number().over(w)))
+    return (
+        grp.groupBy("user_id", "g")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("g")
+    )
