@@ -242,3 +242,51 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", 2, 12).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+        WITH h1 AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   COUNT(*) AS n1
+            FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+        ),
+        h2 AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   COUNT(*) AS n2
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+        )
+        SELECT COALESCE(h1.k, h2.k) AS prop_k,
+               COALESCE(n1, 0) AS n_first_half,
+               COALESCE(n2, 0) AS n_second_half
+        FROM h1 FULL OUTER JOIN h2 ON h1.k IS NOT DISTINCT FROM h2.k
+    """,
+    tags=("E8", "E10"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): compare
+    per-key event counts between the two halves of the month, where the
+    key is a nullable JSON property — the NULL group ("events without
+    the property") must match ITSELF across the sides, which a plain
+    equi join silently drops.  Spark plans ``eqNullSafe`` as an
+    ordinary hash join (nulls hash like any value under null-safe
+    semantics), so the scale story is unchanged from E8; the COALESCE
+    on the key keeps one output column as in the ANSI form."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    h1 = (
+        e.where(F.col("ts") < "2024-01-16")
+        .groupBy(k.alias("k1"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    h2 = (
+        e.where(F.col("ts") >= "2024-01-16")
+        .groupBy(k.alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return h1.join(h2, F.col("k1").eqNullSafe(F.col("k2")), "full_outer").select(
+        F.coalesce("k1", "k2").alias("prop_k"),
+        F.coalesce("n1", F.lit(0)).alias("n_first_half"),
+        F.coalesce("n2", F.lit(0)).alias("n_second_half"),
+    )
