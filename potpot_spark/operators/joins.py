@@ -290,3 +290,59 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n1", F.lit(0)).alias("n_first_half"),
         F.coalesce("n2", F.lit(0)).alias("n_second_half"),
     )
+
+
+# Literal promo calendar: (name, start inclusive, end exclusive).
+PROMO_PERIODS = [
+    ("winter96", "1996-01-01", "1996-03-01"),
+    ("summer97", "1997-06-01", "1997-09-01"),
+    ("millennium", "1999-11-01", "2000-02-01"),
+]
+
+
+@query(
+    "join_point_in_interval",
+    oracle=f"""
+        WITH promos(promo, start_d, end_d) AS (
+            VALUES {", ".join(f"('{n}', TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00')" for n, s, e in PROMO_PERIODS)}
+        )
+        SELECT p.promo,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN promos p
+          ON o.o_orderdate >= p.start_d AND o.o_orderdate < p.end_d
+        GROUP BY p.promo
+    """,
+    tags=("E12", "E9"),
+)
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: orders matched to the promo period
+    containing their order date, aggregated per promo.
+
+    The interval side is a literal calendar (a handful of rows), so the
+    right plan is a BROADCAST nested-loop with the range predicate
+    evaluated map-side — no shuffle of the fact table, and Catalyst
+    additionally ORs the interval bounds into a pushed-down scan
+    filter.  When the interval side is itself large (validity-interval
+    dimensions), this op's recipe hands over to join_range_banded:
+    band keys turn the range condition into an equi-join.  Decimal
+    revenue path as everywhere."""
+    from potpot_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        [(n, f"{s} 00:00:00", f"{e} 00:00:00") for n, s, e in PROMO_PERIODS],
+        "promo string, start_s string, end_s string",
+    ).select(
+        "promo",
+        F.col("start_s").cast("timestamp").alias("start_d"),
+        F.col("end_s").cast("timestamp").alias("end_d"),
+    )
+    joined = o.join(
+        F.broadcast(promos),
+        (o.o_orderdate >= promos.start_d) & (o.o_orderdate < promos.end_d),
+    )
+    return joined.groupBy("promo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("revenue"),
+    )

@@ -1,0 +1,188 @@
+"""Feature-engineering operators for training-data pipelines:
+z-score standardization, leave-one-out target encoding, and
+token-budget sequence packing.
+
+These are the last-mile transforms between a cleaned corpus/fact table
+and a training job.  All three follow the same scale discipline the
+rest of the engine uses: group statistics are computed with
+order-independent exact-decimal accumulation (functions/numeric.py),
+then joined back broadcast — the per-row pass never reshuffles the
+fact table, so at 100 TB the cost is one scan + one tiny dimension
+join.  The reference has no aggregate surface at all (its only read is
+a point-get stub, ``/root/reference/src/query.rs:7-9``); these extend
+the engine-declared inventory (SURVEY.md §2.10/§2.11).
+
+Float-parity note: the oracle gate compares doubles BIT-EXACTLY, so
+every derived value is built only from IEEE-determined operations
+(+ - * / sqrt are correctly rounded in both engines) applied in the
+SAME association order on both sides.  No log/exp/pow in compared
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dec, dsum
+from potpot_spark.registry import query
+
+
+@query(
+    "ml_standardize_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumsq,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sm
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.sm / s.n)
+                 / sqrt((s.sumsq - (s.sm * s.sm) / s.n) / (s.n - 1)) AS zscore
+        FROM events e JOIN s USING (event_type)
+    """,
+    tags=("E14", "E9"),
+)
+def ml_standardize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of a feature column: one
+    aggregate pass computes (n, Σx, Σx²) per event_type with exact
+    decimal accumulation, then a broadcast join applies
+    ``(x - mean) / stddev_samp`` row-wise.
+
+    Two-pass-as-one-scan-plus-broadcast is the scalable shape: the
+    statistics table has |distinct groups| rows, so the per-row pass is
+    a map-side join — no shuffle of the fact table at any scale.  The
+    decimal moments make mean/variance identical across partitionings
+    (raw double Σx² is order-dependent); the final double expression
+    uses only correctly-rounded IEEE ops (/ - * sqrt), so results are
+    bit-reproducible across cluster sizes — and against the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(dec("value", 4) * dec("value", 4)).cast("double").alias("sumsq"),
+            dsum("value", 4).alias("sm"),
+        )
+    )
+    mean = F.col("sm") / F.col("n")
+    var = (F.col("sumsq") - (F.col("sm") * F.col("sm")) / F.col("n")) / (F.col("n") - 1)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "ml_target_encoding_loo",
+    oracle="""
+        WITH oc AS (
+            SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        s AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ssum,
+                   COUNT(*) AS n
+            FROM oc GROUP BY c_mktsegment
+        )
+        SELECT oc.o_orderkey, oc.c_mktsegment,
+               (s.ssum - oc.o_totalprice) / (s.n - 1) AS loo_enc
+        FROM oc JOIN s USING (c_mktsegment)
+    """,
+    tags=("E14", "E9"),
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature: encode
+    each order's market segment as the mean total price of all OTHER
+    orders in that segment — ``(Σ_segment - x) / (n_segment - 1)``.
+
+    LOO is the standard leakage-safe categorical encoder for training
+    pipelines (plain mean encoding leaks the row's own target).  The
+    closed form needs only per-segment (Σ, n), so the plan is: fact ⨝
+    broadcast(customer-key→segment), one partial-aggregated groupBy
+    over ~5 segments, then a second broadcast join back — the fact
+    table is scanned twice but never shuffled, and both joins are
+    map-side at any scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    s = oc.groupBy("c_mktsegment").agg(
+        dsum("o_totalprice", 2).alias("ssum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return oc.join(F.broadcast(s), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        ((F.col("ssum") - F.col("o_totalprice")) / (F.col("n") - 1)).alias("loo_enc"),
+    )
+
+
+PACK_BUDGET = 2048
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT lang, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / {PACK_BUDGET}) AS BIGINT) AS seq_no
+            FROM toks
+        )
+        SELECT lang, seq_no,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY lang, seq_no
+    """,
+    tags=("E18", "E82"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in stable
+    doc_id order, per language) to training sequences of ~2048 tokens
+    by bucketing the running token count — ``seq_no = floor(
+    (cumsum - n_tokens) / budget)``, i.e. a document starts a new
+    sequence when the budget would otherwise be exceeded mid-stream.
+
+    Packing is how LLM training jobs avoid padding waste; the greedy
+    contiguous-fill variant here is what large pipelines actually use
+    (bin-packing optimally is NP-hard and order-destroying).  The
+    window partitions by lang, so the cumulative sum parallelizes
+    across languages — the 100 TB form shards the window key further
+    (e.g. (lang, shard) from a hash of doc_id) since packing quality
+    only needs locality, not a global order.  Integer-only math: exact
+    parity by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_no"),
+    )
+    return packed.groupBy("lang", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

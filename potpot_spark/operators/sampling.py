@@ -112,3 +112,47 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+RESERVOIR_N = 5
+
+
+@query(
+    "sample_topn_per_group_by_hash",
+    oracle=f"""
+        SELECT lang, doc_id, n_chars
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {RESERVOIR_N}
+    """,
+    tags=("E18",),
+)
+def sample_topn_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: keep N documents per language,
+    chosen by ranking on md5(key) — a uniform-ish pseudo-random order
+    that is a pure function of the data, so the "reservoir" is
+    reproducible across engines, runs, partitionings, and cluster
+    sizes (unlike true reservoir sampling, whose result depends on
+    encounter order).
+
+    The per-group top-k-by-hash shape is what curation pipelines use
+    for fixed-size per-stratum inspection samples.  Catalyst rewrites
+    the rank-filter into WindowGroupLimit, so each partition retains
+    only N candidates before the shuffle — the full sort never
+    happens at scale.  Tie-break on doc_id (md5 collisions on distinct
+    keys are practically impossible, but determinism shouldn't rest on
+    'practically')."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= RESERVOIR_N)
+        .select("lang", "doc_id", "n_chars")
+    )

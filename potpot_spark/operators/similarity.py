@@ -245,3 +245,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.groupBy("label").applyInPandas(block_pairs, out_schema)
+
+
+# 2^24: float32 has a 24-bit significand, so x * 2^24 recovers integer
+# mantissa bits for |x| >= 0.5 and a deterministic truncation below.
+_FIXED_POINT = float(1 << 24)
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle=f"""
+        WITH comps AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS comp
+            FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * {_FIXED_POINT}) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * {_FIXED_POINT}) AS centroid,
+               COUNT(*) AS n
+        FROM comps GROUP BY label, dim
+    """,
+    tags=("E36", "E47"),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the distributed
+    vector-mean kernel under k-means/IVF training and class-prototype
+    construction, in (label, dim, centroid) long form.
+
+    Summing floats in parallel is order-dependent, so a naive mean
+    drifts between runs and cluster sizes.  The engine sums FIXED-POINT
+    components instead: ``floor(x · 2²⁴)`` maps each float32 exactly
+    (multiplying by a power of two is lossless; floor deterministically
+    truncates sub-integer bits for |x| < 0.5) onto integers whose sum
+    is exact and associative — the same reproducibility contract the
+    decimal money path (functions/numeric.py) gives TPC-H aggregates,
+    chosen per dtype.  Plan: posexplode → one hash aggregate on
+    (label, dim) with map-side partials; 64 dims × labels rows out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "label", F.posexplode("embedding").alias("dim", "comp")
+    )
+    fx = F.floor(F.col("comp").cast("double") * F.lit(_FIXED_POINT)).cast("bigint")
+    return (
+        comps.groupBy("label", "dim")
+        .agg(F.sum(fx).alias("fxsum"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            (F.col("fxsum").cast("double") / (F.col("n") * F.lit(_FIXED_POINT))).alias(
+                "centroid"
+            ),
+            "n",
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import davg, dsum
@@ -337,4 +338,78 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_TERMS_K)
         .select("lang", "term", "cnt", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf AS DOUBLE)
+                     * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= {TFIDF_K}
+    """,
+    tags=("E37",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf with a
+    LINEAR inverse-document-frequency weight, ``score = tf · (N/df)``.
+
+    The linear idf (instead of the textbook log) is deliberate: the
+    oracle gate compares doubles bit-exactly and log is not correctly
+    rounded across runtimes (JVM vs libm), while mul/div are — the
+    RANKING is what the operator is for, and linear idf induces a
+    log-idf-compatible per-term monotone weighting.  Plan: explode ->
+    two hash aggregates sharing the term key -> broadcast of the
+    doc-frequency table's join -> per-doc top-k window.  The window
+    partitions on doc_id (millions of small groups), and tf rows per
+    doc are bounded by vocabulary, so no skew.  Ties break on term for
+    determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(_tok()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score")
     )

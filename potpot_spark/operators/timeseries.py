@@ -288,6 +288,116 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "timeseries_ohlc_bars",
+    oracle="""
+        WITH ranked AS (
+            SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                   event_type, value,
+                   row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT day, event_type,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM ranked GROUP BY day, event_type
+    """,
+    tags=("E14",),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event_type: open/close are the first/last
+    value by (ts, event_id) — the time-series resampling primitive
+    behind every candlestick/metrics dashboard.
+
+    Spark-first shape: ``min_by``/``max_by`` keyed on a (ts, event_id)
+    struct make first/last ordinary one-pass mergeable aggregates —
+    one partial-agg + one shuffle on the group key, NO window sort.
+    (The oracle uses the textbook double row_number formulation; at
+    100 TB that shape costs a full sort per partition — min_by is the
+    plan you actually want.)  The event_id tie-break makes open/close
+    deterministic when two events share a timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    order_key = F.struct("ts", "event_id")
+    return (
+        e.select(day, "event_type", "value", "ts", "event_id")
+        .groupBy("day", "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EWMA_ALPHA = 0.25  # power of two: 0.25 and 0.75 are exact binary doubles
+
+
+@query(
+    "timeseries_ewma_last",
+    oracle="""
+        WITH RECURSIVE ord AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, rn, value AS ewma FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.rn, 0.25 * o.value + 0.75 * r.ewma
+            FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, arg_max(ewma, rn) AS ewma_last,
+               CAST(MAX(rn) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id
+    """,
+    tags=("E33",),
+)
+def timeseries_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α = 0.25),
+    returning the final smoothed value — the classic inherently-
+    sequential per-key recurrence ``y_t = α·x_t + (1-α)·y_{t-1}``.
+
+    This is the honest Pandas-UDF case: the recurrence cannot be
+    expressed with mergeable aggregates or fixed window frames, so the
+    engine ships it as ``applyInPandas`` over the user_id shuffle —
+    Arrow-batched, one group per user, linear scan inside.  At 100 TB
+    this parallelizes across users (millions of independent keys);
+    what it can never do is parallelize within one key, which is a
+    property of the math, not the engine.  The oracle is a recursive
+    CTE computing the identical recurrence; both sides use only IEEE
+    mul/add in the same order (α chosen as an exact binary fraction),
+    so the doubles match bit-for-bit."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ewma = None
+        for x in pdf["value"].astype("float64"):
+            ewma = x if ewma is None else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * ewma
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "ewma_last": [ewma],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma_group, "user_id bigint, ewma_last double, n_events bigint"
+    )
+
+
+@query(
     "analytics_retention_cohort",
     oracle="""
         WITH firsts AS (
@@ -320,4 +430,107 @@ def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(firsts, "user_id")
         .groupBy("cohort_week", F.date_trunc("week", "ts").alias("activity_week"))
         .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "analytics_cumulative_distinct_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT event_type, user_id,
+                   MIN(strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')) AS first_day
+            FROM events GROUP BY event_type, user_id
+        ),
+        daily AS (
+            SELECT event_type, first_day AS day, COUNT(*) AS new_users
+            FROM firsts GROUP BY event_type, first_day
+        )
+        SELECT event_type, day, new_users,
+               CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_users
+        FROM daily
+    """,
+    tags=("E15", "E20"),
+)
+def analytics_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-dashboard curve.
+
+    Running COUNT(DISTINCT) is the textbook non-mergeable trap: a
+    distinct per day-prefix rescans the fact table O(days) times.  The
+    scalable identity is ``cum_distinct(d) = #{users: first_seen <=
+    d}`` — ONE aggregate collapses the fact table to a row per
+    (event_type, user), a second tiny aggregate counts
+    first-appearances per day, and a running sum over the day-level
+    result (O(types × days) rows, so the window is free) yields the
+    exact per-type adoption curve.  The same first-seen trick is why
+    retention cohorts (analytics_retention_cohort) and this op share a
+    shuffle key."""
+    e = load_table(spark, sf_dir, "events")
+    day_s = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    firsts = e.groupBy("event_type", "user_id").agg(F.min(day_s).alias("first_day"))
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@query(
+    "events_sessionize_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 480 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM seq
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("E31", "E18"),
+)
+def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic timeout sessionization with per-session statistics:
+    480-minute-gap sessions (same boundary rule as the funnel, kept in
+    lockstep), each reduced to (events, duration).
+
+    This is the batch twin of the streaming session window
+    (stream_session_window): identical session semantics expressed as
+    lag + running-sum gaps-and-islands, so the engine can serve session
+    analytics from either path and reconcile them.  One shuffle on
+    user_id feeds both the window pass and the aggregate (same key),
+    and durations are integer microsecond arithmetic — exact at any
+    scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
     )

@@ -160,3 +160,49 @@ def win_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("g")
     )
+
+
+@query(
+    "win_period_over_period",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+               revenue - lag(revenue) OVER (ORDER BY month) AS mom_delta,
+               (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) AS mom_pct
+        FROM m
+    """,
+    tags=("E19",),
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly aggregate, then lag()
+    for the previous period and delta/percent change — the standard
+    period-over-period reporting shape.
+
+    The unpartitioned window is safe BECAUSE it runs over the
+    aggregate, not the fact table: months are O(tens of rows) at any
+    fact scale, so the single-partition sort is a no-op after the real
+    work (a partial-agg shuffle on month).  Putting the window before
+    the aggregate is the anti-pattern this op exists to document.
+    Revenue goes through exact-decimal summation; delta/pct are
+    IEEE-determined (same association both sides)."""
+    from potpot_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dsum("o_totalprice", 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )

