@@ -12,6 +12,7 @@ from potpot_spark.catalog import load_table
 from potpot_spark.plans.inspect import (
     formatted_plan,
     has_broadcast_join,
+    has_partial_aggregate,
     has_pushed_filter,
     reads_only_columns,
 )
@@ -202,3 +203,56 @@ def test_point_get_prunes_to_one_bucket(spark, sf_dir):
     df = registry.get("scan_bucket_pruned_point_get").fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_reservoir_sample_uses_group_limit(spark, sf_dir):
+    """Per-group top-N-by-hash must run as WindowGroupLimit: each
+    partition keeps N candidates before the shuffle, so the full sort
+    never materializes at scale."""
+    df = registry.get("sample_topn_per_group_by_hash").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df), formatted_plan(df)
+
+
+def test_zscore_broadcasts_stats(spark, sf_dir):
+    """Standardization joins the tiny per-group stats table broadcast —
+    the fact table must not shuffle."""
+    df = registry.get("ml_standardize_zscore").fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert "SortMergeJoin" not in formatted_plan(df), formatted_plan(df)
+
+
+def test_loo_encoding_broadcasts_both_joins(spark, sf_dir):
+    """LOO target encoding: customer-dim join and stats join-back are
+    both broadcast; no sort-merge join of the fact table."""
+    df = registry.get("ml_target_encoding_loo").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ohlc_has_no_window(spark, sf_dir):
+    """OHLC via min_by/max_by must be a pure aggregate — the
+    double-row_number window formulation (the oracle's) would sort
+    every (day, type) partition."""
+    df = registry.get("timeseries_ohlc_bars").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Edge-iterator triangle counting: adjacency joins only — no
+    cartesian product and no Python evaluation."""
+    df = registry.get("graph_triangle_count").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_interval_join_broadcasts_calendar(spark, sf_dir):
+    """Point-in-interval join broadcasts the literal calendar; the
+    orders fact table must not shuffle for the join."""
+    df = registry.get("join_point_in_interval").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
