@@ -236,3 +236,42 @@ def agg_bitmap_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count("years_bitmap").cast("bigint").alias("n_active_years"),
         )
     )
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               COUNT(*) AS n,
+               CAST(MIN(event_id) AS BIGINT) AS first_event
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY k
+    """,
+    tags=("E27",),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the props JSON once into Variant's binary
+    encoding, ``variant_get`` extracts a typed path, and the result
+    aggregates like any other column.
+
+    Variant is the engine's answer for schema-on-read columns the
+    reference's tagged AnyType (types.rs:63-66) gestures at: values
+    carry their own types, but — unlike string JSON probed with
+    get_json_object (scalar_array_map_json) — the binary encoding
+    parses ONCE per row, fields extract in O(log fields), and
+    shredding can push extraction into the scan.  The oracle reads the
+    same path with DuckDB's JSON functions; typed extraction semantics
+    (int-typed path, null when absent) agree."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    return (
+        e.select(k, "event_id")
+        .where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+        )
+    )

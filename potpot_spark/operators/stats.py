@@ -183,3 +183,170 @@ def feature_binning_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+CMS_W = 256  # buckets per hash row
+CMS_K = 4    # independent hash rows
+CMS_TOP = 25
+
+
+def _cms_bucket_sql(key_expr: str, i_expr: str) -> str:
+    """DuckDB-side CMS bucket: first 7 md5 hex digits (< 2^28, no
+    overflow) of 'key#i', mod W."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || '#' || "
+        f"CAST({i_expr} AS VARCHAR)), 1, 7)) AS BIGINT) % {CMS_W}"
+    )
+
+
+def _cms_bucket_col(key, i) -> "F.Column":
+    """Spark-side twin of :func:`_cms_bucket_sql` (identical md5 text)."""
+    text = F.concat_ws("#", key.cast("string"), i.cast("string"))
+    return F.conv(F.substring(F.md5(text), 1, 7), 16, 10).cast("bigint") % CMS_W
+
+
+@query(
+    "sketch_count_min_portable",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT l_partkey, COUNT(*) AS key_cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        keyed AS (
+            SELECT l_partkey, key_cnt, t.i,
+                   {_cms_bucket_sql('l_partkey', 't.i')} AS bucket
+            FROM per_key CROSS JOIN (SELECT unnest(range({CMS_K})) AS i) t
+        ),
+        sketch AS (
+            SELECT i, bucket, CAST(SUM(key_cnt) AS BIGINT) AS cnt
+            FROM keyed GROUP BY i, bucket
+        ),
+        truth AS (
+            SELECT l_partkey, key_cnt AS true_cnt
+            FROM per_key
+            ORDER BY true_cnt DESC, l_partkey LIMIT {CMS_TOP}
+        ),
+        probes AS (
+            SELECT tr.l_partkey, tr.true_cnt, t.i,
+                   {_cms_bucket_sql('tr.l_partkey', 't.i')} AS bucket
+            FROM truth tr CROSS JOIN (SELECT unnest(range({CMS_K})) AS i) t
+        )
+        SELECT p.l_partkey, p.true_cnt, MIN(s.cnt) AS cms_est
+        FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+        GROUP BY p.l_partkey, p.true_cnt
+    """,
+    tags=("E16", "E28"),
+)
+def sketch_count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with an engine-portable hash family: build a
+    K×W counter table for part-key frequencies, then estimate the top
+    heavy hitters as ``min_i counter[i][h_i(key)]`` and report estimate
+    next to truth (CMS guarantees est >= true).
+
+    The sketch is the mergeable frequency structure streaming/rollup
+    layers store instead of exact per-key counts: fixed K·W integers
+    per partition/window, partials combine by elementwise addition —
+    here that's literally a (i, bucket) groupBy, so Spark's map-side
+    combine IS the sketch merge.  Hashes derive from md5 text (like
+    sample_hash_systematic) rather than xxhash64 so the construction
+    is reproducible in any engine — which is also what makes an exact
+    DuckDB oracle possible for an 'approximate' structure: the
+    APPROXIMATION is deterministic, only its error vs truth is
+    probabilistic.  The build hashes DISTINCT keys, not rows: an exact
+    per-key partial count runs first (a plain mergeable groupBy), then
+    bucket counters are SUMS of key counts — identical counters, K·|keys|
+    md5 calls instead of K·|rows| (30× fewer here; the same
+    two-stage rewrite as agg_skew_two_stage).  Estimation joins the 25
+    probe keys against the K·W=1024-row sketch — broadcast, map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = F.array(*[F.lit(i) for i in range(CMS_K)])
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("key_cnt"))
+    keyed = per_key.select(
+        "l_partkey", "key_cnt", F.explode(rows).alias("i")
+    ).select(
+        "l_partkey",
+        "key_cnt",
+        "i",
+        _cms_bucket_col(F.col("l_partkey"), F.col("i")).alias("bucket"),
+    )
+    sketch = keyed.groupBy("i", "bucket").agg(F.sum("key_cnt").cast("bigint").alias("cnt"))
+    truth = (
+        per_key.select("l_partkey", F.col("key_cnt").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "l_partkey")
+        .limit(CMS_TOP)
+    )
+    probes = truth.select(
+        "l_partkey", "true_cnt", F.explode(rows).alias("i")
+    ).select(
+        "l_partkey",
+        "true_cnt",
+        "i",
+        _cms_bucket_col(F.col("l_partkey"), F.col("i")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+MAD_SCALE = 1.4826  # consistency factor: MAD ~ sigma for normal data
+
+
+@query(
+    "anomaly_mad_flags",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, d.med, m.mad,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN d.adev > 3 * {MAD_SCALE} * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type, d.med, m.mad
+    """,
+    tags=("E40",),
+)
+def anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from
+    the per-type median by more than 3·1.4826·MAD (median absolute
+    deviation) — the robust-statistics alternative to z-scores
+    (ml_standardize_zscore), immune to the outliers it hunts.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations) each collapse the fact table to one row per type; the
+    per-row flagging joins those tiny tables back broadcast.  Medians
+    are rounded to 4 decimals on BOTH sides before the threshold
+    compare — fixture values carry 2 decimals, midpoint interpolation
+    adds at most one more, so rounding is lossless here while keeping
+    the comparison independent of last-ulp interpolation differences
+    between engines.  At 100 TB the exact percentile becomes
+    ``percentile_approx`` (agg_approx_percentiles) — same plan, sketch
+    aggregate instead of sort-based."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("adev") > 3 * MAD_SCALE * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )

@@ -126,3 +126,45 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "stream_sink_files_exactly_once",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids
+        FROM events GROUP BY event_type
+    """,
+    tags=("E2", "E4"),
+)
+def stream_sink_files_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with exactly-once file semantics:
+    stream the events source into a parquet directory (availableNow),
+    then prove the landed files hold exactly the input — per-type row
+    counts AND distinct event ids match the batch table.
+
+    The guarantee comes from the sink's commit log (_spark_metadata):
+    a file only becomes visible when its micro-batch commits, and a
+    retried batch re-commits the SAME file list — readers see each
+    record once even across failures.  This is the append half of the
+    reference's write path (query::insert, query.rs:3-5) done
+    durably-idempotent at scale; the foreachBatch MERGE op
+    (stream_foreach_batch_upsert) is the upsert half."""
+    from potpot_spark.streaming.runner import stream_events
+
+    out = os.path.join(tempfile.mkdtemp(prefix="potpot_stream_sink_"), "events_out")
+    ckpt = tempfile.mkdtemp(prefix="potpot_stream_sink_ckpt_")
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("n_ids"),
+    )
