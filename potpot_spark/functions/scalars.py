@@ -275,3 +275,81 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("bigint").alias("first_event"),
         )
     )
+
+
+@query(
+    "scalar_collation_groupby",
+    oracle="""
+        SELECT lower(p_brand) AS brand_ci,
+               COUNT(*) AS n,
+               CAST(MIN(p_partkey) AS BIGINT) AS first_part
+        FROM part GROUP BY brand_ci
+    """,
+    tags=("E24",),
+)
+def scalar_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4 COLLATIONS: the brand
+    column is compared/grouped under UTF8_LCASE collation instead of
+    being physically lowercased for the comparison.
+
+    Collation moves case/accent semantics into the TYPE, so every
+    comparison (group keys, joins, DISTINCT, ORDER) inherits it without
+    sprinkling lower() at each call site — and Spark can use collation
+    keys inside hash aggregation directly.  The output group label is
+    normalized with lower() only for display/oracle parity (DuckDB has
+    no column collations; its oracle groups by lower())."""
+    p = load_table(spark, sf_dir, "part")
+    ci = F.collate(F.col("p_brand"), "UTF8_LCASE")
+    return (
+        p.groupBy(ci.alias("brand_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_partkey").cast("bigint").alias("first_part"),
+        )
+        .select(
+            F.lower(F.col("brand_key").cast("string")).alias("brand_ci"),
+            "n",
+            "first_part",
+        )
+    )
+
+
+@query(
+    "scalar_array_hof",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               list_position(embedding, list_max(embedding)) AS argmax_1based,
+               CAST(list_count(list_distinct(list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS INTEGER)))) AS INTEGER)
+                 AS n_decile_bins,
+               CASE WHEN list_has_any(embedding, [CAST(0.0 AS FLOAT)]) THEN 1 ELSE 0 END AS has_zero
+        FROM embeddings
+    """,
+    tags=("E27", "E36"),
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column —
+    filter / position / transform / exists composed per row with NO
+    explode: positive-component count, 1-based argmax position,
+    distinct coarse-bin count, zero-presence flag.
+
+    HOFs are the engine's row-local array algebra: each expression runs
+    inside whole-stage codegen over the array buffer, where the
+    explode-then-reaggregate alternative would multiply the row count
+    by 64 and shuffle it back.  All outputs are integers (fixed-point
+    floor for the binning), so cross-engine parity is exact — the HOF
+    surface itself is what's under test."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.array_position(emb, F.array_max(emb)).cast("int").alias("argmax_1based"),
+        F.size(
+            F.array_distinct(
+                F.transform(emb, lambda x: F.floor(x.cast("double") * 10).cast("int"))
+            )
+        ).alias("n_decile_bins"),
+        F.when(F.array_contains(emb, F.lit(0.0).cast("float")), 1).otherwise(0).alias("has_zero"),
+    )

@@ -154,3 +154,74 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice", 2).alias("total_price"),
     )
+
+
+_CSV_BAD_LINES = [
+    "not_a_number,O,123.45",          # unparseable key
+    "42,F",                           # missing column
+    "43,P,price_is_text",             # unparseable double
+    "44,O,9.99,extra,columns,here",   # too many columns
+]
+
+
+@query(
+    "scan_csv_malformed_permissive",
+    oracle=f"""
+        SELECT COUNT(*) AS n_good,
+               CAST({len(_CSV_BAD_LINES)} AS BIGINT) AS n_corrupt,
+               COUNT(*) + {len(_CSV_BAD_LINES)} AS n_total
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    tags=("E3", "E51"),
+)
+def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV ingestion over a file with injected garbage:
+    good rows parse, each malformed line (bad types, wrong arity)
+    lands intact in ``_corrupt_record`` instead of failing the job —
+    the quarantine pattern every large-scale ingest needs, because at
+    100 TB there is ALWAYS a malformed line and FAILFAST means the
+    4-hour job dies at hour 3.
+
+    The op writes a typed orders slice to CSV, appends four
+    deliberately-broken lines, reads back with an explicit schema +
+    corrupt-record column, and reports good/corrupt/total counts.
+    The corrupt rows stay queryable (dead-letter table) rather than
+    silently dropped — DROPMALFORMED's failure mode."""
+    o = load_table(spark, sf_dir, "orders")
+    subset = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="potpot_badcsv_")
+    target = os.path.join(base, "orders_csv")
+    subset.coalesce(1).write.mode("overwrite").csv(target)
+    # Inject malformed lines directly into the landed part file.
+    import glob
+
+    part = glob.glob(os.path.join(target, "part-*.csv"))[0]
+    with open(part, "a", encoding="utf-8") as f:
+        for line in _CSV_BAD_LINES:
+            f.write(line + "\n")
+    # The local-FS committer wrote .crc sidecars; the append invalidated
+    # them, so drop them or the re-read fails with ChecksumException.
+    for crc in glob.glob(os.path.join(target, ".*.crc")):
+        os.remove(crc)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(target)
+        .cache()  # required: corrupt-record queries must not re-parse lazily
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -201,3 +201,56 @@ def scan_bucket_pruned_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer here wants anyway.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark.table(name).where(F.col("o_orderkey") == 1000)
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INTEGER) = 1996
+          AND quarter(o_orderdate) = 2
+        GROUP BY month
+    """,
+    tags=("E9", "E53"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a month-partitioned fact table joined
+    to a month-dimension filtered to one quarter — the fact scan's
+    partition list is computed AT RUNTIME from the dim side's matching
+    keys (``dynamicpruningexpression`` in PartitionFilters), so only
+    3 of ~80 month directories are read.
+
+    DPP is the mechanism that makes star-schema date filters scale:
+    the selective predicate lives on the dimension, the bytes live in
+    the fact, and no static optimizer rewrite can connect them when
+    the dim filter isn't a literal on the fact's own columns.  The dim
+    here is built from the orders RELATION (not the partitioned copy)
+    precisely so static pushdown CANNOT fire and the runtime subquery
+    is load-bearing — the plan test asserts it.  At 100 TB this is the
+    difference between scanning a quarter and scanning seven years."""
+    o = load_table(spark, sf_dir, "orders")
+    fact_src = o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_dpp_"), "orders_by_month")
+    fact_src.write.mode("overwrite").partitionBy("month").parquet(target)
+    fact = spark.read.parquet(target)
+    # Independent month dimension (own scan of the base relation).
+    dim = (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("month", 1, 4),
+                F.lit("Q"),
+                F.quarter(F.to_date(F.concat(F.col("month"), F.lit("-01")))).cast("string"),
+            ),
+        )
+    )
+    joined = fact.join(F.broadcast(dim.where(F.col("quarter") == "1996Q2")), "month")
+    return joined.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("revenue"),
+    )

@@ -256,3 +256,21 @@ def test_interval_join_broadcasts_calendar(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dpp_fact_scan_has_dynamic_pruning(spark, sf_dir):
+    """The month-partitioned fact scan must carry a runtime
+    dynamicpruningexpression in PartitionFilters — the dim-side filter
+    reaches the fact scan only through DPP, not static pushdown."""
+    df = registry.get("join_dynamic_partition_pruning").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_array_hof_no_explode_no_shuffle(spark, sf_dir):
+    """Row-local array algebra: the HOF op must not explode or
+    exchange — one scan, one projection."""
+    df = registry.get("scalar_array_hof").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert "Exchange" not in plan, plan
