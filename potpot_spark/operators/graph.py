@@ -191,17 +191,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation (orient toward the higher-degree endpoint), which
     bounds every |N⁺| by O(√|E|) on skewed graphs — same plan, one
     extra degree join to build the orientation key."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = part_copurchase_edges(spark, sf_dir)
     adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
@@ -268,4 +258,85 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", order_key).alias("keeper_doc_id"),
         F.min_by("n_chars", order_key).alias("keeper_chars"),
         F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
+def part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct edge list of the part co-purchase
+    graph: parts are adjacent when they appear in the same order.
+    Shared by graph_triangle_count and graph_pagerank_fixed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+PR_ITERS = 8
+PR_DAMPING = 0.85
+PR_TOP = 20
+
+
+@query("graph_pagerank_fixed", oracle=None, tags=("E8",))
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (8 fixed iterations, damping 0.85) on the undirected
+    part co-purchase graph; returns the top-20 parts by rank — the
+    second iterative graph kernel next to connected components, and
+    the canonical importance measure for recommendation/link graphs.
+
+    Same iterative discipline as connected_components: per round ONE
+    join (edge ⨝ rank, both shuffling on the node key so the exchange
+    partitioning is reusable) + one aggregate, with ``localCheckpoint``
+    truncating the lineage so round N's plan doesn't embed rounds
+    1..N-1.  Dangling mass isn't an issue (every node here has degree
+    ≥ 1).  Rows-only check: parallel double summation makes last-ulp
+    rank values partitioning-dependent, so there is no bit-exact SQL
+    twin — the property test asserts the invariants instead (rank mass
+    conservation to 1e-6·n, positivity, fixed cardinality)."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # Pre-divide once: each edge carries its source's 1/deg weight, so
+    # the loop join projects rank * w with no per-round division.
+    withdeg = sym.join(deg, "u").select(
+        "u", "v", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).persist()
+    withdeg.count()  # materialize outside the timed rounds' lineage
+    ranks = deg.select("u", F.lit(1.0).alias("rank")).localCheckpoint()
+    # The per-round aggregate output is |V| rows — run the loop at a
+    # narrow shuffle width so 8 rounds don't pay 8 × 32 near-empty
+    # task launches (same sizing rule as the streaming state store).
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(PR_ITERS):
+            # |V| << |E|: broadcast the rank vector so the edge table
+            # never re-shuffles — each round is map-side join + one
+            # partial-agg exchange of |V| group rows.  (When |V| itself
+            # outgrows broadcast range, flip to a shuffle join against
+            # edges pre-partitioned on u — same loop, one exchange more.)
+            contribs = (
+                withdeg.join(F.broadcast(ranks), "u")
+                .select(F.col("v").alias("u"), (F.col("rank") * F.col("w")).alias("c"))
+            )
+            ranks = (
+                contribs.groupBy("u")
+                .agg((F.lit(1 - PR_DAMPING) + PR_DAMPING * F.sum("c")).alias("rank"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    withdeg.unpersist()
+    return (
+        ranks.orderBy(F.col("rank").desc(), "u")
+        .limit(PR_TOP)
+        .select(F.col("u").alias("part_key"), F.round("rank", 6).alias("rank"))
     )

@@ -183,3 +183,44 @@ def text_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 20)
         .select("doc_a", "doc_b", dist.alias("prefix_edit_dist"))
     )
+
+
+# One dialect-neutral SQL string, executed VERBATIM by both Spark SQL
+# and DuckDB — the strongest possible parity statement: not two
+# translations of one intent, but one text with two engines under it.
+_SQL_TOPK_PER_NATION = """
+    WITH rev AS (
+        SELECT c.c_nationkey,
+               o.o_custkey AS custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, custkey, revenue,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY revenue DESC, custkey) AS rnk
+        FROM rev
+    )
+    SELECT c_nationkey, custkey, revenue, rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("sql_api_composite", oracle=_SQL_TOPK_PER_NATION, tags=("E14", "E18"))
+def sql_api_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: top-3 customers by revenue per nation,
+    expressed as ONE SQL string (CTE → join → aggregate → window →
+    rank filter) run through ``spark.sql`` over registered views —
+    and the oracle is the IDENTICAL string run by DuckDB.
+
+    Everything else in this engine uses the DataFrame API; this op
+    pins down that the SQL surface is equally first-class (same
+    Catalyst plan as the DataFrame formulation — rank-filter becomes
+    WindowGroupLimit, the dim join broadcasts, decimal money path) and
+    that the engine speaks the ANSI dialect intersection unmodified.
+    A user migrating SQL workloads runs their text as-is."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOPK_PER_NATION)

@@ -300,3 +300,61 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_min(embedding) AS mn,
+                   list_max(embedding) AS mx
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT e.vec_id,
+                   list_transform(
+                       e.embedding,
+                       x -> LEAST(CAST(FLOOR((CAST(x AS DOUBLE) - CAST(q.mn AS DOUBLE))
+                                             / (CAST(q.mx AS DOUBLE) - CAST(q.mn AS DOUBLE))
+                                             * 255.0) AS BIGINT), 255)
+                   ) AS c
+            FROM embeddings e JOIN q USING (vec_id)
+        )
+        SELECT vec_id,
+               CAST(list_aggregate(c, 'sum') AS BIGINT) AS code_sum,
+               CAST(list_aggregate(c, 'min') AS BIGINT) AS code_min,
+               CAST(list_aggregate(c, 'max') AS BIGINT) AS code_max
+        FROM codes
+    """,
+    tags=("E36", "E38"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to int8 codes — the standard 4×
+    memory reduction before ANN indexing (float32 → uint8 per
+    component, per-vector min/max calibration):
+    ``code = min(floor((x - mn)/(mx - mn) · 255), 255)``.
+
+    The whole transform is row-local array algebra (array_min/max +
+    transform) inside codegen — no shuffle, no UDF; at 100 TB
+    quantization cost is scan cost.  The clamp handles the x = mx
+    endpoint.  Parity is exact because the formula uses only
+    correctly-rounded IEEE ops and integer floor, identically
+    parenthesized on both sides; outputs are integer code summaries
+    (sum/min/max per vector) to keep the comparison scalar."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    codes = F.transform(
+        "embedding",
+        lambda x: F.least(
+            F.floor((x.cast("double") - mn) / (mx - mn) * 255.0).cast("bigint"),
+            F.lit(255).cast("bigint"),
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+    )

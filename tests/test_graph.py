@@ -4,6 +4,7 @@ two components — plus the lineage-truncation property."""
 
 from __future__ import annotations
 
+from potpot_spark import registry
 from potpot_spark.operators.graph import connected_components
 
 
@@ -35,3 +36,37 @@ def test_clique_one_round(spark):
 def test_edge_direction_irrelevant(spark):
     got = _cc(spark, [1, 2, 3], [(3, 1), (2, 3)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """PageRank invariants on the co-purchase graph: every returned
+    rank positive, top-k cardinality fixed, and total rank mass over
+    ALL nodes equals n_nodes within 1e-6·n (damping conserves mass
+    when every node has out-degree >= 1)."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_TOP,
+        part_copurchase_edges,
+    )
+
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("u", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = sym.join(deg, "u").join(ranks, "u").select(
+            F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        ranks = contribs.groupBy("u").agg(
+            (F.lit(1 - PR_DAMPING) + PR_DAMPING * F.sum("c")).alias("rank")
+        ).localCheckpoint()
+    n, total, mn = ranks.agg(
+        F.count(F.lit(1)), F.sum("rank"), F.min("rank")
+    ).collect()[0]
+    assert mn > 0
+    assert abs(total - n) < 1e-6 * n
+    top = registry.get("graph_pagerank_fixed").fn(spark, sf_dir)
+    assert top.count() == PR_TOP
