@@ -163,3 +163,143 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula oracle-verified."""
     d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(_fake_frame_sample, FRAME_SCHEMA)
+
+
+RESIZE_W, RESIZE_H = 64, 48
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("new_w", T.IntegerType()),
+        T.StructField("new_h", T.IntegerType()),
+        T.StructField("pad_x", T.IntegerType()),
+        T.StructField("pad_y", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving letterbox resize into RESIZE_W x RESIZE_H.
+
+    A real build decodes the payload with PIL and interpolates pixels;
+    the letterbox geometry computed here (scale = min(W/w, H/h),
+    floor-scaled content box, symmetric-total padding) IS the real
+    computation every resize pipeline performs — only the pixel pass is
+    faked.  Input dims derive from the same formula as _fake_decode, so
+    the stages compose like a real decode -> resize chain."""
+    for pdf in batches:
+        n = pdf["payload"].str.len()
+        in_w = (n % 640 + 1).astype("int64")
+        in_h = (n * 7 % 480 + 1).astype("int64")
+        scale_w = RESIZE_W / in_w
+        scale_h = RESIZE_H / in_h
+        scale = scale_w.where(scale_w < scale_h, scale_h)
+        new_w = (in_w * scale).apply(__import__("math").floor).astype("int64")
+        new_h = (in_h * scale).apply(__import__("math").floor).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_w": in_w.astype("int32"),
+                "in_h": in_h.astype("int32"),
+                "new_w": new_w.astype("int32"),
+                "new_h": new_h.astype("int32"),
+                "pad_x": (RESIZE_W - new_w).astype("int32"),
+                "pad_y": (RESIZE_H - new_h).astype("int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 640 + 1 AS in_w,
+                   octet_length(encode(text)) * 7 % 480 + 1 AS in_h
+            FROM documents
+        ),
+        scaled AS (
+            SELECT *,
+                   LEAST(CAST({RESIZE_W} AS DOUBLE) / in_w,
+                         CAST({RESIZE_H} AS DOUBLE) / in_h) AS scale
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(in_w AS INT) AS in_w,
+               CAST(in_h AS INT) AS in_h,
+               CAST(FLOOR(in_w * scale) AS INT) AS new_w,
+               CAST(FLOOR(in_h * scale) AS INT) AS new_h,
+               CAST({RESIZE_W} - FLOOR(in_w * scale) AS INT) AS pad_x,
+               CAST({RESIZE_H} - FLOOR(in_h * scale) AS INT) AS pad_y
+        FROM scaled
+    """,
+    tags=("E38",),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — image-resize stage: Arrow-batched letterbox geometry
+    (aspect-preserving scale + padding) over binary payloads.  The
+    pixel interpolation is the only faked part; the geometry — the
+    part that breaks training pipelines when engines disagree — is
+    real and oracle-verified bit-exactly (min/floor/division only)."""
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(_fake_resize, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f_vowels", T.LongType()),
+        T.StructField("f_digits", T.LongType()),
+        T.StructField("f_spaces", T.LongType()),
+        T.StructField("f_other", T.LongType()),
+    ]
+)
+
+
+def _fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction stand-in: decode the binary payload and emit
+    a 4-bucket content histogram (vowels / digits / spaces / other) —
+    the fixed-length-vector-per-blob contract of a real embedding or
+    spectrogram extractor, with the model inference faked by counting."""
+    for pdf in batches:
+        text = pdf["payload"].apply(lambda b: bytes(b).decode("utf-8"))
+        vowels = text.str.count("[aeiou]")
+        digits = text.str.count("[0-9]")
+        spaces = text.str.count(" ")
+        total = text.str.len()
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "f_vowels": vowels.astype("int64"),
+                "f_digits": digits.astype("int64"),
+                "f_spaces": spaces.astype("int64"),
+                "f_other": (total - vowels - digits - spaces).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_feature_extract_stub",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[aeiou]')) AS f_vowels,
+               len(regexp_extract_all(text, '[0-9]')) AS f_digits,
+               len(regexp_extract_all(text, ' ')) AS f_spaces,
+               length(text)
+                 - len(regexp_extract_all(text, '[aeiou]'))
+                 - len(regexp_extract_all(text, '[0-9]'))
+                 - len(regexp_extract_all(text, ' ')) AS f_other
+        FROM documents
+    """,
+    tags=("E38",),
+)
+def multimodal_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — feature-extraction stage: binary payload -> decode ->
+    fixed-length feature vector per blob, Arrow-batched.  Completes the
+    multimodal chain (struct carry -> decode -> resize -> features ->
+    frame fan-out); a real build swaps the counting for a model
+    forward pass, keeping the identical mapInPandas contract."""
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(_fake_feature_extract, FEATURE_SCHEMA)
