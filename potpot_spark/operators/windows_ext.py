@@ -206,3 +206,50 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("mom_delta"),
         ((F.col("revenue") - prev) / prev).alias("mom_pct"),
     )
+
+
+@query(
+    "win_moving_average_centered",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                    OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DOUBLE)
+                 / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS ma7
+        FROM daily
+    """,
+    tags=("E20",),
+)
+def win_moving_average_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-row moving average of daily revenue — the smoothing
+    frame shape (PRECEDING and FOLLOWING) that running sums and
+    trailing windows don't cover; edge days average over their
+    truncated frame (COUNT over the same frame), the standard
+    convention.
+
+    Like win_period_over_period, the window runs over the day-level
+    AGGREGATE (O(days) rows), so the unpartitioned sort is free; at
+    100 TB the only heavy step remains the partial-agg shuffle on day.
+    The frame sum re-enters exact decimal so the 7-day total is
+    order-independent, then one double division per row."""
+    from potpot_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dsum("o_totalprice", 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        "day",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
