@@ -222,3 +222,37 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("wavg_price"),
         den.alias("total_weight"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(DISTINCT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d'))
+                 AS active_days,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("E15",),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    aggregation — the classic multi-distinct shape Catalyst executes
+    with an Expand operator (each input row is replicated once per
+    distinct group, tagged with a grouping id, then aggregated in a
+    single pass).  One scan and one logical aggregation replace the
+    naive N self-joined single-distinct queries; at 100 TB the Expand
+    factor (×3 here) is the knowing trade — it still beats N separate
+    fact-table scans and N shuffles.  The plain COUNT(*)/SUM ride
+    along in the same pass."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct(day).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", scale=4)).cast("double").alias("total_value"),
+    )

@@ -340,3 +340,115 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select(F.col("u").alias("part_key"), F.round("rank", 6).alias("rank"))
     )
+
+
+BASKET_MIN_PAIR = 2
+BASKET_TOP = 50
+
+
+@query(
+    "analytics_market_basket",
+    oracle=f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+        items AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS u, c.l_partkey AS v, COUNT(*) AS pair_n
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT u, v, pair_n,
+               CAST(pair_n AS DOUBLE) / CAST(t.n_baskets AS DOUBLE) AS support,
+               CAST(pair_n AS DOUBLE) / CAST(iu.n_item AS DOUBLE) AS confidence,
+               CAST(pair_n * t.n_baskets AS DOUBLE)
+                 / CAST(iu.n_item * iv.n_item AS DOUBLE) AS lift
+        FROM pairs
+        JOIN items iu ON pairs.u = iu.l_partkey
+        JOIN items iv ON pairs.v = iv.l_partkey
+        CROSS JOIN t
+        WHERE pair_n >= {BASKET_MIN_PAIR}
+        ORDER BY lift DESC, u, v
+        LIMIT {BASKET_TOP}
+    """,
+    tags=("E8", "E14"),
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    co-purchased part pair, support / confidence / lift — the
+    recommendation-engine primitive behind "customers also bought".
+
+    Plan shape: baskets are deduped once to (order, part); the pair
+    generation is an oriented (u < v) self-equi-join on the basket key
+    (identical blocking recipe to graph_triangle_count — per-basket
+    fan-out is bounded by basket size, never all-pairs); item counts
+    and the basket total are tiny aggregates broadcast back onto the
+    pair table.  Every ratio is a SINGLE double division of exact
+    integer products, so the scores are bit-identical on both engines
+    and on any partitioning.  Top-k by lift with (u, v) tie-break via
+    TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    items = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, c = li.alias("a"), li.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= BASKET_MIN_PAIR)
+    )
+    iu = items.select(F.col("l_partkey").alias("u"), F.col("n_item").alias("n_u"))
+    iv = items.select(F.col("l_partkey").alias("v"), F.col("n_item").alias("n_v"))
+    scored = (
+        pairs.join(F.broadcast(iu), "u")
+        .join(F.broadcast(iv), "v")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "u",
+            "v",
+            "pair_n",
+            (F.col("pair_n").cast("double") / F.col("n_baskets").cast("double")).alias("support"),
+            (F.col("pair_n").cast("double") / F.col("n_u").cast("double")).alias("confidence"),
+            (
+                (F.col("pair_n") * F.col("n_baskets")).cast("double")
+                / (F.col("n_u") * F.col("n_v")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "u", "v").limit(BASKET_TOP)
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, c.l_partkey AS v
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        ),
+        sym AS (SELECT u FROM e UNION ALL SELECT v FROM e),
+        deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY u)
+        SELECT degree, COUNT(*) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    tags=("E14",),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    thing to compute on any production graph, because the tail of this
+    histogram (hub nodes) is what breaks naive joins at 100 TB: a node
+    of degree d contributes d² wedges to triangle counting and d rows
+    to every neighbor expansion.  Skew-handling ops (join_skew_salted,
+    agg_skew_two_stage) exist precisely for the keys this histogram
+    exposes.  Two tiny aggregates over the shared oriented edge list
+    (part_copurchase_edges, same first shuffle as triangle count /
+    PageRank); degree counts both directions of each undirected edge."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("node")).union(edges.select(F.col("v").alias("node")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -346,3 +346,36 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", 2).alias("revenue"),
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("E8",),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join forced to SHUFFLE_HASH via a join-strategy
+    hint — the third join strategy next to broadcast (small side) and
+    sort-merge (Catalyst's default for two big sides).
+
+    When neither side broadcasts but one side's per-partition slice
+    fits executor memory, shuffled hash beats sort-merge by skipping
+    BOTH sort passes — at 100 TB that is the difference between an
+    O(n log n) spill-prone sort of the fact table and a linear hash
+    build over the smaller side.  The hint pins the strategy (plan
+    asserted in tests); results are identical by construction, which
+    is exactly why the strategy knob is safe to expose.  AQE can make
+    the same choice adaptively; the hint is the explicit contract."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice", 2).alias("price"),
+    )

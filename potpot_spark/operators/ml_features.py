@@ -186,3 +186,72 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "ml_winsorize_clip",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(value, {WINSOR_LO}), 4) AS lo,
+                   ROUND(quantile_cont(value, {WINSOR_HI}), 4) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, b.lo, b.hi,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_low,
+               CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_high,
+               CAST(SUM(CAST(CASE WHEN e.value < b.lo THEN b.lo
+                                  WHEN e.value > b.hi THEN b.hi
+                                  ELSE e.value END AS DECIMAL(18,4))) AS DOUBLE)
+                 AS clipped_sum
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type, b.lo, b.hi
+    """,
+    tags=("E40", "E99"),
+)
+def ml_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value into its type's
+    [p05, p95] band — the standard feature-robustification step before
+    model training (z-scores move outliers, winsorizing caps them;
+    anomaly_mad_flags DETECTS the same tail this op neutralizes).
+
+    One exact-percentile aggregate collapses the fact table to a
+    two-number row per type; clipping is a broadcast join back plus a
+    branch-free CASE — the fact table never shuffles.  Percentile
+    boundaries are rounded to 4 decimals on BOTH sides (same lossless
+    convention as anomaly_mad_flags), clip compares are exact double
+    comparisons, and the clipped sum accumulates in decimal after the
+    boundary rounding — bit-identical across engines and partitionings.
+    At 100 TB the exact percentile swaps for percentile_approx; the
+    join-back shape is unchanged."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 4).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        "value",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("v_clip"),
+    )
+    return clipped.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum(F.col("v_clip").cast("decimal(18,4)")).cast("double").alias("clipped_sum"),
+    )

@@ -534,3 +534,125 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
     )
+
+
+@query(
+    "timeseries_resample_interpolate",
+    oracle=f"""
+        WITH spine AS (
+            SELECT t.hour FROM UNNEST(generate_series(
+                TIMESTAMP '{GAP_START}', TIMESTAMP '{GAP_END}',
+                INTERVAL 1 HOUR)) AS t(hour)
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        ranked AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts >= TIMESTAMP '{GAP_START}'
+              AND ts < TIMESTAMP '{GAP_END}' + INTERVAL 1 HOUR
+        ),
+        hourly AS (SELECT event_type, hour, value AS v FROM ranked WHERE rn = 1),
+        grid AS (
+            SELECT ty.event_type, s.hour, h.v
+            FROM spine s CROSS JOIN types ty
+            LEFT JOIN hourly h
+              ON h.event_type = ty.event_type AND h.hour = s.hour
+        ),
+        ctx AS (
+            SELECT event_type, hour, v,
+                   last_value(v IGNORE NULLS) OVER wp AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER wp AS prev_t,
+                   first_value(v IGNORE NULLS) OVER wf AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER wf AS next_t
+            FROM grid
+            WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hour,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(epoch_us(hour) - epoch_us(prev_t) AS DOUBLE)
+                            / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+               END AS v_filled,
+               (v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL)
+                 AS interpolated
+        FROM ctx
+    """,
+    tags=("E19", "E25"),
+)
+def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION of interior gaps — the
+    feature-engineering upgrade of timeseries_gap_fill (zero-fill is
+    wrong for level-like signals; interpolation is what training
+    pipelines and dashboards actually want between sparse readings).
+
+    Shape: per (type, hour) the LAST observation wins (``max_by`` on
+    the (ts, event_id) struct — a mergeable aggregate, no window sort);
+    the dense (type × hour) grid comes from one ``sequence`` explode
+    cross-joined with the tiny type dim, then two complementary
+    ignore-nulls windows carry the nearest prior/next observation and
+    its timestamp to every empty hour.  The interpolation weight is a
+    single double division of exact integer microsecond deltas, and
+    prev/next/current values combine with one multiply + adds in
+    identical order on both engines — bit-exact parity.  Leading /
+    trailing gaps (no anchor on one side) stay NULL by declared
+    semantics.  At 100 TB the grid is |types| × |hours| (tiny vs the
+    fact table); the only fact-table shuffle is the hourly aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.where(
+            (F.col("ts") >= GAP_START)
+            & (F.col("ts") < F.lit(GAP_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(GAP_START).cast("timestamp"),
+                F.lit(GAP_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine)).join(hourly, ["event_type", "hour"], "left")
+    wp = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    t_if_obs = F.when(F.col("v").isNotNull(), F.col("hour"))
+    ctx = grid.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(t_if_obs, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(t_if_obs, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    frac = (F.unix_micros("hour") - F.unix_micros("prev_t")).cast("double") / (
+        F.unix_micros("next_t") - F.unix_micros("prev_t")
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("v_filled"),
+        (F.col("v").isNull() & F.col("prev_v").isNotNull() & F.col("next_v").isNotNull())
+        .alias("interpolated"),
+    )

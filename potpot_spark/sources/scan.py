@@ -64,3 +64,25 @@ def scan_with_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted via ReadSchema in tests/test_plans.py)."""
     df = spark.read.schema(LINEITEM_SCHEMA).parquet(table_path(sf_dir, "lineitem"))
     return df.where(F.col("l_orderkey") < 100).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query("scan_file_metadata", oracle=None, tags=("E1", "rows-only"))
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file lineage audit via the hidden ``_metadata`` struct every
+    file source exposes: rows and bytes per physical input file.  This
+    is the operational primitive behind data-lineage and small-file
+    diagnostics (the input side of maintenance_compact_small_files) —
+    at 100 TB "which file did this row come from" is how bad-file
+    quarantine and backfill verification work without re-reading the
+    lake.  Rows-only check: file names/sizes are physical layout, not
+    SQL-expressible over the oracle's logical views (modification time
+    is deliberately excluded as unstable)."""
+    df = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

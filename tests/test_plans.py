@@ -274,3 +274,38 @@ def test_array_hof_no_explode_no_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Generate" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_shuffle_hash_hint_pins_strategy(spark, sf_dir):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin — neither
+    a sort-merge (the default for two big sides) nor a broadcast."""
+    df = registry.get("join_shuffle_hash_hint").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_market_basket_no_cartesian(spark, sf_dir):
+    """Pair generation must stay an equi-join on the basket key (plus
+    the scalar-totals broadcast); top-k must avoid a global sort."""
+    df = registry.get("analytics_market_basket").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """Percentile bounds join back broadcast — the fact table must not
+    shuffle for the clip."""
+    df = registry.get("ml_winsorize_clip").fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_resample_interpolate_no_python(spark, sf_dir):
+    """Interpolation is pure JVM window/expression work — no Python
+    evaluation anywhere, and the hourly reduce combines map-side."""
+    df = registry.get("timeseries_resample_interpolate").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert has_partial_aggregate(df), plan
