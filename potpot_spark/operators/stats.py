@@ -350,3 +350,88 @@ def anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("adev") > 3 * MAD_SCALE * F.col("mad"), 1).otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+@query(
+    "analytics_ab_test_lift",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) % 2
+                     AS vb,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 75.0
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN vb = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN vb = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+            FROM u
+        )
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 - (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS abs_lift,
+               CASE WHEN sqrt(((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                               * (1.0 - (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))))
+                              * ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE)))) = 0.0
+                    THEN NULL
+                    ELSE ((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                           - (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                         / sqrt(((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                 * (1.0 - (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))))
+                                * ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE))))
+               END AS z_score
+        FROM s
+    """,
+    tags=("E48", "E42"),
+)
+def analytics_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: users deterministically split
+    into variants by md5(user_id) (the same engine-portable hash-split
+    as sample_train_test_split — assignment survives repartitioning,
+    backfills, and engine swaps, which is the non-negotiable property
+    of experiment bucketing), conversion = "has a purchase event",
+    output = rates, absolute lift, and the pooled two-proportion
+    z-score.
+
+    One per-user aggregate collapses the fact table; the readout is a
+    single conditional-aggregate row.  Every float step is a correctly
+    rounded IEEE op (divisions, one sqrt) applied in identical order on
+    both engines, so even the z-score matches bit-for-bit — no
+    rounding escape hatch needed."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10).cast("int")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 75.0), 1).otherwise(0)
+        ).alias("conv")
+    ).select((h % 2).alias("vb"), "conv")
+    s = u.agg(
+        F.sum(F.when(F.col("vb") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("vb") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("vb") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("vb") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    n_b, c_b = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    rate_a, rate_b = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b).cast("double") / (n_a + n_b).cast("double")
+    se = F.sqrt(
+        (pooled * (F.lit(1.0) - pooled)) * ((F.lit(1.0) / n_a) + (F.lit(1.0) / n_b))
+    )
+    return s.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("abs_lift"),
+        # CASE guards the degenerate pooled-rate-0/1 corpus (se = 0):
+        # NULL z on both engines instead of an ANSI divide-by-zero.
+        F.when(se != 0.0, (rate_b - rate_a) / se).alias("z_score"),
+    )

@@ -413,3 +413,96 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+_URL_HOST_RE = "^[A-Za-z]+://([^/?#]+)"
+_URL_PATH_RE = "^[A-Za-z]+://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = "^[^?#]*[?]([^#]*)"
+_UTM_PARAM_RE = "(^|&)utm_[A-Za-z_]+=[^&]*"
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END
+                    || source || '.Example.COM/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                    || CASE WHEN doc_id % 4 = 1 THEN '/'
+                            WHEN doc_id % 4 = 2
+                              THEN '?utm_source=feed&utm_id=' || CAST(doc_id % 7 AS VARCHAR)
+                            WHEN doc_id % 4 = 3 THEN '#section-2'
+                            ELSE '' END) AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   ('https://'
+                    || lower(regexp_extract(url, '{_URL_HOST_RE}', 1))
+                    || regexp_replace(regexp_extract(url, '{_URL_PATH_RE}', 1), '/+$', '')
+                    || CASE WHEN trim(regexp_replace(
+                                  regexp_extract(url, '{_URL_QUERY_RE}', 1),
+                                  '{_UTM_PARAM_RE}', '', 'g'), '&') <> ''
+                            THEN '?' || trim(regexp_replace(
+                                  regexp_extract(url, '{_URL_QUERY_RE}', 1),
+                                  '{_UTM_PARAM_RE}', '', 'g'), '&')
+                            ELSE '' END) AS canonical_url
+            FROM raw
+        )
+        SELECT canonical_url,
+               COUNT(DISTINCT url) AS n_raw_forms,
+               COUNT(*) AS n_docs
+        FROM canon GROUP BY canonical_url
+    """,
+    tags=("E34", "E72"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: scheme/host
+    lower-casing, trailing-slash stripping, fragment removal, and
+    utm_* tracking-parameter removal collapse cosmetically-distinct
+    URLs onto one canonical key — the step BEFORE exact/near dedup in
+    every crawl pipeline (the same page arrives as http/HTTPS, with
+    and without trailing slash, and with tracking params appended).
+
+    The fixture corpus has no URL column, so raw URLs are constructed
+    deterministically from (source, doc_id) with exactly those
+    variation classes IN THE QUERY — identically on both engines, so
+    the oracle genuinely verifies the canonicalizer, not the
+    synthesis.  All canonicalization is row-local regexp work in the
+    Java/RE2-common dialect (no lookarounds, no perl classes) running
+    in whole-stage codegen; the only shuffle is the final group-by on
+    the canonical key.  Output: canonical key, raw-variant count, doc
+    count."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, "HTTPS://").otherwise("https://"),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, "/")
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("?utm_source=feed&utm_id="), (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(F.col("doc_id") % 4 == 3, "#section-2")
+        .otherwise(""),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    q_clean = F.expr(
+        f"trim(BOTH '&' FROM regexp_replace("
+        f"regexp_extract(url, '{_URL_QUERY_RE}', 1), '{_UTM_PARAM_RE}', ''))"
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("url", _URL_HOST_RE, 1)),
+        F.regexp_replace(F.regexp_extract("url", _URL_PATH_RE, 1), "/+$", ""),
+        F.when(q_clean != "", F.concat(F.lit("?"), q_clean)).otherwise(""),
+    )
+    return (
+        raw.select("url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -148,3 +148,56 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+@query(
+    "stream_static_dim_join",
+    oracle="""
+        WITH profile AS (
+            SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id
+        )
+        SELECT CASE WHEN p.n_total >= 70 THEN 'heavy'
+                    WHEN p.n_total >= 62 THEN 'mid'
+                    ELSE 'light' END AS segment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN profile p USING (user_id)
+        GROUP BY 1
+    """,
+    tags=("E4", "E9"),
+)
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joins a
+    BATCH-computed user-profile dimension (broadcast), then aggregates
+    per profile segment — the canonical "enrich the stream with the
+    warehouse" pattern (dimension lookup, feature join, allow/deny
+    list).  Structured Streaming re-plans the static side per
+    micro-batch, so a slowly-refreshed profile table is picked up
+    without restarting the query; no watermark is needed because the
+    static side never ages.  At 100 TB/day the profile stays a
+    broadcast (users << events) and the stream never shuffles before
+    the aggregate.  Oracle: identical join + aggregate over the same
+    events in batch SQL."""
+    from potpot_spark.catalog import load_table
+    from potpot_spark.functions.numeric import dec
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    segment = (
+        F.when(F.col("n_total") >= 70, "heavy")
+        .when(F.col("n_total") >= 62, "mid")
+        .otherwise("light")
+    )
+    enriched = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(profile), "user_id")
+        .withColumn("segment", segment)
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", scale=4)).cast("double").alias("total_value"),
+    )
+    return run_to_batch(agg, "complete")
