@@ -255,3 +255,51 @@ def ml_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped_high"),
         F.sum(F.col("v_clip").cast("decimal(18,4)")).cast("double").alias("clipped_sum"),
     )
+
+
+HASH_DIM = 64
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT t.tok
+            FROM documents d,
+                 UNNEST(string_split(lower(d.text), ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        )
+        SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {HASH_DIM}
+                 AS bucket,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct_tokens
+        FROM toks
+        GROUP BY bucket
+    """,
+    tags=("E37", "E48"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary onto a
+    fixed 64-dimension feature space by hashing each token to a
+    bucket — the stateless alternative to a fitted vocabulary (no
+    dictionary to build, broadcast, or version; new tokens at serving
+    time land deterministically).  The hash is the first 8 hex digits
+    of md5 — engine-portable like every split/sample key in this repo,
+    so feature indices survive engine swaps and reruns (a fitted
+    CountVectorizer can't promise that).
+
+    Corpus-level readout: tokens and distinct tokens per bucket — the
+    collision audit run before choosing the dimension.  Filter-before-
+    explode, one shuffle on the bucket key, 64-row result."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % HASH_DIM
+    ).alias("bucket")
+    return toks.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )

@@ -358,3 +358,58 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(codes).alias("code_min"),
         F.array_max(codes).alias("code_max"),
     )
+
+
+MRL_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_truncate",
+    oracle=f"""
+        WITH per_vec AS (
+            SELECT label,
+                   list_sum(list_transform(embedding[1:{MRL_DIM}],
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     AS trunc_ss,
+                   list_sum(list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     AS full_ss
+            FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(ROUND(trunc_ss / full_ss, 6) AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_energy_retained
+        FROM per_vec
+        GROUP BY label
+    """,
+    tags=("E36", "E38"),
+)
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: keep only the first 16 of 64
+    embedding dimensions and measure the retained L2 energy
+    (‖v[:16]‖² / ‖v‖²) per label — the calibration run behind
+    truncate-then-rerank ANN serving (search the cheap 16-d prefix,
+    rerank survivors at full width; 4× less memory and bandwidth,
+    same recall if the energy holds up — the same trade
+    embedding_quantize_int8 makes in amplitude instead of width).
+
+    All math is row-local: two sequential squared-sum folds over the
+    array (identical left-to-right order in both engines), one
+    division, rounded at 1e-6 like the cosine ops; the per-label mean
+    then rides the exact-decimal path.  No shuffle until the final
+    |labels|-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    per_vec = emb.select(
+        "label",
+        sq_sum(F.slice("embedding", 1, MRL_DIM)).alias("trunc_ss"),
+        sq_sum(F.col("embedding")).alias("full_ss"),
+    )
+    ratio = F.round(F.col("trunc_ss") / F.col("full_ss"), 6).cast("decimal(12,6)")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(ratio).cast("double") / F.count(F.lit(1))).alias("avg_energy_retained"),
+    )

@@ -435,3 +435,19 @@ def analytics_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL z on both engines instead of an ANSI divide-by-zero.
         F.when(se != 0.0, (rate_b - rate_a) / se).alias("z_score"),
     )
+
+
+@query("agg_histogram_numeric", oracle=None, tags=("E16", "rows-only"))
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate histogram (``histogram_numeric``): a
+    fixed-size centroid sketch per group, mergeable across partitions
+    — the single-pass alternative to the exact two-pass
+    feature_binning_histogram when the value range isn't known up
+    front.  Rows-only check: centroid placement depends on merge
+    order (partitioning), which is the documented trade of the
+    sketch; the exact-binning twin is the oracle-checked member of
+    the family."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("histogram_numeric(value, 10)").alias("centroids")
+    )

@@ -656,3 +656,60 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("v").isNull() & F.col("prev_v").isNotNull() & F.col("next_v").isNotNull())
         .alias("interpolated"),
     )
+
+
+@query(
+    "timeseries_seasonal_naive_eval",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               COUNT(*) AS n_hours,
+               CAST(SUM(CAST(abs(a.v - p.v) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                 AS mae,
+               CAST(SUM(CAST(a.v - p.v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                 AS bias
+        FROM hourly a
+        JOIN hourly p
+          ON p.event_type = a.event_type
+         AND p.hour = a.hour - INTERVAL 24 HOUR
+        GROUP BY a.event_type
+    """,
+    tags=("E25", "E19"),
+)
+def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's total value
+    as the SAME HOUR YESTERDAY, then score MAE and bias per event type
+    — the baseline every production forecast must beat, and the
+    evaluation harness pattern (build prediction as a column, score
+    with aggregates) that generalizes to real models.
+
+    The prediction is a self-equi-join of the hourly aggregate on
+    (type, hour−24h) — exact timestamp arithmetic, no window sort, and
+    only hours whose seasonal ancestor exists are scored (proper
+    backtest semantics, not lag-over-observed-rows which silently
+    spans gaps).  Hourly totals and the error aggregates both ride the
+    exact-decimal path, so MAE/bias are partition-independent.  The
+    hourly table is ~1e-4 of the fact table; the join and scoring are
+    effectively free after the one fact-table aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(dsum("value", scale=4).alias("v"))
+    )
+    a = hourly.alias("a")
+    p = hourly.select(
+        F.col("event_type"),
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour"),
+        F.col("v").alias("v_pred"),
+    ).alias("p")
+    scored = a.join(p, ["event_type", "hour"])
+    err = F.col("v") - F.col("v_pred")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (F.sum(F.abs(err).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("mae"),
+        (F.sum(err.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("bias"),
+    )
