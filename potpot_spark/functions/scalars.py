@@ -353,3 +353,46 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_decile_bins"),
         F.when(F.array_contains(emb, F.lit(0.0).cast("float")), 1).otherwise(0).alias("has_zero"),
     )
+
+
+@query(
+    "scalar_string_codecs",
+    oracle="""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN decode(from_base64(base64(encode(c_name)))) = c_name
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b64_roundtrip_ok,
+               CAST(SUM(length(base64(encode(c_name)))) AS BIGINT) AS b64_total_len,
+               CAST(SUM(CASE WHEN decode(from_hex(hex(encode(c_name)))) = c_name
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hex_roundtrip_ok,
+               CAST(SUM(length(hex(encode(c_name)))) AS BIGINT) AS hex_total_len
+        FROM customer
+    """,
+    tags=("E24", "E38"),
+)
+def scalar_string_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 and hex encode/decode round trips
+    over string payloads — the plumbing every multimodal/binary-column
+    pipeline leans on (payloads cross JSON APIs base64'd; hashes and
+    keys travel hex'd).  Verified as aggregate evidence: every row
+    round-trips bit-exactly and the encoded lengths match DuckDB's
+    (same padding rules, same hex width) — so the engine's codecs are
+    interoperable, not merely self-inverse.  Row-local codegen
+    expressions; the one-row result is the only thing shuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    bin_name = F.col("c_name").cast("binary")
+    enc = c.select(
+        "c_name",
+        F.base64(bin_name).alias("b64"),
+        F.hex(bin_name).alias("hx"),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.unbase64("b64").cast("string") == F.col("c_name")).cast("int"))
+        .cast("bigint")
+        .alias("b64_roundtrip_ok"),
+        F.sum(F.length("b64")).cast("bigint").alias("b64_total_len"),
+        F.sum((F.unhex("hx").cast("string") == F.col("c_name")).cast("int"))
+        .cast("bigint")
+        .alias("hex_roundtrip_ok"),
+        F.sum(F.length("hx")).cast("bigint").alias("hex_total_len"),
+    )

@@ -256,3 +256,36 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value", scale=4)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "agg_count_if_family",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("E71",),
+)
+def agg_count_if_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-aggregate family: ``count_if`` / ``bool_and`` /
+    ``bool_or`` — the declarative form of "how many / do all / does
+    any satisfy P" per group.  All three are single-pass mergeable
+    aggregates (a boolean fold partials map-side like any min/max), so
+    N differently-predicated checks still cost one scan and one
+    shuffle — the data-quality assertion pattern (``bool_and`` over a
+    validity predicate IS the distributed CHECK constraint, the
+    analytical completion of the reference's per-value validation at
+    types.rs:16).  Exact integer/boolean semantics: no float drift
+    possible."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

@@ -224,3 +224,40 @@ def sql_api_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TOPK_PER_NATION)
+
+
+# Second verbatim-shared SQL text: a correlated LATERAL subquery —
+# the "for each outer row, run this parameterized query" form that
+# window functions can't always replace (arbitrary inner LIMIT/agg).
+_SQL_LATERAL_TOPK = """
+    SELECT r.r_name, l.n_name, l.bal
+    FROM region r, LATERAL (
+        SELECT n.n_name,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY bal DESC, n.n_name
+        LIMIT 2
+    ) l
+"""
+
+
+@query("sql_api_lateral_topk", oracle=_SQL_LATERAL_TOPK, tags=("E14", "E18"))
+def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front door: per
+    region, the top-2 nations by total customer balance — ONE SQL text
+    run verbatim by Spark SQL and DuckDB (same contract as
+    sql_api_composite).
+
+    LATERAL is the second SQL-surface capability worth pinning: Spark
+    decorrelates the subquery (DecorrelateInnerQuery) into a
+    rank-filtered join rather than executing it per outer row — so
+    the text that LOOKS like a nested loop plans like the window
+    formulation (win_rank_topk_per_group), which is exactly what a
+    SQL-workload migration needs to be true at 100 TB.  Decimal money
+    path and full (bal, name) tie-break keep it value-exact."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)

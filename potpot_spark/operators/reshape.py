@@ -102,3 +102,50 @@ def reshape_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query(
+    "reshape_struct_nest_unnest",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("E38", "E2"),
+)
+def reshape_struct_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: pack order columns into a STRUCT column,
+    write it to parquet (a genuinely nested file: Dremel
+    repetition/definition encoding), read it back, and flatten with
+    ``col.*`` star-expansion — then prove losslessness by aggregating
+    to the same result as the flat oracle.
+
+    Nested structs are how multimodal metadata (multimodal_struct_col)
+    and API-shaped records travel through a lakehouse; the property
+    that matters at scale is that the parquet writer/reader shreds
+    struct fields into INDEPENDENT column chunks, so a projection of
+    one nested field prunes the rest exactly like top-level columns.
+    The round trip pins both directions of that shredding."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("order_info"),
+        "o_orderpriority",
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_nested_"), "orders_nested")
+    nested.write.mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    flat = back.select("o_orderpriority", "order_info.*")
+    return flat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.min("key").cast("bigint").alias("min_key"),
+    )

@@ -225,3 +225,37 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("_corrupt_record").alias("n_corrupt"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@query(
+    "scan_json_typed_parse",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("E27", "E52"),
+)
+def scan_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projected JSON parse: ``from_json(props, 'k INT')``
+    parses each embedded JSON document ONCE into a typed struct —
+    the ingest-time form of JSON access, vs per-call path extraction
+    (``get_json_object``, scalar_array_map_json) and binary VARIANT
+    (scalar_variant_json).  With a declared schema the parser skips
+    unrequested fields entirely; malformed documents become NULL
+    structs instead of errors (same PERMISSIVE contract as the CSV
+    quarantine op).  At 100 TB this is the difference between parsing
+    the JSON blob once per row and once per extracted field.  Integer
+    aggregates — exact on any partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select("event_type", F.from_json("props", "k INT").alias("p"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("p.k")).alias("k_min"),
+        F.max(F.col("p.k")).alias("k_max"),
+        F.sum(F.col("p.k")).cast("bigint").alias("k_sum"),
+    )

@@ -176,3 +176,61 @@ def test_ewma_stays_within_value_hull(spark, sf_dir):
     assert joined.where(
         (F.col("ewma_last") < F.col("lo")) | (F.col("ewma_last") > F.col("hi"))
     ).count() == 0
+
+
+def test_market_basket_score_bounds(spark, sf_dir):
+    """Association-rule invariants: 0 < support <= confidence-domain,
+    confidence in (0, 1], and pair support never exceeds either item's
+    support (monotonicity of co-occurrence)."""
+    rows = registry.get("analytics_market_basket").fn(spark, sf_dir).collect()
+    assert rows, "basket op returned nothing at smoke SF"
+    for r in rows:
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        # support = pair/baskets <= item_u/baskets = confidence-denominator share
+        assert r.support <= r.confidence
+
+
+def test_interpolation_stays_in_anchor_hull(spark, sf_dir):
+    """Every interpolated point must lie between its two anchors
+    (linear interpolation is a convex combination), and observed
+    points must pass through unchanged."""
+    df = registry.get("timeseries_resample_interpolate").fn(spark, sf_dir)
+    rows = df.collect()
+    assert any(r.interpolated for r in rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        obs_idx = [
+            i for i, r in enumerate(series) if not r.interpolated and r.v_filled is not None
+        ]
+        for i, r in enumerate(series):
+            if r.interpolated and r.v_filled is not None:
+                prev = max((j for j in obs_idx if j < i), default=None)
+                nxt = min((j for j in obs_idx if j > i), default=None)
+                assert prev is not None and nxt is not None
+                lo = min(series[prev].v_filled, series[nxt].v_filled)
+                hi = max(series[prev].v_filled, series[nxt].v_filled)
+                assert lo - 1e-9 <= r.v_filled <= hi + 1e-9
+
+
+def test_winsorize_clip_counts_consistent(spark, sf_dir):
+    """Clipped-low/high counts must be consistent with the 5th/95th
+    percentile definition: each tail clips at most ~5% + interpolation
+    slack of the group's rows."""
+    rows = registry.get("ml_winsorize_clip").fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.lo <= r.hi
+        assert r.n_clipped_low <= r.n * 0.06 + 1
+        assert r.n_clipped_high <= r.n * 0.06 + 1
+
+
+def test_matryoshka_energy_is_a_ratio(spark, sf_dir):
+    """Retained energy is a mean of per-vector ratios in [0, 1]."""
+    rows = registry.get("embedding_matryoshka_truncate").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_energy_retained <= 1.0
