@@ -452,3 +452,53 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("u").alias("node")).union(edges.select(F.col("v").alias("node")))
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+KCORE_K = 60
+KCORE_MAX_ROUNDS = 15
+
+
+@query("graph_kcore_membership", oracle=None, tags=("E8", "rows-only"))
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 60) of the part co-purchase graph:
+    iteratively peel nodes of degree < k until the remaining subgraph
+    is a fixpoint — the standard dense-substructure filter (spam/bot
+    rings, community kernels) and the third iterative kernel next to
+    connected components and PageRank.
+
+    Same loop discipline as the others: per round one degree
+    aggregate + one semi-join edge filter (both shuffling on the node
+    key), ``localCheckpoint`` truncating lineage, convergence detected
+    by the surviving-edge count (strictly decreasing until fixpoint,
+    so a one-row count is a complete test).  Rows-only check: global
+    iterative peeling has no recursive-CTE twin (aggregates are not
+    allowed in a recursive term); the invariant test asserts the
+    DEFINING property instead — every surviving node has >= k
+    neighbors among survivors, which pins the fixpoint exactly."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    prev_edges = sym.count()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(KCORE_MAX_ROUNDS):
+            deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.where(F.col("deg") >= KCORE_K).select("u")
+            sym = (
+                sym.join(F.broadcast(keep), "u", "left_semi")
+                .join(
+                    F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+                )
+                .localCheckpoint()
+            )
+            cur_edges = sym.count()
+            if cur_edges == prev_edges:
+                break
+            prev_edges = cur_edges
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("u").alias("part_key"), "core_degree"
+    )

@@ -713,3 +713,58 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
         (F.sum(F.abs(err).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("mae"),
         (F.sum(err.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("bias"),
     )
+
+
+@query(
+    "analytics_max_drawdown",
+    oracle="""
+        WITH series AS (
+            SELECT event_type, value,
+                   MAX(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS peak
+            FROM events
+        )
+        SELECT event_type,
+               MAX(CASE WHEN peak > 0 THEN (peak - value) / peak ELSE 0.0 END)
+                 AS max_drawdown,
+               CAST(MAX(peak) AS DOUBLE) AS all_time_peak,
+               COUNT(*) AS n_points
+        FROM series
+        GROUP BY event_type
+    """,
+    tags=("E20", "E19"),
+)
+def analytics_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type: the largest peak-to-trough
+    relative decline of the value series — the risk metric every
+    monitoring/finance dashboard derives from a running extreme.
+
+    Shape: ONE ordered window pass computes the running peak
+    (``max`` over rows-unbounded-preceding — a streaming-friendly
+    prefix extreme, no self-join against history), then the drawdown
+    is a single division of the two window outputs and the group
+    aggregate takes the max.  The (ts, event_id) tie-break makes the
+    prefix deterministic; peak and value feed ONE division in
+    identical order on both engines — bit-exact without rounding.
+    At 100 TB this is one shuffle on the partition key; the window
+    state is O(1) per partition (contrast with percentile windows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    series = e.select(
+        "event_type",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    )
+    dd = F.when(
+        F.col("peak") > 0, (F.col("peak") - F.col("value")) / F.col("peak")
+    ).otherwise(0.0)
+    return series.groupBy("event_type").agg(
+        F.max(dd).alias("max_drawdown"),
+        F.max("peak").cast("double").alias("all_time_peak"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

