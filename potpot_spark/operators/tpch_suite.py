@@ -564,3 +564,393 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the 22-query suite: Q2 / Q9 / Q11 / Q12 / Q20 / Q21.
+# Same fixture adaptations as above: lineitem doubles as the
+# part<->supplier bridge (no partsupp), p_retailprice stands in for
+# ps_supplycost, and lateness is ship-after-order-date (no
+# l_commitdate/l_receiptdate); l_returnflag stands in for l_shipmode.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), regional AS (
+            SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+                   s.s_acctbal, s.s_name, n.n_name
+            FROM cost c
+            JOIN supplier s ON s.s_suppkey = c.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name,
+               p.p_partkey, p.p_type, unit_cost, l_suppkey AS s_suppkey
+        FROM regional c
+        JOIN part p ON p.p_partkey = c.l_partkey
+        WHERE p.p_type = 'PROMO' AND p.p_size >= 25
+          AND c.unit_cost = (
+            SELECT MIN(c2.unit_cost) FROM regional c2
+            WHERE c2.l_partkey = c.l_partkey
+          )
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    tags=("E8", "E13", "E21"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each PROMO large-size part, the EUROPE
+    supplier offering the minimum unit cost (correlated MIN subquery).
+
+    Spark-first decorrelation: the per-(part, supplier) unit-cost
+    aggregate is computed ONCE from lineitem, the regional filter
+    prunes through broadcast supplier->nation->region joins before the
+    per-part MIN, and the correlated subquery becomes a window MIN over
+    l_partkey followed by an equality filter — no per-row re-execution.
+    Unit cost is one double division (identical operand order on both
+    engines), and MIN is order-independent, so parity is bit-exact.
+    At 100 TB the only wide shuffle is the (partkey, suppkey)
+    aggregation; everything downstream rides the same partkey
+    partitioning."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_type") == "PROMO") & (F.col("p_size") >= 25)
+        )
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = (
+        cost.join(s, cost.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_cost",
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - p.p_retailprice * 0.1 * l.l_quantity
+                             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("E8", "E9", "E14"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
+    order year (5-way join; p_retailprice*0.1 stands in for
+    ps_supplycost).  part/supplier/nation broadcast; orders and
+    lineitem shuffle once on l_orderkey; the LIKE filter prunes part
+    BEFORE the broadcast so the fact rows drop early.  Profit is one
+    double expression per row in identical operand order, then exact
+    decimal accumulation — partition-count independent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+        WITH val AS (
+            SELECT l.l_partkey,
+                   CAST(SUM(CAST(l.l_extendedprice * l.l_quantity
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_nationkey < 5
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey AS p_partkey, part_value
+        FROM val
+        WHERE part_value > 1.5 * (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4)))
+                                              AS DOUBLE) / COUNT(*) FROM val)
+        ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("E13", "E14"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value (extendedprice x
+    quantity through suppliers of nations 0-4) exceeds 1.5x the mean
+    part value — HAVING against a global scalar subquery.  The
+    mean-relative threshold (vs TPC-H's 0.0001/SF constant) keeps
+    selectivity stable at every scale factor — the same reason TPC-H
+    itself scales the fraction by 1/SF.
+
+    The scalar total is computed ONCE from the already-aggregated
+    per-part values and broadcast (a one-row cross join), never
+    recomputed per group; both the per-part and the grand total use
+    exact decimal accumulation so the > comparison sees identical
+    doubles on both engines.  At 100 TB: one shuffle on l_partkey,
+    then a one-row broadcast — the filter is map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5)
+    )
+    val = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * F.col("l_quantity"), scale=4))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    total = val.agg(
+        (F.sum(dec("part_value", scale=4)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_value"
+        )
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(1.5) * F.col("mean_value"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+@query(
+    "tpch_q12_priority_by_returnflag",
+    oracle="""
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    tags=("E14", "E19"),
+)
+def tpch_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for 1997 lines shipped 30+ days after ordering,
+    count high- vs low-priority orders per return flag (l_returnflag
+    stands in for l_shipmode).  The year filter pushes into the
+    lineitem scan; the lateness predicate is a join residual; the two
+    CASE sums run in ONE aggregate pass (no second scan, no self-join)
+    — conditional aggregation is the scalable form of pivot-by-
+    predicate."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > F.date_add(o.o_orderdate, 30)))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS pair_qty
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), with_total AS (
+            SELECT sh.l_partkey, sh.l_suppkey, sh.pair_qty,
+                   CAST(SUM(CAST(sh.pair_qty AS DECIMAL(18,2)))
+                        OVER (PARTITION BY sh.l_partkey) AS DOUBLE) AS part_qty,
+                   COUNT(*) OVER (PARTITION BY sh.l_partkey) AS n_supp
+            FROM shipped sh
+            JOIN part p ON p.p_partkey = sh.l_partkey
+            WHERE p.p_name LIKE '%gear%'
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+        FROM with_total w
+        JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA' AND w.pair_qty > 2.0 * w.part_qty / w.n_supp
+        ORDER BY s.s_suppkey
+    """,
+    tags=("E11", "E13"),
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers that dominate supply of some
+    'gear' part — shipped more than 2x the average per-supplier share
+    of the part's total quantity (nested IN subqueries with a
+    correlated threshold, stood in for availqty > half of shipped; the
+    share-relative threshold keeps selectivity stable across SFs).
+
+    Decorrelated Spark-first: ONE (partkey, suppkey) aggregate, the
+    per-part total as a window SUM over the same partitioning (no
+    second shuffle — the window reuses the aggregate's hash
+    partitioning), the part-name filter applied BEFORE the window so
+    only 'gear' groups carry state, then a distinct semi-ish reduction
+    to suppliers.  Quantity sums are exact decimals; the 0.3x
+    comparison is one multiply on identical doubles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    from pyspark.sql import Window
+
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity", 2).alias("pair_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    with_total = (
+        shipped.join(p, shipped.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey", "pair_qty")
+        .withColumn("part_qty", F.sum(dec("pair_qty", 2)).over(w).cast("double"))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+    )
+    return (
+        with_total.where(
+            F.col("pair_qty") > F.lit(2.0) * F.col("part_qty") / F.col("n_supp")
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+        WITH flagged AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM flagged l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late = 1
+          AND EXISTS (SELECT 1 FROM flagged l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM flagged l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late = 1)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    tags=("E11", "E14"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS double correlation:
+    suppliers who were the SOLE late supplier on a finished
+    multi-supplier order.
+
+    The lateness flag is computed once in a shared relation (lineitem
+    joined to 'F' orders), then: left-semi against other-supplier
+    lines of the same order (someone else participated) and left-anti
+    against other-supplier LATE lines (nobody else was late).  All
+    three legs shuffle on l_orderkey — Spark co-partitions them, so
+    the semi and anti joins add no extra exchange over the first.
+    The probe side never materializes non-key columns."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    flagged = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        )
+        .localCheckpoint()
+    )
+    l1 = flagged.where(F.col("late"))
+    l2 = flagged.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = flagged.where(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+        )
+        .join(l3, (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3), "left_anti")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

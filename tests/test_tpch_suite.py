@@ -106,3 +106,66 @@ def test_funnel_single_fact_pass(spark, sf_dir):
     plan = formatted_plan(df)
     n_scans = len(re.findall(r"Scan parquet", plan))
     assert n_scans <= 2, f"{n_scans} scans:\n{plan}"
+
+
+def test_q2_decorrelated_window_min(spark, sf_dir):
+    """The correlated MIN subquery must run as ONE window over the
+    already-aggregated cost relation — no per-row re-execution, dims
+    broadcast."""
+    df = registry.get("tpch_q2_min_cost_supplier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "Window" in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_q9_part_filter_before_broadcast(spark, sf_dir):
+    """The p_name LIKE filter prunes the part dim BEFORE it broadcasts;
+    money math accumulates partially map-side."""
+    df = registry.get("tpch_q9_product_type_profit").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert has_pushed_filter(df, "p_name"), plan
+    assert "partial_" in plan, plan
+
+
+def test_q11_scalar_total_broadcast(spark, sf_dir):
+    """The global total evaluates once and broadcasts as a one-row
+    join; the HAVING filter is then map-side."""
+    df = registry.get("tpch_q11_important_stock").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_q12_single_agg_pass(spark, sf_dir):
+    """Both CASE sums compute in one aggregate over one join — exactly
+    one lineitem scan, with the year filter pushed into it."""
+    import re
+
+    from potpot_spark.plans.inspect import simple_plan
+
+    df = registry.get("tpch_q12_priority_by_returnflag").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_shipdate"), plan
+    n_scans = len(re.findall(r"Scan parquet", simple_plan(df)))
+    assert n_scans == 2, f"{n_scans} scans:\n{plan}"
+
+
+def test_q20_window_reuses_agg_partitioning(spark, sf_dir):
+    """The per-part total window must NOT add an exchange beyond the
+    (partkey, suppkey) aggregate's shuffle plus the final distinct."""
+    df = registry.get("tpch_q20_dominant_supplier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_q21_semi_and_anti_coexist(spark, sf_dir):
+    """The EXISTS and NOT-EXISTS legs must compile to left-semi and
+    left-anti joins respectively — never to a materializing inner join
+    plus distinct."""
+    df = registry.get("tpch_q21_waiting_supplier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
