@@ -289,3 +289,34 @@ def agg_count_if_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+        SELECT o_custkey,
+               STRING_AGG(SUBSTR(o_orderpriority, 1, 1), ','
+                          ORDER BY SUBSTR(o_orderpriority, 1, 1)) AS priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("E15",),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group ordered string aggregation (LISTAGG / STRING_AGG):
+    per customer, the sorted comma-joined priority codes.  Spark-first
+    form: ``concat_ws(',', array_sort(collect_list(...)))`` — the
+    collect runs as a partial aggregate (map-side lists merge), the
+    sort happens ONCE per group at the end, so the result is
+    independent of row arrival order — which is exactly why the
+    ORDER BY in the oracle's STRING_AGG must be over the VALUE (a
+    total order on duplicates), not an arbitrary tie-broken key.
+    The digit projection keeps group payloads ~2 bytes/row: listagg
+    state at 100 TB is bounded by group payload, not row count."""
+    o = load_table(spark, sf_dir, "orders")
+    code = F.substring("o_orderpriority", 1, 1)
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(code))).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

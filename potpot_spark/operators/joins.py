@@ -379,3 +379,96 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice", 2).alias("price"),
     )
+
+
+@query(
+    "join_grid_epsilon_pairs",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey AS k,
+                   CAST((c_custkey * 2654435761) % 1000003 AS DOUBLE) / 1000003 AS x,
+                   CAST((c_custkey * 40503 + 7) % 999983 AS DOUBLE) / 999983 AS y
+            FROM customer
+        ), cells AS (
+            SELECT k, x, y,
+                   CAST(FLOOR(x / 0.05) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / 0.05) AS BIGINT) AS cy
+            FROM pts
+        ), probe AS (
+            SELECT c.k, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+            FROM cells c
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+        )
+        SELECT COUNT(*) AS n_pairs,
+               MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                 AS min_dist2,
+               CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                             AS DECIMAL(18,14))) AS DOUBLE) AS sum_dist2
+        FROM probe a
+        JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy AND a.k < b.k
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.0025
+    """,
+    tags=("E10", "E12"),
+)
+def join_grid_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-neighborhood self-join via grid bucketing — the scale
+    path for spatial / embedding-2D "find all pairs within distance
+    eps" that replaces the O(n^2) cross join: hash each point to an
+    eps-sized grid cell, probe only the 3x3 neighbor cells (a 9x row
+    fan-out, NOT an n x n blow-up), then apply the exact distance
+    predicate.  Any pair within eps is guaranteed to sit in adjacent
+    cells, so recall is exactly 1 — this is a lossless candidate
+    generator, unlike LSH.
+
+    Points derive deterministically from customer keys by modular
+    hashing (engine-portable integer math; one final division each),
+    the distance stays SQUARED (no sqrt needed for a threshold test),
+    and the pair (a,b) is counted once via a.k < b.k.  The candidate
+    join is a pure equi-join on (cell_x, cell_y) — shuffle-partitioned
+    both sides, no broadcast needed at any scale, and skew is bounded
+    because cell population is ~n * eps^2."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(1000003)).cast("double")
+        .__truediv__(F.lit(1000003))
+        .alias("x"),
+        ((F.col("c_custkey") * F.lit(40503) + F.lit(7)) % F.lit(999983)).cast("double")
+        .__truediv__(F.lit(999983))
+        .alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        F.floor(F.col("x") / F.lit(0.05)).alias("cx"),
+        F.floor(F.col("y") / F.lit(0.05)).alias("cy"),
+    )
+    offs = F.array([F.lit(v) for v in (-1, 0, 1)])
+    probe = (
+        cells.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "k", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    b = cells.select(
+        F.col("k").alias("bk"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), "cx", "cy",
+    )
+    dist2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        probe.join(
+            b,
+            (F.col("ncx") == b.cx) & (F.col("ncy") == b.cy) & (F.col("k") < b.bk),
+        )
+        .where(dist2 < F.lit(0.0025))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist2).alias("min_dist2"),
+            F.sum(dist2.cast("decimal(18,14)")).cast("double").alias("sum_dist2"),
+        )
+    )

@@ -261,3 +261,45 @@ def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_TOPK)
+
+
+# Third verbatim-shared SQL text: a RECURSIVE CTE (Spark 4.0+ finally
+# supports WITH RECURSIVE, making iterative SQL portable).  The
+# customer keyspace forms an implicit binary tree (k -> 2k, 2k+1) —
+# the recursion walks it from the root and reports the level census,
+# exercising a data-driven (not precomputed) recursion depth.
+_SQL_RECURSIVE_TREE = """
+WITH RECURSIVE chain(c_custkey, depth) AS (
+    SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 1
+    UNION ALL
+    SELECT c.c_custkey, chain.depth + 1
+    FROM customer c JOIN chain
+      ON c.c_custkey = chain.c_custkey * 2 OR c.c_custkey = chain.c_custkey * 2 + 1
+)
+SELECT depth, COUNT(*) AS n_customers, MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@query("sql_api_recursive_cte", oracle=_SQL_RECURSIVE_TREE, tags=("E14", "E18"))
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL front door: walk the implicit
+    binary tree over customer keys (k -> 2k, 2k+1) from the root and
+    count nodes per depth — ONE SQL text run verbatim by Spark SQL
+    (4.0+ UnionLoop execution) and DuckDB.
+
+    This is the third shared-text SQL op (with sql_api_composite and
+    sql_api_lateral_topk) and pins the capability the reference's
+    engine family most conspicuously lacks: ITERATION inside the
+    declarative surface.  The recursion depth is data-driven
+    (log2 of the customer count — deeper at every SF), each step is
+    a joined filter against the base table (not a constant unroll),
+    and Spark bounds runaway recursion with
+    spark.sql.cteRecursionLevelLimit (default 100).  The same
+    pattern gives transitive closure / org-chart / BOM queries at
+    scale, where each level is one distributed join."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_TREE)

@@ -253,3 +253,42 @@ def win_moving_average_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("ma7"),
     )
+
+
+@query(
+    "win_count_distinct_running",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               COUNT(DISTINCT o_orderpriority)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS distinct_priorities_so_far
+        FROM orders
+    """,
+    tags=("E19",),
+)
+def win_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per customer — the window form Spark
+    does NOT support natively (DISTINCT aggregates are rejected in
+    window frames), re-expressed as ``size(collect_set() OVER ...)``:
+    the set dedups inside the frame, size counts it.  DuckDB runs the
+    literal COUNT(DISTINCT ... ) OVER as the oracle, pinning that the
+    workaround is semantically exact.
+
+    Scale note: state per frame is O(distinct values), not O(rows) —
+    here bounded by 5 priorities.  For unbounded-cardinality columns
+    the right rewrite is instead a dense_rank-over-first-occurrence
+    prefix sum; this op documents the bounded-domain fast path."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).alias(
+            "distinct_priorities_so_far"
+        ),
+    )

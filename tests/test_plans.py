@@ -309,3 +309,30 @@ def test_resample_interpolate_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_grid_pairs_is_equi_join(spark, sf_dir):
+    """The eps-neighborhood candidate join must be an equi-join on the
+    grid cell — never a cartesian/nested-loop pair enumeration."""
+    df = registry.get("join_grid_epsilon_pairs").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_running_count_distinct_no_python(spark, sf_dir):
+    """The collect_set rewrite of COUNT(DISTINCT) OVER stays entirely
+    in the JVM window operator."""
+    df = registry.get("win_count_distinct_running").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_recursive_cte_bounded(spark, sf_dir):
+    """WITH RECURSIVE compiles to Spark's UnionLoop with the default
+    recursion guard — iteration inside the declarative plan."""
+    df = registry.get("sql_api_recursive_cte").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Loop" in plan or "CTE" in plan or "Recursion" in plan, plan
