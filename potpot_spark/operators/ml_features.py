@@ -303,3 +303,72 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct_tokens"),
     )
+
+
+@query(
+    "ml_eval_binary_classifier",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   value AS score
+            FROM events
+        ), thresholds AS (
+            SELECT CAST(t AS DOUBLE) AS threshold
+            FROM (VALUES (50.0), (100.0), (200.0)) v(t)
+        )
+        SELECT t.threshold,
+               SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN s.score > t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN s.score <= t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS fn,
+               SUM(CASE WHEN s.score <= t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS tn,
+               CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN s.score > t.threshold THEN 1 ELSE 0 END), 0) AS precision,
+               CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN s.label = 1 THEN 1 ELSE 0 END), 0) AS recall
+        FROM scored s CROSS JOIN thresholds t
+        GROUP BY t.threshold
+        ORDER BY t.threshold
+    """,
+    tags=("E25",),
+)
+def ml_eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation sweep: confusion matrix + precision
+    / recall at three operating thresholds, in ONE pass over the data
+    (label = is-purchase, score = event value — the driver fixtures'
+    stand-in for model output).
+
+    The threshold sweep is a 3-row broadcast cross join, so the fact
+    table is read once and each row contributes to every threshold's
+    conditional sums map-side — the scalable eval-harness shape (vs
+    re-scanning per threshold).  Counts are exact integers; the two
+    ratios are single divisions of identical integers on both engines
+    (NULL-guarded when a threshold clears the whole positive side)."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.col("value").alias("score"),
+    )
+    thresholds = spark.createDataFrame(
+        [(50.0,), (100.0,), (200.0,)], "threshold double"
+    )
+    pred = F.col("score") > F.col("threshold")
+    pos = F.col("label") == 1
+    tp = F.sum(F.when(pred & pos, 1).otherwise(0))
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            tp.alias("tp"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0)).alias("tn"),
+            (
+                tp.cast("double")
+                / F.nullif(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            ).alias("precision"),
+            (
+                tp.cast("double") / F.nullif(F.sum(F.when(pos, 1).otherwise(0)), F.lit(0))
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

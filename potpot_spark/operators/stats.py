@@ -451,3 +451,74 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.expr("histogram_numeric(value, 10)").alias("centroids")
     )
+
+
+@query(
+    "profile_table_columns",
+    oracle="""
+        SELECT 'doc_id' AS column_name, COUNT(doc_id) AS n_non_null,
+               COUNT(DISTINCT doc_id) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang), NULL, NULL
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(source), COUNT(DISTINCT source), NULL, NULL
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars),
+               CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
+        FROM documents
+        ORDER BY column_name
+    """,
+    tags=("E25", "E26"),
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE / data-catalog primitive):
+    per-column non-null count, distinct count, numeric min/max — the
+    stats every pipeline needs before trusting a new drop of data.
+
+    Spark-first shape: ONE aggregate pass computes every column's
+    metrics simultaneously (count/count-distinct/min/max are all
+    partial-aggregable), then a 4-row unpivot reshapes wide -> long.
+    The oracle spells the same thing as per-column UNION ALL — two
+    formulations, one contract.  At 100 TB the single-pass form scans
+    the table once; the UNION form would scan it once per column."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.agg(
+        F.count("doc_id").alias("doc_id_n"),
+        F.countDistinct("doc_id").alias("doc_id_d"),
+        F.count("lang").alias("lang_n"),
+        F.countDistinct("lang").alias("lang_d"),
+        F.count("source").alias("source_n"),
+        F.countDistinct("source").alias("source_d"),
+        F.count("n_chars").alias("n_chars_n"),
+        F.countDistinct("n_chars").alias("n_chars_d"),
+        F.min("n_chars").cast("double").alias("n_chars_min"),
+        F.max("n_chars").cast("double").alias("n_chars_max"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = [
+        ("doc_id", "doc_id_n", "doc_id_d", None, None),
+        ("lang", "lang_n", "lang_d", None, None),
+        ("source", "source_n", "source_d", None, None),
+        ("n_chars", "n_chars_n", "n_chars_d", "n_chars_min", "n_chars_max"),
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(n).alias("n_non_null"),
+                F.col(d_).alias("n_distinct"),
+                (F.col(mn) if mn else null_d).alias("min_val"),
+                (F.col(mx) if mx else null_d).alias("max_val"),
+            )
+            for name, n, d_, mn, mx in rows
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("m"))
+        .select("m.*")
+        .orderBy("column_name")
+    )

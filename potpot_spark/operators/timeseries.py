@@ -768,3 +768,69 @@ def analytics_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("double").alias("all_time_peak"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+@query(
+    "timeseries_rolling_zscore",
+    oracle="""
+        WITH framed AS (
+            SELECT event_type, event_id, ts, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                        OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value * value AS DECIMAL(24,8)))
+                        OVER w AS DOUBLE) AS sxx,
+                   COUNT(value) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, event_id, value,
+               (value - sx / n) /
+                 SQRT((sxx - sx * sx / n) / (n - 1)) AS zscore
+        FROM framed
+        WHERE n >= 10
+          AND (sxx - sx * sx / n) / (n - 1) > 0
+          AND ABS((value - sx / n) /
+                  SQRT((sxx - sx * sx / n) / (n - 1))) > 3.0
+        ORDER BY event_type, event_id
+    """,
+    tags=("E20", "E25"),
+)
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each point scored
+    against the PRECEDING 20 points of its series (frame excludes the
+    current row — no self-contamination, and exactly what a streaming
+    deployment sees).  Flags |z| > 3.
+
+    Bit-exact parity construction: the frame's sum and sum-of-squares
+    accumulate as exact decimals (order-independent), variance is the
+    textbook (sxx - sx^2/n)/(n-1) evaluated in identical operand order
+    on both engines, and sqrt is correctly rounded everywhere — so
+    even the division chain compares exactly.  Degenerate frames
+    (n < 10, zero variance) are filtered on both sides.  Scale: one
+    shuffle on event_type; O(frame) state per row, no self-join
+    against history."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    sx = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("value").over(w)
+    framed = e.select(
+        "event_type", "event_id", "value",
+        sx.alias("sx"), sxx.alias("sxx"), n.alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return (
+        framed.where((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 3.0))
+        .select("event_type", "event_id", "value", z.alias("zscore"))
+        .orderBy("event_type", "event_id")
+    )

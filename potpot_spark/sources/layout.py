@@ -254,3 +254,72 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", 2).alias("revenue"),
     )
+
+
+_Z_BOX = "l_partkey BETWEEN 256 AND 511 AND l_suppkey BETWEEN 32 AND 47"
+_Z_FILES = 16
+
+
+def write_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem Z-order-clustered on (l_partkey, l_suppkey):
+    interleave the low 16 bits of both keys (pure JVM expression —
+    one aggregate() over a 16-element sequence, no Python), then
+    range-partition + sort by the Z-value so each output file covers a
+    compact square-ish region of the 2-D key space.  Returns the
+    output path (used by both the query op and the skipping test)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    z = F.expr(
+        """
+        aggregate(sequence(0, 15), 0L,
+          (acc, i) -> acc
+            + shiftleft(shiftright(CAST(l_partkey AS BIGINT), i) & 1L, 2*i)
+            + shiftleft(shiftright(CAST(l_suppkey AS BIGINT), i) & 1L, 2*i+1))
+        """
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_zorder_"), "lineitem_z")
+    (
+        l.withColumn("zval", z)
+        .repartitionByRange(_Z_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return target
+
+
+@query(
+    "sink_zorder_skipping",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               {dsum_expr('l_extendedprice * (1 - l_discount)', scale=4)} AS revenue,
+               {dsum_expr('l_quantity')} AS total_qty
+        FROM lineitem
+        WHERE {_Z_BOX}
+    """,
+    tags=("E2", "E1"),
+)
+def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering — the multi-dimensional
+    data-skipping layout: a single sort key cannot cluster BOTH
+    l_partkey and l_suppkey, but sorting by their bit-interleaved
+    Z-value gives every parquet file a tight min/max envelope on BOTH
+    columns, so a 2-D box predicate skips most row groups via plain
+    parquet stats pushdown (tests/test_layout.py measures the file
+    envelopes: both dimensions prune).  This is the same layout trick
+    Delta/Iceberg OPTIMIZE ZORDER applies, expressed with nothing but
+    repartitionByRange + sortWithinPartitions — at 100 TB the Z-write
+    is one range shuffle, and every subsequent box query reads a few
+    files instead of all of them.  Results are layout-invariant: the
+    oracle runs the same box on the unsorted table."""
+    target = write_zorder_lineitem(spark, sf_dir)
+    back = spark.read.parquet(target).where(_Z_BOX)
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rev).cast("double").alias("revenue"),
+        dsum("l_quantity").alias("total_qty"),
+    )

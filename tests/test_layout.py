@@ -55,3 +55,39 @@ def test_json_roundtrip_preserves_props_string(spark, sf_dir):
     df = registry.get("scan_json_roundtrip").fn(spark, sf_dir)
     assert df.schema["props"].dataType.typeName() == "string"
     assert df.count() > 0
+
+
+def test_zorder_files_prune_on_both_dims(spark, sf_dir):
+    """The Z-order layout's point: each file's (partkey, suppkey)
+    min/max envelope is tight on BOTH dimensions, so the 2-D box
+    touches only a minority of files.  A single-column sort could
+    prune only its own dimension."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from potpot_spark.sources.layout import write_zorder_lineitem
+
+    target = write_zorder_lineitem(spark, sf_dir)
+    files = sorted(_glob.glob(f"{target}/part-*.parquet"))
+    assert len(files) >= 8, files
+    overlapping = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = {c: None for c in ("l_partkey", "l_suppkey")}
+        maxs = {c: None for c in ("l_partkey", "l_suppkey")}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                    maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+        # box: l_partkey in [256, 511], l_suppkey in [32, 47]
+        if mins["l_partkey"] <= 511 and maxs["l_partkey"] >= 256 and \
+           mins["l_suppkey"] <= 47 and maxs["l_suppkey"] >= 32:
+            overlapping += 1
+    assert overlapping < len(files) / 2, (
+        f"{overlapping}/{len(files)} files overlap the box — Z-order "
+        "should confine the box to a minority of file envelopes"
+    )
