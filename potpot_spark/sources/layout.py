@@ -270,14 +270,18 @@ def write_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
     )
-    z = F.expr(
-        """
-        aggregate(sequence(0, 15), 0L,
-          (acc, i) -> acc
-            + shiftleft(shiftright(CAST(l_partkey AS BIGINT), i) & 1L, 2*i)
-            + shiftleft(shiftright(CAST(l_suppkey AS BIGINT), i) & 1L, 2*i+1))
-        """
-    )
+
+    def _spread(col: str) -> str:
+        # classic Morton bit-spread: 16 bits -> even positions in 4
+        # shift-or-mask steps (vs a 16-iteration lambda loop)
+        e = f"CAST({col} AS BIGINT) & 65535"
+        e = f"(({e}) | shiftleft(({e}), 8)) & 16711935"  # 0x00FF00FF
+        e = f"(({e}) | shiftleft(({e}), 4)) & 252645135"  # 0x0F0F0F0F
+        e = f"(({e}) | shiftleft(({e}), 2)) & 858993459"  # 0x33333333
+        e = f"(({e}) | shiftleft(({e}), 1)) & 1431655765"  # 0x55555555
+        return e
+
+    z = F.expr(f"({_spread('l_partkey')}) + shiftleft({_spread('l_suppkey')}, 1)")
     target = os.path.join(tempfile.mkdtemp(prefix="potpot_zorder_"), "lineitem_z")
     (
         l.withColumn("zval", z)
