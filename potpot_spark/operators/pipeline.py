@@ -126,3 +126,64 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.join(canonical, survivors.doc_id == canonical.canon_id, "left_semi")
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@query(
+    "pipeline_decontaminate_eval",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(lower(text), ' ')) - 4, 1) + 1),
+                       i -> array_to_string(
+                                list_slice(string_split(lower(text), ' '), i, i + 4),
+                                ' '))) AS shingles
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 5
+        ),
+        ev AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 < 5),
+        tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 >= 5)
+        SELECT tr.doc_id,
+               COUNT(DISTINCT ev.doc_id) AS n_eval_docs_hit,
+               COUNT(DISTINCT tr.s) AS n_shared_shingles
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id
+        ORDER BY n_shared_shingles DESC, tr.doc_id
+    """,
+    tags=("E35", "E37"),
+)
+def pipeline_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene op every
+    LLM pipeline runs before training: flag training documents that
+    share any 5-word shingle with the held-out evaluation set (here:
+    doc_id % 97 < 5 stands in for the benchmark corpus), reporting how
+    many eval docs and how many distinct shingles each hit.
+
+    Scale shape: both sides explode to (shingle, doc) postings and
+    meet in ONE equi-join on the shingle — the inverted-index form.
+    The eval side is ~5% of the corpus and only its postings shuffle;
+    at 100 TB you'd additionally broadcast a bloom filter of eval
+    shingles to pre-drop the ~99% of training postings that match
+    nothing (noted, not needed at test scale).  Shingles join as
+    exact strings so the oracle (identical shingling in DuckDB list
+    algebra) matches value-for-value."""
+    from potpot_spark.operators.dedup import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    sh = d.where(F.size(tok) >= 5).select(
+        "doc_id", F.explode(word_shingles(tok, 5)).alias("s")
+    )
+    ev = sh.where(F.col("doc_id") % 97 < 5).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = sh.where(F.col("doc_id") % 97 >= 5)
+    return (
+        tr.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+            F.countDistinct("s").alias("n_shared_shingles"),
+        )
+        .orderBy(F.desc("n_shared_shingles"), F.asc("doc_id"))
+    )

@@ -522,3 +522,69 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m.*")
         .orderBy("column_name")
     )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS segment
+            FROM events
+        ), cells AS (
+            SELECT event_type, segment, COUNT(*) AS o FROM seg GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, segment, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS rt,
+                   SUM(o) OVER (PARTITION BY segment) AS ct,
+                   SUM(o) OVER () AS g
+            FROM cells
+        )
+        SELECT CAST(SUM(CAST(
+                   (o - CAST(rt * ct AS DOUBLE) / g)
+                   * (o - CAST(rt * ct AS DOUBLE) / g)
+                   / (CAST(rt * ct AS DOUBLE) / g)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
+               COUNT(*) AS n_cells,
+               (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT segment) - 1)
+                 AS dof
+        FROM tot
+    """,
+    tags=("E25",),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the event_type x
+    user-parity contingency table — the categorical drift /
+    association check a data pipeline runs between cohorts.
+
+    Parity construction: observed counts are exact integers; expected
+    counts are one integer product and one double division per cell
+    (identical operand order both engines); each cell's (o-e)^2/e term
+    rounds ONCE to decimal(28,12) — double->decimal rounding is
+    deterministic — so the cross-cell sum is order-independent and
+    bit-exact.  Scale: the contingency table is |types| x 2 cells
+    regardless of row count — everything after the first aggregate is
+    driver-trivial, and the first aggregate partial-combines."""
+    e = load_table(spark, sf_dir, "events")
+    seg = e.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("segment"),
+    )
+    cells = seg.groupBy("event_type", "segment").agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql.window import Window as W
+
+    tot = cells.select(
+        "event_type", "segment", "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(W.partitionBy("segment")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("g"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("g")
+    term = ((F.col("o") - exp) * (F.col("o") - exp) / exp).cast("decimal(28,12)")
+    return tot.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).alias("dof"),
+    )

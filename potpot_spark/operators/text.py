@@ -506,3 +506,50 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+@query(
+    "text_ngram_top_global",
+    oracle="""
+        WITH sh AS (
+            SELECT list_transform(
+                       range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1) + 1),
+                       i -> array_to_string(
+                                list_slice(string_split(lower(text), ' '), i, i + 1),
+                                ' ')) AS grams
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 2
+        )
+        SELECT g.gram AS bigram, COUNT(*) AS n_occurrences
+        FROM sh, unnest(sh.grams) AS g(gram)
+        GROUP BY g.gram
+        ORDER BY n_occurrences DESC, bigram
+        LIMIT 20
+    """,
+    tags=("E37",),
+)
+def text_ngram_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams WITH multiplicity — the n-gram
+    census behind LM data analysis (memorization auditing, boilerplate
+    detection, vocabulary drift).  Unlike the dedup shinglers this
+    keeps duplicate occurrences (no array_distinct): frequency is the
+    signal here.
+
+    One explode -> one hash aggregate -> top-k: the count combines
+    map-side, so the shuffle carries (distinct bigram, partial count)
+    not raw occurrences, and the final top-20 is TakeOrderedAndProject
+    (no global sort).  Ties break on the bigram text on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(tok, i, 2), " "),
+    )
+    return (
+        d.where(F.size(tok) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )

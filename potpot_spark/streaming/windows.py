@@ -173,3 +173,60 @@ def stream_dedup_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_batch(s, output_mode="append")
+
+
+@query(
+    "stream_chained_window_rollup",
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        )
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM ev
+        GROUP BY 1, 2
+        HAVING time_bucket(INTERVAL '15 minutes', ts) + INTERVAL 15 MINUTE
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+        ORDER BY window_start, event_type
+    """,
+    tags=("E29", "E31"),
+)
+def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful aggregations chained in one stream (Spark 3.4+
+    multiple-stateful-operator support): 5-minute windowed partials
+    roll up into 15-minute windows downstream, all inside the
+    micro-batch engine in append mode — the streaming form of a
+    two-level rollup hierarchy (and the pattern behind
+    coarse-over-fine dashboard tiers that never reprocess raw events).
+
+    Append mode only emits windows the watermark has closed, so the
+    contract is exact and testable: emitted set = every 15-minute
+    window whose end <= max(ts) - 10min, which is precisely what the
+    oracle's HAVING clause states.  The 5-min partials carry exact
+    decimal sums upward — the rollup is numerically identical to
+    aggregating raw events directly (verified value-for-value).
+    Scale: state is two window layers keyed by (window, type), each
+    dropped at watermark closure — bounded regardless of stream age."""
+    s = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n5"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("v5"),
+        )
+        .groupBy(F.window(F.col("window"), "15 minutes"), "event_type")
+        .agg(
+            F.sum("n5").alias("n_events"),
+            F.sum("v5").cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_batch(s, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
