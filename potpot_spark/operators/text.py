@@ -553,3 +553,61 @@ def text_ngram_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "text_chunk_udtf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words
+            FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(i - 1 AS INT) AS chunk_idx,
+               array_to_string(list_slice(t.words, (i - 1) * 10 + 1,
+                                          (i - 1) * 10 + 20), ' ') AS chunk,
+               len(list_slice(t.words, (i - 1) * 10 + 1,
+                              (i - 1) * 10 + 20)) AS n_tokens
+        FROM tok t, unnest(range(1, greatest((len(t.words) - 1) // 10, 0) + 2)) AS u(i)
+        WHERE (i - 1) * 10 + 1 <= len(t.words)
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("E37", "E27"),
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding word-window chunking through a Python UDTF (Spark 4
+    user-defined TABLE function, invoked via LATERAL): size-20 windows,
+    stride 10 — one input row fans out to N output rows from imperative
+    Python.
+
+    This op pins the UDTF extension point itself — registration,
+    LATERAL correlation, typed multi-row yield.  The JVM twin
+    (text_chunk_sliding) does the same chunking at codegen speed and
+    is the production path; a UDTF is the right tool only when the
+    fan-out logic is genuinely imperative (parsers, tokenizers with
+    state, third-party libraries).  The oracle recomputes the windows
+    with DuckDB list algebra, so the Python loop's contract is checked
+    value-for-value, chunk text included."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkWords:
+        def eval(self, doc_id, text: str):  # noqa: ANN001
+            words = text.lower().split(" ")
+            idx = 0
+            for start in range(0, len(words), 10):
+                window = words[start : start + 20]
+                yield idx, " ".join(window), len(window)
+                idx += 1
+
+    spark.udtf.register("potpot_chunk_words", ChunkWords)
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents d, LATERAL potpot_chunk_words(d.doc_id, d.text) c
+        ORDER BY doc_id, chunk_idx
+        """
+    )

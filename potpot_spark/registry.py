@@ -53,6 +53,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.sources.sink",
     "potpot_spark.sources.formats",
     "potpot_spark.sources.layout",
+    "potpot_spark.sources.python_ds",
     "potpot_spark.operators.relational",
     "potpot_spark.operators.joins",
     "potpot_spark.operators.tpch",
