@@ -1,0 +1,201 @@
+"""SQL DDL / catalog surface: managed tables, ANALYZE statistics,
+parameterized queries, and ANSI-safe try_* arithmetic.
+
+The reference's "catalog" is one implicit table in one paged file
+(``/root/reference/src/storage.rs:12-25`` — no DDL, no names, no
+multi-table support).  The engine's catalog is Spark's: CREATE /
+INSERT INTO / DROP round-trip through the session catalog (Derby-less
+in-memory metastore + spark-warehouse directory), table and column
+statistics feed the cost-based optimizer, and the SQL front door
+takes named parameters without string splicing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from potpot_spark.catalog import load_table, register_views
+from potpot_spark.functions.numeric import dsum, dsum_expr
+from potpot_spark.registry import query
+
+
+@query(
+    "sql_ddl_managed_table",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {dsum_expr('o_totalprice')} AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("E1", "E18"),
+)
+def sql_ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table DDL round trip: CREATE TABLE ... USING PARQUET,
+    INSERT INTO ... SELECT from the source view, aggregate from the
+    managed table, DROP it — the full catalog lifecycle a SQL user
+    expects (the reference has a single anonymous pagefile; the engine
+    has named tables whose storage Spark owns end-to-end).
+
+    The INSERT runs as a distributed parquet write into the warehouse
+    directory; the readback is a plain catalog scan with pushdown —
+    verifying that data surviving a catalog round trip is identical to
+    querying the source directly (the oracle never sees the managed
+    table)."""
+    register_views(spark, sf_dir)
+    tbl = f"potpot_orders_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"""CREATE TABLE {tbl} (
+            o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP
+        ) USING PARQUET"""
+    )
+    try:
+        spark.sql(
+            f"""INSERT INTO {tbl}
+                SELECT o_orderstatus, o_totalprice, o_orderdate
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'"""
+        )
+        out = spark.sql(
+            f"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total_price
+                FROM {tbl} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        ).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
+@query(
+    "sql_analyze_table_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size,
+               COUNT(p_retailprice) AS n_price_non_null
+        FROM part
+    """,
+    tags=("E18", "E26"),
+)
+def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: collect
+    catalog statistics on a managed copy of ``part``, then answer the
+    profiling question FROM THE CATALOG (DESCRIBE EXTENDED metadata)
+    without rescanning data — the stats that feed Spark's cost-based
+    optimizer (join reordering, broadcast decisions) and every
+    metadata-only rowcount shortcut.
+
+    The oracle recomputes the same numbers from the raw table, pinning
+    that catalog stats are exact (row count, min/max, null counts are
+    exact in Spark's ANALYZE; only distinct counts are HLL estimates,
+    so those stay out of the contract)."""
+    tbl = f"potpot_part_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "part").write.saveAsTable(tbl)
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS p_size, p_retailprice")
+        n_rows = int(
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .where(F.col("col_name") == "Statistics")
+            .select("data_type")
+            .first()[0]
+            .split(",")[1]
+            .strip()
+            .split(" ")[0]
+        )
+        size_stats = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl} p_size").collect()
+        }
+        price_stats = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl} p_retailprice").collect()
+        }
+        out = spark.createDataFrame(
+            [
+                (
+                    n_rows,
+                    int(size_stats["min"]),
+                    int(size_stats["max"]),
+                    n_rows - int(price_stats["num_nulls"]),
+                )
+            ],
+            "n_rows bigint, min_size bigint, max_size bigint, n_price_non_null bigint",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
+@query(
+    "scalar_try_family",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN (o_orderkey % 10) <> 0
+                    THEN o_totalprice / (o_orderkey % 10) END AS safe_div,
+               TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+               TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 500
+    """,
+    tags=("E24",),
+)
+def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs with ANSI mode ON by default,
+    so 1/0 and bad casts THROW — and try_divide / try_cast are the
+    sanctioned per-expression escape hatch that returns NULL instead
+    (the right granularity: one lenient expression, not a lenient
+    session).  Non-numeric strings cast to NULL, numeric round-trips
+    survive exactly, and division by the zero residue class nulls out
+    — each pinned against DuckDB's TRY_CAST / CASE-guard semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"),
+                F.when((F.col("o_orderkey") % 10) != 0, F.col("o_orderkey") % 10),
+            ).alias("safe_div"),
+            F.try_to_number("o_orderstatus", F.lit("999")).cast("int").alias(
+                "status_as_int"
+            ),
+            F.col("o_totalprice").cast("string").cast("double").alias("price_roundtrip"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("E18",),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 3.4+): the text uses :status and
+    :min_price placeholders and values bind server-side — no string
+    splicing, no injection surface, plan cache friendly (the same
+    parameterized text replans cheaply for new literals).  The oracle
+    runs the fully-bound equivalent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000.0},
+    )

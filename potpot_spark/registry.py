@@ -71,6 +71,7 @@ _OPERATOR_MODULES = [
     "potpot_spark.operators.graph",
     "potpot_spark.operators.pipeline",
     "potpot_spark.operators.misc_sql",
+    "potpot_spark.operators.ddl",
     "potpot_spark.operators.caching",
     "potpot_spark.operators.similarity",
     "potpot_spark.operators.ivf",
