@@ -320,3 +320,55 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list(code))).alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_bitmap_audience_overlap",
+    oracle="""
+        WITH clickers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ), buyers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT (SELECT COUNT(*) FROM clickers) AS n_clickers,
+               (SELECT COUNT(*) FROM buyers) AS n_buyers,
+               (SELECT COUNT(*) FROM clickers c JOIN buyers b USING (user_id))
+                 AS n_both
+    """,
+    tags=("E15", "E16"),
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via BITMAP ALGEBRA — the segmentation pattern
+    that replaces COUNT(DISTINCT)-join pipelines at scale: pack each
+    segment's user ids into 64-bit words keyed by id >> 6 (one bitmask
+    per (segment, word) after a map-side-combinable bit_or), intersect
+    segments with AND, count with bit_count.  The shuffle carries at
+    most one long per 64 users per segment instead of one row per
+    user-event, and set intersection becomes bitwise arithmetic — the
+    engine-level trick behind roaring-bitmap audience systems.
+
+    The oracle computes the same three cardinalities the classic way
+    (DISTINCT + join), proving the bitmap algebra exact."""
+    e = load_table(spark, sf_dir, "events")
+    seg = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    words = seg.groupBy("event_type", "word_idx").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    clicks = words.where(F.col("event_type") == "click").select(
+        "word_idx", F.col("mask").alias("click_mask")
+    )
+    buys = words.where(F.col("event_type") == "purchase").select(
+        "word_idx", F.col("mask").alias("buy_mask")
+    )
+    joined = clicks.join(buys, "word_idx", "full_outer")
+    return joined.agg(
+        F.sum(F.expr("bit_count(coalesce(click_mask, 0L))")).alias("n_clickers"),
+        F.sum(F.expr("bit_count(coalesce(buy_mask, 0L))")).alias("n_buyers"),
+        F.sum(
+            F.expr("bit_count(coalesce(click_mask, 0L) & coalesce(buy_mask, 0L))")
+        ).alias("n_both"),
+    )

@@ -149,3 +149,63 @@ def reshape_struct_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("revenue"),
         F.min("key").cast("bigint").alias("min_key"),
     )
+
+
+@query(
+    "reshape_scd2_intervals",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM flagged
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id,
+               event_type AS state,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS TIMESTAMP) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from
+    """,
+    tags=("E19", "E20"),
+)
+def reshape_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD-Type-2 history from an event log: collapse each
+    user's event stream into [valid_from, valid_to) state intervals,
+    keeping a row only where the state CHANGES (lag comparison) and
+    closing it with the next event's timestamp (lead) — the
+    slowly-changing-dimension build every warehouse runs to make
+    point-in-time joins possible (the as-of join ops consume exactly
+    this shape).
+
+    Two window passes over the SAME (user_id, ts) sort — detect
+    changes with lag, then close each change row against the NEXT
+    change (not the next raw event) with lead; Spark reuses the
+    partitioning/sort between them, so the second window adds no
+    exchange.  Deterministic (ts, event_id) tie-break; NULL valid_to
+    marks the open current row."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    closed = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return closed.select(
+        "user_id", "state", "valid_from", "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from")

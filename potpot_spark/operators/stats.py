@@ -588,3 +588,55 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
         ).alias("dof"),
     )
+
+
+@query(
+    "analytics_pareto_frontier",
+    oracle="""
+        WITH ranked AS (
+            SELECT p_partkey, p_retailprice, p_size,
+                   MAX(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS best_cheaper
+            FROM part
+        )
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, p_size
+        FROM ranked
+        WHERE best_cheaper IS NULL OR p_size > best_cheaper
+        ORDER BY p_retailprice, p_partkey
+    """,
+    tags=("E19", "E25"),
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over parts: minimize price, maximize
+    size — every part not dominated by a cheaper-or-equal, bigger-or-
+    equal part.  The textbook formulation is a quadratic NOT EXISTS
+    self-join; the scalable rewrite is ONE ordered window pass: sort
+    by price, keep a running max of size over strictly-preceding rows
+    — a point is on the frontier iff it beats every cheaper point's
+    best size.  O(n log n) by sort, O(1) window state, and the same
+    (price, partkey) tie-break makes "cheaper" identical on both
+    engines (equal-price points compare against earlier keys only —
+    the skyline semantics the oracle spells out identically).
+
+    Scale note: a single global ORDER BY is the one unavoidable
+    shuffle; for 100 TB you'd range-partition on price and stitch
+    boundary maxima — same algebra, two passes."""
+    p = load_table(spark, sf_dir, "part")
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        "p_size",
+        F.max("p_size").over(w).alias("best_cheaper"),
+    )
+    return (
+        ranked.where(F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
