@@ -336,3 +336,51 @@ def test_recursive_cte_bounded(spark, sf_dir):
     df = registry.get("sql_api_recursive_cte").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Loop" in plan or "CTE" in plan or "Recursion" in plan, plan
+
+
+def test_pareto_single_window_no_self_join(spark, sf_dir):
+    """The skyline must be ONE window pass — no quadratic self-join
+    (no second scan of part, no nested-loop join)."""
+    import re
+
+    from potpot_spark.plans.inspect import simple_plan
+
+    df = registry.get("analytics_pareto_frontier").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_scans = len(re.findall(r"Scan parquet", simple_plan(df)))
+    assert n_scans == 1, plan
+
+
+def test_bitmap_overlap_no_expand(spark, sf_dir):
+    """The bitmap algebra replaces COUNT(DISTINCT): the plan must have
+    NO Expand (distinct-aggregate rewrite) — set semantics live in the
+    bit_or masks."""
+    df = registry.get("agg_bitmap_audience_overlap").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both window passes (lag-detect, lead-close) ride the same
+    (user_id) partitioning: exactly two exchanges total — one hash
+    partitioning feeding BOTH windows, one range partitioning for the
+    presentation ORDER BY.  A naive plan would re-shuffle between the
+    windows (three exchanges)."""
+    import re
+
+    df = registry.get("reshape_scd2_intervals").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
+    # and the two Window operators must be adjacent in the tree — no
+    # Exchange between them
+    tree = plan.split("(1) Scan")[0]
+    import re as _re
+    ops = _re.findall(r"(Exchange|Window)", tree)
+    assert ops.count("Window") == 2, plan
+    first, second = ops.index("Window"), len(ops) - 1 - ops[::-1].index("Window")
+    assert "Exchange" not in ops[first:second], plan
