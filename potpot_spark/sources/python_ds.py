@@ -17,7 +17,13 @@ source.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from potpot_spark.catalog import table_path
 from potpot_spark.registry import query
@@ -112,3 +118,144 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+class _EventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reads over the events table: offsets
+    are plain row positions ({"row": N}), each micro-batch serves a
+    bounded slice, and readBetweenOffsets replays any committed range
+    exactly — the three-method contract (initialOffset / read /
+    readBetweenOffsets) that gives a Python source EXACTLY-ONCE
+    semantics under checkpointing.  The identical skeleton wraps a
+    REST cursor, a Kafka-less queue, or any pageable upstream."""
+
+    _COLUMNS = ["event_id", "user_id", "event_type", "value"]
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batchRows", "5000"))
+        self._t = None
+
+    def _table(self):
+        if self._t is None:
+            import pyarrow.parquet as pq
+
+            self._t = pq.read_table(self.path, columns=self._COLUMNS)
+        return self._t
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        t = self._table()
+        s = start["row"]
+        e = min(s + self.batch_rows, t.num_rows)
+        sl = t.slice(s, e - s)
+        rows = zip(*(sl.column(c).to_pylist() for c in self._COLUMNS))
+        return iter(rows), {"row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        t = self._table().slice(start["row"], end["row"] - start["row"])
+        return iter(zip(*(t.column(c).to_pylist() for c in self._COLUMNS)))
+
+
+class EventsPythonStreamSource(DataSource):
+    """``spark.readStream.format("potpot_pyevents")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "potpot_pyevents"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:  # type: ignore[override]
+        return _EventsStreamReader(self.options)
+
+
+@query(
+    "source_stream_python_datasource",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("E4", "E5"),
+)
+def source_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM from the custom Python data source: the events table
+    arrives in offset-tracked 5000-row micro-batches through the
+    Spark 4 SimpleDataSourceStreamReader API and aggregates statefully
+    downstream — proving a Python-defined connector participates in
+    Structured Streaming with offsets, checkpointing, and replay, not
+    just batch scans.
+
+    The final per-user totals must equal the batch aggregate over the
+    same file (the oracle) — exactly-once across micro-batch
+    boundaries, decimal accumulation making the sum order-independent
+    (micro-batch arrival order differs from batch scan order!).
+
+    Drain protocol: Python simple stream readers don't implement the
+    availableNow drain contract (SupportsTriggerAvailableNow), so the
+    query runs on a fast processing-time trigger and stops after a
+    micro-batch reports zero input rows with the offset at the file's
+    end — the bounded-backfill idiom for sources that only know "give
+    me the next page"."""
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    spark.dataSource.register(EventsPythonStreamSource)
+    path = table_path(sf_dir, "events")
+    # ~3 micro-batches at any SF: the multi-batch replay story without
+    # per-batch overhead dominating at larger inputs
+    n_rows = _pq.read_metadata(path).num_rows
+    batch_rows = max(5000, -(-n_rows // 2))
+    s = (
+        spark.readStream.format("potpot_pyevents")
+        .option("path", path)
+        .option("batchRows", str(batch_rows))
+        .load()
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    name = f"pyev_{_uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            s.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="potpot_pyev_"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        drained = False
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"] and p["sources"][0]["endOffset"]:
+                import re as _re
+
+                m = _re.search(r"\d+", str(p["sources"][0]["endOffset"]))
+                if m and int(m.group()) >= n_rows:
+                    drained = True
+                    break
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(30)
+        if not drained:
+            raise TimeoutError("python stream source did not drain in 120s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(name).orderBy("user_id")
