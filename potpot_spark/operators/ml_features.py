@@ -372,3 +372,73 @@ def ml_eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "ml_eval_auc_rank",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   value AS score
+            FROM events
+        ), ranked AS (
+            SELECT label,
+                   (RANK() OVER (ORDER BY score)
+                    + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0) AS avg_rank
+            FROM scored
+        )
+        SELECT CAST((CAST(SUM(CASE WHEN label = 1 THEN avg_rank END)
+                          AS DOUBLE)
+                     - CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+                    / (CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END))
+               AS DOUBLE) AS auc,
+               SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_neg
+        FROM ranked
+    """,
+    tags=("E25",),
+)
+def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC via the Mann-Whitney rank-sum identity: AUC =
+    (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with midrank tie
+    handling — the distributed way to compute AUC exactly in TWO
+    passes (rank window + one aggregate), no threshold sweep, no
+    pairwise O(n^2) comparisons.
+
+    Every quantity is integer-derived: ranks and tie-counts are exact,
+    midranks are integers-over-2, and the final expression is the same
+    short chain of double ops on both engines — bit-exact.  At 100 TB
+    the global ORDER BY score is the one shuffle; everything else is a
+    windowless aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.col("value").alias("score"),
+    )
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    n_pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    r_pos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+    return ranked.agg(
+        (
+            (
+                r_pos.cast("double")
+                - n_pos.cast("double") * (n_pos + 1) / F.lit(2.0)
+            )
+            / (n_pos.cast("double") * n_neg)
+        )
+        .cast("double")
+        .alias("auc"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+    )

@@ -834,3 +834,55 @@ def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value", z.alias("zscore"))
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), pairs AS (
+            SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type) AS p_transition
+        FROM pairs
+        ORDER BY from_type, to_type
+    """,
+    tags=("E19", "E20"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next event | current event) — the sequence-mining primitive
+    behind next-action prediction, anomalous-flow detection, and
+    session modeling.
+
+    One window pass pairs each event with its successor (lead over the
+    per-user timeline — no self-join), one aggregate counts the
+    transitions, and the row-normalizing probability is a single
+    integer-over-integer division via a window sum — every arithmetic
+    step exact or identically-ordered on both engines.  Scale: the
+    (from, to) matrix is |types|^2 regardless of row count."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -292,3 +292,77 @@ def win_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_priorities_so_far"
         ),
     )
+
+
+@query(
+    "win_cumulative_share",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS cust_rev
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, cust_rev,
+               CAST(SUM(CAST(cust_rev AS DECIMAL(18,2)))
+                    OVER (ORDER BY cust_rev DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(CAST(cust_rev AS DECIMAL(18,2))) OVER () AS DOUBLE)
+                 AS cum_share,
+               CASE
+                 WHEN CAST(SUM(CAST(cust_rev AS DECIMAL(18,2)))
+                      OVER (ORDER BY cust_rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / CAST(SUM(CAST(cust_rev AS DECIMAL(18,2))) OVER () AS DOUBLE)
+                      <= 0.8 THEN 'A'
+                 WHEN CAST(SUM(CAST(cust_rev AS DECIMAL(18,2)))
+                      OVER (ORDER BY cust_rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / CAST(SUM(CAST(cust_rev AS DECIMAL(18,2))) OVER () AS DOUBLE)
+                      <= 0.95 THEN 'B'
+                 ELSE 'C'
+               END AS abc_class
+        FROM rev
+        ORDER BY cust_rev DESC, o_custkey
+        LIMIT 1000
+    """,
+    tags=("E19",),
+)
+def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto-curve analysis: customers ranked by revenue with
+    their cumulative revenue share and 80/95 class cut — the Lorenz
+    curve every ops dashboard draws ("20% of customers = 80% of
+    revenue").
+
+    The running share is an exact-decimal prefix sum over the ranked
+    order divided by the exact grand total — ONE ordered window pass
+    after the per-customer aggregate, bit-exact on both engines since
+    both operands of the single division are decimal-exact doubles.
+    (cust_rev DESC, custkey) is a total order, so every prefix is
+    identical."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("cust_rev")
+    )
+    wrun = Window.orderBy(F.desc("cust_rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    share = (
+        F.sum(F.col("cust_rev").cast("decimal(18,2)")).over(wrun).cast("double")
+        / F.sum(F.col("cust_rev").cast("decimal(18,2)")).over(wall).cast("double")
+    )
+    return (
+        rev.select(
+            "o_custkey",
+            "cust_rev",
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+        .orderBy(F.desc("cust_rev"), F.asc("o_custkey"))
+        .limit(1000)
+    )
