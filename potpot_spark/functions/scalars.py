@@ -396,3 +396,51 @@ def scalar_string_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hex_roundtrip_ok"),
         F.sum(F.length("hx")).cast("bigint").alias("hex_total_len"),
     )
+
+
+@query(
+    "scalar_calendar_edges",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+               CAST(CASE WHEN (EXTRACT(YEAR FROM o_orderdate) % 4 = 0
+                               AND EXTRACT(YEAR FROM o_orderdate) % 100 <> 0)
+                          OR EXTRACT(YEAR FROM o_orderdate) % 400 = 0
+                    THEN 1 ELSE 0 END AS INT) AS is_leap_year
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        ORDER BY o_orderkey
+    """,
+    tags=("E25",),
+)
+def scalar_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar edge semantics — the classic cross-engine divergence
+    zone, pinned value-for-value: month addition that clamps at
+    month-end (Jan 31 + 1 month), last_day, ISO week/year (week 1 =
+    the week with the year's first Thursday; Dec 29+ can be ISO week 1
+    of NEXT year — iso_year is output alongside to prove both engines
+    agree on the boundary), quarters, and the Gregorian leap-year
+    rule spelled as arithmetic.  An engine migration that silently
+    shifts week numbering corrupts every weekly rollup downstream;
+    this op is the regression net."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_month"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.expr("extract(yearofweek FROM o_orderdate)").cast("int").alias("iso_year"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.when(
+            ((F.year(d) % 4 == 0) & (F.year(d) % 100 != 0)) | (F.year(d) % 400 == 0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_leap_year"),
+    ).orderBy("o_orderkey")

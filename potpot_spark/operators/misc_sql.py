@@ -305,3 +305,45 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_RECURSIVE_TREE)
+
+
+@query(
+    "scan_observe_metrics",
+    oracle=f"""
+        SELECT COUNT(*) AS n_shipped,
+               {dsum_expr('l_extendedprice * (1 - l_discount)', scale=4)} AS revenue,
+               SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS n_bulk
+        FROM lineitem
+        WHERE l_returnflag = 'N'
+    """,
+    tags=("E26", "E1"),
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piggybacked data-quality metrics via the Observation API:
+    counters and sums accumulate DURING the main query's single pass
+    (AggregatingAccumulator on the executors) — no second scan, no
+    separate monitoring job.  This is how a 100 TB pipeline gets its
+    row counts, revenue totals, and anomaly tallies for free on every
+    run; the oracle recomputes the same metrics the expensive way
+    (a dedicated aggregate) and must agree exactly, decimal-summed
+    for order independence."""
+    from pyspark.sql import Observation
+
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "N")
+    obs = Observation("shipping_metrics")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.sum(F.when(F.col("l_quantity") >= 45, 1).otherwise(0)).alias("n_bulk"),
+    )
+    # one real action drives the pipeline; the metrics ride along
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_shipped"], m["revenue"], m["n_bulk"])],
+        "n_shipped bigint, revenue double, n_bulk bigint",
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum_expr
 from potpot_spark.registry import query
 
 _CSV_SCHEMA = T.StructType(
@@ -258,4 +259,58 @@ def scan_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("p.k")).alias("k_min"),
         F.max(F.col("p.k")).alias("k_max"),
         F.sum(F.col("p.k")).cast("bigint").alias("k_sum"),
+    )
+
+
+@query(
+    "scan_fixed_width_parse",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {dsum_expr('o_totalprice')} AS total_price
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("E3",),
+)
+def scan_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-style) text ingestion: serialize
+    orders into 23-byte records (10-char zero-padded key, 1-char
+    status, 12-char right-aligned price), write as plain text, read
+    back with ``spark.read.text`` + substring slicing — the
+    no-delimiter legacy format every migration eventually meets.
+
+    Parsing is pure codegen (substr + trim + cast per field — no
+    Python, no regex); at 100 TB the text scan splits on line
+    boundaries like any other.  The price survives the round trip
+    digit-for-digit because the formatting is format_string('%12.2f')
+    and the readback casts through DECIMAL(12,2), not a double parse
+    of arbitrary digits.  The oracle aggregates the source table
+    directly — layout round trips must be invisible."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    lines = o.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+            F.col("o_orderstatus"),
+            F.format_string("%12.2f", F.col("o_totalprice")),
+        ).alias("value")
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_fw_"), "orders_fw")
+    lines.write.mode("overwrite").text(target)
+    back = spark.read.text(target).select(
+        F.substring("value", 1, 10).cast("int").alias("o_orderkey"),
+        F.substring("value", 11, 1).alias("o_orderstatus"),
+        F.trim(F.substring("value", 12, 12)).cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
     )
