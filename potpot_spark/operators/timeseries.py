@@ -886,3 +886,95 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+HOLT_ALPHA = 0.25  # binary fractions: products are exact exponent shifts,
+HOLT_BETA = 0.5    # so both engines see identical doubles at every step
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle="""
+        WITH RECURSIVE ord AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT b.user_id, b.rn, b.value AS level, b.value - a.value AS trend
+            FROM ord a JOIN ord b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 2
+            UNION ALL
+            SELECT o.user_id, o.rn,
+                   0.25 * o.value + 0.75 * (r.level + r.trend),
+                   0.5 * ((0.25 * o.value + 0.75 * (r.level + r.trend)) - r.level)
+                     + 0.5 * r.trend
+            FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id,
+               arg_max(level, rn) AS level_last,
+               arg_max(trend, rn) AS trend_last,
+               arg_max(level, rn) + 3 * arg_max(trend, rn) AS forecast_3,
+               CAST(MAX(rn) AS BIGINT) AS n_points
+        FROM r GROUP BY user_id
+    """,
+    tags=("E33", "E20"),
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user — TWO
+    coupled sequential recurrences (level follows the series, trend
+    follows the level's drift), plus a 3-steps-ahead forecast from the
+    final state:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    The EWMA op pinned one recurrence; this pins state-vector
+    recurrences — the applyInPandas loop carries (level, trend) and
+    the oracle's recursive CTE carries the same two columns, stepping
+    in the same order.  With alpha=1/4, beta=1/2 every multiply is an
+    exact exponent shift and every add rounds identically in both
+    engines, so even after ~70 chained steps the doubles match
+    bit-for-bit.  Initialization is the textbook l = x_2,
+    b = x_2 - x_1 with stepping from the third point — the exact
+    convention the CTE's anchor row spells out.  Scale:
+    embarrassingly parallel across keys, inherently sequential within
+    one — the math's property, not the engine's."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].astype("float64").to_list()
+        uid = pdf["user_id"].iloc[0]
+        if len(xs) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "level_last": [xs[0] if xs else None],
+                    "trend_last": [None],
+                    "forecast_3": [None],
+                    "n_points": [len(xs)],
+                }
+            )
+        level = xs[1]
+        trend = xs[1] - xs[0]
+        for x in xs[2:]:
+            new_level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (new_level - level) + (1.0 - HOLT_BETA) * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "level_last": [level],
+                "trend_last": [trend],
+                "forecast_3": [level + 3 * trend],
+                "n_points": [len(xs)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        holt_group,
+        "user_id bigint, level_last double, trend_last double, "
+        "forecast_3 double, n_points bigint",
+    )
