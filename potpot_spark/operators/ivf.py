@@ -140,3 +140,120 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+# --- product quantization (PQ) + asymmetric distance ---------------------
+
+M_SUB = 4       # subspaces
+SUB_DIM = 16    # 64-dim vectors -> 4 x 16
+PQ_K = 16       # codebook size per subspace (4-bit codes)
+PQ_ITERS = 3
+
+
+def _subvectors(df: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Explode each vector into its M_SUB subvectors: (m, ..., sub)."""
+    return df.select(
+        "*", F.explode(F.array(*[F.lit(m) for m in range(M_SUB)])).alias("m")
+    ).select(
+        *df.columns,
+        "m",
+        F.expr(f"slice({emb_col}, m * {SUB_DIM} + 1, {SUB_DIM})").alias("sub"),
+    )
+
+
+def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace Lloyd's k-means, all M_SUB subspaces trained in ONE
+    driver loop (the m tag rides the group key — 4 codebooks for the
+    price of one job sequence).  Same determinism contract as the IVF
+    trainer: vec_id-ordered init, decimal-exact per-dimension means,
+    lowest-code tie-breaks."""
+    w = Window.partitionBy("m").orderBy("vec_id")
+    cents = (
+        corpus_sub.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("m", F.col("rn").alias("code"), F.col("sub").alias("centroid"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scored = corpus_sub.join(F.broadcast(cents), "m").select(
+            "m", "vec_id", "sub", "code",
+            sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
+        )
+        assigned = (
+            scored.groupBy("m", "vec_id")
+            .agg(F.min(F.struct("d2", "code")).alias("_b"), F.first("sub").alias("sub"))
+            .select("m", "vec_id", F.col("_b.code").alias("code"), "sub")
+        )
+        dims = (
+            assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
+                .cast("double")
+                .alias("v")
+            )
+        )
+        cents = (
+            dims.groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("m", "code", F.transform("pv", lambda s: s.v).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+@query("sim_search_pq_adc", oracle=None, tags=("E36", "rows-only"))
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (the FAISS
+    PQ/ADC staple): vectors compress 64 floats -> 4 nibble codes (64x),
+    queries stay exact, and distance is approximated as the sum of
+    4 table lookups — query-to-centroid distances computed ONCE per
+    query (a 4 x 16 LUT) instead of per corpus vector.
+
+    Spark shape: codebooks train once per corpus (driver loop, all
+    subspaces in one tagged frame); encoding is a broadcast join +
+    map-side min(struct) argmin; the ADC scan is codes ⋈ broadcast
+    LUT + a 4-row sum per (query, vector) — no full-vector math
+    anywhere in the scan, which is the entire point at 100 TB: the
+    hot loop reads 4 bytes per vector, not 256.  Deterministic by the
+    same engineering as IVF (ordered init, decimal means, struct
+    tie-breaks); recall@10 vs brute force is bounded in
+    tests/test_similarity.py — rows-only here (a trained index has
+    no SQL twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    corpus_sub = _subvectors(corpus).select("m", "vec_id", "sub")
+    cents = train_pq_codebooks(corpus_sub)
+    codes = (
+        corpus_sub.join(F.broadcast(cents), "m")
+        .select(
+            "m", "vec_id", "code",
+            sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
+        )
+        .groupBy("m", "vec_id")
+        .agg(F.min(F.struct("d2", "code")).alias("_b"))
+        .select("m", "vec_id", F.col("_b.code").alias("code"))
+    )
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb")
+    )
+    lut = (
+        _subvectors(queries)
+        .select("m", "query_id", "sub")
+        .join(F.broadcast(cents), "m")
+        .select(
+            "m", "query_id", "code",
+            sq_dist(F.col("sub"), F.col("centroid")).alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rnk")
+    )

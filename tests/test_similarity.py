@@ -83,3 +83,30 @@ def test_ivf_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, registry.get("sim_search_ivf").fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, registry.get("sim_search_ivf").fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ/ADC (4x16 codebooks, 64x compression) must keep a recall@10
+    floor against exact cosine top-10 — and return exactly TOP_K rows
+    per query with deterministic ranks."""
+    from potpot_spark.operators.similarity import N_QUERIES, TOP_K, brute_force_topk
+
+    pq = registry.get("sim_search_pq_adc").fn(spark, sf_dir).collect()
+    per_q = {}
+    for r in pq:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == N_QUERIES
+    for q, rows in per_q.items():
+        assert len(rows) == TOP_K, (q, len(rows))
+
+    from potpot_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb.where(F.col("vec_id") < N_QUERIES), emb
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for r in pq if r.vec_id in exact_sets.get(r.query_id, set()))
+    assert hits / len(pq) >= 0.25, f"recall@10 {hits}/{len(pq)}"
