@@ -165,3 +165,73 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_value"),
     )
     return joined.select("event_id", "user_id", "ts", fresh.alias("fresh_click_value"))
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+        WITH events_us AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events_us WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts, value FROM events_us
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_value AS next_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("E13",),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the user's EARLIEST
+    click at-or-after it — the look-ahead twin of join_asof_events
+    (label construction, "time to next error", next-touch
+    attribution all need the forward direction).
+
+    Same union-and-carry shape, mirrored: the window orders ts
+    DESCENDING (with the reference sorted to win at timestamp ties)
+    and first-value-carries the next click backward over the
+    unbounded-preceding frame.  One shuffle on user_id, no range
+    self-join — identical scale behavior to the backward form; the
+    oracle is DuckDB's native forward ASOF (p.ts <= c.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", F.lit(0).alias("_side"), "click_value")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    probe_tagged = purchases.select(
+        "user_id", "ts", F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id", "value",
+    )
+    ref_tagged = clicks.select(
+        "user_id", "ts", "_side", "click_value",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    unioned = ref_tagged.unionByName(probe_tagged)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "next_click_value", F.last("click_value", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        "event_id", "user_id", "ts", "value", "next_click_value"
+    )

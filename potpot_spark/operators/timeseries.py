@@ -978,3 +978,86 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, level_last double, trend_last double, "
         "forecast_3 double, n_points bigint",
     )
+
+
+CUSUM_K = 100.0  # reference level (allowed drift per step)
+CUSUM_H = 500.0  # alarm threshold
+
+
+@query(
+    "timeseries_cusum_drift",
+    oracle="""
+        WITH RECURSIVE ord AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, rn, GREATEST(0.0, value - 100.0) AS s
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.rn, GREATEST(0.0, r.s + (o.value - 100.0))
+            FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        ),
+        lagged AS (
+            SELECT user_id, rn, s,
+                   LAG(s, 1, 0.0) OVER (PARTITION BY user_id ORDER BY rn) AS prev_s
+            FROM r
+        )
+        SELECT user_id,
+               arg_max(s, rn) AS cusum_last,
+               MAX(s) AS cusum_max,
+               CAST(SUM(CASE WHEN s > 500.0 AND prev_s <= 500.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarms,
+               CAST(MAX(rn) AS BIGINT) AS n_points
+        FROM lagged GROUP BY user_id
+    """,
+    tags=("E33", "E25"),
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user: the control-chart
+    recurrence ``s_t = max(0, s_{t-1} + (x_t - k))`` with alarm
+    crossings of threshold h — the standard "has this metric drifted
+    upward" monitor (change-point detection with O(1) state, the
+    streaming-friendly alternative to windowed retrospection).
+
+    Third sequential-recurrence operator (after EWMA and Holt): the
+    reset-to-zero max() makes it inexpressible as any fixed window
+    frame, so the engine ships the per-key loop as applyInPandas and
+    the oracle replays it as a recursive CTE.  Only + and max() touch
+    the doubles — additions round identically in the same order, so
+    cusum_last/cusum_max and the alarm COUNTS match exactly."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = 0.0
+        s_max = 0.0
+        last = 0.0
+        alarms = 0
+        prev = 0.0
+        for x in pdf["value"].astype("float64"):
+            s = max(0.0, s + (x - CUSUM_K))
+            if s > CUSUM_H and prev <= CUSUM_H:
+                alarms += 1
+            prev = s
+            if s > s_max:
+                s_max = s
+            last = s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "cusum_last": [last],
+                "cusum_max": [s_max],
+                "n_alarms": [alarms],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        cusum_group,
+        "user_id bigint, cusum_last double, cusum_max double, "
+        "n_alarms bigint, n_points bigint",
+    )
