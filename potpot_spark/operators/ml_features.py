@@ -442,3 +442,45 @@ def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pos.alias("n_pos"),
         n_neg.alias("n_neg"),
     )
+
+
+@query(
+    "udf_pandas_scalar_feature",
+    oracle="""
+        SELECT event_id,
+               LEAST(GREATEST((value - 0.01) / (490.02 - 0.01), 0.0), 1.0)
+                 AS minmax_scaled,
+               value * value / 1000.0 AS poly_feature
+        FROM events
+        WHERE event_id % 11 = 0
+        ORDER BY event_id
+    """,
+    tags=("E27", "E25"),
+)
+def udf_pandas_scalar_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF — the sanctioned Python scalar
+    path: whole Arrow batches in, NumPy-vectorized math, batches out
+    (~10-100x over row-at-a-time Python UDFs, which this engine
+    deliberately contains zero of).  Min-max scaling + a polynomial
+    feature, pinned value-for-value against the same arithmetic in
+    SQL: the Arrow transfer and pandas evaluation must be
+    numerically IDENTICAL to the JVM expression — same operand
+    order, same IEEE doubles — which is exactly what makes Python
+    feature engineering trustworthy in a pipeline whose other half
+    runs in SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: inner-scope type hints are not resolvable by
+    # pandas_udf's signature inspection under deferred annotations
+    minmax = pandas_udf(
+        lambda v: ((v - 0.01) / (490.02 - 0.01)).clip(lower=0.0, upper=1.0),
+        "double",
+    )
+    poly = pandas_udf(lambda v: v * v / 1000.0, "double")
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    return e.select(
+        "event_id",
+        minmax("value").alias("minmax_scaled"),
+        poly("value").alias("poly_feature"),
+    ).orderBy("event_id")
