@@ -156,3 +156,81 @@ def sample_topn_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") <= RESERVOIR_N)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@query(
+    "sample_mixture_weights",
+    oracle="""
+        WITH rates AS (
+            SELECT * FROM (VALUES
+                ('high', 192), ('mid', 96), ('low', 32)
+            ) v(tier, keep_buckets)
+        ),
+        tiered AS (
+            SELECT doc_id, lang, n_chars, source,
+                   CASE
+                     WHEN substring(md5(source), 1, 1) IN ('0','1','2','3','4')
+                       THEN 'high'
+                     WHEN substring(md5(source), 1, 1) IN ('5','6','7','8','9','a')
+                       THEN 'mid'
+                     ELSE 'low'
+                   END AS tier,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                        AS INTEGER) AS bucket
+            FROM documents
+        )
+        SELECT t.tier, r.keep_buckets,
+               COUNT(*) AS n_source_docs,
+               SUM(CASE WHEN t.bucket < r.keep_buckets THEN 1 ELSE 0 END)
+                 AS n_sampled,
+               SUM(CASE WHEN t.bucket < r.keep_buckets THEN n_chars ELSE 0 END)
+                 AS sampled_chars
+        FROM tiered t JOIN rates r ON t.tier = r.tier
+        GROUP BY t.tier, r.keep_buckets
+        ORDER BY t.tier
+    """,
+    tags=("E7", "E28", "E38"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: sources are weighted into tiers
+    (75% / 37.5% / 12.5% keep rates as md5-bucket thresholds out of
+    256) and each document's keep/drop decision is a pure function of
+    its id — the "data mixing" stage of an LLM pipeline, where
+    high-quality sources are upweighted and boilerplate farms
+    downweighted.
+
+    Both the TIER assignment (hash of the source name) and the ROW
+    decision (hash-bucket of doc_id vs the tier's threshold) are
+    engine-portable md5 arithmetic: the exact sampled multiset is
+    reproducible across engines, cluster sizes, and reruns — the
+    property that makes training sets auditable.  The rate table
+    broadcasts; the scan never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [("high", 192), ("mid", 96), ("low", 32)], "tier string, keep_buckets int"
+        )
+    )
+    first_hex = F.substring(F.md5(F.col("source")), 1, 1)
+    tier = (
+        F.when(first_hex.isin(*"01234"), "high")
+        .when(first_hex.isin(*"56789a"), "mid")
+        .otherwise("low")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    tiered = d.select(
+        "doc_id", "n_chars", tier.alias("tier"), bucket.alias("bucket")
+    )
+    keep = F.col("bucket") < F.col("keep_buckets")
+    return (
+        tiered.join(rates, "tier")
+        .groupBy("tier", "keep_buckets")
+        .agg(
+            F.count(F.lit(1)).alias("n_source_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
+        )
+        .orderBy("tier")
+    )

@@ -611,3 +611,70 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                       i -> array_to_string(
+                                list_slice(string_split(lower(text), ' '), i, i + 2),
+                                ' '))) AS shingles
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ),
+        posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        common AS (
+            SELECT s, COUNT(*) AS df
+            FROM posting GROUP BY s
+            HAVING COUNT(*) >= 5
+        )
+        SELECT p.doc_id,
+               COUNT(*) AS n_boiler_shingles,
+               MAX(c.df) AS max_df
+        FROM posting p JOIN common c ON p.s = c.s
+        GROUP BY p.doc_id
+        ORDER BY n_boiler_shingles DESC, p.doc_id
+    """,
+    tags=("E35", "E37"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles with document frequency
+    >= 5 are boilerplate (headers, footers, licenses, templates);
+    every document is scored by how many it contains — the cleanup
+    signal LLM pipelines use to strip copy-pasted chrome before
+    training.  (Absolute support threshold: the synthetic corpus is
+    near-uniform random words, so df concentrates low; real corpora
+    use a %-of-corpus threshold — same plan either way.)
+
+    Two aggregates over ONE posting-list explode: shingle -> df
+    (HAVING against a broadcast scalar corpus count), then a semi-
+    join-shaped aggregation back onto postings.  df is computed with
+    DISTINCT shingles per doc, so a doc repeating its own footer
+    doesn't inflate corpus df — the contract the oracle spells
+    identically."""
+    from potpot_spark.operators.dedup import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    sh = d.where(F.size(tok) >= 3).select(
+        "doc_id", word_shingles(tok, 3).alias("shingles")
+    )
+    posting = sh.select("doc_id", F.explode("shingles").alias("s"))
+    common = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 5)
+    )
+    return (
+        posting.join(F.broadcast(common), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_boiler_shingles"),
+            F.max("df").alias("max_df"),
+        )
+        .orderBy(F.desc("n_boiler_shingles"), F.asc("doc_id"))
+    )

@@ -1061,3 +1061,65 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, cusum_last double, cusum_max double, "
         "n_alarms bigint, n_points bigint",
     )
+
+
+@query(
+    "timeseries_seasonal_baseline_deviation",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_type,
+                   CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+                   value, event_id
+            FROM events
+        ),
+        baseline AS (
+            SELECT event_type, dow,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                     AS base_avg,
+                   COUNT(*) AS n_obs
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT k.event_type, k.dow, k.event_id,
+               k.value, b.base_avg,
+               k.value / b.base_avg AS deviation_ratio
+        FROM keyed k JOIN baseline b
+          ON k.event_type = b.event_type AND k.dow = b.dow
+        WHERE b.n_obs >= 5 AND k.value / b.base_avg > 2.5
+        ORDER BY k.event_type, k.event_id
+    """,
+    tags=("E20", "E25"),
+)
+def timeseries_seasonal_baseline_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: each observation scored
+    against the average for its (event_type, ISO-day-of-week) cell —
+    the "is this normal for a Tuesday" monitor that catches what a
+    global threshold can't (weekly seasonality; production adds the
+    hour axis when cell support allows — the fixtures are too sparse
+    for type x dow x hour cells).
+
+    The baseline is a tiny (type x 7) aggregate joined back
+    BROADCAST, so the fact table never shuffles; the deviation is one
+    division of an exact-decimal mean.  Cells with fewer than 5
+    observations don't judge (cold-start guard on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        "value",
+        "event_id",
+    )
+    baseline = keyed.groupBy("event_type", "dow").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)))
+        .alias("base_avg"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    ratio = F.col("value") / F.col("base_avg")
+    return (
+        keyed.join(F.broadcast(baseline), ["event_type", "dow"])
+        .where((F.col("n_obs") >= 5) & (ratio > 2.5))
+        .select(
+            "event_type", "dow", "event_id", "value", "base_avg",
+            ratio.alias("deviation_ratio"),
+        )
+        .orderBy("event_type", "event_id")
+    )
