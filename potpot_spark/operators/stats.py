@@ -640,3 +640,181 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+@query(
+    "stats_welch_t_test",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 'treat' ELSE 'ctrl' END AS grp,
+                   value
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        s AS (
+            SELECT grp,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+            FROM g GROUP BY grp
+        )
+        SELECT a.n AS n_treat, b.n AS n_ctrl,
+               a.sx / a.n AS mean_treat,
+               b.sx / b.n AS mean_ctrl,
+               (a.sx / a.n - b.sx / b.n)
+                 / SQRT(((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n
+                        + ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n)
+                 AS t_stat
+        FROM s a, s b
+        WHERE a.grp = 'treat' AND b.grp = 'ctrl'
+    """,
+    tags=("E25",),
+)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between purchase
+    and view values — the difference-of-means significance readout
+    that doesn't assume pooled variance (the robust default for A/B
+    comparisons of continuous metrics; the z-test op covers the
+    proportion case).
+
+    Each group reduces to three exact numbers (n, decimal sum, decimal
+    sum of squares) in ONE partial-aggregable pass; the t statistic is
+    then a short fixed chain of double ops written identically on both
+    engines — means, textbook variance, sqrt (correctly rounded
+    everywhere) — so the comparison is bit-exact.  Scale: the
+    per-group trio is all that crosses the wire."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = e.select(
+        F.when(F.col("event_type") == "purchase", "treat").otherwise("ctrl").alias("grp"),
+        "value",
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = s.where(F.col("grp") == "treat").select(
+        F.col("n").alias("n_treat"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    b = s.where(F.col("grp") == "ctrl").select(
+        F.col("n").alias("n_ctrl"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    va = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n_treat")) / (
+        F.col("n_treat") - 1
+    )
+    vb = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("n_ctrl")) / (
+        F.col("n_ctrl") - 1
+    )
+    return a.crossJoin(b).select(
+        "n_treat",
+        "n_ctrl",
+        (F.col("sxa") / F.col("n_treat")).alias("mean_treat"),
+        (F.col("sxb") / F.col("n_ctrl")).alias("mean_ctrl"),
+        (
+            (F.col("sxa") / F.col("n_treat") - F.col("sxb") / F.col("n_ctrl"))
+            / F.sqrt(va / F.col("n_treat") + vb / F.col("n_ctrl"))
+        ).alias("t_stat"),
+    )
+
+
+BOOT_B = 50  # bootstrap replicas
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle="""
+        WITH reps AS (SELECT UNNEST(range(50)) AS b),
+        weighted AS (
+            SELECT r.b, e.value,
+                   CASE
+                     WHEN m < 368 THEN 0 WHEN m < 736 THEN 1
+                     WHEN m < 920 THEN 2 WHEN m < 981 THEN 3
+                     WHEN m < 996 THEN 4 ELSE 5
+                   END AS w
+            FROM (SELECT value,
+                         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS h
+                  FROM events WHERE event_type = 'purchase') e
+            CROSS JOIN reps r
+            CROSS JOIN LATERAL (SELECT (e.h + 2654435761 * r.b) % 1000 AS m) x
+        ),
+        means AS (
+            SELECT b,
+                   CAST(SUM(CAST(value * w AS DECIMAL(18,4))) AS DOUBLE)
+                     / SUM(w) AS rep_mean
+            FROM weighted GROUP BY b HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT rep_mean,
+                   row_number() OVER (ORDER BY rep_mean, b) AS rk,
+                   COUNT(*) OVER () AS n_reps
+            FROM means
+        )
+        SELECT MIN(CASE WHEN rk = CAST(CEIL(0.025 * n_reps) AS BIGINT)
+                        THEN rep_mean END) AS ci_low,
+               MIN(CASE WHEN rk = CAST(CEIL(0.975 * n_reps) AS BIGINT)
+                        THEN rep_mean END) AS ci_high,
+               CAST(MAX(n_reps) AS BIGINT) AS n_replicas
+        FROM ranked
+    """,
+    tags=("E25", "E28"),
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean purchase
+    value — THE scalable bootstrap: instead of drawing n rows with
+    replacement per replica (a global operation), each row draws its
+    own multiplicity w ~ Poisson(1) independently per replica, which
+    needs no coordination and distributes perfectly.  50 replicas, 95%
+    percentile CI.
+
+    Determinism: the Poisson draw is a fixed inverse-CDF table over a
+    portable md5-derived stream ((h + knuth * b) mod 1000) — the exact
+    replica weights are reproducible across engines and cluster
+    layouts, so even the bootstrap's "randomness" is auditable (the
+    property a regulated pipeline needs).  Replica means use exact
+    decimal weighted sums; the percentile is rank-selected, not
+    interpolated.  Scale: the 50x fan-out is map-side (no shuffle
+    until the 50-row reduce)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    weighted = e.select("value", h.alias("h")).select(
+        "value", "h", reps
+    )
+    m = (F.col("h") + F.lit(2654435761) * F.col("b")) % F.lit(1000)
+    w = (
+        F.when(m < 368, 0).when(m < 736, 1).when(m < 920, 2)
+        .when(m < 981, 3).when(m < 996, 4).otherwise(5)
+    )
+    means = (
+        weighted.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("value") * F.col("w")).cast("decimal(18,4)")).cast("double")
+                / F.sum("w")
+            ).alias("rep_mean"),
+            F.sum("w").alias("tw"),
+        )
+        .where(F.col("tw") > 0)
+    )
+    from pyspark.sql.window import Window
+
+    wrank = Window.orderBy("rep_mean", "b")
+    ranked = means.select(
+        "rep_mean", "b",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_reps"),
+    )
+    lo_rk = F.ceil(0.025 * F.col("n_reps")).cast("bigint")
+    hi_rk = F.ceil(0.975 * F.col("n_reps")).cast("bigint")
+    return ranked.agg(
+        F.min(F.when(F.col("rk") == lo_rk, F.col("rep_mean"))).alias("ci_low"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias("ci_high"),
+        F.max("n_reps").cast("bigint").alias("n_replicas"),
+    )
