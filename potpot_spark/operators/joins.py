@@ -403,8 +403,9 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n_pairs,
                MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
                  AS min_dist2,
-               CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-                             AS DECIMAL(18,14))) AS DOUBLE) AS sum_dist2
+               SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y)) * 1e12) AS BIGINT))
+                 AS sum_dist2_fp
         FROM probe a
         JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy AND a.k < b.k
         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.0025
@@ -469,6 +470,9 @@ def join_grid_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.min(dist2).alias("min_dist2"),
-            F.sum(dist2.cast("decimal(18,14)")).cast("double").alias("sum_dist2"),
+            # fixed-point floor sum: double->decimal rounding breaks
+            # half-way ties differently per engine over ~1M terms;
+            # floor(x * 1e12) is unambiguous and sums exactly in int64
+            F.sum(F.floor(dist2 * F.lit(1e12)).cast("bigint")).alias("sum_dist2_fp"),
         )
     )

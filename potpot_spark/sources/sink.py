@@ -60,7 +60,9 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH changes AS (
             SELECT o_orderkey,
                    o_custkey,
-                   ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE)
+                     AS o_totalprice,
                    'P' AS o_orderstatus
             FROM orders WHERE o_orderkey % 97 = 0
             UNION ALL
@@ -101,7 +103,16 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = base.where(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        # decimal path: double*1.1 then ROUND hits half-way ties that the
+        # engines break differently (observed once at sf0.1); exact
+        # decimal multiply makes the tie value itself exact, and decimal
+        # HALF_UP rounding agrees everywhere
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
         F.lit("P").alias("o_orderstatus"),
     )
     inserts = (
