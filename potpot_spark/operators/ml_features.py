@@ -484,3 +484,50 @@ def udf_pandas_scalar_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax("value").alias("minmax_scaled"),
         poly("value").alias("poly_feature"),
     ).orderBy("event_id")
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin
+            FROM events
+        )
+        SELECT bin,
+               50.0 * bin AS bin_low,
+               COUNT(*) AS n,
+               SUM(label) AS n_pos,
+               CAST(SUM(label) AS DOUBLE) / COUNT(*) AS observed_rate
+        FROM scored
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    tags=("E25",),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve: bucket the score into 10 fixed-width bins
+    and report the observed positive rate per bin — the reliability
+    diagram that tells you whether a model's scores mean what they
+    say (pairs with ml_eval_auc_rank: AUC measures ranking,
+    calibration measures probability).
+
+    One pass, one aggregate: bin assignment is FLOOR arithmetic
+    (truncation — identical on both engines, unlike round), counts
+    are exact integers, the rate is one division.  At 100 TB the
+    10-row result makes this free to run on every scoring batch."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bin"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            (F.lit(50.0) * F.col("bin")).alias("bin_low"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+            (F.sum("label").cast("double") / F.count(F.lit(1))).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -366,3 +366,62 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cust_rev"), F.asc("o_custkey"))
         .limit(1000)
     )
+
+
+@query(
+    "win_interpurchase_gap",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   DATEDIFF('day',
+                            LAG(CAST(o_orderdate AS DATE))
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+                            CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey,
+               COUNT(gap_days) AS n_gaps,
+               CAST(SUM(CAST(gap_days AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(gap_days) AS avg_gap_days,
+               MAX(gap_days) AS max_gap_days,
+               MIN(gap_days) AS min_gap_days
+        FROM gaps
+        WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    tags=("E19", "E20"),
+)
+def win_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval per customer: day gaps between
+    consecutive orders (lag window), reduced to count/avg/min/max —
+    the recency-frequency signal behind churn scores and
+    replenishment models.
+
+    One window pass (lag over the per-customer order timeline) feeding
+    one aggregate on the SAME key — the second hop reuses the first's
+    hash partitioning, so the whole op is one shuffle.  Integer day
+    arithmetic end-to-end; the average divides an exact decimal sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (
+                F.sum(F.col("gap_days").cast("decimal(18,2)")).cast("double")
+                / F.count("gap_days")
+            ).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
