@@ -531,3 +531,67 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "ml_rfm_segmentation",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, last_order, frequency, monetary,
+                   NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                   NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                   NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                 AS segment_value
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    tags=("E19", "E25"),
+)
+def ml_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency /
+    frequency / monetary quartiles (ntile with a custkey tie-break —
+    the total order that makes quartile boundaries identical on both
+    engines), then the 4x4x4 segment grid sized and valued — the
+    marketing-analytics workhorse.
+
+    One per-customer aggregate, three ntile windows over it (each a
+    sort of the ALREADY-aggregated relation — 1/1000th of the fact
+    table), one final rollup.  Monetary sums ride exact decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "monetary"
+        ),
+    )
+    scored = per_cust.select(
+        "o_custkey", "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias(
+                "segment_value"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

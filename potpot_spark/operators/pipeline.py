@@ -187,3 +187,95 @@ def pipeline_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_shared_shingles"), F.asc("doc_id"))
     )
+
+
+@query(
+    "pipeline_quality_gate_reasons",
+    oracle="""
+        WITH boiler AS (
+            SELECT p.doc_id, COUNT(*) AS n_boiler
+            FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')))) AS s
+                FROM documents
+                WHERE len(string_split(lower(text), ' ')) >= 3
+            ) p
+            JOIN (
+                SELECT s FROM (
+                    SELECT unnest(list_distinct(list_transform(
+                               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                               i -> array_to_string(
+                                        list_slice(string_split(lower(text), ' '), i, i + 2),
+                                        ' ')))) AS s
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3
+                ) GROUP BY s HAVING COUNT(*) >= 5
+            ) c USING (s)
+            GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               list_sort(list_filter([
+                   CASE WHEN d.n_chars < 80 THEN 'too_short' END,
+                   CASE WHEN d.n_chars > 450 THEN 'too_long' END,
+                   CASE WHEN d.lang = 'zh' THEN 'lang_excluded' END,
+                   CASE WHEN COALESCE(b.n_boiler, 0) >= 10 THEN 'boilerplate_heavy' END
+               ], x -> x IS NOT NULL)) AS reasons
+        FROM documents d LEFT JOIN boiler b ON d.doc_id = b.doc_id
+        WHERE d.n_chars < 80 OR d.n_chars > 450 OR d.lang = 'zh'
+           OR COALESCE(b.n_boiler, 0) >= 10
+        ORDER BY d.doc_id
+    """,
+    tags=("E37", "E38"),
+)
+def pipeline_quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable quality gate: every rejected document carries the
+    SORTED LIST of rules it failed (length bounds, language filter,
+    boilerplate saturation) — the audit trail a training-data pipeline
+    needs ("why was this dropped") instead of a bare boolean, and the
+    reason histogram is what you tune thresholds against.
+
+    Composition shape: rule predicates are plain columns; the only
+    join is the boilerplate score (itself an aggregate over the
+    shingle posting list, LEFT-joined so absence means 0).  The
+    reasons array builds as array_compact of CASE marks — one
+    projection, no per-rule scans; at 100 TB adding a rule is adding
+    an expression, not a pass."""
+    from potpot_spark.operators.dedup import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    posting = d.where(F.size(tok) >= 3).select(
+        "doc_id", F.explode(word_shingles(tok, 3)).alias("s")
+    )
+    common = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 5)
+    )
+    boiler = (
+        posting.join(F.broadcast(common.select("s")), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    joined = d.join(boiler, "doc_id", "left").withColumn(
+        "nb", F.coalesce(F.col("n_boiler"), F.lit(0))
+    )
+    reasons = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.when(F.col("n_chars") < 80, "too_short"),
+                F.when(F.col("n_chars") > 450, "too_long"),
+                F.when(F.col("lang") == "zh", "lang_excluded"),
+                F.when(F.col("nb") >= 10, "boilerplate_heavy"),
+            )
+        )
+    )
+    return (
+        joined.withColumn("reasons", reasons)
+        .where(F.size("reasons") > 0)
+        .select("doc_id", "reasons")
+        .orderBy("doc_id")
+    )

@@ -1123,3 +1123,51 @@ def timeseries_seasonal_baseline_deviation(spark: SparkSession, sf_dir: str) -> 
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS t2,
+                   LEAD(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || t2 || '>' || t3 AS path,
+               COUNT(*) AS n_occurrences
+        FROM seq
+        WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY path
+        ORDER BY n_occurrences DESC, path
+        LIMIT 15
+    """,
+    tags=("E19", "E37"),
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths ("view>click>purchase") across all
+    user journeys — the sequence-mining census that surfaces dominant
+    flows and anomalous loops (pairs with events_transition_matrix:
+    first-order probabilities there, third-order paths here).
+
+    Two stacked leads in ONE window pass build each 3-step path
+    (no self-joins — the naive formulation is events³), then a
+    count + top-k.  At 100 TB the path dictionary is |types|³ = 125
+    regardless of row count."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(15)
+    )
