@@ -179,3 +179,119 @@ def stream_sink_files_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("event_id").alias("n_ids"),
     )
+
+
+@query(
+    "sink_export_manifest",
+    oracle="""
+        SELECT o_orderstatus AS partition_value,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS partition_total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("E2", "E26"),
+)
+def sink_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-with-manifest: write orders hive-partitioned, then build
+    the manifest FROM THE WRITTEN FILES (per-partition row counts and
+    checksums-by-sum via the ``_metadata`` hidden column) — the
+    handoff contract every downstream consumer wants ("which files,
+    how many rows, does it reconcile") and the first thing a data
+    platform audits after a 100 TB export.
+
+    The manifest must reconcile exactly with aggregating the source —
+    which is what the oracle asserts.  Reading back with _metadata
+    costs one scan of the written files; file-level grouping falls out
+    of the partition directory structure."""
+    import os
+    import tempfile
+
+    src = load_table(spark, sf_dir, "orders")
+    target = os.path.join(tempfile.mkdtemp(prefix="potpot_export_"), "orders_export")
+    src.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("partition_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "partition_total"
+            ),
+        )
+        .orderBy("partition_value")
+    )
+
+
+@query(
+    "sink_versioned_snapshots",
+    oracle="""
+        WITH v2_updates AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+        )
+        SELECT 1 AS version,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+        FROM orders
+        UNION ALL
+        SELECT 2,
+               COUNT(*),
+               SUM(CASE WHEN (o.o_orderkey IN (SELECT o_orderkey FROM v2_updates)
+                              AND o.o_orderstatus <> 'F')
+                          OR (o.o_orderkey NOT IN (SELECT o_orderkey FROM v2_updates)
+                              AND o.o_orderstatus = 'F')
+                        THEN 1 ELSE 0 END)
+        FROM orders o
+        ORDER BY version
+    """,
+    tags=("E2", "R1"),
+)
+def sink_versioned_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning without a table format: each write lands in
+    ``v=N/`` and readers pin a version directory — the minimal
+    time-travel discipline (what Delta/Iceberg formalize with
+    manifests) built from plain parquet + immutable version dirs.
+    Version 2 applies a deterministic change (every 101st key flips
+    F-status); BOTH versions then remain queryable side by side, and
+    the op reports each snapshot's row count and F-count — proving v1
+    is untouched by v2's write (immutability is the whole point).
+
+    At 100 TB: versions share nothing here (full copies); the real
+    cost model is why table formats do manifest-level sharing — the
+    reader contract (pin a snapshot, never see partial writes) is
+    identical."""
+    import os
+    import tempfile
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="potpot_versions_")
+    base.write.mode("overwrite").parquet(os.path.join(root, "v=1"))
+    flipped = base.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0,
+            F.when(F.col("o_orderstatus") != "F", "F").otherwise("O"),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    flipped.write.mode("overwrite").parquet(os.path.join(root, "v=2"))
+    out = []
+    for v in (1, 2):
+        snap = spark.read.parquet(os.path.join(root, f"v={v}"))
+        out.append(
+            snap.agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                    "n_f"
+                ),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("version")
