@@ -502,3 +502,97 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("u").alias("part_key"), "core_degree"
     )
+
+
+LP_UNIVERSE = 500  # candidate endpoints: part keys below this bound
+LP_TOP = 20
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT u AS node, COUNT(*) AS degree FROM sym GROUP BY u
+        ),
+        wedges AS (
+            SELECT s1.v AS a, s2.v AS b, COUNT(*) AS common
+            FROM sym s1 JOIN sym s2
+              ON s1.u = s2.u AND s1.v < s2.v
+            WHERE s1.v < {LP_UNIVERSE} AND s2.v < {LP_UNIVERSE}
+            GROUP BY s1.v, s2.v
+        )
+        SELECT w.a, w.b, w.common,
+               CAST(w.common AS DOUBLE)
+                 / (da.degree + db.degree - w.common) AS jaccard
+        FROM wedges w
+        JOIN deg da ON da.node = w.a
+        JOIN deg db ON db.node = w.b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.u = w.a AND e.v = w.b
+        )
+        ORDER BY jaccard DESC, w.a, w.b
+        LIMIT {LP_TOP}
+    """,
+    tags=("E8", "E36"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for
+    NON-adjacent part pairs (candidate endpoints bounded to the first
+    {LP_UNIVERSE} keys — the per-query working set, same convention
+    as the ANN ops' N_QUERIES), score by neighbor-set Jaccard and
+    return the top pairs — "parts likely to be bought together next",
+    the classic similarity-based recommender.
+
+    Scalable shape: common neighbors come from the WEDGE join (two
+    hops through each shared neighbor, counted per pair) — never a
+    node-pair cross product; the union size is inclusion-exclusion
+    from broadcast degrees (deg(a)+deg(b)-common), and existing edges
+    drop via left-anti.  The endpoint bound caps the wedge fan-out at
+    scale (full-universe link prediction shards this bound).  Every
+    score is integers + ONE division — engine-exact."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = (
+        s1.join(s2, "w")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("a") < LP_UNIVERSE)
+            & (F.col("b") < LP_UNIVERSE)
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edges = wedges.join(
+        edges, (wedges.a == edges.u) & (wedges.b == edges.v), "left_anti"
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")))
+    return (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(LP_TOP)
+    )

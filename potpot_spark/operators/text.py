@@ -678,3 +678,67 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_boiler_shingles"), F.asc("doc_id"))
     )
+
+
+@query(
+    "text_learned_stopwords_ratio",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        learned AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(DISTINCT doc_id) AS df
+                FROM toks GROUP BY tok
+                ORDER BY df DESC, tok
+                LIMIT 20
+            )
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+               CAST(SUM(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS stop_ratio
+        FROM toks t LEFT JOIN learned l ON t.tok = l.tok
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+    tags=("E37",),
+)
+def text_learned_stopwords_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-LEARNED stopword ratio: instead of a fixed stopword list,
+    learn the top-20 highest-document-frequency tokens from the corpus
+    itself, then score every document by the fraction of its tokens in
+    that learned set — the adaptive form of the stopword-density
+    quality signal (fixed lists break on new domains and languages;
+    df-learned lists track the corpus).
+
+    Two-phase plan: the learned list is a 20-row aggregate (df with a
+    deterministic (df, token) tie-break) that BROADCASTS back onto
+    the token stream — the fact-side explode happens once and feeds
+    both phases.  Ratio = integer counts + one division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    learned = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(20)
+        .select("tok", F.lit(1).alias("is_stop"))
+    )
+    return (
+        toks.join(F.broadcast(learned), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).alias("n_stop"),
+            (
+                F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
