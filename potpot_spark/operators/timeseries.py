@@ -1171,3 +1171,73 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "analytics_cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        weekly AS (
+            SELECT f.cohort_week,
+                   CAST(DATEDIFF('week', f.cohort_week,
+                                 date_trunc('week', CAST(e.ts AS TIMESTAMP)))
+                        AS INT) AS week_no,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS wk_value
+            FROM events e JOIN firsts f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_no,
+               CAST(SUM(CAST(wk_value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY cohort_week ORDER BY week_no
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 AS cumulative_value
+        FROM weekly
+        ORDER BY cohort_week, week_no
+    """,
+    tags=("E14", "E19"),
+)
+def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase value per signup-week
+    cohort as a function of weeks-since-signup — the lifetime-value
+    trajectory chart behind payback-period and retention-economics
+    decisions (the count-based cousin is analytics_retention_cohort;
+    this is the money view).
+
+    The cohort tag is an aggregate-then-broadcast-join (one row per
+    user), the weekly rollup shares the user shuffle, and the running
+    total is an exact-decimal prefix window over the tiny
+    (cohort x week) grid — order-independent at any cluster size."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    weekly = (
+        e.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+                )
+            ).cast("int").alias("week_no"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("wk_dec"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.select(
+            "cohort_week", "week_no",
+            F.sum("wk_dec").over(w).cast("double").alias("cumulative_value"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )

@@ -425,3 +425,59 @@ def win_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "analytics_double_charge_flags",
+    oracle="""
+        WITH seq AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   LAG(o_orderdate) OVER w AS prev_date,
+                   LAG(o_orderkey) OVER w AS prev_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey, o_totalprice
+                         ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_orderkey, prev_key, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(DATEDIFF('day', CAST(prev_date AS DATE),
+                             CAST(o_orderdate AS DATE)) AS INT) AS days_apart
+        FROM seq
+        WHERE prev_date IS NOT NULL
+          AND DATEDIFF('day', CAST(prev_date AS DATE),
+                       CAST(o_orderdate AS DATE)) <= 7
+        ORDER BY o_orderkey
+    """,
+    tags=("E19", "E25"),
+)
+def analytics_double_charge_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detection: same customer, same exact amount,
+    within 7 days — the fraud/billing-error screen every payments
+    pipeline runs.  Partitioning the window by (customer, amount)
+    makes "same amount" an EQUI key instead of a join predicate: one
+    shuffle, then a lag comparison — the naive self-join form is
+    quadratic in each customer's order count and shuffles twice.
+    Exact-amount partitioning on a double is safe here because the
+    amounts are parquet-read values compared for identity, never
+    recomputed."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+    )
+    return (
+        seq.where(F.col("prev_date").isNotNull() & (days <= 7))
+        .select(
+            "o_orderkey", "prev_key", "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            days.cast("int").alias("days_apart"),
+        )
+        .orderBy("o_orderkey")
+    )
