@@ -4,10 +4,17 @@
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
 materialization through the noop sink (no driver-side collect cost),
-and prints ONE JSON line:
+and prints ONE SHORT JSON line as the final stdout line:
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "sf": 0.1, "queries_run": N, "errors": N}
+
+The full per-query timing map (200+ keys) is written to
+BENCH_DETAIL.json next to this script — embedding it in the stdout
+line overflows the driver's stdout-tail buffer (ADVICE.md r1).
+Queries that raise are recorded as -1.0 in the detail file and
+counted in "errors" so a regression from working to erroring is
+visible in the headline line.
 """
 
 from __future__ import annotations
@@ -77,6 +84,7 @@ def main() -> int:
     )
     timings: dict[str, float] = {}
     total = 0.0
+    errors = 0
     for name, spec in registry.specs().items():
         if only and not any(f in name for f in only):
             continue
@@ -88,6 +96,7 @@ def main() -> int:
             dt = time.perf_counter() - t0
             print(f"# BENCH ERROR {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
             timings[name] = -1.0
+            errors += 1
             continue
         timings[name] = round(dt, 3)
         total += dt
@@ -96,14 +105,32 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "errors": errors,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # Final stdout line stays short (the driver tails stdout and parses
+    # the last JSON line; a 6 KB line gets truncated — ADVICE.md r1).
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "queries_run": len(timings),
+                "errors": errors,
             }
         )
     )

@@ -35,9 +35,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it with nanos-as-long and keep ``ts`` as raw
-    int64 nanoseconds."""
+    """Raw events scan.  The fixture's ``ts`` physical type has varied
+    across driver rounds — TIMESTAMP(NANOS) (readable only as int64
+    under ``spark.sql.legacy.parquet.nanosAsLong``, declared in
+    session.py DEFAULT_CONFS) in round 1, TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) since round 2.
+    ``normalize_events_ts`` converts either to session-TZ
+    TimestampType downstream.
+
+    The conf is re-asserted here (idempotently, same value as
+    DEFAULT_CONFS) because the driver may hand us a session it built
+    itself."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, "events"))
 
@@ -46,6 +54,19 @@ def nanos_to_ts(col_name: str) -> "F.Column":  # noqa: F821 (typing only)
     from pyspark.sql import functions as F
 
     return F.timestamp_micros(F.expr(f"{col_name} div 1000"))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Surface ``ts`` as microsecond TimestampType regardless of the
+    fixture's physical encoding (int64 nanos or TIMESTAMP_NTZ micros).
+    Works on batch and streaming DataFrames alike (pure projection)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        return df.withColumn("ts", nanos_to_ts("ts"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,8 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        raw = load_events_raw(spark, sf_dir)
-        return raw.withColumn("ts", nanos_to_ts("ts"))
+        return normalize_events_ts(load_events_raw(spark, sf_dir))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

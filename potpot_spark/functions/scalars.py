@@ -88,7 +88,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                ABS(p_retailprice - 1000.0) AS dist_from_1000,
                CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
                CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-               CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
                p_size % 7 AS size_mod7
         FROM part
     """,
@@ -97,7 +97,11 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E26 — math + decimal casts (TPC-H money arithmetic).  Note the
     engine-portability casts: Spark CEIL/FLOOR return BIGINT natively,
-    DuckDB returns DOUBLE — the oracle casts to match."""
+    DuckDB returns DOUBLE — the oracle casts to match.  The DECIMAL
+    round-trip is surfaced as DOUBLE on both sides: pandas renders a
+    Spark DecimalType as object(Decimal) but a DuckDB DECIMAL as
+    float64, which the driver's dtype-sensitive hash would treat as a
+    mismatch even for equal values (ADVICE.md r1 pattern)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -105,7 +109,7 @@ def scalar_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_retailprice") - 1000.0).alias("dist_from_1000"),
         F.ceil("p_retailprice").alias("price_ceil"),
         F.floor("p_retailprice").alias("price_floor"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         (F.col("p_size") % 7).alias("size_mod7"),
     )
 

@@ -403,8 +403,8 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n_pairs,
                MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
                  AS min_dist2,
-               SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)
-                               + (a.y - b.y) * (a.y - b.y)) * 1e12) AS BIGINT))
+               CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y)) * 1e12) AS BIGINT)) AS BIGINT)
                  AS sum_dist2_fp
         FROM probe a
         JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy AND a.k < b.k

@@ -312,7 +312,7 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT COUNT(*) AS n_shipped,
                {dsum_expr('l_extendedprice * (1 - l_discount)', scale=4)} AS revenue,
-               SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS n_bulk
+               CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
         FROM lineitem
         WHERE l_returnflag = 'N'
     """,

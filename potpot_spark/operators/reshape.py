@@ -29,11 +29,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "reshape_pivot_event_counts",
     oracle="""
         SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY day
     """,

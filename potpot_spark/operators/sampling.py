@@ -181,9 +181,9 @@ def sample_topn_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         SELECT t.tier, r.keep_buckets,
                COUNT(*) AS n_source_docs,
-               SUM(CASE WHEN t.bucket < r.keep_buckets THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN t.bucket < r.keep_buckets THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_sampled,
-               SUM(CASE WHEN t.bucket < r.keep_buckets THEN n_chars ELSE 0 END)
+               CAST(SUM(CASE WHEN t.bucket < r.keep_buckets THEN n_chars ELSE 0 END) AS BIGINT)
                  AS sampled_chars
         FROM tiered t JOIN rates r ON t.tier = r.tier
         GROUP BY t.tier, r.keep_buckets

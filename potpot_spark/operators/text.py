@@ -697,7 +697,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT t.doc_id,
                COUNT(*) AS n_tokens,
-               SUM(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+               CAST(SUM(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
                CAST(SUM(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*) AS stop_ratio
         FROM toks t LEFT JOIN learned l ON t.tok = l.tok

@@ -43,6 +43,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep partition files reasonably sized when writing.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    # parquet reader otherwise rejects.  Declared session-wide (rather
+    # than toggled inside the events read path) so the behavior —
+    # nanosecond parquet timestamps surface as int64 nanos and must be
+    # converted explicitly (catalog.nanos_to_ts) — is a documented
+    # engine-wide contract, not a read-path side effect (ADVICE.md r1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -80,7 +80,7 @@ class DocPythonSource(DataSource):
 @query(
     "scan_python_datasource",
     oracle="""
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM documents
         GROUP BY lang

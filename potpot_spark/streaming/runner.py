@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from potpot_spark.catalog import load_events_raw, nanos_to_ts, table_path
+from potpot_spark.catalog import load_events_raw, normalize_events_ts, table_path
 
 _counter = itertools.count()
 
@@ -23,15 +23,15 @@ _counter = itertools.count()
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — file-based streaming source over the events table (schema
     pinned from the batch footer; file sources require explicit
-    schemas).  ts arrives as int64 nanos (see catalog.load_events_raw)
-    and is converted to microsecond TimestampType in-stream."""
+    schemas).  ts is normalized to microsecond TimestampType in-stream
+    whatever the fixture's physical encoding (catalog.load_events_raw)."""
     schema = load_events_raw(spark, sf_dir).schema
     # The file stream source requires a directory (or glob) path; the
     # fixture is a single file, so glob-escape its last character.
     path = table_path(sf_dir, "events")
     glob_path = f"{path[:-1]}[{path[-1]}]"
     raw = spark.readStream.schema(schema).parquet(glob_path)
-    return raw.withColumn("ts", nanos_to_ts("ts"))
+    return normalize_events_ts(raw)
 
 
 def run_to_batch(

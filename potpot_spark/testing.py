@@ -41,6 +41,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for cross-engine comparability checks."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -82,6 +95,17 @@ def compare_query(
     if s_cols != o_cols:
         ok = False
         notes.append(f"columns {s_cols} != {o_cols}")
+    else:
+        # The driver's value hash is dtype-sensitive: a Spark int64
+        # column vs a DuckDB HUGEINT→float64 column hash-mismatches
+        # even when every value is numerically equal (ADVICE.md r1).
+        # Fail loudly on dtype-CLASS divergence so it is caught at
+        # sf0.001 locally, not in the driver run.
+        for c in s_cols:
+            sk, ok_ = _dtype_class(sdf[c]), _dtype_class(odf[c])
+            if sk != ok_:
+                ok = False
+                notes.append(f"col {c}: dtype class {sk} (spark) != {ok_} (oracle); {sdf[c].dtype} vs {odf[c].dtype}")
     if ok:
         s_can, o_can = _canonicalize(sdf), _canonicalize(odf)
         for c in s_can.columns:
