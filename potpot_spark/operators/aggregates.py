@@ -263,7 +263,7 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               count_if(o_totalprice > 200000) AS n_big,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                bool_and(o_totalprice > 0) AS all_positive,
                bool_or(o_orderstatus = 'F') AS any_finished
         FROM orders
@@ -371,4 +371,85 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr("bit_count(coalesce(click_mask, 0L) & coalesce(buy_mask, 0L))")
         ).alias("n_both"),
+    )
+
+
+APPROX_PCT_ACC = 1000  # rank error eps = 1/accuracy = 0.1%
+APPROX_PCT_MARGIN = 0.01  # band half-width in rank space (10x eps)
+
+
+@query(
+    "agg_approx_percentile_bounds",
+    oracle=f"""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, {0.5 - APPROX_PCT_MARGIN}), 4) AS p50_lo,
+               ROUND(quantile_cont(l_extendedprice, {0.5 + APPROX_PCT_MARGIN}), 4) AS p50_hi,
+               TRUE AS p50_within,
+               ROUND(quantile_cont(l_extendedprice, {0.95 - APPROX_PCT_MARGIN}), 4) AS p95_lo,
+               ROUND(quantile_cont(l_extendedprice, {0.95 + APPROX_PCT_MARGIN}), 4) AS p95_hi,
+               TRUE AS p95_within
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("E16", "E40"),
+)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-error contract driven THROUGH the oracle gate: the
+    mergeable KLL-style ``percentile_approx`` (accuracy 1000 → rank
+    error ≤ 0.1%) must land inside the exact rank band
+    [p−0.01, p+0.01], which both engines compute exactly.  The engine
+    emits the exact band plus a computed within-band boolean; the
+    oracle emits the same band plus literal TRUE — the value hash
+    matches iff the sketch honored its error bound.  This pins the
+    approximation CONTRACT (the only portable property of a sketch)
+    rather than sketch internals, which are engine-specific by
+    design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for p, name in [(0.5, "p50"), (0.95, "p95")]:
+        lo = F.round(F.expr(f"percentile(l_extendedprice, {p - APPROX_PCT_MARGIN})"), 4)
+        hi = F.round(F.expr(f"percentile(l_extendedprice, {p + APPROX_PCT_MARGIN})"), 4)
+        approx = F.expr(
+            f"approx_percentile(l_extendedprice, {p}, {APPROX_PCT_ACC})"
+        )
+        aggs += [
+            lo.alias(f"{name}_lo"),
+            hi.alias(f"{name}_hi"),
+            ((approx >= lo) & (approx <= hi)).alias(f"{name}_within"),
+        ]
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+@query(
+    "agg_grouping_id_flags",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("E17",),
+)
+def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with ``grouping()`` indicator flags — the standard way a
+    report layer distinguishes "value is NULL in the data" from
+    "value is aggregated away" in a super-aggregate row (completes
+    the grouping-sets surface of agg_grouping_sets_cube_rollup).
+    Physical plan is a single Expand + one aggregation — the flags
+    are free metadata bits, not extra passes."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "g_status", "g_priority", "n",
+        )
     )

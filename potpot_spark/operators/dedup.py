@@ -354,3 +354,85 @@ def dedup_incremental_new_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(existing, "content_hash", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_containment_ngrams",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        )
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+               ROUND(
+                   CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+                   / len(a.shingles), 6) AS containment
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang
+         AND a.doc_id <> b.doc_id
+         AND (len(a.shingles) < len(b.shingles)
+              OR (len(a.shingles) = len(b.shingles) AND a.doc_id < b.doc_id))
+         AND abs(a.n_chars - b.n_chars) <= 40
+        WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+              / len(a.shingles) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("E35",),
+)
+def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B| / |A| of the smaller-shingle-set doc
+    in the larger — the asymmetric near-dup signal Jaccard misses:
+    a short doc fully embedded in a long one (quote farms, wrapper
+    pages, partial mirrors) scores containment ≈ 1 while Jaccard
+    stays low.  Production corpus filters (RefinedWeb-style) gate on
+    BOTH.  Same banded-blocking recipe as dedup_ngram_jaccard (equi
+    join on (lang, length band), wider ±40-char band, residual
+    filter), shingles compared as xxhash64 longs; the direction
+    normalization (smaller set is always A, doc_id tie-break) keeps
+    one deterministic row per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    band = (F.col("n_chars") / 80).cast("int")
+    hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
+    sh = d.where(F.size(tok) >= 3).select(
+        "doc_id", "lang", "n_chars", hashed.alias("sh_h"), band.alias("band")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_small"),
+        "lang",
+        F.col("n_chars").alias("chars_a"),
+        F.col("sh_h").alias("sh_a"),
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)).alias("jband"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_big"),
+        "lang",
+        F.col("n_chars").alias("chars_b"),
+        F.col("sh_h").alias("sh_b"),
+        F.col("band").alias("jband"),
+    )
+    containment = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a")
+    direction = (F.size("sh_a") < F.size("sh_b")) | (
+        (F.size("sh_a") == F.size("sh_b")) & (F.col("doc_small") < F.col("doc_big"))
+    )
+    return (
+        a.join(b, ["lang", "jband"])
+        .where(
+            (F.col("doc_small") != F.col("doc_big"))
+            & direction
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 40)
+        )
+        .where(containment >= CONTAINMENT_THRESHOLD)
+        .select("doc_small", "doc_big", F.round(containment, 6).alias("containment"))
+    )

@@ -596,3 +596,98 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(LP_TOP)
     )
+
+
+BFS_SEED_MOD = 97
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(node, dist) AS (
+            SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+            UNION
+            SELECT s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {BFS_MAX_HOPS}
+        ),
+        best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+        SELECT CAST(dist AS INT) AS dist,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM best GROUP BY dist ORDER BY dist
+    """,
+    tags=("E8", "E55"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (frontier expansion) on the part
+    co-purchase graph: seeds are nodes with id % {mod} == 0; every
+    node within {hops} hops gets its minimum hop count, histogrammed
+    per distance.
+
+    Spark-first iteration (the third iterative kernel family after
+    label propagation and PageRank): each round is frontier ⋈ edges →
+    new frontier = neighbors MINUS visited (left_anti on the same node
+    key), with ``localCheckpoint`` truncating lineage per round.
+    Frontier size is monotone non-increasing after the expansion
+    peak, and per-round cost is one shuffle join over |frontier
+    edges| — the standard Pregel-without-Pregel shape.  At 100 TB the
+    edge list is pre-partitioned on src once (one exchange total) and
+    every round's join reuses that partitioning; the visited set
+    stays bucketed the same way so the anti-join is also
+    shuffle-free.  Oracle: DuckDB recursive CTE with the same hop cap
+    (UNION-dedup bounds the recursion), then MIN(dist) per node."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .withColumnRenamed("u", "src")
+        .withColumnRenamed("v", "dst")
+        .persist()
+    )
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        neighbors = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = neighbors.join(dist.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = dist.union(new)
+        frontier = new
+    sym.unpersist()
+    return (
+        dist.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

@@ -317,10 +317,10 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (VALUES (50.0), (100.0), (200.0)) v(t)
         )
         SELECT t.threshold,
-               SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
-               SUM(CASE WHEN s.score > t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
-               SUM(CASE WHEN s.score <= t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS fn,
-               SUM(CASE WHEN s.score <= t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS tn,
+               CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s.score <= t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN s.score <= t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
                CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / NULLIF(SUM(CASE WHEN s.score > t.threshold THEN 1 ELSE 0 END), 0) AS precision,
                CAST(SUM(CASE WHEN s.score > t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -394,8 +394,8 @@ def ml_eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                        * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END))
                AS DOUBLE) AS auc,
-               SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
-               SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_neg
+               CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         FROM ranked
     """,
     tags=("E25",),
@@ -497,7 +497,7 @@ def udf_pandas_scalar_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bin,
                50.0 * bin AS bin_low,
                COUNT(*) AS n,
-               SUM(label) AS n_pos,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
                CAST(SUM(label) AS DOUBLE) / COUNT(*) AS observed_rate
         FROM scored
         GROUP BY bin
@@ -594,4 +594,256 @@ def ml_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "ml_kfold_assign",
+    oracle=f"""
+        WITH folds AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2))
+                        AS INT) % {KFOLD_K} AS fold
+            FROM customer
+        )
+        SELECT fold,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS mean_acctbal,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_key
+        FROM folds GROUP BY fold ORDER BY fold
+    """,
+    tags=("E48", "E99"),
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(key) mod k — reproducible on any engine, any partitioning,
+    any rerun (the same portable-hash discipline as
+    ``sample_train_test_split``, completing the CV side of the
+    train/eval tooling).  Per-fold row counts and exact-decimal mean
+    of the target sanity-check fold balance.  At 100 TB the
+    assignment is a pure row-local expression — no shuffle beyond the
+    k-row aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2), 16, 10)
+        .cast("int") % KFOLD_K
+    ).alias("fold")
+    return (
+        c.select(fold, "c_custkey", "c_acctbal")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_acctbal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("fold")
+    )
+
+
+DRIFT_BIN_WIDTH = 50.0
+DRIFT_N_BINS = 10
+
+
+@query(
+    "ml_drift_total_variation",
+    oracle=f"""
+        WITH binned AS (
+            SELECT CAST(LEAST(FLOOR(value / {DRIFT_BIN_WIDTH}), {DRIFT_N_BINS - 1}) AS INT)
+                     AS bin,
+                   user_id % 2 AS cohort
+            FROM events
+        ),
+        counts AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+            FROM counts
+        )
+        SELECT na, nb,
+               ROUND(0.5 * CAST(SUM(ABS(ca * nb - cb * na)) AS DOUBLE)
+                     / (na * nb), 9) AS tvd
+        FROM counts, tot
+        GROUP BY na, nb
+    """,
+    tags=("E42", "E88"),
+)
+def ml_drift_total_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift metric between two cohorts (even vs odd
+    users) over binned event values: total variation distance
+    TVD = ½ Σ_bins |p_i − q_i| — the log-free drift statistic (PSI's
+    ln(p/q) term is not correctly-rounded cross-engine; TVD carries
+    the identical monitoring signal with exact arithmetic).
+
+    Bit-exact trick: |p−q| = |ca·nb − cb·na| / (na·nb), so the sum
+    runs over INTEGERS and the single double division happens once at
+    the end — reproducible at any partition count, any engine.  One
+    mergeable groupBy over the fact table; everything after is
+    aggregate-sized."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(F.floor(F.col("value") / DRIFT_BIN_WIDTH), F.lit(DRIFT_N_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+        (F.col("user_id") % 2).alias("cohort"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    from pyspark.sql.window import Window
+
+    tot = Window.partitionBy()
+    with_tot = counts.select(
+        "ca", "cb",
+        F.sum("ca").over(tot).cast("bigint").alias("na"),
+        F.sum("cb").over(tot).cast("bigint").alias("nb"),
+    )
+    return with_tot.groupBy("na", "nb").agg(
+        F.round(
+            0.5
+            * F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).cast(
+                "double"
+            )
+            / (F.col("na") * F.col("nb")),
+            9,
+        ).alias("tvd")
+    ).select(F.col("na"), F.col("nb"), F.col("tvd"))
+
+
+NDCG_K = 5
+# 1/log2(rank+1) precomputed as shortest-roundtrip double literals so
+# NEITHER engine evaluates a transcendental at query time (log results
+# are not guaranteed correctly-rounded across libm implementations;
+# literals parse to identical doubles everywhere).
+NDCG_DISCOUNTS = {
+    1: 1.0,
+    2: 0.6309297535714575,
+    3: 0.5,
+    4: 0.43067655807339306,
+    5: 0.38685280723454163,
+}
+_NDCG_CASE = " ".join(f"WHEN {r} THEN {d!r}" for r, d in NDCG_DISCOUNTS.items())
+
+
+@query(
+    "ml_ndcg_at_k",
+    oracle=f"""
+        WITH scored AS (
+            SELECT o_custkey,
+                   5 - CAST(substring(o_orderpriority, 1, 1) AS INT) AS gain,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY 5 - CAST(substring(o_orderpriority, 1, 1) AS INT) DESC,
+                                               o_orderkey) AS irn
+            FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   SUM(CASE WHEN rn <= {NDCG_K} THEN
+                         CAST(ROUND(gain * (CASE rn {_NDCG_CASE} END), 12)
+                              AS DECIMAL(20,12)) ELSE 0 END) AS dcg,
+                   SUM(CASE WHEN irn <= {NDCG_K} THEN
+                         CAST(ROUND(gain * (CASE irn {_NDCG_CASE} END), 12)
+                              AS DECIMAL(20,12)) ELSE 0 END) AS idcg
+            FROM scored GROUP BY o_custkey
+        ),
+        ndcg AS (
+            SELECT c.c_mktsegment,
+                   CAST(ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 8)
+                        AS DECIMAL(12,8)) AS ndcg
+            FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+            WHERE idcg > 0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 8) AS avg_ndcg
+        FROM ndcg GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("E18", "E25"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the "rank a customer's orders by price" heuristic
+    against order-priority relevance, averaged per market segment —
+    the standard ranking-quality readout (search/reco eval) computed
+    at warehouse scale.
+
+    Determinism engineering: the log2 discount table is PRECOMPUTED
+    Python literals (both engines parse identical doubles; no libm at
+    query time); each DCG term is rounded to 12 decimals and
+    accumulated as an exact DECIMAL (order-independent sum); the
+    dcg/idcg division and the final mean (exact decimal sum / count)
+    are single correctly-rounded double ops.  Plan shape: two window
+    ranks over the same (custkey) partitioning — ONE shuffle, both
+    windows reuse it — then mergeable aggregates; the customer join
+    broadcasts segment labels."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    gain = (5 - F.substring("o_orderpriority", 1, 1).cast("int")).alias("gain")
+    w_pred = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ideal = Window.partitionBy("o_custkey").orderBy(
+        F.desc("gain"), F.asc("o_orderkey")
+    )
+    scored = o.select(
+        "o_custkey", gain, "o_totalprice", "o_orderkey"
+    ).select(
+        "o_custkey", "gain",
+        F.row_number().over(w_pred).alias("rn"),
+        F.row_number().over(w_ideal).alias("irn"),
+    )
+
+    def disc(rank_col):
+        expr = F.lit(None).cast("double")
+        for r, d in NDCG_DISCOUNTS.items():
+            expr = F.when(rank_col == r, F.lit(d)).otherwise(expr)
+        return expr
+
+    def term(rank_col):
+        return F.when(
+            rank_col <= NDCG_K,
+            F.round(F.col("gain") * disc(rank_col), 12).cast("decimal(20,12)"),
+        ).otherwise(F.lit(0).cast("decimal(20,12)"))
+
+    per_cust = scored.groupBy("o_custkey").agg(
+        F.sum(term(F.col("rn"))).alias("dcg"),
+        F.sum(term(F.col("irn"))).alias("idcg"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ndcg = (
+        per_cust.where(F.col("idcg") > 0)
+        .join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 8
+            )
+            .cast("decimal(12,8)")
+            .alias("ndcg"),
+        )
+    )
+    return (
+        ndcg.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("ndcg").cast("double") / F.count(F.lit(1)), 8).alias(
+                "avg_ndcg"
+            ),
+        )
+        .orderBy("c_mktsegment")
     )

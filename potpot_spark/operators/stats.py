@@ -818,3 +818,142 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias("ci_high"),
         F.max("n_reps").cast("bigint").alias("n_replicas"),
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH s AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ),
+        per_value AS (
+            SELECT value,
+                   CAST(SUM(is_a) AS BIGINT) AS ca,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS cb
+            FROM s GROUP BY value
+        ),
+        cum AS (
+            SELECT value,
+                   SUM(ca) OVER (ORDER BY value) AS cum_a,
+                   SUM(cb) OVER (ORDER BY value) AS cum_b,
+                   (SELECT SUM(ca) FROM per_value) AS na,
+                   (SELECT SUM(cb) FROM per_value) AS nb
+            FROM per_value
+        )
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / na
+                             - CAST(cum_b AS DOUBLE) / nb)), 9) AS ks_stat
+        FROM cum
+    """,
+    tags=("E42",),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic comparing the ``value``
+    distribution of purchase vs view events: D = max_x |F_a(x) −
+    F_b(x)| over the observed support.
+
+    Scale shape: the raw stream first collapses to per-DISTINCT-VALUE
+    counts (mergeable groupBy — at 100 TB this is the only pass over
+    the data), and the CDF window then runs over |distinct values|
+    rows, not |events|.  The single-partition ordered window is safe
+    because its input is already aggregate-sized; if the support were
+    itself huge, the two-pass range-partitioned prefix-sum (compute
+    per-partition subtotals, broadcast offsets) replaces it — same
+    results, no single-reducer sort.  Bit-exact: integer cumulative
+    counts, one correctly-rounded double division per side, ABS/MAX
+    order-independent."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    per_value = (
+        e.select("value", F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"))
+        .groupBy("value")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+    )
+    return cum.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("na")
+                    - F.col("cum_b").cast("double") / F.col("nb")
+                )
+            ),
+            9,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "stats_ols_per_group",
+    oracle="""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                 AS intercept
+        FROM sums
+    """,
+    tags=("E43",),
+)
+def stats_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression (extendedprice ~ quantity)
+    per returnflag: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from ONE
+    mergeable aggregation pass — the distributed-OLS identity (the
+    same sums power covariance/correlation; ``agg_corr_cov`` is the
+    normalized sibling).
+
+    Bit-exact cross-engine: the four sums accumulate as exact
+    DECIMALs (order-independent), are cast to double once, and the
+    slope/intercept arithmetic is a fixed dag of correctly-rounded
+    double ops — identical operands give identical results at any
+    partition count.  At 100 TB this is the pattern for any
+    closed-form model fit: sufficient statistics map-side, algebra on
+    the tiny aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )

@@ -1241,3 +1241,37 @@ def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+        SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY dow, hour
+        ORDER BY dow, hour
+    """,
+    tags=("E25", "E14"),
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid (the load-profile /
+    seasonality heatmap feeding anomaly baselines and capacity
+    plans).  Calendar-portability note: Spark ``weekday()`` is
+    0=Monday while DuckDB ``isodow()`` is 1=Monday — the engine emits
+    ``weekday()+1`` so both sides speak ISO.  One mergeable groupBy
+    over ≤168 cells; exact-decimal value sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )

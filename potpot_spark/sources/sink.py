@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import dsum_expr
 from potpot_spark.registry import query
 
 
@@ -235,16 +236,16 @@ def sink_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT 1 AS version,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
         FROM orders
         UNION ALL
         SELECT 2,
                COUNT(*),
-               SUM(CASE WHEN (o.o_orderkey IN (SELECT o_orderkey FROM v2_updates)
+               CAST(SUM(CASE WHEN (o.o_orderkey IN (SELECT o_orderkey FROM v2_updates)
                               AND o.o_orderstatus <> 'F')
                           OR (o.o_orderkey NOT IN (SELECT o_orderkey FROM v2_updates)
                               AND o.o_orderstatus = 'F')
-                        THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END) AS BIGINT)
         FROM orders o
         ORDER BY version
     """,
@@ -295,3 +296,57 @@ def sink_versioned_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("version")
+
+
+PARQUET_CODECS = ("snappy", "zstd", "gzip")
+
+
+@query(
+    "sink_parquet_codecs_roundtrip",
+    oracle=f"""
+        SELECT codec,
+               COUNT(*) AS n_rows,
+               {dsum_expr('l_extendedprice * (1 - l_discount)', scale=4)} AS revenue
+        FROM (
+            SELECT unnest({list(PARQUET_CODECS)}) AS codec
+        ) c, lineitem
+        WHERE l_returnflag = 'A'
+        GROUP BY codec
+        ORDER BY codec
+    """,
+    tags=("E2", "E1"),
+)
+def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round trip: the same lineitem slice written
+    with snappy / zstd / gzip parquet codecs, read back, and proven
+    content-identical per codec (row count + exact-decimal revenue all
+    equal the source aggregate).  Codec choice is a storage-layer
+    knob — zstd for cold data (~2x smaller than snappy at similar scan
+    cost on modern CPUs), snappy for hot paths — and MUST be
+    semantically invisible; this query is the invisibility proof the
+    engine ships.  At 100 TB codec migration is a partition-by-
+    partition rewrite with exactly this equality check as the
+    validation gate."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "A")
+    base = tempfile.mkdtemp(prefix="potpot_codecs_")
+    outs = []
+    for codec in PARQUET_CODECS:
+        path = os.path.join(base, codec)
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.groupBy(F.lit(codec).alias("codec")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("codec")
