@@ -403,7 +403,11 @@ def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     one deterministic row per pair."""
     d = load_table(spark, sf_dir, "documents")
     tok = tokens()
-    band = (F.col("n_chars") / 80).cast("int")
+    # band width 40 == the residual |n_chars| cap: the tightest width
+    # that still guarantees every qualifying pair meets in a same-or-
+    # adjacent band (lossless), halving per-band candidates vs a
+    # wider band.
+    band = (F.col("n_chars") / 40).cast("int")
     hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
     sh = d.where(F.size(tok) >= 3).select(
         "doc_id", "lang", "n_chars", hashed.alias("sh_h"), band.alias("band")

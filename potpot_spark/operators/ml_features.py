@@ -847,3 +847,163 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "ml_confusion_multiclass",
+    oracle="""
+        WITH scored AS (
+            SELECT event_type AS actual,
+                   CASE WHEN value >= 200 THEN 'purchase'
+                        WHEN value >= 80  THEN 'signup'
+                        WHEN value >= 30  THEN 'click'
+                        ELSE 'view' END AS predicted
+            FROM events
+            WHERE event_type <> 'error'
+        )
+        SELECT actual, predicted, COUNT(*) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY actual), 6) AS row_rate
+        FROM scored
+        GROUP BY actual, predicted
+        ORDER BY actual, predicted
+    """,
+    tags=("E14", "E25"),
+)
+def ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix (value-threshold rule predicting
+    the event type) with per-actual row-normalized rates — the
+    multi-class completion of ml_eval_binary_classifier's 2x2 matrix.
+    One mergeable groupBy over the fact table; the normalizing
+    per-actual total is a window over the |classes|² aggregate, not a
+    second scan.  Integer counts, one division, round 6 — bit-exact
+    cross-engine."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    pred = (
+        F.when(F.col("value") >= 200, "purchase")
+        .when(F.col("value") >= 80, "signup")
+        .when(F.col("value") >= 30, "click")
+        .otherwise("view")
+    )
+    counts = (
+        e.select(F.col("event_type").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("actual")
+    return (
+        counts.select(
+            "actual", "predicted", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("row_rate"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+KNN_K = 3
+KNN_QUERIES = 50
+
+
+@query(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+        WITH prod AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   c.vec_id AS cand_id, c.label AS cand_label,
+                   UNNEST(q.embedding)::DOUBLE AS qx,
+                   UNNEST(c.embedding)::DOUBLE AS cx
+            FROM embeddings q
+            JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {KNN_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, true_label, cand_id, cand_label,
+                   SUM(qx * cx) / (SQRT(SUM(qx * qx)) * SQRT(SUM(cx * cx))) AS cos
+            FROM prod
+            GROUP BY query_id, true_label, cand_id, cand_label
+        ),
+        topk AS (
+            SELECT query_id, true_label, cand_label
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, cand_id) AS rn
+                FROM scored
+            ) WHERE rn <= {KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, cand_label AS pred_label,
+                   COUNT(*) AS n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY COUNT(*) DESC, cand_label) AS vr
+            FROM topk GROUP BY query_id, true_label, cand_label
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS accuracy
+        FROM votes WHERE vr = 1
+    """,
+    tags=("E36", "E25"),
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation over the embedding space: for each
+    query vector, the 3 nearest neighbors by exact cosine
+    (deterministic (cos DESC, vec_id) ranking) vote on the label
+    (majority, ties to the smallest label) — leave-one-out accuracy
+    against the true label.  THE sanity metric for embedding quality:
+    if k-NN accuracy is near-random, no downstream ANN index can help.
+
+    Scale shape: brute-force scoring is queries × corpus with
+    broadcast queries (the corpus never shuffles); top-k is a
+    per-query WindowGroupLimit; voting is a |q|·k aggregate.  Swap the
+    brute-force stage for sim_search_ivf postings at billion-vector
+    scale — the eval harness around it is unchanged."""
+    from pyspark.sql.window import Window
+
+    from potpot_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "true_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    topk = scored.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= KNN_K)
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("pred_label")
+    )
+    votes = (
+        topk.groupBy("query_id", "true_label", F.col("cand_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+    )
+    return votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -747,3 +747,54 @@ def text_learned_stopwords_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_sentence_split_stats",
+    oracle="""
+        WITH sent AS (
+            SELECT doc_id, s
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '[.!?]+')) AS s
+                FROM documents
+            )
+            WHERE trim(s) <> ''
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(len(string_split_regex(trim(s), '\\s+')))
+                    AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(len(string_split_regex(trim(s), '\\s+'))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_words_per_sentence
+        FROM sent
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("E37", "E24"),
+)
+def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics (regex [.!?]+ boundaries):
+    per-document sentence count, word count, and mean sentence length
+    — the pre-tokenization structure signal quality filters gate on
+    (wall-of-text and listicle chrome both show up as outlier sentence
+    lengths).  Pure row-local explode + one groupBy(doc_id); the
+    split regexes live in the RE2/Java dialect intersection so both
+    engines segment identically.  Integer counts + one division,
+    round 6 — bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s")
+    ).where(F.trim(F.col("s")) != "")
+    words = F.size(F.split(F.trim(F.col("s")), r"\s+"))
+    return (
+        sent.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(words).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum(words).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_words_per_sentence"),
+        )
+        .orderBy("doc_id")
+    )

@@ -314,3 +314,34 @@ def scan_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle=None,  # physical file layout has no SQL twin (rows-only)
+    tags=("E1", "E38", "rows-only"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion format for multimodal
+    payloads (images/audio/video land as whole-file blobs + metadata
+    before any decode): read the fixture parquet files themselves as
+    binary blobs and report per-file length and a content checksum.
+
+    At 100 TB this is the first stage of every multimodal pipeline:
+    binaryFile scans parallelize per file, `pathGlobFilter` prunes at
+    list time, and the blob column flows into mapInPandas decoders
+    (multimodal.py) without a JVM round trip.  Rows-only: sizes and
+    hashes are deterministic but path layout is environment-bound."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return (
+        bf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
+        .orderBy("file_name")
+    )
