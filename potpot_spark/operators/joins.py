@@ -476,3 +476,87 @@ def join_grid_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(dist2 * F.lit(1e12)).cast("bigint")).alias("sum_dist2_fp"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+            FROM events
+        ), intervals AS (
+            SELECT user_id, event_type AS state,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to
+            FROM flagged
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT i.state AS state_at_purchase,
+               COUNT(*) AS n_purchases,
+               COUNT(DISTINCT p.user_id) AS n_users,
+               CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events p
+        JOIN intervals i
+          ON i.user_id = p.user_id
+         AND i.valid_from <= p.ts
+         AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+        WHERE p.event_type = 'purchase'
+        GROUP BY i.state
+        ORDER BY i.state
+    """,
+    tags=("E13", "E19"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against the SCD2 dimension built by
+    reshape_scd2_intervals: every purchase event is attributed to the
+    user's state interval that was valid AT the purchase timestamp
+    ([valid_from, valid_to) semantics, open current row included) —
+    the correctness-critical warehouse join that makes historical
+    features leakage-free (training a model on TODAY's dimension
+    values for YESTERDAY's facts is the classic silent bug).
+
+    Plan shape: the interval build is two windows on one (user_id,
+    ts) sort; the PIT join is an equi-join on user_id with the range
+    predicate as residual — per-user interval counts are small, so
+    the fanout is bounded (this is the scd2/asof shape where the
+    general range-banded recipe is NOT needed).  Intervals partition
+    each user's timeline, so every purchase matches exactly one row —
+    no dedup step.  Exact-decimal value sums."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = (
+        e.select(
+            "user_id", "ts", "event_type", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            F.col("user_id").alias("i_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        p.join(
+            intervals,
+            (F.col("i_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .groupBy(F.col("state").alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("state_at_purchase")
+    )

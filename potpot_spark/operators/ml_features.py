@@ -1007,3 +1007,89 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+GD_ITERS = 5
+
+
+def _gd_oracle() -> str:
+    """Unrolled coordinate-descent oracle: each step is scalar algebra
+    over the same exact-decimal sufficient statistics (see the Spark
+    twin's docstring).  CTEs are MATERIALIZED so step i evaluates once
+    (DuckDB would otherwise inline the chain exponentially)."""
+    steps = ["s0 AS MATERIALIZED (SELECT 0.0 AS w, 0.0 AS b FROM sums)"]
+    for i in range(1, GD_ITERS + 1):
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT "
+            f"CAST((sxy - s{i - 1}.b * sx) / sxx AS DOUBLE) AS w, "
+            f"CAST((sy - ((sxy - s{i - 1}.b * sx) / sxx) * sx) / n AS DOUBLE) AS b "
+            f"FROM sums, s{i - 1})"
+        )
+    trace = " UNION ALL ".join(
+        f"SELECT {i} AS iteration, ROUND(w, 6) AS w, ROUND(b, 6) AS b FROM s{i}"
+        for i in range(1, GD_ITERS + 1)
+    )
+    return f"""
+        WITH sums AS MATERIALIZED (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+            FROM lineitem
+        ), {", ".join(steps)}
+        SELECT * FROM ({trace}) ORDER BY iteration
+    """
+
+
+@query("ml_gradient_descent_linear", oracle=_gd_oracle(), tags=("E43", "E25"))
+def ml_gradient_descent_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative model training ON the engine: 5 rounds of exact
+    coordinate descent for extendedprice ~ quantity (w-step minimizes
+    MSE in w given b, b-step in b given the new w), returning the
+    (iteration, w, b) trace as it converges to the OLS solution.
+
+    The distributed insight: for a linear model every descent step is
+    a LINEAR FUNCTION of fixed sufficient statistics — the w-step is
+    (Σxy − b·Σx)/Σx² — so the data is scanned ONCE (exact decimal
+    sums, order-independent) and all N "iterations" unroll into
+    scalar algebra on that one aggregate row inside the plan.  This
+    is how iterative optimization should meet a 100 TB table: N
+    passes collapse to one pass + N scalar updates.  Coordinate
+    descent (vs raw gradient steps) needs no learning rate and
+    converges geometrically on the convex quadratic; the recursion
+    references each previous value once, so the unrolled expression
+    grows LINEARLY.  Every step is a fixed dag of correctly-rounded
+    double ops — bit-identical across engines and partitionings.
+    (Models that are not sums of per-row terms — deep nets — need the
+    true per-batch loop; that shape is timeseries_holt_linear's
+    applyInPandas recurrence.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    b = F.lit(0.0)
+    traces = []
+    for i in range(1, GD_ITERS + 1):
+        w = (F.col("sxy") - b * F.col("sx")) / F.col("sxx")
+        b = (F.col("sy") - w * F.col("sx")) / F.col("n")
+        traces.append(
+            F.struct(
+                F.lit(i).alias("iteration"),
+                F.round(w, 6).alias("w"),
+                F.round(b, 6).alias("b"),
+            )
+        )
+    return (
+        sums.select(F.explode(F.array(*traces)).alias("t"))
+        .select("t.iteration", "t.w", "t.b")
+        .orderBy("iteration")
+    )

@@ -1275,3 +1275,64 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+CONV_BUCKET_MIN = 30
+
+
+@query(
+    "events_conversion_latency_buckets",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+                     AS first_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+                     AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(FLOOR(date_diff('second', first_view, first_purchase)
+                          / ({CONV_BUCKET_MIN} * 60.0)) AS BIGINT) AS latency_bucket,
+               COUNT(*) AS n_users,
+               CAST(MIN(user_id) AS BIGINT) AS min_user
+        FROM per_user
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+        GROUP BY latency_bucket
+        ORDER BY latency_bucket
+    """,
+    tags=("E25", "E14"),
+)
+def events_conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency histogram: per user, the time
+    from first view to first purchase (users whose first purchase
+    precedes their first view are excluded as out-of-funnel),
+    bucketed into 30-minute bins — the funnel-velocity readout next
+    to events_funnel_sessionized's step-conversion counts.
+
+    ONE conditional-MIN aggregate pass over the fact table (mergeable,
+    map-side combined) and a bucket histogram over the per-user rows;
+    no window, no join.  Integer second arithmetic — bit-exact."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat_sec = F.col("first_purchase").cast("long") - F.col("first_view").cast("long")
+    return (
+        per_user.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .groupBy(
+            F.floor(lat_sec / (CONV_BUCKET_MIN * 60.0)).cast("bigint").alias("latency_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+        )
+        .orderBy("latency_bucket")
+    )
