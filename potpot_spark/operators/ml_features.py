@@ -1093,3 +1093,126 @@ def ml_gradient_descent_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.iteration", "t.w", "t.b")
         .orderBy("iteration")
     )
+
+
+@query(
+    "ml_quantile_normalize",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS q
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(q, 9) AS DECIMAL(12,10))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_q,
+               ROUND(MIN(q), 9) AS min_q,
+               ROUND(MAX(q), 9) AS max_q
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E56", "E99"),
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a feature: map every value to
+    its within-group percent_rank — the outlier-immune transform used
+    when feature distributions are heavy-tailed or cross-source
+    incomparable (z-scores assume a shared scale; ranks don't).
+    Verified through its defining property: per group the transformed
+    feature is uniform on [0,1] — mean ≈ 1/2 (exact decimal sum of
+    9-dp-rounded ranks), min 0, max 1.  One window sort per group,
+    deterministic (value, event_id) tie-break."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select("event_type", F.percent_rank().over(w).alias("q"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("q"), 9).cast("decimal(12,10)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_q"),
+            F.round(F.min("q"), 9).alias("min_q"),
+            F.round(F.max("q"), 9).alias("max_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "pipeline_incremental_stats_merge",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,2))
+                            * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM documents GROUP BY source
+        ),
+        merged AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(ss AS DECIMAL(28,2))) AS DOUBLE) AS ss
+            FROM per_source
+        ),
+        direct AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,2))
+                            * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM documents
+        )
+        SELECT m.n AS merged_n, d.n AS direct_n,
+               m.s AS merged_sum, d.s AS direct_sum,
+               (m.n = d.n AND m.s = d.s AND m.ss = d.ss) AS merge_lossless
+        FROM merged m, direct d
+    """,
+    tags=("E42", "E14"),
+)
+def pipeline_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-statistics contract, proven in-engine: per-source
+    (n, Σx, Σx²) trios merged into corpus totals must equal the
+    directly-computed totals EXACTLY — the algebraic property that
+    makes incremental pipelines possible (yesterday's stats + today's
+    delta, no recompute).  Decimal accumulation is what makes it hold
+    bit-for-bit: double partials would differ by summation order and
+    the equality flag would be partitioning-dependent.  The emitted
+    boolean is the contract; the oracle recomputes both paths and
+    must agree that they agree."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(18,2)")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("ss"),
+    )
+    merged = per_source.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("s").cast("decimal(28,2)")).cast("double").alias("s"),
+        F.sum(F.col("ss").cast("decimal(28,2)")).cast("double").alias("ss"),
+    )
+    direct = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("ss"),
+    )
+    m, dd = merged.alias("m"), direct.alias("d")
+    return m.join(dd).select(
+        F.col("m.n").alias("merged_n"),
+        F.col("d.n").alias("direct_n"),
+        F.col("m.s").alias("merged_sum"),
+        F.col("d.s").alias("direct_sum"),
+        (
+            (F.col("m.n") == F.col("d.n"))
+            & (F.col("m.s") == F.col("d.s"))
+            & (F.col("m.ss") == F.col("d.ss"))
+        ).alias("merge_lossless"),
+    )

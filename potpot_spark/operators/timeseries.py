@@ -1336,3 +1336,60 @@ def events_conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("latency_bucket")
     )
+
+
+@query(
+    "events_anomaly_count_spike_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_days,
+                   CAST(SUM(CAST(n AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n AS DECIMAL(18,2)) * CAST(n AS DECIMAL(18,2)))
+                        AS DOUBLE) AS ss
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n,
+               ROUND((n - s / n_days)
+                     / sqrt((ss - s * s / n_days) / (n_days - 1)), 6) AS z,
+               (n - s / n_days)
+                 > 3.0 * sqrt((ss - s * s / n_days) / (n_days - 1)) AS is_spike
+        FROM daily, stats
+        ORDER BY day
+    """,
+    tags=("E25", "E42"),
+)
+def events_anomaly_count_spike_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume spike detection: each day's count scored
+    against the corpus-wide mean ± 3σ (exact decimal moments → one
+    broadcastable stats row → row-local z and flag) — the volume
+    alarm complementing timeseries_rolling_zscore's trailing-window
+    variant (global baseline vs local baseline).  Two tiny aggregates
+    over the day rollup; the fact table is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("n").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum(F.col("n").cast("decimal(18,2)") * F.col("n").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_days")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n_days")) / (F.col("n_days") - 1))
+    return (
+        daily.join(F.broadcast(stats))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round((F.col("n") - mean) / sd, 6).alias("z"),
+            ((F.col("n") - mean) > 3.0 * sd).alias("is_spike"),
+        )
+        .orderBy("day")
+    )
