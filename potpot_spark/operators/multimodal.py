@@ -303,3 +303,103 @@ def multimodal_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFra
     forward pass, keeping the identical mapInPandas contract."""
     d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(_fake_feature_extract, FEATURE_SCHEMA)
+
+
+SCENE_THRESHOLD = 70
+
+
+def _fake_frame_scores(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-video frame-score series stand-in: doc_id % 10 + 5 frames,
+    score = (doc_id*31 + frame_no*17) % 100 (a real build decodes
+    frames and scores inter-frame difference).  The exercised contract
+    is the fan-out batch shape + downstream segmentation algebra."""
+    for pdf in batches:
+        n_frames = (pdf["doc_id"] % 10 + 5).astype("int64")
+        reps = pdf.loc[pdf.index.repeat(n_frames)].reset_index(drop=True)
+        frame_no = reps.groupby("doc_id").cumcount() + 1
+        yield pd.DataFrame(
+            {
+                "doc_id": reps["doc_id"],
+                "frame_no": frame_no.astype("int64"),
+                "score": ((reps["doc_id"] * 31 + frame_no * 17) % 100).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_video_scene_segments",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, doc_id % 10 + 6)) AS BIGINT) AS frame_no
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, frame_no,
+                   (doc_id * 31 + frame_no * 17) % 100 AS score
+            FROM frames
+        ),
+        seg AS (
+            SELECT doc_id, frame_no,
+                   SUM(CASE WHEN score >= {SCENE_THRESHOLD} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY frame_no) AS scene_no
+            FROM scored
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT scene_no) AS BIGINT) AS n_scenes,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT scene_no), 6)
+                 AS avg_scene_len
+        FROM seg
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("E38", "E97"),
+)
+def multimodal_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation over the decode-stub pipeline: frame
+    scores fan out via mapInPandas (1 video → N frames — the real
+    decoder's batch shape), a scene boundary fires where the
+    inter-frame score crosses the threshold, and scenes are the
+    running count of boundaries (gaps-and-islands on the frame
+    timeline).  Per-video scene count and mean scene length are the
+    shot-detection summary a video-curation pipeline filters on
+    (static slideshows vs rapid cuts).
+
+    Scale: frame fan-out happens in Arrow batches (no JVM↔Python row
+    churn), the segmentation window partitions per video — each
+    video's frames stay together, so the shuffle is one pass keyed by
+    doc_id.  Integer score arithmetic mirrors the oracle exactly;
+    swap `_fake_frame_scores` for the ffmpeg/PIL scorer and nothing
+    downstream changes."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = d.mapInPandas(
+        _fake_frame_scores,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_no", T.LongType()),
+                T.StructField("score", T.LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    seg = frames.select(
+        "doc_id",
+        F.sum(F.when(F.col("score") >= SCENE_THRESHOLD, 1).otherwise(0))
+        .over(w)
+        .alias("scene_no"),
+    )
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.countDistinct("scene_no").cast("bigint").alias("n_scenes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.countDistinct("scene_no"), 6
+            ).alias("avg_scene_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1393,3 +1393,102 @@ def events_anomaly_count_spike_daily(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day")
     )
+
+
+MARKOV_ITERS = 6
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration (MATERIALIZED CTEs).  Each step's
+    per-state products are rounded to 12 dp and summed as exact
+    decimals so the 5-term sums are order-independent cross-engine."""
+    steps = [
+        "v0 AS MATERIALIZED (SELECT DISTINCT event_type, 0.2 AS p FROM events)"
+    ]
+    for i in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f"v{i} AS MATERIALIZED ("
+            f"SELECT t.to_type AS event_type, "
+            f"CAST(SUM(CAST(ROUND(v{i - 1}.p * t.p_transition, 12) AS DECIMAL(14,12)))"
+            f" AS DOUBLE) AS p "
+            f"FROM v{i - 1} JOIN trans t ON t.from_type = v{i - 1}.event_type "
+            f"GROUP BY t.to_type)"
+        )
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), pairs AS (
+            SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ), trans AS MATERIALIZED (
+            SELECT from_type, to_type,
+                   CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+                     AS p_transition
+            FROM pairs
+        ), {", ".join(steps)}
+        SELECT event_type, ROUND(p, 9) AS stationary_p
+        FROM v{MARKOV_ITERS} ORDER BY event_type
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_oracle(), tags=("E19", "E8"))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: 6
+    power-iteration steps v ← vP from the uniform start, over the
+    transition matrix events_transition_matrix builds — "where does a
+    user's session settle" (the chain's long-run state mix, the
+    1-D cousin of PageRank on the behavior graph).
+
+    The matrix is |event types|² — aggregate-sized — so after ONE
+    windowed pass over the fact table every iteration is a tiny
+    broadcast join + 5-row aggregate.  Determinism: each step's
+    products round to 12 dp and sum as exact decimals (order-free),
+    then return to double — both engines walk identical values.
+    Rounds are unrolled in a driver loop with the same
+    localCheckpoint discipline as the big iterative kernels (the
+    loop's SHAPE is the point; the state just happens to be tiny
+    here)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    wt = Window.partitionBy("from_type")
+    trans = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "from_type", "to_type",
+            (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p_transition"),
+        )
+        .localCheckpoint()
+    )
+    v = (
+        e.select("event_type").distinct().select("event_type", F.lit(0.2).alias("p"))
+        .localCheckpoint()
+    )
+    for _ in range(MARKOV_ITERS):
+        v = (
+            v.join(F.broadcast(trans), v.event_type == trans.from_type)
+            .groupBy(F.col("to_type").alias("event_type"))
+            .agg(
+                F.sum(
+                    F.round(F.col("p") * F.col("p_transition"), 12).cast(
+                        "decimal(14,12)"
+                    )
+                )
+                .cast("double")
+                .alias("p")
+            )
+            .localCheckpoint()
+        )
+    return v.select("event_type", F.round("p", 9).alias("stationary_p")).orderBy(
+        "event_type"
+    )
