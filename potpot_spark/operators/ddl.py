@@ -199,3 +199,42 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 50000.0},
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        FROM orders
+        WHERE o_totalprice > 250000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("E24",),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VARIABLE): the
+    threshold lives in a typed session variable referenced by name in
+    the query text — how SQL-workflow users parameterize multi-step
+    scripts without string interpolation (the injection-safe cousin of
+    sql_parameterized_query's named binds).  The variable resolves at
+    analysis time to a literal, so the plan is identical to the
+    constant form — pushdown and pruning see a plain predicate."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE big_cutoff DOUBLE DEFAULT 100000.0")
+    spark.sql("SET VARIABLE big_cutoff = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        FROM orders
+        WHERE o_totalprice > big_cutoff
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

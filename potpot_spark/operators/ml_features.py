@@ -1216,3 +1216,55 @@ def pipeline_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFr
             & (F.col("m.ss") == F.col("d.ss"))
         ).alias("merge_lossless"),
     )
+
+
+@query(
+    "udf_pandas_grouped_agg_topk_sum",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice DESC, l_orderkey,
+                                               l_linenumber) AS rn
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN rn <= 5 THEN cents ELSE 0 END) AS BIGINT)
+                 AS top5_cents
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("E41", "E18"),
+)
+def udf_pandas_grouped_agg_topk_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the last Python extension point in the
+    taxonomy (scalar pandas_udf / applyInPandas / mapInPandas / UDTF /
+    DataSource are all elsewhere): a whole group's column arrives as
+    one pandas Series and reduces to a scalar, here the sum of the
+    top-5 prices per returnflag in integer cents (exact — a double
+    top-5 sum would be order-sensitive; cents are not).
+
+    The oracle computes the same thing relationally (rank window +
+    conditional sum), pinning the UDAF against pure SQL.  Scale note:
+    GROUPED_AGG ships each whole group through Arrow — right for
+    bounded groups (here: 3 flags x fact rows is NOT bounded, so a
+    production top-k-per-huge-group uses the WindowGroupLimit form the
+    oracle shows; this op pins the API contract on the engine
+    surface)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies type
+    # hints and breaks pandas_udf's signature inference.
+    def _top5(prices):
+        cents = (prices * 100).round().astype("int64")
+        return int(cents.nlargest(5).sum())
+
+    top5_cents = pandas_udf(_top5, "bigint", PandasUDFType.GROUPED_AGG)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(top5_cents(F.col("l_extendedprice")).alias("top5_cents"))
+        .orderBy("l_returnflag")
+    )
