@@ -384,3 +384,52 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
     assert ops.count("Window") == 2, plan
     first, second = ops.index("Window"), len(ops) - 1 - ops[::-1].index("Window")
     assert "Exchange" not in ops[first:second], plan
+
+
+def test_knn_eval_broadcasts_queries(spark, sf_dir):
+    """The query side is tiny: brute-force scoring must broadcast it so
+    the corpus never shuffles."""
+    df = registry.get("ml_knn_classifier_eval").fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_pit_scd2_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The PIT join has an equality on user_id: the planner must
+    extract it as the join key (hash/sort-merge with the range
+    predicate residual), never BroadcastNestedLoopJoin — a BNLJ here
+    is the plan that dies at 100 TB."""
+    df = registry.get("join_point_in_time_scd2").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_single_explode(spark, sf_dir):
+    """The windowed df formulation scans the posting list ONCE: exactly
+    one Generate (explode) in the plan — the agg-then-join-back shape
+    would show two."""
+    import re
+
+    df = registry.get("text_boilerplate_ngrams").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # each node renders twice (tree + detail); count detail headers
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_grouped_agg_udaf_in_plan(spark, sf_dir):
+    """The GROUPED_AGG pandas UDF runs as a real aggregate (partial
+    combine is impossible for an opaque UDAF, so the plan must show the
+    ObjectHashAggregate/SortAggregate pandas path)."""
+    df = registry.get("udf_pandas_grouped_agg_topk_sum").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "top5_cents" in plan or "AggregateInPandas" in plan, plan
+
+
+def test_conversion_latency_single_pass(spark, sf_dir):
+    """One conditional-MIN aggregate pass over events: a single scan
+    and partial aggregation — no join, no window."""
+    df = registry.get("events_conversion_latency_buckets").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan, plan
+    assert has_partial_aggregate(df), plan
