@@ -421,3 +421,43 @@ def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUPING_SETS)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS segment_total
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("E24", "E14"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`): the linear
+    scan → filter → join → aggregate → sort dataflow written top-to-
+    bottom instead of inside-out — the SQL front door's modern form
+    (same Catalyst plan as the classic text; the oracle is the
+    equivalent classic formulation since DuckDB has no pipe
+    operator).  Each `|>` stage is sugar over the same logical
+    operators, so pushdown/broadcast/partial-agg behavior is
+    unchanged."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |> JOIN customer ON c_custkey = o_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS segment_total
+           GROUP BY c_mktsegment
+        |> ORDER BY c_mktsegment
+        """
+    )

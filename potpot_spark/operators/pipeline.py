@@ -279,3 +279,100 @@ def pipeline_quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "reasons")
         .orderBy("doc_id")
     )
+
+
+# The end-to-end export op extends the corpus-filter oracle: nest the
+# full filter query (it opens with WITH RECURSIVE, so it nests as a
+# subquery) and continue the chain relationally.
+from potpot_spark.registry import _REGISTRY as _reg  # noqa: E402
+
+_CF_SQL = _reg["pipeline_corpus_filter"].oracle
+EXPORT_PACK_BUDGET = 2048
+
+
+@query(
+    "pipeline_training_export",
+    oracle=f"""
+        WITH filtered AS (
+            SELECT * FROM ({_CF_SQL})
+        ),
+        split_docs AS (
+            SELECT doc_id, lang,
+                   CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tok,
+                   CASE
+                     WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                          AS INT) < 8 THEN 'train'
+                     WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                          AS INT) < 9 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM filtered
+        ),
+        packed AS (
+            SELECT split, lang, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY split, lang
+                                                ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING) - n_tok)
+                              / {EXPORT_PACK_BUDGET}) AS BIGINT) AS seq_no
+            FROM split_docs
+        )
+        SELECT split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT seq_no) AS BIGINT) AS n_sequences
+        FROM packed
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+    tags=("E34", "E35", "E48", "E82"),
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data export, verified as ONE unit: quality →
+    language → exact-dedup → near-dup-canonical (pipeline_corpus_filter)
+    → reproducible md5 train/val/test split → token-budget sequence
+    packing per (split, lang) → export manifest (docs, tokens,
+    sequences per cell).  This is the complete path from raw crawl
+    table to training-ready shard accounting — every stage an
+    operator proven individually elsewhere, composed here and pinned
+    end-to-end against one nested-CTE oracle.
+
+    Scale shape: the filter is the expensive half (banded similarity
+    + label propagation); everything after is row-local hashing, one
+    window per (split, lang) shard key, and a tiny aggregate.  The
+    packing window's partition key IS the export shard key, so
+    packing parallelizes with the export layout at any corpus
+    size."""
+    filtered = pipeline_corpus_filter(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = (
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split")
+    )
+    split_docs = filtered.select(
+        "doc_id", "lang",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tok"),
+        split,
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = split_docs.select(
+        "split", "lang", "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / EXPORT_PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_no"),
+    )
+    return (
+        packed.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.countDistinct("seq_no").cast("bigint").alias("n_sequences"),
+        )
+        .orderBy("split", "lang")
+    )
