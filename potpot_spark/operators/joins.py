@@ -560,3 +560,107 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+ORDER_TTL_DAYS = 7
+
+
+@query(
+    "join_interval_overlap_weeks",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('week', MIN(o_orderdate)) AS TIMESTAMP) AS w0,
+                   MAX(o_orderdate) + INTERVAL {ORDER_TTL_DAYS} DAY AS wmax
+            FROM orders
+        ),
+        weeks AS (
+            SELECT CAST(unnest(range(0, CAST(CEIL(date_diff('day', w0, wmax) / 7.0)
+                                             AS BIGINT))) AS BIGINT) AS week_no,
+                   w0
+            FROM bounds
+        ),
+        active AS (
+            SELECT w.week_no,
+                   w.w0 + to_days(CAST(w.week_no * 7 AS INT)) AS week_start,
+                   o.o_orderkey, o.o_totalprice
+            FROM weeks w
+            JOIN orders o
+              ON o.o_orderdate < w.w0 + to_days(CAST((w.week_no + 1) * 7 AS INT))
+             AND o.o_orderdate + INTERVAL {ORDER_TTL_DAYS} DAY
+                   > w.w0 + to_days(CAST(w.week_no * 7 AS INT))
+        )
+        SELECT week_no,
+               strftime(week_start, '%Y-%m-%d') AS week_start,
+               COUNT(*) AS n_open_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_value
+        FROM active
+        GROUP BY week_no, week_start
+        ORDER BY week_no
+    """,
+    tags=("E12", "E80"),
+)
+def join_interval_overlap_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join: each order is "open" for 7 days
+    ([orderdate, orderdate+7)); count the open orders (and their
+    value) per calendar week — the concurrency/occupancy query
+    (active sessions per hour, beds per night, WIP per week).
+
+    Spark-first shape: the order interval is EXPLODED into the week
+    indexes it covers (≤2 per order — interval length / grid step
+    bounds the fan-out), turning the overlap predicate into an
+    EQUI-join key on week_no with no residual loss: overlap with a
+    grid cell ⟺ covering that cell's index.  This is the same
+    lossless banding recipe as join_range_banded applied to
+    interval-vs-grid; at 100 TB the shuffle spreads over the grid
+    axis instead of a quadratic range probe.  The oracle computes the
+    naive range join; results are identical."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).alias("w0"),
+        F.max("o_orderdate").alias("dmax"),
+    )
+    start_week = (
+        F.floor(
+            (F.col("o_orderdate").cast("timestamp").cast("long") - F.col("w0").cast("timestamp").cast("long"))
+            / (7 * 86400)
+        )
+    ).cast("bigint")
+    end_week = (
+        F.floor(
+            (
+                F.col("o_orderdate").cast("timestamp").cast("long")
+                + ORDER_TTL_DAYS * 86400
+                - 1
+                - F.col("w0").cast("timestamp").cast("long")
+            )
+            / (7 * 86400)
+        )
+    ).cast("bigint")
+    exploded = (
+        o.join(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "w0",
+            F.explode(F.sequence(start_week, end_week)).alias("week_no"),
+        )
+    )
+    return (
+        exploded.groupBy("week_no", "w0")
+        .agg(
+            F.count(F.lit(1)).alias("n_open_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("open_value"),
+        )
+        .select(
+            "week_no",
+            F.date_format(
+                F.timestamp_seconds(
+                    F.col("w0").cast("timestamp").cast("long") + F.col("week_no") * 7 * 86400
+                ),
+                "yyyy-MM-dd",
+            ).alias("week_start"),
+            "n_open_orders",
+            "open_value",
+        )
+        .orderBy("week_no")
+    )

@@ -413,3 +413,86 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_vecs"),
         (F.sum(ratio).cast("double") / F.count(F.lit(1))).alias("avg_energy_retained"),
     )
+
+
+COV_DIMS = 8
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=f"""
+        WITH pos AS (
+            SELECT vec_id,
+                   CAST(unnest(range(1, {COV_DIMS} + 1)) AS INT) AS i
+            FROM embeddings
+        ),
+        vals AS (
+            SELECT p.vec_id, p.i,
+                   CAST(e.embedding[p.i] AS DOUBLE) AS x
+            FROM pos p JOIN embeddings e ON e.vec_id = p.vec_id
+        ),
+        pairs AS (
+            SELECT a.i AS di, b.i AS dj,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(a.x, 9) AS DECIMAL(14,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(b.x, 9) AS DECIMAL(14,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(a.x * b.x, 12) AS DECIMAL(18,12))) AS DOUBLE)
+                     AS sxy
+            FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        )
+        SELECT di, dj,
+               ROUND((sxy - sx * sy / n) / (n - 1), 9) AS cov
+        FROM pairs
+        ORDER BY di, dj
+    """,
+    tags=("E36", "E43"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the first 8 embedding dimensions (upper
+    triangle) — the embedding-space diagnostic behind PCA/whitening
+    decisions and collapsed-dimension detection (a near-zero variance
+    row means the encoder wastes capacity; large off-diagonals mean
+    the basis is redundant).
+
+    Distributed shape: ONE pass accumulates (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) per
+    (i≤j) pair as exact decimals (products rounded to 12 dp first —
+    the established order-independence idiom), then one division per
+    cell.  The d²/2 pair fan-out rides a per-vector explode+self-join
+    on vec_id (row-local, no shuffle until the 36-group aggregate);
+    at production d the same pass runs on matrix-blocked pairs.  The
+    d×d result feeds a driver-side eigensolver for PCA — the correct
+    split of labor (data pass distributed, d² algebra local)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, COV_DIMS)).alias(
+            "i0", "x"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    a = vals.select("vec_id", F.col("i").alias("di"), F.col("x").alias("xa"))
+    b = vals.select("vec_id", F.col("i").alias("dj"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .where(F.col("di") <= F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("xa"), 9).cast("decimal(14,9)")).cast("double").alias("sx"),
+            F.sum(F.round(F.col("xb"), 9).cast("decimal(14,9)")).cast("double").alias("sy"),
+            F.sum(F.round(F.col("xa") * F.col("xb"), 12).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    return (
+        pairs.select(
+            "di", "dj",
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("n") - 1),
+                9,
+            ).alias("cov"),
+        )
+        .orderBy("di", "dj")
+    )
