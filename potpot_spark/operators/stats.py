@@ -957,3 +957,78 @@ def stats_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE) AS st,
+                   CAST(SUM(CAST(ss AS DECIMAL(38,4))) AS DOUBLE) AS sst,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM g
+        ),
+        terms AS (
+            SELECT nt, k,
+                   CAST(SUM(CAST(ROUND(s * s / n, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_sq_over_n,
+                   MAX(st) AS st, MAX(sst) AS sst
+            FROM g, tot
+            GROUP BY nt, k
+        )
+        SELECT k AS n_groups, nt AS n_total,
+               ROUND((sum_sq_over_n - st * st / nt) / (k - 1), 6) AS ms_between,
+               ROUND((sst - sum_sq_over_n) / (nt - k), 6) AS ms_within,
+               ROUND(((sum_sq_over_n - st * st / nt) / (k - 1))
+                     / ((sst - sum_sq_over_n) / (nt - k)), 6) AS f_stat
+        FROM terms
+    """,
+    tags=("E42", "E43"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic (does order priority shift total
+    price?) — the k-group generalization of stats_welch_t_test,
+    assembled from the same per-group (n, Σ, Σ²) trios: SS_between =
+    Σ(Σᵢ²/nᵢ) − (Σtot)²/N, SS_within = ΣΣ² − Σ(Σᵢ²/nᵢ).  ONE
+    mergeable pass over the fact table; everything downstream is
+    k-row algebra.  The per-group Σᵢ²/nᵢ terms round to 6 dp and sum
+    as exact decimals (order-free); divisions are single
+    correctly-rounded double ops — bit-exact cross-engine.  (The
+    F→p-value step needs the F CDF — a client-side special function,
+    deliberately outside the engine's bit-exact surface.)"""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("ss"),
+    )
+    terms = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("s").cast("decimal(28,2)")).cast("double").alias("st"),
+        F.sum(F.col("ss").cast("decimal(38,4)")).cast("double").alias("sst"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(F.col("s") * F.col("s") / F.col("n"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("st") * F.col("st") / F.col("nt")
+    ssw = F.col("sst") - F.col("sum_sq_over_n")
+    return terms.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(ssb / (F.col("k") - 1), 6).alias("ms_between"),
+        F.round(ssw / (F.col("nt") - F.col("k")), 6).alias("ms_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )
