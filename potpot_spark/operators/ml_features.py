@@ -1268,3 +1268,74 @@ def udf_pandas_grouped_agg_topk_sum(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(top5_cents(F.col("l_extendedprice")).alias("top5_cents"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   value AS score
+            FROM events
+        ),
+        ranked AS (
+            SELECT label,
+                   row_number() OVER (ORDER BY score DESC, event_id) AS rk,
+                   SUM(label) OVER (ORDER BY score DESC, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS tp_at_k
+            FROM scored
+        )
+        SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+               ROUND(CAST(SUM(CASE WHEN label = 1 THEN
+                         CAST(ROUND(CAST(tp_at_k AS DOUBLE) / rk, 12)
+                              AS DECIMAL(16,12)) ELSE 0 END) AS DOUBLE)
+                     / SUM(label), 9) AS average_precision
+        FROM ranked
+    """,
+    tags=("E25", "E18"),
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall
+    curve, step interpolation): AP = mean over positives of
+    precision@rank — the ranking metric that, unlike AUC-ROC
+    (ml_eval_auc_rank), stays informative under heavy class imbalance
+    (the regime every retrieval/filtering pipeline lives in).
+
+    One global window sort by (score DESC, event_id) yields both the
+    rank and the cumulative true-positive count; precision@k = tp/k
+    is a single integer division per positive, rounded to 12 dp and
+    decimal-summed (order-free), one final division.  At 100 TB the
+    global sort is a range-partitioned sort + two-pass prefix sum —
+    same results by construction.  Deterministic tie-break makes AP
+    exactly reproducible (ties in score are resolved by event_id on
+    both engines)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.col("value").alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    ranked = scored.select(
+        "label",
+        F.row_number().over(w).alias("rk"),
+        F.sum("label").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tp_at_k"),
+    )
+    return ranked.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("label") == 1,
+                    F.round(F.col("tp_at_k").cast("double") / F.col("rk"), 12).cast(
+                        "decimal(16,12)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(16,12)"))
+            ).cast("double")
+            / F.sum("label"),
+            9,
+        ).alias("average_precision"),
+    )

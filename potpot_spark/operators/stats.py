@@ -1032,3 +1032,41 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+@query(
+    "agg_regr_builtins",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("E43",),
+)
+def agg_regr_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI REGR_* aggregate family (regr_slope / regr_intercept /
+    regr_r2 / regr_count) — the BUILT-IN form of stats_ols_per_group's
+    manual sufficient-statistics assembly, pinned against DuckDB's
+    implementation of the same ANSI functions.  Both engines
+    accumulate in doubles internally, so results are rounded to 6 dp;
+    the manual decimal-exact path remains the bit-exact reference.
+    Single-pass mergeable aggregates — same scale behavior as any
+    moments computation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_count(l_extendedprice, l_quantity)").cast("bigint").alias("n"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

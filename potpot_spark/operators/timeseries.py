@@ -1492,3 +1492,86 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("event_type", F.round("p", 9).alias("stationary_p")).orderBy(
         "event_type"
     )
+
+
+BOT_MIN_EVENTS = 20
+
+
+@query(
+    "events_bot_regularity_flags",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   date_diff('second',
+                             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                                              ORDER BY ts, event_id),
+                             CAST(ts AS TIMESTAMP)) AS gap_s
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   COUNT(gap_s) AS n_gaps,
+                   CAST(SUM(CAST(gap_s AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(gap_s AS DECIMAL(18,2))
+                            * CAST(gap_s AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               CAST(FLOOR(s / n_gaps) AS BIGINT) AS mean_gap_s,
+               CAST(FLOOR((ss - s * s / n_gaps) / (n_gaps - 1)) AS BIGINT) AS var_gap,
+               ((ss - s * s / n_gaps) / (n_gaps - 1))
+                 < 0.05 * (s / n_gaps) * (s / n_gaps) AS is_regular
+        FROM per_user
+        WHERE n_gaps >= {BOT_MIN_EVENTS}
+        ORDER BY user_id
+    """,
+    tags=("E19", "E42"),
+)
+def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-event regularity: human click streams
+    have bursty gaps (variance ≈ mean²-scale or larger); schedulers
+    and scripts fire near-uniformly (coefficient of variation ≈ 0).
+    Flag users whose gap variance is under 5% of their squared mean
+    gap — the timing-side heuristic that complements journey-based
+    anomaly detection (events_trigram_paths).
+
+    One lag window per user (shared (user_id, ts) partitioning), one
+    decimal-exact moments aggregate, row-local flag arithmetic —
+    nothing rescans.  The CV threshold compares var to mean² without
+    a sqrt, keeping the flag bit-exact."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    g = F.col("gap_s").cast("decimal(18,2)")
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum(g).cast("double").alias("s"),
+        F.sum(g * g).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps")) / (
+        F.col("n_gaps") - 1
+    )
+    return (
+        per_user.where(F.col("n_gaps") >= BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            # FLOOR, not ROUND: at ~1e9 magnitude the 6-dp round sits at
+            # double precision's edge and the two engines' rounding
+            # implementations (BigDecimal HALF_UP vs multiply-based)
+            # disagree by 1 ulp; floor of identical doubles is exact.
+            F.floor(mean).cast("bigint").alias("mean_gap_s"),
+            F.floor(var).cast("bigint").alias("var_gap"),
+            (var < 0.05 * mean * mean).alias("is_regular"),
+        )
+        .orderBy("user_id")
+    )
