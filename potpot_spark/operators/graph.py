@@ -149,15 +149,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the exact
     n-gram-Jaccard pair graph (threshold 0.3).  Every document gets a
     component id = min doc_id in its cluster; singletons label
-    themselves.  Downstream dedup keeps ``doc_id == component``."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    return connected_components(nodes, pairs).select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    themselves.  Downstream dedup keeps ``doc_id == component``.
+
+    The pair graph and the component table are SHARED MATERIALIZED
+    INTERMEDIATES (potpot_spark.materialize): keeper selection
+    (dedup_keep_canonical) consumes the same component table, and in a
+    production pipeline both live as refreshed tables — re-deriving
+    the pair graph per consumer would multiply the dominant cost of
+    the whole dedup stage."""
+    from potpot_spark.materialize import shared_intermediate
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        return connected_components(nodes, pairs).select(
+            F.col("node").alias("doc_id"), "component"
+        )
+
+    return shared_intermediate(spark, sf_dir, "dedup_cc_components", build)
 
 
 @query(

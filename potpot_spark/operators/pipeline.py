@@ -99,33 +99,44 @@ NEAR_DUP_THRESHOLD = 0.3
 )
 def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality -> language -> exact-dedup -> near-dup-canonical corpus
-    filter, verified end-to-end against a single SQL oracle."""
-    d = load_table(spark, sf_dir, "documents")
-    q = d.where(
-        (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
-        & F.col("lang").isin(*KEEP_LANGS)
-    )
-    keep_exact = (
-        q.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select("keep_id")
-    )
-    survivors = q.join(
-        keep_exact, q.doc_id == keep_exact.keep_id, "left_semi"
-    )
-    pairs = ngram_jaccard_pairs(survivors, NEAR_DUP_THRESHOLD).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(
-        survivors.select(F.col("doc_id").alias("node")), pairs
-    )
-    canonical = comp.where(F.col("node") == F.col("component")).select(
-        F.col("node").alias("canon_id")
-    )
-    return (
-        survivors.join(canonical, survivors.doc_id == canonical.canon_id, "left_semi")
-        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
-    )
+    filter, verified end-to-end against a single SQL oracle.
+
+    The filtered corpus is a SHARED MATERIALIZED INTERMEDIATE
+    (potpot_spark.materialize): the training export
+    (pipeline_training_export) continues from exactly this table — in
+    production it is the refreshed "clean corpus" table every
+    downstream job reads."""
+    from potpot_spark.materialize import shared_intermediate
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        q = d.where(
+            (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        keep_exact = (
+            q.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"))
+            .select("keep_id")
+        )
+        survivors = q.join(
+            keep_exact, q.doc_id == keep_exact.keep_id, "left_semi"
+        )
+        pairs = ngram_jaccard_pairs(survivors, NEAR_DUP_THRESHOLD).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comp = connected_components(
+            survivors.select(F.col("doc_id").alias("node")), pairs
+        )
+        canonical = comp.where(F.col("node") == F.col("component")).select(
+            F.col("node").alias("canon_id")
+        )
+        return (
+            survivors.join(canonical, survivors.doc_id == canonical.canon_id, "left_semi")
+            .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        )
+
+    return shared_intermediate(spark, sf_dir, "corpus_filter_survivors", build)
 
 
 @query(
