@@ -283,18 +283,28 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented (u < v) distinct edge list of the part co-purchase
     graph: parts are adjacent when they appear in the same order.
-    Shared by graph_triangle_count and graph_pagerank_fixed."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+
+    A SHARED MATERIALIZED INTERMEDIATE (potpot_spark.materialize):
+    six graph kernels (triangles, PageRank, k-core, BFS, degree
+    histogram, link prediction) consume this edge list — exactly the
+    table a production graph pipeline materializes once per snapshot
+    rather than re-deriving from the fact table per algorithm."""
+    from potpot_spark.materialize import shared_intermediate
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+
+    return shared_intermediate(spark, sf_dir, "part_copurchase_edges", build)
 
 
 PR_ITERS = 8
