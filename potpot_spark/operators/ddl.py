@@ -238,3 +238,53 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_udf_scalar_and_table",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_big,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        WHERE l_quantity >= 45.0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("E24", "E14"),
+)
+def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 3.5+/4 `CREATE FUNCTION ... RETURN`):
+    a scalar UDF (discounted price) and a TABLE function (bulk
+    lineitems above a quantity parameter) declared in pure SQL and
+    composed in one query — the catalog-resident, engine-portable way
+    SQL users package logic (no JVM jar, no Python worker: the body
+    INLINES into the plan at analysis time, so pushdown, codegen, and
+    decimal-exact aggregation all see straight expressions).  The
+    oracle runs the inlined form directly — identical by
+    construction, which is precisely the point of SQL UDFs."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bulk_items(minq DOUBLE)
+        RETURNS TABLE(l_returnflag STRING, l_extendedprice DOUBLE, l_discount DOUBLE)
+        RETURN SELECT l_returnflag, l_extendedprice, l_discount
+               FROM lineitem WHERE l_quantity >= minq
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_big,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+        FROM bulk_items(45.0)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -1339,3 +1339,84 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("average_precision"),
     )
+
+
+ISO_BIN_WIDTH = 50.0
+ISO_N_BINS = 10
+
+
+@query("ml_isotonic_calibration_pav", oracle=None, tags=("E25", "rows-only"))
+def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration via pool-adjacent-violators (PAV): take the
+    per-bin observed purchase rates (the reliability diagram of
+    ml_calibration_bins) and produce the best monotone fit —
+    non-parametric score calibration, the standard alternative to
+    Platt scaling when the score-probability relation is monotone but
+    not sigmoid.
+
+    Split of labor at scale: the DATA pass is the mergeable bin
+    aggregate (any corpus size); PAV itself is inherently sequential
+    over the ~bins rows, so it runs in applyInPandas over the
+    aggregate — the same honest pattern as the EWMA/Holt recurrences
+    (sequential math gets a sequential worker, but only ever over
+    aggregate-sized state).  No SQL oracle (PAV is a data-dependent
+    pooling recursion); tests/test_properties.py pins the defining
+    properties instead: output monotone non-decreasing, weighted mean
+    preserved exactly, and each pooled run constant."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    binned = (
+        e.select(
+            F.least(
+                F.floor(F.col("value") / ISO_BIN_WIDTH), F.lit(ISO_N_BINS - 1)
+            )
+            .cast("int")
+            .alias("bin"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+    )
+
+    def pav(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # stack of (weight, weighted-sum) blocks; merge while violating
+        blocks: list[list[float]] = []  # [w, s, count_bins]
+        for _, row in pdf.iterrows():
+            w, s = float(row["n"]), float(row["n_pos"])
+            blocks.append([w, s, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+            ):
+                w2, s2, c2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += s2
+                blocks[-1][2] += c2
+        fitted: list[float] = []
+        for w, s, c in blocks:
+            fitted.extend([s / w] * int(c))
+        pdf["raw_rate"] = pdf["n_pos"] / pdf["n"]
+        pdf["calibrated_rate"] = fitted
+        return pdf[["bin", "n", "n_pos", "raw_rate", "calibrated_rate"]]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("n_pos", T.LongType()),
+            T.StructField("raw_rate", T.DoubleType()),
+            T.StructField("calibrated_rate", T.DoubleType()),
+        ]
+    )
+    return (
+        binned.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(pav, schema=schema)
+        .orderBy("bin")
+    )

@@ -257,3 +257,27 @@ def test_max_drawdown_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.max_drawdown <= 1.0
         assert r.all_time_peak > 0
+
+
+def test_isotonic_pav_properties(spark, sf_dir):
+    """PAV's defining properties: monotone non-decreasing output,
+    exact preservation of the weighted mean, and pooled runs constant
+    with raw rates straddling each pool's value."""
+    from potpot_spark import registry
+
+    rows = (
+        registry.get("ml_isotonic_calibration_pav")
+        .fn(spark, sf_dir)
+        .orderBy("bin")
+        .collect()
+    )
+    assert len(rows) >= 2
+    cal = [r.calibrated_rate for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:])), cal
+    w_mean_raw = sum(r.n_pos for r in rows) / sum(r.n for r in rows)
+    w_mean_cal = sum(r.calibrated_rate * r.n for r in rows) / sum(r.n for r in rows)
+    assert abs(w_mean_raw - w_mean_cal) < 1e-9
+    # every calibrated value is a weighted average of raw rates in its
+    # pool, so it must lie within [min, max] of the raw rates
+    lo, hi = min(r.raw_rate for r in rows), max(r.raw_rate for r in rows)
+    assert all(lo - 1e-12 <= c <= hi + 1e-12 for c in cal)
