@@ -741,3 +741,84 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+        pairs AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM sym s JOIN deg du ON du.node = s.src
+                       JOIN deg dv ON dv.node = s.dst
+        ),
+        sums AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(dx AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(dy AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(dx AS DECIMAL(18,2)) * CAST(dx AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(dy AS DECIMAL(18,2)) * CAST(dy AS DECIMAL(18,2)))
+                        AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(dx AS DECIMAL(18,2)) * CAST(dy AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sxy
+            FROM pairs
+        )
+        SELECT CAST(n AS BIGINT) AS n_directed_edges,
+               ROUND((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 AS assortativity
+        FROM sums
+    """,
+    tags=("E8", "E43"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edges — the
+    one-number answer to "do hubs connect to hubs?" (positive: social
+    nets; negative: supply/infrastructure).  Predicts whether the
+    degree-histogram tail will amplify through joins: disassortative
+    hubs touch everything, so wedge-generating ops blow up.
+
+    Plan: degrees from one aggregate over the shared materialized edge
+    list, joined back to both endpoints (node-scale broadcast), then
+    ONE exact-decimal moments pass and the closed-form correlation —
+    identical sufficient-statistics discipline as agg_corr_cov, on
+    graph structure instead of fact columns."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("nu"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(F.broadcast(du), sym.u == du.nu)
+        .join(F.broadcast(dv), sym.v == dv.nv)
+        .select("dx", "dy")
+    )
+    x = F.col("dx").cast("decimal(18,2)")
+    y = F.col("dy").cast("decimal(18,2)")
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -1575,3 +1575,98 @@ def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+ACF_MAX_LAG = 3
+
+
+@query(
+    "timeseries_autocorrelation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   COUNT(*) AS x
+            FROM events GROUP BY day
+        ),
+        idx AS (
+            SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                        AS DOUBLE) AS ss
+            FROM idx
+        ),
+        lags AS (
+            SELECT l.lag_k,
+                   CAST(SUM(CAST(a.x AS DECIMAL(18,2)) * CAST(b.x AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag_k) l
+            JOIN idx a ON TRUE
+            JOIN idx b ON b.t = a.t + l.lag_k
+            GROUP BY l.lag_k
+        )
+        SELECT CAST(lag_k AS INT) AS lag_k, n_pairs,
+               ROUND((sxy - (s / n) * (s / n) * n_pairs)
+                     / (ss - s * s / n), 6) AS acf_approx
+        FROM lags, stats
+        ORDER BY lag_k
+    """,
+    tags=("E19", "E43"),
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..3 —
+    the seasonality/persistence diagnostic feeding forecast-model
+    choice (a high lag-7 ACF says weekly seasonality; near-zero says
+    the seasonal-naive baseline is wasted).  Computed in the textbook
+    large-n form: r_k ≈ (Σxₜxₜ₊ₖ − n_k·x̄²) / Σ(x−x̄)² from exact
+    decimal sums (numerator pairs via an equi-join on the day index —
+    a self-join on t+k, NOT a window, so each lag is one
+    co-partitioned join at any series length).  Single division per
+    lag, round 6 — bit-exact."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).localCheckpoint()
+    xd = F.col("x").cast("decimal(18,2)")
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s"),
+        F.sum(xd * xd).cast("double").alias("ss"),
+    )
+    lag_k = F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag_k")
+    a = idx.select(F.col("x").alias("xa"), "t").select("xa", "t", lag_k)
+    b = idx.select(F.col("x").alias("xb"), F.col("t").alias("tb"))
+    lags = (
+        a.join(b, F.col("tb") == F.col("t") + F.col("lag_k"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(18,2)") * F.col("xb").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sxy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    return (
+        lags.join(F.broadcast(stats))
+        .select(
+            F.col("lag_k").cast("int").alias("lag_k"),
+            "n_pairs",
+            F.round(
+                (F.col("sxy") - mean * mean * F.col("n_pairs"))
+                / (F.col("ss") - F.col("s") * F.col("s") / F.col("n")),
+                6,
+            ).alias("acf_approx"),
+        )
+        .orderBy("lag_k")
+    )

@@ -481,3 +481,59 @@ def analytics_double_charge_flags(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "analytics_gini_concentration",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+                   COUNT(*) OVER () AS n
+            FROM per_user
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS n_events,
+               ROUND(2.0 * CAST(SUM(CAST(i AS DECIMAL(18,0))
+                                     * CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                     / (MAX(n) * CAST(SUM(x) AS DOUBLE))
+                     - (MAX(n) + 1.0) / MAX(n), 9) AS gini
+        FROM ranked
+    """,
+    tags=("E56", "E20"),
+)
+def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the scalar twin of the
+    Lorenz curve (win_cumulative_share): 0 = uniform engagement, →1 =
+    a few users generate everything.  The closed rank form
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs ONE sort-rank window over
+    the per-user aggregate (user-scale, not event-scale) and an exact
+    integer Σ(i·x); ties break on user_id so the rank — and therefore
+    the statistic — is deterministic.  At 100 TB the per-user
+    aggregate is the only fact-table pass; the rank runs on the
+    aggregate like every other distribution op."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.round(
+            2.0
+            * F.sum(
+                F.col("i").cast("decimal(18,0)") * F.col("x").cast("decimal(18,0)")
+            ).cast("double")
+            / (F.max("n") * F.sum("x").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            9,
+        ).alias("gini"),
+    )
