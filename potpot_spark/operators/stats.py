@@ -1070,3 +1070,59 @@ def agg_regr_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_percentile_disc_rank",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice, l_orderkey,
+                                               l_linenumber) AS rk,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN rk = CAST(CEIL(0.25 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p25_disc,
+               MIN(CASE WHEN rk = CAST(CEIL(0.50 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p50_disc,
+               MIN(CASE WHEN rk = CAST(CEIL(0.95 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p95_disc
+        FROM ranked
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("E40", "E56"),
+)
+def agg_percentile_disc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (the value AT rank ⌈p·n⌉ — always an
+    actual data point, never an interpolation): the semantics SLAs
+    and latency reporting require ("p95 is a real observed request"),
+    complementing the interpolated agg_percentiles_exact.  Engines
+    disagree on native percentile_disc tie handling, so the engine
+    DEFINES it by the explicit rank formula — one window rank per
+    group with a full deterministic tie-break, then a conditional-MIN
+    pick at the target ranks.  Cross-engine exact by construction."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(name)
+        for p, name in [(0.25, "p25_disc"), (0.50, "p50_disc"), (0.95, "p95_disc")]
+    ]
+    return ranked.groupBy("l_returnflag").agg(*picks).orderBy("l_returnflag")

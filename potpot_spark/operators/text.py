@@ -798,3 +798,62 @@ def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_lang_id_confusion",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_count_in(LANG_PROFILES["en"])} AS score_en,
+                   {_sql_count_in(LANG_PROFILES["es"])} AS score_es,
+                   {_sql_count_in(LANG_PROFILES["fr"])} AS score_fr,
+                   {_sql_count_in(LANG_PROFILES["de"])} AS score_de,
+                   {_sql_count_in(LANG_PROFILES["zh"])} AS score_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang AS tagged_lang,
+                   CASE
+                       WHEN score_en >= score_es AND score_en >= score_fr
+                            AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+                       WHEN score_es >= score_fr AND score_es >= score_de
+                            AND score_es >= score_zh THEN 'es'
+                       WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+                       WHEN score_de >= score_zh THEN 'de'
+                       ELSE 'zh'
+                   END AS predicted_lang
+            FROM scored
+        )
+        SELECT tagged_lang, predicted_lang, COUNT(*) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY tagged_lang), 6) AS row_rate
+        FROM pred
+        GROUP BY tagged_lang, predicted_lang
+        ORDER BY tagged_lang, predicted_lang
+    """,
+    tags=("E37", "E14"),
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality readout: confusion matrix of the stopword-
+    profile classifier (text_lang_id) against the corpus's tagged
+    language, row-normalized — which languages the heuristic actually
+    separates, and where it collapses (the es/fr/de off-diagonals are
+    the known failure mode of tiny stopword profiles).  Closing the
+    loop classifier → eval matrix is the same discipline as
+    ml_confusion_multiclass, applied to the text stack.  One scoring
+    pass + one |langs|² aggregate."""
+    from pyspark.sql.window import Window
+
+    pred = text_lang_id(spark, sf_dir)
+    counts = pred.groupBy("tagged_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("tagged_lang")
+    return (
+        counts.select(
+            "tagged_lang", "predicted_lang", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("row_rate"),
+        )
+        .orderBy("tagged_lang", "predicted_lang")
+    )

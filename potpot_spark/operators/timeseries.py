@@ -1670,3 +1670,53 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        )
+        SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+               CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_users,
+               CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS returning_users
+        FROM ud JOIN first_seen f ON f.user_id = ud.user_id
+        GROUP BY ud.day
+        ORDER BY day
+    """,
+    tags=("E14", "E87"),
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split new vs returning — the growth
+    dashboard's first chart, and the first-seen-identity pattern
+    (analytics_cumulative_distinct_users, retention cohorts) applied
+    to the DAU axis: one distinct (user, day) pass, one first-seen
+    aggregate, one broadcast-shaped join back (user-scale), then the
+    daily split.  No window over the fact table, no rescan per day."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
+        .orderBy("day")
+    )
