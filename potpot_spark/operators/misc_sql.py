@@ -461,3 +461,41 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY c_mktsegment
         """
     )
+
+
+# Sixth verbatim-shared SQL text: bag-semantics set operators.
+_SQL_SET_OPS = """
+WITH big AS (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+),
+urgent AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+    SELECT o_custkey FROM big INTERSECT ALL SELECT o_custkey FROM urgent
+)
+UNION ALL
+SELECT 'except_all', COUNT(*) FROM (
+    SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM urgent
+)
+UNION ALL
+SELECT 'union_distinct', COUNT(*) FROM (
+    SELECT o_custkey FROM big UNION SELECT o_custkey FROM urgent
+)
+ORDER BY op
+"""
+
+
+@query("sql_api_set_ops", oracle=_SQL_SET_OPS, tags=("E22",))
+def sql_api_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators through the SQL front door —
+    INTERSECT ALL / EXCEPT ALL / UNION in ONE text run verbatim on
+    both engines (the DataFrame twins are set_union_intersect_except).
+    ALL variants matter because multiplicity carries meaning in fact
+    data (a customer with three big orders minus one urgent one keeps
+    two rows); Spark plans them as joins on row-identity counts, not
+    dedup-then-join."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SET_OPS)

@@ -857,3 +857,38 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tagged_lang", "predicted_lang")
     )
+
+
+@query(
+    "documents_length_histogram_log2",
+    oracle="""
+        SELECT CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS INT) AS log2_bucket,
+               COUNT(*) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        WHERE n_chars > 0
+        GROUP BY log2_bucket
+        ORDER BY log2_bucket
+    """,
+    tags=("E37", "E88"),
+)
+def documents_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — length distributions
+    are log-scaled, so fixed-width bins (feature_binning_histogram)
+    waste resolution at the short end and lump the tail.  The log2
+    bucket is computed WITHOUT floating log: ⌊log2 n⌋ =
+    len(bin(n)) − 1, a pure integer/string identity both engines
+    evaluate exactly (the same no-libm discipline as the NDCG
+    discount table).  One mergeable groupBy over ≤64 buckets."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bucket = (F.length(F.bin(F.col("n_chars").cast("bigint"))) - 1).cast("int")
+    return (
+        d.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )

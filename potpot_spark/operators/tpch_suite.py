@@ -954,3 +954,56 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+SLA_DAYS = 30
+
+
+@query(
+    "orders_fulfillment_sla",
+    oracle=f"""
+        WITH first_ship AS (
+            SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, f.first_ship)
+                                  <= {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_within_sla,
+               ROUND(CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, f.first_ship)
+                                        <= {SLA_DAYS} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS sla_rate,
+               CAST(MAX(date_diff('day', o.o_orderdate, f.first_ship)) AS BIGINT)
+                 AS worst_days
+        FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("E8", "E25"),
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA compliance per priority: days from order to
+    FIRST shipment (min shipdate over the order's lines), share within
+    the 30-day SLA, and the worst case — the operations dashboard
+    behind TPC-H Q4's priority-count shape.  The first-ship reduction
+    is a mergeable MIN per order (no window), the SLA test is integer
+    day arithmetic, and the join shuffles both sides once on the order
+    key; at scale the two tables co-bucket on o_orderkey and the join
+    is exchange-free (sink_bucketed_join_noshuffle's layout)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    days = F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date"))
+    within = F.when(days <= SLA_DAYS, 1).otherwise(0)
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(within).cast("bigint").alias("n_within_sla"),
+            F.round(F.sum(within).cast("double") / F.count(F.lit(1)), 6).alias("sla_rate"),
+            F.max(days).cast("bigint").alias("worst_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
