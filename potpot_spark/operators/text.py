@@ -892,3 +892,76 @@ def documents_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+            FROM documents
+        ),
+        first_use AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+        ),
+        per_doc AS (
+            SELECT first_doc AS doc_id, COUNT(*) AS new_types
+            FROM first_use GROUP BY first_doc
+        ),
+        doc_tokens AS (
+            SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(SUM(d.n_tokens) OVER (ORDER BY d.doc_id) AS BIGINT)
+                 AS cumulative_tokens,
+               CAST(SUM(COALESCE(p.new_types, 0)) OVER (ORDER BY d.doc_id) AS BIGINT)
+                 AS vocab_size
+        FROM doc_tokens d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("E37", "E107"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law) curve: distinct token types seen
+    vs cumulative tokens ingested, in doc_id order — the corpus
+    diagnostic that says whether more data still buys new vocabulary
+    (a flattening curve means dedup/domain saturation; tokenizer and
+    vocab-size decisions read this directly).
+
+    Running COUNT(DISTINCT) via the FIRST-SEEN IDENTITY (same move as
+    analytics_cumulative_distinct_users): a token contributes at
+    exactly its minimum doc_id, so the curve is one explode → one
+    min-aggregate → a running sum over DOC-scale rows.  The naive
+    windowed COUNT(DISTINCT) would rescan every prefix — quadratic
+    and memory-unbounded at corpus scale; this form is one shuffle on
+    the token key and nothing bigger than the corpus row count ever
+    sorts."""
+    from pyspark.sql.window import Window
+
+    from potpot_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
+    per_doc = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    doc_tokens = d.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_tokens.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cumulative_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
