@@ -537,3 +537,86 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+ROLL_DAYS = 7
+
+
+@query(
+    "win_rolling_distinct_users_7d",
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                     AS day
+            FROM events
+        ),
+        ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS uday
+            FROM events
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+        FROM days d
+        JOIN ud u
+          ON u.uday <= d.day AND u.uday > d.day - {ROLL_DAYS}
+        GROUP BY d.day
+        ORDER BY day
+    """,
+    tags=("E15", "E58"),
+)
+def win_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (the WAU curve) — EXACT
+    form: a windowed COUNT(DISTINCT) is not a legal window aggregate,
+    so the engine formulates it as day-grid ⨝ per-user-day activity
+    within the trailing range (each (user, day) row fans out to ≤7
+    grid days — bounded, banding-style), then a distinct count per
+    grid day.  This is the exact-answer path; its sketch twin
+    (win_rolling_hll_users_7d) replaces the fan-out join with
+    mergeable per-day HLLs unioned over the window — the form that
+    survives when distinct cardinality per window no longer fits a
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("uday")
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("uday"), F.date_add(F.col("uday"), ROLL_DAYS - 1))
+        ).alias("day"),
+    )
+    days = e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("day")).distinct()
+    return (
+        fan.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
+@query("win_rolling_hll_users_7d", oracle=None, tags=("E16", "E67", "rows-only"))
+def win_rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users — SKETCH form: one HLL per day
+    (mergeable, map-side combined), then ``hll_union_agg`` over a
+    7-row trailing window and a final estimate.  Per-day state is a
+    fixed-size sketch regardless of cardinality, so the rolling
+    distinct scales to billions of users where the exact fan-out join
+    (win_rolling_distinct_users_7d, the oracle-checked twin) would
+    shuffle user×7 rows.  Rows-only: sketch estimates are
+    Spark-internal; tests bound the relative error against the exact
+    twin."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    est = F.expr(
+        f"hll_sketch_estimate(hll_union_agg(sk) OVER (ORDER BY day "
+        f"ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW))"
+    )
+    return (
+        daily.select("day", est.alias("active_7d_est"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d_est")
+        .orderBy("day")
+    )

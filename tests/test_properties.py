@@ -281,3 +281,21 @@ def test_isotonic_pav_properties(spark, sf_dir):
     # pool, so it must lie within [min, max] of the raw rates
     lo, hi = min(r.raw_rate for r in rows), max(r.raw_rate for r in rows)
     assert all(lo - 1e-12 <= c <= hi + 1e-12 for c in cal)
+
+
+def test_rolling_hll_tracks_exact_twin(spark, sf_dir):
+    """The sketch WAU curve must track the exact fan-out-join curve
+    within HLL's error envelope on every day."""
+    from potpot_spark import registry
+
+    exact = {
+        r.day: r.active_7d
+        for r in registry.get("win_rolling_distinct_users_7d").fn(spark, sf_dir).collect()
+    }
+    est = {
+        r.day: r.active_7d_est
+        for r in registry.get("win_rolling_hll_users_7d").fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for day, ex in exact.items():
+        assert abs(est[day] - ex) <= max(3, 0.05 * ex), (day, ex, est[day])
