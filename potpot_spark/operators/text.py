@@ -965,3 +965,34 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+                 AS n_distinct_chars,
+               ROUND(CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE)
+                     / n_chars, 6) AS char_diversity
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY doc_id
+    """,
+    tags=("E37",),
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: distinct characters over
+    total length — the cheap gibberish/degeneracy detector (key-mash
+    and repeated-char spam score near 0; natural text sits in a
+    stable band per script).  Entropy without the log: the ratio
+    carries the same filtering signal with exact integer/divide
+    arithmetic.  Pure row-local split + array_distinct in codegen —
+    zero shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), "")))
+    return d.select(
+        "doc_id",
+        n_distinct.cast("bigint").alias("n_distinct_chars"),
+        F.round(n_distinct.cast("double") / F.col("n_chars"), 6).alias("char_diversity"),
+    ).orderBy("doc_id")
