@@ -24,6 +24,7 @@ same names become real tables with a refresh cadence.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["shared_intermediate", "clear_intermediates"]
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def shared_intermediate(
@@ -40,14 +42,26 @@ def shared_intermediate(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the checkpointed result of ``build()``, computing it at
-    most once per (session, sf_dir, name)."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _CACHE.get(key)
+    most once per (session, sf_dir, name).
+
+    Entries belonging to any other application are evicted on each call:
+    a stopped session's checkpointed frames are unusable (and pinned
+    executor storage while the JVM lives), and only one SparkSession is
+    active at a time in this engine's deployment model.
+    """
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    with _LOCK:
+        for stale in [k for k in _CACHE if k[0] != app_id]:
+            del _CACHE[stale]
+        df = _CACHE.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
-        _CACHE[key] = df
+        with _LOCK:
+            df = _CACHE.setdefault(key, df)
     return df
 
 
 def clear_intermediates() -> None:
-    _CACHE.clear()
+    with _LOCK:
+        _CACHE.clear()

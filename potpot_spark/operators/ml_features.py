@@ -920,7 +920,8 @@ KNN_QUERIES = 50
         ),
         scored AS (
             SELECT query_id, true_label, cand_id, cand_label,
-                   SUM(qx * cx) / (SQRT(SUM(qx * qx)) * SQRT(SUM(cx * cx))) AS cos
+                   ROUND(SUM(qx * cx) / (SQRT(SUM(qx * qx)) * SQRT(SUM(cx * cx))),
+                         12) AS cos
             FROM prod
             GROUP BY query_id, true_label, cand_id, cand_label
         ),
@@ -980,7 +981,10 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "true_label",
             F.col("vec_id").alias("cand_id"),
             F.col("label").alias("cand_label"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            # Rounded BEFORE ranking: an ulp of cross-engine float drift on
+            # near-tie candidates must not flip top-k order (same
+            # rounding-before-ranking discipline as NDCG/AP).
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 12).alias("cos"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

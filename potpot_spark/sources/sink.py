@@ -12,6 +12,7 @@ one is full, ``record.rs:31-37``; Spark rolls part-files).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -328,7 +329,13 @@ def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     partition rewrite with exactly this equality check as the
     validation gate."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "A")
-    base = tempfile.mkdtemp(prefix="potpot_codecs_")
+    # Deterministic per-sf_dir path, overwritten each run: the returned
+    # DataFrame reads these files lazily, so they cannot be rmtree'd here;
+    # reuse bounds the on-disk footprint at one copy per codec.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "potpot_codecs_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
     outs = []
     for codec in PARQUET_CODECS:
         path = os.path.join(base, codec)

