@@ -109,16 +109,46 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("E16", "rows-only"))
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_BAND = 3 * APPROX_DISTINCT_RSD  # 3-sigma of the declared rsd
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs_exact,
+               TRUE AS hll_within_band
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("E16",),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E16 — HyperLogLog++ approximate distinct.  No SQL oracle:
-    DuckDB's approx sketch differs; the driver records a rows-only
-    check and tests/test_aggregates.py bounds the relative error
-    against the exact count instead."""
+    """E16 — HyperLogLog++ approximate distinct, error contract driven
+    THROUGH the oracle gate (the agg_approx_percentile_bounds pattern):
+    sketch internals are engine-specific, so the hashed columns are the
+    exact distinct count plus a computed |approx−exact|/exact ≤ 3·rsd
+    boolean — the oracle emits the same exact count plus literal TRUE,
+    and the value hash matches iff the sketch honored its declared
+    error bound.  Exact and approx accumulate in ONE grouped pass (two
+    aggregate buffers); tests/test_aggregates.py additionally bounds
+    the raw relative error."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("n_custs_approx"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs_exact"),
+            F.approx_count_distinct("o_custkey", APPROX_DISTINCT_RSD).alias("_ap"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_custs_exact",
+            (
+                F.abs(F.col("_ap") - F.col("n_custs_exact"))
+                / F.col("n_custs_exact")
+                <= APPROX_DISTINCT_BAND
+            ).alias("hll_within_band"),
+        )
     )
 
 

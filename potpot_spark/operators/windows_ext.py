@@ -596,7 +596,33 @@ def win_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("win_rolling_hll_users_7d", oracle=None, tags=("E16", "E67", "rows-only"))
+HLL_7D_BAND = 0.05  # lgConfigK=12 → rsd ≈ 1.6%; 3-sigma rounded up
+
+
+@query(
+    "win_rolling_hll_users_7d",
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                     AS day
+            FROM events
+        ),
+        ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS uday
+            FROM events
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d_exact,
+               TRUE AS hll_within_band
+        FROM days d
+        JOIN ud u
+          ON u.uday <= d.day AND u.uday > d.day - {ROLL_DAYS}
+        GROUP BY d.day
+        ORDER BY day
+    """,
+    tags=("E16", "E67"),
+)
 def win_rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users — SKETCH form: one HLL per day
     (mergeable, map-side combined), then ``hll_union_agg`` over a
@@ -604,9 +630,15 @@ def win_rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size sketch regardless of cardinality, so the rolling
     distinct scales to billions of users where the exact fan-out join
     (win_rolling_distinct_users_7d, the oracle-checked twin) would
-    shuffle user×7 rows.  Rows-only: sketch estimates are
-    Spark-internal; tests bound the relative error against the exact
-    twin."""
+    shuffle user×7 rows.
+
+    Error contract through the oracle gate: estimates are
+    Spark-internal, so the hashed columns are the exact per-day value
+    (the twin's fan-out join, computed alongside) and a computed
+    |est−exact|/exact ≤ {HLL_7D_BAND:.0%} boolean; the oracle emits the
+    exact rolling distinct plus literal TRUE.  At production scale the
+    exact twin runs on a sampled day slice as a canary instead of the
+    full grid."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
@@ -615,8 +647,31 @@ def win_rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hll_sketch_estimate(hll_union_agg(sk) OVER (ORDER BY day "
         f"ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW))"
     )
+    sketched = daily.select("day", est.alias("est"))
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("uday")
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("uday"), F.date_add(F.col("uday"), ROLL_DAYS - 1))
+        ).alias("day"),
+    )
+    exact = (
+        fan.join(daily.select("day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d_exact"))
+    )
     return (
-        daily.select("day", est.alias("active_7d_est"))
-        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d_est")
+        exact.join(sketched, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_7d_exact",
+            (
+                F.abs(F.col("est") - F.col("active_7d_exact"))
+                / F.col("active_7d_exact")
+                <= HLL_7D_BAND
+            ).alias("hll_within_band"),
+        )
         .orderBy("day")
     )

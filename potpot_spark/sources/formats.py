@@ -316,22 +316,53 @@ def scan_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIXTURE_TABLES = (
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+)
+
+
 @query(
     "scan_binary_files",
-    oracle=None,  # physical file layout has no SQL twin (rows-only)
-    tags=("E1", "E38", "rows-only"),
+    oracle=f"""
+        SELECT UNNEST({[t + ".parquet" for t in FIXTURE_TABLES]}) AS file_name,
+               TRUE AS nonempty,
+               TRUE AS sha_matches_manifest
+        ORDER BY file_name
+    """,
+    tags=("E1", "E38"),
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the ingestion format for multimodal
     payloads (images/audio/video land as whole-file blobs + metadata
     before any decode): read the fixture parquet files themselves as
-    binary blobs and report per-file length and a content checksum.
+    binary blobs, sha256 each blob DISTRIBUTED (executor-side
+    ``sha2``), and prove every digest equals an independently computed
+    driver-side ``hashlib`` manifest of the same files.
 
     At 100 TB this is the first stage of every multimodal pipeline:
     binaryFile scans parallelize per file, `pathGlobFilter` prunes at
     list time, and the blob column flows into mapInPandas decoders
-    (multimodal.py) without a JVM round trip.  Rows-only: sizes and
-    hashes are deterministic but path layout is environment-bound."""
+    (multimodal.py) without a JVM round trip.  Absolute paths and byte
+    sizes are environment-bound, so the hashed contract is the
+    manifest check: one row per fixture table, blob non-empty, and the
+    distributed checksum equal to the local one (the oracle emits the
+    fixed file list plus literal TRUE) — a truncated or corrupted blob
+    read flips the hash."""
+    import hashlib
+
+    from potpot_spark.catalog import table_path
+
+    manifest = {
+        t + ".parquet": hashlib.sha256(
+            open(table_path(sf_dir, t), "rb").read()
+        ).hexdigest()
+        for t in FIXTURE_TABLES
+    }
+    manifest_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(manifest.items())],
+        "file_name string, sha_local string",
+    )
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -340,8 +371,14 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bf.select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
-            F.col("length").cast("bigint").alias("n_bytes"),
-            F.sha2(F.col("content"), 256).alias("sha256"),
+            (F.col("length") > 0).alias("nonempty"),
+            F.sha2(F.col("content"), 256).alias("sha_dist"),
+        )
+        .join(F.broadcast(manifest_df), "file_name")
+        .select(
+            "file_name",
+            "nonempty",
+            (F.col("sha_dist") == F.col("sha_local")).alias("sha_matches_manifest"),
         )
         .orderBy("file_name")
     )

