@@ -433,3 +433,29 @@ def test_conversion_latency_single_pass(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert "Join" not in plan, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_ivf_probe_stays_broadcast(spark, sf_dir):
+    """IVF probe path: the probes×postings candidate join must be
+    broadcast (probe set is queries×nprobe — tiny vs the corpus) and
+    nothing in the scan side may fall back to a sort-merge exchange or
+    an unkeyed nested loop over the corpus."""
+    df = registry.get("sim_search_ivf").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_scan_joins_broadcast_lut(spark, sf_dir):
+    """ADC scan: codes ⋈ LUT must be a broadcast hash join (the LUT is
+    queries × M_SUB × PQ_K rows — kilobytes) with NO sort-merge
+    exchange of the code table, and the per-(query, vector) distance
+    sum must partially aggregate map-side — the two properties that
+    keep the hot scan O(|codes|) at 100 TB."""
+    df = registry.get("sim_search_pq_adc").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregate(df), plan
