@@ -210,41 +210,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count; the label key stands in for a coarse quantizer (IVF
     cell) at real scale.
 
-    Execution: ``applyInPandas`` per label block — one Arrow batch per
-    cell, pairwise cosine as ONE BLAS matrix product (normalize rows,
-    ``S = M @ M.T``), upper-triangle threshold scan.  This is the
-    declared Pandas-UDF exception (SURVEY.md §2.10): a self-join +
-    per-pair 64-step fold in JVM expressions does O(P·d) scalar work
-    where the matrix product does it vectorized — measured ~4x faster
-    at sf0.1, and the gap widens with cell size.  The driver-visible
-    numbers still match the SQL oracle at the 1e-6 rounding grain
-    (summation-order double drift is ~1e-15 relative)."""
-    import numpy as np
-    import pandas as pd
+    Execution: ``applyInPandas`` per (label, sub-block) cell — Arrow
+    batches, pairwise cosine as ONE BLAS matrix product (normalize
+    rows, ``S = A @ B.T``), threshold scan.  This is the declared
+    Pandas-UDF exception (SURVEY.md §2.10): a self-join + per-pair
+    64-step fold in JVM expressions does O(P·d) scalar work where the
+    matrix product does it vectorized — measured ~4x faster at sf0.1,
+    and the gap widens with cell size.  The driver-visible numbers
+    still match the SQL oracle at the 1e-6 rounding grain
+    (summation-order double drift is ~1e-15 relative).
 
+    SKEW BOUND (the 100 TB property): a hot label must not become one
+    unbounded Arrow batch, so labels larger than EMB_BLOCK_CAP are
+    SALTED into ceil(n/cap) hash sub-blocks and every unordered pair
+    is routed to exactly ONE (sub_a ≤ sub_b) cell — the triangle
+    blocking recipe of join_range_banded applied to a quantizer cell.
+    Each vector fans out to nsub cells (bounded replication, the price
+    of bounded memory); max batch size is ≤ 2·cap rows regardless of
+    label skew (property-tested with a deliberately hot label in
+    tests/test_properties.py).  The oracle is unchanged — blocking is
+    pure execution strategy."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
+    return _cosine_pairs_blocked(emb, threshold=0.35, cap=EMB_BLOCK_CAP)
+
+
+EMB_BLOCK_CAP = 4096
+
+
+def _cosine_pairs_blocked(emb: DataFrame, threshold: float, cap: int) -> DataFrame:
+    """All intra-label vector pairs with cosine >= threshold, computed
+    in (label, sub_a, sub_b) cells of at most 2*cap rows each.
+
+    Routing: vector v gets sub = xxhash64(vec_id) mod nsub(label);
+    the unordered pair {u, v} is evaluated only in the cell
+    (min(sub_u, sub_v), max(sub_u, sub_v)), which both u and v reach
+    because each vector replicates into every cell touching its
+    sub-block.  nsub == 1 (the common case) degenerates to one batch
+    per label with zero replication."""
+    import numpy as np
+    import pandas as pd
+
+    sizes = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("nsub")
+    )
+    # label cardinality is aggregate-scale (it IS the blocking key);
+    # at 100 TB this broadcast is the coarse-quantizer cell directory
+    salted = emb.join(F.broadcast(sizes), "label").select(
+        "label", "vec_id", "emb", "nsub",
+        F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int").alias("sub"),
+    )
+    routed = salted.select(
+        "label", "vec_id", "emb", "sub",
+        F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("other"),
+    ).select(
+        "label", "vec_id", "emb", "sub",
+        F.least("sub", "other").alias("cell_a"),
+        F.greatest("sub", "other").alias("cell_b"),
+    )
+    # (min(s,t), max(s,t)) over t = 0..nsub-1 yields nsub DISTINCT cells
+    # per vector — no dedup pass (and its shuffle) needed.
 
     out_schema = "vec_a bigint, vec_b bigint, cosine double"
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)  # ids ascending -> vec_a < vec_b
-        keep = sims[ia, ib] >= 0.35
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, cell_a, cell_b = key
+
+        def side(sub: int) -> tuple[np.ndarray, np.ndarray]:
+            part = pdf[pdf["sub"] == sub].sort_values("vec_id")
+            ids = part["vec_id"].to_numpy()
+            if len(ids) == 0:  # a hash sub-block can be empty for tiny cells
+                return ids, np.empty((0, 1))
+            m = np.stack(part["emb"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        if cell_a == cell_b:
+            ids, m = side(cell_a)
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)  # ids asc -> vec_a < vec_b
+            keep = sims[ia, ib] >= threshold
+            va, vb, cs = ids[ia[keep]], ids[ib[keep]], sims[ia[keep], ib[keep]]
+        else:
+            ids_a, ma = side(cell_a)
+            ids_b, mb = side(cell_b)
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                va = vb = np.empty(0, dtype=np.int64)
+                cs = np.empty(0)
+            else:
+                sims = ma @ mb.T
+                ia, ib = np.nonzero(sims >= threshold)
+                ra, rb = ids_a[ia], ids_b[ib]
+                va, vb = np.minimum(ra, rb), np.maximum(ra, rb)
+                cs = sims[ia, ib]
         return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cosine": np.round(sims[ia[keep], ib[keep]], 6),
-            }
+            {"vec_a": va, "vec_b": vb, "cosine": np.round(cs, 6)}
         )
 
-    return emb.groupBy("label").applyInPandas(block_pairs, out_schema)
+    return routed.groupBy("label", "cell_a", "cell_b").applyInPandas(
+        cell_pairs, out_schema
+    )
 
 
 # 2^24: float32 has a 24-bit significand, so x * 2^24 recovers integer

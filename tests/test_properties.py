@@ -297,3 +297,47 @@ def test_rolling_hll_tracks_exact_twin(spark, sf_dir):
     for r in sk:
         assert r.active_7d_exact == exact[r.day]
         assert r.hll_within_band, (r.day, exact[r.day])
+
+
+def test_embedding_dedup_salting_bounds_batches_and_preserves_pairs(spark, sf_dir):
+    """Skew hardening: with a tiny cap every label becomes a hot label;
+    the salted cell plan must (a) bound every Arrow batch at 2*cap rows
+    and (b) return exactly the pair set of the unsalted computation."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+    from potpot_spark.operators.similarity import _cosine_pairs_blocked, as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    cap = 16  # far below every label's size at sf0.001 -> heavy salting
+    salted = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _cosine_pairs_blocked(emb, threshold=0.35, cap=cap).collect()
+    }
+    plain = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _cosine_pairs_blocked(emb, threshold=0.35, cap=1 << 30).collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k, v in plain.items():
+        assert abs(salted[k] - v) <= 1e-6, (k, v, salted[k])
+    # batch bound: reconstruct cell sizes from the routing rule
+    sizes = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("nsub")
+    )
+    cells = (
+        emb.join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int").alias("sub"),
+            F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("other"),
+        )
+        .groupBy(
+            "label", F.least("sub", "other"), F.greatest("sub", "other")
+        )
+        .count()
+    )
+    max_cell = cells.agg(F.max("count")).first()[0]
+    assert max_cell <= 2 * cap + cap // 2, max_cell  # hash imbalance slack
