@@ -82,8 +82,47 @@ def main() -> int:
         ),
         "append",
     )
+    # Python DataSource bridge warmup: the first Python-defined scan
+    # pays ~5 s of one-time cost (source pickling, Python planner
+    # worker spawn, Arrow bridge init) — same treatment as the
+    # streaming/collation warmups above so scan_python_datasource
+    # measures the connector, not the bridge.
+    from potpot_spark.sources.python_ds import DocPythonSource
+
+    spark.dataSource.register(DocPythonSource)
+    materialize(
+        spark.read.format("potpot_pydocs")
+        .option("path", os.path.join(SF_DIR, "documents.parquet"))
+        .load()
+        .limit(10)
+    )
+
+    # Shared-intermediate pre-warm (ADVICE r2 "attributable timings"):
+    # the pair graph / components / co-purchase edges build once per
+    # session (materialize.shared_intermediate) and were charged to
+    # whichever family member ran first, making per-query numbers
+    # unstable across runs.  Build them here, bill the cost to ONE
+    # explicit shared_build_sec line (still added to the headline
+    # total — the work is real), and let every query time its marginal
+    # cost.
+    _SHARED_BUILDERS = (
+        "pipeline_corpus_filter",      # corpus_filter_survivors
+        "dedup_connected_components",  # dedup_cc_components
+        "analytics_market_basket",     # part_copurchase_edges
+    )
+    t0 = time.perf_counter()
+    for warm_name in _SHARED_BUILDERS:
+        spec = registry.specs().get(warm_name)
+        if spec is None or (only and not any(f in warm_name for f in only)):
+            continue
+        try:
+            materialize(spec.fn(spark, SF_DIR))
+        except Exception:  # noqa: BLE001 - the timed loop reports it
+            pass
+    shared_build_sec = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
-    total = 0.0
+    total = shared_build_sec
     errors = 0
     for name, spec in registry.specs().items():
         if only and not any(f in name for f in only):
@@ -114,6 +153,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_val,
                 "errors": errors,
+                "shared_build_sec": shared_build_sec,
                 "queries": timings,
             },
             f,

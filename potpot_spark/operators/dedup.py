@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from potpot_spark.catalog import load_table
+from potpot_spark.catalog import load_table, spread
 from potpot_spark.registry import query
 
 # --- shingling helpers (JVM expressions) ---------------------------------
@@ -106,7 +106,7 @@ def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     # Passing the shingle expression into every minhash column would
     # make codegen rebuild the array 33x per row (CollapseProject
     # keeps non-cheap multiply-referenced projections separate).
-    with_shingles = docs.where(F.size(tok) >= 3).select(
+    with_shingles = spread(docs).where(F.size(tok) >= 3).select(
         "doc_id", word_shingles(tok, 3).alias("shingles")
     )
     # Third stage: hash every shingle to a long ONCE; the 32 minhash
@@ -232,9 +232,16 @@ def simhash64(hashes: Column) -> Column:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per document (near-dup via Hamming distance
     on 16-bit chunk collisions downstream).  Rows-only: signature
-    values depend on Spark's xxhash64 seed."""
+    values depend on Spark's xxhash64 seed.
+
+    Shape: the simhash64 per-row HOF fold over spread() partitions —
+    A/B'd r3 warm sf0.1 against an exploded 64-bit-count-SUM aggregate
+    twin (algebraically identical, asserted in tests/test_dedup.py):
+    the aggregate form was 2.5x SLOWER (5.3 s vs 2.0 s — 64 wide sum
+    buffers per group beat by the row-local fold), so the fold stays;
+    it is embarrassingly parallel and shuffle-free."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select(
+    hashed = spread(d).select(
         "doc_id", F.transform(tokens(), lambda t: F.xxhash64(t)).alias("tok_hashes")
     )
     return hashed.select("doc_id", simhash64(F.col("tok_hashes")).alias("simhash"))
@@ -304,7 +311,9 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.3) -> DataFrame:
     # pressure), so no .persist() here.  At warehouse scale the right
     # move is materializing signatures to a table once per corpus, not
     # an in-job cache.
-    sh = d.where(F.size(tok) >= 3).select(
+    # spread() first: shingle+hash is the CPU-heavy stage and must not
+    # serialize onto the fixture's single scan task (see catalog.spread)
+    sh = spread(d).where(F.size(tok) >= 3).select(
         "doc_id", "lang", "n_chars", hashed.alias("shingles_h"), band.alias("band")
     )
     a = sh.select(
@@ -426,7 +435,7 @@ def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wider band.
     band = (F.col("n_chars") / 40).cast("int")
     hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
-    sh = d.where(F.size(tok) >= 3).select(
+    sh = spread(d).where(F.size(tok) >= 3).select(
         "doc_id", "lang", "n_chars", hashed.alias("sh_h"), band.alias("band")
     )
     a = sh.select(

@@ -157,7 +157,20 @@ def text_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang, similar length) over an 80-char prefix.  Levenshtein is
     O(len^2) per pair — the prefix cap and the blocking keys are what
     keep it tractable; full-text edit distance at corpus scale is
-    always wrong."""
+    always wrong.
+
+    Two scale fixes, A/B'd r3 warm at sf0.1 (5.1 s → ~0.6 s):
+    (a) the length constraint is a JOIN KEY, not a post-join filter —
+    rows band into width-8 n_chars buckets and the left side fans to
+    its 3 adjacent buckets (the join_range_banded recipe), so the
+    candidate stream shrinks 16x before the join condition runs; each
+    qualifying pair meets exactly once (the right side's single bucket
+    value occurs once in the left fan), no dedup pass, oracle
+    unchanged.  (b) the probe side REPARTITIONS before the broadcast
+    join: the fixture is one parquet row group = one task, which
+    serialized every levenshtein onto a single core — the 1000-split
+    layout a real corpus scan gets for free, restored explicitly."""
+    band = 8  # > max |Δchars| (5): qualifying pairs are never >1 bucket apart
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.substring("text", 1, 80).alias("prefix")
     )
@@ -166,22 +179,32 @@ def text_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").alias("chars_a"),
         F.col("prefix").alias("pa"),
+        F.explode(
+            F.array(
+                *[(F.col("n_chars") / band).cast("bigint") + i for i in (-1, 0, 1)]
+            )
+        ).alias("bucket"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         "lang",
         F.col("n_chars").alias("chars_b"),
         F.col("prefix").alias("pb"),
+        (F.col("n_chars") / band).cast("bigint").alias("bucket"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
     return (
-        a.join(b, "lang")
+        a.repartition(n_parts)
+        .join(F.broadcast(b), ["lang", "bucket"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 5)
         )
         .where(dist <= 20)
-        .select("doc_a", "doc_b", dist.alias("prefix_edit_dist"))
+        # bigint: levenshtein() is int32, the oracle's is int64 — the
+        # driver's value hash is dtype-sensitive (round-1 lesson)
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("prefix_edit_dist"))
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from potpot_spark.catalog import load_table
+from potpot_spark.catalog import load_table, spread
 from potpot_spark.functions.numeric import davg, dsum
 from potpot_spark.registry import query
 
@@ -667,7 +667,9 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = tokens()
-    sh = d.where(F.size(tok) >= 3).select(
+    # spread(): shingling must not serialize on the fixture's single
+    # scan task (catalog.spread)
+    sh = spread(d).where(F.size(tok) >= 3).select(
         "doc_id", word_shingles(tok, 3).alias("shingles")
     )
     posting = sh.select("doc_id", F.explode("shingles").alias("s"))

@@ -83,3 +83,45 @@ def test_exact_dedup_sum_of_copies_equals_corpus(spark, sf_dir):
     groups = dedup_exact(spark, sf_dir)
     assert groups.agg(F.sum("n_copies")).first()[0] == d.count()
     assert groups.where(F.col("keeper_doc_id").isNull()).count() == 0
+
+
+def test_simhash_aggregate_form_equals_hof_fold(spark, sf_dir):
+    """The registered query (simhash64 HOF fold over spread
+    partitions) must be bit-identical to an independent exploded
+    bit-count-majority formulation — the algebraic twin that justifies
+    (and perf-rejected, see the query docstring) the aggregate form."""
+    from functools import reduce
+
+    from potpot_spark import registry
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode_outer(F.transform(tokens(), lambda t: F.xxhash64(t))).alias("h"),
+    )
+    one = F.lit(1).cast("long")
+    per = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one)).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+
+    def mask(i):
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    sim = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(2 * F.col(f"b{i}") > F.col("n"), F.lit(mask(i)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    twin = {r.doc_id: r.sh for r in per.select("doc_id", sim.alias("sh")).collect()}
+    got = {
+        r.doc_id: r.simhash
+        for r in registry.get("dedup_simhash").fn(spark, sf_dir).collect()
+    }
+    assert got == twin
