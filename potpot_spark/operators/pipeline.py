@@ -258,7 +258,12 @@ def pipeline_quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents")
     tok = tokens()
-    posting = d.where(F.size(tok) >= 3).select(
+    # spread(): the shingle explode is referenced twice (df census +
+    # boilerplate join) and must not serialize on the fixture's single
+    # scan task (catalog.spread)
+    from potpot_spark.catalog import spread
+
+    posting = spread(d).where(F.size(tok) >= 3).select(
         "doc_id", F.explode(word_shingles(tok, 3)).alias("s")
     )
     common = (

@@ -152,6 +152,10 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is stable; recall measured in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
+    # (no spread() here: the corpus is 2 k vectors at sf0.1 — an A/B
+    # showed the repartition's shuffle + scheduling cost EXCEEDS the
+    # single-task HOF compute at this cardinality; at real corpus
+    # scale the scan arrives multi-split anyway)
     corpus = _with_table_buckets(
         emb.select("vec_id", as_double(F.col("embedding")).alias("c_emb")), "vec_id", "c_emb", dim
     )
