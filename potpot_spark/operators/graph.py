@@ -310,9 +310,50 @@ def part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 8
 PR_DAMPING = 0.85
 PR_TOP = 20
+# Contribution sums accumulate as FLOOR(rank * w * 2^40) BIGINTs —
+# deterministic truncation + exact integer addition, so every
+# iteration's rank vector is bit-identical on any partitioning AND on
+# DuckDB (the embedding-centroid fixed-point recipe applied to an
+# iterative kernel).  2^40 ≈ 1e12: plenty of rank resolution, and the
+# per-edge terms keep Σ well inside int64 at fixture scale (a 100 TB
+# graph would widen to DECIMAL(38,0) — same algebra).
+PR_SCALE = float(1 << 40)
 
 
-@query("graph_pagerank_fixed", oracle=None, tags=("E8",))
+def _pagerank_oracle() -> str:
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"r{i} AS MATERIALIZED (SELECT w.v AS u, "
+            f"CAST({1 - PR_DAMPING} + {PR_DAMPING} * "
+            f"(CAST(SUM(CAST(FLOOR(r{i - 1}.rank * w.w * {PR_SCALE}) AS BIGINT)) AS DOUBLE)"
+            f" / {PR_SCALE}) AS DOUBLE) AS rank "
+            f"FROM w JOIN r{i - 1} ON w.u = r{i - 1}.u GROUP BY w.v)"
+        )
+    return f"""
+        WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, c.l_partkey AS v
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+        w AS MATERIALIZED (
+            SELECT s.u, s.v, 1.0 / d.deg AS w FROM sym s JOIN deg d ON s.u = d.u
+        ),
+        r0 AS MATERIALIZED (SELECT u, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+        {", ".join(steps)}
+        SELECT u AS part_key, ROUND(rank, 6) AS rank
+        FROM r{PR_ITERS}
+        ORDER BY rank DESC, u
+        LIMIT {PR_TOP}
+    """
+
+
+@query("graph_pagerank_fixed", oracle=_pagerank_oracle(), tags=("E8",))
 def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (8 fixed iterations, damping 0.85) on the undirected
     part co-purchase graph; returns the top-20 parts by rank — the
@@ -324,10 +365,15 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is reusable) + one aggregate, with ``localCheckpoint``
     truncating the lineage so round N's plan doesn't embed rounds
     1..N-1.  Dangling mass isn't an issue (every node here has degree
-    ≥ 1).  Rows-only check: parallel double summation makes last-ulp
-    rank values partitioning-dependent, so there is no bit-exact SQL
-    twin — the property test asserts the invariants instead (rank mass
-    conservation to 1e-6·n, positivity, fixed cardinality)."""
+    ≥ 1).
+
+    ORACLE-CHECKED (r3; formerly rows-only): per-edge contributions
+    enter the sum as FLOOR(rank·w·2^40) fixed-point BIGINTs, so the
+    aggregate is exact integer addition — every iteration's rank
+    vector is bit-identical under any partitioning and in DuckDB's
+    unrolled-CTE twin (the r·w double products are IEEE-identical on
+    both engines; only the SUMMATION needed taming).  The property
+    test keeps asserting mass conservation / positivity on top."""
     edges = part_copurchase_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -362,11 +408,21 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # edges pre-partitioned on u — same loop, one exchange more.)
             contribs = (
                 withdeg.join(F.broadcast(ranks), "u")
-                .select(F.col("v").alias("u"), (F.col("rank") * F.col("w")).alias("c"))
+                .select(
+                    F.col("v").alias("u"),
+                    F.floor(F.col("rank") * F.col("w") * PR_SCALE)
+                    .cast("bigint")
+                    .alias("c"),
+                )
             )
             ranks = (
                 contribs.groupBy("u")
-                .agg((F.lit(1 - PR_DAMPING) + PR_DAMPING * F.sum("c")).alias("rank"))
+                .agg(
+                    (
+                        F.lit(1 - PR_DAMPING)
+                        + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
+                    ).alias("rank")
+                )
                 .localCheckpoint()
             )
     finally:

@@ -55,19 +55,53 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCTS = (0.5, 0.95, 0.99)
+APPROX_PCTS_ACC = 10000       # rank error <= 1/accuracy = 1e-4
+APPROX_PCTS_MARGIN = 0.002    # 20x the guarantee: a STABLE exact rank band
+
+
 @query(
     "agg_approx_percentiles",
-    oracle=None,  # sketch-based: Spark KLL vs DuckDB t-digest differ by design
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"TRUE AS p{int(p * 100)}_within" for p in APPROX_PCTS
+               )}
+        FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("E16",),
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via ``percentile_approx`` — the mergeable,
     bounded-memory sketch that replaces exact percentiles at 100 TB.
-    Rows-only check: sketch contents are engine-specific."""
+
+    Error contract through the oracle gate (the E173 band pattern,
+    here at accuracy {APPROX_PCTS_ACC} on three points including the
+    tail p99): sketch values are engine-specific (Spark KLL vs DuckDB
+    t-digest), so the hashed columns are computed booleans proving
+    each sketch point lands inside the exact rank band
+    [p−{APPROX_PCTS_MARGIN}, p+{APPROX_PCTS_MARGIN}], both band edges
+    and the sketch from ONE grouped pass (two shared array buffers)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    edge_pcts = [x for p in APPROX_PCTS
+                 for x in (p - APPROX_PCTS_MARGIN, p + APPROX_PCTS_MARGIN)]
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(map(str, edge_pcts))}))"
+        ).alias("ex"),
+        F.percentile_approx(
+            "l_extendedprice", list(APPROX_PCTS), APPROX_PCTS_ACC
+        ).alias("ap"),
     )
+    cols = []
+    for i, p in enumerate(APPROX_PCTS):
+        lo = F.element_at("ex", 2 * i + 1)
+        hi = F.element_at("ex", 2 * i + 2)
+        ap = F.element_at("ap", i + 1)
+        cols.append(((ap >= lo) & (ap <= hi)).alias(f"p{int(p * 100)}_within"))
+    return agg.select("l_returnflag", "n", *cols)
 
 
 @query(

@@ -200,15 +200,36 @@ def events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_daily_sketches", oracle=None, tags=("E16",))
+HLL_SKETCH_BAND = 0.05  # default lgConfigK=12 → rsd ≈ 1.6%; 3σ rounded up
+
+
+@query(
+    "agg_hll_daily_sketches",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+               CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS days_merged,
+               TRUE AS merged_within_band
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("E16",),
+)
 def agg_hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the rollup-compatible form
     of COUNT(DISTINCT): build one HyperLogLog sketch per (day,
     event_type), then merge sketches across days per event_type and
     estimate.  At 100 TB the daily sketch table is what the serving
     layer stores; any date-range distinct query is a sketch merge, not
-    a raw-table rescan.  Rows-only check: sketch estimates are
-    engine-specific by design."""
+    a raw-table rescan.
+
+    Error contract through the oracle gate (the E173 band pattern):
+    sketch bytes are engine-specific, so the hashed columns are the
+    exact distinct count, the merged-day count, and a computed
+    |est−exact|/exact ≤ 5% boolean proving the CROSS-DAY MERGE — not
+    just a single sketch — honors HLL's error envelope; the oracle
+    emits the same exacts plus literal TRUE."""
     e = load_table(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
     daily = (
@@ -216,12 +237,22 @@ def agg_hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.hll_sketch_agg("user_id").alias("sketch"))
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct_users"),
-            F.count(F.lit(1)).alias("days_merged"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("days_merged"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct_users",
+        "days_merged",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_users"))
+            / F.col("exact_distinct_users")
+            <= HLL_SKETCH_BAND
+        ).alias("merged_within_band"),
     )
 
 
