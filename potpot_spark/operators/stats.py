@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
@@ -1160,3 +1160,82 @@ def agg_percentile_disc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, name in [(0.25, "p25_disc"), (0.50, "p50_disc"), (0.95, "p95_disc")]
     ]
     return ranked.groupBy("l_returnflag").agg(*picks).orderBy("l_returnflag")
+
+
+KMV_K = 256
+_KMV_2_60 = float(1 << 60)
+
+
+@query(
+    "sketch_kmv_portable",
+    oracle=f"""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        hashed AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM du
+            UNION ALL
+            SELECT '<all>' AS event_type,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n_exact,
+               ROUND(CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                          ELSE {KMV_K - 1} * ({_KMV_2_60} / CAST(hk AS DOUBLE))
+                     END, 4) AS kmv_estimate
+        FROM stats
+    """,
+    tags=("E16", "E28"),
+)
+def sketch_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE distinct-count sketch: k-minimum-values over a 60-bit
+    md5 hash — unlike HLL (engine-internal bytes, band-checked), a KMV
+    sketch built on a portable hash is EXACTLY reproducible in any
+    engine, so the estimate itself goes through the oracle hash
+    bit-for-bit (the sketch_count_min_portable philosophy applied to
+    distinct counting).  Estimate: D ≈ (k−1)·2^60/h_k with h_k the
+    k-th smallest distinct-user hash; cardinalities ≤ k are exact by
+    construction.  The '<all>' row IS the merge proof: a KMV union is
+    "pool the hash sets, re-take the k smallest" — associative,
+    mergeable, the property that lets per-partition sketches roll up.
+
+    Scale shape: one distinct-projection shuffle, then a per-group
+    top-k (WindowGroupLimit prunes to k rows per group map-side before
+    the exchange).  At 100 TB the sketch table (k longs per group) is
+    what the serving layer stores; this query is the build + read."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.select("event_type", "user_id").distinct()
+    everyone = e.select(
+        F.lit("<all>").alias("event_type"), F.col("user_id")
+    ).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = per_type.unionByName(everyone).select("event_type", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(KMV_K - 1) * (F.lit(_KMV_2_60) / F.col("hk").cast("double")))
+    return stats.select(
+        "event_type", "n_exact", F.round(est, 4).alias("kmv_estimate")
+    )

@@ -998,3 +998,99 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_distinct.cast("bigint").alias("n_distinct_chars"),
         F.round(n_distinct.cast("double") / F.col("n_chars"), 6).alias("char_diversity"),
     ).orderBy("doc_id")
+
+
+LM_SCALE = float(1 << 20)  # fixed-point grain for log2 contributions
+LM_ALPHA = 0.5             # add-alpha smoothing
+
+
+@query(
+    "text_bigram_lm_perplexity",
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 2
+        ),
+        bg AS MATERIALIZED (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        cb AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        cu AS MATERIALIZED (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+        v AS MATERIALIZED (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(FLOOR(log2((cb.cb + {LM_ALPHA}) / (cu.cu + {LM_ALPHA} * v.v))
+                              * {LM_SCALE}) AS BIGINT) AS q
+            FROM bg
+            JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+            JOIN cu ON bg.w1 = cu.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-(CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {LM_SCALE}, 6)
+                 AS bits_per_bigram
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("E37", "E35"),
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filtering (the CCNet/Gopher staple): a
+    bigram language model with add-{LM_ALPHA} smoothing is trained on
+    the corpus ITSELF, and every document is scored by its average
+    negative log2 bigram probability (bits per bigram).  Documents far
+    above the corpus band are gibberish/boilerplate; far below are
+    degenerate repetition — both ends are what production pipelines
+    cut before training.
+
+    Scale shape: bigram/prefix counts are two grouped aggregates over
+    the exploded bigram stream (map-side combined); scoring is one
+    shuffle join on the bigram key plus a broadcast prefix join; the
+    vocab size is an aggregate scalar.  The per-doc score sums
+    FLOOR(log2 p · 2^20) fixed-point BIGINTs — exact integer
+    addition, so the result is partition-invariant and matches the
+    DuckDB twin bit-for-bit (same recipe as fixed-point PageRank; the
+    log2 inputs are integer-derived rationals, IEEE-identical on both
+    engines).  At 100 TB the LM tables are materialized once per
+    corpus snapshot and scoring is embarrassingly parallel."""
+    from potpot_spark.catalog import spread
+    from potpot_spark.operators.dedup import tokens
+
+    tok = tokens()
+    toks = spread(load_table(spark, sf_dir, "documents")).where(
+        F.size(tok) >= 2
+    ).select("doc_id", tok.alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = bg.agg(F.countDistinct("w2").alias("v"))
+    q = (
+        F.floor(
+            F.log2((F.col("cb") + LM_ALPHA) / (F.col("cu") + LM_ALPHA * F.col("v")))
+            * LM_SCALE
+        )
+        .cast("bigint")
+        .alias("q")
+    )
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", q)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            -(F.sum("q").cast("double") / F.count(F.lit(1))) / LM_SCALE, 6
+        ).alias("bits_per_bigram"),
+    )

@@ -341,3 +341,38 @@ def test_embedding_dedup_salting_bounds_batches_and_preserves_pairs(spark, sf_di
     )
     max_cell = cells.agg(F.max("count")).first()[0]
     assert max_cell <= 2 * cap + cap // 2, max_cell  # hash imbalance slack
+
+
+def test_kmv_estimate_contract(spark, sf_dir):
+    """KMV: exact below k by construction; within the ~1/sqrt(k) error
+    envelope (generous 20% gate) when estimating."""
+    from potpot_spark.operators.stats import KMV_K
+
+    for r in registry.get("sketch_kmv_portable").fn(spark, sf_dir).collect():
+        if r.n_exact <= KMV_K:
+            assert r.kmv_estimate == float(r.n_exact), r
+        else:
+            assert abs(r.kmv_estimate - r.n_exact) / r.n_exact <= 0.2, r
+
+
+def test_bigram_lm_scores_well_formed(spark, sf_dir):
+    """Every scored doc: positive finite bits-per-bigram (smoothed
+    probabilities are < 1), and the bigram census reconciles with
+    token counts."""
+    import math
+
+    rows = registry.get("text_bigram_lm_perplexity").fn(spark, sf_dir).collect()
+    assert rows
+    total_bigrams = sum(r.n_bigrams for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    from potpot_spark.operators.dedup import tokens
+
+    expect = (
+        d.where(F.size(tokens()) >= 2)
+        .agg(F.sum(F.size(tokens()) - 1))
+        .first()[0]
+    )
+    assert total_bigrams == expect
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert math.isfinite(r.bits_per_bigram) and r.bits_per_bigram > 0, r
