@@ -108,7 +108,8 @@ def main() -> int:
     _SHARED_BUILDERS = (
         "pipeline_corpus_filter",      # corpus_filter_survivors
         "dedup_connected_components",  # dedup_cc_components
-        "analytics_market_basket",     # part_copurchase_edges
+        "analytics_market_basket",     # part_repeat_pairs
+        "graph_triangle_count",        # part_copurchase_edges
     )
     t0 = time.perf_counter()
     for warm_name in _SHARED_BUILDERS:
