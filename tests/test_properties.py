@@ -376,3 +376,23 @@ def test_bigram_lm_scores_well_formed(spark, sf_dir):
     for r in rows:
         assert r.n_bigrams >= 1
         assert math.isfinite(r.bits_per_bigram) and r.bits_per_bigram > 0, r
+
+
+def test_fixed_point_kernels_partition_invariant(spark, sf_dir):
+    """The r3 fixed-point/integer kernels must be BIT-identical under a
+    different shuffle layout — the property their oracle parity rests
+    on (exact integer accumulation; no float summation-order leaks)."""
+    names = [
+        "graph_pagerank_fixed",
+        "graph_label_propagation",
+        "text_bigram_lm_perplexity",
+        "sketch_kmv_portable",
+    ]
+    base = {n: _rows(registry.get(n).fn(spark, sf_dir)) for n in names}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for n in names:
+            assert _rows(registry.get(n).fn(spark, sf_dir)) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
