@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dec", "dsum", "davg", "dsum_expr", "davg_expr"]
+__all__ = [
+    "dec",
+    "dsum",
+    "davg",
+    "dsum_expr",
+    "davg_expr",
+    "phash60",
+    "phash60_expr",
+]
 
 
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
@@ -56,3 +64,21 @@ def davg_expr(sql_expr: str, scale: int = 2, precision: int = 18) -> str:
         f"CAST(SUM(CAST({sql_expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
         f" / COUNT({sql_expr})"
     )
+
+
+def phash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash of a string column: the first 15 hex
+    digits of md5, as a non-negative long.
+
+    The md5 text walk is the portability price vs ``xxhash64`` (whose
+    seeds are Spark-internal); every sketch/signature built on this
+    hash is bit-reproducible in any engine, which is what lets
+    'approximate' structures (MinHash, SimHash, KMV, Count-Min) go
+    through the exact DuckDB oracle gate instead of rows-only checks.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def phash60_expr(sql_expr: str) -> str:
+    """DuckDB-side twin of :func:`phash60` as a SQL fragment."""
+    return f"CAST(('0x' || substring(md5({sql_expr}), 1, 15)) AS BIGINT)"

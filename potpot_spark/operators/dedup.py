@@ -2,13 +2,17 @@
 (SURVEY.md §2.10: E34, E35 + simhash + n-gram Jaccard).
 
 Everything runs JVM-side on DataFrame built-ins — shingling with
-``transform``/``slice``, hashing with ``xxhash64``, set algebra with
+``transform``/``slice``, set algebra with
 ``array_intersect``/``array_union`` — no Python in the row path.  The
-MinHash/SimHash signatures use Spark's fixed-seed xxhash64, so their
-values have no cross-engine oracle (rows-only checks, like the
-reference's unfinished-hash tests-as-spec at
-``/root/reference/src/hashtable.rs:382-418``); the exact n-gram Jaccard
-variant IS oracle-checked against DuckDB.
+MinHash/SimHash signatures build on the PORTABLE md5-60-bit hash
+(functions/numeric.phash60) with fixed affine permutations, so the
+full signature -> band -> candidate -> verified-pair chain is
+bit-reproducible in DuckDB and every query here carries an exact
+value oracle (the reference's unfinished hash machinery at
+``/root/reference/src/hashtable.rs:382-418`` left hashing
+engine-internal; making it portable is what buys cross-engine
+checkability).  Candidate-pair blocking keys are raw minima tuples —
+no engine hash anywhere in the join keys.
 
 Scale design: never all-pairs.  Exact dedup is a hash group-by;
 MinHash pairs come from LSH band buckets (shuffle on band hash);
@@ -24,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table, spread
+from potpot_spark.functions.numeric import phash60, phash60_expr
 from potpot_spark.registry import query
 
 # --- shingling helpers (JVM expressions) ---------------------------------
@@ -43,22 +48,42 @@ def word_shingles(tok: Column, k: int = 3) -> Column:
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1: a*h+b stays < 2^62
+
+
+def minhash_params(num_hashes: int = 32) -> list[tuple[int, int]]:
+    """Fixed affine-permutation constants (a_i, b_i), derived from md5
+    of the permutation index so both engines can embed the SAME
+    literals — no RNG state, no engine-specific seed."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        dg = hashlib.md5(f"potpot-minhash-{i}".encode()).hexdigest()
+        a = int(dg[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(dg[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
     """num_hashes MinHash values over a column of PRE-HASHED shingle
-    longs: min over shingles of xxhash64(seed_i, h).
+    longs already reduced mod P: min over shingles of (a_i*h + b_i) % P.
 
-    Permutation i re-hashes the 8-byte base hash with a distinct seed
-    literal — the variable-length string walk happens ONCE per shingle
-    (in the caller, as a materialized column), and each permutation
-    costs one fixed-width long hash instead of a full string hash
-    (measured ~35% faster end-to-end on the minhash pipeline at
-    sf0.1).  Deterministic across runs and cluster layouts; ANSI-safe
-    (no wraparound arithmetic, which Spark 4's ANSI mode rejects)."""
+    Permutation i is an affine map over the base hash — the
+    variable-length string walk happens ONCE per shingle (in the
+    caller, as a materialized column), and each permutation costs two
+    integer ops instead of a full string hash.  The base hash is the
+    PORTABLE md5-60-bit hash (functions/numeric.phash60), not
+    xxhash64, so the whole signature -> band -> candidate-pair chain
+    is bit-reproducible in DuckDB and the query carries a full value
+    oracle (xxhash64 was ~15% faster end-to-end but rows-only
+    checkable).  ANSI-safe: products stay below 2^62, no wraparound."""
     return [
-        F.array_min(F.transform(shingles, lambda h: F.xxhash64(F.lit(i), h))).alias(
-            f"mh_{i}"
-        )
-        for i in range(num_hashes)
+        F.array_min(
+            F.transform(shingles, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
 
 
@@ -109,14 +134,17 @@ def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     with_shingles = spread(docs).where(F.size(tok) >= 3).select(
         "doc_id", word_shingles(tok, 3).alias("shingles")
     )
-    # Third stage: hash every shingle to a long ONCE; the 32 minhash
-    # permutations are then pure integer mixes of this materialized
-    # array (see minhash_signature) — the string hashing cost no
-    # longer scales with num_hashes.
+    # Third stage: hash every shingle to a long ONCE (portable md5
+    # hash, reduced mod P here so the 32 affine permutations are pure
+    # integer mixes of this materialized array — see
+    # minhash_signature); the string hashing cost does not scale with
+    # num_hashes.
     with_hashes = with_shingles.select(
         "doc_id",
         "shingles",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("sh_hash"),
+        F.transform(
+            F.col("shingles"), lambda s: F.pmod(phash60(s), F.lit(MINHASH_P))
+        ).alias("sh_hash"),
     )
     return with_hashes.select(
         "doc_id", "shingles", *minhash_signature(F.col("sh_hash"), num_hashes)
@@ -124,41 +152,44 @@ def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Band the signature, bucket-join within (band_id, band_hash).
+    """Band the signature, bucket-join within the band's minima tuple.
 
-    The exploded band table shuffles on the band hash — skewed buckets
-    (boilerplate-heavy corpora) are the known hazard; AQE skew-join
-    splitting handles moderate skew, and a bucket-size cap would be the
-    100 TB guard (documented, not needed at test scale).
+    The band key is the raw (band_id, r0..r3) tuple of signature
+    minima — a plain multi-column equi join, portable (no engine hash
+    in the key) so the DuckDB oracle reproduces the exact candidate
+    set.  The exploded band table shuffles on that tuple — skewed
+    buckets (boilerplate-heavy corpora) are the known hazard; AQE
+    skew-join splitting handles moderate skew, and a bucket-size cap
+    would be the 100 TB guard (documented, not needed at test scale).
     """
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    exploded = banded.select(
+    exploded = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").alias(f"r{r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.*")
+    key = ["band_id"] + [f"r{r}" for r in range(rows_per_band)]
     a = exploded.alias("a")
     b = exploded.alias("b")
+    cond = reduce(
+        lambda acc, c: acc & (F.col(f"a.{c}") == F.col(f"b.{c}")),
+        key[1:],
+        F.col(f"a.{key[0]}") == F.col(f"b.{key[0]}"),
+    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -184,11 +215,77 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-@query("dedup_near_minhash", oracle=None, tags=("E35", "rows-only"))
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline — same portable
+    base hash, same affine-permutation literals, same band tuples, so
+    the candidate set (and the Jaccard-verified output) matches the
+    Spark side value-for-value."""
+    rpb = NUM_HASHES // BANDS
+    params = minhash_params(NUM_HASHES)
+    mh_list = ",\n                   ".join(
+        f"list_min(list_transform(hp, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in params
+    )
+    band_cols = ", ".join(f"mh[t.b * {rpb} + {r + 1}] AS r{r}" for r in range(rpb))
+    band_eq = " AND ".join(f"a.r{r} = b.r{r}" for r in range(rpb))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tok
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(tok) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(tok, i, i + 2), ' ')
+                       )
+                   ) AS shingles
+            FROM toks WHERE len(tok) >= 3
+        ),
+        hp AS (
+            SELECT doc_id, shingles,
+                   list_transform(
+                       shingles,
+                       s -> {phash60_expr('s')} % {MINHASH_P}
+                   ) AS hp
+            FROM sh
+        ),
+        sigs AS (
+            SELECT doc_id, [{mh_list}] AS mh
+            FROM hp
+        ),
+        bands AS (
+            SELECT doc_id, t.b AS band_id, {band_cols}
+            FROM sigs CROSS JOIN (SELECT unnest(range({BANDS})) AS b) t
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND {band_eq}
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(
+                   CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard_sim
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6
+    """
+
+
+@query("dedup_near_minhash", oracle=_minhash_oracle_sql(), tags=("E35",))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E35 — MinHash+LSH near-dedup, exact-Jaccard verified at 0.6.
-    Deterministic (fixed hash seeds) so the rows-only check is stable;
-    recall vs brute force is bounded in tests/test_dedup.py."""
+
+    Fully oracle-checked: the portable md5-60-bit base hash + fixed
+    affine permutations make signatures, band buckets, candidate pairs
+    and verified output bit-reproducible in DuckDB (previously
+    rows-only on xxhash64 seeds).  Recall vs brute force is
+    additionally bounded in tests/test_dedup.py."""
     return near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
 
 
@@ -228,11 +325,39 @@ def simhash64(hashes: Column) -> Column:
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("E35", "rows-only"))
+_SIMHASH_ORACLE = f"""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform(
+                       string_split(lower(text), ' '),
+                       t -> {phash60_expr('t')}
+                   ) AS h
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, j.j,
+                   list_sum(list_transform(th.h,
+                       x -> CASE WHEN (x >> j.j) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+            FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) j
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("E35",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per document (near-dup via Hamming distance
-    on 16-bit chunk collisions downstream).  Rows-only: signature
-    values depend on Spark's xxhash64 seed.
+    on 16-bit chunk collisions downstream).
+
+    Fully oracle-checked: token hashes are the portable md5-60-bit
+    hash (functions/numeric.phash60), so the per-bit majority votes —
+    and therefore the signature longs — are bit-identical in DuckDB
+    (previously rows-only on xxhash64 seeds).  Bits 60-63 of the
+    64-bit fold are always 0 under a 60-bit base hash (every vote is
+    -1), which the 60-bit oracle reproduces by construction.
 
     Shape: the simhash64 per-row HOF fold over spread() partitions —
     A/B'd r3 warm sf0.1 against an exploded 64-bit-count-SUM aggregate
@@ -242,7 +367,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is embarrassingly parallel and shuffle-free."""
     d = load_table(spark, sf_dir, "documents")
     hashed = spread(d).select(
-        "doc_id", F.transform(tokens(), lambda t: F.xxhash64(t)).alias("tok_hashes")
+        "doc_id", F.transform(tokens(), lambda t: phash60(t)).alias("tok_hashes")
     )
     return hashed.select("doc_id", simhash64(F.col("tok_hashes")).alias("simhash"))
 

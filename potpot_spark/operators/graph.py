@@ -564,9 +564,46 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 60
 KCORE_MAX_ROUNDS = 15
+KCORE_ORACLE_ROUNDS = 6  # fixpoint measured at 2 rounds (sf0.001 AND sf0.01); 3x margin
 
 
-@query("graph_kcore_membership", oracle=None, tags=("E8", "rows-only"))
+def _kcore_oracle_sql(rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled-peeling DuckDB twin (the LPA unrolled-CTE pattern):
+    aggregates are not allowed in a recursive term, but peeling is a
+    CONTRACTION — once the edge set stops shrinking every further
+    round is the identity, so unrolling past the measured fixpoint
+    (2 rounds at both oracle SFs, 6 unrolled) computes the exact
+    k-core.  If regenerated fixtures ever need more rounds the value
+    hash fails loudly rather than silently passing."""
+    parts = [
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        k{r} AS MATERIALIZED (SELECT u FROM s{r - 1} GROUP BY u HAVING COUNT(*) >= {KCORE_K}),
+        s{r} AS MATERIALIZED (
+            SELECT s.u, s.v FROM s{r - 1} s
+            JOIN k{r} ka ON s.u = ka.u
+            JOIN k{r} kb ON s.v = kb.u
+        )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+        SELECT u AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM s{rounds} GROUP BY u"""
+    )
+
+
+@query("graph_kcore_membership", oracle=_kcore_oracle_sql(), tags=("E8",))
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k = 60) of the part co-purchase graph:
     iteratively peel nodes of degree < k until the remaining subgraph
@@ -578,11 +615,11 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one semi-join edge filter (both shuffling on the node
     key), ``localCheckpoint`` truncating lineage, convergence detected
     by the surviving-edge count (strictly decreasing until fixpoint,
-    so a one-row count is a complete test).  Rows-only check: global
-    iterative peeling has no recursive-CTE twin (aggregates are not
-    allowed in a recursive term); the invariant test asserts the
-    DEFINING property instead — every surviving node has >= k
-    neighbors among survivors, which pins the fixpoint exactly."""
+    so a one-row count is a complete test).  Oracle-checked via the
+    unrolled-peeling twin (see _kcore_oracle_sql — peeling is a
+    contraction, so unrolling past the measured fixpoint is exact);
+    the invariant test additionally asserts the DEFINING property —
+    every surviving node has >= k neighbors among survivors."""
     edges = part_copurchase_edges(spark, sf_dir)
     # Pre-partition on the degree key once: the per-round groupBy(u)
     # then needs no exchange (broadcast semi-joins and localCheckpoint

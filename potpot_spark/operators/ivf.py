@@ -132,15 +132,38 @@ def assign_cells(vectors: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
     )
 
 
-@query("sim_search_ivf", oracle=None, tags=("E36", "rows-only"))
-def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: 16-cell deterministic k-means index, nprobe=4 probe,
-    exact-cosine rerank, top-10 per query."""
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """(centroids, postings) for the corpus — SHARED MATERIALIZED
+    INTERMEDIATES (potpot_spark.materialize): the search query and the
+    recall-contract query consume the same trained index, exactly as a
+    production ANN service trains once per corpus snapshot and serves
+    many probes.  Training is deterministic (see train_ivf_centroids),
+    so sharing cannot change any result."""
+    from potpot_spark.materialize import shared_intermediate
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = train_ivf_centroids(emb)
-    postings = assign_cells(emb, cents, n=1)  # (vec_id, emb, cell_id)
+    cents = shared_intermediate(
+        spark, sf_dir, "ivf_centroids", lambda: train_ivf_centroids(emb)
+    )
+    postings = shared_intermediate(
+        spark, sf_dir, "ivf_postings", lambda: assign_cells(emb, cents, n=1)
+    )
+    return cents, postings
+
+
+@query("sim_search_ivf", oracle=None, tags=("E36", "rows-only"))
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16-cell deterministic k-means index, nprobe=4 probe,
+    exact-cosine rerank, top-10 per query.  Rows-only by declared
+    design (a trained index has no SQL twin); the recall CONTRACT goes
+    through the oracle gate as sim_search_ivf_recall below, and
+    tests/test_similarity.py bounds recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents, postings = _ivf_index(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -158,6 +181,48 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+IVF_RECALL_FLOOR = 0.5
+
+
+@query(
+    "sim_search_ivf_recall",
+    oracle=f"""
+        SELECT vec_id AS query_id, {TOP_K} AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    tags=("E36",),
+)
+def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall CONTRACT through the oracle gate (the
+    agg_approx_percentile_bounds pattern): recall@10 of the IVF probe
+    vs the exact brute-force top-10, computed entirely in-query, is
+    asserted >= IVF_RECALL_FLOOR per query; the oracle emits the query ids plus
+    literal TRUE, so the value hash matches iff the trained index
+    honored its declared quality.  Consumes the SAME shared index as
+    sim_search_ivf (materialized once per corpus snapshot) — the
+    contract costs one extra brute-force pass over the query set, not
+    a retrain."""
+    from potpot_spark.operators.similarity import brute_force_topk
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    ann = sim_search_ivf(spark, sf_dir).select("query_id", "vec_id")
+    exact = brute_force_topk(raw.where(F.col("vec_id") < N_QUERIES), raw).select(
+        "query_id", "vec_id"
+    )
+    hits = ann.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(TOP_K).alias("k"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
+            >= IVF_RECALL_FLOOR
+        ).alias("recall_ok"),
     )
 
 
@@ -224,6 +289,36 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
     return cents
 
 
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(codebooks, codes) for the corpus — SHARED MATERIALIZED
+    INTERMEDIATES, same discipline and determinism argument as
+    _ivf_index: the ADC search and the recall-contract query read one
+    trained quantizer."""
+    from potpot_spark.materialize import shared_intermediate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    corpus_sub = _subvectors(corpus).select("m", "vec_id", "sub")
+    cents = shared_intermediate(
+        spark, sf_dir, "pq_codebooks", lambda: train_pq_codebooks(corpus_sub)
+    )
+
+    def build_codes() -> DataFrame:
+        return (
+            corpus_sub.join(F.broadcast(cents), "m")
+            .select(
+                "m", "vec_id", "code",
+                sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
+            )
+            .groupBy("m", "vec_id")
+            .agg(F.min(F.struct("d2", "code")).alias("_b"))
+            .select("m", "vec_id", F.col("_b.code").alias("code"))
+        )
+
+    codes = shared_intermediate(spark, sf_dir, "pq_codes", build_codes)
+    return cents, codes
+
+
 @query("sim_search_pq_adc", oracle=None, tags=("E36", "rows-only"))
 def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (the FAISS
@@ -244,18 +339,7 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL twin)."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    corpus_sub = _subvectors(corpus).select("m", "vec_id", "sub")
-    cents = train_pq_codebooks(corpus_sub)
-    codes = (
-        corpus_sub.join(F.broadcast(cents), "m")
-        .select(
-            "m", "vec_id", "code",
-            sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
-        )
-        .groupBy("m", "vec_id")
-        .agg(F.min(F.struct("d2", "code")).alias("_b"))
-        .select("m", "vec_id", F.col("_b.code").alias("code"))
-    )
+    cents, codes = _pq_index(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb")
     )
@@ -278,4 +362,44 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rnk")
+    )
+
+
+PQ_RECALL_FLOOR = 0.25  # MEAN recall@10: measured 0.36 at sf0.001 AND sf0.01
+
+
+@query(
+    "sim_search_pq_recall",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, {TOP_K} AS k,
+               TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    tags=("E36",),
+)
+def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC recall CONTRACT through the oracle gate, mirroring
+    sim_search_ivf_recall but over the MEAN: 64x-compressed codes lose
+    much more than an IVF probe and per-query recall swings 0.1-0.7
+    on the fixtures, so the declared contract is mean recall@10 >=
+    PQ_RECALL_FLOOR across the query set (measured 0.36 at both
+    oracle SFs).  Shares the trained quantizer with
+    sim_search_pq_adc."""
+    from potpot_spark.operators.similarity import brute_force_topk
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    ann = sim_search_pq_adc(spark, sf_dir).select("query_id", "vec_id")
+    exact = brute_force_topk(raw.where(F.col("vec_id") < N_QUERIES), raw).select(
+        "query_id", "vec_id"
+    )
+    hits = ann.join(exact, ["query_id", "vec_id"])
+    return exact.groupBy().agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).crossJoin(hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))).select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.col("n_hits") / F.col("n_exact") >= PQ_RECALL_FLOOR).alias(
+            "mean_recall_ok"
+        ),
     )

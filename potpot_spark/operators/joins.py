@@ -664,3 +664,109 @@ def join_interval_overlap_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_no")
     )
+
+
+# --- Bloom-filter runtime-filter pruning ---------------------------------
+
+BLOOM_BITS = 1 << 16          # 64 Kbit bitmap = 1024 longs = 8 KB broadcast
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4                   # probes per key (Kirsch-Mitzenmacher family)
+
+
+def _bloom_positions(key, i: int):
+    """i-th probe position: (h1 + i*h2) mod M, h1/h2 two seeded
+    xxhash64 draws — the standard two-hash simulation of K independent
+    hash functions.  Engine-internal hashing is fine here: the bloom
+    is a PRUNING device, never part of the result (the exact join runs
+    behind it), so the oracle needs no twin of it."""
+    h1 = F.pmod(F.xxhash64(F.lit(1), key), F.lit(BLOOM_BITS))
+    h2 = F.pmod(F.xxhash64(F.lit(2), key), F.lit(BLOOM_BITS))
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+          AND EXTRACT(year FROM o.o_orderdate) = 1995
+        GROUP BY l.l_returnflag
+    """,
+    tags=("E8", "E9"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-filter join: build a 64 Kbit bloom bitmap
+    over the selective dimension's keys ENTIRELY as DataFrame
+    aggregation (bit positions -> per-word bit_or -> one 1024-long
+    array row), broadcast the 8 KB bitmap, and prune the fact table
+    MAP-SIDE with pure codegen bit tests before the exact join.
+
+    This is the runtime-filter pattern Spark's optimizer applies
+    internally (spark.sql.optimizer.runtime.bloomFilter.*), built
+    explicitly so the mechanics are testable: at 100 TB a selective
+    dim subset can exceed the broadcast-join threshold (forcing a
+    shuffle join of the full fact), but its bloom bitmap is ~100x
+    smaller than the key set and still broadcasts — the fact rows
+    that survive the bit test are the only ones that shuffle.  False
+    positives only cost work, never correctness: the exact join runs
+    behind the filter, so the result — and the plain-join oracle —
+    are identical with or without the bloom (no-false-negative
+    guarantee of OR-ed bit writes + AND-ed bit reads).
+
+    Plan shape: dim subset scans once (positions -> 1024-long bitmap,
+    one tiny aggregate); bitmap joins the fact by broadcast
+    nested-loop of a ONE-ROW relation (map-side, no shuffle); probe =
+    2 xxhash64 + K shift/mask tests per row inside whole-stage
+    codegen; survivors broadcast-join the dim keys."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = o.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1995)
+    ).select(F.col("o_orderkey").alias("k"))
+
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col("k"), i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright("pos", 6).alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+    )
+    bitmap = (
+        words.groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(BLOOM_WORDS - 1).cast("long")),
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+            ).alias("bm")
+        )
+    )
+
+    pruned = li.crossJoin(F.broadcast(bitmap))
+    for i in range(BLOOM_K):
+        pruned = pruned.withColumn(f"_p{i}", _bloom_positions(F.col("l_orderkey"), i))
+    bit_tests = " AND ".join(
+        f"(shiftright(element_at(bm, CAST(shiftright(_p{i}, 6) + 1 AS INT)),"
+        f" CAST(pmod(_p{i}, 64) AS INT)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    pruned = pruned.where(F.expr(bit_tests)).drop(
+        "bm", *[f"_p{i}" for i in range(BLOOM_K)]
+    )
+    return (
+        pruned.join(F.broadcast(keys), pruned.l_orderkey == F.col("k"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+        )
+    )

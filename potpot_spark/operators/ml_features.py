@@ -1349,7 +1349,42 @@ ISO_BIN_WIDTH = 50.0
 ISO_N_BINS = 10
 
 
-@query("ml_isotonic_calibration_pav", oracle=None, tags=("E25", "rows-only"))
+@query(
+    "ml_isotonic_calibration_pav",
+    oracle=f"""
+        WITH binned AS (
+            SELECT LEAST(CAST(FLOOR(value / {ISO_BIN_WIDTH}) AS INT), {ISO_N_BINS - 1}) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+            FROM events GROUP BY 1
+        ),
+        pref AS (
+            SELECT bin, n, n_pos,
+                   SUM(n) OVER (ORDER BY bin) AS w_cum,
+                   SUM(n_pos) OVER (ORDER BY bin) AS s_cum
+            FROM binned
+        ),
+        seg AS (
+            SELECT j.bin AS jb, k.bin AS kb,
+                   CAST(k.s_cum - j.s_cum + j.n_pos AS DOUBLE)
+                   / CAST(k.w_cum - j.w_cum + j.n AS DOUBLE) AS m
+            FROM pref j JOIN pref k ON j.bin <= k.bin
+        ),
+        lower_env AS (
+            SELECT p.bin, s.jb, MIN(s.m) AS mn
+            FROM pref p JOIN seg s ON s.jb <= p.bin AND s.kb >= p.bin
+            GROUP BY p.bin, s.jb
+        ),
+        fit AS (
+            SELECT bin, MAX(mn) AS calibrated_rate FROM lower_env GROUP BY bin
+        )
+        SELECT b.bin, b.n, b.n_pos,
+               CAST(b.n_pos AS DOUBLE) / b.n AS raw_rate,
+               f.calibrated_rate
+        FROM binned b JOIN fit f USING (bin)
+    """,
+    tags=("E25",),
+)
 def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration via pool-adjacent-violators (PAV): take the
     per-bin observed purchase rates (the reliability diagram of
@@ -1363,9 +1398,15 @@ def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the ~bins rows, so it runs in applyInPandas over the
     aggregate — the same honest pattern as the EWMA/Holt recurrences
     (sequential math gets a sequential worker, but only ever over
-    aggregate-sized state).  No SQL oracle (PAV is a data-dependent
-    pooling recursion); tests/test_properties.py pins the defining
-    properties instead: output monotone non-decreasing, weighted mean
+    aggregate-sized state).  EXACT SQL oracle despite the recursion:
+    isotonic regression has the closed minimax characterization
+    fitted[i] = max_{{j<=i}} min_{{k>=i}} mean(y[j..k]), an O(bins^3)
+    join cascade that is trivial over aggregate-sized state and
+    bit-identical to PAV — every candidate mean is one IEEE division
+    of exact integer sums, and rounding is monotone, so the
+    max-min lands on the same double as PAV's pooled s/w.
+    tests/test_properties.py additionally pins the defining
+    properties: output monotone non-decreasing, weighted mean
     preserved exactly, and each pooled run constant."""
     import pandas as pd
 

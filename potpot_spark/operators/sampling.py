@@ -53,25 +53,84 @@ def sample_hash_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli_seeded", oracle=None, tags=("E7",))
+@query(
+    "sample_bernoulli_seeded",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               TRUE AS fraction_within_4_sigma
+        FROM lineitem
+    """,
+    tags=("E7",),
+)
 def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli row sampling (``df.sample``) — per-partition
-    XORShift streams, no shuffle, O(1) memory; sample identity depends
-    on Spark's partitioning so the check is rows-only."""
+    XORShift streams, no shuffle, O(1) memory.  Sample IDENTITY
+    depends on Spark's partitioning (engine-internal), so the oracle
+    gate carries the sampler's statistical CONTRACT instead: the
+    realized fraction sits within 4 binomial sigmas of p=0.1
+    (measured 1.8 sigma at sf0.001, 0.4 at sf0.01, 1.0 at sf0.1).
+    Both the sample count and the population count accumulate in one
+    pass; the oracle emits the exact population count plus literal
+    TRUE (the agg_approx_percentile_bounds pattern)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    p = 0.1
+    tot = l.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    smp = l.sample(fraction=p, seed=42).agg(F.count(F.lit(1)).alias("n_sampled"))
+    return tot.crossJoin(smp).select(
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") / F.col("n_total") - p)
+            <= 4.0 * F.sqrt(F.lit(p * (1 - p)) / F.col("n_total"))
+        ).alias("fraction_within_4_sigma"),
     )
 
 
-@query("sample_stratified_by_flag", oracle=None, tags=("E7", "E14"))
+STRATA_FRACTIONS = {"A": 0.2, "N": 0.05, "R": 0.2}
+
+
+@query(
+    "sample_stratified_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS stratum_total,
+               TRUE AS fraction_within_4_sigma
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("E7", "E14"),
+)
 def sample_stratified_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (``sampleBy``): per-stratum Bernoulli
     fractions to rebalance skewed classes — the standard corpus
-    rebalancing move before training-data export."""
+    rebalancing move before training-data export.  Same contract-gate
+    treatment as sample_bernoulli_seeded: per-stratum realized
+    fractions within 4 binomial sigmas of their declared targets
+    (max measured 1.33 sigma across strata and SFs), verified against
+    the exact stratum totals."""
     l = load_table(spark, sf_dir, "lineitem")
-    sampled = l.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
-    return sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("sampled_rows"))
+    sampled = (
+        l.sampleBy("l_returnflag", STRATA_FRACTIONS, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("sampled_rows"))
+    )
+    totals = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("stratum_total"))
+    p = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+        ),
+        F.col("l_returnflag"),
+    )
+    return (
+        totals.join(sampled, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("stratum_total").cast("bigint").alias("stratum_total"),
+            (
+                F.abs(F.col("sampled_rows") / F.col("stratum_total") - p)
+                <= 4.0 * F.sqrt(p * (1 - p) / F.col("stratum_total"))
+            ).alias("fraction_within_4_sigma"),
+        )
+    )
 
 
 @query(

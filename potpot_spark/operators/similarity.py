@@ -142,14 +142,85 @@ def _with_table_buckets(df: DataFrame, id_col: str, emb_col: str, dim: int) -> D
     ).select(id_col, emb_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
 
 
-@query("sim_search_lsh_bucketed", oracle=None, tags=("E36", "rows-only"))
+def _fold_sql(products: str) -> str:
+    """DuckDB left fold matching Spark's F.aggregate(…, 0.0, acc+x)
+    bit-for-bit: same element order, same IEEE additions."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), (a, x) -> a + x)"
+    )
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """Full value oracle for the multi-table sign-LSH search.  The
+    hyperplanes are fixed literals (no RNG), and every float reduction
+    — projections, dot, norms — is reproduced as the IDENTICAL
+    left fold via list_reduce, so sign bits, buckets, candidates and
+    rerank order are all bit-equal to the Spark side."""
+    plane_rows = ",\n                ".join(
+        f"({t}, {p}, [{', '.join(repr(c) for c in _hyperplane(dim, t * N_PLANES + p))}])"
+        for t in range(N_TABLES)
+        for p in range(N_PLANES)
+    )
+    prod = f"list_transform(range({dim}), j -> ve.e[j+1] * plv.coefs[j+1])"
+    dot_qc = f"list_transform(range({dim}), j -> qe.e[j+1] * ce.e[j+1])"
+    qq = f"list_transform(range({dim}), j -> qe.e[j+1] * qe.e[j+1])"
+    cc = f"list_transform(range({dim}), j -> ce.e[j+1] * ce.e[j+1])"
+    return f"""
+        WITH ve AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        plv AS (
+            SELECT * FROM (VALUES
+                {plane_rows}
+            ) AS t(tbl, p, coefs)
+        ),
+        proj AS (
+            SELECT ve.vec_id, plv.tbl, plv.p,
+                   {_fold_sql(prod)} AS pr
+            FROM ve CROSS JOIN plv
+        ),
+        buckets AS MATERIALIZED (
+            SELECT vec_id, tbl,
+                   CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+            FROM proj GROUP BY vec_id, tbl
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   {_fold_sql(dot_qc)}
+                   / (SQRT({_fold_sql(qq)}) * SQRT({_fold_sql(cc)})) AS cos
+            FROM cand
+            JOIN ve qe ON qe.vec_id = cand.query_id
+            JOIN ve ce ON ce.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+        FROM (
+            SELECT query_id, vec_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id
+                   ) AS INT) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """
+
+
+@query("sim_search_lsh_bucketed", oracle=_lsh_oracle_sql(), tags=("E36",))
 def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E36 (scale path) — multi-table sign-LSH ANN: 4 tables x 6
     hyperplanes; a vector is a candidate if it shares a bucket with the
     query in ANY table (OR-construction), candidates are reranked with
     exact cosine.  Per-query probe cost is ~L/2^planes of the corpus
-    instead of a full scan.  Deterministic hyperplanes -> rows-only
-    check is stable; recall measured in tests/test_similarity.py."""
+    instead of a full scan.  Fully oracle-checked (previously
+    rows-only): the hyperplanes are fixed literals and the DuckDB twin
+    reproduces every float reduction as the identical left fold, so
+    buckets, candidates and the reranked top-k match bit-for-bit;
+    recall is additionally measured in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
     # (no spread() here: the corpus is 2 k vectors at sf0.1 — an A/B

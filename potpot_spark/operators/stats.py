@@ -471,19 +471,53 @@ def analytics_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_histogram_numeric", oracle=None, tags=("E16", "rows-only"))
+@query(
+    "agg_histogram_numeric",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS counts_conserved,
+               TRUE AS centroids_in_range,
+               TRUE AS centroids_sorted
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("E16",),
+)
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming approximate histogram (``histogram_numeric``): a
     fixed-size centroid sketch per group, mergeable across partitions
     — the single-pass alternative to the exact two-pass
     feature_binning_histogram when the value range isn't known up
-    front.  Rows-only check: centroid placement depends on merge
-    order (partitioning), which is the documented trade of the
-    sketch; the exact-binning twin is the oracle-checked member of
-    the family."""
+    front.  Centroid PLACEMENT depends on merge order (the documented
+    trade of the sketch), so the oracle gate carries the sketch's
+    invariants instead — computed in the same grouped pass alongside
+    the exact count: centroid counts sum back to the row count (mass
+    conservation under mergeable combine), every centroid lies inside
+    the exact [min, max], and centroids come out sorted.  The oracle
+    emits the exact per-group count plus literal TRUEs (the
+    agg_approx_percentile_bounds pattern); the exact-binning twin
+    feature_binning_histogram remains the value-checked member of the
+    family."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("histogram_numeric(value, 10)").alias("centroids")
+    agged = e.groupBy("event_type").agg(
+        F.expr("histogram_numeric(value, 10)").alias("centroids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    xs = F.transform(F.col("centroids"), lambda c: c.x)
+    return agged.select(
+        "event_type",
+        "n_rows",
+        (
+            F.round(F.aggregate(F.col("centroids"), F.lit(0.0), lambda a, c: a + c.y))
+            == F.col("n_rows")
+        ).alias("counts_conserved"),
+        F.forall(
+            F.col("centroids"), lambda c: (c.x >= F.col("lo")) & (c.x <= F.col("hi"))
+        ).alias("centroids_in_range"),
+        (xs == F.array_sort(xs)).alias("centroids_sorted"),
     )
 
 
@@ -1238,4 +1272,182 @@ def sketch_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(KMV_K - 1) * (F.lit(_KMV_2_60) / F.col("hk").cast("double")))
     return stats.select(
         "event_type", "n_exact", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
+THETA_K = 64  # smaller than KMV_K so the estimator engages by sf0.01
+
+
+def _theta_est_sql(n: str, hk: str) -> str:
+    return (
+        f"CASE WHEN {n} <= {THETA_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {THETA_K - 1} * ({_KMV_2_60} / CAST({hk} AS DOUBLE)) END"
+    )
+
+
+@query(
+    "sketch_theta_intersection_portable",
+    oracle=f"""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT event_type, user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        sk AS MATERIALIZED (
+            SELECT event_type, h, n_exact FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+                FROM du
+            ) WHERE rn <= {THETA_K}
+        ),
+        est AS (
+            SELECT event_type, MAX(n_exact) AS n_exact,
+                   {_theta_est_sql('MAX(n_exact)', 'MAX(h)')} AS est
+            FROM sk GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS event_a, b.event_type AS event_b
+            FROM est a JOIN est b ON a.event_type < b.event_type
+        ),
+        pooled AS (
+            SELECT p.event_a, p.event_b, s.h
+            FROM pairs p JOIN sk s
+              ON s.event_type = p.event_a OR s.event_type = p.event_b
+            GROUP BY p.event_a, p.event_b, s.h
+        ),
+        uni AS (
+            SELECT event_a, event_b, COUNT(*) AS n_pool,
+                   MAX(CASE WHEN rn = {THETA_K} THEN h END) AS hk
+            FROM (
+                SELECT event_a, event_b, h,
+                       row_number() OVER (
+                           PARTITION BY event_a, event_b ORDER BY h) AS rn
+                FROM pooled
+            ) WHERE rn <= {THETA_K}
+            GROUP BY event_a, event_b
+        ),
+        exact_int AS (
+            SELECT a.event_type AS event_a, b.event_type AS event_b,
+                   COUNT(DISTINCT a.user_id) AS n_common
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.event_a, p.event_b,
+               CAST(ea.n_exact AS BIGINT) AS n_users_a,
+               CAST(eb.n_exact AS BIGINT) AS n_users_b,
+               CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_common_exact,
+               ROUND(ea.est + eb.est - (
+                   CASE WHEN u.hk IS NULL THEN CAST(u.n_pool AS DOUBLE)
+                        ELSE {THETA_K - 1} * ({_KMV_2_60} / CAST(u.hk AS DOUBLE)) END
+               ), 4) AS theta_intersection_est
+        FROM pairs p
+        JOIN est ea ON ea.event_type = p.event_a
+        JOIN est eb ON eb.event_type = p.event_b
+        JOIN uni u ON u.event_a = p.event_a AND u.event_b = p.event_b
+        LEFT JOIN exact_int x ON x.event_a = p.event_a AND x.event_b = p.event_b
+    """,
+    tags=("E16", "E28"),
+)
+def sketch_theta_intersection_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET INTERSECTION estimation from mergeable
+    KMV sketches (inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), with the union sketch = k smallest of the two sketches'
+    pooled hashes — exactly equal to the k smallest of A∪B, the KMV
+    merge property).  Like sketch_kmv_portable the hash is portable
+    md5, so the ESTIMATES go through the oracle value hash bit-for-bit
+    next to the exact intersection truth.
+
+    Scale shape: per-type sketches are k=64 longs (WindowGroupLimit
+    prunes map-side); the pair stage pools 2k rows per pair — at 100
+    TB this is the sketch-table read path (|types|^2 pairs x 2k longs),
+    never a re-scan of events; only the exact-truth column (dropped in
+    production) touches the distinct-user table again."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    du = e.select("event_type", "user_id").distinct().select(
+        "event_type", "user_id", h.alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    sk = (
+        du.select(
+            "event_type",
+            "h",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_exact"),
+        )
+        .where(F.col("rn") <= THETA_K)
+    )
+
+    def est(n, hk):
+        return F.when(n <= THETA_K, n.cast("double")).otherwise(
+            F.lit(THETA_K - 1) * (F.lit(_KMV_2_60) / hk.cast("double"))
+        )
+
+    ests = sk.groupBy("event_type").agg(
+        F.max("n_exact").alias("n_exact"), F.max("h").alias("hk")
+    ).select("event_type", "n_exact", est(F.col("n_exact"), F.col("hk")).alias("est"))
+    pairs = (
+        ests.select(F.col("event_type").alias("event_a"))
+        .join(
+            ests.select(F.col("event_type").alias("event_b")),
+            F.col("event_a") < F.col("event_b"),
+        )
+    )
+    pooled = (
+        pairs.join(
+            sk.select("event_type", "h"),
+            (F.col("event_type") == F.col("event_a"))
+            | (F.col("event_type") == F.col("event_b")),
+        )
+        .select("event_a", "event_b", "h")
+        .distinct()
+    )
+    wp = Window.partitionBy("event_a", "event_b").orderBy("h")
+    uni = (
+        pooled.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= THETA_K)
+        .groupBy("event_a", "event_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pool"),
+            F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("hk"),
+        )
+    )
+    exact_int = (
+        du.select(F.col("event_type").alias("event_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("event_b"), "user_id"),
+            ["user_id"],
+        )
+        .where(F.col("event_a") < F.col("event_b"))
+        .groupBy("event_a", "event_b")
+        .agg(F.countDistinct("user_id").alias("n_common"))
+    )
+    est_union = F.when(
+        F.col("hk").isNull(), F.col("n_pool").cast("double")
+    ).otherwise(F.lit(THETA_K - 1) * (F.lit(_KMV_2_60) / F.col("hk").cast("double")))
+    return (
+        pairs.join(ests.select(F.col("event_type").alias("event_a"),
+                               F.col("n_exact").alias("n_users_a"),
+                               F.col("est").alias("est_a")), "event_a")
+        .join(ests.select(F.col("event_type").alias("event_b"),
+                          F.col("n_exact").alias("n_users_b"),
+                          F.col("est").alias("est_b")), "event_b")
+        .join(uni, ["event_a", "event_b"])
+        .join(exact_int, ["event_a", "event_b"], "left")
+        .select(
+            "event_a",
+            "event_b",
+            F.col("n_users_a").cast("bigint").alias("n_users_a"),
+            F.col("n_users_b").cast("bigint").alias("n_users_b"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common_exact"),
+            F.round(F.col("est_a") + F.col("est_b") - est_union, 4).alias(
+                "theta_intersection_est"
+            ),
+        )
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table, spread
-from potpot_spark.functions.numeric import davg, dsum
+from potpot_spark.functions.numeric import davg, dsum, phash60, phash60_expr
 from potpot_spark.registry import query
 
 # Stopword profiles for the n-gram/stopword language-ID heuristic.
@@ -196,18 +196,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_rolling_hash", oracle=None, tags=("E37", "rows-only"))
+_ROLLING_M = (1 << 31) - 1  # modulus keeps acc*31 + h far below long overflow
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(lower(text), ' '),
+                           t -> {phash60_expr('t')} % {_ROLLING_M}
+                       )
+                   ),
+                   (acc, h) -> (acc * 31 + h) % {_ROLLING_M}
+               ) AS rolling_hash
+        FROM documents
+    """,
+    tags=("E37",),
+)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash over the token stream (acc*31+xxhash64
-    per token, mod 2^61-1) — the streaming-friendly fingerprint
-    variant.  Rows-only: depends on Spark's xxhash64 seed."""
+    """Polynomial rolling hash over the token stream (acc*31 + h per
+    token, mod 2^31-1) — the streaming-friendly fingerprint variant.
+
+    Fully oracle-checked: the per-token hash is the portable
+    md5-60-bit hash reduced mod the Mersenne modulus, so the identical
+    left fold (DuckDB ``list_reduce`` with a prepended 0 seed) yields
+    bit-equal hashes (previously rows-only on xxhash64 seeds).  Pure
+    codegen fold, shuffle-free, order-sensitive by design — the
+    position-aware complement of the bag fingerprint above."""
     d = load_table(spark, sf_dir, "documents")
-    # modulus 2^31-1 keeps acc*31 + h far below long overflow (ANSI mode)
-    mersenne = F.lit((1 << 31) - 1).cast("long")
+    mersenne = F.lit(_ROLLING_M).cast("long")
     rolling = F.aggregate(
         _tok(),
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), mersenne), mersenne),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(phash60(t), mersenne), mersenne),
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
 

@@ -94,10 +94,12 @@ def test_simhash_aggregate_form_equals_hof_fold(spark, sf_dir):
 
     from potpot_spark import registry
 
+    from potpot_spark.functions.numeric import phash60
+
     d = load_table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id",
-        F.explode_outer(F.transform(tokens(), lambda t: F.xxhash64(t))).alias("h"),
+        F.explode_outer(F.transform(tokens(), lambda t: phash60(t))).alias("h"),
     )
     one = F.lit(1).cast("long")
     per = ex.groupBy("doc_id").agg(
