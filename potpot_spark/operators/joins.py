@@ -684,6 +684,51 @@ def _bloom_positions(key, i: int):
     return F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
 
 
+def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame holding the bloom bitmap (`bm`: BLOOM_WORDS
+    longs) over ``keys[key_col]`` — built entirely as aggregation:
+    positions -> per-word bit_or -> assemble the dense array via a
+    map lookup over the word index sequence."""
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col(key_col), i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright("pos", 6).alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(BLOOM_WORDS - 1).cast("long")),
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+            ).alias("bm")
+        )
+    )
+
+
+def bloom_prune(df: DataFrame, key_col: str, bitmap: DataFrame) -> DataFrame:
+    """Filter ``df`` to rows whose key MIGHT be in the bloom: broadcast
+    nested-loop of the one-row bitmap + K codegen bit tests.  May keep
+    false positives (bounded by the bitmap sizing), never drops a true
+    match."""
+    pruned = df.crossJoin(F.broadcast(bitmap))
+    for i in range(BLOOM_K):
+        pruned = pruned.withColumn(f"_p{i}", _bloom_positions(F.col(key_col), i))
+    bit_tests = " AND ".join(
+        f"(shiftright(element_at(bm, CAST(shiftright(_p{i}, 6) + 1 AS INT)),"
+        f" CAST(pmod(_p{i}, 64) AS INT)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    return pruned.where(F.expr(bit_tests)).drop(
+        "bm", *[f"_p{i}" for i in range(BLOOM_K)]
+    )
+
+
 @query(
     "join_bloom_pruned",
     oracle="""
@@ -729,39 +774,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.year("o_orderdate") == 1995)
     ).select(F.col("o_orderkey").alias("k"))
-
-    pos = keys.select(
-        F.explode(
-            F.array(*[_bloom_positions(F.col("k"), i) for i in range(BLOOM_K)])
-        ).alias("pos")
-    )
-    words = pos.select(
-        F.shiftright("pos", 6).alias("w"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
-    )
-    bitmap = (
-        words.groupBy("w")
-        .agg(F.bit_or("bit").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(BLOOM_WORDS - 1).cast("long")),
-                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
-            ).alias("bm")
-        )
-    )
-
-    pruned = li.crossJoin(F.broadcast(bitmap))
-    for i in range(BLOOM_K):
-        pruned = pruned.withColumn(f"_p{i}", _bloom_positions(F.col("l_orderkey"), i))
-    bit_tests = " AND ".join(
-        f"(shiftright(element_at(bm, CAST(shiftright(_p{i}, 6) + 1 AS INT)),"
-        f" CAST(pmod(_p{i}, 64) AS INT)) & 1) = 1"
-        for i in range(BLOOM_K)
-    )
-    pruned = pruned.where(F.expr(bit_tests)).drop(
-        "bm", *[f"_p{i}" for i in range(BLOOM_K)]
-    )
+    pruned = bloom_prune(li, "l_orderkey", bloom_bitmap(keys, "k"))
     return (
         pruned.join(F.broadcast(keys), pruned.l_orderkey == F.col("k"))
         .groupBy("l_returnflag")

@@ -459,3 +459,46 @@ def test_pq_adc_scan_joins_broadcast_lut(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_bloom_join_prunes_and_broadcasts(spark, sf_dir):
+    """join_bloom_pruned: the bitmap reaches the fact side as a
+    broadcast (nested-loop of a one-row relation — never a shuffle),
+    and the bloom actually prunes: the surviving fact rows are a small
+    superset of the true matches (no false negatives, bounded false
+    positives)."""
+    from potpot_spark.operators.joins import bloom_bitmap, bloom_prune
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = o.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    ).select(F.col("o_orderkey").alias("k"))
+
+    bitmap = bloom_bitmap(keys, "k")
+    pruned = bloom_prune(li, "l_orderkey", bitmap)
+
+    plan = formatted_plan(pruned)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    true_matches = li.join(keys, li.l_orderkey == F.col("k"), "left_semi").count()
+    survivors = pruned.count()
+    total = li.count()
+    # no false negatives ...
+    assert survivors >= true_matches
+    # ... and the filter does real work: false-positive rows are a
+    # small fraction of the non-matching population (sizing gives
+    # fpp ~0.3% at sf0.001 key counts; allow 5% headroom)
+    assert survivors - true_matches <= 0.05 * (total - true_matches)
+
+
+def test_theta_intersection_brackets_exact(spark, sf_dir):
+    """The KMV inclusion-exclusion estimate should stay within a loose
+    multiplicative band of the exact intersection (deterministic given
+    the fixtures; the oracle pins exact values — this pins sanity at
+    any SF the suite runs)."""
+    df = registry.get("sketch_theta_intersection_portable").fn(spark, sf_dir).toPandas()
+    assert len(df) == 10  # C(5,2) event-type pairs
+    for _, r in df.iterrows():
+        lo = min(r.n_users_a, r.n_users_b)
+        assert -lo <= r.theta_intersection_est <= 2 * lo + 1
