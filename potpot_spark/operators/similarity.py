@@ -256,24 +256,35 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-        WITH prod AS (
+# Pair-graph CTE shared between the pairs query and the semantic-keeper
+# clustering oracle (one source string so they cannot drift apart —
+# the graph.py _EDGE_SQL discipline applied to embedding space).
+_EMB_PAIRS_CTE = """
+        prod AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    UNNEST(a.embedding)::DOUBLE AS ax,
                    UNNEST(b.embedding)::DOUBLE AS bx
             FROM embeddings a
             JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+            FROM (
+                SELECT vec_a, vec_b,
+                       SUM(ax * bx) / (SQRT(SUM(ax * ax)) * SQRT(SUM(bx * bx))) AS cos
+                FROM prod GROUP BY vec_a, vec_b
+            )
+            WHERE cos >= 0.35
         )
-        SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
-        FROM (
-            SELECT vec_a, vec_b,
-                   SUM(ax * bx) / (SQRT(SUM(ax * ax)) * SQRT(SUM(bx * bx))) AS cos
-            FROM prod GROUP BY vec_a, vec_b
-        )
-        WHERE cos >= 0.35
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH {_EMB_PAIRS_CTE}
+        SELECT vec_a, vec_b, cosine FROM pairs
     """,
     tags=("E36", "E35"),
 )
@@ -305,13 +316,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     label skew (property-tested with a deliberately hot label in
     tests/test_properties.py).  The oracle is unchanged — blocking is
     pure execution strategy."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
-    )
-    return _cosine_pairs_blocked(emb, threshold=0.35, cap=EMB_BLOCK_CAP)
+    return _embedding_pairs_shared(spark, sf_dir)
 
 
 EMB_BLOCK_CAP = 4096
+
+
+def _embedding_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded intra-label cosine pair graph — a SHARED
+    MATERIALIZED INTERMEDIATE (potpot_spark.materialize): the pairs
+    query and the semantic-keeper clustering both read it, exactly as
+    the n-gram pair graph is shared on the text side."""
+    from potpot_spark.materialize import shared_intermediate
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+        )
+        return _cosine_pairs_blocked(emb, threshold=0.35, cap=EMB_BLOCK_CAP)
+
+    return shared_intermediate(spark, sf_dir, "embedding_cosine_pairs", build)
+
+
+@query(
+    "dedup_semantic_keeper",
+    oracle=f"""
+        WITH RECURSIVE {_EMB_PAIRS_CTE},
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION
+            SELECT vec_b, vec_a FROM pairs
+        ),
+        reach AS (
+            SELECT vec_id AS node, vec_id AS label FROM embeddings
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.label < e.dst
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        )
+        SELECT component AS keeper_vec_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    """,
+    tags=("E35", "E36"),
+)
+def dedup_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup (the SemDeDup recipe): cluster the embedding
+    near-duplicate pair graph (cosine >= 0.35 within label blocks) by
+    connected components and keep ONE canonical representative — the
+    minimum vec_id — per cluster; singletons keep themselves.  This is
+    pairs -> clusters -> keeper applied to embedding space, the
+    third clustering consumer of the min-label-propagation kernel
+    (after text CC and label propagation), and it reads the SAME
+    shared pair graph as dedup_embedding_cosine — at 100 TB both live
+    off one materialized pair table per corpus snapshot.
+
+    Output: (keeper_vec_id, cluster_size) per cluster; oracle is the
+    recursive-CTE min-reachable-id twin over the shared pair CTE."""
+    from potpot_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _embedding_pairs_shared(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    comp = connected_components(nodes, pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    ).select(F.col("component").alias("keeper_vec_id"), "cluster_size")
 
 
 def _cosine_pairs_blocked(emb: DataFrame, threshold: float, cap: int) -> DataFrame:
