@@ -235,3 +235,110 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(F.col("_side") == 1).select(
         "event_id", "user_id", "ts", "value", "next_click_value"
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+        WITH events_us AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events_us WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events_us
+            WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT p.event_id, c.ts AS ts_b, c.click_value AS val_b
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        ),
+        f AS (
+            SELECT p.event_id, c.ts AS ts_f, c.click_value AS val_f
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN val_b IS NOT NULL AND (val_f IS NULL
+                         OR epoch(p.ts) - epoch(ts_b) <= epoch(ts_f) - epoch(p.ts))
+                    THEN val_b ELSE val_f END AS nearest_click_value,
+               CASE WHEN val_b IS NULL AND val_f IS NULL THEN NULL
+                    WHEN val_b IS NOT NULL AND (val_f IS NULL
+                         OR epoch(p.ts) - epoch(ts_b) <= epoch(ts_f) - epoch(p.ts))
+                    THEN 'back' ELSE 'fwd' END AS nearest_src,
+               CASE WHEN val_b IS NULL AND val_f IS NULL THEN NULL
+                    WHEN val_b IS NOT NULL AND (val_f IS NULL
+                         OR epoch(p.ts) - epoch(ts_b) <= epoch(ts_f) - epoch(p.ts))
+                    THEN epoch(p.ts) - epoch(ts_b)
+                    ELSE epoch(ts_f) - epoch(p.ts) END AS nearest_gap_sec
+        FROM purchases p
+        JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    tags=("E13",),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for every purchase, the click closest in
+    time in EITHER direction (ties break to the earlier/backward
+    side) — sensor alignment and feature-to-label matching want the
+    nearest observation, not a single-direction one.
+
+    One union, one shuffle on user_id, TWO window sweeps over the same
+    partitioning (ascending carry-back and descending carry-forward of
+    the reference (ts, value) struct — Catalyst reuses the exchange,
+    each sweep adds only a sort), then an arithmetic argmin per probe
+    row.  Still no range self-join and no join explosion at any scale.
+    Oracle: DuckDB backward (>=) + forward (<=) native ASOF joins
+    combined with the identical tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", F.lit(0).alias("_side"), "click_value",
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("click_value"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    ref_entry = F.when(
+        F.col("_side") == 0, F.struct(F.col("ts").alias("rts"), F.col("click_value").alias("v"))
+    )
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        unioned.withColumn("b", F.last(ref_entry, ignorenulls=True).over(w_b))
+        .withColumn("f", F.last(ref_entry, ignorenulls=True).over(w_f))
+        .where(F.col("_side") == 1)
+    )
+    d_b = F.col("ts").cast("double") - F.col("b.rts").cast("double")
+    d_f = F.col("f.rts").cast("double") - F.col("ts").cast("double")
+    pick_back = F.col("b").isNotNull() & (F.col("f").isNull() | (d_b <= d_f))
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_back, F.col("b.v")).otherwise(F.col("f.v")).alias("nearest_click_value"),
+        F.when(F.col("b").isNull() & F.col("f").isNull(), F.lit(None).cast("string"))
+        .when(pick_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("nearest_src"),
+        F.when(F.col("b").isNull() & F.col("f").isNull(), F.lit(None).cast("double"))
+        .when(pick_back, d_b)
+        .otherwise(d_f)
+        .alias("nearest_gap_sec"),
+    )
