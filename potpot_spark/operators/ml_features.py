@@ -1465,3 +1465,147 @@ def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pav, schema=schema)
         .orderBy("bin")
     )
+
+
+# --- PCA top component via power iteration -------------------------------
+
+PCA_ITERS = 24
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power iteration over the (oracle-exact) covariance
+    matrix: every float reduction is an ordered left fold, so the
+    DuckDB twin performs the IDENTICAL IEEE operation sequence as the
+    driver-side Python loop and the eigenvector matches bit-for-bit
+    (same discipline as the LSH oracle's list_reduce folds)."""
+    from potpot_spark.operators.similarity import COV_DIMS
+
+    d = COV_DIMS
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), (a, x) -> a + x)"
+        )
+
+    sq = fold("list_transform(mv, x -> x * x)")
+    parts = [
+        f"""
+        WITH pos AS (
+            SELECT vec_id, CAST(unnest(range(1, {d} + 1)) AS INT) AS i
+            FROM embeddings
+        ),
+        vals AS (
+            SELECT p.vec_id, p.i, CAST(e.embedding[p.i] AS DOUBLE) AS x
+            FROM pos p JOIN embeddings e ON e.vec_id = p.vec_id
+        ),
+        cpairs AS (
+            SELECT a.i AS di, b.i AS dj, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(a.x, 9) AS DECIMAL(14,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(b.x, 9) AS DECIMAL(14,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(a.x * b.x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS sxy
+            FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        ),
+        cov_ut AS (
+            SELECT di, dj, ROUND((sxy - sx * sy / n) / (n - 1), 9) AS cov FROM cpairs
+        ),
+        fullm AS (
+            SELECT di AS i, dj AS j, cov FROM cov_ut
+            UNION ALL
+            SELECT dj, di, cov FROM cov_ut WHERE di < dj
+        ),
+        rows_m AS MATERIALIZED (
+            SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i
+        ),
+        v0 AS (SELECT [{', '.join(['CAST(1 AS DOUBLE)'] + ['0'] * (d - 1))}] AS v)"""
+    ]
+    mv_expr = f"list_transform(range({d}), j -> m.r[j+1] * p.v[j+1])"
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"""
+        mv{t} AS (
+            SELECT m.i, {fold(mv_expr)} AS x
+            FROM rows_m m CROSS JOIN v{t - 1} p
+        ),
+        ml{t} AS (SELECT list(x ORDER BY i) AS mv FROM mv{t}),
+        v{t} AS MATERIALIZED (SELECT list_transform(mv, x -> x / sqrt({sq})) AS v FROM ml{t})"""
+        )
+    parts.append(
+        f"""
+        mvf AS (
+            SELECT m.i, {fold(mv_expr)} AS x
+            FROM rows_m m CROSS JOIN v{PCA_ITERS} p
+        ),
+        lam AS (
+            SELECT {fold(f"list_transform(range({d}), j -> p.v[j+1] * mv[j+1])")} AS l
+            FROM (SELECT list(x ORDER BY i) AS mv FROM mvf) CROSS JOIN v{PCA_ITERS} p
+        )
+        SELECT CAST(t.i AS INT) AS dim,
+               ROUND(p.v[t.i], 9) AS loading,
+               ROUND(lam.l, 9) AS eigenvalue,
+               {PCA_ITERS} AS n_iters
+        FROM (SELECT unnest(range(1, {d} + 1)) AS i) t
+        CROSS JOIN v{PCA_ITERS} p CROSS JOIN lam"""
+    )
+    return ",".join(parts)
+
+
+@query("ml_pca_power_iteration", oracle=_pca_oracle_sql(), tags=("E36", "E43"))
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by POWER
+    ITERATION — the whitening/PCA primitive, and the fourth iterative
+    kernel (after CC, PageRank, k-core), this one running over
+    AGGREGATE-sized state: the data pass is the distributed one-pass
+    covariance build (embedding_covariance_matrix, oracle-exact
+    9-dp-rounded cells); the d x d algebra then runs driver-side in
+    plain left-to-right Python floats — 24 matvec+normalize rounds
+    from e_0 — which is the declared correct split of labor at 100 TB
+    (one scan of the corpus, O(d^2) local math; the 'collect' ships 36
+    aggregate cells, not data).
+
+    EXACT oracle despite the iteration: the DuckDB twin unrolls the
+    same 24 rounds with list_reduce left folds, so every intermediate
+    double — and the final eigenvector and Rayleigh eigenvalue — is
+    bit-identical (rounded to 9 dp only at the output edge)."""
+    import math
+
+    from potpot_spark.operators.similarity import (
+        COV_DIMS,
+        embedding_covariance_matrix,
+    )
+
+    d = COV_DIMS
+    cells = embedding_covariance_matrix(spark, sf_dir).collect()
+    C = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        C[r.di - 1][r.dj - 1] = r.cov
+        C[r.dj - 1][r.di - 1] = r.cov
+
+    def matvec(v):
+        out = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + C[i][j] * v[j]
+            out.append(acc)
+        return out
+
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(PCA_ITERS):
+        mv = matvec(v)
+        acc = 0.0
+        for x in mv:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in mv]
+    mvf = matvec(v)
+    acc = 0.0
+    for i in range(d):
+        acc = acc + v[i] * mvf[i]
+    lam = acc
+    rows = [
+        (i + 1, round(v[i], 9), round(lam, 9), PCA_ITERS) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double, n_iters int"
+    )
