@@ -1751,3 +1751,104 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
         .orderBy("day")
     )
+
+
+SEQ_PATTERNS = (
+    ("view_click_purchase", "v.*c.*p"),   # funnel as a subsequence regex
+    ("error_after_purchase", "p.*e"),     # post-purchase failure signal
+    ("no_purchase_browse", "^[^p]*$"),    # sessions that never convert
+)
+
+
+@query(
+    "events_sequence_pattern_match",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   substring(event_type, 1, 1) AS ch,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 480 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM seq
+        ),
+        sigs AS MATERIALIZED (
+            SELECT user_id, session_id,
+                   string_agg(ch, '' ORDER BY ts, event_id) AS sig
+            FROM sess GROUP BY user_id, session_id
+        ),
+        pats AS (
+            SELECT * FROM (VALUES
+                ('view_click_purchase', 'v.*c.*p'),
+                ('error_after_purchase', 'p.*e'),
+                ('no_purchase_browse', '^[^p]*$')
+            ) AS t(pattern, re)
+        )
+        SELECT p.pattern,
+               CAST(COUNT(CASE WHEN regexp_matches(s.sig, p.re) THEN 1 END) AS BIGINT)
+                   AS n_sessions,
+               CAST(COUNT(DISTINCT CASE WHEN regexp_matches(s.sig, p.re)
+                                        THEN s.user_id END) AS BIGINT) AS n_users
+        FROM pats p CROSS JOIN sigs s
+        GROUP BY p.pattern
+    """,
+    tags=("E31", "E72"),
+)
+def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching over sessions:
+    each 480-minute-gap session (same boundary rule as the funnel and
+    sessionize_stats — kept in lockstep) is reduced to its ordered
+    event-initial STRING, and row-pattern queries become plain regexes
+    over that signature — subsequence funnels ('v.*c.*p'), post-
+    purchase failures ('p.*e'), never-converting browse sessions
+    ('^[^p]*$').  This is the declarative answer to SQL:2016
+    MATCH_RECOGNIZE (which Spark lacks): the signature build is one
+    sessionized string aggregate (array_sort of (ts, event_id, ch)
+    structs — deterministic under timestamp ties), and every pattern
+    after that is O(sessions) regex work with no joins, which is why
+    the pattern list can grow without touching the event table again.
+    At 100 TB the signature table is the materialization; patterns are
+    map-side scans of it."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.substring("event_type", 1, 1).alias("ch")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    sigs = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s.ch,
+            ),
+        ).alias("sig")
+    )
+    pats = F.broadcast(
+        sigs.sparkSession.createDataFrame(
+            list(SEQ_PATTERNS), "pattern string, re string"
+        )
+    )
+    return (
+        pats.crossJoin(sigs)
+        .groupBy("pattern")
+        .agg(
+            F.count(
+                F.when(F.regexp_like(F.col("sig"), F.col("re")), F.lit(1))
+            ).cast("bigint").alias("n_sessions"),
+            F.countDistinct(
+                F.when(F.regexp_like(F.col("sig"), F.col("re")), F.col("user_id"))
+            ).cast("bigint").alias("n_users"),
+        )
+    )
