@@ -1119,3 +1119,150 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(F.sum("q").cast("double") / F.count(F.lit(1))) / LM_SCALE, 6
         ).alias("bits_per_bigram"),
     )
+
+
+# --- RAKE keyword extraction ---------------------------------------------
+
+RAKE_STOPWORDS = ("the", "and", "of", "a", "to", "is", "in")
+RAKE_TOP = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t.i AS pos, toks[t.i] AS w
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents) d
+            CROSS JOIN (SELECT unnest(range(1, 10001)) AS i) t
+            WHERE t.i <= len(toks)
+        ),
+        marked AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN w IN ({_RAKE_STOP_SQL}) OR w = '' THEN 1 ELSE 0 END
+                       AS is_stop
+            FROM tok
+        ),
+        segmented AS (
+            SELECT *,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS phrase_id
+            FROM marked
+        ),
+        in_phrase AS MATERIALIZED (
+            SELECT doc_id, phrase_id, pos, w FROM segmented WHERE is_stop = 0
+        ),
+        phrases AS MATERIALIZED (
+            SELECT doc_id, phrase_id,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   COUNT(*) AS plen
+            FROM in_phrase GROUP BY doc_id, phrase_id
+        ),
+        word_stats AS (
+            SELECT ip.w,
+                   COUNT(*) AS freq,
+                   CAST(SUM(p.plen) AS BIGINT) AS degree
+            FROM in_phrase ip
+            JOIN phrases p ON p.doc_id = ip.doc_id AND p.phrase_id = ip.phrase_id
+            GROUP BY ip.w
+        ),
+        scored_words AS (
+            SELECT w, (degree * 1000000) // freq AS w_score FROM word_stats
+        ),
+        phrase_scores AS (
+            SELECT ip.doc_id, ip.phrase_id,
+                   CAST(SUM(sw.w_score) AS BIGINT) AS score
+            FROM in_phrase ip JOIN scored_words sw ON sw.w = ip.w
+            GROUP BY ip.doc_id, ip.phrase_id
+        )
+        SELECT phrase, n_occurrences, rake_score_micro, rnk
+        FROM (
+            SELECT p.phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MAX(ps.score) AS rake_score_micro,
+                   CAST(row_number() OVER (
+                       ORDER BY MAX(ps.score) DESC, p.phrase) AS INT) AS rnk
+            FROM phrases p
+            JOIN phrase_scores ps
+              ON ps.doc_id = p.doc_id AND ps.phrase_id = p.phrase_id
+            GROUP BY p.phrase
+        )
+        WHERE rnk <= {RAKE_TOP}
+    """,
+    tags=("E37", "E72"),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands over token
+    positions); word score = degree/frequency with degree = summed
+    length of containing phrases; phrase score = sum of member word
+    scores; top-{RAKE_TOP} phrases corpus-wide.
+
+    Determinism engineering: scores are FIXED-POINT — (degree *
+    1,000,000) integer-div frequency — so phrase sums are exact
+    integers and the cross-engine ranking cannot drift by an ulp (the
+    fixed-point discipline of the PageRank/perplexity kernels applied
+    to keyword scoring).  Scale shape: one explode + one window pass
+    segments phrases; word stats and phrase scores are two hash
+    aggregates joined back by phrase key — no self-joins over the
+    corpus, and the phrase/word tables are vocabulary-scale, not
+    corpus-scale.  (The oracle's token-position spine is capped at
+    10k tokens/doc — far above the fixtures; an overflow would fail
+    the value hash loudly, not silently truncate the Spark side.)"""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d).select(
+        "doc_id", F.posexplode(_tok()).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.when(
+        F.col("w").isin(*RAKE_STOPWORDS) | (F.col("w") == ""), 1
+    ).otherwise(0)
+    seg = tok.withColumn("is_stop", is_stop).withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    in_phrase = seg.where(F.col("is_stop") == 0).select("doc_id", "phrase_id", "pos", "w")
+    phrases = in_phrase.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s.w
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        in_phrase.join(phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    scored_words = word_stats.select(
+        "w", F.expr("(degree * 1000000) div freq").alias("w_score")
+    )
+    phrase_scores = (
+        in_phrase.join(F.broadcast(scored_words), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("w_score").cast("bigint").alias("score"))
+    )
+    ranked = (
+        phrases.join(phrase_scores, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score").alias("rake_score_micro"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rake_score_micro").desc(), F.col("phrase"))
+            ),
+        )
+        .where(F.col("rnk") <= RAKE_TOP)
+    )
+    return ranked.select("phrase", "n_occurrences", "rake_score_micro", "rnk")
