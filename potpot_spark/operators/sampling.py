@@ -20,7 +20,7 @@ Three sampling modes with different reproducibility contracts:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
@@ -292,4 +292,63 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
         )
         .orderBy("tier")
+    )
+
+
+WPRIO_K = 50
+_WPRIO_2_60 = float(1 << 60)
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(
+                       POW(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) / {_WPRIO_2_60},
+                           1.0 / n_chars),
+                       12) AS priority
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, priority, rnk
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY priority DESC, doc_id) AS INT) AS rnk
+            FROM keyed
+        )
+        WHERE rnk <= {WPRIO_K}
+    """,
+    tags=("E7", "E48"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    priority sampling): each doc draws u = portable-hash(doc_id)/2^60
+    in (0,1) and gets priority u^(1/weight); the global top-k by
+    priority is a weight-proportional sample — here weight = n_chars,
+    the quality-weighted corpus subsampling move.  No RNG state: the
+    'randomness' is the md5 hash, so membership is reproducible
+    bit-for-bit months later and across engines (the
+    sample_hash_systematic philosophy with weights).
+
+    Float discipline: priorities are rounded to 12 dp BEFORE ranking
+    on both sides (pow/log libm implementations may differ by an ulp
+    between engines — the knn rounding-before-ranking rule), ties
+    break by doc_id.  Scale shape: one map pass + one global top-k
+    (TakeOrderedAndProject — no full sort materializes)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / F.lit(_WPRIO_2_60)
+    )
+    keyed = d.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= WPRIO_K)
+        .select("doc_id", "lang", "weight", "priority", "rnk")
     )
