@@ -722,7 +722,8 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT grp,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+                   CAST(ROUND(SUM(CAST(value * value AS DECIMAL(24,8))), 2)
+                        AS DOUBLE) AS sxx
             FROM g GROUP BY grp
         )
         SELECT a.n AS n_treat, b.n AS n_ctrl,
@@ -760,7 +761,11 @@ def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = g.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sx"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        # round the exact decimal SS to 2 dp before the double cast: a
+        # group-wide SS can exceed 17 significant digits at sf0.1 and
+        # the engines round long decimal->double casts differently
+        # (the ANOVA fix, applied preventively)
+        F.round(F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)")), 2)
         .cast("double")
         .alias("sxx"),
     )
@@ -1034,30 +1039,27 @@ def stats_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderpriority AS grp,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
-                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                        AS DOUBLE) AS ss
             FROM orders GROUP BY o_orderpriority
         ),
-        tot AS (
+        terms AS (
             SELECT CAST(SUM(n) AS BIGINT) AS nt,
                    CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE) AS st,
-                   CAST(SUM(CAST(ss AS DECIMAL(38,4))) AS DOUBLE) AS sst,
-                   CAST(COUNT(*) AS BIGINT) AS k
+                   CAST(SUM(ss) AS DOUBLE) AS sst,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(s * s / n ORDER BY grp)),
+                       (a, x) -> a + x) AS sum_sq_over_n
             FROM g
-        ),
-        terms AS (
-            SELECT nt, k,
-                   CAST(SUM(CAST(ROUND(s * s / n, 6) AS DECIMAL(28,6))) AS DOUBLE)
-                     AS sum_sq_over_n,
-                   MAX(st) AS st, MAX(sst) AS sst
-            FROM g, tot
-            GROUP BY nt, k
         )
         SELECT k AS n_groups, nt AS n_total,
-               ROUND((sum_sq_over_n - st * st / nt) / (k - 1), 6) AS ms_between,
-               ROUND((sst - sum_sq_over_n) / (nt - k), 6) AS ms_within,
-               ROUND(((sum_sq_over_n - st * st / nt) / (k - 1))
-                     / ((sst - sum_sq_over_n) / (nt - k)), 6) AS f_stat
+               (sum_sq_over_n - st * st / nt) / (k - 1) AS ms_between,
+               (sst - sum_sq_over_n) / (nt - k) AS ms_within,
+               ((sum_sq_over_n - st * st / nt) / (k - 1))
+                 / ((sst - sum_sq_over_n) / (nt - k)) AS f_stat
         FROM terms
     """,
     tags=("E42", "E43"),
@@ -1068,9 +1070,13 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from the same per-group (n, Σ, Σ²) trios: SS_between =
     Σ(Σᵢ²/nᵢ) − (Σtot)²/N, SS_within = ΣΣ² − Σ(Σᵢ²/nᵢ).  ONE
     mergeable pass over the fact table; everything downstream is
-    k-row algebra.  The per-group Σᵢ²/nᵢ terms round to 6 dp and sum
-    as exact decimals (order-free); divisions are single
-    correctly-rounded double ops — bit-exact cross-engine.  (The
+    k-row algebra.  Cross-engine bit-exactness engineering (r3, found
+    at sf0.01): Σ² decimals exceed 17 significant digits, and the two
+    engines round a >17-digit decimal→double cast differently — so
+    the exact decimal is rounded to WHOLE units first (integer ≤ 2^53
+    converts exactly everywhere); the k per-group Σᵢ²/nᵢ doubles sum
+    in a fixed grp-sorted fold (the LSH/PCA oracle trick); outputs
+    ship unrounded because every operand is now bit-identical.  (The
     F→p-value step needs the F CDF — a client-side special function,
     deliberately outside the engine's bit-exact surface.)"""
     o = load_table(spark, sf_dir, "orders")
@@ -1078,27 +1084,39 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).cast("double").alias("s"),
-        F.sum(x * x).cast("double").alias("ss"),
+        # round the exact decimal SS to whole units BEFORE the double
+        # cast: a 19-digit decimal has no exact double, and the two
+        # engines round the cast differently — an integer <= 2^53
+        # converts exactly in both (found at sf0.01, r3)
+        F.round(F.sum(x * x), 0).cast("double").alias("ss"),
     )
-    terms = g.agg(
+    g2 = g.withColumn("sq_n", F.col("s") * F.col("s") / F.col("n"))
+    terms = g2.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum(F.col("s").cast("decimal(28,2)")).cast("double").alias("st"),
-        F.sum(F.col("ss").cast("decimal(38,4)")).cast("double").alias("sst"),
+        # ss values are integer-valued doubles; their sum is exact in
+        # any order, so a plain SUM is deterministic here
+        F.sum("ss").alias("sst"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(F.round(F.col("s") * F.col("s") / F.col("n"), 6).cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_sq_over_n"),
+        # k-row double sum in a FIXED (grp-sorted) fold order — the
+        # cross-engine determinism trick used by the LSH/PCA oracles
+        F.array_sort(F.collect_list(F.struct("grp", "sq_n"))).alias("lst"),
+    ).withColumn(
+        "sum_sq_over_n",
+        F.aggregate(
+            F.transform(F.col("lst"), lambda e: e.sq_n),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
     ssb = F.col("sum_sq_over_n") - F.col("st") * F.col("st") / F.col("nt")
     ssw = F.col("sst") - F.col("sum_sq_over_n")
     return terms.select(
         F.col("k").alias("n_groups"),
         F.col("nt").alias("n_total"),
-        F.round(ssb / (F.col("k") - 1), 6).alias("ms_between"),
-        F.round(ssw / (F.col("nt") - F.col("k")), 6).alias("ms_within"),
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
-            "f_stat"
-        ),
+        (ssb / (F.col("k") - 1)).alias("ms_between"),
+        (ssw / (F.col("nt") - F.col("k"))).alias("ms_within"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))).alias("f_stat"),
     )
 
 

@@ -396,3 +396,24 @@ def test_fixed_point_kernels_partition_invariant(spark, sf_dir):
             assert _rows(registry.get(n).fn(spark, sf_dir)) == base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_portable_signature_ops_partition_invariant(spark, sf_dir):
+    """The portable-hash signature/sampling ops converted to full value
+    oracles in r3 must be bit-identical under a different shuffle
+    layout — same invariance their cross-engine parity rests on."""
+    names = [
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "text_rolling_hash",
+        "sample_weighted_priority",
+        "sketch_theta_intersection_portable",
+    ]
+    base = {n: _rows(registry.get(n).fn(spark, sf_dir)) for n in names}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for n in names:
+            assert _rows(registry.get(n).fn(spark, sf_dir)) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
