@@ -675,3 +675,47 @@ def win_rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               quantile_cont(revenue, 0.5)
+                   OVER (ORDER BY day ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+                 AS rolling_median_21
+        FROM daily
+    """,
+    tags=("E20", "E40"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of daily revenue over a centered 21-row
+    frame — the robust-trend smoother (immune to single-day spikes
+    that drag the moving average; pairs with the MAD flags on the
+    robust-stats side).  Spark's exact ``percentile`` runs as a
+    window-frame aggregate, matching DuckDB's ``quantile_cont``
+    definition (linear interpolation on the sorted frame) — already
+    the paired definition proven by agg_percentiles_exact, here
+    applied per frame.  Both engines interpolate (a+b)/2 from the
+    same two frame members when the frame count is even (edges), so
+    parity is exact.  Scale: the window runs over the day-level
+    AGGREGATE (O(days) rows) — the only corpus-scale step is the
+    partial-agg shuffle on day; the O(frame log frame) per-row sort
+    cost is bounded by the 21-row frame."""
+    from potpot_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(-10, 10)
+    return daily.select(
+        "day",
+        "revenue",
+        F.expr("percentile(revenue, 0.5)").over(w).alias("rolling_median_21"),
+    )
