@@ -1266,3 +1266,79 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= RAKE_TOP)
     )
     return ranked.select("phrase", "n_occurrences", "rake_score_micro", "rnk")
+
+
+@query(
+    "text_shingle_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')
+                       )
+                   )) AS shingle
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ),
+        first_seen AS (
+            SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty_ratio
+        FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+        GROUP BY s.doc_id
+    """,
+    tags=("E37", "E35"),
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle NOVELTY: the fraction of a doc's distinct
+    3-word shingles whose global first occurrence (min doc_id across
+    the corpus) is this doc — the 'how much genuinely new content does
+    each increment add' diagnostic that tells an ingestion pipeline
+    when a source has gone stale (novelty trending to zero means the
+    crawler is re-fetching known text; the doc-level complement of the
+    corpus-level Heaps curve, text_vocab_growth_curve, via the same
+    first-seen identity).
+
+    Shape: one shingle explode (shared construction with the
+    ngram-Jaccard family), one min-aggregate on the shingle key, one
+    join back on the same key — two shuffles on shingle, partials
+    combine map-side; novelty is an exact integer ratio, so parity is
+    bit-exact.  At 100 TB the first_seen table IS the incremental
+    state: new batches join against it and append their novel keys."""
+    d = load_table(spark, sf_dir, "documents")
+    from potpot_spark.operators.dedup import tokens, word_shingles
+
+    tok = tokens()
+    sh = (
+        spread(d)
+        .where(F.size(tok) >= 3)
+        .select("doc_id", F.explode(word_shingles(tok, 3)).alias("shingle"))
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
