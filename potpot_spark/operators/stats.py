@@ -1469,3 +1469,157 @@ def sketch_theta_intersection_portable(spark: SparkSession, sf_dir: str) -> Data
             ),
         )
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp, value
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        vals AS (
+            SELECT value, COUNT(*) AS t,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+            FROM g GROUP BY value
+        ),
+        ranked AS (
+            SELECT value, t, t1,
+                   COALESCE(SUM(t) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM vals
+        ),
+        terms AS (
+            SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                   CAST(SUM(t - t1) AS BIGINT) AS n2,
+                   CAST(SUM(t1 * (2 * cum_before + t + 1)) AS BIGINT) AS r1_2,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+            FROM ranked
+        )
+        SELECT n1, n2,
+               CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+               (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                - CAST(n1 AS DOUBLE) * n2 / 2)
+               / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                      * ((n1 + n2 + 1)
+                         - CAST(tie_sum AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+                 AS z_stat
+        FROM terms
+    """,
+    tags=("E25", "E42"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs view values) — the
+    NONPARAMETRIC difference-of-distributions test next to Welch's t
+    (means), KS (shapes), and chi-square (categories): no normality
+    assumption, robust to outliers.
+
+    Integer-exactness engineering: ranks are computed in HALF-RANK
+    units — with ties sharing the average rank, avg_rank*2 =
+    2*cum_before + t + 1 is an INTEGER, so the rank sum, U statistic
+    numerator and the t^3-t tie correction all accumulate as exact
+    BIGINTs (order-free, partition-free); only the final z-score
+    performs double ops, written in identical operand order on both
+    engines.  Scale shape: one groupBy(value) — vocabulary-scale, not
+    row-scale — one window over the distinct-value table, one
+    aggregate; nothing row-scale is sorted."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        "value",
+    )
+    vals = g.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("grp").cast("bigint").alias("t1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    terms = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("cum_before") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    u = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = F.col("n1").cast("double") * F.col("n2") / 2
+    sigma = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_sum").cast("double")
+            / ((F.col("n1") + F.col("n2")).cast("double") * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return terms.select(
+        "n1", "n2", u.alias("u_stat"), ((u - mu) / sigma).alias("z_stat")
+    )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS price,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT l_returnflag, price, wt,
+                   SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price, wt
+                                 ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+            FROM w
+        )
+        SELECT l_returnflag,
+               CAST(MAX(tw) AS BIGINT) AS total_weight,
+               MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median,
+               MIN(CASE WHEN 10 * cw >= 9 * tw THEN price END) AS weighted_p90
+        FROM cum GROUP BY l_returnflag
+    """,
+    tags=("E40", "E14"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles (quantity-weighted price median / p90 per
+    return flag): the quantile of the unit-level distribution computed
+    WITHOUT exploding rows by weight — cumulative-weight thresholding
+    over the price-sorted rows (the first price whose running weight
+    crosses q*total).  Thresholds compare as exact integers
+    (2*cw >= tw, 10*cw >= 9*tw — no double quantile interpolation to
+    drift), so parity is bit-exact.  Scale: one window sort per group
+    key + one aggregate; the explode-by-weight alternative would
+    multiply the fact table by avg(quantity)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag", "price", "wt",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("price"))).alias(
+            "weighted_p90"
+        ),
+    )
