@@ -392,3 +392,118 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "pipeline_dedup_rate_report",
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                                    list_slice(string_split(lower(text), ' '), i, i + 2),
+                                    ' ')
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang
+             AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 10
+            WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.label < e.dst
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        ),
+        near AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_in_near_clusters,
+                   CAST(COUNT(DISTINCT c.component) AS BIGINT) AS n_near_clusters
+            FROM (
+                SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+                HAVING COUNT(*) > 1
+            ) c JOIN comp m ON m.component = c.component
+        ),
+        exact AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT md5(lower(text))) AS BIGINT) AS n_unique_contents
+            FROM documents
+        )
+        SELECT e.n_docs,
+               e.n_docs - e.n_unique_contents AS n_exact_dupes,
+               n.n_near_clusters,
+               n.n_in_near_clusters - n.n_near_clusters AS n_near_dupes,
+               ROUND(CAST(e.n_docs - e.n_unique_contents
+                          + n.n_in_near_clusters - n.n_near_clusters AS DOUBLE)
+                     / e.n_docs, 6) AS dup_rate
+        FROM exact e, near n
+    """,
+    tags=("E34", "E35"),
+)
+def pipeline_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DEDUP-RATE dashboard: one row summarizing how much of
+    the corpus is duplicated — exact-dupe count (docs minus distinct
+    content hashes), near-dup cluster count and excess members
+    (cluster sizes minus one keeper each), and the combined duplicate
+    rate.  This is the number a data lead actually asks for before
+    approving an ingest, and the regression metric tracked across
+    corpus versions.
+
+    Cost discipline: reads the SAME shared materialized intermediates
+    as the rest of the dedup family (component table via
+    dedup_connected_components, itself built on the banded pair
+    graph), so the report is marginal aggregates over tables the
+    session already has — exactly how the production dashboard reads
+    refreshed tables rather than recomputing the pair graph."""
+    from potpot_spark.operators.graph import dedup_connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    near = (
+        sizes.where(F.col("sz") > 1)
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_in_near_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_near_clusters"),
+        )
+    )
+    exact = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5(F.lower(F.col("text")))).cast("bigint").alias(
+            "n_unique_contents"
+        ),
+    )
+    return exact.crossJoin(near).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_unique_contents")).alias("n_exact_dupes"),
+        "n_near_clusters",
+        (F.col("n_in_near_clusters") - F.col("n_near_clusters")).alias("n_near_dupes"),
+        F.round(
+            (
+                F.col("n_docs")
+                - F.col("n_unique_contents")
+                + F.col("n_in_near_clusters")
+                - F.col("n_near_clusters")
+            ).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("dup_rate"),
+    )
