@@ -1852,3 +1852,105 @@ def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("bigint").alias("n_users"),
         )
     )
+
+
+ATTR_WINDOW_DAYS = 7
+ATTR_CREDIT = 1_000_000  # micro-credits per conversion (fixed-point)
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle=f"""
+        WITH conv AS (
+            SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT event_id AS touch_id, user_id, CAST(ts AS TIMESTAMP) AS touch_ts,
+                   event_type AS touch_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        matched AS (
+            SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_ts
+            FROM conv c JOIN touch t
+              ON t.user_id = c.user_id
+             AND t.touch_ts <= c.conv_ts
+             AND t.touch_ts > c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+        ),
+        credited AS (
+            SELECT conv_id, touch_type,
+                   {ATTR_CREDIT} // n
+                   + CASE WHEN rk = 1 THEN {ATTR_CREDIT} % n ELSE 0 END AS credit
+            FROM (
+                SELECT conv_id, touch_id, touch_type,
+                       COUNT(*) OVER (PARTITION BY conv_id) AS n,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY touch_ts, touch_id) AS rk
+                FROM matched
+            )
+        )
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+               CAST(SUM(credit) AS BIGINT) AS total_credit_micro
+        FROM credited GROUP BY touch_type
+    """,
+    tags=("E12", "E18"),
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every purchase splits a fixed
+    credit equally across the user's view/click touches in the prior
+    {ATTR_WINDOW_DAYS} days; per-channel (event-type) totals.  The
+    batch complement of the streaming last-touch join
+    (stream_stream_join_attribution) — marketing spends against these
+    numbers, so they must be EXACT and reproducible.
+
+    Fixed-point discipline: credits are integer micro-units —
+    1,000,000 div n per touch, remainder to the EARLIEST touch
+    (ts, event_id tie-break) — so per-conversion credit sums are
+    exactly 1,000,000 and channel totals are exact BIGINTs with no
+    double division anywhere (the PageRank/RAKE fixed-point rule
+    applied to money-adjacent arithmetic).
+
+    Scale shape: the conversion-touch match is an EQUI join on
+    user_id with the time window as a residual predicate — shuffles
+    once on the user key (no range explosion: touches per user per
+    week are bounded); the credit split is one window count + rank
+    per conversion, then a hash aggregate on channel."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    matched = conv.join(touch, "user_id").where(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    credited = matched.select(
+        "conv_id",
+        "touch_type",
+        (
+            F.expr(f"{ATTR_CREDIT} div count(1) over (partition by conv_id)")
+            + F.when(
+                F.row_number().over(wr) == 1,
+                F.expr(f"{ATTR_CREDIT} % count(1) over (partition by conv_id)"),
+            ).otherwise(F.lit(0))
+        ).alias("credit"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions_touched"),
+        F.sum("credit").cast("bigint").alias("total_credit_micro"),
+    )
