@@ -1623,3 +1623,71 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_p90"
         ),
     )
+
+
+ENTROPY_SCALE = 1 << 20
+
+
+@query(
+    "profile_column_entropy",
+    oracle=f"""
+        WITH lang_c AS (
+            SELECT 'lang' AS column_name, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER () AS n
+            FROM documents GROUP BY lang
+        ),
+        source_c AS (
+            SELECT 'source' AS column_name, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER () AS n
+            FROM documents GROUP BY source
+        ),
+        u AS (
+            SELECT * FROM lang_c UNION ALL SELECT * FROM source_c
+        )
+        SELECT column_name,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(-SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE) / n)
+                                        * {ENTROPY_SCALE}) AS BIGINT))
+                    AS DOUBLE) / (MAX(n) * {ENTROPY_SCALE}) AS entropy_bits
+        FROM u GROUP BY column_name
+    """,
+    tags=("E42", "E25"),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (lang, source) — the
+    data-profiling signal behind mixture monitoring: entropy collapse
+    means a source went silent or a crawler got stuck on one domain;
+    entropy near log2(k) means a balanced mix.  Reported next to the
+    exact distinct count (a near-zero-entropy high-cardinality column
+    is the classic skew smell).
+
+    Fixed-point discipline (the perplexity/PageRank recipe): each
+    category contributes c * FLOOR(log2(c/N) * 2^20) — an exact
+    BIGINT — so the accumulation is order-free and partition-free;
+    the single final division to bits is one identical double op per
+    row.  Scale: one grouped count per column (map-side combined),
+    category tables are vocabulary-scale."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def col_entropy(col: str) -> DataFrame:
+        counts = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy()
+        return counts.select(
+            F.lit(col).alias("column_name"),
+            "c",
+            F.sum("c").over(w).alias("n"),
+        )
+
+    u = col_entropy("lang").unionByName(col_entropy("source"))
+    q = F.floor(
+        F.log2(F.col("c").cast("double") / F.col("n")) * ENTROPY_SCALE
+    ).cast("bigint")
+    return u.groupBy("column_name").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            (-F.sum(F.col("c") * q)).cast("double")
+            / (F.max("n") * F.lit(ENTROPY_SCALE))
+        ).alias("entropy_bits"),
+    )
