@@ -382,3 +382,70 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+_JSON_BAD_LINES = [
+    '{"event_id": "not_a_number", "event_type": "view"}',   # unparseable key
+    '{"event_id": 900001, "event_type": ',                  # truncated JSON
+    'this is not json at all',                              # garbage line
+]
+
+
+@query(
+    "scan_json_corrupt_quarantine",
+    oracle=f"""
+        SELECT COUNT(*) AS n_good,
+               CAST({len(_JSON_BAD_LINES)} AS BIGINT) AS n_corrupt,
+               COUNT(*) + {len(_JSON_BAD_LINES)} AS n_total,
+               CAST(SUM(event_id) AS BIGINT) AS good_id_sum
+        FROM events WHERE event_id % 10 = 0
+    """,
+    tags=("E3", "E52"),
+)
+def scan_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON-lines ingestion over a file with injected
+    corruption — the JSON sibling of scan_csv_malformed_permissive
+    (the connector-robustness pair every ingest needs): good rows
+    parse against the explicit schema, truncated/garbage/mistyped
+    lines land intact in ``_corrupt_record`` as a queryable
+    dead-letter table, the job never dies.  The good-row id checksum
+    goes through the oracle so quarantining provably did not eat or
+    duplicate a single good record."""
+    e = load_table(spark, sf_dir, "events")
+    subset = e.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type", "user_id"
+    )
+    base = tempfile.mkdtemp(prefix="potpot_badjson_")
+    target = os.path.join(base, "events_json")
+    subset.coalesce(1).write.mode("overwrite").json(target)
+    import glob
+
+    part = glob.glob(os.path.join(target, "part-*.json"))[0]
+    with open(part, "a", encoding="utf-8") as f:
+        for line in _JSON_BAD_LINES:
+            f.write(line + "\n")
+    for crc in glob.glob(os.path.join(target, ".*.crc")):
+        os.remove(crc)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(target)
+        .cache()  # corrupt-record queries must not re-parse lazily
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("event_id")))
+        .cast("bigint")
+        .alias("good_id_sum"),
+    )
