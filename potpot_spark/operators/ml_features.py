@@ -1609,3 +1609,97 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double, n_iters int"
     )
+
+
+# --- decision-tree split evaluation --------------------------------------
+
+GINI_THRESHOLDS = tuple(float(t) for t in range(50, 451, 50))
+
+
+@query(
+    "ml_decision_split_gini",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+            FROM events
+        ),
+        th AS (SELECT unnest([{', '.join(str(t) for t in GINI_THRESHOLDS)}]) AS threshold),
+        split AS (
+            SELECT t.threshold,
+                   CAST(SUM(CASE WHEN l.value < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+                   CAST(SUM(CASE WHEN l.value < t.threshold THEN l.label ELSE 0 END) AS BIGINT) AS pos_l,
+                   CAST(SUM(CASE WHEN l.value >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+                   CAST(SUM(CASE WHEN l.value >= t.threshold THEN l.label ELSE 0 END) AS BIGINT) AS pos_r
+            FROM th t CROSS JOIN labeled l
+            GROUP BY t.threshold
+        ),
+        scored AS (
+            SELECT threshold, n_l, n_r,
+                   (CAST(n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l) AS DOUBLE) / n_l
+                    + CAST(n_r * n_r - pos_r * pos_r - (n_r - pos_r) * (n_r - pos_r) AS DOUBLE) / n_r)
+                   / (n_l + n_r) AS weighted_gini
+            FROM split WHERE n_l > 0 AND n_r > 0
+        )
+        SELECT threshold, n_l, n_r, weighted_gini,
+               weighted_gini = MIN(weighted_gini) OVER () AS is_best_split
+        FROM scored
+    """,
+    tags=("E25", "E42"),
+)
+def ml_decision_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree SPLIT EVALUATION: weighted Gini impurity of the
+    purchase label for each candidate threshold on value — the inner
+    loop of tree/GBM training, expressed as ONE conditional aggregate
+    pass (9 thresholds = 9x4 aggregate buffers, map-side combined; no
+    data pass per candidate, which is the entire scale story of
+    histogram-based tree learners).
+
+    Exactness: with integer counts, weighted Gini is the exact
+    rational [(nL^2-posL^2-negL^2)/nL + (same for R)] / N — every
+    numerator is an exact BIGINT and the two divisions are identical
+    IEEE ops, so scores and the argmin flag match bit-for-bit (no
+    epsilon comparisons).  Degenerate one-sided splits are excluded
+    on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    th = F.explode(F.array(*[F.lit(t) for t in GINI_THRESHOLDS])).alias("threshold")
+    split = (
+        labeled.select("value", "label", th)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_l"),
+            F.sum(F.when(F.col("value") < F.col("threshold"), F.col("label")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_l"),
+            F.sum(F.when(F.col("value") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_r"),
+            F.sum(F.when(F.col("value") >= F.col("threshold"), F.col("label")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_r"),
+        )
+        .where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    )
+    neg_l = F.col("n_l") - F.col("pos_l")
+    neg_r = F.col("n_r") - F.col("pos_r")
+    wg = (
+        (
+            (F.col("n_l") * F.col("n_l") - F.col("pos_l") * F.col("pos_l") - neg_l * neg_l)
+            .cast("double") / F.col("n_l")
+            + (F.col("n_r") * F.col("n_r") - F.col("pos_r") * F.col("pos_r") - neg_r * neg_r)
+            .cast("double") / F.col("n_r")
+        )
+        / (F.col("n_l") + F.col("n_r"))
+    )
+    scored = split.select("threshold", "n_l", "n_r", wg.alias("weighted_gini"))
+    w = Window.partitionBy()
+    return scored.select(
+        "threshold", "n_l", "n_r", "weighted_gini",
+        (F.col("weighted_gini") == F.min("weighted_gini").over(w)).alias("is_best_split"),
+    )
