@@ -1691,3 +1691,59 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.lit(ENTROPY_SCALE))
         ).alias("entropy_bits"),
     )
+
+
+@query(
+    "stats_tukey_fences_outliers",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MAX(q.q3 - q.q1), 6) AS iqr,
+               CAST(SUM(CASE WHEN l.l_extendedprice
+                                  > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high_outliers,
+               CAST(SUM(CASE WHEN l.l_extendedprice
+                                  < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_outliers
+        FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
+    tags=("E40", "E42"),
+)
+def stats_tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (boxplot) outlier counts per return flag: flags
+    rows beyond Q3 + 1.5*IQR / Q1 - 1.5*IQR — the quartile-based
+    outlier rule next to the MAD flags (median-based) and trailing
+    z-scores (mean-based), completing the robust-outlier trio.
+    Spark's exact ``percentile`` pairs with DuckDB's
+    ``quantile_cont`` (the proven interpolation pairing), fences are
+    single identical double expressions, and the flag counts are
+    exact integers.  Scale: one grouped percentile pass + one
+    broadcast join back of the 3-row fence table — the fact scan
+    never shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.max(iqr), 6).alias("iqr"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            ).cast("bigint").alias("n_high_outliers"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            ).cast("bigint").alias("n_low_outliers"),
+        )
+    )

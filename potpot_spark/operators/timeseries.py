@@ -1954,3 +1954,67 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("conv_id").cast("bigint").alias("n_conversions_touched"),
         F.sum("credit").cast("bigint").alias("total_credit_micro"),
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+        WITH days AS (
+            SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   user_id
+            FROM events
+        ),
+        dau AS (
+            SELECT month, day, COUNT(DISTINCT user_id) AS dau
+            FROM days GROUP BY month, day
+        ),
+        mau AS (
+            SELECT month, COUNT(DISTINCT user_id) AS mau
+            FROM days GROUP BY month
+        )
+        SELECT d.month,
+               CAST(MAX(m.mau) AS BIGINT) AS mau,
+               CAST(SUM(d.dau) AS BIGINT) AS dau_total,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MAX(m.mau), 6)
+                   AS stickiness
+        FROM dau d JOIN mau m ON m.month = d.month
+        GROUP BY d.month
+    """,
+    tags=("E15", "E65"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — avg daily active users over
+    monthly active users, THE product-engagement ratio (a 0.5
+    stickiness means the median user shows up every other day).
+    Exact distinct counts at two granularities (day within month,
+    month) — the aggregates the HLL sketch family approximates,
+    computed exactly here as the reconciliation truth; the final
+    ratio is integer-derived and rounds identically cross-engine.
+    Scale: two distinct-count shuffles keyed by (month[, day]) —
+    both partial-aggregable; at 100 TB the sketch twin
+    (agg_hll_daily_sketches) serves the dashboard and THIS query
+    audits it on samples."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    dau = days.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = days.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.max("mau").cast("bigint").alias("mau"),
+            F.sum("dau").cast("bigint").alias("dau_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+    )
