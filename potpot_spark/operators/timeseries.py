@@ -2018,3 +2018,83 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "timeseries_stl_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        trended AS (
+            SELECT day, revenue,
+                   CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                        OVER w AS DOUBLE) / COUNT(*) OVER w AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        detrended AS (
+            SELECT day, revenue, trend,
+                   CAST(ROUND(revenue - trend, 6) AS DECIMAL(18,6)) AS dt
+            FROM trended
+        ),
+        seasonal AS (
+            SELECT dayofweek(day) AS dow,
+                   CAST(SUM(dt) AS DOUBLE) / COUNT(*) AS s
+            FROM detrended GROUP BY 1
+        )
+        SELECT d.day, d.revenue, d.trend, s.s AS seasonal,
+               CAST(d.dt AS DOUBLE) - s.s AS residual
+        FROM detrended d JOIN seasonal s ON s.dow = dayofweek(d.day)
+    """,
+    tags=("E20", "E65"),
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of daily revenue:
+    trend (centered 7-day moving average), weekly seasonal (per-dow
+    mean of the detrended series), residual — the anomaly/forecast
+    prep that separates "it's just Saturday" from a real shift; the
+    composition of the MA, dow-profile and deviation primitives into
+    the standard decomposition.
+
+    Cross-engine exactness plumbing: the trend divides an exact
+    decimal frame sum by the frame count (identical double op); the
+    detrended series re-enters EXACT DECIMAL by rounding to 6 dp, so
+    the per-dow seasonal means are order-free decimal sums; residuals
+    are then single identical subtractions.  Scale: one day-level
+    aggregate, one O(days) window, one 7-row broadcast join —
+    corpus-scale work is only the first groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trend"),
+    )
+    detrended = trended.withColumn(
+        "dt", F.round(F.col("revenue") - F.col("trend"), 6).cast("decimal(18,6)")
+    )
+    seasonal = detrended.groupBy(F.dayofweek("day").alias("dow")).agg(
+        (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("s")
+    )
+    return (
+        detrended.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "revenue",
+            "trend",
+            F.col("s").alias("seasonal"),
+            (F.col("dt").cast("double") - F.col("s")).alias("residual"),
+        )
+    )
