@@ -1703,3 +1703,71 @@ def ml_decision_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold", "n_l", "n_r", "weighted_gini",
         (F.col("weighted_gini") == F.min("weighted_gini").over(w)).alias("is_best_split"),
     )
+
+
+DECAY_BASE = 0.9
+DECAY_SCALE = 1 << 30
+
+
+@query(
+    "ml_time_decay_engagement",
+    oracle=f"""
+        WITH anchored AS (
+            SELECT user_id, value,
+                   date_diff('day', date_trunc('day', CAST(ts AS TIMESTAMP)),
+                             MAX(date_trunc('day', CAST(ts AS TIMESTAMP))) OVER ())
+                       AS age_days
+            FROM events
+        ),
+        weighted AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(18,4))
+                     * CAST(FLOOR(POW({DECAY_BASE}, age_days) * {DECAY_SCALE})
+                            AS BIGINT) AS contrib
+            FROM anchored
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(contrib), 0) AS DOUBLE) / {DECAY_SCALE}
+                   AS decay_score
+        FROM weighted GROUP BY user_id
+    """,
+    tags=("E25", "E65"),
+)
+def ml_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential TIME-DECAY engagement score per user:
+    sum of value * {DECAY_BASE}^age_days anchored at the dataset's max
+    day — the recency-weighted feature every churn/propensity model
+    uses (yesterday counts ~{DECAY_BASE}x today, last quarter ~0.01x).
+
+    Fixed-point discipline on the decay weights: w =
+    FLOOR({DECAY_BASE}^age * 2^30) is an exact BIGINT per distinct
+    age (pow of an integer exponent — IEEE-identical cross-engine,
+    floored at 2^30 grain like the perplexity log weights), each
+    contribution is exact DECIMAL(18,4) x BIGINT, and the per-user
+    sum rounds to whole units before the double cast (the ANOVA
+    cast rule).  One window max anchors the clock; one grouped sum
+    per user — fully mergeable."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy()
+    anchored = e.select(
+        "user_id",
+        "value",
+        F.datediff(
+            F.max(F.date_trunc("day", F.col("ts"))).over(w_all),
+            F.date_trunc("day", F.col("ts")),
+        ).alias("age_days"),
+    )
+    weight = F.floor(F.pow(F.lit(DECAY_BASE), F.col("age_days")) * DECAY_SCALE).cast(
+        "bigint"
+    )
+    weighted = anchored.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * weight).alias("contrib"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.round(F.sum("contrib"), 0).cast("double") / F.lit(DECAY_SCALE)).alias(
+            "decay_score"
+        ),
+    )
