@@ -1771,3 +1771,53 @@ def ml_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decay_score"
         ),
     )
+
+
+BEHAVIOR_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "ml_behavior_embedding",
+    oracle=f"""
+        WITH counts AS (
+            SELECT user_id,
+                   {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}" for t in BEHAVIOR_TYPES)}
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               {', '.join(f"c_{t}" for t in BEHAVIOR_TYPES)},
+               {', '.join(f"CAST(c_{t} AS DOUBLE) / SQRT({' + '.join(f'c_{u} * c_{u}' for u in BEHAVIOR_TYPES)}) AS e_{t}" for t in BEHAVIOR_TYPES)}
+        FROM counts
+    """,
+    tags=("E25", "E36"),
+)
+def ml_behavior_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral count-vector embedding per user: the per-event-type
+    activity counts, L2-normalized — the zero-model user
+    representation that feeds clustering/segmentation and the cosine
+    machinery (sim_search_*) before any learned encoder exists.
+    One conditional-aggregate pass (|types| mergeable buffers);
+    normalization divides exact integers by the sqrt of an exact
+    integer sum of squares — single identical IEEE ops, bit-exact
+    cross-engine.  Raw counts ship next to the embedding so downstream
+    can re-weight without a second scan."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+            for t in BEHAVIOR_TYPES
+        ]
+    )
+    norm = F.sqrt(
+        sum((F.col(f"c_{t}") * F.col(f"c_{t}") for t in BEHAVIOR_TYPES), F.lit(0))
+    )
+    return counts.select(
+        "user_id",
+        *[F.col(f"c_{t}") for t in BEHAVIOR_TYPES],
+        *[
+            (F.col(f"c_{t}").cast("double") / norm).alias(f"e_{t}")
+            for t in BEHAVIOR_TYPES
+        ],
+    )
