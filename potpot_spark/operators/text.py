@@ -1407,3 +1407,41 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ratio") <= 3 * F.col("med_ratio")).alias("repetition_detected"),
         )
     )
+
+
+@query(
+    "text_charclass_profile",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_total,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_symbol,
+               ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                     / length(text), 6) AS upper_ratio,
+               ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     / length(text), 6) AS digit_ratio
+        FROM documents WHERE length(text) > 0
+    """,
+    tags=("E37", "E72"),
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class quality profile: uppercase / digit / symbol
+    counts and ratios per document — the C4-style cheap filters
+    (shouting, serial numbers, markup debris) that complement the
+    word-level quality score and the compression ratio; all exact
+    integer counts from identical regex classes, pure codegen, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_upper = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Z]"), 0))
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))
+    n_symbol = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), 0))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_total"),
+        n_upper.cast("bigint").alias("n_upper"),
+        n_digit.cast("bigint").alias("n_digit"),
+        n_symbol.cast("bigint").alias("n_symbol"),
+        F.round(n_upper.cast("double") / F.length("text"), 6).alias("upper_ratio"),
+        F.round(n_digit.cast("double") / F.length("text"), 6).alias("digit_ratio"),
+    )

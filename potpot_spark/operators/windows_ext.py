@@ -719,3 +719,64 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.expr("percentile(revenue, 0.5)").over(w).alias("rolling_median_21"),
     )
+
+
+@query(
+    "win_pareto_cutoff_8020",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   SUM(CAST(rev AS DECIMAL(18,2))) OVER (
+                       ORDER BY rev DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                   SUM(CAST(rev AS DECIMAL(18,2))) OVER () AS tot_rev,
+                   row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+                   COUNT(*) OVER () AS n_cust
+            FROM per_cust
+        )
+        SELECT CAST(MIN(rnk) AS BIGINT) AS n_top_customers,
+               CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+               ROUND(CAST(MIN(rnk) AS DOUBLE) / MAX(n_cust), 6) AS top_share_of_custs
+        FROM ranked
+        WHERE 5 * cum_rev >= 4 * tot_rev
+    """,
+    tags=("E20", "E14"),
+)
+def win_pareto_cutoff_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 answer as a scalar: how many top customers (revenue-
+    ranked) cover 80 % of total revenue, and what fraction of the
+    customer base that is — the business-facing reduction of the
+    Lorenz curve (win_cumulative_share) and Gini concentration ops.
+    The 80 % threshold compares exact decimals as integers
+    (5·cum ≥ 4·total — no double share to drift at the boundary);
+    ranking ties break by customer key.  Scale: one per-customer
+    aggregate then an O(customers) window."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.sum(F.col("rev").cast("decimal(18,2)"))
+        .over(Window.partitionBy())
+        .alias("tot_rev"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    return ranked.where(5 * F.col("cum_rev") >= 4 * F.col("tot_rev")).agg(
+        F.min("rnk").cast("bigint").alias("n_top_customers"),
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        F.round(F.min("rnk").cast("double") / F.max("n_cust"), 6).alias(
+            "top_share_of_custs"
+        ),
+    )
