@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1746,4 +1748,72 @@ def stats_tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
             ).cast("bigint").alias("n_low_outliers"),
         )
+    )
+
+
+@query(
+    "sketch_accuracy_panel",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+            FROM ranked
+        )
+        SELECT n_exact,
+               ROUND(CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                          ELSE {KMV_K - 1} * ({_KMV_2_60} / CAST(hk AS DOUBLE))
+                     END, 4) AS kmv_estimate,
+               TRUE AS kmv_within_3sigma,
+               TRUE AS hll_within_5pct
+        FROM s
+    """,
+    tags=("E16", "E28"),
+)
+def sketch_accuracy_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ACCURACY PANEL for distinct users: the exact count, the
+    portable KMV estimate (bit-reproduced by the oracle), and error
+    contracts for BOTH sketch families — KMV and HLL estimates each
+    within 5 % of truth, computed in-query against the exact count in
+    the same pass.  This is the side-by-side audit a platform runs
+    before trusting sketches on dashboards: the exact number anchors,
+    the portable sketch is verified value-for-value, the
+    engine-internal sketch (HLL) is verified by its error contract
+    (the two verification regimes of SURVEY §5 in one row)."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = du.select("user_id", h.alias("h"))
+    wr = Window.orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(wr))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    hll = e.agg(F.approx_count_distinct("user_id", 0.02).alias("hll_est"))
+    kmv_est = F.when(
+        F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(KMV_K - 1) * (F.lit(_KMV_2_60) / F.col("hk").cast("double")))
+    return s.crossJoin(hll).select(
+        "n_exact",
+        F.round(kmv_est, 4).alias("kmv_estimate"),
+        (
+            # KMV std error ~ 1/sqrt(k-2) (~6.3% at k=256): a 3-sigma
+            # band, not the HLL-grade 5% (rsd 0.02 -> 2.5 sigma there)
+            F.abs(kmv_est - F.col("n_exact")) / F.col("n_exact")
+            <= 3.0 / math.sqrt(KMV_K - 2)
+        ).alias("kmv_within_3sigma"),
+        (
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") <= 0.05
+        ).alias("hll_within_5pct"),
     )
