@@ -522,3 +522,69 @@ def sql_api_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SET_OPS)
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+        WITH pk AS (
+            SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_pk_dupes
+            FROM orders
+        ),
+        fk AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_fk_orphans
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        ),
+        nn AS (
+            SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null_custkey
+            FROM orders
+        )
+        SELECT pk.n_pk_dupes, fk.n_fk_orphans, nn.n_null_custkey,
+               pk.n_pk_dupes = 0 AS pk_unique_ok,
+               fk.n_fk_orphans = 0 AS fk_complete_ok,
+               nn.n_null_custkey = 0 AS not_null_ok
+        FROM pk, fk, nn
+    """,
+    tags=("E23", "E11"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the dbt-style constraint test
+    suite as one query: primary-key uniqueness on orders, foreign-key
+    completeness lineitem→orders (anti-join orphan count), and a
+    not-null check — the three checks every warehouse runs after
+    ingest, since Spark (like the reference's unfinished constraint
+    machinery, ``/root/reference/src/types.rs``) enforces none of them
+    at write time.  Counts AND boolean verdicts ship together so the
+    gate is self-describing.  Scale: the orphan check is a left-anti
+    join shuffling only the key column; the PK check is one
+    count-distinct pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_pk_dupes")
+    )
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fk_orphans"))
+    )
+    nn = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_custkey")
+    )
+    return (
+        pk.crossJoin(fk)
+        .crossJoin(nn)
+        .select(
+            "n_pk_dupes",
+            "n_fk_orphans",
+            "n_null_custkey",
+            (F.col("n_pk_dupes") == 0).alias("pk_unique_ok"),
+            (F.col("n_fk_orphans") == 0).alias("fk_complete_ok"),
+            (F.col("n_null_custkey") == 0).alias("not_null_ok"),
+        )
+    )

@@ -2098,3 +2098,55 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dt").cast("double") - F.col("s")).alias("residual"),
         )
     )
+
+
+SLO_ERROR_BUDGET = 0.05  # 5% error-rate objective
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
+        )
+        SELECT hour, n_total, n_errors,
+               ROUND(CAST(n_errors AS DOUBLE) / n_total / {SLO_ERROR_BUDGET}, 6)
+                   AS burn_rate,
+               100 * n_errors > CAST({SLO_ERROR_BUDGET} * 100 AS INT) * n_total
+                   AS budget_burning
+        FROM hourly
+    """,
+    tags=("E29", "E65"),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget BURN RATE per hour (the SRE alerting
+    primitive): error-rate over the {SLO_ERROR_BUDGET:.0%} objective —
+    burn rate 1.0 consumes the budget exactly on schedule, >1 pages
+    someone.  The burning flag compares EXACT INTEGERS
+    (100·errors > budget·100·total), so the alert boundary cannot
+    drift by an ulp between engines; the reported rate rounds for
+    display only.  One hourly rollup — the same mergeable shape the
+    streaming twin (stream_tumbling_count) maintains continuously."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    budget_pct = int(SLO_ERROR_BUDGET * 100)
+    return hourly.select(
+        "hour",
+        "n_total",
+        "n_errors",
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_total") / SLO_ERROR_BUDGET, 6
+        ).alias("burn_rate"),
+        (100 * F.col("n_errors") > budget_pct * F.col("n_total")).alias(
+            "budget_burning"
+        ),
+    )
