@@ -478,3 +478,39 @@ def scalar_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_leap_year"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_surrogate_key_uuid5",
+    oracle="""
+        SELECT o_orderkey,
+               substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
+               substring(h, 13, 4) || '-' || substring(h, 17, 4) || '-' ||
+               substring(h, 21, 12) AS surrogate_uuid
+        FROM (
+            SELECT o_orderkey,
+                   md5('potpot:orders:' || CAST(o_orderkey AS VARCHAR)) AS h
+            FROM orders WHERE o_orderkey < 2000
+        )
+    """,
+    tags=("E24", "E28"),
+)
+def scalar_surrogate_key_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID-shaped surrogate keys (the UUIDv5 idea:
+    namespace + business key -> md5 -> UUID format) — the stable join
+    key a warehouse mints when integrating systems whose natural keys
+    collide; unlike ``uuid()`` (random, engine-seeded) the same row
+    gets the same surrogate on every engine, every run, every backfill
+    — which is the entire point, and what makes it oracle-checkable
+    character-for-character.  Pure string expressions, codegen'd."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    h = F.md5(F.concat(F.lit("potpot:orders:"), F.col("o_orderkey").cast("string")))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select("o_orderkey", uuid.alias("surrogate_uuid"))

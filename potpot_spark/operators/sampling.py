@@ -352,3 +352,56 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= WPRIO_K)
         .select("doc_id", "lang", "weight", "priority", "rnk")
     )
+
+
+@query(
+    "sample_downsample_to_minority",
+    oracle="""
+        WITH sized AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        ),
+        target AS (SELECT MIN(n) AS n_min FROM sized),
+        ranked AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events
+        )
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(r.event_id) AS BIGINT) AS kept_id_sum
+        FROM ranked r, target t
+        WHERE r.rn <= t.n_min
+        GROUP BY r.event_type
+    """,
+    tags=("E7", "E50"),
+)
+def sample_downsample_to_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-BALANCED downsampling: every event class keeps exactly
+    n_min rows (the minority class size), members chosen by md5-hash
+    rank — the deterministic alternative to seeded sampleBy for
+    training-set balancing, reproducible across engines, runs and
+    backfills (membership is a pure function of the data; the kept-id
+    checksum through the oracle proves the SAME rows survive on both
+    sides).  Scale: per-class WindowGroupLimit prunes to n_min rows
+    map-side before the exchange; n_min is an aggregate scalar
+    broadcast into the filter."""
+    e = load_table(spark, sf_dir, "events")
+    sized = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    target = sized.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = e.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .where(F.col("rn") <= F.col("n_min"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("event_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )
