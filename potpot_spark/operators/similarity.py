@@ -712,3 +712,52 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("di", "dj")
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle=f"""
+        WITH normed AS (
+            SELECT vec_id, label,
+                   ROUND(SQRT({_fold_sql("list_transform(e, x -> x * x)")}), 9) AS nrm
+            FROM (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ) ve
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(MIN(nrm), 9) AS min_norm,
+               ROUND(MAX(nrm), 9) AS max_norm,
+               CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_norm,
+               CAST(SUM(CASE WHEN nrm < 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_degenerate
+        FROM normed GROUP BY label
+    """,
+    tags=("E36", "E42"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding NORM audit per label: min/max/mean L2 norms and the
+    count of degenerate (near-zero) vectors — the pre-flight check
+    before any cosine pipeline, since a zero vector makes cosine
+    undefined and a norm collapse means the encoder upstream broke.
+    Norms compute as the identical left fold both engines use for the
+    LSH/cosine oracles, round to 9 dp, and re-enter EXACT DECIMAL for
+    the order-free mean (the established discipline end to end).
+    One narrow map pass + one grouped aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    nrm = F.round(norm(F.col("e")), 9)
+    normed = ve.select("label", nrm.alias("nrm"))
+    return normed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.min("nrm"), 9).alias("min_norm"),
+        F.round(F.max("nrm"), 9).alias("max_norm"),
+        (F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_norm"
+        ),
+        F.sum(F.when(F.col("nrm") < 1e-9, 1).otherwise(0)).cast("bigint").alias(
+            "n_degenerate"
+        ),
+    )
