@@ -2150,3 +2150,121 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_burning"
         ),
     )
+
+
+@query(
+    "analytics_growth_accounting",
+    oracle="""
+        WITH mu AS (
+            SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+                   user_id
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, MIN(week) AS first_week FROM mu GROUP BY user_id
+        ),
+        classified AS (
+            SELECT m.week, m.user_id,
+                   CASE
+                       WHEN f.first_week = m.week THEN 'new'
+                       WHEN p.user_id IS NOT NULL THEN 'retained'
+                       ELSE 'resurrected'
+                   END AS status
+            FROM mu m
+            JOIN firsts f ON f.user_id = m.user_id
+            LEFT JOIN mu p ON p.user_id = m.user_id
+                          AND p.week = m.week - INTERVAL 7 DAY
+        ),
+        churned AS (
+            SELECT p.week + INTERVAL 7 DAY AS week,
+                   CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM mu p
+            LEFT JOIN mu c ON c.user_id = p.user_id
+                          AND c.week = p.week + INTERVAL 7 DAY
+            WHERE c.user_id IS NULL
+            GROUP BY p.week + INTERVAL 7 DAY
+        )
+        SELECT c.week,
+               CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               CAST(COALESCE(MAX(ch.n_churned), 0) AS BIGINT) AS n_churned
+        FROM classified c
+        LEFT JOIN churned ch ON ch.week = c.week
+        GROUP BY c.week
+    """,
+    tags=("E15", "E87"),
+)
+def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the canonical WAU decomposition (weekly — the fixture spans one month)
+    (new / retained / resurrected / churned) every growth team reports:
+    new = first-ever week, retained = also active last week,
+    resurrected = active before but not last week, churned = active
+    last week but absent this week.  The identity
+    WAU(w) = new + retained + resurrected and
+    WAU(w) - WAU(w-1) = new + resurrected - churned makes the report
+    self-auditing.  All exact distinct-set algebra: one month-user
+    distinct projection feeds a first-month aggregate plus two
+    self-joins keyed on (user, week) — every join is equi on the
+    same key pair, partial-aggregable, no windows over row-scale
+    data."""
+    e = load_table(spark, sf_dir, "events")
+    mu = e.select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+    ).distinct()
+    firsts = mu.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = mu.select(
+        (F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"),
+        F.col("user_id").alias("p_user"),
+    )
+    classified = (
+        mu.join(firsts, "user_id")
+        .join(
+            prev,
+            (prev.week == mu.week) & (F.col("p_user") == mu.user_id),
+            "left",
+        )
+        .select(
+            mu.week.alias("week"),
+            mu.user_id.alias("user_id"),
+            F.when(F.col("first_week") == mu.week, "new")
+            .when(F.col("p_user").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    cur = mu.select(F.col("week").alias("c_week"), F.col("user_id").alias("c_user"))
+    churned = (
+        mu.alias("p")
+        .join(
+            cur,
+            (F.col("c_week") == F.col("p.week") + F.expr("INTERVAL 7 DAYS"))
+            & (F.col("c_user") == F.col("p.user_id")),
+            "left",
+        )
+        .where(F.col("c_user").isNull())
+        .groupBy((F.col("p.week") + F.expr("INTERVAL 7 DAYS")).alias("week"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        classified.groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+        .join(churned, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+    )
