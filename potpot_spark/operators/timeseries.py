@@ -2268,3 +2268,75 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
         )
     )
+
+
+RETENTION_DAYS = (1, 3, 7, 14)
+
+
+@query(
+    "analytics_day_n_retention",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM du GROUP BY user_id
+        ),
+        flags AS (
+            SELECT c.cohort_day, c.user_id,
+                   {', '.join(f"MAX(CASE WHEN a.day = c.cohort_day + INTERVAL {n} DAY THEN 1 ELSE 0 END) AS r{n}" for n in RETENTION_DAYS)}
+            FROM cohort c LEFT JOIN du a ON a.user_id = c.user_id
+            GROUP BY c.cohort_day, c.user_id
+        )
+        SELECT cohort_day,
+               CAST(COUNT(*) AS BIGINT) AS cohort_size,
+               {', '.join(f"CAST(SUM(r{n}) AS BIGINT) AS d{n}_retained" for n in RETENTION_DAYS)},
+               {', '.join(f"ROUND(CAST(SUM(r{n}) AS DOUBLE) / COUNT(*), 6) AS d{n}_rate" for n in RETENTION_DAYS)}
+        FROM flags GROUP BY cohort_day
+    """,
+    tags=("E87", "E15"),
+)
+def analytics_day_n_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N RETENTION CURVE (D1/D3/D7/D14): per signup-day cohort
+    (first active day), the fraction of users active exactly N days
+    later — the bounded-window retention read next to the monthly
+    cohort table (analytics_retention_cohort) and weekly growth
+    accounting; D1/D7 are the two numbers every consumer product
+    tracks daily.  Exact set algebra: one distinct (user, day)
+    projection, a first-day aggregate, one equi join back on user with
+    per-N day-offset flags folded in the same grouped pass — integer
+    counts, ratio division identical cross-engine.  Scale: everything
+    keys on user_id or (cohort_day) — fully partial-aggregable."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohort = du.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    flags = (
+        cohort.join(du, "user_id")
+        .groupBy("cohort_day", "user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("day")
+                        == F.col("cohort_day") + F.expr(f"INTERVAL {n} DAYS"),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"r{n}")
+                for n in RETENTION_DAYS
+            ]
+        )
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size"),
+        *[F.sum(f"r{n}").cast("bigint").alias(f"d{n}_retained") for n in RETENTION_DAYS],
+        *[
+            F.round(F.sum(f"r{n}").cast("double") / F.count(F.lit(1)), 6).alias(
+                f"d{n}_rate"
+            )
+            for n in RETENTION_DAYS
+        ],
+    )
