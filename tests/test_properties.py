@@ -417,3 +417,45 @@ def test_portable_signature_ops_partition_invariant(spark, sf_dir):
             assert _rows(registry.get(n).fn(spark, sf_dir)) == base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """The decomposition must satisfy its defining identities:
+    WAU(w) = new + retained + resurrected, and
+    WAU(w) - WAU(w-1) = new + resurrected - churned."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+
+    rows = sorted(
+        registry.get("analytics_growth_accounting").fn(spark, sf_dir).collect(),
+        key=lambda r: r.week,
+    )
+    e = load_table(spark, sf_dir, "events")
+    wau = {
+        r.week: r.wau
+        for r in e.select(
+            F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    prev_wau = None
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == wau[r.week], r
+        if prev_wau is not None:
+            assert wau[r.week] - prev_wau == r.n_new + r.n_resurrected - r.n_churned, r
+        prev_wau = wau[r.week]
+
+
+def test_day_n_retention_bounds(spark, sf_dir):
+    """Retained counts are bounded by cohort size and rates are
+    monotone-consistent with their counts."""
+    for r in registry.get("analytics_day_n_retention").fn(spark, sf_dir).collect():
+        for n in (1, 3, 7, 14):
+            retained = r[f"d{n}_retained"]
+            rate = r[f"d{n}_rate"]
+            assert 0 <= retained <= r.cohort_size, r
+            assert abs(rate - round(retained / r.cohort_size, 6)) < 1e-12, r
