@@ -1817,3 +1817,75 @@ def sketch_accuracy_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") <= 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o.o_custkey, c.c_mktsegment,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_mktsegment
+        ),
+        tot AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS total_rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM per_cust GROUP BY c_mktsegment
+        ),
+        shares AS (
+            SELECT p.c_mktsegment, t.n_customers,
+                   CAST(FLOOR((p.rev / t.total_rev) * 1000000) AS BIGINT) AS share_u
+            FROM per_cust p JOIN tot t ON t.c_mktsegment = p.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+               CAST(SUM(share_u * share_u) AS DOUBLE) / 1e12 AS hhi,
+               10000.0 * (CAST(SUM(share_u * share_u) AS DOUBLE) / 1e12) AS hhi_points
+        FROM shares GROUP BY c_mktsegment
+    """,
+    tags=("E14", "E42"),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    HHI = Σ share² over customers — the antitrust/market-structure
+    sibling of Gini concentration (a monopoly segment scores 1.0 /
+    10,000 points; atomized competition near 1/n).
+
+    Float discipline: shares quantize by FLOOR(share · 10^6) — floor
+    of an IDENTICAL double is deterministic on both engines with NO
+    rounding-boundary hazard (unlike ROUND, whose half-way decisions
+    can flip cross-engine; learned on this very query), the squared
+    micro-shares sum as exact BIGINTs (≤ 10^12 per term, far inside
+    int64), and one final division lands the index.  Quantization
+    bias is ≤ 2·10^-6 absolute — documented semantics.  One join +
+    two grouped aggregates, all partial-aggregable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    tot = per_cust.groupBy("c_mktsegment").agg(
+        F.sum(F.col("rev").cast("decimal(28,2)")).cast("double").alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    shares = per_cust.join(F.broadcast(tot), "c_mktsegment").select(
+        "c_mktsegment",
+        "n_customers",
+        F.floor((F.col("rev") / F.col("total_rev")) * 1000000).cast("bigint").alias(
+            "share_u"
+        ),
+    )
+    hhi = F.sum(F.col("share_u") * F.col("share_u")).cast("double") / F.lit(1e12)
+    return shares.groupBy("c_mktsegment").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        hhi.alias("hhi"),
+        (10000.0 * hhi).alias("hhi_points"),
+    )
