@@ -1821,3 +1821,79 @@ def ml_behavior_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in BEHAVIOR_TYPES
         ],
     )
+
+
+@query(
+    "ml_lift_gain_deciles",
+    oracle="""
+        WITH scored AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT score, label,
+                   ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+            FROM scored
+        ),
+        per_decile AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM ranked GROUP BY decile
+        )
+        SELECT decile, n, n_pos,
+               CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+               ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE)
+                     / SUM(n_pos) OVER (), 6) AS cum_gain,
+               ROUND((CAST(SUM(n_pos) OVER w AS DOUBLE) / SUM(n_pos) OVER ())
+                     / (CAST(SUM(n) OVER w AS DOUBLE) / SUM(n) OVER ()), 6)
+                   AS cum_lift
+        FROM per_decile
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("E25", "E18"),
+)
+def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFT / GAINS deciles (the campaign-targeting eval classic,
+    completing the eval battery next to AUC, NDCG, calibration and
+    average precision): rank by score (value as the model-score proxy)
+    descending, cut into 10 equal bins, report per-decile positives
+    plus cumulative gain (share of all positives captured by deciles
+    1..k) and cumulative lift (gain over the random baseline k/10).
+    Determinism: ntile ties break on (score DESC, event_id) —
+    identical bin assignment cross-engine; gains/lifts are ratios of
+    exact integers rounded at the display edge.  Scale note: the
+    global ntile sort is the one O(N log N) step — at 100 TB the
+    histogram-decile rewrite (quantile cut points from
+    approx_percentile, then a map-side bin) replaces the sort, same
+    downstream math."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        "event_id",
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("event_id"))
+    ranked = scored.withColumn("decile", F.ntile(10).over(wr))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    return per_decile.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+        F.round(
+            F.sum("n_pos").over(wc).cast("double") / F.sum("n_pos").over(wa), 6
+        ).alias("cum_gain"),
+        F.round(
+            (F.sum("n_pos").over(wc).cast("double") / F.sum("n_pos").over(wa))
+            / (F.sum("n").over(wc).cast("double") / F.sum("n").over(wa)),
+            6,
+        ).alias("cum_lift"),
+    )
