@@ -1897,3 +1897,97 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50.0
+PSI_LOG_SCALE = 1 << 20
+PSI_P_SCALE = 1_000_000
+
+
+@query(
+    "ml_psi_population_stability",
+    oracle=f"""
+        WITH binned AS (
+            SELECT LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH}) AS INT), {PSI_BINS - 1}) AS bin,
+                   CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' THEN 'ref'
+                        ELSE 'cur' END AS period
+            FROM events
+        ),
+        counts AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) + 1 AS c_ref,
+                   CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) + 1 AS c_cur
+            FROM binned GROUP BY bin
+        ),
+        tots AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM counts
+        ),
+        terms AS (
+            SELECT c.bin,
+                   CAST(FLOOR(CAST(c.c_ref AS DOUBLE) / t.n_ref * {PSI_P_SCALE}) AS BIGINT) AS pu,
+                   CAST(FLOOR(CAST(c.c_cur AS DOUBLE) / t.n_cur * {PSI_P_SCALE}) AS BIGINT) AS qu,
+                   CAST(FLOOR(ln((CAST(c.c_ref AS DOUBLE) / t.n_ref)
+                                 / (CAST(c.c_cur AS DOUBLE) / t.n_cur)) * {PSI_LOG_SCALE})
+                        AS BIGINT) AS lt
+            FROM counts c CROSS JOIN tots t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM((pu - qu) * lt) AS DOUBLE)
+                 / ({PSI_P_SCALE}.0 * {PSI_LOG_SCALE}) AS psi
+        FROM terms
+    """,
+    tags=("E25", "E42"),
+)
+def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month (ref = before Jan 16, cur = after): PSI =
+    Σ (p_i − q_i)·ln(p_i/q_i) over value bins with add-one smoothing —
+    THE model-monitoring drift score (rule of thumb: <0.1 stable,
+    >0.25 retrain), completing the drift battery next to KS and
+    total-variation.
+
+    Fixed-point discipline with FLOOR only (no ROUND — floor of an
+    identical double has no half-way hazard, the HHI lesson): micro-
+    probabilities FLOOR(p·10^6) and log terms FLOOR(ln(p/q)·2^20) are
+    exact BIGINTs, their products sum exactly, one final division.
+    Quantization bias ~10^-6 — documented semantics.  One grouped
+    pass builds both histograms (conditional aggregation), the PSI is
+    bin-scale algebra."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1)
+        ).cast("int").alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        (F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("c_ref"),
+        (F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("c_cur"),
+    )
+    tots = counts.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p = F.col("c_ref").cast("double") / F.col("n_ref")
+    q = F.col("c_cur").cast("double") / F.col("n_cur")
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        F.floor(p * PSI_P_SCALE).cast("bigint").alias("pu"),
+        F.floor(q * PSI_P_SCALE).cast("bigint").alias("qu"),
+        F.floor(F.log(p / q) * PSI_LOG_SCALE).cast("bigint").alias("lt"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.sum((F.col("pu") - F.col("qu")) * F.col("lt")).cast("double")
+            / (float(PSI_P_SCALE) * PSI_LOG_SCALE)
+        ).alias("psi"),
+    )
