@@ -449,3 +449,60 @@ def scan_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_id_sum"),
     )
+
+
+@query(
+    "scan_csv_multiline_quoted",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CASE WHEN c_comment LIKE '%
+%' THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline
+        FROM (
+            SELECT c_custkey,
+                   c_name || chr(10) || c_mktsegment AS c_comment
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+    """,
+    tags=("E51", "E3"),
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES inside quoted fields — the classic
+    ingestion trap: without ``multiLine`` each record's second
+    physical line parses as a broken row, and at 100 TB someone's
+    free-text comment column always contains a newline.  The op
+    writes a customer slice with a synthesized newline-bearing
+    comment column, round-trips it through quoted CSV with
+    ``multiLine=true``, and proves (row count + key checksum +
+    count of still-multiline values through the oracle, which
+    recomputes from the source table) that every embedded newline
+    survived parsing intact.  Note the trade the option buys into:
+    multiLine CSV files are not splittable mid-record, so production
+    lands them small or converts to parquet at the edge."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    subset = c.select(
+        "c_custkey",
+        F.concat_ws("\n", F.col("c_name"), F.col("c_mktsegment")).alias("c_comment"),
+    )
+    base = tempfile.mkdtemp(prefix="potpot_mlcsv_")
+    target = os.path.join(base, "customer_ml_csv")
+    subset.coalesce(1).write.mode("overwrite").option("quoteAll", True).csv(target)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_comment", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .csv(target)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        F.sum(F.when(F.col("c_comment").contains("\n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multiline"),
+    )
