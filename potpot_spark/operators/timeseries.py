@@ -2340,3 +2340,134 @@ def analytics_day_n_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in RETENTION_DAYS
         ],
     )
+
+
+@query(
+    "timeseries_burstiness_fano",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_hours,
+               CAST(s1 AS DOUBLE) / n_hours AS mean_per_hour,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                 / (n_hours - 1)
+                 / (CAST(s1 AS DOUBLE) / n_hours) AS fano_factor
+        FROM m
+    """,
+    tags=("E42", "E65"),
+)
+def timeseries_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS via the Fano factor (variance-to-mean of hourly
+    event counts per type): 1.0 = Poisson arrivals, >1 = bursty
+    (retry storms, batch jobs, bots), <1 = regular/throttled — the
+    arrival-process diagnostic next to the bot-regularity flags and
+    spike detectors.  All moments accumulate as exact BIGINTs (counts
+    and squared counts), so the final division chain — written in
+    identical operand order — is bit-exact.  Two mergeable grouped
+    passes."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    return m.select(
+        "event_type", "n_hours", mean.alias("mean_per_hour"),
+        (var / mean).alias("fano_factor"),
+    )
+
+
+@query(
+    "events_max_concurrent_sessions",
+    oracle="""
+        WITH sess AS (
+            SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 480 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
+        ),
+        endpoints AS (
+            SELECT s_start AS t, 1 AS delta, 0 AS tie FROM sess
+            UNION ALL
+            SELECT s_end, -1, 1 FROM sess
+        ),
+        swept AS (
+            SELECT t, SUM(delta) OVER (ORDER BY t, tie
+                                       ROWS UNBOUNDED PRECEDING) AS live
+            FROM endpoints
+        )
+        SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+               CAST(MAX(live) AS BIGINT) AS max_concurrent
+        FROM swept
+    """,
+    tags=("E31", "E12"),
+)
+def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY: the maximum number of simultaneously-open
+    sessions (480-minute-gap sessions, boundaries in lockstep with
+    the funnel/sessionize family) — the capacity-planning number, via
+    the classic ENDPOINT SWEEP: each session contributes +1 at start
+    and -1 at end, a running sum over time-ordered endpoints peaks at
+    the answer (starts sort before coincident ends: touching sessions
+    count as concurrent).  O(sessions) endpoints — two orders of
+    magnitude below events — one global ordered sweep over that
+    aggregate; no interval self-join (which would be O(sessions²) at
+    the peak)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    endpoints = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("tie")
+    ).unionByName(
+        sess.select(
+            F.col("s_end").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("tie")
+        )
+    )
+    ws = Window.orderBy("t", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    swept = endpoints.select(F.sum("delta").over(ws).alias("live"))
+    n_sessions = sess.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return n_sessions.crossJoin(
+        swept.agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )
