@@ -1889,3 +1889,167 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hhi.alias("hhi"),
         (10000.0 * hhi).alias("hhi_points"),
     )
+
+
+# Benford expected first-digit shares, pre-quantized to micro-units:
+# FLOOR(log10(1 + 1/d) * 10^6).  Precomputed in Python (one shared
+# constant table, the NDCG discount-table recipe) so neither engine
+# evaluates a log at query time — the comparison is pure integers.
+_BENFORD_EXPECTED_U = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {u}" for d, u in _BENFORD_EXPECTED_U.items()
+) + " END"
+
+
+@query(
+    "stats_benford_first_digit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INT) AS first_digit
+            FROM orders
+            WHERE o_totalprice >= 1
+        ),
+        counts AS (
+            SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM digits GROUP BY first_digit
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts)
+        SELECT c.first_digit,
+               c.cnt,
+               CAST(FLOOR(CAST(c.cnt AS DOUBLE) / t.n * 1000000) AS BIGINT) AS obs_share_u,
+               CAST({_BENFORD_CASE_SQL} AS BIGINT) AS exp_share_u,
+               CAST(abs(CAST(FLOOR(CAST(c.cnt AS DOUBLE) / t.n * 1000000) AS BIGINT)
+                        - ({_BENFORD_CASE_SQL})) AS BIGINT) AS abs_dev_u
+        FROM counts c CROSS JOIN tot t
+        ORDER BY c.first_digit
+    """,
+    tags=("E42", "E88"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit over order totals — the classic
+    fraud / synthetic-data screen: natural multi-magnitude amounts put
+    ~30.1% of first digits at 1, falling to ~4.6% at 9; fabricated or
+    truncated data shows up as large per-digit deviations.
+
+    Determinism engineering: the first digit comes from the DECIMAL
+    STRING of the BIGINT integer part (integer formatting is identical
+    on every engine) — NOT from FLOOR(x / 10^FLOOR(log10 x)), whose
+    log10-at-a-power-of-ten boundary can floor differently per libm.
+    Observed shares are FLOOR-quantized to micro-units (the PSI/HHI
+    recipe: FLOOR of an identical double has no half-way hazard) and
+    expected shares are a shared precomputed integer table, so every
+    output column is an exact BIGINT.  One grouped count + a broadcast
+    scalar total — two mergeable passes, scale-free."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    expected = F.create_map(
+        *[F.lit(x) for du in _BENFORD_EXPECTED_U.items() for x in du]
+    )
+    obs_u = F.floor(F.col("cnt").cast("double") / F.col("n") * 1000000).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "cnt",
+            obs_u.alias("obs_share_u"),
+            expected[F.col("first_digit")].cast("bigint").alias("exp_share_u"),
+            F.abs(obs_u - expected[F.col("first_digit")]).cast("bigint").alias("abs_dev_u"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@query(
+    "stats_spearman_rank_corr",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                     + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS BIGINT)
+                     - 1 AS rq2,
+                   2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                     + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) AS BIGINT)
+                     - 1 AS rp2
+            FROM lineitem
+        ),
+        sums AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(rq2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(rp2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(rq2 AS DECIMAL(38,0)) * rp2) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(rq2 AS DECIMAL(38,0)) * rq2) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(rp2 AS DECIMAL(38,0)) * rp2) AS DECIMAL(38,0)) AS syy
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                     9) AS spearman_rho
+        FROM sums
+        ORDER BY l_returnflag
+    """,
+    tags=("E43", "E19"),
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation (quantity vs extended price per return
+    flag) — the robust, monotone-relationship complement to the Pearson
+    `agg_corr_cov`: insensitive to outliers and nonlinearity, the
+    recommended first look for skewed business metrics.
+
+    Tied values take the textbook AVERAGE rank, kept integral by
+    working in HALF-RANK DOUBLES: 2·avg_rank = 2·rank() + ties − 1 is
+    an exact BIGINT (the Mann-Whitney half-rank trick), so all five
+    correlation sums accumulate as exact DECIMAL(38,0) integers —
+    order-free across any partitioning — and Pearson-on-ranks runs one
+    identical double division chain at the end (scaling ranks by 2
+    cancels in the correlation).  Two rank windows per group + one
+    mergeable grouped pass; ranks never leave the executors."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt).cast("bigint") - 1).alias("rq2"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt).cast("bigint") - 1).alias("rp2"),
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rq2").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("rp2").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("rq2").cast(d38) * F.col("rp2")).cast(d38).alias("sxy"),
+        F.sum(F.col("rq2").cast(d38) * F.col("rq2")).cast(d38).alias("sxx"),
+        F.sum(F.col("rp2").cast(d38) * F.col("rp2")).cast(d38).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (
+        (n * sxy - sx * sy)
+        / F.sqrt(n * sxx - sx * sx)
+        / F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag", "n", F.round(rho, 9).alias("spearman_rho")
+    ).orderBy("l_returnflag")

@@ -1445,3 +1445,106 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_upper.cast("double") / F.length("text"), 6).alias("upper_ratio"),
         F.round(n_digit.cast("double") / F.length("text"), 6).alias("digit_ratio"),
     )
+
+
+ZIPF_TOP_N = 1000          # slope fitted over the top-N rank-frequency points
+ZIPF_LOG_SCALE = 1 << 20   # fixed-point grain for log2(rank)/log2(freq)
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+        WITH terms AS (
+            SELECT lang, w AS term, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY lang, w
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY freq DESC, term) AS rnk
+            FROM terms
+        ),
+        pts AS (
+            SELECT lang,
+                   CAST(FLOOR(log2(CAST(rnk AS DOUBLE)) * {ZIPF_LOG_SCALE}) AS BIGINT) AS x,
+                   CAST(FLOOR(log2(CAST(freq AS DOUBLE)) * {ZIPF_LOG_SCALE}) AS BIGINT) AS y
+            FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+        ),
+        sums AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+            FROM pts GROUP BY lang
+        )
+        SELECT lang, n_terms,
+               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS zipf_slope
+        FROM sums
+        ORDER BY lang
+    """,
+    tags=("E196", "E153"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF rank-frequency slope per language: OLS fit of log2(freq)
+    on log2(rank) over the top-1000 terms — natural language sits near
+    −1; strong deviations flag boilerplate-dominated, templated, or
+    synthetic corpora.  Completes the corpus-shape battery next to the
+    Heaps vocab-growth curve and the bigram-LM perplexity filter.
+
+    The log2 inputs are exact integers (term frequency, rank), so the
+    perplexity fixed-point recipe applies verbatim: FLOOR(log2·2^20)
+    BIGINT points, DECIMAL(38,0) OLS sums (order-free under any
+    partitioning), one identical double division at the end.  The
+    rank window runs over the AGGREGATED vocabulary (terms, not
+    occurrences) partitioned by language — the corpus-sized work is
+    one explode + one mergeable count."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    terms = (
+        d.select("lang", F.explode(tok).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("lang", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    pts = (
+        terms.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            "lang",
+            F.floor(F.log2(F.col("rnk").cast("double")) * ZIPF_LOG_SCALE)
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.log2(F.col("freq").cast("double")) * ZIPF_LOG_SCALE)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return sums.select(
+        "lang", "n_terms", F.round(slope, 9).alias("zipf_slope")
+    ).orderBy("lang")

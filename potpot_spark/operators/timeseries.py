@@ -2471,3 +2471,99 @@ def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     return n_sessions.crossJoin(
         swept.agg(F.max("live").cast("bigint").alias("max_concurrent"))
     )
+
+
+@query(
+    "timeseries_peak_detection",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(c) AS BIGINT) AS s1
+            FROM hourly GROUP BY event_type
+        ),
+        nbr AS (
+            SELECT h.event_type, h.hour, h.c,
+                   lag(c)  OVER (PARTITION BY event_type ORDER BY hour) AS prev_c,
+                   lead(c) OVER (PARTITION BY event_type ORDER BY hour) AS next_c
+            FROM hourly h
+        ),
+        peaks AS (
+            SELECT n.event_type, n.hour, n.c
+            FROM nbr n JOIN tot t USING (event_type)
+            WHERE n.prev_c IS NOT NULL AND n.next_c IS NOT NULL
+              AND n.c > n.prev_c AND n.c >= n.next_c
+              AND 2 * n.c * t.n_hours > 3 * t.s1
+        )
+        SELECT t.event_type, t.n_hours,
+               CAST(COALESCE(p.n_peaks, 0) AS BIGINT) AS n_peaks,
+               CAST(COALESCE(p.max_peak, 0) AS BIGINT) AS max_peak,
+               p.first_peak_hour
+        FROM tot t LEFT JOIN (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_peaks,
+                   CAST(MAX(c) AS BIGINT) AS max_peak,
+                   MIN(hour) AS first_peak_hour
+            FROM peaks GROUP BY event_type
+        ) p USING (event_type)
+        ORDER BY t.event_type
+    """,
+    tags=("E181", "E65"),
+)
+def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-MAXIMUM PEAK DETECTION over the hourly rollup: an hour is
+    a peak when it strictly exceeds its predecessor, is >= its
+    successor (ties break toward the earlier hour so a flat-topped
+    burst yields one peak), and clears 1.5x the type's mean hourly
+    rate — the marketing-launch / incident-review "when did it spike"
+    primitive, sharper than the daily spike flags because it localizes
+    within the day.
+
+    The 1.5x baseline test is the exact-integer cross-multiplication
+    2·c·n_hours > 3·s1 (no division, no epsilon) — the SLO burn-rate
+    boundary discipline.  Work above the O(hours · types) rollup is
+    two lag/lead windows and a grouped count; the corpus-sized pass is
+    one mergeable groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    nbr = hourly.select(
+        "event_type", "hour", "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    peaks = (
+        nbr.join(F.broadcast(tot), "event_type")
+        .where(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") >= F.col("next_c"))
+            & (2 * F.col("c") * F.col("n_hours") > 3 * F.col("s1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+            F.max("c").cast("bigint").alias("max_peak"),
+            F.min("hour").alias("first_peak_hour"),
+        )
+    )
+    return (
+        tot.join(peaks, "event_type", "left")
+        .select(
+            "event_type", "n_hours",
+            F.coalesce(F.col("n_peaks"), F.lit(0)).cast("bigint").alias("n_peaks"),
+            F.coalesce(F.col("max_peak"), F.lit(0)).cast("bigint").alias("max_peak"),
+            "first_peak_hour",
+        )
+        .orderBy("event_type")
+    )
