@@ -1027,3 +1027,113 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(LPA_TOP)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        tri_nodes AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ),
+        per_node AS (
+            SELECT deg.node, deg.d, COALESCE(tri_nodes.t, 0) AS t,
+                   CASE WHEN deg.d >= 2
+                        THEN CAST(FLOOR(2.0 * COALESCE(tri_nodes.t, 0) * 1000000000
+                                        / (deg.d * (deg.d - 1))) AS BIGINT)
+                        END AS cc_nano
+            FROM deg LEFT JOIN tri_nodes USING (node)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(COUNT(cc_nano) AS BIGINT) AS n_nodes_deg2,
+               CAST(SUM(t) / 3 AS BIGINT) AS n_triangles,
+               CAST(3.0 * (SUM(t) / 3) AS DOUBLE)
+                 / (SUM(d * (d - 1)) / 2) AS transitivity,
+               CAST(SUM(cc_nano) AS DOUBLE) / COUNT(cc_nano) / 1000000000
+                 AS avg_local_cc
+        FROM per_node
+    """,
+    tags=("E105", "E131"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING COEFFICIENTS on the part co-purchase graph: global
+    transitivity (3·triangles / wedges) AND the average LOCAL
+    coefficient 2·T(v)/(d(v)·(d(v)−1)) — the two standard "how cliquey
+    is this graph" numbers (they differ under degree skew; reporting
+    both is the textbook practice).  Builds on the shared
+    `part_copurchase_edges` intermediate and the same oriented
+    edge-iterator as `graph_triangle_count`.
+
+    Per-node triangle credits avoid any wedge materialization: for
+    each oriented edge (u,v), the JVM `array_intersect` of the two
+    out-neighborhoods yields the closing nodes w — u and v each earn
+    |common| and each w earns 1 via one explode (3 credits per
+    triangle, exactly).  Local coefficients are FLOOR-quantized to
+    nano-units (exact BIGINTs, the PSI discipline), wedge counts are
+    exact Σd(d−1) integers, so both headline ratios are identical
+    division chains over exact integers."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
+    closed = (
+        edges.join(au, edges.u == au.au)
+        .join(av, edges.v == av.av)
+        .select("u", "v", F.array_intersect("nu", "nv").alias("common"))
+    )
+    credits = (
+        closed.select(F.col("u").alias("node"), F.size("common").alias("t"))
+        .unionByName(closed.select(F.col("v").alias("node"), F.size("common").alias("t")))
+        .unionByName(closed.select(F.explode("common").alias("node"), F.lit(1).alias("t")))
+    )
+    tri_nodes = credits.groupBy("node").agg(F.sum("t").cast("bigint").alias("t"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    per_node = deg.join(tri_nodes, "node", "left").select(
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.floor(
+                2.0 * F.coalesce(F.col("t"), F.lit(0)) * 1000000000
+                / (F.col("d") * (F.col("d") - 1))
+            ).cast("bigint"),
+        ).alias("cc_nano"),
+    )
+    return per_node.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.count("cc_nano").cast("bigint").alias("n_nodes_deg2"),
+        (F.sum("t") / 3).cast("bigint").alias("n_triangles"),
+        (
+            (3.0 * (F.sum("t") / 3)).cast("double")
+            / (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        ).alias("transitivity"),
+        (
+            F.sum("cc_nano").cast("double") / F.count("cc_nano") / 1000000000
+        ).alias("avg_local_cc"),
+    )

@@ -2567,3 +2567,112 @@ def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_position_attribution_u",
+    oracle=f"""
+        WITH conv AS (
+            SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT event_id AS touch_id, user_id, CAST(ts AS TIMESTAMP) AS touch_ts,
+                   event_type AS touch_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        matched AS (
+            SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_ts
+            FROM conv c JOIN touch t
+              ON t.user_id = c.user_id
+             AND t.touch_ts <= c.conv_ts
+             AND t.touch_ts > c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+        ),
+        positioned AS (
+            SELECT conv_id, touch_type,
+                   COUNT(*) OVER (PARTITION BY conv_id) AS n,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY touch_ts, touch_id) AS rk
+            FROM matched
+        ),
+        credited AS (
+            SELECT conv_id, touch_type,
+                   CASE WHEN n = 1 THEN {ATTR_CREDIT}
+                        WHEN n = 2 THEN {ATTR_CREDIT} // 2
+                        WHEN rk = 1 OR rk = n THEN ({ATTR_CREDIT} * 2) // 5
+                        ELSE ({ATTR_CREDIT} // 5) // (n - 2)
+                             + CASE WHEN rk = 2 THEN ({ATTR_CREDIT} // 5) % (n - 2)
+                                    ELSE 0 END
+                   END AS credit
+            FROM positioned
+        )
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS total_credit_micro
+        FROM credited GROUP BY touch_type
+    """,
+    tags=("E12", "E18"),
+)
+def events_position_attribution_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-based) multi-touch attribution: 40% of each
+    conversion's credit to the FIRST touch, 40% to the LAST, the
+    remaining 20% split across the middles — the
+    discovery-plus-closer model marketing teams run next to linear
+    attribution (same {ATTR_WINDOW_DAYS}-day window, same
+    view/click touch set, so the two reports reconcile row-for-row).
+
+    Integer micro-credit discipline extended to positions: n=1 takes
+    the full 1,000,000; n=2 splits 500,000/500,000; n>=3 gives
+    400,000 to each endpoint and 200,000 div (n-2) to each middle
+    with the remainder pinned to the EARLIEST middle (rk=2) — every
+    conversion sums to exactly 1,000,000, so channel totals are exact
+    BIGINTs.  Same scale shape as the linear op: one user-key equi
+    join, one window pair, one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    matched = conv.join(touch, "user_id").where(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    positioned = matched.select(
+        "conv_id",
+        "touch_type",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    mid_base = F.expr(f"({ATTR_CREDIT} div 5) div (n - 2)")
+    mid_rem = F.expr(f"({ATTR_CREDIT} div 5) % (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(ATTR_CREDIT))
+        .when(F.col("n") == 2, F.lit(ATTR_CREDIT // 2))
+        .when(
+            (F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+            F.lit(ATTR_CREDIT * 2 // 5),
+        )
+        .otherwise(
+            mid_base + F.when(F.col("rk") == 2, mid_rem).otherwise(F.lit(0))
+        )
+    )
+    return (
+        positioned.select("conv_id", "touch_type", credit.alias("credit"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit").cast("bigint").alias("total_credit_micro"),
+        )
+    )
