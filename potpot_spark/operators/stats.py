@@ -2053,3 +2053,72 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "l_returnflag", "n", F.round(rho, 9).alias("spearman_rho")
     ).orderBy("l_returnflag")
+
+
+MEANS_LOG_SCALE = 1 << 20       # fixed-point grain for log2(value)
+MEANS_RECIP_SCALE = 10**12      # fixed-point grain for 1/value
+
+
+@query(
+    "agg_pythagorean_means",
+    oracle=f"""
+        WITH pos AS (
+            SELECT event_type, value FROM events WHERE value > 0
+        ),
+        sums AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s,
+                   CAST(SUM(CAST(FLOOR(log2(value) * {MEANS_LOG_SCALE}) AS BIGINT))
+                        AS BIGINT) AS slog_u,
+                   CAST(SUM(CAST(FLOOR({MEANS_RECIP_SCALE} / value) AS BIGINT))
+                        AS BIGINT) AS srecip_u
+            FROM pos GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS arith_mean,
+               CAST(slog_u AS DOUBLE) / n / {MEANS_LOG_SCALE} AS log2_geo_mean,
+               CAST(n AS DOUBLE) * {MEANS_RECIP_SCALE} / srecip_u AS harmonic_mean
+        FROM sums
+        ORDER BY event_type
+    """,
+    tags=("E14", "E42"),
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PYTHAGOREAN MEANS panel per event type — arithmetic,
+    geometric (reported in log2 space), harmonic — over positive
+    event values: AM for totals, GM for multiplicative/skewed metrics
+    (growth factors, latency ratios), HM for rate averaging; AM ≥ GM
+    ≥ HM is a built-in sanity invariant.
+
+    Determinism: the arithmetic mean accumulates in exact DECIMAL;
+    the geometric mean is the exact-BIGINT sum of per-row
+    FLOOR(log2(value)·2^20) (the perplexity recipe — reported as
+    log2(GM), never exponentiated cross-engine); the harmonic mean
+    inverts the exact-BIGINT sum of FLOOR(10^12/value) reciprocals.
+    All three are single-pass mergeable aggregates in one groupBy —
+    map-side combine, no extra shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("s"),
+        F.sum(F.floor(F.log2("value") * MEANS_LOG_SCALE).cast("bigint"))
+        .cast("bigint")
+        .alias("slog_u"),
+        F.sum(F.floor(MEANS_RECIP_SCALE / F.col("value")).cast("bigint"))
+        .cast("bigint")
+        .alias("srecip_u"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("arith_mean"),
+        (F.col("slog_u").cast("double") / F.col("n") / MEANS_LOG_SCALE).alias(
+            "log2_geo_mean"
+        ),
+        (
+            F.col("n").cast("double") * MEANS_RECIP_SCALE / F.col("srecip_u")
+        ).alias("harmonic_mean"),
+    ).orderBy("event_type")

@@ -2676,3 +2676,140 @@ def events_position_attribution_u(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("credit").cast("bigint").alias("total_credit_micro"),
         )
     )
+
+
+KM_CENSOR_MIN = 480   # sessions ending within this of the window end are censored
+KM_MAX_STEPS = 40     # report the first K death-time steps
+KM_LOG_SCALE = 1 << 20
+
+
+@query(
+    "analytics_survival_km",
+    oracle=f"""
+        WITH sess AS (
+            SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 480 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
+        ),
+        wmax AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS w_end FROM events),
+        obs AS (
+            SELECT CAST(epoch_us(s_end) - epoch_us(s_start) AS BIGINT) AS dur_us,
+                   CASE WHEN s_end > w_end - INTERVAL {KM_CENSOR_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS censored
+            FROM sess CROSS JOIN wmax
+        ),
+        per_t AS (
+            SELECT dur_us,
+                   CAST(SUM(1 - censored) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS tot
+            FROM obs GROUP BY dur_us
+        ),
+        risk AS (
+            SELECT dur_us, d,
+                   CAST(SUM(tot) OVER (ORDER BY dur_us DESC
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+            FROM per_t
+        ),
+        steps AS (
+            SELECT dur_us, d, n_risk,
+                   CAST(FLOOR(log2(CAST(n_risk - d AS DOUBLE) / n_risk)
+                              * {KM_LOG_SCALE}) AS BIGINT) AS logterm
+            FROM risk WHERE d > 0 AND n_risk > d
+        )
+        SELECT dur_us, d, n_risk,
+               CAST(-SUM(logterm) OVER (ORDER BY dur_us
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS neg_log2_surv_u
+        FROM steps
+        ORDER BY dur_us
+        LIMIT {KM_MAX_STEPS}
+    """,
+    tags=("E31", "E87"),
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival over session durations with right
+    censoring: sessions ending within {KM_CENSOR_MIN} minutes of the
+    observation-window end may still be alive, so they contribute to
+    risk sets but not to deaths — the product-limit estimator behind
+    churn/duration analyses (naive "mean session length" is biased
+    low under censoring).  Session boundaries stay in lockstep with
+    the funnel/concurrency family (480-minute gap).
+
+    Survival is carried in LOG space as the exact fixed-point sum of
+    FLOOR(log2((n_i−d_i)/n_i)·2^20) — the perplexity recipe: each log
+    input is a ratio of exact BIGINTs, every output column is an
+    exact integer, no cross-engine product or exp anywhere.  S(t) =
+    2^(−neg_log2_surv_u/2^20) for display.  Risk sets are one
+    DESC-cumulative window over the O(distinct durations) aggregate;
+    corpus-scale work is the sessionize groupBy."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    wmax = e.agg(F.max("ts").alias("w_end"))
+    obs = sess.crossJoin(F.broadcast(wmax)).select(
+        (F.unix_micros("s_end") - F.unix_micros("s_start")).alias("dur_us"),
+        F.when(
+            F.col("s_end")
+            > F.col("w_end") - F.expr(f"INTERVAL {KM_CENSOR_MIN} MINUTES"),
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    per_t = obs.groupBy("dur_us").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    wdesc = Window.orderBy(F.col("dur_us").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.select(
+        "dur_us", "d", F.sum("tot").over(wdesc).cast("bigint").alias("n_risk")
+    )
+    steps = risk.where((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "dur_us",
+        "d",
+        "n_risk",
+        F.floor(
+            F.log2((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+            * KM_LOG_SCALE
+        )
+        .cast("bigint")
+        .alias("logterm"),
+    )
+    wasc = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        steps.select(
+            "dur_us",
+            "d",
+            "n_risk",
+            (-F.sum("logterm").over(wasc)).cast("bigint").alias("neg_log2_surv_u"),
+        )
+        .orderBy("dur_us")
+        .limit(KM_MAX_STEPS)
+    )
