@@ -403,3 +403,140 @@ def multimodal_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+VAD_THRESHOLD = 55   # energy >= threshold counts as speech
+VAD_FRAME_MS = 10    # stub frame hop (documentation only; frames are synthetic)
+
+
+def _fake_audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-clip frame-energy series stand-in: doc_id % 17 + 8 frames,
+    energy = (doc_id*13 + frame_no*29) % 100 (a real build decodes
+    PCM and computes per-hop RMS energy).  As with the video stub,
+    the exercised contract is the Arrow fan-out batch shape plus the
+    downstream segmentation algebra — swap in librosa/webrtcvad and
+    nothing downstream changes."""
+    for pdf in batches:
+        n_frames = (pdf["doc_id"] % 17 + 8).astype("int64")
+        reps = pdf.loc[pdf.index.repeat(n_frames)].reset_index(drop=True)
+        frame_no = reps.groupby("doc_id").cumcount() + 1
+        yield pd.DataFrame(
+            {
+                "doc_id": reps["doc_id"],
+                "frame_no": frame_no.astype("int64"),
+                "energy": ((reps["doc_id"] * 13 + frame_no * 29) % 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_vad_stub",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, doc_id % 17 + 9)) AS BIGINT) AS frame_no
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, frame_no,
+                   (doc_id * 13 + frame_no * 29) % 100 AS energy
+            FROM frames
+        ),
+        runs AS (
+            SELECT doc_id, frame_no,
+                   CASE WHEN energy >= {VAD_THRESHOLD} THEN 1 ELSE 0 END AS speech,
+                   frame_no - row_number() OVER (
+                       PARTITION BY doc_id,
+                                    CASE WHEN energy >= {VAD_THRESHOLD} THEN 1 ELSE 0 END
+                       ORDER BY frame_no) AS grp
+            FROM scored
+        ),
+        segs AS (
+            SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+            FROM runs WHERE speech = 1
+            GROUP BY doc_id, grp
+        )
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(s.n_speech, 0) AS BIGINT) AS n_speech_frames,
+               CAST(COALESCE(s.longest, 0) AS BIGINT) AS longest_segment,
+               ROUND(CAST(COALESCE(s.n_speech, 0) AS DOUBLE) / COUNT(*), 6)
+                   AS speech_ratio
+        FROM frames f
+        LEFT JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(seg_len) AS BIGINT) AS n_speech,
+                   CAST(MAX(seg_len) AS BIGINT) AS longest
+            FROM segs GROUP BY doc_id
+        ) s USING (doc_id)
+        GROUP BY f.doc_id, s.n_segments, s.n_speech, s.longest
+        ORDER BY f.doc_id
+    """,
+    tags=("E38", "E97"),
+)
+def multimodal_audio_vad_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio decode-stub pipeline:
+    per-clip frame energies fan out via mapInPandas (1 clip → N
+    {VAD_FRAME_MS} ms hops — the real decoder's batch shape), speech
+    segments are maximal runs of frames at/above the energy threshold
+    (gaps-and-islands via the frame_no − row_number grouping key), and
+    the per-clip summary (segment count, speech frames, longest run,
+    speech ratio) is what an audio-curation pipeline filters on
+    (silence-only clips, wall-to-wall music, chopped speech).
+
+    Scale: the fan-out happens in Arrow batches keyed by doc_id; the
+    islands window partitions per clip so frames never cross
+    executors; integer energy arithmetic mirrors the oracle exactly —
+    swap `_fake_audio_energy` for a real VAD scorer and everything
+    downstream is unchanged."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = d.mapInPandas(
+        _fake_audio_energy,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_no", T.LongType()),
+                T.StructField("energy", T.LongType()),
+            ]
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    speech = F.when(F.col("energy") >= VAD_THRESHOLD, 1).otherwise(0)
+    wrun = Window.partitionBy("doc_id", "speech").orderBy("frame_no")
+    runs = frames.select(
+        "doc_id", "frame_no", speech.alias("speech")
+    ).withColumn("grp", F.col("frame_no") - F.row_number().over(wrun))
+    segs = (
+        runs.where(F.col("speech") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("seg_len").cast("bigint").alias("n_speech"),
+            F.max("seg_len").cast("bigint").alias("longest"),
+        )
+    )
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    return (
+        per_doc.join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce(F.col("n_speech"), F.lit(0)).cast("bigint").alias("n_speech_frames"),
+            F.coalesce(F.col("longest"), F.lit(0)).cast("bigint").alias("longest_segment"),
+            F.round(
+                F.coalesce(F.col("n_speech"), F.lit(0)).cast("double")
+                / F.col("n_frames"),
+                6,
+            ).alias("speech_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2122,3 +2122,94 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * MEANS_RECIP_SCALE / F.col("srecip_u")
         ).alias("harmonic_mean"),
     ).orderBy("event_type")
+
+
+HILL_K = 200                 # tail order statistics per segment
+HILL_LOG_SCALE = 1 << 20     # fixed-point grain for log2(x)
+LN2_LITERAL = 0.6931471805599453  # shortest-roundtrip double for ln(2)
+
+
+@query(
+    "stats_hill_tail_index",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT c.c_mktsegment, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        logs AS (
+            SELECT c_mktsegment, rk,
+                   CAST(FLOOR(log2(o_totalprice) * {HILL_LOG_SCALE}) AS BIGINT) AS lg_u
+            FROM ranked WHERE rk <= {HILL_K} + 1
+        )
+        SELECT c_mktsegment,
+               CAST({HILL_K} AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN rk <= {HILL_K} THEN lg_u ELSE 0 END) AS BIGINT)
+                   AS sum_log_u,
+               CAST(MAX(CASE WHEN rk = {HILL_K} + 1 THEN lg_u END) AS BIGINT)
+                   AS xk1_log_u,
+               ROUND({HILL_K} / ({LN2_LITERAL} * (
+                   CAST(SUM(CASE WHEN rk <= {HILL_K} THEN lg_u ELSE 0 END) AS DOUBLE)
+                   - CAST({HILL_K} AS DOUBLE)
+                     * MAX(CASE WHEN rk = {HILL_K} + 1 THEN lg_u END)
+               ) / {HILL_LOG_SCALE}), 9) AS hill_alpha
+        FROM logs
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("E42", "E156"),
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX estimator per market segment: α̂ = k / Σ_{{i≤k}}
+    ln(x_(i)/x_(k+1)) over the top-k order totals — the standard
+    heavy-tail diagnostic (α ≤ 2 ⇒ infinite variance: whale customers
+    dominate revenue; pairs with the Zipf slope and Gini/Pareto
+    family).
+
+    Fixed-point discipline: per-value FLOOR(log2(x)·2^20) BIGINTs, so
+    the ratio sum telescopes to Σlg − k·lg_(k+1) in exact integers;
+    ln2 enters once as a shared shortest-roundtrip literal in the
+    final division chain.  The top-(k+1) per group is a rank window
+    that WindowGroupLimit prunes map-side (each executor forwards
+    only its local top 201) — no global sort, no full-table window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= HILL_K + 1)
+        .select(
+            "c_mktsegment",
+            "rk",
+            F.floor(F.log2("o_totalprice") * HILL_LOG_SCALE)
+            .cast("bigint")
+            .alias("lg_u"),
+        )
+    )
+    sum_log_u = F.sum(
+        F.when(F.col("rk") <= HILL_K, F.col("lg_u")).otherwise(F.lit(0))
+    ).cast("bigint")
+    xk1_log_u = F.max(F.when(F.col("rk") == HILL_K + 1, F.col("lg_u"))).cast("bigint")
+    alpha = F.round(
+        HILL_K
+        / (
+            LN2_LITERAL
+            * (sum_log_u.cast("double") - float(HILL_K) * xk1_log_u)
+            / HILL_LOG_SCALE
+        ),
+        9,
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.lit(HILL_K).cast("bigint").alias("k"),
+            sum_log_u.alias("sum_log_u"),
+            xk1_log_u.alias("xk1_log_u"),
+            alpha.alias("hill_alpha"),
+        )
+        .orderBy("c_mktsegment")
+    )
