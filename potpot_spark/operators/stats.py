@@ -2213,3 +2213,118 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "analytics_cuped_adjusted_lift",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) % 2
+                     AS vb,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                        AS DECIMAL(38,4)) AS x,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                        AS DECIMAL(38,4)) AS y
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(SUM(x) AS DECIMAL(38,4)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,4)) AS sy,
+                   CAST(SUM(CASE WHEN vb = 1 THEN x ELSE 0 END) AS DECIMAL(38,4)) AS sx_t,
+                   CAST(SUM(CASE WHEN vb = 1 THEN y ELSE 0 END) AS DECIMAL(38,4)) AS sy_t,
+                   CAST(SUM(CASE WHEN vb = 0 THEN x ELSE 0 END) AS DECIMAL(38,4)) AS sx_c,
+                   CAST(SUM(CASE WHEN vb = 0 THEN y ELSE 0 END) AS DECIMAL(38,4)) AS sy_c,
+                   CAST(SUM(x * y) AS DECIMAL(38,8)) AS sxy,
+                   CAST(SUM(x * x) AS DECIMAL(38,8)) AS sxx,
+                   CAST(SUM(y * y) AS DECIMAL(38,8)) AS syy
+            FROM per_user
+        )
+        SELECT n_t, n_c,
+               ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
+                     9) AS theta,
+               ROUND(CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c, 9)
+                   AS lift_raw,
+               ROUND((CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c)
+                     - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+                       * (CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c),
+                     9) AS lift_cuped,
+               ROUND(1.0 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+                           / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                     9) AS var_ratio
+        FROM s
+    """,
+    tags=("E137", "E43"),
+)
+def analytics_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift: the experiment metric (per-user
+    value in the back half of the month) is adjusted by the
+    pre-experiment covariate (front-half value) with the pooled
+    regression θ = cov(X,Y)/var(X); the adjusted lift subtracts
+    θ·(mean_x_t − mean_x_c) and the residual-variance ratio
+    1 − ρ² quantifies how much experiment runtime CUPED saves — the
+    standard modern experimentation primitive on top of the plain
+    lift/z-score op (same md5-hex deterministic variant assignment, so
+    the two reports reconcile).
+
+    Exactness: per-user sums and all five pooled moments accumulate
+    in exact DECIMAL (products at DECIMAL(38,8)) — order-free under
+    any partitioning; θ, lifts, and the variance ratio are identical
+    final division chains rounded at 9 dp.  One grouped pass per
+    user + one global conditional aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    vb = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % 2
+    )
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    d184 = "decimal(18,4)"
+    per_user = e.groupBy("user_id").agg(
+        F.max(vb).alias("vb"),
+        F.sum(F.when(pre, F.col("value").cast(d184)).otherwise(F.lit(0)))
+        .cast("decimal(38,4)")
+        .alias("x"),
+        F.sum(F.when(~pre, F.col("value").cast(d184)).otherwise(F.lit(0)))
+        .cast("decimal(38,4)")
+        .alias("y"),
+    )
+    t = F.col("vb") == 1
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum("x").cast("decimal(38,4)").alias("sx"),
+        F.sum("y").cast("decimal(38,4)").alias("sy"),
+        F.sum(F.when(t, F.col("x")).otherwise(F.lit(0))).cast("decimal(38,4)").alias("sx_t"),
+        F.sum(F.when(t, F.col("y")).otherwise(F.lit(0))).cast("decimal(38,4)").alias("sy_t"),
+        F.sum(F.when(~t, F.col("x")).otherwise(F.lit(0))).cast("decimal(38,4)").alias("sx_c"),
+        F.sum(F.when(~t, F.col("y")).otherwise(F.lit(0))).cast("decimal(38,4)").alias("sy_c"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,8)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,8)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,8)").alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    theta = cov / varx
+    lift_raw = F.col("sy_t").cast("double") / F.col("n_t") - F.col("sy_c").cast("double") / F.col("n_c")
+    dx = F.col("sx_t").cast("double") / F.col("n_t") - F.col("sx_c").cast("double") / F.col("n_c")
+    return s.select(
+        "n_t",
+        "n_c",
+        F.round(theta, 9).alias("theta"),
+        F.round(lift_raw, 9).alias("lift_raw"),
+        F.round(lift_raw - theta * dx, 9).alias("lift_cuped"),
+        F.round(1.0 - (cov * cov) / (varx * vary), 9).alias("var_ratio"),
+    )

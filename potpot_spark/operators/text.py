@@ -1548,3 +1548,120 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "lang", "n_terms", F.round(slope, 9).alias("zipf_slope")
     ).orderBy("lang")
+
+
+PMI_MIN_COUNT = 5      # bigram support floor (noise gate)
+PMI_TOP = 30           # collocations reported
+PMI_LOG_SCALE = 1 << 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 2
+        ),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cx FROM (
+                SELECT unnest(t) AS w FROM toks
+            ) GROUP BY w
+        ),
+        bg AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+        ),
+        cbg AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM bg GROUP BY w1, w2
+            HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        ),
+        tots AS (
+            SELECT (SELECT CAST(SUM(cx) AS BIGINT) FROM uni) AS n_tok,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS n_bg
+        ),
+        scored AS (
+            SELECT c.w1, c.w2, c.cxy,
+                   CAST(FLOOR(log2(CAST(c.cxy AS DOUBLE)) * {PMI_LOG_SCALE}) AS BIGINT)
+                   + 2 * CAST(FLOOR(log2(CAST(t.n_tok AS DOUBLE)) * {PMI_LOG_SCALE}) AS BIGINT)
+                   - CAST(FLOOR(log2(CAST(t.n_bg AS DOUBLE)) * {PMI_LOG_SCALE}) AS BIGINT)
+                   - CAST(FLOOR(log2(CAST(u1.cx AS DOUBLE)) * {PMI_LOG_SCALE}) AS BIGINT)
+                   - CAST(FLOOR(log2(CAST(u2.cx AS DOUBLE)) * {PMI_LOG_SCALE}) AS BIGINT)
+                       AS pmi_u
+            FROM cbg c
+            JOIN uni u1 ON c.w1 = u1.w
+            JOIN uni u2 ON c.w2 = u2.w
+            CROSS JOIN tots t
+        )
+        SELECT w1, w2, cxy, pmi_u
+        FROM scored
+        ORDER BY pmi_u DESC, w1, w2
+        LIMIT {PMI_TOP}
+    """,
+    tags=("E153", "E106"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATION extraction: the top-{PMI_TOP} adjacent word
+    pairs by pointwise mutual information log2(P(xy)/(P(x)P(y))) with
+    a {PMI_MIN_COUNT}-occurrence support floor — the classic
+    collocation detector ("new york"-style units) feeding tokenizer
+    vocab decisions and boilerplate analysis, sharper than raw bigram
+    frequency because it normalizes away individually-common words.
+
+    Determinism: PMI decomposes into five log2 terms of EXACT
+    integers (c_xy, N², B, c_x, c_y); each is FLOOR-fixed-pointed at
+    2^20 separately and summed in exact BIGINT arithmetic — no
+    product ever leaves the integer domain (the telescoped-Hill
+    recipe), so ranking and values are bit-identical cross-engine.
+    Ties break on the pair text.  Scale: two grouped counts over the
+    exploded token/bigram streams (map-side combined), one shuffle
+    join on the bigram key, two word-keyed joins, TakeOrdered top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    toks = d.where(F.size(tok) >= 2).select("doc_id", tok.alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cx"))
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cbg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .where(F.col("cxy") >= PMI_MIN_COUNT)
+    )
+    tots = uni.agg(F.sum("cx").cast("bigint").alias("n_tok")).crossJoin(
+        bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bg"))
+    )
+
+    def _lg_u(c):
+        return F.floor(F.log2(c.cast("double")) * PMI_LOG_SCALE).cast("bigint")
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cx").alias("cx1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cx").alias("cx2"))
+    scored = (
+        cbg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            (
+                _lg_u(F.col("cxy"))
+                + 2 * _lg_u(F.col("n_tok"))
+                - _lg_u(F.col("n_bg"))
+                - _lg_u(F.col("cx1"))
+                - _lg_u(F.col("cx2"))
+            ).alias("pmi_u"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_u").desc(), "w1", "w2").limit(PMI_TOP)
