@@ -1665,3 +1665,60 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_u").desc(), "w1", "w2").limit(PMI_TOP)
+
+
+@query(
+    "text_flesch_readability",
+    oracle="""
+        WITH counted AS (
+            SELECT doc_id,
+                   GREATEST(len(string_split(text, ' ')), 1) AS words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+                   GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                       AS syllables
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, CAST(words AS BIGINT) AS words,
+               CAST(sentences AS BIGINT) AS sentences,
+               CAST(syllables AS BIGINT) AS syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+                   AS flesch_score
+        FROM counted
+        ORDER BY doc_id
+    """,
+    tags=("E37", "E227"),
+)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE per document: 206.835 − 1.015·(words per
+    sentence) − 84.6·(syllables per word), with syllables approximated
+    as vowel-group runs ([aeiouy]+) and sentences as terminal-punct
+    runs — the standard readability screen next to the quality score
+    and char-class profile (too-hard AND too-easy both flag
+    low-quality training text).
+
+    All three counts are exact integers from identical regexes (the
+    char-class discipline); the score is one shared-constant double
+    chain rounded at 6 dp.  Pure codegen, row-local, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sentences.cast("bigint").alias("sentences"),
+        syllables.cast("bigint").alias("syllables"),
+        F.round(
+            206.835
+            - 1.015 * (words.cast("double") / sentences)
+            - 84.6 * (syllables.cast("double") / words),
+            6,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")

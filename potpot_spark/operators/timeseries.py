@@ -2813,3 +2813,78 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dur_us")
         .limit(KM_MAX_STEPS)
     )
+
+
+@query(
+    "events_bounce_rate_daily",
+    oracle="""
+        WITH sess AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS s_start, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 480 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
+        )
+        SELECT date_trunc('day', s_start) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS bounce_ratio
+        FROM sess
+        GROUP BY day
+        ORDER BY day
+    """,
+    tags=("E31", "E108"),
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY BOUNCE RATE: share of sessions consisting of a single
+    event, by session-start day — the engagement-health headline
+    (landing-page quality, bot influx, broken deep links) next to the
+    session-stats and funnel ops, with session boundaries in exact
+    lockstep (480-minute gap, ts/event_id tie-break).
+
+    Exact integer counts and a single 6-dp ratio; corpus-scale work
+    is the sessionize groupBy, then one O(sessions) daily rollup."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        sess.groupBy(F.date_trunc("day", "s_start").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            F.round(F.sum(bounce).cast("double") / F.count(F.lit(1)), 6).alias(
+                "bounce_ratio"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dec, dsum, dsum_expr
@@ -1006,4 +1007,123 @@ def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(days).cast("bigint").alias("worst_days"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "orders_abc_xyz_classification",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                       AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(38,2)) AS t FROM per_part),
+        abc AS (
+            SELECT l_partkey,
+                   CASE WHEN 10 * cum <= 7 * t.t THEN 'A'
+                        WHEN 10 * cum <= 9 * t.t THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   revenue
+            FROM (
+                SELECT l_partkey, revenue,
+                       CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                               ROWS UNBOUNDED PRECEDING)
+                            AS DECIMAL(38,2)) AS cum
+                FROM per_part
+            ) CROSS JOIN tot t
+        ),
+        monthly AS (
+            SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS m,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CASE WHEN 4 * (n * s2 - s1 * s1) < s1 * s1 THEN 'X'
+                        WHEN n * s2 < 2 * s1 * s1 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM (
+                SELECT l_partkey,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q * q) AS BIGINT) AS s2
+                FROM monthly GROUP BY l_partkey
+            )
+        )
+        SELECT a.abc_class, x.xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(a.revenue) AS DOUBLE) AS revenue
+        FROM abc a JOIN xyz x USING (l_partkey)
+        GROUP BY a.abc_class, x.xyz_class
+        ORDER BY a.abc_class, x.xyz_class
+    """,
+    tags=("E150", "E226"),
+)
+def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ INVENTORY CLASSIFICATION: parts bucketed by cumulative
+    revenue share (A ≤ 70%, B ≤ 90%, C rest — the Pareto-cutoff
+    recipe) crossed with monthly demand variability (X: CV < 0.5,
+    Y: CV < 1, Z: erratic) — the supply-chain planning matrix (AX =
+    automate, CZ = don't stock).
+
+    Every classification boundary is an exact comparison: ABC via
+    10·cum ≤ 7·total on exact DECIMAL revenue, XYZ via the
+    cross-multiplied CV² tests 4(n·Σq² − (Σq)²) < (Σq)² and
+    n·Σq² < 2(Σq)² on exact-BIGINT monthly quantity moments — no
+    division, no epsilon anywhere.  Two mergeable grouped passes, a
+    revenue-ordered window over the O(parts) aggregate, and a 3×3
+    summary join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    tot = per_part.agg(F.sum("revenue").cast("decimal(38,2)").alias("t"))
+    wcum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    abc = (
+        per_part.withColumn(
+            "cum", F.sum("revenue").over(wcum).cast("decimal(38,2)")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.when(10 * F.col("cum") <= 7 * F.col("t"), "A")
+            .when(10 * F.col("cum") <= 9 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    moments = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    xyz = moments.select(
+        "l_partkey",
+        F.when(
+            4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            < F.col("s1") * F.col("s1"),
+            "X",
+        )
+        .when(F.col("n") * F.col("s2") < 2 * F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("abc_class", "xyz_class")
     )
