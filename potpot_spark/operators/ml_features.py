@@ -1991,3 +1991,125 @@ def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (float(PSI_P_SCALE) * PSI_LOG_SCALE)
         ).alias("psi"),
     )
+
+
+BRIER_P_DENOM = 600.0   # deterministic score→probability map: p = value/600, clipped
+BRIER_Q = 10**12        # fixed-point grain for per-bin decomposition terms
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(LEAST(FLOOR(value / {BRIER_P_DENOM} * 1000), 1000) AS BIGINT)
+                       AS p_milli
+            FROM events
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y)) AS BIGINT)
+                       AS sq
+            FROM scored
+        ),
+        bins AS (
+            SELECT LEAST(p_milli // 100, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(SUM(p_milli) AS BIGINT) AS spk,
+                   CAST(SUM(y) AS BIGINT) AS syk
+            FROM scored GROUP BY bin
+        ),
+        terms AS (
+            SELECT b.bin,
+                   CAST(FLOOR(b.nk * ((CAST(b.spk AS DOUBLE) / (1000 * b.nk)
+                                       - CAST(b.syk AS DOUBLE) / b.nk)
+                                      * (CAST(b.spk AS DOUBLE) / (1000 * b.nk)
+                                         - CAST(b.syk AS DOUBLE) / b.nk))
+                              / g.n * {BRIER_Q}) AS BIGINT) AS rel_u,
+                   CAST(FLOOR(b.nk * ((CAST(b.syk AS DOUBLE) / b.nk
+                                       - CAST(g.sy AS DOUBLE) / g.n)
+                                      * (CAST(b.syk AS DOUBLE) / b.nk
+                                         - CAST(g.sy AS DOUBLE) / g.n))
+                              / g.n * {BRIER_Q}) AS BIGINT) AS res_u
+            FROM bins b CROSS JOIN g
+        )
+        SELECT g.n,
+               CAST(g.sq AS DOUBLE) / (1000000.0 * g.n) AS brier,
+               CAST((SELECT SUM(rel_u) FROM terms) AS BIGINT) AS reliability_u,
+               CAST((SELECT SUM(res_u) FROM terms) AS BIGINT) AS resolution_u,
+               CAST(g.sy AS DOUBLE) * (g.n - g.sy) / (CAST(g.n AS DOUBLE) * g.n)
+                   AS uncertainty
+        FROM g
+    """,
+    tags=("E166", "E152"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the Brier score — reliability (how far
+    bin-average forecasts sit from observed rates; lower is better),
+    resolution (how much bins separate from the base rate; higher is
+    better), uncertainty (base-rate entropy) — the diagnosis layer
+    over `ml_calibration_bins`: a bad Brier from miscalibration is
+    fixable by recalibration, one from no-resolution is not.
+
+    Determinism: forecasts quantize once to integer milli-probs
+    (FLOOR(value/600·1000)), so the Brier numerator Σ(p−1000y)² is an
+    exact BIGINT; per-bin reliability/resolution terms FLOOR-quantize
+    at 10^12 from identical division chains and sum exactly over the
+    10 bins (no cross-engine double summation order anywhere).  Two
+    grouped passes over the event stream + an O(bins) rollup."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(
+            F.floor(F.col("value") / BRIER_P_DENOM * 1000), F.lit(1000)
+        )
+        .cast("bigint")
+        .alias("p_milli"),
+    )
+    g = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            (F.col("p_milli") - 1000 * F.col("y"))
+            * (F.col("p_milli") - 1000 * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    bins = scored.groupBy(
+        F.least(F.expr("p_milli div 100"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("p_milli").cast("bigint").alias("spk"),
+        F.sum("y").cast("bigint").alias("syk"),
+    )
+    joined = bins.crossJoin(F.broadcast(g))
+    dp = F.col("spk").cast("double") / (1000 * F.col("nk")) - F.col(
+        "syk"
+    ).cast("double") / F.col("nk")
+    do = F.col("syk").cast("double") / F.col("nk") - F.col("sy").cast(
+        "double"
+    ) / F.col("n")
+    terms = joined.select(
+        F.floor(F.col("nk") * (dp * dp) / F.col("n") * BRIER_Q)
+        .cast("bigint")
+        .alias("rel_u"),
+        F.floor(F.col("nk") * (do * do) / F.col("n") * BRIER_Q)
+        .cast("bigint")
+        .alias("res_u"),
+    ).agg(
+        F.sum("rel_u").cast("bigint").alias("reliability_u"),
+        F.sum("res_u").cast("bigint").alias("resolution_u"),
+    )
+    return g.crossJoin(terms).select(
+        "n",
+        (F.col("sq").cast("double") / (1000000.0 * F.col("n"))).alias("brier"),
+        "reliability_u",
+        "resolution_u",
+        (
+            F.col("sy").cast("double")
+            * (F.col("n") - F.col("sy"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("uncertainty"),
+    )

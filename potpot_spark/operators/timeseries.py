@@ -2888,3 +2888,164 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+ENTROPY_LOG_SCALE = 1 << 20
+
+
+@query(
+    "events_user_behavior_entropy",
+    oracle=f"""
+        WITH per AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM per GROUP BY user_id
+        ),
+        ent AS (
+            SELECT p.user_id, t.n, t.n_types,
+                   CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE) / t.n)
+                                           * {ENTROPY_LOG_SCALE}) AS BIGINT))
+                        AS BIGINT) AS swl_u
+            FROM per p JOIN tot t USING (user_id)
+            GROUP BY p.user_id, t.n, t.n_types
+        )
+        SELECT CAST(FLOOR((CAST(-swl_u AS DOUBLE) / n) / {ENTROPY_LOG_SCALE} * 4)
+                    AS BIGINT) AS entropy_qbit_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MIN(n_types) AS BIGINT) AS min_types,
+               CAST(MAX(n_types) AS BIGINT) AS max_types
+        FROM ent
+        GROUP BY entropy_qbit_bucket
+        ORDER BY entropy_qbit_bucket
+    """,
+    tags=("E190", "E42"),
+)
+def events_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL ENTROPY histogram: Shannon entropy of each user's
+    event-type distribution, bucketed at quarter-bit grain — near-zero
+    entropy = single-action scripts/bots, maximal entropy = uniform
+    randomness (also suspicious); organic users sit in the middle
+    band.  Complements the inter-arrival regularity flags with a
+    what-they-do (vs when-they-act) signal.
+
+    Per-user entropy is the exact-BIGINT sum Σ c·FLOOR(log2(c/n)·2^20)
+    (log2 inputs are integer rationals — the perplexity recipe), and
+    the histogram bucket is FLOOR-quantized from that integer — no
+    cross-engine double ever feeds a boundary.  Two mergeable grouped
+    passes + one O(users) rollup; the user→bucket fan-in keeps output
+    O(buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    ent = (
+        per.join(tot, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.floor(
+                    F.log2(F.col("c").cast("double") / F.col("n"))
+                    * ENTROPY_LOG_SCALE
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("swl_u")
+        )
+    )
+    bucket = F.floor(
+        ((-F.col("swl_u")).cast("double") / F.col("n")) / ENTROPY_LOG_SCALE * 4
+    ).cast("bigint")
+    return (
+        ent.groupBy(bucket.alias("entropy_qbit_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.min("n_types").cast("bigint").alias("min_types"),
+            F.max("n_types").cast("bigint").alias("max_types"),
+        )
+        .orderBy("entropy_qbit_bucket")
+    )
+
+
+@query(
+    "timeseries_twap_per_type",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                   lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type
+                                                     ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        weighted AS (
+            SELECT event_type,
+                   CAST((epoch_us(nxt) - epoch_us(ts)) // 1000000 AS DECIMAL(10,0))
+                       AS dt_s,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM ordered WHERE nxt IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_s) AS BIGINT) AS total_s,
+               CAST(SUM(CAST(v * dt_s AS DECIMAL(28,4))) AS DOUBLE)
+                 / CAST(SUM(dt_s) AS BIGINT) AS twap,
+               ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS plain_avg
+        FROM weighted
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E103", "E65"),
+)
+def timeseries_twap_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP) per event type: each observation
+    holds until the next one, so its value is weighted by its holding
+    time — the correct average for irregularly-sampled state series
+    (prices, gauge metrics), reported against the naive per-event mean
+    whose divergence measures the sampling bias.
+
+    Weights are exact integer seconds (epoch-microsecond differences
+    floor-divided — no float time math); value×weight products stay in
+    exact DECIMAL(28,4) so the accumulation is order-free, with one
+    double division at the end.  One lead window per type + one
+    mergeable grouped pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    weighted = ordered.select(
+        "event_type",
+        F.expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000")
+        .cast("decimal(10,0)")
+        .alias("dt_s"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt_s").cast("bigint").alias("total_s"),
+            (
+                F.sum((F.col("v") * F.col("dt_s")).cast("decimal(28,4)")).cast(
+                    "double"
+                )
+                / F.sum("dt_s").cast("bigint")
+            ).alias("twap"),
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 9).alias(
+                "plain_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
