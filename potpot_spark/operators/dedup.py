@@ -591,3 +591,101 @@ def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(containment >= CONTAINMENT_THRESHOLD)
         .select("doc_small", "doc_big", F.round(containment, 6).alias("containment"))
     )
+
+
+WINNOW_K = 3   # k-gram size (words)
+WINNOW_W = 4   # winnowing window (hashes per window)
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= {WINNOW_K}
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(t) - {WINNOW_K - 1} + 1),
+                       i -> {phash60_expr("array_to_string(t[i:i+" + str(WINNOW_K - 1) + "], ' ')")}
+                   ) AS h
+            FROM toks
+        ),
+        winnowed AS (
+            SELECT doc_id,
+                   len(h) AS n_grams,
+                   list_distinct(
+                       CASE WHEN len(h) <= {WINNOW_W}
+                            THEN [list_min(h)]
+                            ELSE list_transform(
+                                range(1, len(h) - {WINNOW_W - 1} + 1),
+                                i -> list_min(h[i:i+{WINNOW_W - 1}]))
+                       END
+                   ) AS fp
+            FROM hashes
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(fp) AS BIGINT) AS n_fingerprints,
+               CAST(list_sum(list_transform(fp, x -> x % 1000000007)) % 1000000007
+                    AS BIGINT) AS fp_checksum
+        FROM winnowed
+        ORDER BY doc_id
+    """,
+    tags=("E35", "E37"),
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken —
+    the MOSS algorithm): hash every {WINNOW_K}-word gram, slide a
+    {WINNOW_W}-hash window, keep each window's minimum — guaranteed to
+    catch any shared substring of ≥ k+w−1 words between documents
+    while storing ~2/(w+1) of the grams.  The local-substring
+    complement to MinHash (whole-document similarity): winnowing
+    localizes WHERE the overlap is, which is what plagiarism/code-
+    clone/licence-text detection needs.
+
+    Entirely JVM higher-order functions on the portable 60-bit md5
+    hash (the phash60 discipline, so fingerprints — and the order-free
+    modular checksum reported per doc — are bit-identical in DuckDB).
+    Per-doc row-local work, no shuffle; a pair-matching pass would
+    explode fingerprints and self-join on the hash, candidate-bounded
+    exactly like the banded-LSH family."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    toks = d.where(F.size(tok) >= WINNOW_K).select("doc_id", tok.alias("t"))
+    hashes = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (WINNOW_K - 1)),
+            lambda i: phash60(F.array_join(F.slice(F.col("t"), i, WINNOW_K), " ")),
+        ).alias("h"),
+    )
+    fp = F.array_distinct(
+        F.when(
+            F.size("h") <= WINNOW_W, F.array(F.array_min("h"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(F.col("h"), i, WINNOW_W)),
+            )
+        )
+    )
+    winnowed = hashes.select(
+        "doc_id", F.size("h").cast("bigint").alias("n_grams"), fp.alias("fp")
+    )
+    checksum = (
+        F.aggregate(
+            F.transform("fp", lambda x: x % 1000000007),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        % 1000000007
+    )
+    return winnowed.select(
+        "doc_id",
+        "n_grams",
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        checksum.cast("bigint").alias("fp_checksum"),
+    ).orderBy("doc_id")

@@ -3049,3 +3049,101 @@ def timeseries_twap_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "analytics_drawdown_duration",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY day
+        ),
+        cum AS (
+            SELECT day,
+                   CAST(SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(38,4)) AS equity
+            FROM daily
+        ),
+        state AS (
+            SELECT day, equity,
+                   CAST(MAX(equity) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(38,4)) AS peak
+            FROM cum
+        ),
+        runs AS (
+            SELECT day,
+                   CASE WHEN equity < peak THEN 1 ELSE 0 END AS under,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                     - CAST(row_number() OVER (
+                           PARTITION BY CASE WHEN equity < peak THEN 1 ELSE 0 END
+                           ORDER BY day) AS BIGINT) AS grp
+            FROM state
+        ),
+        spells AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS days_underwater,
+                   MIN(day) AS spell_start
+            FROM runs WHERE under = 1
+            GROUP BY grp
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_spells,
+               CAST(COALESCE(MAX(days_underwater), 0) AS BIGINT)
+                   AS max_drawdown_days,
+               MIN(spell_start) AS first_underwater_day,
+               CAST(COALESCE(SUM(days_underwater), 0) AS BIGINT)
+                   AS total_underwater_days
+        FROM spells
+    """,
+    tags=("E148", "E97"),
+)
+def analytics_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAWDOWN DURATION over the daily purchase-revenue equity curve:
+    the longest and total time spent below the running peak — the TIME
+    dimension of risk that `analytics_max_drawdown` (depth) misses:
+    a shallow-but-two-week drawdown and a deep-but-two-day one are
+    different incidents.
+
+    Underwater spells are gaps-and-islands (row_number difference
+    grouping key) over an exact DECIMAL equity curve — the running
+    peak comparison `equity < peak` is decimal-exact, so spell
+    boundaries cannot drift an ulp between engines.  All windows run
+    over the O(days) daily rollup; the corpus-sized pass is one
+    mergeable groupBy."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("v")
+    )
+    wall = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    state = daily.select(
+        "day", F.sum("v").over(wall).cast("decimal(38,4)").alias("equity")
+    ).select(
+        "day",
+        "equity",
+        F.max("equity").over(wall).cast("decimal(38,4)").alias("peak"),
+    )
+    under = F.when(F.col("equity") < F.col("peak"), 1).otherwise(0)
+    wg = Window.partitionBy("under").orderBy("day")
+    runs = state.select("day", under.alias("under")).withColumn(
+        "grp",
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        - F.row_number().over(wg).cast("bigint"),
+    )
+    spells = (
+        runs.where(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("days_underwater"),
+            F.min("day").alias("spell_start"),
+        )
+    )
+    return spells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.coalesce(F.max("days_underwater"), F.lit(0))
+        .cast("bigint")
+        .alias("max_drawdown_days"),
+        F.min("spell_start").alias("first_underwater_day"),
+        F.coalesce(F.sum("days_underwater"), F.lit(0))
+        .cast("bigint")
+        .alias("total_underwater_days"),
+    )
