@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table
 from potpot_spark.operators.dedup import ngram_jaccard_pairs
@@ -506,4 +507,95 @@ def pipeline_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
             6,
         ).alias("dup_rate"),
+    )
+
+
+MIX_SCALE = 10**12   # fixed-point grain for interleave positions
+MIX_PREFIX = 100     # audit window: first N rows of the mixed stream
+
+
+@query(
+    "pipeline_domain_mix_interleave",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+            FROM documents
+        ),
+        keyed AS (
+            SELECT source, doc_id, n_src,
+                   (2 * rn - 1) * {MIX_SCALE} // (2 * n_src) AS pos_u
+            FROM ranked
+        ),
+        prefix AS (
+            SELECT source, doc_id,
+                   row_number() OVER (ORDER BY pos_u, source, doc_id) AS ord
+            FROM keyed
+        )
+        SELECT k.source,
+               CAST(MAX(k.n_src) AS BIGINT) AS n_total,
+               CAST(COALESCE(p.n_prefix, 0) AS BIGINT) AS n_in_first_{MIX_PREFIX}
+        FROM keyed k
+        LEFT JOIN (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prefix
+            FROM prefix WHERE ord <= {MIX_PREFIX}
+            GROUP BY source
+        ) p USING (source)
+        GROUP BY k.source, p.n_prefix
+        ORDER BY k.source
+    """,
+    tags=("E69", "E101"),
+)
+def pipeline_domain_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIX INTERLEAVING: a deterministic global training order
+    where every source (domain) appears proportionally at every
+    prefix of the stream — the LM data-mixing requirement (a curriculum
+    that front-loads one domain distorts early training).  Each doc
+    gets the low-discrepancy position (2·rn−1)/(2·n_src) within its
+    source — integer-floor-quantized at 10^12 so ordering keys are
+    exact BIGINTs — and the global sort by (pos_u, source, doc_id) is
+    total and engine-identical.  The audit reports each source's share
+    of the first {MIX_PREFIX} positions against its corpus share.
+
+    Per-source shuffle keys come from md5 (portable, seedless); the
+    rank windows run per source partition; at 100 TB the same keys
+    feed a repartitionByRange write so the interleave materializes
+    without a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wcnt = Window.partitionBy("source")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wsrc).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wcnt).cast("bigint").alias("n_src"),
+    ).withColumn(
+        "pos_u",
+        F.expr(f"(2 * rn - 1) * {MIX_SCALE} div (2 * n_src)"),
+    )
+    prefix = (
+        keyed.withColumn(
+            "ord", F.row_number().over(Window.orderBy("pos_u", "source", "doc_id"))
+        )
+        .where(F.col("ord") <= MIX_PREFIX)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_prefix"))
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(F.max("n_src").cast("bigint").alias("n_total"))
+        .join(prefix, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce(F.col("n_prefix"), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_in_first_{MIX_PREFIX}"),
+        )
+        .orderBy("source")
     )

@@ -405,3 +405,85 @@ def sample_downsample_to_minority(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("event_id").cast("bigint").alias("kept_id_sum"),
         )
     )
+
+
+@query(
+    "sample_user_consistent_holdout",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id,
+                   CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                             AS INT) < 3
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        straddle AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling_users FROM (
+                SELECT user_id FROM (
+                    SELECT DISTINCT user_id, split FROM assigned
+                ) GROUP BY user_id HAVING COUNT(*) > 1
+            )
+        )
+        SELECT a.split,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(a.n_events) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(('0x' || substring(md5(CAST(a.user_id AS VARCHAR)), 3, 8))
+                             AS BIGINT)) AS BIGINT) AS user_set_checksum,
+               s.n_straddling_users
+        FROM assigned a CROSS JOIN straddle s
+        GROUP BY a.split, s.n_straddling_users
+        ORDER BY a.split
+    """,
+    tags=("E90", "E48"),
+)
+def sample_user_consistent_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-CONSISTENT HOLDOUT: every event of a user lands in the same
+    split (md5 first hex < 3 → ~19% holdout) — the leakage-safe
+    eval split for behavioral models, where a row-level split would put
+    one user's history on both sides and inflate every metric.
+
+    The output carries its own AUDIT: `n_straddling_users` counts users
+    observed in more than one split (computed from the data, not
+    assumed — must be 0), and a user-set membership checksum (sum of a
+    second md5 slice, order-free exact BIGINT) pins WHICH users, not
+    just how many, through the oracle gate.  One grouped pass + an
+    O(users) rollup; assignment is a pure row expression — survives
+    repartitioning, backfills, engine swaps."""
+    e = load_table(spark, sf_dir, "events")
+    h1 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = F.when(h1 < 3, "holdout").otherwise("train")
+    assigned = e.groupBy("user_id").agg(
+        F.max(split).alias("split"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    # Audit recomputes the per-event split assignment independently
+    # (DISTINCT user->split pairs over raw events), so a hypothetical
+    # non-determinism in the expression WOULD surface as a straddler.
+    per_event = e.select(
+        "user_id", F.when(h1 < 3, "holdout").otherwise("train").alias("split")
+    ).distinct()
+    straddle = (
+        per_event.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_straddling_users"))
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 3, 8), 16, 10
+    ).cast("bigint")
+    return (
+        assigned.crossJoin(F.broadcast(straddle))
+        .groupBy("split", "n_straddling_users")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(chk).cast("bigint").alias("user_set_checksum"),
+        )
+        .select(
+            "split", "n_users", "n_events", "user_set_checksum", "n_straddling_users"
+        )
+        .orderBy("split")
+    )
