@@ -2328,3 +2328,86 @@ def analytics_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(lift_raw - theta * dx, 9).alias("lift_cuped"),
         F.round(1.0 - (cov * cov) / (varx * vary), 9).alias("var_ratio"),
     )
+
+
+@query(
+    "agg_hdr_latency_percentiles",
+    oracle="""
+        WITH gaps AS (
+            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                        - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id))
+                        AS BIGINT) AS gap_us
+            FROM events
+        ),
+        buckets AS (
+            SELECT CAST(length(bin(gap_us)) - 1 AS INT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+            GROUP BY b
+        ),
+        cum AS (
+            SELECT b, c,
+                   CAST(SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cc,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM buckets
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(MIN(CASE WHEN 100 * cc >= 50 * n THEN b END) AS INT) AS p50_bucket,
+               CAST(2 ** MIN(CASE WHEN 100 * cc >= 50 * n THEN b END) AS BIGINT)
+                   AS p50_low_us,
+               CAST(MIN(CASE WHEN 100 * cc >= 95 * n THEN b END) AS INT) AS p95_bucket,
+               CAST(2 ** MIN(CASE WHEN 100 * cc >= 95 * n THEN b END) AS BIGINT)
+                   AS p95_low_us,
+               CAST(MIN(CASE WHEN 100 * cc >= 99 * n THEN b END) AS INT) AS p99_bucket,
+               CAST(2 ** MIN(CASE WHEN 100 * cc >= 99 * n THEN b END) AS BIGINT)
+                   AS p99_low_us
+        FROM cum
+    """,
+    tags=("E41", "E88"),
+)
+def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-HISTOGRAM-STYLE percentiles over inter-event gaps: latencies
+    land in power-of-two buckets (⌊log2 μs⌋ via the bit-length trick —
+    length(bin(x))−1, NO floating log), the bucket histogram is a tiny
+    mergeable aggregate (≤ 64 rows), and p50/p95/p99 read off the
+    cumulative counts with the exact cross-multiplication
+    100·cum ≥ p·n.  This is the 100 TB latency-percentile answer: the
+    exact-percentile op needs per-group sorted buffers, the KLL sketch
+    is engine-internal — log2 buckets are exact, mergeable, portable,
+    and bounded-error by construction (one octave).
+
+    Every number in the result is an exact integer; the only windows
+    run over the ≤ 64-row bucket rollup.  Corpus-scale work: one lag
+    window per user + one grouped count."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    buckets = gaps.groupBy(
+        (F.length(F.bin("gap_us")) - 1).cast("int").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "b",
+        F.sum("c").over(wc).cast("bigint").alias("cc"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+
+    def pick(p):
+        return F.min(F.when(100 * F.col("cc") >= p * F.col("n"), F.col("b")))
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(50).cast("int").alias("p50_bucket"),
+        F.pow(F.lit(2), pick(50)).cast("bigint").alias("p50_low_us"),
+        pick(95).cast("int").alias("p95_bucket"),
+        F.pow(F.lit(2), pick(95)).cast("bigint").alias("p95_low_us"),
+        pick(99).cast("int").alias("p99_bucket"),
+        F.pow(F.lit(2), pick(99)).cast("bigint").alias("p99_low_us"),
+    )

@@ -3147,3 +3147,67 @@ def analytics_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_underwater_days"),
     )
+
+
+OUTAGE_GAP_MIN = 3   # minutes with zero events across ALL users = outage signal
+
+
+@query(
+    "events_outage_gap_detector",
+    oracle=f"""
+        WITH minutes AS (
+            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY m
+        ),
+        gaps AS (
+            SELECT m,
+                   lead(m) OVER (ORDER BY m) AS next_m,
+                   CAST((epoch_us(lead(m) OVER (ORDER BY m)) - epoch_us(m))
+                        // 60000000 AS BIGINT) AS gap_min
+            FROM minutes
+        )
+        SELECT m AS silence_start,
+               next_m AS silence_end,
+               gap_min - 1 AS silent_minutes
+        FROM gaps
+        WHERE gap_min - 1 >= {OUTAGE_GAP_MIN}
+        ORDER BY m
+    """,
+    tags=("E86", "E181"),
+)
+def events_outage_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTAGE DETECTION by global silence: windows of ≥
+    {OUTAGE_GAP_MIN} consecutive minutes with ZERO events across the
+    entire stream — for an always-on product the strongest cheap
+    signal that ingestion (not user behavior) broke; the complement
+    of the spike detectors, and the first chart an on-call pulls.
+
+    The lead() gap runs over the O(active minutes) rollup, never the
+    raw stream — no calendar scaffold table needed: a silent span IS
+    a gap between consecutive active minutes (exact integer
+    floor-divided micros).  One mergeable groupBy + one tiny ordered
+    window."""
+    e = load_table(spark, sf_dir, "events")
+    minutes = e.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("m")
+    gaps = minutes.select(
+        F.col("m"),
+        F.lead("m").over(w).alias("next_m"),
+        F.expr(
+            "(unix_micros(lead(m) over (order by m)) - unix_micros(m)) div 60000000"
+        )
+        .cast("bigint")
+        .alias("gap_min"),
+    )
+    return (
+        gaps.where((F.col("gap_min") - 1) >= OUTAGE_GAP_MIN)
+        .select(
+            F.col("m").alias("silence_start"),
+            F.col("next_m").alias("silence_end"),
+            (F.col("gap_min") - 1).alias("silent_minutes"),
+        )
+        .orderBy("silence_start")
+    )
