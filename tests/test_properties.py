@@ -459,3 +459,131 @@ def test_day_n_retention_bounds(spark, sf_dir):
             rate = r[f"d{n}_rate"]
             assert 0 <= retained <= r.cohort_size, r
             assert abs(rate - round(retained / r.cohort_size, 6)) < 1e-12, r
+
+
+def test_position_attribution_credits_conserve(spark, sf_dir):
+    """Both attribution models must conserve credit exactly: channel
+    totals sum to 1,000,000 micro-credits per touched conversion."""
+    from pyspark.sql import functions as F
+
+    lin = registry.get("events_multitouch_attribution").fn(spark, sf_dir)
+    ush = registry.get("events_position_attribution_u").fn(spark, sf_dir)
+    lin_total = lin.agg(F.sum("total_credit_micro")).collect()[0][0]
+    ush_total = ush.agg(F.sum("total_credit_micro")).collect()[0][0]
+    n_convs = (
+        lin.agg(F.max("n_conversions_touched")).collect()[0][0]
+    )  # both channels touch the same conversions at this fixture
+    assert lin_total == ush_total, (lin_total, ush_total)
+    assert lin_total % 1_000_000 == 0, lin_total
+    assert lin_total // 1_000_000 >= n_convs  # >=: conversions may differ per channel
+
+
+def test_pythagorean_mean_inequality(spark, sf_dir):
+    """AM >= GM >= HM must hold per group (log2_geo_mean is log2(GM),
+    so compare 2**log2_geo_mean)."""
+    for r in registry.get("agg_pythagorean_means").fn(spark, sf_dir).collect():
+        gm = 2.0 ** r.log2_geo_mean
+        assert r.arith_mean >= gm - 1e-6, r
+        assert gm >= r.harmonic_mean - 1e-6, r
+
+
+def test_km_survival_monotone(spark, sf_dir):
+    """Kaplan-Meier: risk sets shrink as duration grows, and the
+    cumulative negative log-survival is nondecreasing (S(t) is
+    nonincreasing)."""
+    rows = registry.get("analytics_survival_km").fn(spark, sf_dir).collect()
+    assert rows, "expected at least one death-time step"
+    prev_t, prev_nls, prev_risk = -1, 0, None
+    for r in rows:
+        assert r.dur_us > prev_t
+        assert r.neg_log2_surv_u >= prev_nls, r
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk, r
+        assert r.d <= r.n_risk, r
+        prev_t, prev_nls, prev_risk = r.dur_us, r.neg_log2_surv_u, r.n_risk
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    """Observed micro-shares must sum to ~10^6 (floor loss < 9 units)
+    and all nine digits must appear with exact-count reconciliation."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+
+    rows = registry.get("stats_benford_first_digit").fn(spark, sf_dir).collect()
+    assert [r.first_digit for r in rows] == list(range(1, 10))
+    total_obs = sum(r.obs_share_u for r in rows)
+    assert 1_000_000 - 9 <= total_obs <= 1_000_000
+    n_orders = (
+        load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1).count()
+    )
+    assert sum(r.cnt for r in rows) == n_orders
+
+
+def test_holdout_no_straddlers_and_partition(spark, sf_dir):
+    """User-consistent holdout: zero straddling users, and split user
+    counts partition the user universe."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+
+    rows = registry.get("sample_user_consistent_holdout").fn(spark, sf_dir).collect()
+    assert all(r.n_straddling_users == 0 for r in rows)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    """Transitivity and avg local cc are in [0, 1]; triangle count
+    matches the standalone triangle-count op."""
+    cc = registry.get("graph_clustering_coefficient").fn(spark, sf_dir).collect()[0]
+    tri = registry.get("graph_triangle_count").fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= cc.transitivity <= 1.0
+    assert 0.0 <= cc.avg_local_cc <= 1.0
+    assert cc.n_triangles == tri.n_triangles
+
+
+def test_hdr_percentiles_ordered(spark, sf_dir):
+    """Bucketed percentiles must be monotone: p50 <= p95 <= p99, and
+    each low bound is the claimed power of two."""
+    r = registry.get("agg_hdr_latency_percentiles").fn(spark, sf_dir).collect()[0]
+    assert r.p50_bucket <= r.p95_bucket <= r.p99_bucket
+    assert r.p50_low_us == 2 ** r.p50_bucket
+    assert r.p99_low_us == 2 ** r.p99_bucket
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy identity: brier ≈ reliability − resolution + uncertainty
+    up to within-bin variance of the quantized forecasts (bounded by
+    the bin width's second moment, 0.1² / 4 is a generous cap here)."""
+    r = registry.get("ml_brier_decomposition").fn(spark, sf_dir).collect()[0]
+    rel = r.reliability_u / 1e12
+    res = r.resolution_u / 1e12
+    recon = rel - res + r.uncertainty
+    assert abs(r.brier - recon) <= 0.0025 + 1e-9, (r.brier, recon)
+
+
+def test_winnowing_density_guarantee(spark, sf_dir):
+    """Winnowing keeps at least one fingerprint per window position and
+    at most the theoretical count (n_grams − w + 1, or 1 for short
+    docs); fingerprints are never more numerous than grams."""
+    rows = registry.get("dedup_winnowing_fingerprints").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_fingerprints <= r.n_grams, r
+        if r.n_grams > 4:
+            assert r.n_fingerprints <= r.n_grams - 4 + 1, r
+
+
+def test_domain_mix_prefix_proportionality(spark, sf_dir):
+    """Every source's share of the first 100 interleaved rows tracks
+    its corpus share within 1/n_sources + 1/100 (low-discrepancy
+    bound)."""
+    rows = registry.get("pipeline_domain_mix_interleave").fn(spark, sf_dir).collect()
+    total = sum(r.n_total for r in rows)
+    for r in rows:
+        expected = 100.0 * r.n_total / total
+        assert abs(r.n_in_first_100 - expected) <= 100.0 / len(rows) + 1.0, (
+            r,
+            expected,
+        )
