@@ -502,3 +502,60 @@ def test_theta_intersection_brackets_exact(spark, sf_dir):
     for _, r in df.iterrows():
         lo = min(r.n_users_a, r.n_users_b)
         assert -lo <= r.theta_intersection_est <= 2 * lo + 1
+
+
+def test_winnowing_no_shuffle(spark, sf_dir):
+    """Winnowing fingerprints are row-local HOF work: the plan must
+    contain no Exchange at all (the final orderBy is the one allowed
+    range exchange for presentation)."""
+    df = registry.get("dedup_winnowing_fingerprints").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one rangepartitioning exchange for the ORDER BY, nothing else
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_hdr_percentiles_single_corpus_shuffle(spark, sf_dir):
+    """The HDR histogram shuffles the corpus once (per-user lag
+    window); everything after runs on the <=64-row bucket rollup."""
+    df = registry.get("agg_hdr_latency_percentiles").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_u_no_cartesian_and_partial_agg(spark, sf_dir):
+    """U-shaped attribution: the conversion-touch match is an equi
+    join on user_id (no cartesian), and the channel totals partial-
+    aggregate map-side."""
+    df = registry.get("events_position_attribution_u").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_clustering_coefficient_single_closed_pass(spark, sf_dir):
+    """The fused credit fan-out must not re-run the adjacency joins:
+    at most 2 SortMergeJoin/ShuffledHashJoin ops from the two
+    adjacency attachments plus the degree join, and no cartesian."""
+    df = registry.get("graph_clustering_coefficient").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    # 6 = co-purchase edge-build self-join (inlined before the shared
+    # intermediate materializes) + 2 adjacency attachments + per-node
+    # credit/degree joins; a 3-branch union would show ~3x this.
+    assert n_joins <= 6, plan
+
+
+def test_hill_tail_uses_window_group_limit(spark, sf_dir):
+    """The per-segment top-(k+1) must prune map-side via
+    WindowGroupLimit (each executor forwards only its local top 201)."""
+    df = registry.get("stats_hill_tail_index").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_twap_partial_aggregate(spark, sf_dir):
+    """TWAP's grouped pass partial-aggregates after the lead window."""
+    df = registry.get("timeseries_twap_per_type").fn(spark, sf_dir)
+    assert has_partial_aggregate(df), formatted_plan(df)
