@@ -506,3 +506,58 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_multiline"),
     )
+
+
+@query(
+    "scan_text_lines_roundtrip",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                        % 1000000007) % 1000000007 AS BIGINT) AS content_checksum
+        FROM documents
+    """,
+    tags=("E51", "E1"),
+)
+def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW TEXT round trip — the LM-corpus ingestion format: documents
+    serialize one-per-line as ``doc_id \\t text`` via the text sink,
+    read back with ``spark.read.text`` (each line is one `value`
+    row), and are re-parsed with a first-tab split.  The proof is
+    order-free: id sum, char total, and a portable md5-based modular
+    content checksum must equal the source table's — so every byte of
+    every document survived the newline-delimited encoding.
+
+    Text files are splittable (unlike multiLine formats): at 100 TB
+    this reads with full input-split parallelism, the classic reason
+    raw-text corpora ship newline-delimited.  Plan: the text scan +
+    one partial-aggregated global sum; no shuffle beyond the final
+    single-row combine."""
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "potpot_textlines_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    lines = d.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("text")
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+    back = spark.read.text(base).select(
+        F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    chk = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        (F.sum(chk) % 1000000007).cast("bigint").alias("content_checksum"),
+    )
