@@ -3211,3 +3211,183 @@ def events_outage_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("silence_start")
     )
+
+
+@query(
+    "timeseries_haar_wavelet_energy",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                       AS idx,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY idx
+        ),
+        l1 AS (
+            SELECT idx // 2 AS idx,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS d
+            FROM daily GROUP BY idx // 2
+        ),
+        l2 AS (
+            SELECT idx // 2 AS idx,
+                   CAST(SUM(s) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+            FROM l1 GROUP BY idx // 2
+        ),
+        l3 AS (
+            SELECT idx // 2 AS idx,
+                   CAST(SUM(s) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+            FROM l2 GROUP BY idx // 2
+        )
+        SELECT (SELECT CAST(SUM(d * d) AS BIGINT) FROM l1) AS energy_2d,
+               (SELECT CAST(SUM(d * d) AS BIGINT) FROM l2) AS energy_4d,
+               (SELECT CAST(SUM(d * d) AS BIGINT) FROM l3) AS energy_8d,
+               (SELECT CAST(SUM(s * s) AS BIGINT) FROM l3) AS energy_coarse
+    """,
+    tags=("E223", "E193"),
+)
+def timeseries_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET energy decomposition of the daily event-count
+    series: unnormalized detail coefficients at 2-day, 4-day and
+    8-day scales (pairwise differences of successively-coarsened
+    sums) plus the coarse approximation energy — the multi-resolution
+    "where does the variability live" read (2-day energy = day-to-day
+    noise, 8-day = weekly-ish swings) complementing STL (which fixes
+    one seasonal period) and autocorrelation (one lag at a time).
+
+    Haar on integer counts needs NO floats at all: every coefficient
+    is a ± sum of exact BIGINT counts and every energy an exact
+    BIGINT sum of squares — the whole cascade is three tiny grouped
+    passes over the O(days) rollup (each level half the size), each
+    mergeable.  At 100 TB the only corpus-scale work is the daily
+    rollup; log2(N) cascade levels stay driver-negligible."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("idx")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def level(df, col):
+        return df.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            F.sum(col).cast("bigint").alias("s"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col(col)).otherwise(-F.col(col))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+
+    l1 = level(daily, "c")
+    l2 = level(l1.select("idx", "s"), "s")
+    l3 = level(l2.select("idx", "s"), "s")
+
+    def energy(df, col, name):
+        return df.agg(
+            F.sum(F.col(col) * F.col(col)).cast("bigint").alias(name)
+        )
+
+    return (
+        energy(l1, "d", "energy_2d")
+        .crossJoin(energy(l2, "d", "energy_4d"))
+        .crossJoin(energy(l3, "d", "energy_8d"))
+        .crossJoin(energy(l3, "s", "energy_coarse"))
+    )
+
+
+import math as _math
+
+TRIG_SCALE = 10**9
+# Shared fixed-point diurnal harmonic tables: FLOOR(cos/sin(2π·h/p)·10^9)
+# for h = 0..23, periods 24 and 12 — precomputed once in Python so both
+# engines consume identical integer literals (the NDCG-table recipe).
+_DIURNAL_TABLES = {
+    p: (
+        [_math.floor(_math.cos(2 * _math.pi * h / p) * TRIG_SCALE) for h in range(24)],
+        [_math.floor(_math.sin(2 * _math.pi * h / p) * TRIG_SCALE) for h in range(24)],
+    )
+    for p in (24, 12)
+}
+
+
+def _trig_case_sql(vals: list[int]) -> str:
+    return "CASE hod " + " ".join(f"WHEN {h} THEN {v}" for h, v in enumerate(vals)) + " END"
+
+
+@query(
+    "events_diurnal_harmonic_power",
+    oracle=f"""
+        WITH hod AS (
+            SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY hod
+        ),
+        proj AS (
+            SELECT p.period,
+                   CAST(SUM(c * CASE WHEN p.period = 24
+                                     THEN {_trig_case_sql(_DIURNAL_TABLES[24][0])}
+                                     ELSE {_trig_case_sql(_DIURNAL_TABLES[12][0])} END)
+                        AS BIGINT) AS x_u,
+                   CAST(SUM(c * CASE WHEN p.period = 24
+                                     THEN {_trig_case_sql(_DIURNAL_TABLES[24][1])}
+                                     ELSE {_trig_case_sql(_DIURNAL_TABLES[12][1])} END)
+                        AS BIGINT) AS y_u,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM hod CROSS JOIN (SELECT unnest([24, 12]) AS period) p
+            GROUP BY p.period
+        )
+        SELECT period, x_u, y_u,
+               ROUND(sqrt(CAST(x_u AS DOUBLE) * x_u + CAST(y_u AS DOUBLE) * y_u)
+                     / ({TRIG_SCALE} * CAST(n AS DOUBLE)), 9) AS amplitude_ratio
+        FROM proj
+        ORDER BY period DESC
+    """,
+    tags=("E174", "E193"),
+)
+def events_diurnal_harmonic_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIURNAL HARMONIC POWER (single-bin Goertzel/DFT): the 24-hour
+    and 12-hour Fourier components of the hour-of-day activity
+    profile — amplitude_ratio near 0 means no daily rhythm (bot farms,
+    uniform load), large means strong diurnality; the 12 h harmonic
+    separates two-peak (commute-shaped) days from one-peak days.  The
+    spectral companion to autocorrelation (time domain) and the
+    dow-hour profile (table form).
+
+    Trig enters ONLY as shared precomputed integer literals
+    (FLOOR(cos/sin·10^9), the NDCG discount-table recipe), so X and Y
+    projections are exact BIGINT dot products over the 24-row
+    hour-of-day rollup; one sqrt at the end, rounded.  Corpus-scale
+    work is one mergeable groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    hod = e.groupBy(F.hour("ts").cast("int").alias("hod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    outs = []
+    for period in (24, 12):
+        cos_t, sin_t = _DIURNAL_TABLES[period]
+        cos_m = F.create_map(*[F.lit(x) for h in range(24) for x in (h, cos_t[h])])
+        sin_m = F.create_map(*[F.lit(x) for h in range(24) for x in (h, sin_t[h])])
+        outs.append(
+            hod.agg(
+                F.lit(period).alias("period"),
+                F.sum(F.col("c") * cos_m[F.col("hod")]).cast("bigint").alias("x_u"),
+                F.sum(F.col("c") * sin_m[F.col("hod")]).cast("bigint").alias("y_u"),
+                F.sum("c").cast("bigint").alias("n"),
+            )
+        )
+    proj = outs[0].unionByName(outs[1])
+    amp = F.round(
+        F.sqrt(
+            F.col("x_u").cast("double") * F.col("x_u")
+            + F.col("y_u").cast("double") * F.col("y_u")
+        )
+        / (TRIG_SCALE * F.col("n").cast("double")),
+        9,
+    )
+    return proj.select(
+        "period", "x_u", "y_u", amp.alias("amplitude_ratio")
+    ).orderBy(F.col("period").desc())
