@@ -689,3 +689,83 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fp").cast("bigint").alias("n_fingerprints"),
         checksum.cast("bigint").alias("fp_checksum"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+        WITH hashed AS (
+            SELECT DISTINCT source, md5(substring(text, 1, 200)) AS h FROM documents
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM hashed a JOIN hashed b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source
+        ),
+        per_source AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM hashed GROUP BY source
+        )
+        SELECT p.source_a, p.source_b, p.n_shared,
+               sa.n_distinct AS n_a, sb.n_distinct AS n_b,
+               ROUND(CAST(p.n_shared AS DOUBLE)
+                     / LEAST(sa.n_distinct, sb.n_distinct), 6)
+                   AS containment
+        FROM pairs p
+        JOIN per_source sa ON p.source_a = sa.source
+        JOIN per_source sb ON p.source_b = sb.source
+        ORDER BY p.source_a, p.source_b
+    """,
+    tags=("E34", "E153"),
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE OVERLAP MATRIX: for every source pair, how many
+    distinct document HEADS (md5 of the first 200 chars) appear in
+    BOTH — prefix identity catches mirrors whose tails diverge
+    (ads, footers, pagination) that whole-text hashing misses —
+    the corpus-forensics read behind mixing decisions (two mirrors of
+    the same crawl must not be double-weighted) and behind
+    decontamination direction-of-flow questions.  Containment
+    normalizes by the smaller side (the `dedup_containment_ngrams`
+    convention).
+
+    The hash self-join runs on the DEDUPLICATED (source, md5)
+    projection — O(distinct contents), never O(docs²); source-pair
+    output is O(|sources|²).  All counts exact; one 6-dp ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "source", F.md5(F.substring("text", 1, 200)).alias("h")
+    ).distinct()
+    a = hashed.select(F.col("source").alias("source_a"), "h")
+    b = hashed.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    pairs = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    per_source = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    sa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    sb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1722,3 +1722,64 @@ def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                   CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS toks,
+                   CAST(length(text) AS BIGINT) AS chars
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS total_words,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               ROUND(CAST(SUM(toks) AS DOUBLE) / SUM(words), 6) AS fertility,
+               ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(toks), 6) AS chars_per_token
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("E37", "E91"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: regex-tokens per whitespace
+    word and characters per token — the multilingual-budget audit
+    (languages with fertility ≫ 1 pay more compute per word; a
+    tokenizer change shifts these ratios corpus-wide before any model
+    sees it).  Uses the SAME two tokenizers as `text_token_count`, so
+    the per-doc and per-language views reconcile.
+
+    Exact integer counts from identical regex/splits; two 6-dp
+    ratios from corpus-level sums (not means-of-ratios — fertility
+    weights long documents correctly).  One mergeable grouped pass."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    per = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0))
+        .cast("bigint")
+        .alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("toks").cast("double") / F.sum("words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("chars").cast("double") / F.sum("toks"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
