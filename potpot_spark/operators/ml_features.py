@@ -2113,3 +2113,87 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("uncertainty"),
     )
+
+
+@query(
+    "ml_expected_calibration_error",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(LEAST(FLOOR(value / {BRIER_P_DENOM} * 1000), 1000) AS BIGINT)
+                       AS p_milli
+            FROM events
+        ),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        bins AS (
+            SELECT LEAST(p_milli // 100, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(SUM(p_milli) AS BIGINT) AS spk,
+                   CAST(SUM(y) AS BIGINT) AS syk
+            FROM scored GROUP BY bin
+        ),
+        terms AS (
+            SELECT b.bin, b.nk,
+                   CAST(FLOOR(b.nk * abs(CAST(b.spk AS DOUBLE) / (1000 * b.nk)
+                                         - CAST(b.syk AS DOUBLE) / b.nk)
+                              / g.n * {BRIER_Q}) AS BIGINT) AS ece_term_u,
+                   CASE WHEN 1000 * b.syk > b.spk THEN 1 ELSE 0 END AS underconfident
+            FROM bins b CROSS JOIN g
+        )
+        SELECT CAST((SELECT MAX(n) FROM g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(ece_term_u) AS BIGINT) AS ece_u,
+               CAST(SUM(CASE WHEN underconfident = 1 THEN nk ELSE 0 END) AS BIGINT)
+                   AS n_underconfident_mass
+        FROM terms
+    """,
+    tags=("E166", "E259"),
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR (ECE): Σ (n_k/N)·|p̄_k − ō_k| over
+    the same 10 forecast bins as the Brier decomposition — the single
+    headline number modern model cards report for calibration, plus
+    the mass of underconfident bins (observed rate above forecast —
+    the direction matters for downstream thresholding).
+
+    Same discipline as `ml_brier_decomposition`: milli-prob integer
+    forecasts, per-bin terms FLOOR-quantized at 10^12 from identical
+    division chains, exact BIGINT summation over bins — the two
+    calibration queries reconcile bin-for-bin."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / BRIER_P_DENOM * 1000), F.lit(1000))
+        .cast("bigint")
+        .alias("p_milli"),
+    )
+    g = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bins = scored.groupBy(
+        F.least(F.expr("p_milli div 100"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("p_milli").cast("bigint").alias("spk"),
+        F.sum("y").cast("bigint").alias("syk"),
+    )
+    joined = bins.crossJoin(F.broadcast(g))
+    gap = F.abs(
+        F.col("spk").cast("double") / (1000 * F.col("nk"))
+        - F.col("syk").cast("double") / F.col("nk")
+    )
+    terms = joined.select(
+        "nk",
+        F.floor(F.col("nk") * gap / F.col("n") * BRIER_Q)
+        .cast("bigint")
+        .alias("ece_term_u"),
+        F.when(1000 * F.col("syk") > F.col("spk"), 1).otherwise(0).alias("uc"),
+    )
+    summed = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("ece_term_u").cast("bigint").alias("ece_u"),
+        F.sum(F.when(F.col("uc") == 1, F.col("nk")).otherwise(0))
+        .cast("bigint")
+        .alias("n_underconfident_mass"),
+    )
+    return F.broadcast(g).crossJoin(summed).select(
+        "n", "n_bins", "ece_u", "n_underconfident_mass"
+    )

@@ -3391,3 +3391,79 @@ def events_diurnal_harmonic_power(spark: SparkSession, sf_dir: str) -> DataFrame
     return proj.select(
         "period", "x_u", "y_u", amp.alias("amplitude_ratio")
     ).orderBy(F.col("period").desc())
+
+
+TIER_HIGH = 500   # first-half spend >= HIGH -> 'high' tier
+TIER_MED = 100    # >= MED -> 'mid'; else 'low'
+
+
+@query(
+    "analytics_tier_migration_matrix",
+    oracle=f"""
+        WITH spend AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                        AS DECIMAL(38,4)) AS v1,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                        AS DECIMAL(38,4)) AS v2
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        tiers AS (
+            SELECT CASE WHEN v1 >= {TIER_HIGH} THEN 'high'
+                        WHEN v1 >= {TIER_MED} THEN 'mid'
+                        WHEN v1 > 0 THEN 'low' ELSE 'none' END AS tier_from,
+                   CASE WHEN v2 >= {TIER_HIGH} THEN 'high'
+                        WHEN v2 >= {TIER_MED} THEN 'mid'
+                        WHEN v2 > 0 THEN 'low' ELSE 'none' END AS tier_to
+            FROM spend
+        )
+        SELECT tier_from, tier_to, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM tiers
+        GROUP BY tier_from, tier_to
+        ORDER BY tier_from, tier_to
+    """,
+    tags=("E167", "E87"),
+)
+def analytics_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOMER TIER MIGRATION: each purchaser's spend tier
+    (high ≥ {TIER_HIGH} / mid ≥ {TIER_MED} / low / none) in the front
+    half of the month vs the back half, as a transition matrix — the
+    upgrade/downgrade/churn flow that sits behind LTV forecasts and
+    the RFM segmentation (fixed thresholds here, so period-over-period
+    cells are directly comparable — quantile tiers would move the
+    goalposts between periods).
+
+    Tier boundaries are exact DECIMAL comparisons on exact decimal
+    spend sums — no ulp drift at the {TIER_HIGH}/{TIER_MED} edges.
+    One conditional grouped pass per user + one O(users) matrix
+    rollup (≤ 16 cells)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.when(pre, F.col("value").cast("decimal(18,4)")).otherwise(F.lit(0)))
+        .cast("decimal(38,4)")
+        .alias("v1"),
+        F.sum(F.when(~pre, F.col("value").cast("decimal(18,4)")).otherwise(F.lit(0)))
+        .cast("decimal(38,4)")
+        .alias("v2"),
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) >= TIER_HIGH, "high")
+            .when(F.col(c) >= TIER_MED, "mid")
+            .when(F.col(c) > 0, "low")
+            .otherwise("none")
+        )
+
+    return (
+        spend.select(tier("v1").alias("tier_from"), tier("v2").alias("tier_to"))
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("tier_from", "tier_to")
+    )
