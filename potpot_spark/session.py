@@ -43,6 +43,15 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep partition files reasonably sized when writing.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Headless engine: no web UI, and trim retained listener state —
+    # a 350+-query bench session otherwise accumulates UI/plan history
+    # for thousands of stages in the driver (measured as a steady
+    # per-query slowdown late in long sessions).
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "10",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "1000",
     # events.parquet stores TIMESTAMP(NANOS), which the vectorized
     # parquet reader otherwise rejects.  Declared session-wide (rather
     # than toggled inside the events read path) so the behavior —
