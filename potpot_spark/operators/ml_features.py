@@ -21,6 +21,10 @@ columns.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2197,3 +2201,157 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
     return F.broadcast(g).crossJoin(summed).select(
         "n", "n_bins", "ece_u", "n_underconfident_mass"
     )
+
+
+@query(
+    "udf_pandas_iterator_scalar",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(sqrt(l_quantity * 1000000.0)) AS BIGINT))
+                    AS BIGINT) AS score_sum
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("E163", "E154"),
+)
+def udf_pandas_iterator_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``): the batch loop lives inside ONE udf call
+    per partition, so expensive per-worker setup — loading a model,
+    opening a tokenizer, warming a cache — runs once per partition
+    instead of once per Arrow batch.  This is the production shape for
+    model-scoring UDFs; the sibling `udf_pandas_scalar_feature` shows
+    the per-batch form.
+
+    The "model" here is a deterministic integer kernel
+    (FLOOR(sqrt(q·10^6))) so the oracle can replay it exactly; the
+    simulated setup cost is paid once per partition by construction
+    (asserted by the iterator protocol itself).  Arrow-vectorized,
+    no row-at-a-time Python; the aggregate downstream is a normal
+    mergeable groupBy."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model_scale = 1000000.0  # "loaded" once per partition
+        for s in batches:
+            yield pd.Series(
+                np.floor(np.sqrt(s.to_numpy() * model_scale)).astype("int64")
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return (
+        li.select("l_returnflag", score("l_quantity").alias("sc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("sc").cast("bigint").alias("score_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+F1_THRESHOLDS = list(range(0, 1001, 50))  # milli-prob grid, 21 points
+
+
+@query(
+    "ml_threshold_sweep_f1",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(LEAST(FLOOR(value / {BRIER_P_DENOM} * 1000), 1000) AS BIGINT)
+                       AS p_milli
+            FROM events
+        ),
+        sweep AS (
+            SELECT t.thr,
+                   CAST(SUM(CASE WHEN p_milli >= t.thr AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN p_milli >= t.thr AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN p_milli < t.thr AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn
+            FROM scored CROSS JOIN (SELECT unnest({F1_THRESHOLDS}) AS thr) t
+            GROUP BY t.thr
+        )
+        SELECT thr, tp, fp, fn,
+               ROUND(CASE WHEN tp + fp > 0
+                          THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+               ROUND(CASE WHEN tp + fn > 0
+                          THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+               ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                          THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+        FROM sweep
+        ORDER BY thr
+    """,
+    tags=("E152", "E158"),
+)
+def ml_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING-POINT SWEEP: precision / recall / F1 at 21 decision
+    thresholds over the milli-prob forecasts (same deterministic
+    score→probability map as the calibration family) — the table a
+    practitioner reads to PICK the threshold, complementing the
+    threshold-free AUC/AP rank metrics.
+
+    Confusion counts are exact BIGINTs per threshold (one conditional
+    aggregate over the scored stream × a 21-row broadcast grid — the
+    corpus is read ONCE, not per threshold); F1 = 2TP/(2TP+FP+FN) is
+    a single 6-dp division with explicit empty-cell NULLs.  At 100 TB
+    this is the same one-pass shape: the grid fan-out happens
+    map-side before the partial aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / BRIER_P_DENOM * 1000), F.lit(1000))
+        .cast("bigint")
+        .alias("p_milli"),
+    )
+    grid = spark.range(0, 1001, 50).select(F.col("id").cast("bigint").alias("thr"))
+    sweep = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("p_milli") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("p_milli") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("p_milli") < F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return sweep.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("thr")
