@@ -540,3 +540,141 @@ def multimodal_audio_vad_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+AHASH_HAM_MAX = 6   # report pairs within this Hamming distance
+AHASH_TOP = 50      # pair rows reported
+
+
+def _fake_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash stand-in: 8×8 'pixel' values v_i = (doc_id·7 +
+    i·13) % 256, bit_i = (64·v_i > Σv), packed into two 32-bit halves
+    (a real build decodes the image, resizes to 8×8 gray, and
+    thresholds at the mean).  Vectorized numpy over Arrow batches —
+    the real decoder's batch shape."""
+    import numpy as np
+
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy(dtype="int64")
+        i = np.arange(64, dtype="int64")
+        v = (ids[:, None] * 7 + i[None, :] * 13) % 256
+        s = v.sum(axis=1)
+        bits = (64 * v > s[:, None]).astype("int64")
+        weights_lo = (1 << np.arange(32, dtype="int64"))
+        h_lo = (bits[:, :32] * weights_lo[None, :]).sum(axis=1)
+        h_hi = (bits[:, 32:] * weights_lo[None, :]).sum(axis=1)
+        yield pd.DataFrame({"doc_id": ids, "h_lo": h_lo, "h_hi": h_hi})
+
+
+@query(
+    "dedup_image_ahash_stub",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id, i, (doc_id * 7 + i * 13) % 256 AS v
+            FROM documents, unnest(range(0, 64)) AS r(i)
+        ),
+        s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s FROM px GROUP BY doc_id),
+        halves AS (
+            SELECT p.doc_id,
+                   CAST(SUM(CASE WHEN p.i < 32 AND 64 * p.v > t.s
+                                 THEN CAST(1 AS BIGINT) << p.i ELSE 0 END) AS BIGINT)
+                       AS h_lo,
+                   CAST(SUM(CASE WHEN p.i >= 32 AND 64 * p.v > t.s
+                                 THEN CAST(1 AS BIGINT) << (p.i - 32) ELSE 0 END)
+                        AS BIGINT) AS h_hi
+            FROM px p JOIN s t USING (doc_id)
+            GROUP BY p.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, h_lo, h_hi, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN h_lo % 65536
+                        WHEN 1 THEN h_lo // 65536
+                        WHEN 2 THEN h_hi % 65536
+                        ELSE h_hi // 65536 END AS band_val
+            FROM halves, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                    AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+              <= {AHASH_HAM_MAX}
+        ORDER BY hamming, id_a, id_b
+        LIMIT {AHASH_TOP}
+    """,
+    tags=("E38", "E35"),
+)
+def dedup_image_ahash_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP via perceptual AVERAGE-HASH over the decode-stub
+    pipeline: each 'image' reduces to a 64-bit aHash (8×8 gray
+    thresholded at its mean — the classic cheap pHash sibling), and
+    near-duplicate pairs are found by BANDED LSH on four 16-bit hash
+    bands + an exact Hamming verify — pigeonhole guarantees every
+    pair within Hamming ≤ 3 shares a band (the MinHash band-join
+    recipe transplanted to image space); ≤ {AHASH_HAM_MAX} pairs
+    found through band collisions are reported.
+
+    The hash computation is an Arrow-batched numpy kernel (the real
+    decoder's shape — swap in PIL resize + mean threshold and nothing
+    downstream changes); bit packing uses integer shifts on BOTH
+    engines, hamming is bit_count(xor) — every value an exact BIGINT.
+    The band join is O(collisions), never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    halves = d.mapInPandas(
+        _fake_ahash,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("h_lo", T.LongType()),
+                T.StructField("h_hi", T.LongType()),
+            ]
+        ),
+    )
+    band_val = (
+        F.when(F.col("band_idx") == 0, F.col("h_lo") % 65536)
+        .when(F.col("band_idx") == 1, F.expr("h_lo div 65536"))
+        .when(F.col("band_idx") == 2, F.col("h_hi") % 65536)
+        .otherwise(F.expr("h_hi div 65536"))
+    )
+    bands = halves.crossJoin(
+        F.broadcast(
+            spark.range(4).select(F.col("id").cast("int").alias("band_idx"))
+        )
+    ).select("doc_id", "h_lo", "h_hi", "band_idx", band_val.alias("band_val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= AHASH_HAM_MAX)
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(AHASH_TOP)
+    )
