@@ -1158,3 +1158,105 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cc_nano").cast("double") / F.count("cc_nano") / 1000000000
         ).alias("avg_local_cc"),
     )
+
+
+WALK_STEPS = 4
+WALK_SAMPLE_MOD = 7   # deterministic start-node sample: u % MOD == 0
+WALK_HASH_P = 1000003
+
+
+@query(
+    "graph_random_walk_corpus",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+            SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        ),
+        adj AS (
+            SELECT u, list(v ORDER BY v) AS nbrs, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY u
+        ),
+        w0 AS (
+            SELECT u AS start, u AS cur FROM adj WHERE u % {WALK_SAMPLE_MOD} = 0
+        ),
+        w1 AS (
+            SELECT w.start, a.nbrs[CAST((w.cur * 2654435761 + 1 * 97) % {WALK_HASH_P} % a.deg + 1 AS INT)] AS cur
+            FROM w0 w JOIN adj a ON w.cur = a.u
+        ),
+        w2 AS (
+            SELECT w.start, a.nbrs[CAST((w.cur * 2654435761 + 2 * 97) % {WALK_HASH_P} % a.deg + 1 AS INT)] AS cur
+            FROM w1 w JOIN adj a ON w.cur = a.u
+        ),
+        w3 AS (
+            SELECT w.start, a.nbrs[CAST((w.cur * 2654435761 + 3 * 97) % {WALK_HASH_P} % a.deg + 1 AS INT)] AS cur
+            FROM w2 w JOIN adj a ON w.cur = a.u
+        ),
+        w4 AS (
+            SELECT w.start, a.nbrs[CAST((w.cur * 2654435761 + 4 * 97) % {WALK_HASH_P} % a.deg + 1 AS INT)] AS cur
+            FROM w3 w JOIN adj a ON w.cur = a.u
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_walks,
+               CAST(COUNT(DISTINCT w4.cur) AS BIGINT) AS n_distinct_endpoints,
+               CAST(SUM(w4.cur) AS BIGINT) AS endpoint_checksum,
+               CAST(SUM(CASE WHEN w4.cur = w4.start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned_home
+        FROM w4
+    """,
+    tags=("E122", "E105"),
+)
+def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM WALKS on the co-purchase graph — the
+    node2vec/DeepWalk corpus-generation primitive reproduced without a
+    random number generator: step k from node s picks neighbor
+    nbrs[(s·2654435761 + 97k) mod p mod deg] from the SORTED adjacency
+    list, so every engine, run, and backfill emits the same walk
+    corpus (the seeded-sampling philosophy applied to graph
+    embeddings).  {WALK_STEPS} steps from a deterministic 1-in-
+    {WALK_SAMPLE_MOD} start sample; the summary (endpoint spread,
+    walk-returns-home count, checksum) pins the whole corpus.
+
+    Each step is ONE equi join against the adjacency table (Σdeg-row
+    build shared shape with the triangle/LPA family); the multiplier
+    hash is pure integer arithmetic, identical in SQL.  At 100 TB:
+    walks are embarrassingly parallel; the adjacency join is the only
+    shuffle and amortizes across all {WALK_STEPS} steps via a
+    broadcast when the node table fits."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = und.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"),
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+    )
+    walk = adj.where(F.col("u") % WALK_SAMPLE_MOD == 0).select(
+        F.col("u").alias("start"), F.col("u").alias("cur")
+    )
+    for k in range(1, WALK_STEPS + 1):
+        a = adj.select(
+            F.col("u").alias("_au"), F.col("nbrs").alias("_nbrs"), F.col("deg").alias("_deg")
+        )
+        idx = (
+            (F.col("cur") * F.lit(2654435761) + F.lit(k * 97)) % WALK_HASH_P
+            % F.col("_deg")
+            + 1
+        ).cast("int")
+        walk = (
+            walk.join(a, walk.cur == a._au)
+            .select("start", F.element_at("_nbrs", idx).alias("cur"))
+        )
+    return walk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_walks"),
+        F.countDistinct("cur").cast("bigint").alias("n_distinct_endpoints"),
+        F.sum("cur").cast("bigint").alias("endpoint_checksum"),
+        F.sum(F.when(F.col("cur") == F.col("start"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned_home"),
+    )

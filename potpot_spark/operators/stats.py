@@ -2411,3 +2411,94 @@ def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(99).cast("int").alias("p99_bucket"),
         F.pow(F.lit(2), pick(99)).cast("bigint").alias("p99_low_us"),
     )
+
+
+@query(
+    "stats_runs_test_randomness",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY day
+        ),
+        med AS (
+            SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS m FROM daily
+        ),
+        signs AS (
+            SELECT day, CASE WHEN c > m THEN 1 ELSE 0 END AS above
+            FROM daily CROSS JOIN med
+            WHERE c <> m
+        ),
+        runs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_runs FROM (
+                SELECT above,
+                       lag(above) OVER (ORDER BY day) AS prev
+                FROM signs
+            ) WHERE prev IS NULL OR above <> prev
+        ),
+        counts AS (
+            SELECT CAST(SUM(above) AS BIGINT) AS n1,
+                   CAST(SUM(1 - above) AS BIGINT) AS n2
+            FROM signs
+        )
+        SELECT c.n1, c.n2, r.n_runs,
+               ROUND(1.0 + 2.0 * c.n1 * c.n2 / (c.n1 + c.n2), 6) AS expected_runs,
+               ROUND((r.n_runs - (1.0 + 2.0 * c.n1 * c.n2 / (c.n1 + c.n2)))
+                     / sqrt((2.0 * c.n1 * c.n2 * (2.0 * c.n1 * c.n2 - c.n1 - c.n2))
+                            / ((CAST(c.n1 + c.n2 AS DOUBLE) * (c.n1 + c.n2)
+                                * (c.n1 + c.n2 - 1)))), 6) AS z_score
+        FROM counts c CROSS JOIN runs r
+    """,
+    tags=("E170", "E190"),
+)
+def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the daily event-count series:
+    counts maximal runs of above/below-median days and compares to
+    the expected run count under randomness — too FEW runs means
+    trending/sticky load (autocorrelation), too MANY means
+    oscillation (load-balancer flapping, alternating batch jobs).
+    The classic nonparametric randomness check beside KS (shape),
+    Mann-Whitney (location) and the autocorrelation estimate.
+
+    Median days are EXCLUDED (the textbook tie rule) via the exact
+    integer discrete median; run boundaries come from one lag() over
+    the O(days) rollup; n1/n2/runs are exact BIGINTs and the z-score
+    is one identical 6-dp division chain.  Corpus-scale work: one
+    mergeable groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("c") != F.col("m"))
+        .select("day", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above"))
+    )
+    w = Window.orderBy("day")
+    runs = (
+        signs.select("above", F.lag("above").over(w).alias("prev"))
+        .where(F.col("prev").isNull() | (F.col("above") != F.col("prev")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    )
+    counts = signs.agg(
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    exp_runs = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_num = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+    var_den = (n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)
+    return counts.crossJoin(runs).select(
+        "n1",
+        "n2",
+        "n_runs",
+        F.round(exp_runs, 6).alias("expected_runs"),
+        F.round(
+            (F.col("n_runs") - exp_runs) / F.sqrt(var_num / var_den), 6
+        ).alias("z_score"),
+    )
