@@ -2355,3 +2355,97 @@ def ml_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("thr")
+
+
+@query(
+    "ml_shapley_two_feature_exact",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS f_highval,
+                   CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12
+                        THEN 1 ELSE 0 END AS f_morning,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        cells AS (
+            SELECT f_highval, f_morning,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM labeled GROUP BY f_highval, f_morning
+        ),
+        m1 AS (
+            SELECT f_highval, CAST(SUM(n) AS BIGINT) AS n1, CAST(SUM(s) AS BIGINT) AS s1
+            FROM cells GROUP BY f_highval
+        ),
+        m2 AS (
+            SELECT f_morning, CAST(SUM(n) AS BIGINT) AS n2, CAST(SUM(s) AS BIGINT) AS s2
+            FROM cells GROUP BY f_morning
+        ),
+        g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(s) AS BIGINT) AS sg FROM cells)
+        SELECT c.f_highval, c.f_morning, c.n,
+               ROUND(CAST(c.s AS DOUBLE) / c.n, 9) AS rate,
+               ROUND(0.5 * ((CAST(c.s AS DOUBLE) / c.n - CAST(m2.s2 AS DOUBLE) / m2.n2)
+                            + (CAST(m1.s1 AS DOUBLE) / m1.n1 - CAST(g.sg AS DOUBLE) / g.ng)),
+                     9) AS phi_highval,
+               ROUND(0.5 * ((CAST(c.s AS DOUBLE) / c.n - CAST(m1.s1 AS DOUBLE) / m1.n1)
+                            + (CAST(m2.s2 AS DOUBLE) / m2.n2 - CAST(g.sg AS DOUBLE) / g.ng)),
+                     9) AS phi_morning
+        FROM cells c
+        JOIN m1 ON c.f_highval = m1.f_highval
+        JOIN m2 ON c.f_morning = m2.f_morning
+        CROSS JOIN g
+        ORDER BY c.f_highval, c.f_morning
+    """,
+    tags=("E172", "E137"),
+)
+def ml_shapley_two_feature_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY VALUES for a two-binary-feature conversion model:
+    with features {high-value, morning} and v(S) the conversion rate
+    conditioned on the features in S, the closed form
+    φ_i = ½[(v(both) − v(other)) + (v(own) − v(∅))] is computable
+    EXACTLY from four cell counts and their marginals — no sampling,
+    no surrogate (KernelSHAP degenerates to this at d=2).  The
+    EFFICIENCY property φ₁ + φ₂ = rate(cell) − rate(overall) holds by
+    construction and is the attribution-is-conserved audit (tested).
+
+    One conditional grouped pass (4 cells) + marginal rollups; every
+    count an exact BIGINT, every φ an identical 9-dp division chain.
+    Feature thresholds reuse the A/B-test conversion boundary so the
+    experiments family reconciles."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        F.when(F.col("value") > 75.0, 1).otherwise(0).alias("f_highval"),
+        F.when(F.hour("ts") < 12, 1).otherwise(0).alias("f_morning"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cells = labeled.groupBy("f_highval", "f_morning").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    m1 = cells.groupBy("f_highval").agg(
+        F.sum("n").cast("bigint").alias("n1"), F.sum("s").cast("bigint").alias("s1")
+    )
+    m2 = cells.groupBy("f_morning").agg(
+        F.sum("n").cast("bigint").alias("n2"), F.sum("s").cast("bigint").alias("s2")
+    )
+    g = cells.agg(
+        F.sum("n").cast("bigint").alias("ng"), F.sum("s").cast("bigint").alias("sg")
+    )
+    pc = F.col("s").cast("double") / F.col("n")
+    p1 = F.col("s1").cast("double") / F.col("n1")
+    p2 = F.col("s2").cast("double") / F.col("n2")
+    p0 = F.col("sg").cast("double") / F.col("ng")
+    return (
+        cells.join(F.broadcast(m1), "f_highval")
+        .join(F.broadcast(m2), "f_morning")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "f_highval",
+            "f_morning",
+            "n",
+            F.round(pc, 9).alias("rate"),
+            F.round(0.5 * ((pc - p2) + (p1 - p0)), 9).alias("phi_highval"),
+            F.round(0.5 * ((pc - p1) + (p2 - p0)), 9).alias("phi_morning"),
+        )
+        .orderBy("f_highval", "f_morning")
+    )

@@ -561,3 +561,53 @@ def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         (F.sum(chk) % 1000000007).cast("bigint").alias("content_checksum"),
     )
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               {dsum_expr('o_totalprice', scale=2)} AS total_price
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("E121", "E1"),
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-FILE RESILIENCE: a directory holding a valid parquet
+    file alongside a deliberately truncated/garbage one must still
+    scan when ``spark.sql.files.ignoreCorruptFiles`` is set — the
+    production posture for petabyte directories where one bad object
+    (failed upload, bit rot) must not kill a 10-hour job.  The proof:
+    counts and exact-decimal totals over the readable file equal the
+    source slice, i.e. the good data survives COMPLETELY and the bad
+    file contributes nothing (no partial/garbage rows).
+
+    The PERMISSIVE-CSV op covers malformed ROWS; this covers
+    malformed FILES — the other half of the ingest-resilience story.
+    Plan: a normal parquet scan; the skip happens at split-read
+    time."""
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "potpot_corrupt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    o.write.mode("overwrite").parquet(base)
+    # Drop a garbage "parquet" file into the directory (stable content
+    # so reruns are idempotent).
+    with open(os.path.join(base, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not really a parquet file \x00\x01\x02" * 100)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(base)
+        .where(F.col("o_orderstatus") == "F")
+    )
+    from potpot_spark.functions.numeric import dsum
+
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        dsum(F.col("o_totalprice"), scale=2).alias("total_price"),
+    )
