@@ -3467,3 +3467,122 @@ def analytics_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("tier_from", "tier_to")
     )
+
+
+CROSTON_ALPHA = 0.25  # dyadic -> every smoothing multiply is exact in binary fp
+
+
+@query(
+    "timeseries_croston_intermittent",
+    oracle="""
+        WITH RECURSIVE demand AS (
+            SELECT l_partkey,
+                   date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ord AS (
+            SELECT l_partkey, CAST(z AS DOUBLE) AS z,
+                   row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS rn,
+                   CAST(date_diff('day', lag(day) OVER (PARTITION BY l_partkey
+                                                        ORDER BY day), day)
+                        AS BIGINT) AS i
+            FROM demand
+        ),
+        r AS (
+            SELECT b.l_partkey, b.rn,
+                   0.25 * b.z + 0.75 * a.z AS zhat,
+                   CAST(b.i AS DOUBLE) AS phat
+            FROM ord a JOIN ord b
+              ON a.l_partkey = b.l_partkey AND a.rn = 1 AND b.rn = 2
+            UNION ALL
+            SELECT o.l_partkey, o.rn,
+                   0.25 * o.z + 0.75 * r.zhat,
+                   0.25 * o.i + 0.75 * r.phat
+            FROM ord o JOIN r ON o.l_partkey = r.l_partkey AND o.rn = r.rn + 1
+        )
+        SELECT l_partkey,
+               CAST(MAX(rn) AS BIGINT) AS n_demand_days,
+               ROUND(arg_max(zhat, rn), 9) AS z_last,
+               ROUND(arg_max(phat, rn), 9) AS p_last,
+               ROUND(arg_max(zhat, rn) / arg_max(phat, rn), 9) AS croston_rate
+        FROM r GROUP BY l_partkey
+        ORDER BY l_partkey
+    """,
+    tags=("E160", "E86"),
+)
+def timeseries_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand — the supply-chain
+    standard when most days have NO demand (plain EWMA biases toward
+    zero): demand SIZE and inter-demand INTERVAL are smoothed as two
+    separate recurrences on demand days only, and the forecast is
+    their ratio (units per day).  Pairs with the ABC/XYZ matrix: Z
+    items are exactly the ones that need Croston.
+
+    Same bit-exactness engineering as Holt: dyadic α = 1/4 makes
+    every smoothing multiply an exact exponent shift; sizes are exact
+    BIGINTs, intervals exact integer day gaps; the one division
+    happens once at the end (9 dp).  applyInPandas carries the
+    (z_hat, p_hat) state per part; the oracle's recursive CTE steps
+    the same two columns in the same order.  Parallel across parts,
+    sequential within one — the method's own structure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    import pandas as pd
+
+    demand = li.groupBy(
+        "l_partkey", F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
+
+    def croston_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        key = int(pdf["l_partkey"].iloc[0])
+        zs = pdf["z"].astype("int64").to_list()
+        days = pd.to_datetime(pdf["day"]).to_list()
+        n = len(zs)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "l_partkey": [key],
+                    "n_demand_days": [n],
+                    "z_last": [None],
+                    "p_last": [None],
+                    "croston_rate": [None],
+                }
+            )
+        intervals = [
+            (days[k] - days[k - 1]).days for k in range(1, n)
+        ]  # i for rn=2..n
+        zhat = CROSTON_ALPHA * zs[1] + (1.0 - CROSTON_ALPHA) * zs[0]
+        phat = float(intervals[0])
+        for k in range(2, n):
+            zhat = CROSTON_ALPHA * zs[k] + (1.0 - CROSTON_ALPHA) * zhat
+            phat = CROSTON_ALPHA * intervals[k - 1] + (1.0 - CROSTON_ALPHA) * phat
+        return pd.DataFrame(
+            {
+                "l_partkey": [key],
+                "n_demand_days": [n],
+                "z_last": [zhat],
+                "p_last": [phat],
+                "croston_rate": [zhat / phat],
+            }
+        )
+
+    out = demand.groupBy("l_partkey").applyInPandas(
+        croston_group,
+        "l_partkey bigint, n_demand_days bigint, z_last double, "
+        "p_last double, croston_rate double",
+    )
+    # Rounding happens JVM-side (HALF_UP, matching DuckDB ROUND) — a
+    # Python round() here would use banker's rounding and flip exact
+    # half-way ties in the 9th decimal.
+    return (
+        out.where(F.col("n_demand_days") >= 2)
+        .select(
+            "l_partkey",
+            "n_demand_days",
+            F.round("z_last", 9).alias("z_last"),
+            F.round("p_last", 9).alias("p_last"),
+            F.round("croston_rate", 9).alias("croston_rate"),
+        )
+        .orderBy("l_partkey")
+    )
