@@ -599,3 +599,88 @@ def pipeline_domain_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+BATCH_SEQ_LEN = 512   # fixed training sequence length (tokens)
+BUCKET_EDGES = [64, 128, 256, 512]  # length-bucket upper bounds
+
+
+@query(
+    "pipeline_padding_waste_audit",
+    oracle=f"""
+        WITH lens AS (
+            SELECT doc_id,
+                   LEAST(CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT),
+                         {BATCH_SEQ_LEN}) AS n_tok
+            FROM documents WHERE length(text) > 0
+        ),
+        bucketed AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN n_tok <= 64 THEN 64
+                        WHEN n_tok <= 128 THEN 128
+                        WHEN n_tok <= 256 THEN 256
+                        ELSE 512 END AS bucket_len
+            FROM lens
+        )
+        SELECT bucket_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+               CAST(SUM(bucket_len - n_tok) AS BIGINT) AS pad_bucketed,
+               CAST(SUM({BATCH_SEQ_LEN} - n_tok) AS BIGINT) AS pad_fixed,
+               ROUND(CAST(SUM(bucket_len - n_tok) AS DOUBLE)
+                     / SUM(bucket_len), 6) AS waste_bucketed,
+               ROUND(CAST(SUM({BATCH_SEQ_LEN} - n_tok) AS DOUBLE)
+                     / (COUNT(*) * {BATCH_SEQ_LEN}), 6) AS waste_fixed
+        FROM bucketed
+        GROUP BY bucket_len
+        ORDER BY bucket_len
+    """,
+    tags=("E101", "E270"),
+)
+def pipeline_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-WASTE AUDIT for length-bucketed batching: compares
+    compute wasted on pad tokens under naive fixed-length batches
+    (every doc padded to {BATCH_SEQ_LEN}) vs power-of-two length
+    buckets — the decision table behind bucketed batching / packing
+    (its sibling `pipeline_pack_sequences` eliminates padding
+    entirely at the cost of attention-mask complexity; this op
+    quantifies what bucketing alone recovers).
+
+    Token counts reuse the text_token_count regex; every pad count is
+    an exact BIGINT; waste ratios are 6-dp identical chains from
+    corpus sums.  One row-local pass + one mergeable grouped
+    rollup."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_tok = F.least(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).cast("bigint"),
+        F.lit(BATCH_SEQ_LEN),
+    )
+    bucket = (
+        F.when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256)
+        .otherwise(512)
+    )
+    lens = d.select(n_tok.alias("n_tok"), bucket.alias("bucket_len"))
+    return (
+        lens.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tok"))
+            .cast("bigint")
+            .alias("pad_bucketed"),
+            F.sum(BATCH_SEQ_LEN - F.col("n_tok")).cast("bigint").alias("pad_fixed"),
+            F.round(
+                F.sum(F.col("bucket_len") - F.col("n_tok")).cast("double")
+                / F.sum("bucket_len"),
+                6,
+            ).alias("waste_bucketed"),
+            F.round(
+                F.sum(BATCH_SEQ_LEN - F.col("n_tok")).cast("double")
+                / (F.count(F.lit(1)) * BATCH_SEQ_LEN),
+                6,
+            ).alias("waste_fixed"),
+        )
+        .orderBy("bucket_len")
+    )

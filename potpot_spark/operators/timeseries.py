@@ -3628,3 +3628,99 @@ def timeseries_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("l_partkey")
     )
+
+
+BACKTEST_DAYS = 14   # rolling-origin evaluation window (last N days)
+SEASON_LAG = 7       # seasonal-naive lag (same weekday last week)
+
+
+@query(
+    "timeseries_backtest_rolling_origin",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY day
+        ),
+        idx AS (
+            SELECT day, c,
+                   row_number() OVER (ORDER BY day) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+            FROM daily
+        ),
+        eval AS (
+            SELECT a.day, a.c AS actual,
+                   s.c AS fc_seasonal,
+                   n.c AS fc_naive1
+            FROM idx a
+            JOIN idx s ON s.rn = a.rn - {SEASON_LAG}
+            JOIN idx n ON n.rn = a.rn - 1
+            WHERE a.rn > a.n_days - {BACKTEST_DAYS}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_evals,
+               CAST(SUM(abs(actual - fc_seasonal)) AS BIGINT) AS abs_err_seasonal,
+               CAST(SUM(abs(actual - fc_naive1)) AS BIGINT) AS abs_err_naive1,
+               CAST(SUM(CAST(FLOOR(abs(actual - fc_seasonal) * 1000000.0 / actual)
+                             AS BIGINT)) AS BIGINT) AS mape_u_seasonal,
+               CAST(SUM(CAST(FLOOR(abs(actual - fc_naive1) * 1000000.0 / actual)
+                             AS BIGINT)) AS BIGINT) AS mape_u_naive1,
+               ROUND(1.0 - CAST(SUM(abs(actual - fc_seasonal)) AS DOUBLE)
+                           / SUM(abs(actual - fc_naive1)), 6) AS skill_vs_naive1
+        FROM eval
+    """,
+    tags=("E139", "E104"),
+)
+def timeseries_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST of the seasonal-naive forecaster over
+    the last {BACKTEST_DAYS} days: each day is forecast from data
+    strictly before it (same weekday last week), scored against the
+    naive-1 baseline (yesterday's value), with the skill score
+    1 − MAE_model/MAE_baseline — the honest out-of-sample evaluation
+    discipline the forecasting family (Holt, Croston, seasonal
+    deviation) should be judged by, as a first-class query.
+
+    Counts and absolute errors are exact BIGINTs; per-day MAPE terms
+    FLOOR-quantize at 10^6 before the exact integer sum (no double
+    summation order); the one division (skill) is a 6-dp identical
+    chain.  All windows/joins run over the O(days) rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    a = idx.select("day", F.col("c").alias("actual"), "rn", "n_days")
+    s_ = idx.select(F.col("rn").alias("rn_s"), F.col("c").alias("fc_seasonal"))
+    n_ = idx.select(F.col("rn").alias("rn_n"), F.col("c").alias("fc_naive1"))
+    ev = (
+        a.join(F.broadcast(s_), a.rn - SEASON_LAG == s_.rn_s)
+        .join(F.broadcast(n_), a.rn - 1 == n_.rn_n)
+        .where(F.col("rn") > F.col("n_days") - BACKTEST_DAYS)
+    )
+    ae_s = F.abs(F.col("actual") - F.col("fc_seasonal"))
+    ae_n = F.abs(F.col("actual") - F.col("fc_naive1"))
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.sum(ae_s).cast("bigint").alias("abs_err_seasonal"),
+        F.sum(ae_n).cast("bigint").alias("abs_err_naive1"),
+        F.sum(F.floor(ae_s * 1000000.0 / F.col("actual")).cast("bigint"))
+        .cast("bigint")
+        .alias("mape_u_seasonal"),
+        F.sum(F.floor(ae_n * 1000000.0 / F.col("actual")).cast("bigint"))
+        .cast("bigint")
+        .alias("mape_u_naive1"),
+        F.round(
+            1.0 - F.sum(ae_s).cast("double") / F.sum(ae_n), 6
+        ).alias("skill_vs_naive1"),
+    )
