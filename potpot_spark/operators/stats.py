@@ -2502,3 +2502,86 @@ def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_runs") - exp_runs) / F.sqrt(var_num / var_den), 6
         ).alias("z_score"),
     )
+
+
+@query(
+    "analytics_diff_in_diff",
+    oracle="""
+        WITH labeled AS (
+            SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) % 2
+                       AS treat,
+                   CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS post,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        cells AS (
+            SELECT treat, post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM labeled GROUP BY treat, post
+        )
+        SELECT CAST(MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT) AS n_t_post,
+               ROUND(MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END), 9) AS r_t_post,
+               ROUND(MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END), 9) AS r_t_pre,
+               ROUND(MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END), 9) AS r_c_post,
+               ROUND(MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END), 9) AS r_c_pre,
+               ROUND((MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+                      - MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END))
+                     - (MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+                        - MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END)),
+                     9) AS did_estimate
+        FROM cells
+    """,
+    tags=("E137", "E253"),
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the 2×2 (treatment × pre/post)
+    conversion-rate table and the DiD estimate (Δtreat − Δcontrol) —
+    the quasi-experimental workhorse when randomization happens at a
+    point in TIME (feature launch, price change) and a raw pre/post
+    delta would absorb the seasonal trend the control group nets out.
+    Same md5 assignment and period split as the A/B and CUPED ops —
+    the three experiment readers reconcile cell-for-cell.
+
+    Four exact BIGINT cells from one conditional grouped pass; every
+    rate and the estimate are identical 9-dp division chains."""
+    e = load_table(spark, sf_dir, "events")
+    treat = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % 2
+    )
+    post = F.when(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+    ).otherwise(0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cells = e.select(
+        treat.alias("treat"), post.alias("post"), y.alias("y")
+    ).groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    return cells.agg(
+        F.max(
+            F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("n_t_post"),
+        F.round(cell(1, 1), 9).alias("r_t_post"),
+        F.round(cell(1, 0), 9).alias("r_t_pre"),
+        F.round(cell(0, 1), 9).alias("r_c_post"),
+        F.round(cell(0, 0), 9).alias("r_c_pre"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 9
+        ).alias("did_estimate"),
+    )

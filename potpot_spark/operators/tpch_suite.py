@@ -1127,3 +1127,76 @@ def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@query(
+    "orders_shipping_delay_distribution",
+    oracle="""
+        WITH delays AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                                  CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+                       AS delay_days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN delay_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS within_week,
+               CAST(SUM(CASE WHEN delay_days > 7 AND delay_days <= 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS within_month,
+               CAST(SUM(CASE WHEN delay_days > 30 AND delay_days <= 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS within_quarter,
+               CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS beyond_quarter,
+               CAST(MAX(delay_days) AS BIGINT) AS max_delay_days,
+               ROUND(CAST(SUM(delay_days) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_delay_days
+        FROM delays
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("E39", "E88"),
+)
+def orders_shipping_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIPPING-DELAY DISTRIBUTION by order priority: order-to-ship
+    day gaps bucketed into week/month/quarter/beyond bands — the
+    distribution complement of the SLA-attainment op (which pins one
+    threshold; this shows the whole tail, where the expedite-queue
+    and the lost-in-warehouse populations live).
+
+    Day gaps are exact integer date diffs, band boundaries exact
+    comparisons, the mean a single 6-dp division from exact sums.
+    One fact-table equi join (orders side projected to two columns)
+    + one conditional grouped pass — the shuffle carries only
+    (priority, delay)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_days"),
+    )
+    d = F.col("delay_days")
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(d <= 7, 1).otherwise(0)).cast("bigint").alias("within_week"),
+            F.sum(F.when((d > 7) & (d <= 30), 1).otherwise(0))
+            .cast("bigint")
+            .alias("within_month"),
+            F.sum(F.when((d > 30) & (d <= 90), 1).otherwise(0))
+            .cast("bigint")
+            .alias("within_quarter"),
+            F.sum(F.when(d > 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("beyond_quarter"),
+            F.max(d).cast("bigint").alias("max_delay_days"),
+            F.round(F.sum(d).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_delay_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
