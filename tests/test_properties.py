@@ -587,3 +587,110 @@ def test_domain_mix_prefix_proportionality(spark, sf_dir):
             r,
             expected,
         )
+
+
+def test_threshold_sweep_monotonicity(spark, sf_dir):
+    """Recall is nonincreasing in the threshold, tp+fn is the constant
+    positive count, and threshold 0 classifies everything positive."""
+    rows = sorted(
+        registry.get("ml_threshold_sweep_f1").fn(spark, sf_dir).collect(),
+        key=lambda r: r.thr,
+    )
+    positives = {r.tp + r.fn for r in rows}
+    assert len(positives) == 1
+    assert rows[0].fn == 0  # thr=0: nothing predicted negative
+    prev_recall = 1.1
+    for r in rows:
+        if r.recall is not None:
+            assert r.recall <= prev_recall + 1e-12
+            prev_recall = r.recall
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """phi_highval + phi_morning == cell rate − overall rate."""
+    rows = registry.get("ml_shapley_two_feature_exact").fn(spark, sf_dir).collect()
+    total_n = sum(r.n for r in rows)
+    overall = sum(r.rate * r.n for r in rows) / total_n
+    for r in rows:
+        assert abs((r.phi_highval + r.phi_morning) - (r.rate - overall)) < 1e-6, r
+
+
+def test_ece_brier_bin_reconciliation(spark, sf_dir):
+    """ECE and the Brier decomposition consume the same stream: same
+    n, same 10-bin layout, and ECE² <= reliability (Cauchy-Schwarz on
+    bin-weighted gaps)."""
+    ece = registry.get("ml_expected_calibration_error").fn(spark, sf_dir).collect()[0]
+    bri = registry.get("ml_brier_decomposition").fn(spark, sf_dir).collect()[0]
+    assert ece.n == bri.n
+    e = ece.ece_u / 1e12
+    rel = bri.reliability_u / 1e12
+    assert e * e <= rel + 1e-9
+
+
+def test_croston_outputs_sane(spark, sf_dir):
+    """Croston: rates strictly positive, intervals >= 1 day, and the
+    part set matches parts with >= 2 demand days."""
+    rows = registry.get("timeseries_croston_intermittent").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.n_demand_days >= 2
+        assert r.croston_rate > 0
+        assert r.p_last >= 1.0
+
+
+def test_random_walk_endpoints_are_nodes(spark, sf_dir):
+    """Every walk survives all steps (walks never fall off the graph)
+    and endpoints stay within the node universe."""
+    from potpot_spark.operators.graph import part_copurchase_edges
+
+    r = registry.get("graph_random_walk_corpus").fn(spark, sf_dir).collect()[0]
+    edges = part_copurchase_edges(spark, sf_dir)
+    n_nodes = (
+        edges.select("u").union(edges.select("v")).distinct().count()
+    )
+    assert r.n_walks > 0
+    assert 0 < r.n_distinct_endpoints <= min(r.n_walks, n_nodes)
+
+
+def test_backtest_window_and_skill_bounds(spark, sf_dir):
+    r = registry.get("timeseries_backtest_rolling_origin").fn(spark, sf_dir).collect()[0]
+    assert r.n_evals == 14
+    assert r.skill_vs_naive1 <= 1.0
+
+
+def test_image_ahash_pairs_valid(spark, sf_dir):
+    rows = registry.get("dedup_image_ahash_stub").fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 6
+
+
+def test_diff_in_diff_reconciles_cells(spark, sf_dir):
+    """DiD's post-period treatment rate equals the same cell computed
+    directly from events (the A/B family shares one assignment)."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+
+    did = registry.get("analytics_diff_in_diff").fn(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    treat = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % 2
+    )
+    cell = (
+        e.where(
+            (treat == 1)
+            & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        )
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+        .collect()[0]
+        .r
+    )
+    assert abs(did.r_t_post - round(cell, 9)) < 1e-9
