@@ -1200,3 +1200,90 @@ def orders_shipping_delay_distribution(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "orders_revenue_bridge_waterfall",
+    oracle="""
+        WITH yearly AS (
+            SELECT o.o_orderpriority,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS r
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE EXTRACT(year FROM l.l_shipdate) IN (1996, 1997)
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN yr = 1996 THEN q END) AS q1,
+                   MAX(CASE WHEN yr = 1997 THEN q END) AS q2,
+                   MAX(CASE WHEN yr = 1996 THEN r END) AS r1,
+                   MAX(CASE WHEN yr = 1997 THEN r END) AS r2
+            FROM yearly GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, q1, q2,
+               CAST(r1 AS DOUBLE) AS rev_1996,
+               CAST(r2 AS DOUBLE) AS rev_1997,
+               ROUND(CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE), 4) AS delta_rev,
+               ROUND((q2 - q1) * (CAST(r1 AS DOUBLE) / q1), 4) AS volume_effect,
+               ROUND(q2 * (CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1), 4)
+                   AS price_effect
+        FROM wide
+        ORDER BY o_orderpriority
+    """,
+    tags=("E39", "E104"),
+)
+def orders_revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE (price/volume waterfall) per order priority,
+    1996 → 1997: Δrevenue decomposed into a VOLUME effect
+    (Δq · last-year's average price) and a PRICE effect (this year's
+    volume · Δaverage-price) — the FP&A narrative table ("we sold
+    more" vs "we charged more"), using the standard sequential
+    volume-first convention (the two effects sum to Δrevenue exactly
+    in real arithmetic; documented, since mix conventions differ).
+
+    Quantities are exact BIGINTs and revenues exact DECIMAL sums, so
+    both effects are identical 4-dp division chains over exact
+    inputs.  One fact join + one conditional grouped pass + a 5-row
+    pivot."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    yearly = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(38,4)")
+            .alias("r"),
+        )
+    )
+    wide = yearly.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q2"),
+        F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("r"))).alias("r2"),
+    )
+    r1d, r2d = F.col("r1").cast("double"), F.col("r2").cast("double")
+    return wide.select(
+        "o_orderpriority",
+        "q1",
+        "q2",
+        r1d.alias("rev_1996"),
+        r2d.alias("rev_1997"),
+        F.round(r2d - r1d, 4).alias("delta_rev"),
+        F.round((F.col("q2") - F.col("q1")) * (r1d / F.col("q1")), 4).alias(
+            "volume_effect"
+        ),
+        F.round(
+            F.col("q2") * (r2d / F.col("q2") - r1d / F.col("q1")), 4
+        ).alias("price_effect"),
+    ).orderBy("o_orderpriority")
