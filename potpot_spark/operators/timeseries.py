@@ -3724,3 +3724,100 @@ def timeseries_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> Data
             1.0 - F.sum(ae_s).cast("double") / F.sum(ae_n), 6
         ).alias("skill_vs_naive1"),
     )
+
+
+MW_FAST_H = 1     # fast burn window (hours)
+MW_SLOW_H = 6     # slow burn window (hours)
+MW_FAST_X = 14    # fast-window burn-rate multiple (Google SRE page rule)
+MW_SLOW_X = 6     # slow-window burn-rate multiple
+
+
+@query(
+    "events_multiwindow_burn_alerts",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM events GROUP BY hour
+        ),
+        windowed AS (
+            SELECT hour, n_total, n_err,
+                   CAST(SUM(n_total) OVER (ORDER BY hour
+                        ROWS BETWEEN {MW_SLOW_H - 1} PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS slow_total,
+                   CAST(SUM(n_err) OVER (ORDER BY hour
+                        ROWS BETWEEN {MW_SLOW_H - 1} PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS slow_err
+            FROM hourly
+        ),
+        flagged AS (
+            SELECT hour,
+                   CASE WHEN 100 * n_err > CAST({MW_FAST_X} * 5 AS BIGINT) * n_total
+                        THEN 1 ELSE 0 END AS fast_hot,
+                   CASE WHEN 100 * slow_err > CAST({MW_SLOW_X} * 5 AS BIGINT) * slow_total
+                        THEN 1 ELSE 0 END AS slow_hot
+            FROM windowed
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(fast_hot) AS BIGINT) AS n_fast_hot,
+               CAST(SUM(slow_hot) AS BIGINT) AS n_slow_hot,
+               CAST(SUM(fast_hot * slow_hot) AS BIGINT) AS n_alerts,
+               MIN(CASE WHEN fast_hot * slow_hot = 1 THEN hour END) AS first_alert_hour
+        FROM flagged
+    """,
+    tags=("E230", "E181"),
+)
+def events_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW, MULTI-BURN-RATE alerting (the Google SRE
+    workbook's paging rule): an alert fires only when BOTH the fast
+    window ({MW_FAST_H} h at {MW_FAST_X}x budget burn) and the slow
+    window ({MW_SLOW_H} h at {MW_SLOW_X}x) are hot — the fast window
+    gives low detection latency, the slow window suppresses blips, and
+    requiring both kills the flappy-pager problem the single-window op
+    (events_slo_burn_rate) exhibits by design.
+
+    Burn-rate boundaries are the exact cross-multiplication
+    100·err > X·budget%·total on exact BIGINT counts (no division at
+    the decision point — the SLO discipline); the rolling slow window
+    is a frame sum over the O(hours) rollup.  One mergeable corpus
+    pass."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    wslow = Window.orderBy("hour").rowsBetween(-(MW_SLOW_H - 1), 0)
+    windowed = hourly.select(
+        "hour",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(wslow).cast("bigint").alias("slow_total"),
+        F.sum("n_err").over(wslow).cast("bigint").alias("slow_err"),
+    )
+    fast_hot = F.when(
+        100 * F.col("n_err") > F.lit(MW_FAST_X * 5).cast("bigint") * F.col("n_total"),
+        1,
+    ).otherwise(0)
+    slow_hot = F.when(
+        100 * F.col("slow_err")
+        > F.lit(MW_SLOW_X * 5).cast("bigint") * F.col("slow_total"),
+        1,
+    ).otherwise(0)
+    flagged = windowed.select(
+        "hour", fast_hot.alias("fast_hot"), slow_hot.alias("slow_hot")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("fast_hot").cast("bigint").alias("n_fast_hot"),
+        F.sum("slow_hot").cast("bigint").alias("n_slow_hot"),
+        F.sum(F.col("fast_hot") * F.col("slow_hot"))
+        .cast("bigint")
+        .alias("n_alerts"),
+        F.min(
+            F.when(F.col("fast_hot") * F.col("slow_hot") == 1, F.col("hour"))
+        ).alias("first_alert_hour"),
+    )
