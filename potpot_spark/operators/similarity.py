@@ -761,3 +761,117 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_degenerate"
         ),
     )
+
+
+HUB_K = 5   # kNN-graph out-degree
+
+
+@query(
+    "embedding_hubness_knn_graph",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, len(a.e) + 1),
+                                          j -> a.e[j] * b.e[j])),
+                           (acc, x) -> acc + x)
+                       / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(a.e, x -> x * x)), (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(b.e, x -> x * x)), (acc, x) -> acc + x))),
+                       12) AS cos
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT label, src, dst
+            FROM (
+                SELECT label, src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rn
+                FROM scored
+            ) WHERE rn <= {HUB_K}
+        ),
+        indeg AS (
+            SELECT v.label, v.vec_id,
+                   CAST(COALESCE(d.cnt, 0) AS BIGINT) AS in_degree
+            FROM v LEFT JOIN (
+                SELECT dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM knn GROUP BY dst
+            ) d ON v.vec_id = d.dst
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(MAX(in_degree) AS BIGINT) AS max_in_degree,
+               CAST(SUM(CASE WHEN in_degree >= 2 * {HUB_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hubs,
+               CAST(SUM(CASE WHEN in_degree = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_antihubs,
+               CAST(SUM(in_degree * in_degree) AS BIGINT) AS indeg_sq_sum
+        FROM indeg
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("E36", "E131"),
+)
+def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS AUDIT of the embedding space: build the within-label
+    {HUB_K}-NN cosine graph and summarize the IN-degree distribution —
+    high-dimensional spaces concentrate neighbors onto hub points
+    (in-degree ≫ k) while anti-hubs (in-degree 0) are nobody's
+    neighbor; both distort retrieval and kNN-based dedup, and the
+    Σin² term (with fixed Σin = k·n) quantifies the skew.  The
+    pre-flight check before trusting the ANN family's neighborhoods.
+
+    Determinism: cosine reuses the exact left-fold order of the
+    LSH/kNN oracles, ROUNDED AT 12 DP BEFORE RANKING (the near-tie
+    discipline), dst as tie-break; every output is an exact BIGINT.
+    Scale: label-blocked pairs (the dedup_embedding_cosine shape) —
+    O(block²) within blocks, never corpus²; at 100 TB blocks become
+    IVF cells with the same plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = v.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
+    b = v.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    scored = (
+        a.join(b, "label")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.round(cosine(F.col("ea"), F.col("eb")), 12).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    knn = scored.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= HUB_K
+    )
+    indeg = v.join(
+        knn.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+        v.vec_id == F.col("dst"),
+        "left",
+    ).select(
+        "label", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("in_degree")
+    )
+    return (
+        indeg.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.max("in_degree").cast("bigint").alias("max_in_degree"),
+            F.sum(F.when(F.col("in_degree") >= 2 * HUB_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hubs"),
+            F.sum(F.when(F.col("in_degree") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_antihubs"),
+            F.sum(F.col("in_degree") * F.col("in_degree"))
+            .cast("bigint")
+            .alias("indeg_sq_sum"),
+        )
+        .orderBy("label")
+    )
