@@ -838,7 +838,7 @@ def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
     b = v.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
     scored = (
-        a.join(b, "label")
+        a.join(F.broadcast(b), "label")
         .where(F.col("src") != F.col("dst"))
         .select(
             "label",
