@@ -1783,3 +1783,72 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_template_prefix_detection",
+    oracle="""
+        WITH mm AS (
+            SELECT source, MIN(text) AS lo, MAX(text) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        lcp AS (
+            SELECT source, n_docs, lo, hi,
+                   CAST(COALESCE((SELECT MIN(i) - 1
+                                  FROM unnest(range(1, LEAST(length(lo), length(hi)) + 1))
+                                       AS r(i)
+                                  WHERE substring(lo, i, 1) <> substring(hi, i, 1)),
+                                 LEAST(length(lo), length(hi))) AS BIGINT) AS lcp_len
+            FROM mm
+        )
+        SELECT source, n_docs, lcp_len,
+               substring(lo, 1, CAST(LEAST(lcp_len, 40) AS INT)) AS common_prefix_40
+        FROM lcp
+        ORDER BY source
+    """,
+    tags=("E164", "E37"),
+)
+def text_template_prefix_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATED-SOURCE DETECTION via the min/max LCP trick: the
+    longest common prefix of ALL documents in a source equals the LCP
+    of just the lexicographic MIN and MAX — so a full-corpus scan
+    reduces to two string aggregates per source, and a long shared
+    prefix exposes boilerplate-templated feeds ("Breaking news: ...")
+    that per-document quality scores miss.  Complements the n-gram
+    boilerplate op (which finds repeated content anywhere; this
+    localizes the shared HEAD in O(1) strings per source).
+
+    min/max are mergeable aggregates; the LCP is a first-mismatch
+    scan over two strings (JVM higher-order sequence on Spark,
+    correlated range subquery in the oracle — identical semantics:
+    position of first differing char, else the shorter length)."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = d.groupBy("source").agg(
+        F.min("text").alias("lo"),
+        F.max("text").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    lcp_len = F.expr(
+        """CAST(COALESCE(
+               array_min(filter(
+                   transform(sequence(1, greatest(least(length(lo), length(hi)), 1)),
+                             i -> CASE WHEN substring(lo, i, 1) != substring(hi, i, 1)
+                                       THEN i END),
+                   x -> x IS NOT NULL)) - 1,
+               least(length(lo), length(hi))) AS BIGINT)"""
+    )
+    lcp = mm.select(
+        "source",
+        "n_docs",
+        lcp_len.alias("lcp_len"),
+        F.col("lo"),
+    )
+    return lcp.select(
+        "source",
+        "n_docs",
+        "lcp_len",
+        F.expr(
+            "substring(lo, 1, CAST(LEAST(lcp_len, 40) AS INT))"
+        ).alias("common_prefix_40"),
+    ).orderBy("source")

@@ -3821,3 +3821,67 @@ def events_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("fast_hot") * F.col("slow_hot") == 1, F.col("hour"))
         ).alias("first_alert_hour"),
     )
+
+
+@query(
+    "events_out_of_order_audit",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                                    ORDER BY event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id,
+                   CASE WHEN ts < prev_ts THEN 1 ELSE 0 END AS inverted,
+                   CASE WHEN ts < prev_ts
+                        THEN CAST(epoch_us(prev_ts) - epoch_us(ts) AS BIGINT)
+                        ELSE 0 END AS lateness_us
+            FROM ordered WHERE prev_ts IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_adjacent_pairs,
+               CAST(SUM(inverted) AS BIGINT) AS n_inversions,
+               CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us,
+               CAST(SUM(lateness_us) AS BIGINT) AS total_lateness_us,
+               CAST(COUNT(DISTINCT CASE WHEN inverted = 1 THEN user_id END)
+                    AS BIGINT) AS n_users_affected
+        FROM flagged
+    """,
+    tags=("E32", "E29"),
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER ARRIVAL AUDIT: within each user's stream ordered
+    by EVENT ID (arrival/sequence order), count adjacent pairs whose
+    event TIME runs backwards and measure the worst lateness — the
+    number that SIZES THE WATERMARK for every streaming op in this
+    engine (a `withWatermark("ts", X)` below max-lateness silently
+    drops data; far above it bloats state).  The batch-side
+    measurement that should precede any streaming deployment.
+
+    Exact integer microsecond gaps, one lag window per user, one
+    global aggregate — all mergeable."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ordered = e.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).where(F.col("prev_ts").isNotNull())
+    inverted = F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    lateness = F.when(
+        F.col("ts") < F.col("prev_ts"),
+        F.unix_micros("prev_ts") - F.unix_micros("ts"),
+    ).otherwise(F.lit(0))
+    return ordered.select(
+        "user_id", inverted.alias("inverted"), lateness.alias("lateness_us")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adjacent_pairs"),
+        F.sum("inverted").cast("bigint").alias("n_inversions"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
+        F.sum("lateness_us").cast("bigint").alias("total_lateness_us"),
+        F.countDistinct(
+            F.when(F.col("inverted") == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_users_affected"),
+    )
