@@ -588,3 +588,42 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_null_custkey") == 0).alias("not_null_ok"),
         )
     )
+
+
+@query(
+    "sql_api_group_by_all",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)
+                   AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY 1, 2, 3
+    """,
+    tags=("E124", "E14"),
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ordinal ORDER BY — the modern SQL ergonomics
+    both engines ship (Spark 3.4+/DuckDB): every non-aggregate select
+    item becomes a grouping key automatically, so adding a dimension
+    to the report cannot silently desynchronize the GROUP BY list —
+    the classic copy-paste bug this syntax exists to kill.  Run
+    through the engine's SQL front door (spark.sql over a registered
+    view), not the DataFrame API, because the surface under test IS
+    the SQL dialect."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY 1, 2, 3
+        """
+    )

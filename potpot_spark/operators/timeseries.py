@@ -3885,3 +3885,83 @@ def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_users_affected"),
     )
+
+
+# Allowed behavioral transitions (process-conformance whitelist):
+# signup starts a journey; views/clicks browse; click may convert to
+# purchase; errors may follow anything but must not be followed
+# directly by purchase (no checkout from an error screen).
+CONFORM_ALLOWED = [
+    ("signup", "view"), ("signup", "click"), ("signup", "error"),
+    ("view", "view"), ("view", "click"), ("view", "error"), ("view", "signup"),
+    ("view", "purchase"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"), ("click", "signup"),
+    ("purchase", "view"), ("purchase", "click"), ("purchase", "signup"),
+    ("purchase", "error"), ("purchase", "purchase"),
+    ("error", "view"), ("error", "click"), ("error", "signup"),
+    ("error", "error"),
+]
+_CONFORM_SQL_LIST = ", ".join(f"('{a}', '{b}')" for a, b in CONFORM_ALLOWED)
+
+
+@query(
+    "events_conformance_audit",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT user_id, prev_type, event_type,
+                   CASE WHEN (prev_type, event_type) IN ({_CONFORM_SQL_LIST})
+                        THEN 0 ELSE 1 END AS violation
+            FROM seq WHERE prev_type IS NOT NULL
+        )
+        SELECT prev_type, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MAX(violation) AS BIGINT) AS is_violation
+        FROM pairs
+        WHERE violation = 1
+        GROUP BY prev_type, event_type
+        ORDER BY n_pairs DESC, prev_type, event_type
+    """,
+    tags=("E158", "E167"),
+)
+def events_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-CONFORMANCE AUDIT: every adjacent event-type transition
+    is checked against a declared whitelist (the process-mining
+    conformance-checking primitive) and the violating transition
+    types are reported with frequencies — instrumentation bugs,
+    replay attacks, and impossible UI paths (e.g. purchase directly
+    after error) surface here before they poison the funnel and
+    Markov analyses that assume the model.
+
+    The whitelist is ONE shared literal list (both engines test set
+    membership on it); transitions come from the same lag window as
+    the transition-matrix op, so the two reconcile.  Exact counts; a
+    corpus-sized window + one grouped pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    allowed = F.array(
+        *[F.concat_ws(">", F.lit(a), F.lit(b)) for a, b in CONFORM_ALLOWED]
+    )
+    pair_key = F.concat_ws(">", F.col("prev_type"), F.col("event_type"))
+    violation = F.when(F.array_contains(allowed, pair_key), 0).otherwise(1)
+    return (
+        seq.select("prev_type", "event_type", violation.alias("violation"))
+        .where(F.col("violation") == 1)
+        .groupBy("prev_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("violation").cast("bigint").alias("is_violation"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "prev_type", "event_type")
+    )
