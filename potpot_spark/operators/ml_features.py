@@ -2449,3 +2449,80 @@ def ml_shapley_two_feature_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("f_highval", "f_morning")
     )
+
+
+IPS_W_SCALE = 10**6   # fixed-point grain for importance weights
+
+
+@query(
+    "ml_offpolicy_ips_eval",
+    oracle=f"""
+        WITH logged AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward,
+                   CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12
+                        THEN 1 ELSE 0 END AS action,
+                   0.2 + 0.6 * LEAST(value / 600.0, 1.0) AS p_log
+            FROM events
+        ),
+        weighted AS (
+            SELECT reward, action,
+                   CAST(FLOOR({IPS_W_SCALE} * CASE WHEN action = 1
+                                                   THEN 1.0 / p_log
+                                                   ELSE 0.0 END)
+                        AS BIGINT) AS w_u
+            FROM logged
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN action = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_action_taken,
+               CAST(SUM(reward * w_u) AS BIGINT) AS ips_num_u,
+               CAST(SUM(w_u) AS BIGINT) AS ips_den_u,
+               ROUND(CAST(SUM(reward * w_u) AS DOUBLE)
+                     / ({IPS_W_SCALE}.0 * COUNT(*)), 9) AS ips_value,
+               ROUND(CAST(SUM(reward * w_u) AS DOUBLE) / SUM(w_u), 9)
+                   AS snips_value
+        FROM weighted
+    """,
+    tags=("E158", "E137"),
+)
+def ml_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY EVALUATION via inverse propensity scoring: estimate
+    the reward of a TARGET policy ("always act in the morning") from
+    logs collected under a stochastic LOGGING policy whose propensity
+    p(action|x) = 0.2 + 0.6·min(value/600, 1) is known — IPS
+    (unbiased, high variance) next to SNIPS (self-normalized, the
+    production default) — counterfactual evaluation without an A/B
+    test, the core of bandit/recsys offline experimentation.
+
+    Importance weights FLOOR-quantize at 10^6 into exact BIGINTs, so
+    both estimators' numerators and denominators are exact integer
+    sums (no double summation order anywhere) with one 9-dp division
+    each.  One row-local pass + one global aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    reward = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    action = F.when(F.hour("ts") < 12, 1).otherwise(0)
+    p_log = 0.2 + 0.6 * F.least(F.col("value") / 600.0, F.lit(1.0))
+    w_u = F.floor(
+        IPS_W_SCALE
+        * F.when(action == 1, 1.0 / p_log).otherwise(F.lit(0.0))
+    ).cast("bigint")
+    weighted = e.select(
+        reward.alias("reward"), action.alias("action"), w_u.alias("w_u")
+    )
+    return weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("action") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_action_taken"),
+        F.sum(F.col("reward") * F.col("w_u")).cast("bigint").alias("ips_num_u"),
+        F.sum("w_u").cast("bigint").alias("ips_den_u"),
+        F.round(
+            F.sum(F.col("reward") * F.col("w_u")).cast("double")
+            / (float(IPS_W_SCALE) * F.count(F.lit(1))),
+            9,
+        ).alias("ips_value"),
+        F.round(
+            F.sum(F.col("reward") * F.col("w_u")).cast("double") / F.sum("w_u"),
+            9,
+        ).alias("snips_value"),
+    )

@@ -3965,3 +3965,74 @@ def events_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), "prev_type", "event_type")
     )
+
+
+TS_SLOPE_SCALE = 10**6   # fixed-point grain for pairwise slopes
+
+
+@query(
+    "timeseries_theil_sen_slope",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY d
+        ),
+        slopes AS (
+            SELECT CAST(FLOOR(CAST(b.c - a.c AS DOUBLE) * {TS_SLOPE_SCALE}
+                              / (b.d - a.d)) AS BIGINT) AS slope_u
+            FROM daily a JOIN daily b ON b.d > a.d
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(quantile_disc(slope_u, 0.5) AS BIGINT) AS median_slope_u,
+               ROUND(CAST(quantile_disc(slope_u, 0.5) AS DOUBLE)
+                     / {TS_SLOPE_SCALE}, 6) AS theil_sen_slope
+        FROM slopes
+    """,
+    tags=("E170", "E115"),
+)
+def timeseries_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend: the median of all pairwise slopes of
+    the daily event-count series — tolerant of ~29% outliers where
+    the OLS trend (stats_ols_per_group) is dragged by a single spike
+    day; the robust-regression member of the trend family (OLS,
+    Holt, runs test).
+
+    The pairwise-slope set is O(days²) over the O(days) ROLLUP —
+    ~435 pairs for a month, trivially bounded (never pairs over raw
+    events); slopes FLOOR-quantize at 10^6 into exact BIGINTs and the
+    median is the exact discrete quantile of integers (no
+    interpolation hazard).  Corpus-scale work: one mergeable daily
+    groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(
+            F.floor(
+                (F.col("cb") - F.col("ca")).cast("double")
+                * TS_SLOPE_SCALE
+                / (F.col("db") - F.col("da"))
+            )
+            .cast("bigint")
+            .alias("slope_u")
+        )
+    )
+    med = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_u)").cast(
+        "bigint"
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        med.alias("median_slope_u"),
+        F.round(med.cast("double") / TS_SLOPE_SCALE, 6).alias("theil_sen_slope"),
+    )
