@@ -627,3 +627,45 @@ def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2, 3
         """
     )
+
+
+@query(
+    "sql_api_values_inline_dim",
+    oracle="""
+        SELECT d.category,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e
+        JOIN (VALUES ('view', 'browse'), ('click', 'browse'),
+                     ('purchase', 'transact'), ('signup', 'acquire'),
+                     ('error', 'defect')) AS d(event_type, category)
+          ON e.event_type = d.event_type
+        GROUP BY d.category
+        ORDER BY d.category
+    """,
+    tags=("E124", "E9"),
+)
+def sql_api_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE VALUES dimension: the five event types roll up to three
+    business categories via a lookup table declared IN the query —
+    the idiom for tiny, code-reviewed mappings that don't deserve a
+    parquet file (and the purest possible broadcast join: the dim is
+    literal rows in the plan).  Exercised through the SQL front door
+    on both engines, grouped counts exact."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.category,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e
+        JOIN VALUES ('view', 'browse'), ('click', 'browse'),
+                    ('purchase', 'transact'), ('signup', 'acquire'),
+                    ('error', 'defect') AS d(event_type, category)
+          ON e.event_type = d.event_type
+        GROUP BY d.category
+        ORDER BY d.category
+        """
+    )

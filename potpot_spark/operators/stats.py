@@ -2585,3 +2585,95 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 9
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "analytics_peer_relative_benchmark",
+    oracle="""
+        WITH per_supp AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        ),
+        med AS (
+            SELECT s_nationkey,
+                   CAST(quantile_disc(revenue, 0.5) AS DECIMAL(38,4)) AS peer_median
+            FROM per_supp GROUP BY s_nationkey
+        )
+        SELECT p.s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(MAX(m.peer_median) AS DOUBLE) AS peer_median,
+               CAST(SUM(CASE WHEN p.revenue > m.peer_median THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above_median,
+               CAST(SUM(CASE WHEN 10 * p.revenue < 5 * m.peer_median
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below_half,
+               CAST(SUM(CASE WHEN p.revenue > 2 * m.peer_median THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above_double
+        FROM per_supp p JOIN med m USING (s_nationkey)
+        GROUP BY p.s_nationkey
+        ORDER BY p.s_nationkey
+    """,
+    tags=("E40", "E156"),
+)
+def analytics_peer_relative_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEER-RELATIVE BENCHMARKING: each supplier's revenue against the
+    MEDIAN of its nation peer group — who's above median, who's below
+    half, who's above double — the procurement/account-management
+    scorecard where absolute revenue is meaningless across
+    differently-sized markets (the robust sibling of z-score
+    standardization, which a single whale supplier distorts).
+
+    The peer median is the exact DISCRETE quantile of exact DECIMAL
+    revenues (an actual peer's value, no interpolation), threshold
+    tests are exact decimal comparisons (the half test
+    cross-multiplied as 10·rev < 5·med — no 0.5 literal in decimal
+    arithmetic).  One fact join + grouped pass; medians broadcast
+    back to the O(suppliers) rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+    med = per_supp.groupBy("s_nationkey").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY revenue)")
+        .cast("decimal(38,4)")
+        .alias("peer_median")
+    )
+    return (
+        per_supp.join(F.broadcast(med), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.max("peer_median").cast("double").alias("peer_median"),
+            F.sum(
+                F.when(F.col("revenue") > F.col("peer_median"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above_median"),
+            F.sum(
+                F.when(10 * F.col("revenue") < 5 * F.col("peer_median"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_below_half"),
+            F.sum(
+                F.when(F.col("revenue") > 2 * F.col("peer_median"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above_double"),
+        )
+        .orderBy("s_nationkey")
+    )
