@@ -1260,3 +1260,96 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_returned_home"),
     )
+
+
+EGO_TOP = 5   # hubs audited
+
+
+@query(
+    "graph_ego_network_stats",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        adj AS (
+            SELECT u AS hub, list(v ORDER BY v) AS nbrs,
+                   CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY u
+        ),
+        hubs AS (
+            SELECT hub, nbrs, deg
+            FROM adj ORDER BY deg DESC, hub LIMIT {EGO_TOP}
+        ),
+        ego_edges AS (
+            SELECT h.hub, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM hubs h JOIN e
+              ON (list_contains(h.nbrs, e.u) OR e.u = h.hub)
+             AND (list_contains(h.nbrs, e.v) OR e.v = h.hub)
+            GROUP BY h.hub
+        )
+        SELECT h.hub, h.deg,
+               CAST(h.deg + 1 AS BIGINT) AS ego_size,
+               g.n_edges AS ego_edges,
+               ROUND(2.0 * g.n_edges / (CAST(h.deg + 1 AS DOUBLE) * h.deg), 9)
+                   AS ego_density
+        FROM hubs h JOIN ego_edges g USING (hub)
+        ORDER BY h.deg DESC, h.hub
+    """,
+    tags=("E131", "E246"),
+)
+def graph_ego_network_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EGO-NETWORK AUDIT of the top-{EGO_TOP} co-purchase hubs: each
+    hub's neighborhood size and the edge DENSITY inside its ego graph
+    (hub + neighbors) — a dense ego means one coherent basket
+    community around the hub; a sparse one means the hub bridges
+    unrelated categories (the local view that global clustering
+    coefficients average away; merchandising treats the two cases
+    oppositely).
+
+    The hub set is a deterministic top-k of the degree rollup
+    (deg desc, node tie-break); ego membership tests run as
+    array_contains against the {EGO_TOP} broadcast adjacency arrays —
+    one scan of the edge list regardless of hub count.  Exact integer
+    edge counts; density one 9-dp chain."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = und.groupBy(F.col("u").alias("hub")).agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"),
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+    )
+    hubs = adj.orderBy(F.col("deg").desc(), "hub").limit(EGO_TOP)
+    in_ego_u = F.array_contains(F.col("nbrs"), F.col("u")) | (
+        F.col("u") == F.col("hub")
+    )
+    in_ego_v = F.array_contains(F.col("nbrs"), F.col("v")) | (
+        F.col("v") == F.col("hub")
+    )
+    ego_edges = (
+        F.broadcast(hubs)
+        .join(edges, in_ego_u & in_ego_v)
+        .groupBy("hub")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ego_edges"))
+    )
+    return (
+        hubs.join(ego_edges, "hub")
+        .select(
+            "hub",
+            "deg",
+            (F.col("deg") + 1).cast("bigint").alias("ego_size"),
+            "ego_edges",
+            F.round(
+                2.0 * F.col("ego_edges")
+                / ((F.col("deg") + 1).cast("double") * F.col("deg")),
+                9,
+            ).alias("ego_density"),
+        )
+        .orderBy(F.col("deg").desc(), "hub")
+    )
