@@ -2526,3 +2526,75 @@ def ml_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("snips_value"),
     )
+
+
+@query(
+    "ml_group_fairness_metrics",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(user_id % 2 AS INT) AS grp,
+                   CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        per_group AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+                   CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                   CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+            FROM scored GROUP BY grp
+        )
+        SELECT grp, n,
+               ROUND(CAST(n_pred_pos AS DOUBLE) / n, 9) AS selection_rate,
+               ROUND(CAST(tp AS DOUBLE) / pos, 9) AS tpr,
+               ROUND(CAST(fp AS DOUBLE) / neg, 9) AS fpr
+        FROM per_group
+        ORDER BY grp
+    """,
+    tags=("E152", "E176"),
+)
+def ml_group_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP FAIRNESS AUDIT of a classifier (value > 75 predicting
+    purchase) across a protected-attribute stand-in (user parity):
+    per-group SELECTION RATE (demographic parity), TPR and FPR
+    (equalized odds) — the three rates every responsible-AI review
+    reads side by side; their between-group gaps are the reported
+    fairness violations, and the confusion-matrix machinery is shared
+    with the threshold-sweep / multiclass eval ops so the numbers
+    reconcile.
+
+    Exact BIGINT confusion cells from one conditional grouped pass;
+    rates are identical 9-dp chains.  Group count is the output
+    cardinality — scale-free."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.when(F.col("value") > 75.0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_group = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pred").cast("bigint").alias("n_pred_pos"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    return per_group.select(
+        "grp",
+        "n",
+        F.round(F.col("n_pred_pos").cast("double") / F.col("n"), 9).alias(
+            "selection_rate"
+        ),
+        F.round(F.col("tp").cast("double") / F.col("pos"), 9).alias("tpr"),
+        F.round(F.col("fp").cast("double") / F.col("neg"), 9).alias("fpr"),
+    ).orderBy("grp")

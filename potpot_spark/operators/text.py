@@ -1852,3 +1852,77 @@ def text_template_prefix_detection(spark: SparkSession, sf_dir: str) -> DataFram
             "substring(lo, 1, CAST(LEAST(lcp_len, 40) AS INT))"
         ).alias("common_prefix_40"),
     ).orderBy("source")
+
+
+BURST_MIN_DF = 20   # document-frequency floor for burstiness ranking
+BURST_TOP = 25
+
+
+@query(
+    "text_word_burstiness",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY doc_id, w
+        ),
+        stats AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS df1,
+                   CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                   CAST(SUM(k) AS BIGINT) AS cf
+            FROM per_doc GROUP BY w
+        )
+        SELECT w, df1, df2, cf,
+               CAST(FLOOR(CAST(df2 AS DOUBLE) * 1000000 / df1) AS BIGINT)
+                   AS burstiness_u
+        FROM stats
+        WHERE df1 >= {BURST_MIN_DF}
+        ORDER BY burstiness_u DESC, w
+        LIMIT {BURST_TOP}
+    """,
+    tags=("E106", "E240"),
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (Church & Gale): P(term repeats in a doc | it
+    appears at all) = df₂/df₁ — content words BURST (once a document
+    is about something, the term recurs) while function words spread
+    Poisson-thin; the top of this ranking is a stopword-free keyword
+    lexicon with no stopword LIST, complementing tf-idf (which needs
+    rarity) and the learned-stopwords op (this is its mirror image).
+
+    Document frequencies are exact BIGINTs from one grouped pass over
+    the exploded token stream; the ratio FLOOR-quantizes to
+    micro-units so ranking and values are exact integers (word
+    tie-break).  TakeOrdered top-k — no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    per_doc = (
+        d.select("doc_id", F.explode(tok).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df1"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("bigint").alias("df2"),
+        F.sum("k").cast("bigint").alias("cf"),
+    )
+    return (
+        stats.where(F.col("df1") >= BURST_MIN_DF)
+        .select(
+            "w",
+            "df1",
+            "df2",
+            "cf",
+            F.floor(F.col("df2").cast("double") * 1000000 / F.col("df1"))
+            .cast("bigint")
+            .alias("burstiness_u"),
+        )
+        .orderBy(F.col("burstiness_u").desc(), "w")
+        .limit(BURST_TOP)
+    )
