@@ -1926,3 +1926,154 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness_u").desc(), "w")
         .limit(BURST_TOP)
     )
+
+
+JS_SOURCES = ["src0", "src1", "src2", "src3", "src4"]  # fixed audit panel
+JS_LOG_SCALE = 1 << 20
+
+
+def _js_pair_sql(i: int, j: int) -> str:
+    """One UNION ALL branch: the (i,j) JS divergence from the wide
+    per-term count table (ci>0 terms contribute ci·⌊log2(2·ci·nj /
+    (ci·nj + cj·ni))·2^20⌋ on the a-side; symmetric b-side)."""
+    a, b = f"c{i}", f"c{j}"
+    na, nb = f"n{i}", f"n{j}"
+    sa = (f"SUM(CASE WHEN {a} > 0 THEN {a} * CAST(FLOOR(log2(2.0 * {a} * {nb} "
+          f"/ ({a} * {nb} + {b} * {na})) * {JS_LOG_SCALE}) AS BIGINT) ELSE 0 END)")
+    sb = (f"SUM(CASE WHEN {b} > 0 THEN {b} * CAST(FLOOR(log2(2.0 * {b} * {na} "
+          f"/ ({b} * {na} + {a} * {nb})) * {JS_LOG_SCALE}) AS BIGINT) ELSE 0 END)")
+    return (f"SELECT '{JS_SOURCES[i]}' AS source_a, '{JS_SOURCES[j]}' AS source_b, "
+            f"CAST({sa} AS BIGINT) AS sa_u, CAST({sb} AS BIGINT) AS sb_u, "
+            f"ROUND(0.5 * (CAST({sa} AS DOUBLE) / MAX({na}) "
+            f"+ CAST({sb} AS DOUBLE) / MAX({nb})) / {JS_LOG_SCALE}, 9) AS js_bits "
+            f"FROM wide")
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=(
+        """
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE source IN ("""
+        + ", ".join(f"'{s}'" for s in JS_SOURCES)
+        + """)
+        ),
+        counts AS (
+            SELECT w,
+        """
+        + ",\n".join(
+            f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+            for k, s in enumerate(JS_SOURCES)
+        )
+        + """
+            FROM toks WHERE w <> '' GROUP BY w
+        ),
+        wide AS (
+            SELECT counts.*, """
+        + ", ".join(
+            f"(SELECT CAST(SUM(c{k}) AS BIGINT) FROM counts) AS n{k}"
+            for k in range(len(JS_SOURCES))
+        )
+        + """
+            FROM counts
+        )
+        """
+        + "\nUNION ALL\n".join(
+            _js_pair_sql(i, j)
+            for i in range(len(JS_SOURCES))
+            for j in range(i + 1, len(JS_SOURCES))
+        )
+        + "\nORDER BY source_a, source_b"
+    ),
+    tags=("E106", "E270"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE panel between source unigram
+    distributions (fixed src0-src4 audit panel): the symmetric, bounded
+    [0,1]-bit measure of how differently two feeds use language —
+    near-zero pairs are redundant feeds (candidates for dedup or
+    down-weighting in the domain mix), large pairs are genuinely
+    complementary.  The distributional complement of the exact-hash
+    overlap matrix (which only sees identical documents).
+
+    The log argument pa/m = 2·ca·nb/(ca·nb + cb·na) is an INTEGER
+    rational (identical doubles cross-engine), each term contribution
+    FLOOR-quantizes at 2^20 and weights by the exact BIGINT count, so
+    both one-sided sums are exact integers; JS in bits is one 9-dp
+    chain.  One exploded grouped pass builds the wide term table; all
+    10 pairs read it ONCE (a single aggregate with 20 conditional
+    sums — no per-pair joins)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(JS_SOURCES)
+    )
+    tok = F.split(F.lower(F.col("text")), " ")
+    toks = d.select("source", F.explode(tok).alias("w")).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(
+        *[
+            F.sum(F.when(F.col("source") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k, s in enumerate(JS_SOURCES)
+        ]
+    )
+    tots = counts.agg(
+        *[F.sum(f"c{k}").cast("bigint").alias(f"n{k}") for k in range(len(JS_SOURCES))]
+    )
+    wide = counts.crossJoin(F.broadcast(tots))
+
+    aggs = []
+    for i in range(len(JS_SOURCES)):
+        for j in range(i + 1, len(JS_SOURCES)):
+            a, b = F.col(f"c{i}"), F.col(f"c{j}")
+            na, nb = F.col(f"n{i}"), F.col(f"n{j}")
+            sa = F.sum(
+                F.when(
+                    a > 0,
+                    a
+                    * F.floor(
+                        F.log2(2.0 * a * nb / (a * nb + b * na)) * JS_LOG_SCALE
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint")
+            sb = F.sum(
+                F.when(
+                    b > 0,
+                    b
+                    * F.floor(
+                        F.log2(2.0 * b * na / (b * na + a * nb)) * JS_LOG_SCALE
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint")
+            aggs.append(sa.alias(f"sa_{i}_{j}"))
+            aggs.append(sb.alias(f"sb_{i}_{j}"))
+            aggs.append(F.max(na).alias(f"na_{i}_{j}"))
+            aggs.append(F.max(nb).alias(f"nb_{i}_{j}"))
+    one = wide.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{JS_SOURCES[i]}', '{JS_SOURCES[j]}', sa_{i}_{j}, sb_{i}_{j}, na_{i}_{j}, nb_{i}_{j}"
+        for i in range(len(JS_SOURCES))
+        for j in range(i + 1, len(JS_SOURCES))
+    )
+    n_pairs = len(JS_SOURCES) * (len(JS_SOURCES) - 1) // 2
+    rows = one.select(
+        F.expr(
+            f"stack({n_pairs}, {stack_items}) AS "
+            "(source_a, source_b, sa_u, sb_u, na, nb)"
+        )
+    )
+    return rows.select(
+        "source_a",
+        "source_b",
+        "sa_u",
+        "sb_u",
+        F.round(
+            0.5
+            * (
+                F.col("sa_u").cast("double") / F.col("na")
+                + F.col("sb_u").cast("double") / F.col("nb")
+            )
+            / JS_LOG_SCALE,
+            9,
+        ).alias("js_bits"),
+    ).orderBy("source_a", "source_b")
