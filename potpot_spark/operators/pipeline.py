@@ -843,3 +843,76 @@ def pipeline_filter_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("thr")
     )
+
+
+EPOCHS = [0, 1, 2]
+EPOCH_PREFIX = 50
+
+
+@query(
+    "pipeline_epoch_shuffle_determinism",
+    oracle=f"""
+        WITH epochs AS (SELECT unnest({EPOCHS}) AS epoch),
+        keyed AS (
+            SELECT e.epoch, d.doc_id,
+                   md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                       AS shuffle_key
+            FROM epochs e CROSS JOIN documents d
+        ),
+        ranked AS (
+            SELECT epoch, doc_id,
+                   row_number() OVER (PARTITION BY epoch
+                                      ORDER BY shuffle_key, doc_id) AS pos
+            FROM keyed
+        )
+        SELECT epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pos <= {EPOCH_PREFIX} THEN doc_id ELSE 0 END)
+                    AS BIGINT) AS prefix_id_checksum,
+               CAST(SUM(pos * doc_id) % 1000000007 AS BIGINT) AS order_checksum
+        FROM ranked
+        GROUP BY epoch
+        ORDER BY epoch
+    """,
+    tags=("E263", "E90"),
+)
+def pipeline_epoch_shuffle_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH DETERMINISTIC SHUFFLE: each training epoch orders the
+    corpus by md5(epoch:doc_id) — epochs see DIFFERENT orders (the
+    regularization shuffling buys) but every epoch's order is exactly
+    reproducible on any engine, run, or restart (what seeded RNG
+    shuffles cannot promise across engines/partitionings).  The
+    Σpos·doc_id order checksum pins the ENTIRE permutation per epoch
+    through the oracle, and the prefix checksum pins what the first
+    training steps would see.
+
+    At 100 TB the same keys feed repartitionByRange + sortWithin
+    Partitions (the domain-mix op's materialization note); here the
+    rank window per epoch proves the semantics.  All checksums exact
+    BIGINT."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame([(e,) for e in EPOCHS], ["epoch"])
+    keyed = F.broadcast(epochs).crossJoin(d).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        ranked.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pos") <= EPOCH_PREFIX, F.col("doc_id")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("prefix_id_checksum"),
+            (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("epoch")
+    )

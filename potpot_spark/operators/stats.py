@@ -2677,3 +2677,105 @@ def analytics_peer_relative_benchmark(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("s_nationkey")
     )
+
+
+DW_RES_SCALE = 10**6   # fixed-point grain for residuals
+
+
+@query(
+    "stats_residual_diagnostics_dw",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY d
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM(d * d) AS BIGINT) AS sdd,
+                   CAST(SUM(d * c) AS BIGINT) AS sdc
+            FROM daily
+        ),
+        resid AS (
+            SELECT d,
+                   CAST(FLOOR((c - ((CAST(s.sc AS DOUBLE) / s.n
+                                     - ((CAST(s.n AS DOUBLE) * s.sdc - CAST(s.sd AS DOUBLE) * s.sc)
+                                        / (CAST(s.n AS DOUBLE) * s.sdd - CAST(s.sd AS DOUBLE) * s.sd))
+                                       * s.sd / s.n)
+                                    + ((CAST(s.n AS DOUBLE) * s.sdc - CAST(s.sd AS DOUBLE) * s.sc)
+                                       / (CAST(s.n AS DOUBLE) * s.sdd - CAST(s.sd AS DOUBLE) * s.sd))
+                                      * d)) * {DW_RES_SCALE}) AS BIGINT) AS e_u
+            FROM daily CROSS JOIN sums s
+        ),
+        lagged AS (
+            SELECT e_u, lag(e_u) OVER (ORDER BY d) AS prev_e FROM resid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(e_u * e_u) AS BIGINT) AS sse_u2,
+               ROUND(CAST(SUM(CASE WHEN prev_e IS NOT NULL
+                                   THEN (e_u - prev_e) * (e_u - prev_e)
+                                   ELSE 0 END) AS DOUBLE)
+                     / SUM(e_u * e_u), 6) AS durbin_watson
+        FROM lagged
+    """,
+    tags=("E170", "E193"),
+)
+def stats_residual_diagnostics_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON residual diagnostics on the daily-trend fit:
+    after removing the OLS linear trend from the daily event counts,
+    DW = Σ(e_t − e_{{t−1}})² / Σe² ≈ 2 means independent residuals,
+    ≪ 2 positive serial correlation (the trend missed structure —
+    weekly cycles, regime shifts), ≫ 2 oscillation — the standard
+    "is the model's error actually noise" check closing the
+    regression family (fit → backtest → residual diagnosis).
+
+    OLS sufficient statistics are exact BIGINT sums; the fitted-trend
+    residuals FLOOR-quantize at 10^6 into exact integers so both DW
+    sums are exact (no double summation anywhere); one 6-dp division.
+    All windows over the O(days) rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sums = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("sdc"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sdc") - F.col("sd").cast("double") * F.col("sc")) / (
+        n * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    )
+    intercept = F.col("sc").cast("double") / F.col("n") - slope * F.col("sd") / F.col("n")
+    resid = daily.crossJoin(F.broadcast(sums)).select(
+        "d",
+        F.floor((F.col("c") - (intercept + slope * F.col("d"))) * DW_RES_SCALE)
+        .cast("bigint")
+        .alias("e_u"),
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select("e_u", F.lag("e_u").over(w).alias("prev_e"))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("e_u") * F.col("e_u")).cast("bigint").alias("sse_u2"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("prev_e").isNotNull(),
+                    (F.col("e_u") - F.col("prev_e")) * (F.col("e_u") - F.col("prev_e")),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum(F.col("e_u") * F.col("e_u")),
+            6,
+        ).alias("durbin_watson"),
+    )
