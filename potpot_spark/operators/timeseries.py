@@ -4036,3 +4036,107 @@ def timeseries_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.alias("median_slope_u"),
         F.round(med.cast("double") / TS_SLOPE_SCALE, 6).alias("theil_sen_slope"),
     )
+
+
+ITS_BREAK = "2024-01-16"   # known intervention date (the CUPED/DiD split)
+
+
+@query(
+    "analytics_interrupted_time_series",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{ITS_BREAK}'
+                        THEN 0 ELSE 1 END AS post,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY d, post
+        ),
+        sums AS (
+            SELECT post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM(d * d) AS BIGINT) AS sdd,
+                   CAST(SUM(d * c) AS BIGINT) AS sdc
+            FROM daily GROUP BY post
+        ),
+        fits AS (
+            SELECT post, n,
+                   (CAST(n AS DOUBLE) * sdc - CAST(sd AS DOUBLE) * sc)
+                     / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd) AS slope,
+                   CAST(sc AS DOUBLE) / n
+                     - ((CAST(n AS DOUBLE) * sdc - CAST(sd AS DOUBLE) * sc)
+                        / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))
+                       * sd / n AS intercept
+            FROM sums
+        )
+        SELECT MAX(CASE WHEN post = 0 THEN n END) AS n_pre_days,
+               MAX(CASE WHEN post = 1 THEN n END) AS n_post_days,
+               ROUND(MAX(CASE WHEN post = 0 THEN slope END), 6) AS pre_slope,
+               ROUND(MAX(CASE WHEN post = 1 THEN slope END), 6) AS post_slope,
+               ROUND(MAX(CASE WHEN post = 1 THEN slope END)
+                     - MAX(CASE WHEN post = 0 THEN slope END), 6) AS trend_change,
+               ROUND((MAX(CASE WHEN post = 1 THEN intercept END)
+                      + MAX(CASE WHEN post = 1 THEN slope END) * 15)
+                     - (MAX(CASE WHEN post = 0 THEN intercept END)
+                        + MAX(CASE WHEN post = 0 THEN slope END) * 15), 6)
+                   AS level_change_at_break
+        FROM fits
+    """,
+    tags=("E283", "E303"),
+)
+def analytics_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERRUPTED TIME SERIES at the {ITS_BREAK} intervention:
+    separate OLS trends fitted to the pre and post segments of the
+    daily event counts; the LEVEL change (gap between the two fitted
+    lines AT the break day) and TREND change (slope delta) are the
+    segmented-regression causal read — the single-series cousin of
+    DiD (same break date, so the quasi-experimental family shares one
+    timeline).
+
+    Both fits are closed-form from exact BIGINT sufficient statistics
+    in ONE conditional grouped pass (the distributed-OLS identity);
+    level/trend deltas are identical 6-dp chains evaluated at the
+    shared break index.  No window functions at all — two tiny
+    aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    post = F.when(F.col("ts") < F.lit(ITS_BREAK).cast("timestamp"), 0).otherwise(1)
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("d"),
+        post.alias("post"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sums = daily.groupBy("post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("sdc"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sdc") - F.col("sd").cast("double") * F.col("sc")) / (
+        n * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    )
+    intercept = F.col("sc").cast("double") / F.col("n") - slope * F.col("sd") / F.col("n")
+    fits = sums.select("post", "n", slope.alias("slope"), intercept.alias("intercept"))
+
+    def pick(p, c):
+        return F.max(F.when(F.col("post") == p, F.col(c)))
+
+    return fits.agg(
+        pick(0, "n").alias("n_pre_days"),
+        pick(1, "n").alias("n_post_days"),
+        F.round(pick(0, "slope"), 6).alias("pre_slope"),
+        F.round(pick(1, "slope"), 6).alias("post_slope"),
+        F.round(pick(1, "slope") - pick(0, "slope"), 6).alias("trend_change"),
+        F.round(
+            (pick(1, "intercept") + pick(1, "slope") * 15)
+            - (pick(0, "intercept") + pick(0, "slope") * 15),
+            6,
+        ).alias("level_change_at_break"),
+    )

@@ -1287,3 +1287,91 @@ def orders_revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("q2") * (r2d / F.col("q2") - r1d / F.col("q1")), 4
         ).alias("price_effect"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "orders_demand_pattern_quadrants",
+    oracle="""
+        WITH demand AS (
+            SELECT l_partkey,
+                   date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+            FROM lineitem GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(date_diff('day', MIN(day), MAX(day)) AS BIGINT) AS span_days,
+                   CAST(SUM(z) AS BIGINT) AS s1,
+                   CAST(SUM(z * z) AS BIGINT) AS s2
+            FROM demand GROUP BY l_partkey
+            HAVING COUNT(*) >= 2
+        ),
+        classed AS (
+            SELECT l_partkey,
+                   -- ADI >= 1.32  <=>  100*span >= 132*(n-1)
+                   CASE WHEN 100 * span_days >= 132 * (n - 1) THEN 1 ELSE 0 END
+                       AS intermittent,
+                   -- CV^2 >= 0.49  <=>  100*(n*s2 - s1^2) >= 49*s1^2
+                   CASE WHEN 100 * (n * s2 - s1 * s1) >= 49 * s1 * s1
+                        THEN 1 ELSE 0 END AS erratic
+            FROM per_part
+        )
+        SELECT CASE WHEN intermittent = 0 AND erratic = 0 THEN 'smooth'
+                    WHEN intermittent = 1 AND erratic = 0 THEN 'intermittent'
+                    WHEN intermittent = 0 AND erratic = 1 THEN 'erratic'
+                    ELSE 'lumpy' END AS pattern,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM classed
+        GROUP BY pattern
+        ORDER BY pattern
+    """,
+    tags=("E280", "E255"),
+)
+def orders_demand_pattern_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTETOS-BOYLAN DEMAND QUADRANTS: every part classified by
+    average inter-demand interval (ADI ≥ 1.32) × squared coefficient
+    of variation of demand sizes (CV² ≥ 0.49) into smooth /
+    intermittent / erratic / lumpy — the published decision rule for
+    WHICH forecaster to use (smooth → exponential smoothing,
+    intermittent/lumpy → Croston) — the router in front of this
+    engine's Holt and Croston ops.
+
+    Both literature thresholds become exact integer
+    cross-multiplications (100·span ≥ 132·(n−1); 100·(n·s2−s1²) ≥
+    49·s1²) on exact BIGINT moments — no division, no float at any
+    decision boundary.  One rollup + one grouped pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        "l_partkey", F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
+    per_part = (
+        demand.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.datediff(F.max("day"), F.min("day")).cast("bigint").alias("span_days"),
+            F.sum("z").cast("bigint").alias("s1"),
+            F.sum(F.col("z") * F.col("z")).cast("bigint").alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    intermittent = F.when(
+        100 * F.col("span_days") >= 132 * (F.col("n") - 1), 1
+    ).otherwise(0)
+    erratic = F.when(
+        100 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        >= 49 * F.col("s1") * F.col("s1"),
+        1,
+    ).otherwise(0)
+    pattern = (
+        F.when((intermittent == 0) & (erratic == 0), "smooth")
+        .when((intermittent == 1) & (erratic == 0), "intermittent")
+        .when((intermittent == 0) & (erratic == 1), "erratic")
+        .otherwise("lumpy")
+    )
+    return (
+        per_part.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("pattern")
+    )
