@@ -694,3 +694,75 @@ def test_diff_in_diff_reconciles_cells(spark, sf_dir):
         .r
     )
     assert abs(did.r_t_post - round(cell, 9)) < 1e-9
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """JS divergence in bits lies in [0, 1] for every source pair."""
+    rows = registry.get("text_js_divergence_sources").fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1e-6 <= r.js_bits <= 1.0 + 1e-6, r
+
+
+def test_word_burstiness_bounds(spark, sf_dir):
+    """df2 <= df1 <= cf and the micro-ratio is a true probability."""
+    for r in registry.get("text_word_burstiness").fn(spark, sf_dir).collect():
+        assert r.df2 <= r.df1 <= r.cf, r
+        assert 0 <= r.burstiness_u <= 1_000_000, r
+
+
+def test_demand_quadrants_partition_parts(spark, sf_dir):
+    """Quadrant counts partition the >=2-demand-day part universe."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.catalog import load_table
+
+    rows = registry.get("orders_demand_pattern_quadrants").fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = (
+        li.groupBy("l_partkey", F.date_trunc("day", "l_shipdate"))
+        .count()
+        .groupBy("l_partkey")
+        .count()
+        .where(F.col("count") >= 2)
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+
+
+def test_its_window_sizes(spark, sf_dir):
+    """The ITS break splits January 2024 into 15 + 15 days."""
+    r = registry.get("analytics_interrupted_time_series").fn(spark, sf_dir).collect()[0]
+    assert r.n_pre_days == 15
+    assert r.n_post_days == 15
+
+
+def test_epoch_shuffle_orders_differ(spark, sf_dir):
+    """Each epoch has the same doc universe but a DIFFERENT permutation."""
+    rows = registry.get("pipeline_epoch_shuffle_determinism").fn(spark, sf_dir).collect()
+    assert len({r.n_docs for r in rows}) == 1
+    checksums = [r.order_checksum for r in rows]
+    assert len(set(checksums)) == len(checksums)
+
+
+def test_fairness_rates_valid(spark, sf_dir):
+    from potpot_spark.catalog import load_table
+
+    rows = registry.get("ml_group_fairness_metrics").fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        for v in (r.selection_rate, r.tpr, r.fpr):
+            assert 0.0 <= v <= 1.0, r
+
+
+def test_conformance_only_violations_reported(spark, sf_dir):
+    for r in registry.get("events_conformance_audit").fn(spark, sf_dir).collect():
+        assert r.is_violation == 1, r
+
+
+def test_peer_benchmark_counts_consistent(spark, sf_dir):
+    for r in registry.get("analytics_peer_relative_benchmark").fn(spark, sf_dir).collect():
+        assert r.n_above_median <= r.n_suppliers, r
+        assert r.n_above_double <= r.n_above_median, r
+        assert r.n_below_half + r.n_above_median <= r.n_suppliers, r
