@@ -4140,3 +4140,114 @@ def analytics_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataF
             6,
         ).alias("level_change_at_break"),
     )
+
+
+CPD_COST_SCALE = 10**6
+
+
+@query(
+    "timeseries_changepoint_binseg",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY day
+        ),
+        pre AS (
+            SELECT day, c,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+                   CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS sl,
+                   CAST(SUM(c * c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS s2l,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(c) OVER () AS BIGINT) AS s,
+                   CAST(SUM(c * c) OVER () AS BIGINT) AS s2
+            FROM daily
+        ),
+        costs AS (
+            SELECT day, k, n, sl, s, 
+                   CAST(FLOOR(((s2l - CAST(sl AS DOUBLE) * sl / k)
+                               + ((s2 - s2l) - CAST(s - sl AS DOUBLE) * (s - sl) / (n - k)))
+                              * {CPD_COST_SCALE}) AS BIGINT) AS cost_u,
+                   CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                              * {CPD_COST_SCALE}) AS BIGINT) AS cost0_u
+            FROM pre WHERE k < n
+        )
+        SELECT arg_min(day, cost_u * 64 + k) AS change_day,
+               CAST(arg_min(k, cost_u * 64 + k) AS BIGINT) AS n_days_before,
+               CAST(MIN(cost_u) AS BIGINT) AS best_cost_u,
+               CAST(MAX(cost0_u) AS BIGINT) AS no_split_cost_u,
+               ROUND(arg_min(CAST(sl AS DOUBLE) / k, cost_u * 64 + k), 6)
+                   AS mean_before,
+               ROUND(arg_min(CAST(s - sl AS DOUBLE) / (n - k), cost_u * 64 + k), 6)
+                   AS mean_after
+        FROM costs
+    """,
+    tags=("E162", "E245"),
+)
+def timeseries_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-POINT DETECTION (binary segmentation, one split): the
+    day that best divides the daily count series into two
+    constant-mean segments — argmin over split points of the summed
+    within-segment SSE, all from prefix sums — WHERE the level
+    shifted, complementing CUSUM (online drift alarm) and the ITS op
+    (which assumes the break date is known; this finds it).
+
+    Costs derive from exact BIGINT prefix moments, FLOOR-quantize at
+    10^6, and the argmin carries a (cost, day) tie-break — every
+    reported number exact or a 6-dp chain.  O(days) candidates over
+    the O(days) rollup; corpus-scale work is one mergeable groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("c").over(wcum).cast("bigint").alias("sl"),
+        F.sum(F.col("c") * F.col("c")).over(wcum).cast("bigint").alias("s2l"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("c").over(wall).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(wall).cast("bigint").alias("s2"),
+    ).where(F.col("k") < F.col("n"))
+    sr = F.col("s") - F.col("sl")
+    nr = F.col("n") - F.col("k")
+    cost_u = F.floor(
+        (
+            (F.col("s2l") - F.col("sl").cast("double") * F.col("sl") / F.col("k"))
+            + (
+                (F.col("s2") - F.col("s2l"))
+                - sr.cast("double") * sr / nr
+            )
+        )
+        * CPD_COST_SCALE
+    ).cast("bigint")
+    cost0_u = F.floor(
+        (F.col("s2").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        * CPD_COST_SCALE
+    ).cast("bigint")
+    costs = pre.select(
+        "day",
+        "k",
+        cost_u.alias("cost_u"),
+        cost0_u.alias("cost0_u"),
+        (F.col("sl").cast("double") / F.col("k")).alias("mean_before"),
+        (sr.cast("double") / nr).alias("mean_after"),
+    )
+    # Composite argmin key as one BIGINT (k < 64 in a one-month window)
+    # — DuckDB's arg_min has no struct-key overload, so both engines
+    # share the scalar encoding cost·64 + k.
+    key = F.col("cost_u") * 64 + F.col("k")
+    return costs.agg(
+        F.min_by("day", key).alias("change_day"),
+        F.min_by("k", key).cast("bigint").alias("n_days_before"),
+        F.min("cost_u").cast("bigint").alias("best_cost_u"),
+        F.max("cost0_u").cast("bigint").alias("no_split_cost_u"),
+        F.round(F.min_by("mean_before", key), 6).alias("mean_before"),
+        F.round(F.min_by("mean_after", key), 6).alias("mean_after"),
+    )
