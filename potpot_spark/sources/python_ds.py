@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
 
-from potpot_spark.catalog import table_path
+from potpot_spark.catalog import load_table, table_path
 from potpot_spark.registry import query
 
 
@@ -259,3 +261,111 @@ def source_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name).orderBy("user_id")
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-partition JSONL writer: each Spark partition writes one
+    shard file and returns a commit message carrying (rows, id_sum);
+    commit() aggregates the shard reports into a _SUCCESS manifest —
+    the two-phase commit shape of every production sink."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):  # type: ignore[override]
+        import json as _json
+        import os as _os
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        _os.makedirs(self.path, exist_ok=True)
+        n = 0
+        id_sum = 0
+        out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        with open(out, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps({"doc_id": row.doc_id, "lang": row.lang, "n_chars": row.n_chars})
+                    + "\n"
+                )
+                n += 1
+                id_sum += row.doc_id
+        return WriterCommitMessage2(n, id_sum)
+
+    def commit(self, messages):  # type: ignore[override]
+        import json as _json
+        import os as _os
+
+        total = sum(m.n for m in messages if m)
+        id_sum = sum(m.id_sum for m in messages if m)
+        with open(_os.path.join(self.path, "_SUCCESS.json"), "w") as fh:
+            fh.write(_json.dumps({"rows": total, "id_sum": id_sum}))
+
+    def abort(self, messages) -> None:  # type: ignore[override]
+        pass
+
+
+class WriterCommitMessage2(WriterCommitMessage):
+    def __init__(self, n: int, id_sum: int) -> None:
+        self.n = n
+        self.id_sum = id_sum
+
+
+class JsonlPythonSink(DataSource):
+    """'pyjsonl' — Python DataSource WRITER (Spark 4): the sink-side
+    twin of DocPythonSource's reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool):  # type: ignore[override]
+        return _JsonlWriter(self.options)
+
+
+@query(
+    "sink_python_datasource_writer",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_checksum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    """,
+    tags=("E154", "E2"),
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATASOURCE WRITER (Spark 4 `DataSourceWriter`): the
+    documents table fans out through a custom pure-Python JSONL sink —
+    one shard per partition, per-shard commit messages, a driver-side
+    commit() writing the _SUCCESS manifest (the two-phase commit every
+    real sink implements) — then the shards are read BACK with the
+    JSON reader and checksummed against the source table.  Completes
+    the Python DataSource surface: batch reader, streaming reader,
+    and now the writer.
+
+    The proof is end-to-end: counts, id/char checksums, and language
+    cardinality of the ROUND-TRIPPED data must equal the source —
+    shards are only as good as what can be re-read from them."""
+    import hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    spark.dataSource.register(JsonlPythonSink)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "potpot_pyjsonl_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    d.write.format("pyjsonl").option("path", out).mode("append").save()
+    back = spark.read.json(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("chars_checksum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
