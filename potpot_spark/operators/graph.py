@@ -1353,3 +1353,76 @@ def graph_ego_network_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("deg").desc(), "hub")
     )
+
+
+@query(
+    "graph_edge_support_histogram",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        adj AS (SELECT u, list(v ORDER BY v) AS nbrs FROM und GROUP BY u),
+        support AS (
+            SELECT e.u, e.v,
+                   CAST(len(list_intersect(a1.nbrs, a2.nbrs)) AS BIGINT) AS sup
+            FROM e JOIN adj a1 ON e.u = a1.u
+                   JOIN adj a2 ON e.v = a2.u
+        )
+        , hist AS (
+            SELECT sup AS support, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM support GROUP BY sup
+        )
+        SELECT support, n_edges,
+               CAST(SUM(CASE WHEN support >= 2 THEN n_edges ELSE 0 END)
+                    OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_edges_4truss
+        FROM hist
+        ORDER BY support
+    """,
+    tags=("E105", "E246"),
+)
+def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE-SUPPORT HISTOGRAM: how many triangles each co-purchase
+    edge participates in (its truss support, via FULL undirected
+    neighborhood intersection per edge) — support 0 edges are
+    one-off co-occurrences near-dup/basket analyses should discount,
+    high-support edges form the truss cores that survive k-truss
+    peeling; the constant 4-truss-eligible column (support ≥ 2) is
+    the standard first peeling threshold.
+
+    Same adjacency-array machinery as the triangle/clustering ops
+    (JVM list_intersect, no wedge materialization); histogram output
+    is O(max support) rows.  One adjacency build + one edge-keyed
+    pass."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = und.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    a1 = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("n2"))
+    support = (
+        edges.join(a1, edges.u == a1.au)
+        .join(a2, edges.v == a2.av)
+        .select(F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("sup"))
+    )
+    from pyspark.sql.window import Window
+
+    hist = support.groupBy(F.col("sup").alias("support")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "support",
+        "n_edges",
+        F.sum(F.when(F.col("support") >= 2, F.col("n_edges")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("n_edges_4truss"),
+    ).orderBy("support")
