@@ -559,3 +559,46 @@ def test_twap_partial_aggregate(spark, sf_dir):
     """TWAP's grouped pass partial-aggregates after the lead window."""
     df = registry.get("timeseries_twap_per_type").fn(spark, sf_dir)
     assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_js_divergence_single_aggregate_no_joins(spark, sf_dir):
+    """The 10-pair JS panel must read the wide term table once: no
+    SortMergeJoin (the only joins are the broadcast totals), and one
+    hash-aggregate pair for the 20 conditional sums."""
+    df = registry.get("text_js_divergence_sources").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_changepoint_windows_over_rollup_only(spark, sf_dir):
+    """Change-point costs: one corpus shuffle for the daily rollup;
+    everything after runs on O(days) rows."""
+    df = registry.get("timeseries_changepoint_binseg").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_broadcast_grid(spark, sf_dir):
+    """The 3-epoch fan-out must be a broadcast nested loop over the
+    tiny epoch table, never a shuffled cartesian."""
+    df = registry.get("pipeline_epoch_shuffle_determinism").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_threshold_grid_ops_partial_aggregate(spark, sf_dir):
+    """Grid-sweep ops (F1 sweep, filter tradeoff) partial-aggregate
+    below their exchange — the corpus is read once."""
+    for name in ("ml_threshold_sweep_f1", "pipeline_filter_tradeoff_curve"):
+        df = registry.get(name).fn(spark, sf_dir)
+        assert has_partial_aggregate(df), name
+
+
+def test_conformance_no_extra_shuffles(spark, sf_dir):
+    """Conformance audit: one lag window shuffle + one aggregate."""
+    df = registry.get("events_conformance_audit").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
