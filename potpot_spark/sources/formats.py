@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from potpot_spark.catalog import load_table
-from potpot_spark.functions.numeric import dsum_expr
+from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
 
 _CSV_SCHEMA = T.StructType(
@@ -611,3 +611,69 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
         dsum(F.col("o_totalprice"), scale=2).alias("total_price"),
     )
+
+
+TEXT_CODECS = ("gzip", "bzip2")
+
+
+@query(
+    "scan_csv_compressed_roundtrip",
+    oracle=f"""
+        SELECT codec,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               {dsum_expr('o_totalprice', scale=2)} AS total_price
+        FROM (SELECT unnest({list(TEXT_CODECS)}) AS codec) c, orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY codec
+        ORDER BY codec
+    """,
+    tags=("E51", "E174"),
+)
+def scan_csv_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-CSV round trip: the same orders slice written as
+    gzip and bzip2 CSV shards, read back, and proven content-equal to
+    the source (counts, key checksum, exact-decimal totals per
+    codec) — the text-format sibling of the parquet-codec proof.
+    The trade this documents: gzip CSV shards are NOT splittable (one
+    task per shard at read — size your shards), bzip2 IS splittable
+    but slow; columnar formats dominate both for analytics, which is
+    why this op exists as the migration-validation gate, not a
+    recommendation."""
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "potpot_csvz_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    outs = []
+    for codec in TEXT_CODECS:
+        path = os.path.join(base, codec)
+        (
+            o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("compression", codec)
+            .csv(path)
+        )
+        back = (
+            spark.read.option("header", "true")
+            .option("inferSchema", "false")
+            .csv(path)
+            .select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+        )
+        outs.append(
+            back.groupBy(F.lit(codec).alias("codec")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+                dsum(F.col("o_totalprice"), scale=2).alias("total_price"),
+            )
+        )
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.unionByName(other)
+    return out.orderBy("codec")
