@@ -2598,3 +2598,112 @@ def ml_group_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tp").cast("double") / F.col("pos"), 9).alias("tpr"),
         F.round(F.col("fp").cast("double") / F.col("neg"), 9).alias("fpr"),
     ).orderBy("grp")
+
+
+EB_RATE_SCALE = 10**6   # fixed-point grain for raw per-part rates (10^6: r_u^2 sums stay in BIGINT at any part count)
+EB_TOP = 15
+
+
+@query(
+    "ml_empirical_bayes_shrinkage",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM lineitem GROUP BY l_partkey
+        ),
+        q AS (
+            SELECT l_partkey, n, x,
+                   CAST(FLOOR(CAST(x AS DOUBLE) * {EB_RATE_SCALE} / n) AS BIGINT)
+                       AS r_u
+            FROM per_part
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(r_u) AS BIGINT) AS sr,
+                   CAST(SUM(r_u * r_u) AS BIGINT) AS srr
+            FROM q
+        ),
+        prior AS (
+            SELECT
+              (CAST(sr AS DOUBLE) / k / {EB_RATE_SCALE}) AS mu,
+              ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / k) / (k - 1))
+                / ({EB_RATE_SCALE}.0 * {EB_RATE_SCALE}) AS var
+            FROM mom
+        ),
+        ab AS (
+            SELECT mu, var,
+                   mu * (mu * (1.0 - mu) / var - 1.0) AS alpha,
+                   (1.0 - mu) * (mu * (1.0 - mu) / var - 1.0) AS beta
+            FROM prior
+        )
+        SELECT q.l_partkey, q.n, q.x,
+               ROUND(CAST(q.x AS DOUBLE) / q.n, 9) AS raw_rate,
+               ROUND((q.x + ab.alpha) / (q.n + ab.alpha + ab.beta), 9)
+                   AS shrunk_rate
+        FROM q CROSS JOIN ab
+        ORDER BY ROUND((q.x + ab.alpha) / (q.n + ab.alpha + ab.beta), 9) DESC,
+                 q.l_partkey
+        LIMIT {EB_TOP}
+    """,
+    tags=("E100", "E137"),
+)
+def ml_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES (beta-binomial) SHRINKAGE of per-part return
+    rates: method-of-moments fits the Beta prior from the corpus of
+    raw rates, and each part's rate shrinks toward it in proportion to
+    its sample size — the canonical fix for "2 returns out of 3
+    lineitems = 67% return rate" leaderboard poisoning; the top-k by
+    SHRUNKEN rate is the list a category manager can actually act on
+    (its sibling target-encoding op uses the same idea for features).
+
+    Raw rates FLOOR-quantize at 10^9 so the MoM moments are exact
+    BIGINT sums (no double summation); α/β and the shrunken rates are
+    identical division chains, ROUNDED BEFORE RANKING (the near-tie
+    discipline) with part-key tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    q = per_part.withColumn(
+        "r_u",
+        F.floor(F.col("x").cast("double") * EB_RATE_SCALE / F.col("n")).cast(
+            "bigint"
+        ),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("r_u").cast("bigint").alias("sr"),
+        F.sum(F.col("r_u") * F.col("r_u")).cast("bigint").alias("srr"),
+    )
+    mu = F.col("sr").cast("double") / F.col("k") / EB_RATE_SCALE
+    var = (
+        (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr") / F.col("k"))
+        / (F.col("k") - 1)
+    ) / (float(EB_RATE_SCALE) * EB_RATE_SCALE)
+    common = mu * (1.0 - mu) / var - 1.0
+    ab = mom.select(
+        (mu * common).alias("alpha"),
+        ((1.0 - mu) * common).alias("beta"),
+    )
+    shrunk = F.round(
+        (F.col("x") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta")),
+        9,
+    )
+    return (
+        q.crossJoin(F.broadcast(ab))
+        .select(
+            "l_partkey",
+            "n",
+            "x",
+            F.round(F.col("x").cast("double") / F.col("n"), 9).alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "l_partkey")
+        .limit(EB_TOP)
+    )
