@@ -2707,3 +2707,93 @@ def ml_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shrunk_rate").desc(), "l_partkey")
         .limit(EB_TOP)
     )
+
+
+LC_FRACTIONS = list(range(10, 101, 10))   # cumulative hash-bucket percents
+
+
+@query(
+    "ml_learning_curve_subsample",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket,
+                   CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        )
+        SELECT f.pct,
+               CAST(SUM(CASE WHEN s.bucket < f.pct THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample,
+               CAST(SUM(CASE WHEN s.bucket < f.pct AND s.y = 1 AND s.pred = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.bucket < f.pct AND s.y = 0 AND s.pred = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s.bucket < f.pct AND s.y = 1 AND s.pred = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               ROUND(2.0 * SUM(CASE WHEN s.bucket < f.pct AND s.y = 1 AND s.pred = 1
+                                    THEN 1 ELSE 0 END)
+                     / (2 * SUM(CASE WHEN s.bucket < f.pct AND s.y = 1 AND s.pred = 1
+                                     THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN s.bucket < f.pct AND s.y = 0 AND s.pred = 1
+                              THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN s.bucket < f.pct AND s.y = 1 AND s.pred = 0
+                              THEN 1 ELSE 0 END)), 6) AS f1
+        FROM scored s CROSS JOIN (SELECT unnest({LC_FRACTIONS}) AS pct) f
+        GROUP BY f.pct
+        ORDER BY f.pct
+    """,
+    tags=("E274", "E90"),
+)
+def ml_learning_curve_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNING-CURVE HARNESS: the fixed classifier evaluated on
+    CUMULATIVE deterministic subsamples (md5-bucket < p%, so the 20%
+    sample contains the 10% sample — each point adds data, exactly
+    like a data-scaling study) — where the metric flattens is where
+    more data stops paying; the noisy low-p points show the variance
+    a small-data conclusion carries.  The data-scaling complement of
+    the threshold sweep (fixes data, varies threshold; this fixes
+    threshold, varies data).
+
+    Hash-bucket membership is engine-portable and NESTED by
+    construction; the corpus is read once × a 10-row broadcast grid
+    (map-side fan-out before the partial aggregate); every confusion
+    cell an exact BIGINT, F1 one 6-dp chain."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 100
+        ).alias("bucket"),
+        F.when(F.col("value") > 75.0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.range(10, 101, 10).select(F.col("id").cast("bigint").alias("pct"))
+    inb = F.col("bucket") < F.col("pct")
+    sweep = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("pct")
+        .agg(
+            F.sum(F.when(inb, 1).otherwise(0)).cast("bigint").alias("n_sample"),
+            F.sum(F.when(inb & (F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(inb & (F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(inb & (F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return sweep.select(
+        "pct",
+        "n_sample",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    ).orderBy("pct")
