@@ -1375,3 +1375,100 @@ def orders_demand_pattern_quadrants(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("pattern")
     )
+
+
+@query(
+    "orders_priority_inversion_days",
+    oracle="""
+        WITH delays AS (
+            SELECT date_trunc('day', CAST(o.o_orderdate AS TIMESTAMP)) AS day,
+                   o.o_orderpriority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                                  CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+                       AS delay_days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        med AS (
+            SELECT day, o_orderpriority,
+                   CAST(quantile_disc(delay_days, 0.5) AS BIGINT) AS med_delay
+            FROM delays GROUP BY day, o_orderpriority
+        ),
+        wide AS (
+            SELECT day,
+                   MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN med_delay END)
+                       AS urgent_med,
+                   MAX(CASE WHEN o_orderpriority = '5-LOW' THEN med_delay END)
+                       AS low_med
+            FROM med GROUP BY day
+            HAVING MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN med_delay END)
+                       IS NOT NULL
+               AND MAX(CASE WHEN o_orderpriority = '5-LOW' THEN med_delay END)
+                       IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable_days,
+               CAST(SUM(CASE WHEN urgent_med > low_med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inversion_days,
+               CAST(MAX(CASE WHEN urgent_med > low_med
+                             THEN urgent_med - low_med END) AS BIGINT)
+                   AS worst_inversion_days,
+               ROUND(CAST(SUM(CASE WHEN urgent_med > low_med THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS inversion_rate
+        FROM wide
+    """,
+    tags=("E284", "E195"),
+)
+def orders_priority_inversion_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY-INVERSION AUDIT: order days where the MEDIAN ship
+    delay of 1-URGENT orders exceeds that of 5-LOW orders placed the
+    same day — each inversion day is a day the expedite process
+    failed; the rate and the worst gap are the fulfillment-discipline
+    KPIs behind the SLA and delay-distribution ops (those measure
+    speed; this measures whether priority BUYS anything).
+
+    Exact discrete medians of exact integer day gaps per (day,
+    priority) cell, exact comparisons — no float at the inversion
+    boundary.  One fact join + two grouped passes over the
+    O(days × 2) rollup."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_days"),
+    )
+    med = delays.groupBy("day", "o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("bigint")
+        .alias("med_delay")
+    )
+    wide = (
+        med.groupBy("day")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("med_delay"))
+            ).alias("urgent_med"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "5-LOW", F.col("med_delay"))
+            ).alias("low_med"),
+        )
+        .where(F.col("urgent_med").isNotNull() & F.col("low_med").isNotNull())
+    )
+    inv = F.when(F.col("urgent_med") > F.col("low_med"), 1).otherwise(0)
+    return wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparable_days"),
+        F.sum(inv).cast("bigint").alias("n_inversion_days"),
+        F.max(
+            F.when(
+                F.col("urgent_med") > F.col("low_med"),
+                F.col("urgent_med") - F.col("low_med"),
+            )
+        )
+        .cast("bigint")
+        .alias("worst_inversion_days"),
+        F.round(F.sum(inv).cast("double") / F.count(F.lit(1)), 6).alias(
+            "inversion_rate"
+        ),
+    )
