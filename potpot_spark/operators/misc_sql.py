@@ -669,3 +669,43 @@ def sql_api_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.category
         """
     )
+
+
+@query(
+    "sql_api_lateral_view_explode",
+    oracle="""
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE lang = 'en'
+        )
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY n DESC, w
+        LIMIT 20
+    """,
+    tags=("E124", "E47"),
+)
+def sql_api_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVEQL LATERAL VIEW surface: the legacy `LATERAL VIEW
+    explode(...)` syntax that a decade of migrated Hive warehouses
+    still speak — same plan as modern `explode()` in the select list,
+    but the dialect must parse for drop-in compatibility (the engine's
+    SQL front door is only a front door if old SQL walks through it).
+
+    Top-20 English words with (count, word) deterministic ordering;
+    counts exact; TakeOrdered, no global sort."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        LATERAL VIEW explode(split(lower(text), ' ')) t AS w
+        WHERE lang = 'en' AND w != ''
+        GROUP BY w
+        ORDER BY n DESC, w
+        LIMIT 20
+        """
+    )

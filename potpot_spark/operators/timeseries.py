@@ -4251,3 +4251,63 @@ def timeseries_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.min_by("mean_before", key), 6).alias("mean_before"),
         F.round(F.min_by("mean_after", key), 6).alias("mean_after"),
     )
+
+
+VEL_WINDOW_S = 600   # velocity window (seconds)
+VEL_LIMIT = 5        # events allowed per window
+
+
+@query(
+    "events_velocity_limit_flags",
+    oracle=f"""
+        WITH counted AS (
+            SELECT user_id, event_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                                  RANGE BETWEEN {VEL_WINDOW_S * 1000000} PRECEDING
+                                        AND CURRENT ROW) AS n_in_window
+            FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN n_in_window > {VEL_LIMIT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(COUNT(DISTINCT CASE WHEN n_in_window > {VEL_LIMIT}
+                                        THEN user_id END) AS BIGINT)
+                   AS n_users_flagged,
+               CAST(MAX(n_in_window) AS BIGINT) AS max_burst
+        FROM counted
+    """,
+    tags=("E58", "E190"),
+)
+def events_velocity_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VELOCITY-LIMIT SCREENING (fraud/abuse): events whose trailing
+    {VEL_WINDOW_S // 60}-minute window holds more than {VEL_LIMIT}
+    events from the same user — the card-testing / credential-
+    stuffing / scraper primitive every risk engine runs first, here
+    as a RANGE-frame window over microsecond event time (count-based
+    sliding windows need no bucketing approximation).
+
+    Exact integer window counts and flags; one range window per user
+    + one global aggregate.  The streaming twin is the watermarked
+    sliding-window op — same semantics, this is the batch/backfill
+    path."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-VEL_WINDOW_S * 1_000_000, 0)
+    )
+    counted = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+    viol = F.when(F.col("n_in_window") > VEL_LIMIT, 1).otherwise(0)
+    return counted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        F.countDistinct(
+            F.when(F.col("n_in_window") > VEL_LIMIT, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_users_flagged"),
+        F.max("n_in_window").cast("bigint").alias("max_burst"),
+    )
