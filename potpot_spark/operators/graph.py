@@ -1426,3 +1426,97 @@ def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_edges_4truss"),
     ).orderBy("support")
+
+
+@query(
+    "graph_type_homophily",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        typed AS (
+            SELECT pu.p_type AS tu, pv.p_type AS tv
+            FROM e JOIN part pu ON e.u = pu.p_partkey
+                   JOIN part pv ON e.v = pv.p_partkey
+        ),
+        ends AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT tu AS t FROM typed UNION ALL SELECT tv FROM typed
+            ) GROUP BY t
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(CASE WHEN tu = tv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS same_type
+            FROM typed
+        ),
+        expected AS (
+            SELECT CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+                   CAST(SUM(d) AS BIGINT) AS sum_d
+            FROM ends
+        )
+        SELECT a.m AS n_edges, a.same_type,
+               ROUND(CAST(a.same_type AS DOUBLE) / a.m, 9) AS observed_homophily,
+               ROUND(CAST(x.sum_d2 AS DOUBLE) / (CAST(x.sum_d AS DOUBLE) * x.sum_d), 9)
+                   AS expected_homophily,
+               ROUND((CAST(a.same_type AS DOUBLE) / a.m
+                      - CAST(x.sum_d2 AS DOUBLE) / (CAST(x.sum_d AS DOUBLE) * x.sum_d))
+                     / (1.0 - CAST(x.sum_d2 AS DOUBLE)
+                        / (CAST(x.sum_d AS DOUBLE) * x.sum_d)), 9)
+                   AS newman_assortativity
+        FROM agg a CROSS JOIN expected x
+    """,
+    tags=("E193", "E131"),
+)
+def graph_type_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL HOMOPHILY of the co-purchase graph: do parts get
+    bought with parts of the SAME type more than chance?  Observed
+    same-type edge share vs the configuration-model expectation
+    Σd_t²/(Σd_t)² (d_t = type-t edge endpoints), combined into
+    Newman's categorical assortativity (positive = type-siloed
+    baskets, negative = cross-type bundles) — the attribute sibling
+    of the degree-assortativity op, and the graph-level read behind
+    basket cross-sell strategy.
+
+    Exact BIGINT edge/endpoint counts; the three ratios are identical
+    9-dp chains.  Two broadcast dimension joins on the edge list +
+    two tiny rollups."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pu = p.select(F.col("p_partkey").alias("u"), F.col("p_type").alias("tu"))
+    pv = p.select(F.col("p_partkey").alias("v"), F.col("p_type").alias("tv"))
+    typed = edges.join(F.broadcast(pu), "u").join(F.broadcast(pv), "v").select(
+        "tu", "tv"
+    )
+    ends = (
+        typed.select(F.col("tu").alias("t"))
+        .unionByName(typed.select(F.col("tv").alias("t")))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    agg = typed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("tu") == F.col("tv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("same_type"),
+    )
+    expected = ends.agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_d2"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+    )
+    obs = F.col("same_type").cast("double") / F.col("m")
+    exp = F.col("sum_d2").cast("double") / (
+        F.col("sum_d").cast("double") * F.col("sum_d")
+    )
+    return agg.crossJoin(F.broadcast(expected)).select(
+        F.col("m").alias("n_edges"),
+        "same_type",
+        F.round(obs, 9).alias("observed_homophily"),
+        F.round(exp, 9).alias("expected_homophily"),
+        F.round((obs - exp) / (1.0 - exp), 9).alias("newman_assortativity"),
+    )

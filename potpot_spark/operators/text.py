@@ -2077,3 +2077,74 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("js_bits"),
     ).orderBy("source_a", "source_b")
+
+
+MASH_CONSONANT_RUN = 5   # consonant-run threshold for the gibberish flag
+
+
+@query(
+    "text_gibberish_mash_detector",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                            '[bcdfghjklmnpqrstvwxz]{{{MASH_CONSONANT_RUN},}}'))
+                        AS BIGINT) AS n_long_consonant_runs,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT)
+                       AS n_vowels,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
+                       AS n_letters
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, n_long_consonant_runs, n_vowels, n_letters,
+               ROUND(CAST(n_vowels AS DOUBLE) / n_letters, 6) AS vowel_ratio,
+               CASE WHEN n_long_consonant_runs > 0
+                      OR 100 * n_vowels * 4 < n_letters * 100
+                    THEN 1 ELSE 0 END AS gibberish_flag
+        FROM per_doc
+        WHERE n_letters > 0
+        ORDER BY doc_id
+    """,
+    tags=("E37", "E227"),
+)
+def text_gibberish_mash_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYBOARD-MASH / GIBBERISH detection: long consonant runs
+    ({MASH_CONSONANT_RUN}+ — "asdfgh", "zxcvb") and vowel-starved text
+    (vowel share < 25% of letters, tested as the exact
+    cross-multiplication 4·vowels < letters) — the cheap screens that
+    catch mashed input, base64 debris, and minified-code fragments
+    the word-level quality score misses because they tokenize as
+    "words".
+
+    Identical regex classes, exact integer counts, exact-integer flag
+    boundary; row-local codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    low = F.lower(F.col("text"))
+    runs = F.size(
+        F.regexp_extract_all(
+            low, F.lit("[bcdfghjklmnpqrstvwxz]{%d,}" % MASH_CONSONANT_RUN), 0
+        )
+    ).cast("bigint")
+    vowels = F.size(F.regexp_extract_all(low, F.lit("[aeiou]"), 0)).cast("bigint")
+    letters = F.size(F.regexp_extract_all(low, F.lit("[a-z]"), 0)).cast("bigint")
+    per = d.select(
+        "doc_id",
+        runs.alias("n_long_consonant_runs"),
+        vowels.alias("n_vowels"),
+        letters.alias("n_letters"),
+    ).where(F.col("n_letters") > 0)
+    flag = F.when(
+        (F.col("n_long_consonant_runs") > 0)
+        | (100 * F.col("n_vowels") * 4 < F.col("n_letters") * 100),
+        1,
+    ).otherwise(0)
+    return per.select(
+        "doc_id",
+        "n_long_consonant_runs",
+        "n_vowels",
+        "n_letters",
+        F.round(F.col("n_vowels").cast("double") / F.col("n_letters"), 6).alias(
+            "vowel_ratio"
+        ),
+        flag.alias("gibberish_flag"),
+    ).orderBy("doc_id")
