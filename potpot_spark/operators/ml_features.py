@@ -2797,3 +2797,98 @@ def ml_learning_curve_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
         ).alias("f1"),
     ).orderBy("pct")
+
+
+COST_FP = 1    # cost of a false positive (wasted outreach)
+COST_FN = 5    # cost of a false negative (missed conversion)
+
+
+@query(
+    "ml_cost_sensitive_threshold",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(LEAST(FLOOR(value / {BRIER_P_DENOM} * 1000), 1000) AS BIGINT)
+                       AS p_milli
+            FROM events
+        ),
+        sweep AS (
+            SELECT t.thr,
+                   CAST(SUM(CASE WHEN p_milli >= t.thr AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN p_milli < t.thr AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn
+            FROM scored CROSS JOIN (SELECT unnest({F1_THRESHOLDS}) AS thr) t
+            GROUP BY t.thr
+        ),
+        costed AS (
+            SELECT thr, fp, fn,
+                   CAST({COST_FP} * fp + {COST_FN} * fn AS BIGINT) AS total_cost
+            FROM sweep
+        )
+        SELECT arg_min(thr, total_cost * 2048 + thr) AS best_thr,
+               CAST(MIN(total_cost) AS BIGINT) AS best_cost,
+               CAST(MAX(CASE WHEN thr = 0 THEN total_cost END) AS BIGINT)
+                   AS cost_accept_all,
+               CAST(MAX(CASE WHEN thr = 1000 THEN total_cost END) AS BIGINT)
+                   AS cost_reject_all
+        FROM costed
+    """,
+    tags=("E274", "E259"),
+)
+def ml_cost_sensitive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-SENSITIVE OPERATING POINT: with an asymmetric error-cost
+    matrix (FP = {COST_FP}, FN = {COST_FN} — missing a converter
+    costs 5x a wasted outreach), the optimal threshold MINIMIZES
+    EXPECTED COST, not F1 — the business-decision layer over the F1
+    sweep (same grid, same forecasts, so the two tables reconcile
+    row-for-row), bracketed by the accept-all and reject-all
+    degenerate policies.
+
+    Costs are exact BIGINTs; the argmin key is the scalar composite
+    cost·2048 + thr (the change-point recipe — thr ≤ 1000 < 2048), so
+    ties break toward the lower threshold identically on both
+    engines.  One corpus pass × broadcast grid."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / BRIER_P_DENOM * 1000), F.lit(1000))
+        .cast("bigint")
+        .alias("p_milli"),
+    )
+    grid = spark.range(0, 1001, 50).select(F.col("id").cast("bigint").alias("thr"))
+    sweep = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("p_milli") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("p_milli") < F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    costed = sweep.select(
+        "thr",
+        (COST_FP * F.col("fp") + COST_FN * F.col("fn")).cast("bigint").alias(
+            "total_cost"
+        ),
+    )
+    key = F.col("total_cost") * 2048 + F.col("thr")
+    return costed.agg(
+        F.min_by("thr", key).alias("best_thr"),
+        F.min("total_cost").cast("bigint").alias("best_cost"),
+        F.max(F.when(F.col("thr") == 0, F.col("total_cost")))
+        .cast("bigint")
+        .alias("cost_accept_all"),
+        F.max(F.when(F.col("thr") == 1000, F.col("total_cost")))
+        .cast("bigint")
+        .alias("cost_reject_all"),
+    )

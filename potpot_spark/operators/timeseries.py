@@ -4311,3 +4311,73 @@ def events_velocity_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_users_flagged"),
         F.max("n_in_window").cast("bigint").alias("max_burst"),
     )
+
+
+WM_GRID_MIN = [0, 1, 5, 15, 60, 240]   # candidate watermarks (minutes)
+
+
+@query(
+    "events_watermark_sweep",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+                   CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS max_seen
+            FROM events
+        ),
+        late AS (
+            SELECT CAST(max_seen - t AS BIGINT) AS lateness_us FROM ordered
+        )
+        SELECT g.wm_min,
+               CAST(SUM(CASE WHEN l.lateness_us > g.wm_min * CAST(60000000 AS BIGINT)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CASE WHEN l.lateness_us > g.wm_min * CAST(60000000 AS BIGINT)
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9)
+                   AS drop_rate
+        FROM late l CROSS JOIN (SELECT unnest({WM_GRID_MIN}) AS wm_min) g
+        GROUP BY g.wm_min
+        ORDER BY g.wm_min
+    """,
+    tags=("E288", "E32"),
+)
+def events_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK DECISION TABLE: for each candidate watermark, how
+    many events would arrive LATER than the high-water mark minus the
+    watermark (lateness measured against the per-user running-max
+    event time in ARRIVAL order, the exact quantity streaming state
+    eviction uses) and would therefore be dropped — the empirical
+    curve that turns the out-of-order audit's max-lateness scalar
+    into an actual `withWatermark` choice (accepting 0.1% loss often
+    buys hours less state).
+
+    Lateness is exact integer micros from one running-max window per
+    user; the corpus is read once against the broadcast candidate
+    grid (the sweep-family shape); drop counts exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    late = e.select(
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "lateness_us"
+        )
+    )
+    grid = spark.createDataFrame([(m,) for m in WM_GRID_MIN], ["wm_min"])
+    dropped = F.when(
+        F.col("lateness_us") > F.col("wm_min") * F.lit(60_000_000).cast("bigint"), 1
+    ).otherwise(0)
+    return (
+        late.crossJoin(F.broadcast(grid))
+        .groupBy("wm_min")
+        .agg(
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(dropped).cast("double") / F.count(F.lit(1)), 9).alias(
+                "drop_rate"
+            ),
+        )
+        .orderBy("wm_min")
+    )
