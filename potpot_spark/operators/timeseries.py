@@ -4381,3 +4381,81 @@ def events_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wm_min")
     )
+
+
+@query(
+    "timeseries_locf_imputation",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        filled AS (
+            SELECT user_id, event_id, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS v_locf
+            FROM marked
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               CAST(SUM(CASE WHEN v IS NULL AND v_locf IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+               CAST(SUM(CASE WHEN v IS NULL AND v_locf IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unimputable,
+               CAST(SUM(CAST(COALESCE(v_locf, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS filled_sum
+        FROM filled
+    """,
+    tags=("E133", "E57"),
+)
+def timeseries_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-OBSERVATION-CARRIED-FORWARD imputation: error events'
+    values are treated as missing and filled from the user's most
+    recent healthy reading (`last_value IGNORE NULLS` over the
+    arrival-ordered stream) — the sensor/metrics-pipeline staple that
+    the grid-resample op (linear interpolation on a time grid)
+    doesn't cover: LOCF is causal (no future peeking), so it is the
+    only choice for features feeding online models.  Leading missing
+    values stay unimputable BY DESIGN and are counted, not hidden.
+
+    Exact counts; the filled sum accumulates in exact DECIMAL
+    (order-free).  One window per user, one aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = marked.select(
+        "v", F.last("v", ignorenulls=True).over(w).alias("v_locf")
+    )
+    return filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("v_locf").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("v_locf").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unimputable"),
+        F.sum(F.coalesce(F.col("v_locf"), F.lit(0)).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("filled_sum"),
+    )
