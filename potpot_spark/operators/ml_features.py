@@ -2892,3 +2892,92 @@ def ml_cost_sensitive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cost_reject_all"),
     )
+
+
+CHAMPION_THR = 500    # champion decision threshold (milli-prob)
+CHALLENGER_THR = 350  # challenger decision threshold
+
+
+@query(
+    "ml_mcnemar_champion_challenger",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(LEAST(FLOOR(value / {BRIER_P_DENOM} * 1000), 1000) AS BIGINT)
+                       AS p_milli
+            FROM events
+        ),
+        paired AS (
+            SELECT CASE WHEN (p_milli >= {CHAMPION_THR}) = (y = 1)
+                        THEN 1 ELSE 0 END AS champ_ok,
+                   CASE WHEN (p_milli >= {CHALLENGER_THR}) = (y = 1)
+                        THEN 1 ELSE 0 END AS chall_ok
+            FROM scored
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN champ_ok = 1 AND chall_ok = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_champ_only,
+               CAST(SUM(CASE WHEN champ_ok = 0 AND chall_ok = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_chall_only,
+               ROUND(CAST(SUM(champ_ok) AS DOUBLE) / COUNT(*), 9) AS champ_accuracy,
+               ROUND(CAST(SUM(chall_ok) AS DOUBLE) / COUNT(*), 9) AS chall_accuracy,
+               ROUND(
+                   CAST((SUM(CASE WHEN champ_ok = 1 AND chall_ok = 0 THEN 1 ELSE 0 END)
+                         - SUM(CASE WHEN champ_ok = 0 AND chall_ok = 1 THEN 1 ELSE 0 END))
+                        AS DOUBLE)
+                   * (SUM(CASE WHEN champ_ok = 1 AND chall_ok = 0 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN champ_ok = 0 AND chall_ok = 1 THEN 1 ELSE 0 END))
+                   / (SUM(CASE WHEN champ_ok = 1 AND chall_ok = 0 THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN champ_ok = 0 AND chall_ok = 1 THEN 1 ELSE 0 END)),
+                   6) AS mcnemar_chi2
+        FROM paired
+    """,
+    tags=("E274", "E165"),
+)
+def ml_mcnemar_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST for champion vs challenger models (two decision
+    thresholds over the same forecasts): accuracy deltas on PAIRED
+    predictions are driven entirely by the discordant cells — rows
+    one model gets right and the other wrong — and χ² = (b−c)²/(b+c)
+    is the statistically-correct promotion gate (two independent
+    accuracy intervals overlap-checking, the common practice, wastes
+    the pairing and misses real wins).
+
+    Discordant counts are exact BIGINTs from one conditional pass;
+    accuracies and χ² are identical division chains.  Completes the
+    experimentation family: A/B (users), DiD/ITS (time), McNemar
+    (paired predictions)."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / BRIER_P_DENOM * 1000), F.lit(1000))
+        .cast("bigint")
+        .alias("p_milli"),
+    )
+    champ_ok = F.when(
+        (F.col("p_milli") >= CHAMPION_THR) == (F.col("y") == 1), 1
+    ).otherwise(0)
+    chall_ok = F.when(
+        (F.col("p_milli") >= CHALLENGER_THR) == (F.col("y") == 1), 1
+    ).otherwise(0)
+    paired = scored.select(champ_ok.alias("champ_ok"), chall_ok.alias("chall_ok"))
+    b = F.sum(
+        F.when((F.col("champ_ok") == 1) & (F.col("chall_ok") == 0), 1).otherwise(0)
+    ).cast("bigint")
+    c = F.sum(
+        F.when((F.col("champ_ok") == 0) & (F.col("chall_ok") == 1), 1).otherwise(0)
+    ).cast("bigint")
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        b.alias("b_champ_only"),
+        c.alias("c_chall_only"),
+        F.round(F.sum("champ_ok").cast("double") / F.count(F.lit(1)), 9).alias(
+            "champ_accuracy"
+        ),
+        F.round(F.sum("chall_ok").cast("double") / F.count(F.lit(1)), 9).alias(
+            "chall_accuracy"
+        ),
+        F.round((b - c).cast("double") * (b - c) / (b + c), 6).alias(
+            "mcnemar_chi2"
+        ),
+    )
