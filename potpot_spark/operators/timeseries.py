@@ -4459,3 +4459,97 @@ def timeseries_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("filled_sum"),
     )
+
+
+@query(
+    "timeseries_overnight_gaps",
+    oracle="""
+        WITH ranked AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   event_type, value,
+                   row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        ),
+        bars AS (
+            SELECT day, event_type,
+                   CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DECIMAL(18,4))
+                       AS open,
+                   CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,4))
+                       AS close
+            FROM ranked GROUP BY day, event_type
+        ),
+        gaps AS (
+            SELECT event_type,
+                   open - lag(close) OVER (PARTITION BY event_type ORDER BY day)
+                       AS gap
+            FROM bars
+        )
+        SELECT event_type,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_up,
+               CAST(SUM(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_down,
+               CAST(SUM(abs(gap)) AS DOUBLE) AS total_abs_gap,
+               CAST(MAX(abs(gap)) AS DOUBLE) AS max_abs_gap
+        FROM gaps
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E102", "E57"),
+)
+def timeseries_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERNIGHT-GAP analysis on the daily OHLC bars: each day's open
+    vs the PRIOR day's close (same deterministic first/last-by-
+    (ts, event_id) convention as `timeseries_ohlc_bars`, so the two
+    reconcile bar-for-bar) — gap-ups/downs count regime jumps that
+    intraday ranges hide; large overnight gaps mean the measured
+    process moves while unobserved, which changes how the daily
+    aggregates should be read.
+
+    Open/close are exact DECIMAL picks (row_number argmin/argmax, no
+    float compare); gaps and their sums stay exact DECIMAL, cast once
+    for display.  Windows run over the O(days × types) bar rollup."""
+    e = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy(
+        F.date_trunc("day", "ts"), F.col("event_type")
+    ).orderBy("ts", "event_id")
+    wd = Window.partitionBy(
+        F.date_trunc("day", "ts"), F.col("event_type")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.col("value"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    bars = ranked.groupBy("day", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+        .cast("decimal(18,4)")
+        .alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+        .cast("decimal(18,4)")
+        .alias("close"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    gaps = bars.select(
+        "event_type",
+        (F.col("open") - F.lag("close").over(wlag)).alias("gap"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.sum(F.when(F.col("gap") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gap_up"),
+            F.sum(F.when(F.col("gap") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gap_down"),
+            F.sum(F.abs("gap")).cast("double").alias("total_abs_gap"),
+            F.max(F.abs("gap")).cast("double").alias("max_abs_gap"),
+        )
+        .orderBy("event_type")
+    )
