@@ -2148,3 +2148,94 @@ def text_gibberish_mash_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         flag.alias("gibberish_flag"),
     ).orderBy("doc_id")
+
+
+TRGM_TOP = 25
+TRGM_MIN_SIM_U = 300000   # report pairs with trigram Jaccard >= 0.30
+
+
+@query(
+    "text_trigram_name_similarity",
+    oracle=f"""
+        WITH names AS (
+            SELECT p_partkey, p_brand,
+                   list_distinct(list_transform(
+                       range(1, length(lower(p_name)) - 1),
+                       i -> substring(lower(p_name), i, 3))) AS trgms
+            FROM part WHERE length(p_name) >= 3
+        ),
+        pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(len(list_intersect(a.trgms, b.trgms)) AS BIGINT) AS n_common,
+                   CAST(len(a.trgms) + len(b.trgms)
+                        - len(list_intersect(a.trgms, b.trgms)) AS BIGINT) AS n_union
+            FROM names a JOIN names b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        )
+        SELECT id_a, id_b, n_common,
+               CAST(FLOOR(CAST(n_common AS DOUBLE) * 1000000 / n_union) AS BIGINT)
+                   AS sim_u
+        FROM pairs
+        WHERE CAST(FLOOR(CAST(n_common AS DOUBLE) * 1000000 / n_union) AS BIGINT)
+              >= {TRGM_MIN_SIM_U}
+        ORDER BY sim_u DESC, id_a, id_b
+        LIMIT {TRGM_TOP}
+    """,
+    tags=("E35", "E74"),
+)
+def text_trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIGRAM NAME MATCHING (the pg_trgm recipe): short entity NAMES
+    fuzzy-match on character-trigram Jaccard — the entity-resolution
+    primitive for product/vendor/customer name fields where the
+    document dedupers (word shingles) have nothing to shingle.
+    Candidate pairs block on brand (the banded-LSH discipline: never
+    all-pairs), exact set intersection verifies.
+
+    Trigram sets are identical JVM/SQL list pipelines; similarity
+    FLOOR-quantizes to micro-units so ranking and threshold are exact
+    integers (id tie-breaks).  At 100 TB the brand block becomes a
+    trigram-posting LSH — same verify stage."""
+    p = load_table(spark, sf_dir, "part").where(F.length("p_name") >= 3)
+    names = p.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(lower(p_name)) - 2), "
+                "i -> substring(lower(p_name), i, 3))"
+            )
+        ).alias("trgms"),
+    )
+    a = names.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("trgms").alias("ta"),
+    )
+    b = names.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("trgms").alias("tb"),
+    )
+    pairs = (
+        a.join(b, "p_brand")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("n_common"),
+            (
+                F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+            )
+            .cast("bigint")
+            .alias("n_union"),
+        )
+    )
+    sim_u = F.floor(
+        F.col("n_common").cast("double") * 1000000 / F.col("n_union")
+    ).cast("bigint")
+    return (
+        pairs.select("id_a", "id_b", "n_common", sim_u.alias("sim_u"))
+        .where(F.col("sim_u") >= TRGM_MIN_SIM_U)
+        .orderBy(F.col("sim_u").desc(), "id_a", "id_b")
+        .limit(TRGM_TOP)
+    )

@@ -4553,3 +4553,100 @@ def timeseries_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+DECAY_MAX_D = 14
+DECAY_LOG_SCALE = 1 << 20
+
+
+@query(
+    "analytics_retention_decay_exponent",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, MIN(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d0
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        cohorted AS (
+            SELECT f.user_id,
+                   CAST(date_diff('day', f.d0, a.day) AS BIGINT) AS age
+            FROM firsts f JOIN activity a USING (user_id)
+        ),
+        curve AS (
+            SELECT age,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+            FROM cohorted
+            WHERE age BETWEEN 1 AND {DECAY_MAX_D}
+            GROUP BY age
+        ),
+        pts AS (
+            SELECT CAST(FLOOR(log2(CAST(age AS DOUBLE)) * {DECAY_LOG_SCALE}) AS BIGINT)
+                       AS x,
+                   CAST(FLOOR(log2(CAST(active AS DOUBLE)) * {DECAY_LOG_SCALE}) AS BIGINT)
+                       AS y
+            FROM curve
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_points,
+               ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+                   AS decay_exponent
+        FROM sums
+    """,
+    tags=("E235", "E244"),
+)
+def analytics_retention_decay_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION DECAY EXPONENT: the log-log slope of active-user
+    count vs account age over days 1–{DECAY_MAX_D} — consumer
+    retention famously follows a power law (a STEEPER exponent means
+    habit never forms; a shallow one means the curve flattens into a
+    retained core), and the single exponent is the comparable summary
+    the D1/D7/D14 point-reads can't give across products or cohorts.
+
+    The Zipf-slope recipe verbatim: exact-integer curve points →
+    FLOOR(log2·2^20) fixed point → exact BIGINT OLS sums → one 9-dp
+    division.  Corpus-scale work: one distinct-projection groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    curve = (
+        activity.join(firsts, "user_id")
+        .select(F.datediff("day", "d0").cast("bigint").alias("age"), "user_id")
+        .where((F.col("age") >= 1) & (F.col("age") <= DECAY_MAX_D))
+        .groupBy("age")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active"))
+    )
+    pts = curve.select(
+        F.floor(F.log2(F.col("age").cast("double")) * DECAY_LOG_SCALE)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log2(F.col("active").cast("double")) * DECAY_LOG_SCALE)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_points"), F.round(slope, 9).alias("decay_exponent")
+    )
