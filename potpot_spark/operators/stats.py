@@ -2846,3 +2846,90 @@ def stats_hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame
         med.alias("hl_u"),
         F.round(med.cast("double") / HL_SCALE, 6).alias("hodges_lehmann"),
     ).crossJoin(F.broadcast(plain))
+
+
+@query(
+    "stats_ratio_metric_delta_ci",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                        AS DECIMAL(38,4)) AS rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(rev) AS DECIMAL(38,4)) AS sx,
+                   CAST(SUM(n_events) AS BIGINT) AS sy,
+                   CAST(SUM(rev * rev) AS DECIMAL(38,8)) AS sxx,
+                   CAST(SUM(rev * n_events) AS DECIMAL(38,4)) AS sxy,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS syy
+            FROM per_user
+        )
+        SELECT k AS n_users,
+               ROUND(CAST(sx AS DOUBLE) / sy, 9) AS revenue_per_event,
+               ROUND(sqrt(GREATEST(
+                   ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k) / (k - 1)
+                    - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                      * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / k) / (k - 1))
+                    + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                      * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / k) / (k - 1)))
+                   / (k * (CAST(sy AS DOUBLE) / k) * (CAST(sy AS DOUBLE) / k)), 0.0)),
+                   9) AS delta_se
+        FROM s
+    """,
+    tags=("E137", "E165"),
+)
+def stats_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD standard error for a RATIO metric (revenue per
+    event, ΣX/ΣY over users): per-user totals are the i.i.d. units,
+    and Var(X̄/Ȳ) ≈ (Var X − 2R·Cov + R²·Var Y) / (k·Ȳ²) — the
+    correction every experimentation platform applies because naive
+    per-event variance UNDERSTATES the SE of ratio metrics (events
+    cluster within users).  Completes the experiment-analysis kit
+    next to CUPED (variance reduction) and the z/t tests (simple
+    means).
+
+    All five moments accumulate in exact DECIMAL/BIGINT (order-free);
+    the SE is one identical 9-dp chain (GREATEST(...,0) guards the
+    degenerate all-equal corner identically on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("decimal(38,4)")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("rev").cast("decimal(38,4)").alias("sx"),
+        F.sum("n_events").cast("bigint").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(38,8)").alias("sxx"),
+        F.sum(F.col("rev") * F.col("n_events")).cast("decimal(38,4)").alias("sxy"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sx / F.col("sy")
+    varx = (F.col("sxx").cast("double") - sx * F.col("sx") / F.col("k")) / (F.col("k") - 1)
+    cov = (F.col("sxy").cast("double") - sx * F.col("sy") / F.col("k")) / (F.col("k") - 1)
+    vary = (F.col("syy").cast("double") - sy * F.col("sy") / F.col("k")) / (F.col("k") - 1)
+    ybar = sy / F.col("k")
+    se = F.sqrt(
+        F.greatest(
+            (varx - 2.0 * r * cov + r * r * vary) / (F.col("k") * ybar * ybar),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        F.col("k").alias("n_users"),
+        F.round(r, 9).alias("revenue_per_event"),
+        F.round(se, 9).alias("delta_se"),
+    )
