@@ -2933,3 +2933,103 @@ def stats_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 9).alias("revenue_per_event"),
         F.round(se, 9).alias("delta_se"),
     )
+
+
+@query(
+    "analytics_simpsons_paradox_check",
+    oracle="""
+        WITH labeled AS (
+            SELECT c.c_mktsegment,
+                   CASE WHEN EXTRACT(year FROM CAST(o.o_orderdate AS TIMESTAMP)) <= 1994
+                        THEN 0 ELSE 1 END AS period,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg AS (
+            SELECT c_mktsegment, period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(price) AS DECIMAL(38,2)) AS s
+            FROM labeled GROUP BY c_mktsegment, period
+        ),
+        seg_delta AS (
+            SELECT c_mktsegment,
+                   MAX(CASE WHEN period = 1 THEN CAST(s AS DOUBLE) / n END)
+                   - MAX(CASE WHEN period = 0 THEN CAST(s AS DOUBLE) / n END)
+                       AS aov_delta
+            FROM seg GROUP BY c_mktsegment
+        ),
+        overall AS (
+            SELECT MAX(CASE WHEN period = 1 THEN CAST(s AS DOUBLE) / n END)
+                   - MAX(CASE WHEN period = 0 THEN CAST(s AS DOUBLE) / n END)
+                       AS overall_delta
+            FROM (
+                SELECT period, CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(SUM(s) AS DECIMAL(38,2)) AS s
+                FROM seg GROUP BY period
+            )
+        )
+        SELECT d.c_mktsegment,
+               ROUND(d.aov_delta, 6) AS segment_aov_delta,
+               ROUND(o.overall_delta, 6) AS overall_aov_delta,
+               CASE WHEN (d.aov_delta > 0) <> (o.overall_delta > 0)
+                    THEN 1 ELSE 0 END AS disagrees_with_aggregate
+        FROM seg_delta d CROSS JOIN overall o
+        ORDER BY d.c_mktsegment
+    """,
+    tags=("E285", "E42"),
+)
+def analytics_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX SCREEN on average order value: the
+    early-vs-late-period AOV change computed overall AND within each
+    market segment — segments whose direction disagrees with the
+    aggregate flag a MIX effect (the aggregate moved because the
+    customer mix shifted, not because behavior changed), the
+    classic trap in period-over-period dashboards; the companion
+    diagnostic to the revenue bridge's volume/price split.
+
+    Exact DECIMAL sums and BIGINT counts per (segment, period) cell
+    feed identical division chains; the disagreement flag compares
+    SIGNS of 6-dp-stable deltas.  One fact join + one conditional
+    grouped pass + two tiny rollups."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    labeled = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.when(F.year("o_orderdate") <= 1994, 0).otherwise(1).alias("period"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    seg = labeled.groupBy("c_mktsegment", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").cast("decimal(38,2)").alias("s"),
+    )
+
+    def delta(df):
+        return F.max(
+            F.when(F.col("period") == 1, F.col("s").cast("double") / F.col("n"))
+        ) - F.max(
+            F.when(F.col("period") == 0, F.col("s").cast("double") / F.col("n"))
+        )
+
+    seg_delta = seg.groupBy("c_mktsegment").agg(delta(seg).alias("aov_delta"))
+    overall = (
+        seg.groupBy("period")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("decimal(38,2)").alias("s"),
+        )
+        .agg(delta(None).alias("overall_delta"))
+    )
+    return (
+        seg_delta.crossJoin(F.broadcast(overall))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("aov_delta"), 6).alias("segment_aov_delta"),
+            F.round(F.col("overall_delta"), 6).alias("overall_aov_delta"),
+            F.when(
+                (F.col("aov_delta") > 0) != (F.col("overall_delta") > 0), 1
+            )
+            .otherwise(0)
+            .alias("disagrees_with_aggregate"),
+        )
+        .orderBy("c_mktsegment")
+    )
