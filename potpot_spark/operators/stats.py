@@ -3033,3 +3033,91 @@ def analytics_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Gumbel method-of-moments constants as shared shortest-roundtrip
+# literals (the ln2/NDCG-table discipline).
+GUMBEL_SQRT6_OVER_PI = 0.779696801233676
+GUMBEL_EULER = 0.5772156649015329
+GUMBEL_RL52 = 3.9415503865226063  # -ln(-ln(1 - 1/52)): 1-year weekly return level
+
+
+@query(
+    "stats_extreme_value_block_maxima",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY week, day
+        ),
+        maxima AS (
+            SELECT week, CAST(MAX(c) AS BIGINT) AS m
+            FROM daily GROUP BY week
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(m) AS BIGINT) AS s1,
+                   CAST(SUM(m * m) AS BIGINT) AS s2
+            FROM maxima
+        )
+        SELECT k AS n_blocks,
+               ROUND(CAST(s1 AS DOUBLE) / k, 6) AS mean_block_max,
+               ROUND({GUMBEL_SQRT6_OVER_PI}
+                     * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                            / (k - 1)), 6) AS gumbel_scale,
+               ROUND((CAST(s1 AS DOUBLE) / k)
+                     - {GUMBEL_EULER} * ({GUMBEL_SQRT6_OVER_PI}
+                       * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                              / (k - 1))), 6) AS gumbel_location,
+               ROUND(((CAST(s1 AS DOUBLE) / k)
+                      - {GUMBEL_EULER} * ({GUMBEL_SQRT6_OVER_PI}
+                        * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                               / (k - 1))))
+                     + ({GUMBEL_SQRT6_OVER_PI}
+                        * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                               / (k - 1))) * {GUMBEL_RL52}, 6)
+                   AS return_level_52wk
+        FROM mom
+    """,
+    tags=("E241", "E222"),
+)
+def stats_extreme_value_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE capacity estimate (Gumbel block maxima): weekly
+    maxima of the daily event counts fit a Gumbel distribution by
+    method of moments (scale = s·√6/π, location = m̄ − γ·scale), and
+    the 52-week RETURN LEVEL — the daily peak expected to be exceeded
+    about once a year — is the number capacity planning should
+    provision for; the observed max (the concurrency op) tells you
+    the past, EVT extrapolates the tail.
+
+    Block maxima are exact BIGINTs, their two moments exact sums; all
+    Gumbel constants enter as shared shortest-roundtrip literals, so
+    every output is one identical 6-dp chain.  Two grouped passes
+    over the daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    maxima = daily.groupBy("week").agg(F.max("c").cast("bigint").alias("m"))
+    mom = maxima.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    k = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / F.col("k")
+    std = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k"))
+        / (F.col("k") - 1)
+    )
+    scale = GUMBEL_SQRT6_OVER_PI * std
+    loc = mean - GUMBEL_EULER * scale
+    return mom.select(
+        F.col("k").alias("n_blocks"),
+        F.round(mean, 6).alias("mean_block_max"),
+        F.round(scale, 6).alias("gumbel_scale"),
+        F.round(loc, 6).alias("gumbel_location"),
+        F.round(loc + scale * GUMBEL_RL52, 6).alias("return_level_52wk"),
+    )
