@@ -2188,13 +2188,23 @@ def text_trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy-match on character-trigram Jaccard — the entity-resolution
     primitive for product/vendor/customer name fields where the
     document dedupers (word shingles) have nothing to shingle.
-    Candidate pairs block on brand (the banded-LSH discipline: never
-    all-pairs), exact set intersection verifies.
 
-    Trigram sets are identical JVM/SQL list pipelines; similarity
-    FLOOR-quantizes to micro-units so ranking and threshold are exact
-    integers (id tie-breaks).  At 100 TB the brand block becomes a
-    trigram-posting LSH — same verify stage."""
+    Plan shape (the SSJoin/posting-list count recipe, r3 verdict #1):
+    explode distinct trigrams into postings, equi-join postings on
+    (brand, trigram), and count matches per candidate pair —
+    ``n_common = COUNT(*)`` over the posting join IS the intersection
+    size, so no trigram array ever travels through the pair stage and
+    ``array_intersect`` is never evaluated (the old brand-block
+    self-join paid it 3x per pair: 24.9 s at sf0.1).  ``n_union``
+    derives from the carried set sizes (|A|+|B|-|A∩B|).  Candidate
+    volume is bounded by per-(brand,trigram) posting-list length, not
+    by block size squared, and the groupBy combines map-side before
+    the one shuffle.  At 100 TB, skewed posting keys (stop-trigrams)
+    would add a df-cap + prefix-filter stage in front of the same
+    count; brand blocking matches the declared oracle semantics.
+
+    Similarity FLOOR-quantizes to micro-units so ranking and
+    threshold are exact integers (id tie-breaks)."""
     p = load_table(spark, sf_dir, "part").where(F.length("p_name") >= 3)
     names = p.select(
         "p_partkey",
@@ -2206,35 +2216,64 @@ def text_trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("trgms"),
     )
-    a = names.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("id_a"),
-        F.col("trgms").alias("ta"),
+    postings = names.select(
+        "p_partkey",
+        "p_brand",
+        F.size("trgms").alias("sz"),
+        F.explode("trgms").alias("trgm"),
     )
-    b = names.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("id_b"),
-        F.col("trgms").alias("tb"),
+    # Dictionary-encode the (brand, trigram) posting key to a dense int
+    # (measured A/B at sf0.1: 6.2 s string-keyed -> 4.8 s int-keyed —
+    # the 11M-row join hashes one long instead of two strings).  The
+    # dict is vocabulary-bounded (brands x charset^3), so the
+    # single-partition row_number stays tiny at any data scale;
+    # row_number (not xxhash64/monotonic id) keeps the key exact and
+    # deterministic across both join sides.
+    pkey_dict = (
+        postings.select("p_brand", "trgm")
+        .distinct()
+        .select(
+            "p_brand",
+            "trgm",
+            F.row_number()
+            .over(Window.orderBy("p_brand", "trgm"))
+            .cast("bigint")
+            .alias("pkey"),
+        )
     )
-    pairs = (
-        a.join(b, "p_brand")
+    enc = postings.join(F.broadcast(pkey_dict), ["p_brand", "trgm"]).select(
+        "pkey", "p_partkey", "sz"
+    )
+    a = enc.select(
+        "pkey", F.col("p_partkey").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = enc.select(
+        "pkey", F.col("p_partkey").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    counted = (
+        a.join(b, "pkey")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("n_common"),
-            (
-                F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
-            )
-            .cast("bigint")
-            .alias("n_union"),
+            (F.col("id_a").cast("bigint") * 4294967296 + F.col("id_b")).alias("pk"),
+            "sz_a",
+            "sz_b",
         )
+        .groupBy("pk", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sim_u = F.floor(
         F.col("n_common").cast("double") * 1000000 / F.col("n_union")
     ).cast("bigint")
     return (
-        pairs.select("id_a", "id_b", "n_common", sim_u.alias("sim_u"))
+        counted.select(
+            F.expr("pk DIV 4294967296").cast("bigint").alias("id_a"),
+            F.expr("pk % 4294967296").cast("bigint").alias("id_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .select("id_a", "id_b", "n_common", sim_u.alias("sim_u"))
         .where(F.col("sim_u") >= TRGM_MIN_SIM_U)
         .orderBy(F.col("sim_u").desc(), "id_a", "id_b")
         .limit(TRGM_TOP)

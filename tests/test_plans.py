@@ -602,3 +602,16 @@ def test_conformance_no_extra_shuffles(spark, sf_dir):
     df = registry.get("events_conformance_audit").fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_trigram_similarity_posting_equi_join(spark, sf_dir):
+    """Candidate generation must be an equi-join on the dense posting
+    key (one trigram-match row per shared trigram), never the old
+    brand-block self-join, and the verify stage must not re-walk
+    trigram arrays per pair (r3 verdict #1)."""
+    df = registry.get("text_trigram_name_similarity").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "array_intersect" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "pkey" in plan, plan
+    assert has_partial_aggregate(df), plan
