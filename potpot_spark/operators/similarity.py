@@ -830,21 +830,54 @@ def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: cosine reuses the exact left-fold order of the
     LSH/kNN oracles, ROUNDED AT 12 DP BEFORE RANKING (the near-tie
     discipline), dst as tie-break; every output is an exact BIGINT.
-    Scale: label-blocked pairs (the dedup_embedding_cosine shape) —
-    O(block²) within blocks, never corpus²; at 100 TB blocks become
-    IVF cells with the same plan."""
+    Vector norms fold ONCE per vector upstream (same expression, same
+    IEEE value as the per-pair fold — division order unchanged).
+
+    Scale (r3 verdict #2 — no full-corpus broadcast): the src side
+    salts into ceil(n/cap) hash sub-blocks per label and the dst side
+    replicates into each sub-block through a SHUFFLE on (label, sub) —
+    the pair join is a plain equi-join whose task size is bounded by
+    (cap x block) regardless of corpus growth, where the old plan
+    broadcast the entire embeddings table.  Replication factor is
+    nsub (1 until a label outgrows cap), the same bounded-memory
+    price dedup_embedding_cosine pays; at 100 TB labels become IVF
+    cells with the same plan.  The per-src top-k filter applies
+    below the window exchange (WindowGroupLimit), so only ~k rows
+    per src shuffle into ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
-    a = v.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
-    b = v.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+    ).select("vec_id", "label", "e", norm(F.col("e")).alias("nrm"))
+    sizes = v.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / EMB_BLOCK_CAP).cast("int").alias("nsub")
+    )
+    vs = v.join(F.broadcast(sizes), "label")
+    a = vs.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int").alias("sub"),
+    )
+    b = vs.select(
+        "label",
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("sub"),
+    )
     scored = (
-        a.join(F.broadcast(b), "label")
+        a.join(b, ["label", "sub"])
         .where(F.col("src") != F.col("dst"))
         .select(
             "label",
             "src",
             "dst",
-            F.round(cosine(F.col("ea"), F.col("eb")), 12).alias("cos"),
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 12
+            ).alias("cos"),
         )
     )
     wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))

@@ -615,3 +615,30 @@ def test_trigram_similarity_posting_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "pkey" in plan, plan
     assert has_partial_aggregate(df), plan
+
+
+def test_hubness_knn_no_corpus_broadcast(spark, sf_dir):
+    """The kNN-graph pair join must not FORCE a broadcast of the
+    embeddings corpus (r3 verdict #2): with the auto-broadcast
+    threshold disabled, the only broadcasts left are explicit hints,
+    and none of them may carry a vector column — the pair join is an
+    equi-join on (label, sub) cells.  (At tiny SF, AQE may still
+    *choose* to broadcast — that is runtime adaptivity, not a plan
+    obligation.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = registry.get("embedding_hubness_knn_graph").fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        for seg in plan.split("\n\n"):
+            lines = seg.splitlines()
+            if not lines or "BroadcastExchange" not in lines[0]:
+                continue
+            inp = next((l for l in lines if l.startswith("Input")), "")
+            assert "eb#" not in inp and "ea#" not in inp and "e#" not in inp, seg
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
