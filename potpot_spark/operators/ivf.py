@@ -251,16 +251,21 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
     price of one job sequence).  Same determinism contract as the IVF
     trainer: vec_id-ordered init, decimal-exact per-dimension means,
     lowest-code tie-breaks.  Same cache-during-training discipline as
-    the IVF trainer (see its docstring for the r3 A/B evidence)."""
+    the IVF trainer (see its docstring for the r3 A/B evidence).
+
+    Checkpoint cadence (r4 A/B at sf0.1, identical codebooks): per-iter
+    localCheckpoint 3.30 s -> FINAL-ONLY 3.06 s — at 3 iterations the
+    unchecked lineage plans faster than 3 eager checkpoint jobs; the
+    final checkpoint stays so the shared index consumers (encode, LUT,
+    recall twin) reread materialized rows, not the training lineage.
+    (The same sweep on the 5-iter IVF trainer was a wash — 4.17 s
+    per-iter vs 4.23 s final-only — so IVF keeps per-iter.)"""
     corpus_sub.cache()
     w = Window.partitionBy("m").orderBy("vec_id")
-    cents = (
-        corpus_sub.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("m", F.col("rn").alias("code"), F.col("sub").alias("centroid"))
-        .localCheckpoint()
-    )
-    for _ in range(iters):
+    cents = corpus_sub.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    ).select("m", F.col("rn").alias("code"), F.col("sub").alias("centroid"))
+    for it in range(iters):
         scored = corpus_sub.join(F.broadcast(cents), "m").select(
             "m", "vec_id", "sub", "code",
             sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
@@ -283,8 +288,9 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
             dims.groupBy("m", "code")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
             .select("m", "code", F.transform("pv", lambda s: s.v).alias("centroid"))
-            .localCheckpoint()
         )
+        if it == iters - 1:
+            cents = cents.localCheckpoint()
     corpus_sub.unpersist()
     return cents
 

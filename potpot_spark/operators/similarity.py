@@ -111,35 +111,56 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return coords
 
 
-def bucket_id(emb: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-bit bucket for one LSH table (table selects the plane set)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = _hyperplane(dim, table * n_planes + p)
-        proj = F.aggregate(
-            F.zip_with(emb, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def _planes_lit(dim: int) -> Column:
+    """All N_TABLES x N_PLANES hyperplanes as ONE literal array<array>."""
+    return F.array(
+        *[
+            F.array(*[F.lit(c) for c in _hyperplane(dim, t * N_PLANES + p)])
+            for t in range(N_TABLES)
+            for p in range(N_PLANES)
+        ]
+    )
 
 
 def _with_table_buckets(df: DataFrame, id_col: str, emb_col: str, dim: int) -> DataFrame:
     """Explode each vector into its (table, bucket) postings — the L-way
     replication of a multi-table LSH index (standard recall/cost
-    trade: corpus storage x L, probe cost corpus/2^planes x L)."""
+    trade: corpus storage x L, probe cost corpus/2^planes x L).
+
+    All 24 plane projections evaluate through ONE ``transform`` over a
+    literal plane matrix (identical zip_with/left-fold arithmetic per
+    plane, so sign bits are bit-equal to the unrolled form and to the
+    DuckDB oracle), then each table packs its 6 sign bits.  A/B at
+    sf0.1: 4.27 s unrolled (24 independent aggregate trees — codegen
+    size, not data, was the cost) -> 3.29 s one-pass."""
+    projs = F.transform(
+        _planes_lit(dim),
+        lambda pl: F.aggregate(
+            F.zip_with(F.col(emb_col), pl, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    d = df.select(id_col, emb_col, projs.alias("_projs"))
     entries = F.array(
         *[
             F.struct(
-                F.lit(t).alias("tbl"), bucket_id(F.col(emb_col), dim, t).alias("bucket")
+                F.lit(t).alias("tbl"),
+                sum(
+                    (
+                        F.when(
+                            F.col("_projs")[t * N_PLANES + p] > 0, F.lit(1 << p)
+                        ).otherwise(F.lit(0))
+                    )
+                    for p in range(N_PLANES)
+                ).alias("bucket"),
             )
             for t in range(N_TABLES)
         ]
     )
-    return df.select(
-        id_col, emb_col, F.explode(entries).alias("e")
-    ).select(id_col, emb_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    return d.select(id_col, emb_col, F.explode(entries).alias("e")).select(
+        id_col, emb_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
 
 
 def _fold_sql(products: str) -> str:
