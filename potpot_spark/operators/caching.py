@@ -23,7 +23,6 @@ oracle checks.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +31,7 @@ from pyspark.storagelevel import StorageLevel
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 @query(
@@ -115,7 +115,7 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     repartitions by a stable key so the rewrite also restores
     clustering for downstream key-range scans."""
     src = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
-    base = tempfile.mkdtemp(prefix="potpot_compact_")
+    base = scratch_dir("potpot_compact_")
     fragmented = os.path.join(base, "fragmented")
     compacted = os.path.join(base, "compacted")
     src.repartition(64).write.mode("overwrite").parquet(fragmented)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -130,7 +131,6 @@ def reshape_struct_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one nested field prunes the rest exactly like top-level columns.
     The round trip pins both directions of that shredding."""
     import os
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     nested = o.select(
@@ -140,7 +140,7 @@ def reshape_struct_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_info"),
         "o_orderpriority",
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_nested_"), "orders_nested")
+    target = os.path.join(scratch_dir("potpot_nested_"), "orders_nested")
     nested.write.mode("overwrite").parquet(target)
     back = spark.read.parquet(target)
     flat = back.select("o_orderpriority", "order_info.*")

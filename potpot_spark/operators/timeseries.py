@@ -19,7 +19,6 @@ all three stages reuse one partitioning.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pandas as pd
 
@@ -30,6 +29,7 @@ from pyspark.sql.window import Window
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 @query(
@@ -67,7 +67,7 @@ def rollup_hypertable_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users_hour"),
         )
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_rollup_"), "events_hourly")
+    target = os.path.join(scratch_dir("potpot_rollup_"), "events_hourly")
     hourly.write.mode("overwrite").partitionBy("day").parquet(target)
 
     # Incremental refresh: recompute ONLY the max day from raw events

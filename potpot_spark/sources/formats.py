@@ -19,7 +19,6 @@ read once with explicit schema, write parquet, query the parquet.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,7 @@ from pyspark.sql import types as T
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 _CSV_SCHEMA = T.StructType(
     [
@@ -64,7 +64,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") < 300)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_csv_"), "orders_csv")
+    target = os.path.join(scratch_dir("potpot_csv_"), "orders_csv")
     src.write.mode("overwrite").option("header", True).csv(target)
     return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(target)
 
@@ -86,7 +86,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id") < 300)
         .select("event_id", "event_type", "user_id", "props")
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_json_"), "events_json")
+    target = os.path.join(scratch_dir("potpot_json_"), "events_json")
     src.write.mode("overwrite").json(target)
     return spark.read.schema(_JSON_SCHEMA).json(target)
 
@@ -113,7 +113,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_evo_"), "orders_evolving")
+    target = os.path.join(scratch_dir("potpot_evo_"), "orders_evolving")
     src.where(F.col("o_orderkey") < 200).write.mode("append").parquet(target)
     (
         src.where((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 400))
@@ -146,7 +146,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The write uses snappy + dictionary defaults; schema (including the
     timestamp column) survives unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_orc_"), "lineitem_orc")
+    target = os.path.join(scratch_dir("potpot_orc_"), "lineitem_orc")
     li.write.mode("overwrite").orc(target)
     back = spark.read.orc(target)
     from potpot_spark.functions.numeric import dsum
@@ -192,7 +192,7 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     subset = o.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = tempfile.mkdtemp(prefix="potpot_badcsv_")
+    base = scratch_dir("potpot_badcsv_")
     target = os.path.join(base, "orders_csv")
     subset.coalesce(1).write.mode("overwrite").csv(target)
     # Inject malformed lines directly into the landed part file.
@@ -297,7 +297,7 @@ def scan_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%12.2f", F.col("o_totalprice")),
         ).alias("value")
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_fw_"), "orders_fw")
+    target = os.path.join(scratch_dir("potpot_fw_"), "orders_fw")
     lines.write.mode("overwrite").text(target)
     back = spark.read.text(target).select(
         F.substring("value", 1, 10).cast("int").alias("o_orderkey"),
@@ -415,7 +415,7 @@ def scan_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset = e.where(F.col("event_id") % 10 == 0).select(
         "event_id", "event_type", "user_id"
     )
-    base = tempfile.mkdtemp(prefix="potpot_badjson_")
+    base = scratch_dir("potpot_badjson_")
     target = os.path.join(base, "events_json")
     subset.coalesce(1).write.mode("overwrite").json(target)
     import glob
@@ -484,7 +484,7 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.concat_ws("\n", F.col("c_name"), F.col("c_mktsegment")).alias("c_comment"),
     )
-    base = tempfile.mkdtemp(prefix="potpot_mlcsv_")
+    base = scratch_dir("potpot_mlcsv_")
     target = os.path.join(base, "customer_ml_csv")
     subset.coalesce(1).write.mode("overwrite").option("quoteAll", True).csv(target)
     schema = T.StructType(
@@ -537,9 +537,8 @@ def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     d = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "potpot_textlines_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    base = scratch_path(
+        "potpot_textlines_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     lines = d.select(
         F.concat_ws(
@@ -590,9 +589,8 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "potpot_corrupt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    base = scratch_path(
+        "potpot_corrupt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     o.write.mode("overwrite").parquet(base)
     # Drop a garbage "parquet" file into the directory (stable content
@@ -643,9 +641,8 @@ def scan_csv_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     import hashlib
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "potpot_csvz_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    base = scratch_path(
+        "potpot_csvz_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     outs = []
     for codec in TEXT_CODECS:

@@ -23,7 +23,6 @@ a high-cardinality key produces millions of small files — the classic
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +31,7 @@ from pyspark.sql import functions as F
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 @query(
@@ -52,7 +52,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters in the plan — test_layout asserts it), so at
     100 TB the other partitions cost zero I/O."""
     src = load_table(spark, sf_dir, "orders")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_part_"), "orders_by_status")
+    target = os.path.join(scratch_dir("potpot_part_"), "orders_by_status")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
     back = spark.read.parquet(target).where(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderstatus").agg(
@@ -81,7 +81,7 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the biggest repeated fact-fact join from a full-network shuffle to
     a local merge per bucket."""
     run = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="potpot_bucket_")
+    base = scratch_dir("potpot_bucket_")
     l_name, o_name = f"li_b_{run}", f"ord_b_{run}"
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
@@ -138,7 +138,7 @@ def sink_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
     backfill pattern: reprocess one day-partition without touching the
     other ~3650."""
     src = load_table(spark, sf_dir, "orders")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_dynow_"), "orders_dyn")
+    target = os.path.join(scratch_dir("potpot_dynow_"), "orders_dyn")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
     discounted = (
         src.where(F.col("o_orderstatus") == "O")
@@ -180,7 +180,7 @@ def scan_bucket_pruned_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     n=4096 buckets this is the difference between a full-table scan
     and a single-file probe."""
     run = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="potpot_bprune_")
+    base = scratch_dir("potpot_bprune_")
     name = f"ord_bp_{run}"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
@@ -233,7 +233,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     difference between scanning a quarter and scanning seven years."""
     o = load_table(spark, sf_dir, "orders")
     fact_src = o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_dpp_"), "orders_by_month")
+    target = os.path.join(scratch_dir("potpot_dpp_"), "orders_by_month")
     fact_src.write.mode("overwrite").partitionBy("month").parquet(target)
     fact = spark.read.parquet(target)
     # Independent month dimension (own scan of the base relation).
@@ -282,7 +282,7 @@ def write_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
         return e
 
     z = F.expr(f"({_spread('l_partkey')}) + shiftleft({_spread('l_suppkey')}, 1)")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_zorder_"), "lineitem_z")
+    target = os.path.join(scratch_dir("potpot_zorder_"), "lineitem_z")
     (
         l.withColumn("zval", z)
         .repartitionByRange(_Z_FILES, "zval")

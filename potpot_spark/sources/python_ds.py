@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
 
 from potpot_spark.catalog import load_table, table_path
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 class _RowGroupPartition(InputPartition):
@@ -205,7 +206,6 @@ def source_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     micro-batch reports zero input rows with the offset at the file's
     end — the bounded-backfill idiom for sources that only know "give
     me the next page"."""
-    import tempfile
     import time
     import uuid as _uuid
 
@@ -238,7 +238,7 @@ def source_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
             s.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="potpot_pyev_"))
+            .option("checkpointLocation", scratch_dir("potpot_pyev_"))
             .trigger(processingTime="0 seconds")
             .start()
         )
@@ -350,13 +350,11 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
     shards are only as good as what can be re-read from them."""
     import hashlib
     import os as _os
-    import tempfile as _tempfile
 
     spark.dataSource.register(JsonlPythonSink)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out = _os.path.join(
-        _tempfile.gettempdir(),
-        "potpot_pyjsonl_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    out = scratch_path(
+        "potpot_pyjsonl_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     import shutil
 

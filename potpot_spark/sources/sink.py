@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +21,7 @@ from pyspark.sql import functions as F
 from potpot_spark.catalog import load_table
 from potpot_spark.functions.numeric import dsum_expr
 from potpot_spark.registry import query
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -51,7 +51,7 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round trip must be lossless."""
     src = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
     out = src.select("o_orderkey", "o_custkey", "o_totalprice")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_sink_"), "orders_slice")
+    target = os.path.join(scratch_dir("potpot_sink_"), "orders_slice")
     append_parquet(out, target)
     return spark.read.parquet(target)
 
@@ -164,8 +164,8 @@ def stream_sink_files_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     (stream_foreach_batch_upsert) is the upsert half."""
     from potpot_spark.streaming.runner import stream_events
 
-    out = os.path.join(tempfile.mkdtemp(prefix="potpot_stream_sink_"), "events_out")
-    ckpt = tempfile.mkdtemp(prefix="potpot_stream_sink_ckpt_")
+    out = os.path.join(scratch_dir("potpot_stream_sink_"), "events_out")
+    ckpt = scratch_dir("potpot_stream_sink_ckpt_")
     q = (
         stream_events(spark, sf_dir)
         .writeStream.format("parquet")
@@ -209,10 +209,9 @@ def sink_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one scan of the written files; file-level grouping falls out
     of the partition directory structure."""
     import os
-    import tempfile
-
+    
     src = load_table(spark, sf_dir, "orders")
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_export_"), "orders_export")
+    target = os.path.join(scratch_dir("potpot_export_"), "orders_export")
     src.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -267,12 +266,11 @@ def sink_versioned_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader contract (pin a snapshot, never see partial writes) is
     identical."""
     import os
-    import tempfile
-
+    
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    root = tempfile.mkdtemp(prefix="potpot_versions_")
+    root = scratch_dir("potpot_versions_")
     base.write.mode("overwrite").parquet(os.path.join(root, "v=1"))
     flipped = base.select(
         "o_orderkey",
@@ -331,10 +329,10 @@ def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "A")
     # Deterministic per-sf_dir path, overwritten each run: the returned
     # DataFrame reads these files lazily, so they cannot be rmtree'd here;
-    # reuse bounds the on-disk footprint at one copy per codec.
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "potpot_codecs_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    # reuse bounds the on-disk footprint at one copy per codec, and the
+    # per-run scratch root removes everything at interpreter exit.
+    base = scratch_path(
+        "potpot_codecs_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     outs = []
     for codec in PARQUET_CODECS:

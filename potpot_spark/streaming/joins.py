@@ -20,7 +20,6 @@ strategy for all E29-E33 ops, SURVEY.md §2.9).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,7 @@ from pyspark.sql.window import Window
 
 from potpot_spark.registry import query
 from potpot_spark.streaming.runner import run_to_batch, stream_events
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 
 @query(
@@ -113,7 +113,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MERGE INTO pattern on a plain parquet target.  Epoch ids make
     replays idempotent; on a lakehouse table the merge is transactional
     and this exact function body stays the same."""
-    target = os.path.join(tempfile.mkdtemp(prefix="potpot_upsert_"), "user_latest")
+    target = os.path.join(scratch_dir("potpot_upsert_"), "user_latest")
     latest_w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
     def keep_latest(df: DataFrame) -> DataFrame:
@@ -135,7 +135,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.read.parquet(staging).write.mode("overwrite").parquet(target)
 
     stream = stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
-    ckpt = tempfile.mkdtemp(prefix="potpot_upsert_ckpt_")
+    ckpt = scratch_dir("potpot_upsert_ckpt_")
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", ckpt)

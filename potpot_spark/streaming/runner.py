@@ -11,11 +11,11 @@ kafka/file source and a real sink; only this harness is test-specific.
 from __future__ import annotations
 
 import itertools
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from potpot_spark.catalog import load_events_raw, normalize_events_ts, table_path
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 _counter = itertools.count()
 
@@ -55,7 +55,7 @@ def run_to_batch(
     """
     spark = stream_df.sparkSession
     name = f"potpot_stream_{next(_counter)}"
-    ckpt = tempfile.mkdtemp(prefix="potpot_ckpt_")
+    ckpt = scratch_dir("potpot_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:

@@ -11,7 +11,6 @@ by key, Python sees Arrow batches per key group.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -24,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from potpot_spark.registry import query
 from potpot_spark.streaming.runner import run_to_batch, stream_events
+from potpot_spark.scratch import scratch_dir, scratch_path
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -233,7 +233,7 @@ def stream_incremental_checkpoint_resume(spark: SparkSession, sf_dir: str) -> Da
     from potpot_spark.catalog import load_events_raw, table_path
 
     schema = load_events_raw(spark, sf_dir).schema  # also sets nanosAsLong
-    base = tempfile.mkdtemp(prefix="potpot_ckpt_resume_")
+    base = scratch_dir("potpot_ckpt_resume_")
     src = os.path.join(base, "incoming")
     out = os.path.join(base, "landed")
     ckpt = os.path.join(base, "ckpt")
