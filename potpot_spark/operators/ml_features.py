@@ -2629,8 +2629,9 @@ EB_TOP = 15
         prior AS (
             SELECT
               (CAST(sr AS DOUBLE) / k / {EB_RATE_SCALE}) AS mu,
-              ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / k) / (k - 1))
-                / ({EB_RATE_SCALE}.0 * {EB_RATE_SCALE}) AS var
+              GREATEST(
+                ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / k) / (k - 1))
+                  / ({EB_RATE_SCALE}.0 * {EB_RATE_SCALE}), 1e-18) AS var
             FROM mom
         ),
         ab AS (
@@ -2659,10 +2660,14 @@ def ml_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHRUNKEN rate is the list a category manager can actually act on
     (its sibling target-encoding op uses the same idea for features).
 
-    Raw rates FLOOR-quantize at 10^9 so the MoM moments are exact
-    BIGINT sums (no double summation); α/β and the shrunken rates are
-    identical division chains, ROUNDED BEFORE RANKING (the near-tie
-    discipline) with part-key tie-break."""
+    Raw rates FLOOR-quantize at 10^6 (EB_RATE_SCALE) so the MoM
+    moments are exact BIGINT sums (no double summation); α/β and the
+    shrunken rates are identical division chains, ROUNDED BEFORE
+    RANKING (the near-tie discipline) with part-key tie-break.  The
+    prior variance is floored at 1e-18 — far below the 1e-12
+    quantization grain, so real corpora are untouched — to keep a
+    degenerate corpus (all raw rates equal, var = 0) from producing
+    inf/NaN α/β; both engines apply the identical guard (r3 ADVICE)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2686,6 +2691,7 @@ def ml_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr") / F.col("k"))
         / (F.col("k") - 1)
     ) / (float(EB_RATE_SCALE) * EB_RATE_SCALE)
+    var = F.greatest(var, F.lit(1e-18))
     common = mu * (1.0 - mu) / var - 1.0
     ab = mom.select(
         (mu * common).alias("alpha"),

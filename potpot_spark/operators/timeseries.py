@@ -4174,13 +4174,17 @@ CPD_COST_SCALE = 10**6
                               * {CPD_COST_SCALE}) AS BIGINT) AS cost0_u
             FROM pre WHERE k < n
         )
-        SELECT arg_min(day, cost_u * 64 + k) AS change_day,
-               CAST(arg_min(k, cost_u * 64 + k) AS BIGINT) AS n_days_before,
+        SELECT arg_min(day, CAST(cost_u AS HUGEINT) * 4611686018427387904 + k)
+                   AS change_day,
+               CAST(arg_min(k, CAST(cost_u AS HUGEINT) * 4611686018427387904 + k)
+                    AS BIGINT) AS n_days_before,
                CAST(MIN(cost_u) AS BIGINT) AS best_cost_u,
                CAST(MAX(cost0_u) AS BIGINT) AS no_split_cost_u,
-               ROUND(arg_min(CAST(sl AS DOUBLE) / k, cost_u * 64 + k), 6)
+               ROUND(arg_min(CAST(sl AS DOUBLE) / k,
+                             CAST(cost_u AS HUGEINT) * 4611686018427387904 + k), 6)
                    AS mean_before,
-               ROUND(arg_min(CAST(s - sl AS DOUBLE) / (n - k), cost_u * 64 + k), 6)
+               ROUND(arg_min(CAST(s - sl AS DOUBLE) / (n - k),
+                             CAST(cost_u AS HUGEINT) * 4611686018427387904 + k), 6)
                    AS mean_after
         FROM costs
     """,
@@ -4239,10 +4243,14 @@ def timeseries_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("sl").cast("double") / F.col("k")).alias("mean_before"),
         (sr.cast("double") / nr).alias("mean_after"),
     )
-    # Composite argmin key as one BIGINT (k < 64 in a one-month window)
-    # — DuckDB's arg_min has no struct-key overload, so both engines
-    # share the scalar encoding cost·64 + k.
-    key = F.col("cost_u") * 64 + F.col("k")
+    # Composite argmin: Spark orders structs lexicographically, so the
+    # (cost_u, k) tie-break needs no packing and cannot overflow at any
+    # series length.  DuckDB's arg_min has no struct overload; its twin
+    # packs into a HUGEINT (128-bit) as cost_u·2^62 + k — equivalent to
+    # the struct order for any k < 2^62 and overflow-free for any
+    # realistic cost (r3 ADVICE: the old cost_u·64 + k BIGINT key bled
+    # the day index into cost units past day 63).
+    key = F.struct("cost_u", "k")
     return costs.agg(
         F.min_by("day", key).alias("change_day"),
         F.min_by("k", key).cast("bigint").alias("n_days_before"),

@@ -522,12 +522,18 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW TEXT round trip — the LM-corpus ingestion format: documents
-    serialize one-per-line as ``doc_id \\t text`` via the text sink,
-    read back with ``spark.read.text`` (each line is one `value`
-    row), and are re-parsed with a first-tab split.  The proof is
-    order-free: id sum, char total, and a portable md5-based modular
-    content checksum must equal the source table's — so every byte of
-    every document survived the newline-delimited encoding.
+    serialize one-per-line as ``doc_id \\t base64(text)`` via the text
+    sink, read back with ``spark.read.text`` (each line is one
+    `value` row), re-parsed with a first-tab split and hex-decoded.
+    The proof is order-free: id sum, char total, and a portable
+    md5-based modular content checksum must equal the source table's —
+    so every byte of every document survived the newline-delimited
+    encoding.  The text field is hex-armored so the contract is
+    DATA-INDEPENDENT (r3 ADVICE): a document containing \\n or \\r
+    would otherwise fragment into multiple lines on read-back and
+    silently diverge — hex is bijective and newline/tab-free (Spark's
+    base64 MIME-wraps at 76 chars, so hex is the armoring here), the
+    same idea as JSONL string-escaping for binary-ish fields.
 
     Text files are splittable (unlike multiLine formats): at 100 TB
     this reads with full input-split parallelism, the classic reason
@@ -542,13 +548,18 @@ def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = d.select(
         F.concat_ws(
-            "\t", F.col("doc_id").cast("string"), F.col("text")
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.hex(F.encode(F.col("text"), "UTF-8")),
         ).alias("value")
     )
     lines.write.mode("overwrite").text(base)
     back = spark.read.text(base).select(
         F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        F.decode(
+            F.unhex(F.expr("substring(value, instr(value, '\t') + 1)")),
+            "UTF-8",
+        ).alias("text"),
     )
     chk = (
         F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")

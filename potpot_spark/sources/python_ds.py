@@ -264,10 +264,16 @@ def source_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 class _JsonlWriter(DataSourceWriter):
-    """Per-partition JSONL writer: each Spark partition writes one
-    shard file and returns a commit message carrying (rows, id_sum);
-    commit() aggregates the shard reports into a _SUCCESS manifest —
-    the two-phase commit shape of every production sink."""
+    """Per-partition JSONL writer with a REAL task-level two-phase
+    commit (r3 ADVICE): each task attempt writes an attempt-unique
+    ``_tmp-part-<pid>-<attemptId>.jsonl`` (the ``_`` prefix makes it
+    invisible to Spark/Hadoop readers even if left behind), returns a
+    commit message naming its temp shard, and only the driver-side
+    commit() renames the winning attempt per partition to its final
+    ``part-<pid>.jsonl`` name, sweeps loser-attempt temps, and writes
+    the _SUCCESS manifest.  abort() deletes every reported temp shard.
+    Speculative/retried attempts therefore never race on a final file,
+    and an aborted job leaves nothing a reader would ingest."""
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
@@ -279,11 +285,12 @@ class _JsonlWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
+        aid = ctx.taskAttemptId() if ctx else 0
         _os.makedirs(self.path, exist_ok=True)
         n = 0
         id_sum = 0
-        out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        with open(out, "w") as fh:
+        tmp = _os.path.join(self.path, f"_tmp-part-{pid:05d}-{aid}.jsonl")
+        with open(tmp, "w") as fh:
             for row in iterator:
                 fh.write(
                     _json.dumps({"doc_id": row.doc_id, "lang": row.lang, "n_chars": row.n_chars})
@@ -291,25 +298,54 @@ class _JsonlWriter(DataSourceWriter):
                 )
                 n += 1
                 id_sum += row.doc_id
-        return WriterCommitMessage2(n, id_sum)
+        return WriterCommitMessage2(n, id_sum, pid, tmp)
+
+    def _sweep_tmp(self) -> None:
+        import glob as _glob
+        import os as _os
+
+        for stray in _glob.glob(_os.path.join(self.path, "_tmp-part-*.jsonl")):
+            try:
+                _os.remove(stray)
+            except OSError:
+                pass
 
     def commit(self, messages):  # type: ignore[override]
         import json as _json
         import os as _os
 
-        total = sum(m.n for m in messages if m)
-        id_sum = sum(m.id_sum for m in messages if m)
+        total = 0
+        id_sum = 0
+        for m in messages:
+            if not m:
+                continue
+            _os.replace(m.tmp, _os.path.join(self.path, f"part-{m.pid:05d}.jsonl"))
+            total += m.n
+            id_sum += m.id_sum
+        # loser attempts of speculated/retried tasks never got a commit
+        # message; their temps are invisible to readers but swept anyway
+        self._sweep_tmp()
         with open(_os.path.join(self.path, "_SUCCESS.json"), "w") as fh:
             fh.write(_json.dumps({"rows": total, "id_sum": id_sum}))
 
     def abort(self, messages) -> None:  # type: ignore[override]
-        pass
+        import os as _os
+
+        for m in messages:
+            if m:
+                try:
+                    _os.remove(m.tmp)
+                except OSError:
+                    pass
+        self._sweep_tmp()
 
 
 class WriterCommitMessage2(WriterCommitMessage):
-    def __init__(self, n: int, id_sum: int) -> None:
+    def __init__(self, n: int, id_sum: int, pid: int, tmp: str) -> None:
         self.n = n
         self.id_sum = id_sum
+        self.pid = pid
+        self.tmp = tmp
 
 
 class JsonlPythonSink(DataSource):
