@@ -834,9 +834,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
+        # LAZY localCheckpoint (r4 A/B: 5.43 s eager -> 2.76 s lazy,
+        # identical output): lineage still truncates at first
+        # materialization, but the BFS_MAX_HOPS driver-blocking jobs
+        # collapse into the one final action.
         new = neighbors.join(
             F.broadcast(dist.select("node")), "node", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         dist = dist.union(new)
         frontier = new
     sym.unpersist()
@@ -1224,10 +1228,13 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each step is ONE equi join against the adjacency table (Σdeg-row
     build shared shape with the triangle/LPA family); the multiplier
-    hash is pure integer arithmetic, identical in SQL.  At 100 TB:
-    walks are embarrassingly parallel; the adjacency join is the only
-    shuffle and amortizes across all {WALK_STEPS} steps via a
-    broadcast when the node table fits."""
+    hash is pure integer arithmetic, identical in SQL.  The adjacency
+    is checkpointed once and BROADCAST into every step (r4 A/B at
+    sf0.1: 2.79 s shuffle-join chain -> 1.51 s, identical corpus), so
+    the whole {WALK_STEPS}-step chain pipelines as map-side stages —
+    the walk frontier never shuffles.  At a scale where the node
+    table outgrows broadcast range, drop the hint and the same chain
+    reuses one adjacency exchange across steps."""
     edges = part_copurchase_edges(spark, sf_dir)
     und = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1235,7 +1242,7 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = und.groupBy("u").agg(
         F.sort_array(F.collect_list("v")).alias("nbrs"),
         F.count(F.lit(1)).cast("bigint").alias("deg"),
-    )
+    ).localCheckpoint(eager=True)
     walk = adj.where(F.col("u") % WALK_SAMPLE_MOD == 0).select(
         F.col("u").alias("start"), F.col("u").alias("cur")
     )
@@ -1249,7 +1256,7 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("int")
         walk = (
-            walk.join(a, walk.cur == a._au)
+            walk.join(F.broadcast(a), walk.cur == a._au)
             .select("start", F.element_at("_nbrs", idx).alias("cur"))
         )
     return walk.agg(

@@ -2018,19 +2018,45 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation sums accumulate as exact DECIMAL(38,0) integers —
     order-free across any partitioning — and Pearson-on-ranks runs one
     identical double division chain at the end (scaling ranks by 2
-    cancels in the correlation).  Two rank windows per group + one
-    mergeable grouped pass; ranks never leave the executors."""
+    cancels in the correlation).
+
+    Ranks come from TIE-GROUP MAPS, not per-row windows (r4): one row
+    per distinct (flag, value) carries r2 = 2·F_prev + c + 1 (F_prev =
+    cumulative count of smaller values), and the fact joins the two
+    maps.  A per-row rank window partitioned by the 3-value flag would
+    sort the ENTIRE fact twice in 3 tasks — the sort is over distinct
+    values here, which is what survives 100 TB.  At sf0.1 the two
+    forms measure equal (3.44 vs 3.50 s warm, identical output); the
+    residual cost is the fact-table join + five-sum pass itself."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wqt = Window.partitionBy("l_returnflag", "l_quantity")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt).cast("bigint") - 1).alias("rq2"),
-        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt).cast("bigint") - 1).alias("rp2"),
+
+    def rank_map(col: str):
+        dv = li.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return dv.select(
+            "l_returnflag",
+            col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = (
+        li.join(F.broadcast(rank_map("l_quantity")), ["l_returnflag", "l_quantity"])
+        .join(rank_map("l_extendedprice"), ["l_returnflag", "l_extendedprice"])
+        .select(
+            "l_returnflag",
+            F.col("r2_l_quantity").alias("rq2"),
+            F.col("r2_l_extendedprice").alias("rp2"),
+        )
     )
     d38 = "decimal(38,0)"
     sums = ranked.groupBy("l_returnflag").agg(
