@@ -811,8 +811,11 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumnRenamed("u", "src")
         .withColumnRenamed("v", "dst")
-        .persist()
     )
+    # No persist: with LAZY hop checkpoints nothing materializes until
+    # the final action, so a persist here would never be populated
+    # before an unpersist could run (r4 ADVICE) — exchange reuse
+    # already dedups the repeated sym subtree inside the one job.
     dist = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -843,7 +846,6 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
         dist = dist.union(new)
         frontier = new
-    sym.unpersist()
     return (
         dist.groupBy(F.col("dist").cast("int").alias("dist"))
         .agg(

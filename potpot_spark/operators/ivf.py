@@ -289,8 +289,10 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
             .select("m", "code", F.transform("pv", lambda s: s.v).alias("centroid"))
         )
-        if it == iters - 1:
-            cents = cents.localCheckpoint()
+    # Unconditional final checkpoint (r4 ADVICE): the docstring's
+    # "final checkpoint stays" contract must hold even for iters=0,
+    # where the loop body never runs.
+    cents = cents.localCheckpoint()
     corpus_sub.unpersist()
     return cents
 

@@ -522,7 +522,7 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW TEXT round trip — the LM-corpus ingestion format: documents
-    serialize one-per-line as ``doc_id \\t base64(text)`` via the text
+    serialize one-per-line as ``doc_id \\t hex(text)`` via the text
     sink, read back with ``spark.read.text`` (each line is one
     `value` row), re-parsed with a first-tab split and hex-decoded.
     The proof is order-free: id sum, char total, and a portable

@@ -209,7 +209,7 @@ def sink_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one scan of the written files; file-level grouping falls out
     of the partition directory structure."""
     import os
-    
+
     src = load_table(spark, sf_dir, "orders")
     target = os.path.join(scratch_dir("potpot_export_"), "orders_export")
     src.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
@@ -266,7 +266,7 @@ def sink_versioned_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader contract (pin a snapshot, never see partial writes) is
     identical."""
     import os
-    
+
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )

@@ -3,10 +3,17 @@
 DuckDB oracle and print one line per query.  Usage:
 
     python scripts/check_oracles.py [sf_dir] [name_filter ...]
+    python scripts/check_oracles.py [sf_dir] --sample 50 --seed 5
+
+--sample N draws N keys uniformly without replacement (seeded, so a
+round's draw is reproducible) — the driver-sample insurance from the
+r4 verdict: mimic the driver's random harness at its own sf before it
+runs, catching contract drift (hash/schema normalization) early.
 """
 
 from __future__ import annotations
 
+import random
 import sys
 import time
 
@@ -18,16 +25,33 @@ from potpot_spark.testing import compare_query, duck_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    sample_n = 0
+    seed = 0
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    filters = args[1:]
     spark = get_session("potpot_check", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     registry.load_all()
+    names = [
+        n
+        for n in registry.specs()
+        if not filters or any(f in n for f in filters)
+    ]
+    if sample_n:
+        names = sorted(random.Random(seed).sample(names, min(sample_n, len(names))))
     failures = 0
-    for name, spec in registry.specs().items():
-        if filters and not any(f in name for f in filters):
-            continue
+    for name in names:
+        spec = registry.specs()[name]
         t0 = time.time()
         try:
             res = compare_query(spark, spec, sf_dir, con=con)
@@ -38,7 +62,7 @@ def main() -> int:
         if not res.ok:
             failures += 1
         print(f"{res}  ({time.time() - t0:.1f}s)")
-    print(f"\n{failures} failures")
+    print(f"\n{failures} failures / {len(names)} checked")
     return 1 if failures else 0
 
 

@@ -766,3 +766,153 @@ def test_peer_benchmark_counts_consistent(spark, sf_dir):
         assert r.n_above_median <= r.n_suppliers, r
         assert r.n_above_double <= r.n_above_median, r
         assert r.n_below_half + r.n_above_median <= r.n_suppliers, r
+
+
+def test_trigram_prefix_filter_lossless_and_skew_bounded(spark):
+    """r4 verdict #1: a deliberately hot stop-trigram shared by EVERY
+    name must vanish from the candidate index (its posting list there
+    is empty — the quadratic pkey self-join never keys on it), while
+    the output stays exactly the brute-force trigram-Jaccard pair set
+    (the prefix filter is lossless, including for a similar pair whose
+    names carry the hot suffix)."""
+    import itertools
+    import math
+    import random
+
+    from potpot_spark.operators.text import (
+        TRGM_MIN_SIM_U,
+        _trgm_candidates,
+        _trgm_encode,
+        _trgm_names,
+        _trgm_prefix_index,
+        _trgm_similar_pairs,
+    )
+
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    names = []
+    seen = set()
+    while len(names) < 60:
+        body = "".join(rng.sample(letters, 8))
+        if body in seen:
+            continue
+        seen.add(body)
+        # every name ends in " pal": trigrams " pa" and "pal" have
+        # df == n_names — the planted stop-trigrams
+        names.append((len(names), "B1", body + " pal"))
+    # planted near-dups: one pair far from the hot suffix, one pair ON it
+    names.append((1001, "B1", "steel blue metallic rose"))
+    names.append((1002, "B1", "steel blue metallic rosy"))
+    names.append((1003, "B1", "abcdefgh pal"))
+    names.append((1004, "B1", "abcdefgi pal"))
+    parts = spark.createDataFrame(names, ["p_partkey", "p_brand", "p_name"])
+    ndf = _trgm_names(parts)
+
+    # brute force ground truth in plain Python
+    def trgms(s):
+        s = s.lower()
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    sets = {pk: trgms(nm) for pk, _, nm in names}
+    expect = {}
+    for ia, ib in itertools.combinations(sorted(sets), 2):
+        common = len(sets[ia] & sets[ib])
+        union = len(sets[ia] | sets[ib])
+        # same IEEE double divide + floor as the engine and the oracle
+        sim_u = int(math.floor(common * 1_000_000 / union))
+        if sim_u >= TRGM_MIN_SIM_U:
+            expect[(ia, ib)] = (common, sim_u)
+    assert (1001, 1002) in expect and (1003, 1004) in expect  # fixture sanity
+
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.sim_u)
+        for r in _trgm_similar_pairs(ndf, TRGM_MIN_SIM_U).collect()
+    }
+    assert got == expect
+
+    # skew bound: the stop-trigram posting lists are empty in the
+    # candidate index even though their raw df is the entire table
+    enc = _trgm_encode(ndf)
+    idx = _trgm_prefix_index(enc, TRGM_MIN_SIM_U)
+    n_names = ndf.count()
+    raw = {r.pkey: r.c for r in enc.groupBy("pkey").agg(F.count(F.lit(1)).alias("c")).collect()}
+    pruned = {r.pkey: r.c for r in idx.groupBy("pkey").agg(F.count(F.lit(1)).alias("c")).collect()}
+    hot = [k for k, c in raw.items() if c >= n_names - 2]
+    assert hot, raw  # " pa" and "pal" must be near-universal
+    for k in hot:
+        assert pruned.get(k, 0) == 0, (k, raw[k], pruned.get(k))
+    # and candidate volume is far below the hot-key quadratic floor
+    n_cand = _trgm_candidates(enc, TRGM_MIN_SIM_U).count()
+    assert n_cand < (n_names * (n_names - 1)) // 4, n_cand
+
+
+def test_celled_routing_prunes_cross_clusters_exactly(spark):
+    """r4 verdict #4: ONE giant label (beyond cap*nsub_max) must route
+    through IVF cells, and the geometric cell-pair prune must make
+    candidate volume sublinear in label_size^2 when the label has
+    cluster structure — while the output pair set stays EXACTLY the
+    brute-force thresholded set (the prune only drops provably
+    sub-threshold cell pairs)."""
+    import numpy as np
+
+    from potpot_spark.operators.similarity import _cosine_pairs_blocked
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per_cluster = 16, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # round-robin over clusters: the deterministic k-means init (first
+    # k vectors by vec_id) then seeds one point per true cluster
+    vecs, rows = [], []
+    vid = 0
+    for _ in range(per_cluster):
+        for c in range(n_clusters):
+            p = centers[c] + 0.02 * rng.normal(size=dim)
+            rows.append((vid, "L0", [float(x) for x in p]))
+            vecs.append(p)
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "emb"])
+    n = len(rows)
+    threshold, cap = 0.8, 64
+    # cap*nsub_max = 128 << n=1200 -> the dispatcher must pick the celled path
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _cosine_pairs_blocked(emb, threshold=threshold, cap=cap, nsub_max=2).collect()
+    }
+    m = np.stack(vecs)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.triu_indices(n, k=1)
+    keep = sims[ia, ib] >= threshold
+    expect = {
+        (int(a), int(b)): round(float(s), 6)
+        for a, b, s in zip(ia[keep], ib[keep], sims[ia, ib][keep])
+    }
+    assert got.keys() == expect.keys()
+    for k_, v in expect.items():
+        assert abs(got[k_] - v) <= 1e-6, (k_, v, got[k_])
+
+    # candidate volume: sum the pair rectangles over the ACTUAL routed
+    # groups (the exact frame the kernel consumes); with 8
+    # well-separated clusters the prune must kill the cross-cluster
+    # rectangles -> far below the n^2/2 all-pairs floor
+    from potpot_spark.operators.similarity import _celled_routed
+
+    sides = (
+        _celled_routed(emb, threshold=threshold, cap=cap)
+        .groupBy("label", "cell_a", "cell_b")
+        .agg(
+            F.count(F.when(F.col("sub") == F.col("cell_a"), 1)).alias("na"),
+            F.count(F.when(F.col("sub") == F.col("cell_b"), 1)).alias("nb"),
+        )
+        .collect()
+    )
+    candidates = 0
+    for r in sides:
+        if r.cell_a == r.cell_b:
+            candidates += r.na * (r.na - 1) // 2
+        else:
+            candidates += r.na * r.nb
+    all_pairs = n * (n - 1) // 2
+    assert candidates >= len(expect)  # sanity: every output pair was a candidate
+    assert candidates < all_pairs // 4, (candidates, all_pairs)
