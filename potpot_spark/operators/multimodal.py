@@ -678,3 +678,148 @@ def dedup_image_ahash_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id_a", "id_b")
         .limit(AHASH_TOP)
     )
+
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("i_vowels", T.LongType()),
+        T.StructField("i_digits", T.LongType()),
+        T.StructField("i_spaces", T.LongType()),
+        T.StructField("i_other", T.LongType()),
+    ]
+)
+
+CLIP_CAPTION_CHARS = 64
+CLIP_ALIGN_MIN = 0.95
+
+
+def _fake_clip_image_embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Image-tower stand-in: decode the payload and emit a 4-bucket
+    content histogram as the 'image embedding' (a real build swaps
+    this body for a CLIP vision encoder over decoded pixels; the
+    Arrow-batched columnar contract is identical)."""
+    for pdf in batches:
+        text = pdf["payload"].apply(lambda b: bytes(b).decode("utf-8"))
+        vowels = text.str.count("[aeiou]")
+        digits = text.str.count("[0-9]")
+        spaces = text.str.count(" ")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "i_vowels": vowels.astype("int64"),
+                "i_digits": digits.astype("int64"),
+                "i_spaces": spaces.astype("int64"),
+                "i_other": (text.str.len() - vowels - digits - spaces).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_clip_alignment_stub",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[aeiou]')) AS iv,
+                   len(regexp_extract_all(text, '[0-9]')) AS idg,
+                   len(regexp_extract_all(text, ' ')) AS isp,
+                   length(text)
+                     - len(regexp_extract_all(text, '[aeiou]'))
+                     - len(regexp_extract_all(text, '[0-9]'))
+                     - len(regexp_extract_all(text, ' ')) AS iot
+            FROM documents
+        ),
+        txt AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), '[aeiou]')) AS tv,
+                   len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), '[0-9]')) AS tdg,
+                   len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), ' ')) AS tsp,
+                   length(substring(text, 1, {CLIP_CAPTION_CHARS}))
+                     - len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), '[aeiou]'))
+                     - len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), '[0-9]'))
+                     - len(regexp_extract_all(substring(text, 1, {CLIP_CAPTION_CHARS}), ' ')) AS tot
+            FROM documents
+        ),
+        scored AS (
+            SELECT i.doc_id,
+                   CAST(i.iv*t.tv + i.idg*t.tdg + i.isp*t.tsp + i.iot*t.tot AS BIGINT) AS dp,
+                   CAST(i.iv*i.iv + i.idg*i.idg + i.isp*i.isp + i.iot*i.iot AS BIGINT) AS nrm_i,
+                   CAST(t.tv*t.tv + t.tdg*t.tdg + t.tsp*t.tsp + t.tot*t.tot AS BIGINT) AS nrm_t
+            FROM img i JOIN txt t ON i.doc_id = t.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN nrm_i = 0 OR nrm_t = 0 THEN 0.0
+                    ELSE ROUND(CAST(dp AS DOUBLE)
+                               / (SQRT(CAST(nrm_i AS DOUBLE)) * SQRT(CAST(nrm_t AS DOUBLE))), 6)
+               END AS alignment,
+               CASE WHEN nrm_i = 0 OR nrm_t = 0 THEN 1
+                    WHEN CAST(dp AS DOUBLE)
+                         / (SQRT(CAST(nrm_i AS DOUBLE)) * SQRT(CAST(nrm_t AS DOUBLE)))
+                         < {CLIP_ALIGN_MIN} THEN 1
+                    ELSE 0 END AS misaligned
+        FROM scored ORDER BY doc_id
+    """,
+    tags=("E38", "E36"),
+)
+def multimodal_clip_alignment_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL ALIGNMENT AUDIT (the CLIP-score recipe): embed the
+    image payload through the (stubbed) vision tower via Arrow-batched
+    ``mapInPandas`` and the caption (leading CLIP_CAPTION_CHARS of the
+    text standing in for alt-text) through a JVM expression tower,
+    then score each pair by embedding cosine and flag weakly aligned
+    pairs — the standard filter for web-scraped image/caption corpora
+    (LAION-style), where misalignment is the dominant noise source.
+
+    Both towers emit exact INTEGER 4-bucket histograms (the model
+    inference is the only faked step), so the single float chain is
+    one dot/sqrt/divide rounded at 6 dp — identical across engines.
+    Scale: the image tower is a map-only columnar pass (no shuffle);
+    the pair join is doc_id equi-join colocated with the text tower's
+    projection; output is one row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = with_payload(docs).mapInPandas(_fake_clip_image_embed, CLIP_SCHEMA)
+    cap = F.substring(F.col("text"), 1, CLIP_CAPTION_CHARS)
+
+    def _cnt(col, pat):
+        return F.length(col) - F.length(F.regexp_replace(col, pat, ""))
+
+    txt = docs.select(
+        "doc_id",
+        _cnt(cap, "[aeiou]").cast("bigint").alias("tv"),
+        _cnt(cap, "[0-9]").cast("bigint").alias("tdg"),
+        _cnt(cap, " ").cast("bigint").alias("tsp"),
+        (
+            F.length(cap)
+            - _cnt(cap, "[aeiou]")
+            - _cnt(cap, "[0-9]")
+            - _cnt(cap, " ")
+        ).cast("bigint").alias("tot"),
+    )
+    j = img.join(txt, "doc_id")
+    dp = (
+        F.col("i_vowels") * F.col("tv")
+        + F.col("i_digits") * F.col("tdg")
+        + F.col("i_spaces") * F.col("tsp")
+        + F.col("i_other") * F.col("tot")
+    ).cast("bigint")
+    nrm_i = (
+        F.col("i_vowels") * F.col("i_vowels")
+        + F.col("i_digits") * F.col("i_digits")
+        + F.col("i_spaces") * F.col("i_spaces")
+        + F.col("i_other") * F.col("i_other")
+    ).cast("bigint")
+    nrm_t = (
+        F.col("tv") * F.col("tv")
+        + F.col("tdg") * F.col("tdg")
+        + F.col("tsp") * F.col("tsp")
+        + F.col("tot") * F.col("tot")
+    ).cast("bigint")
+    cos = dp.cast("double") / (
+        F.sqrt(nrm_i.cast("double")) * F.sqrt(nrm_t.cast("double"))
+    )
+    zero = (nrm_i == 0) | (nrm_t == 0)
+    return j.select(
+        "doc_id",
+        F.when(zero, F.lit(0.0)).otherwise(F.round(cos, 6)).alias("alignment"),
+        F.when(zero, 1).when(cos < CLIP_ALIGN_MIN, 1).otherwise(0).alias("misaligned"),
+    ).orderBy("doc_id")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import phash60_expr
 from potpot_spark.registry import query
 
 
@@ -3146,4 +3147,340 @@ def stats_extreme_value_block_maxima(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(scale, 6).alias("gumbel_scale"),
         F.round(loc, 6).alias("gumbel_location"),
         F.round(loc + scale * GUMBEL_RL52, 6).alias("return_level_52wk"),
+    )
+
+
+# Fixed-point grain for the Bayesian posterior chain: logs and terms
+# quantize to 1e-9 units (BIGINT-exact sums), final outputs round 6dp.
+_BAYES_U = 1_000_000_000
+
+
+@query(
+    "stats_bayesian_ab_posterior",
+    oracle=f"""
+        WITH pop AS (
+            SELECT o_custkey % 2 AS variant,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS success
+            FROM orders WHERE o_orderkey % 20 = 0
+        ),
+        params AS (
+            SELECT CAST(SUM(CASE WHEN variant = 0 THEN success END) + 1 AS BIGINT) AS aa,
+                   CAST(SUM(CASE WHEN variant = 0 THEN 1 - success END) + 1 AS BIGINT) AS ba,
+                   CAST(SUM(CASE WHEN variant = 1 THEN success END) + 1 AS BIGINT) AS ab,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 - success END) + 1 AS BIGINT) AS bb,
+                   CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b
+            FROM pop
+        ),
+        tbl AS (
+            SELECT k,
+                   CASE WHEN k >= 2
+                        THEN CAST(FLOOR(LN(CAST(k AS DOUBLE)) * {_BAYES_U}) AS BIGINT)
+                        ELSE 0 END AS lnq_u
+            FROM params, range(0, 2000001) t(k)
+            WHERE k <= aa + ba + ab + bb
+        ),
+        lft AS (
+            SELECT k, lnq_u,
+                   SUM(lnq_u) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lf_u
+            FROM tbl
+        ),
+        consts AS (
+            SELECT p.*,
+                   (SELECT lf_u FROM lft WHERE k = p.ba + p.bb - 1) AS lf_babb,
+                   (SELECT lf_u FROM lft WHERE k = p.bb - 1) AS lf_bbm1,
+                   (SELECT lf_u FROM lft WHERE k = p.aa - 1)
+                     + (SELECT lf_u FROM lft WHERE k = p.ba - 1)
+                     - (SELECT lf_u FROM lft WHERE k = p.aa + p.ba - 1) AS lbeta_ab_u
+            FROM params p
+        ),
+        terms AS (
+            SELECT c.*, t.k AS i FROM consts c, range(0, 2000001) t(k)
+            WHERE t.k < c.ab
+        ),
+        scored AS (
+            SELECT t.*,
+                   (l1.lf_u + t.lf_babb - l2.lf_u)
+                     - l4.lnq_u
+                     - (l3.lf_u + t.lf_bbm1 - l4.lf_u)
+                     - t.lbeta_ab_u AS ln_term_u
+            FROM terms t
+            JOIN lft l1 ON l1.k = t.aa + t.i - 1
+            JOIN lft l2 ON l2.k = t.aa + t.i + t.ba + t.bb - 1
+            JOIN lft l3 ON l3.k = t.i
+            JOIN lft l4 ON l4.k = t.i + t.bb
+        )
+        SELECT n_a, n_b,
+               CAST(aa - 1 AS BIGINT) AS s_a,
+               CAST(ab - 1 AS BIGINT) AS s_b,
+               ROUND(CAST(aa AS DOUBLE) / (aa + ba), 6) AS mean_a,
+               ROUND(CAST(ab AS DOUBLE) / (ab + bb), 6) AS mean_b,
+               ROUND(CAST(SUM(CAST(FLOOR(
+                   EXP(CAST(ln_term_u AS DOUBLE) / {_BAYES_U}) * {_BAYES_U}
+               ) AS BIGINT)) AS DOUBLE) / {_BAYES_U}, 6) AS prob_b_beats_a
+        FROM scored
+        GROUP BY n_a, n_b, aa, ba, ab, bb
+    """,
+    tags=("E42", "E137"),
+)
+def stats_bayesian_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAYESIAN A/B: exact P(p_B > p_A) under Beta(1,1) priors via the
+    closed-form sum  Σ_{{i<αB}} B(αA+i, βA+βB) / ((βB+i)·B(1+i, βB)·
+    B(αA, βA))  — the experimentation family's posterior companion to
+    the frequentist Welch/delta/CUPED chain (same decision, no
+    normal-approximation caveat at small n).
+
+    Cross-engine determinism (the fixed-point FLOOR discipline): all
+    beta-function arguments are INTEGERS, so every lgamma is a ln-
+    factorial — built as a cumulative BIGINT sum over per-k logs
+    FLOOR-quantized to 1e-9 (Spark has no lgamma; and a float lgamma
+    would drift between engines anyway).  Each term's log is then
+    EXACT integer arithmetic over identical tables; the single float
+    step (exp) re-quantizes to 1e-9 before an exact integer sum, and
+    a 1-ulp exp difference moves the posterior by <= 1e-9 — invisible
+    at the 6-dp output grain.  At 100 TB the experiment population is
+    an aggregate (two success/failure counts); the O(αB) term sum and
+    the O(N) table are driver-scale, not data-scale."""
+    pop = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            (F.col("o_custkey") % 2).alias("variant"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("success"),
+        )
+    )
+    params = pop.agg(
+        (F.sum(F.when(F.col("variant") == 0, F.col("success"))) + 1)
+        .cast("bigint").alias("aa"),
+        (F.sum(F.when(F.col("variant") == 0, 1 - F.col("success"))) + 1)
+        .cast("bigint").alias("ba"),
+        (F.sum(F.when(F.col("variant") == 1, F.col("success"))) + 1)
+        .cast("bigint").alias("ab"),
+        (F.sum(F.when(F.col("variant") == 1, 1 - F.col("success"))) + 1)
+        .cast("bigint").alias("bb"),
+        F.count(F.when(F.col("variant") == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("bigint").alias("n_b"),
+    ).localCheckpoint(eager=True)
+    lft = (
+        params.select(
+            F.explode(F.sequence(F.lit(0), F.col("aa") + F.col("ba") + F.col("ab") + F.col("bb"))).alias("k")
+        )
+        .select(
+            "k",
+            F.when(
+                F.col("k") >= 2,
+                F.floor(F.log(F.col("k").cast("double")) * _BAYES_U).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("lnq_u"),
+        )
+        .withColumn(
+            "lf_u",
+            F.sum("lnq_u").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def lk(alias_name: str, key):
+        t = lft.select(
+            F.col("k").alias(f"_k_{alias_name}"),
+            F.col("lnq_u").alias(f"lnq_{alias_name}"),
+            F.col("lf_u").alias(f"lf_{alias_name}"),
+        )
+        return t, key
+
+    consts = params
+    for nm, key in [
+        ("babb", F.col("ba") + F.col("bb") - 1),
+        ("bbm1", F.col("bb") - 1),
+        ("aam1", F.col("aa") - 1),
+        ("bam1", F.col("ba") - 1),
+        ("aabam1", F.col("aa") + F.col("ba") - 1),
+    ]:
+        t, key_expr = lk(nm, key)
+        consts = consts.join(F.broadcast(t), key_expr == F.col(f"_k_{nm}")).drop(
+            f"_k_{nm}", f"lnq_{nm}"
+        )
+    terms = consts.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ab") - 1)).alias("i")
+    )
+    for nm, key in [
+        ("t1", F.col("aa") + F.col("i") - 1),
+        ("t2", F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1),
+        ("t3", F.col("i")),
+        ("t4", F.col("i") + F.col("bb")),
+    ]:
+        t, key_expr = lk(nm, key)
+        terms = terms.join(F.broadcast(t), key_expr == F.col(f"_k_{nm}")).drop(f"_k_{nm}")
+    ln_term_u = (
+        (F.col("lf_t1") + F.col("lf_babb") - F.col("lf_t2"))
+        - F.col("lnq_t4")
+        - (F.col("lf_t3") + F.col("lf_bbm1") - F.col("lf_t4"))
+        - (F.col("lf_aam1") + F.col("lf_bam1") - F.col("lf_aabam1"))
+    )
+    term_u = F.floor(
+        F.exp(ln_term_u.cast("double") / _BAYES_U) * _BAYES_U
+    ).cast("bigint")
+    return (
+        terms.select("n_a", "n_b", "aa", "ba", "ab", "bb", term_u.alias("term_u"))
+        .groupBy("n_a", "n_b", "aa", "ba", "ab", "bb")
+        .agg(F.sum("term_u").alias("prob_u"))
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("aa") - 1).cast("bigint").alias("s_a"),
+            (F.col("ab") - 1).cast("bigint").alias("s_b"),
+            F.round(F.col("aa").cast("double") / (F.col("aa") + F.col("ba")), 6).alias("mean_a"),
+            F.round(F.col("ab").cast("double") / (F.col("ab") + F.col("bb")), 6).alias("mean_b"),
+            F.round(F.col("prob_u").cast("double") / _BAYES_U, 6).alias("prob_b_beats_a"),
+        )
+    )
+
+
+PERM_N = 199            # permutations; p-value grain 1/(PERM_N+1) = 0.005
+PERM_MOD = 97           # experiment population: every 97th order
+
+
+@query(
+    "stats_permutation_test_fixed",
+    oracle=f"""
+        WITH pop AS (
+            SELECT o_orderkey AS unit,
+                   o_custkey % 2 AS grp,
+                   CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+            FROM orders WHERE o_orderkey % {PERM_MOD} = 0
+        ),
+        obs AS (
+            SELECT CAST(SUM(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS sa,
+                   CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS sb,
+                   CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS cb
+            FROM pop
+        ),
+        perms AS (
+            SELECT k AS p,
+                   CAST(SUM(CASE WHEN pg = 0 THEN v END) AS BIGINT) AS sa,
+                   CAST(COUNT(CASE WHEN pg = 0 THEN 1 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN pg = 1 THEN v END) AS BIGINT) AS sb,
+                   CAST(COUNT(CASE WHEN pg = 1 THEN 1 END) AS BIGINT) AS cb
+            FROM (
+                SELECT pop.v, t.k,
+                       {phash60_expr("CAST(unit AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)")} % 2 AS pg
+                FROM pop, range(0, {PERM_N}) t(k)
+            )
+            GROUP BY k
+        ),
+        scored AS (
+            SELECT p.p
+            FROM perms p, obs o
+            WHERE ABS(p.sb * p.ca - p.sa * p.cb) * (o.ca * o.cb)
+                  >= ABS(o.sb * o.ca - o.sa * o.cb) * (p.ca * p.cb)
+              AND p.ca > 0 AND p.cb > 0
+        )
+        SELECT CAST(o.ca + o.cb AS BIGINT) AS n_units,
+               CAST(o.ca AS BIGINT) AS n_a, CAST(o.cb AS BIGINT) AS n_b,
+               ROUND(CAST(o.sb AS DOUBLE) / o.cb
+                     - CAST(o.sa AS DOUBLE) / o.ca, 6) AS obs_mean_diff,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_extreme,
+               ROUND(CAST(1 + (SELECT COUNT(*) FROM scored) AS DOUBLE)
+                     / {PERM_N + 1}, 6) AS p_value
+        FROM obs o
+    """,
+    tags=("E42", "E137"),
+)
+def stats_permutation_test_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED PERMUTATION TEST for the two-group mean difference — the
+    assumption-free member of the testing family (Welch assumes
+    normal-ish tails, Mann-Whitney tests stochastic dominance; the
+    permutation test nulls the EXACT statistic of interest).
+
+    Determinism: 'random' relabelings are the portable md5 hash of
+    (unit, permutation-id) mod 2 — both engines enumerate the SAME
+    PERM_N (199) relabelings, so the p-value is one exact integer
+    count.
+    Extremeness compares |mean-diff| via integer CROSS-MULTIPLICATION
+    (|sb·ca − sa·cb|·(ca_obs·cb_obs) vs the mirrored product): values
+    FLOOR to whole units first, so every comparison is BIGINT-exact —
+    no float enters until the display columns.  (At a population where
+    sum·count² approaches 2^63, lift the products to DECIMAL(38,0);
+    the fixture population keeps 60x headroom.)
+
+    Scale: the pop x PERM_N expansion combines map-side into PERM_N
+    partial rows per partition before one tiny shuffle — one data
+    pass regardless of permutation count."""
+    pop = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % PERM_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("unit"),
+            (F.col("o_custkey") % 2).alias("grp"),
+            F.floor("o_totalprice").cast("bigint").alias("v"),
+        )
+    )
+
+    def sides(df, gcol):
+        return [
+            F.sum(F.when(F.col(gcol) == 0, F.col("v"))).cast("bigint").alias("sa"),
+            F.count(F.when(F.col(gcol) == 0, 1)).cast("bigint").alias("ca"),
+            F.sum(F.when(F.col(gcol) == 1, F.col("v"))).cast("bigint").alias("sb"),
+            F.count(F.when(F.col(gcol) == 1, 1)).cast("bigint").alias("cb"),
+        ]
+
+    obs = pop.agg(*sides(pop, "grp"))
+    from potpot_spark.functions.numeric import phash60
+
+    perms = (
+        pop.select(
+            "unit", "v", F.explode(F.sequence(F.lit(0), F.lit(PERM_N - 1))).alias("p")
+        )
+        .select(
+            "v",
+            "p",
+            (
+                phash60(
+                    F.concat(
+                        F.col("unit").cast("string"), F.lit(":"), F.col("p").cast("string")
+                    )
+                )
+                % 2
+            ).alias("pg"),
+        )
+        .groupBy("p")
+        .agg(*sides(pop, "pg"))
+    )
+    o = obs.select(
+        F.col("sa").alias("osa"), F.col("ca").alias("oca"),
+        F.col("sb").alias("osb"), F.col("cb").alias("ocb"),
+    )
+    scored = perms.crossJoin(F.broadcast(o)).where(
+        (F.col("ca") > 0)
+        & (F.col("cb") > 0)
+        & (
+            F.abs(F.col("sb") * F.col("ca") - F.col("sa") * F.col("cb"))
+            * (F.col("oca") * F.col("ocb"))
+            >= F.abs(F.col("osb") * F.col("oca") - F.col("osa") * F.col("ocb"))
+            * (F.col("ca") * F.col("cb"))
+        )
+    )
+    ext = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_extreme"))
+    return (
+        obs.crossJoin(F.broadcast(ext))
+        .select(
+            (F.col("ca") + F.col("cb")).cast("bigint").alias("n_units"),
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            F.round(
+                F.col("sb").cast("double") / F.col("cb")
+                - F.col("sa").cast("double") / F.col("ca"),
+                6,
+            ).alias("obs_mean_diff"),
+            F.col("n_extreme"),
+            F.round(
+                (F.lit(1).cast("bigint") + F.col("n_extreme")).cast("double")
+                / (PERM_N + 1),
+                6,
+            ).alias("p_value"),
+        )
     )

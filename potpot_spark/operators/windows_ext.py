@@ -780,3 +780,96 @@ def win_pareto_cutoff_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_of_custs"
         ),
     )
+
+
+DEBOUNCE_K = 3          # consecutive breach days before an alert fires
+DEBOUNCE_NUM = 11       # breach when cnt*n_days*DEN > total*NUM (1.1x mean)
+DEBOUNCE_DEN = 10
+
+
+@query(
+    "win_alerting_debounce",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        ),
+        flagged AS (
+            SELECT d.event_type, d.d, d.cnt
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+            WHERE d.cnt * s.n_days * {DEBOUNCE_DEN} > s.total * {DEBOUNCE_NUM}
+        ),
+        islands AS (
+            SELECT event_type, d, cnt,
+                   d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d) AS INTEGER) AS g
+            FROM flagged
+        )
+        SELECT event_type,
+               strftime(MIN(d), '%Y-%m-%d') AS episode_start,
+               strftime(MIN(d) + {DEBOUNCE_K - 1}, '%Y-%m-%d') AS alert_day,
+               CAST(COUNT(*) AS BIGINT) AS episode_days,
+               CAST(MAX(cnt) AS BIGINT) AS peak_count
+        FROM islands
+        GROUP BY event_type, g
+        HAVING COUNT(*) >= {DEBOUNCE_K}
+        ORDER BY event_type, episode_start
+    """,
+    tags=("E20", "E181"),
+)
+def win_alerting_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEBOUNCED ALERTING: a per-type alert fires only after
+    DEBOUNCE_K (3) CONSECUTIVE days above 1.1x that type's mean daily
+    volume — the anti-flapping rule every paging pipeline applies so
+    one noisy day cannot page anyone.  (On the uniform synthetic
+    traffic the episode count shrinks as SF grows — relative daily
+    variance tightens — which is the correct quiet-pager behavior,
+    not a bug.)  Breach is an exact integer
+    cross-multiplication (cnt·days·den > total·num — no float mean),
+    episodes are the date-minus-row_number islands over breach days
+    only, and an episode reports its start, the day the pager would
+    actually fire (start + K - 1), its length, and its peak.
+
+    Scale: events collapse to O(types x days) BEFORE any window (the
+    rollup is the only data-scale pass, map-side combinable); the
+    island window and the episode aggregate run on the aggregate-
+    scale daily table partitioned by type — the same one-logical-
+    shuffle discipline as win_gaps_islands_streaks."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    flagged = daily.join(F.broadcast(stats), "event_type").where(
+        F.col("cnt") * F.col("n_days") * DEBOUNCE_DEN
+        > F.col("total") * DEBOUNCE_NUM
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    islands = flagged.withColumn(
+        "g", F.date_sub("d", F.row_number().over(w))
+    )
+    return (
+        islands.groupBy("event_type", "g")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("episode_start"),
+            F.date_format(F.date_add(F.min("d"), DEBOUNCE_K - 1), "yyyy-MM-dd").alias(
+                "alert_day"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("episode_days"),
+            F.max("cnt").cast("bigint").alias("peak_count"),
+        )
+        .where(F.col("episode_days") >= DEBOUNCE_K)
+        .drop("g")
+        .orderBy("event_type", "episode_start")
+    )

@@ -685,3 +685,49 @@ def scan_csv_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     for other in outs[1:]:
         out = out.unionByName(other)
     return out.orderBy("codec")
+
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+        SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("E1", "E2"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector round trip — Spark 4's NATIVE xml source (the
+    spark-xml package folded into core; no reference analog — the
+    reference's only format is the slotted page, SURVEY §2.1 R5-R8):
+    a documents slice -> <doc> row elements -> read back with an
+    explicit schema (rowTag is mandatory on both sides; inference
+    would cost a second pass and type-guess every field).  Documents
+    are the adversarial payload on purpose: free text containing
+    markup-significant characters must survive via writer-side
+    entity escaping, or the values the oracle sees diverge.  At scale
+    the reader splits by row-element boundaries the same way
+    JSON-lines splits by newline — per-file parallelism, no
+    cross-file state."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", "text", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+    target = os.path.join(scratch_dir("potpot_xml_"), "docs_xml")
+    src.write.mode("overwrite").option("rowTag", "doc").format("xml").save(target)
+    return (
+        spark.read.schema(_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(target)
+    )

@@ -916,3 +916,68 @@ def test_celled_routing_prunes_cross_clusters_exactly(spark):
     all_pairs = n * (n - 1) // 2
     assert candidates >= len(expect)  # sanity: every output pair was a candidate
     assert candidates < all_pairs // 4, (candidates, all_pairs)
+
+
+def test_bayesian_posterior_matches_monte_carlo(spark, sf_dir):
+    """The closed-form P(p_B > p_A) must agree with a seeded
+    Monte-Carlo Beta draw to sampling error, sit in [0, 1], and the
+    posterior means must reproduce (s+1)/(n+2)."""
+    import numpy as np
+
+    r = registry.get("stats_bayesian_ab_posterior").fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.prob_b_beats_a <= 1.0
+    assert abs(r.mean_a - (r.s_a + 1) / (r.n_a + 2)) < 1e-6
+    assert abs(r.mean_b - (r.s_b + 1) / (r.n_b + 2)) < 1e-6
+    rng = np.random.default_rng(11)
+    a = rng.beta(r.s_a + 1, r.n_a - r.s_a + 1, size=400_000)
+    b = rng.beta(r.s_b + 1, r.n_b - r.s_b + 1, size=400_000)
+    mc = float((b > a).mean())
+    assert abs(r.prob_b_beats_a - mc) < 0.01, (r.prob_b_beats_a, mc)
+
+
+def test_alerting_debounce_episode_contract(spark, sf_dir):
+    """Every reported episode is >= K consecutive days and the pager
+    day is exactly start + K - 1."""
+    import datetime
+
+    from potpot_spark.operators.windows_ext import DEBOUNCE_K
+
+    rows = registry.get("win_alerting_debounce").fn(spark, sf_dir).collect()
+    assert rows, "sf0.001/sf0.01 fixtures produce at least one episode"
+    for r in rows:
+        assert r.episode_days >= DEBOUNCE_K, r
+        start = datetime.date.fromisoformat(r.episode_start)
+        alert = datetime.date.fromisoformat(r.alert_day)
+        assert (alert - start).days == DEBOUNCE_K - 1, r
+
+
+def test_clip_alignment_short_docs_are_perfect(spark, sf_dir):
+    """A doc whose text fits inside the caption window has identical
+    towers on both sides -> alignment exactly 1.0, never flagged; all
+    alignments live in [0, 1] (non-negative histograms)."""
+    from potpot_spark.catalog import load_table
+    from potpot_spark.operators.multimodal import CLIP_CAPTION_CHARS
+
+    out = {r.doc_id: r for r in registry.get("multimodal_clip_alignment_stub").fn(spark, sf_dir).collect()}
+    short = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.length("text") <= CLIP_CAPTION_CHARS)
+        .collect()
+    }
+    assert all(0.0 <= r.alignment <= 1.0 for r in out.values())
+    for did in short:
+        assert out[did].alignment == 1.0, (did, out[did])
+        assert out[did].misaligned == 0
+
+
+def test_permutation_test_pvalue_contract(spark, sf_dir):
+    """p-value grain and bounds: p = (1 + n_extreme)/(PERM_N + 1),
+    within (0, 1], and n_extreme <= PERM_N."""
+    from potpot_spark.operators.stats import PERM_N
+
+    r = registry.get("stats_permutation_test_fixed").fn(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_extreme <= PERM_N
+    assert abs(r.p_value - round((1 + r.n_extreme) / (PERM_N + 1), 6)) < 1e-9
+    assert 0.0 < r.p_value <= 1.0
+    assert r.n_units == r.n_a + r.n_b
