@@ -176,7 +176,11 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # A name-filtered invocation must not clobber the full-suite
+    # detail map (burned once in r5: a 6-query A/B overwrote the
+    # 417-query record).
+    detail_name = "BENCH_DETAIL_FILTERED.json" if only else "BENCH_DETAIL.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(
             {

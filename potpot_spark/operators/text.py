@@ -2201,12 +2201,14 @@ def _trgm_encode(names: DataFrame) -> DataFrame:
     )
 
 
-def _trgm_prefix_index(enc: DataFrame, min_sim_u: int) -> DataFrame:
+def _trgm_ranked(enc: DataFrame, min_sim_u: int) -> DataFrame:
     """LOSSLESS JACCARD PREFIX FILTER (r4 verdict #1 — the coded
     df-cap): rank each name's postings by ascending global document
     frequency (rarest first; pkey tie-break keeps the order exact)
-    and index only the first ``sz - s`` of them, where the dropped
-    suffix is ``s = ceil(r * sz) - 1`` with ``r = t/(1+t)``.
+    and flag the first ``sz - s`` of them ``in_prefix`` (the dropped
+    suffix is ``s = ceil(r * sz) - 1`` with ``r = t/(1+t)``); only
+    flagged postings enter candidate generation, and the suffix rows
+    feed the two correction counts of the split verify.
 
     Why lossless: J(A,B) >= t means o/(|A|+|B|-o) >= t for the
     overlap o = |A∩B|, which rearranges to o >= r·(|A|+|B|).  Since
@@ -2239,16 +2241,28 @@ def _trgm_prefix_index(enc: DataFrame, min_sim_u: int) -> DataFrame:
                 Window.partitionBy("p_partkey").orderBy("dfreq", "pkey")
             ),
         )
-        .where(F.col("rn") <= F.col("sz") - suffix)
-        .select("pkey", "p_partkey", "sz")
+        .select(
+            "pkey", "p_partkey", "sz",
+            (F.col("rn") <= F.col("sz") - suffix).alias("in_prefix"),
+        )
     )
 
 
-def _trgm_candidates(enc: DataFrame, min_sim_u: int) -> DataFrame:
-    """Candidate pairs from the prefix index: pkey equi-join +
-    id-order dedup + the Jaccard size filter (J >= t forces
-    min(sz)/max(sz) >= t, checked in exact integer micro-units)."""
-    idx = _trgm_prefix_index(enc, min_sim_u).localCheckpoint(eager=True)
+def _trgm_prefix_index(enc: DataFrame, min_sim_u: int) -> DataFrame:
+    """Prefix-only postings (the candidate index; property-test entry
+    point — see _trgm_ranked for the flag construction + proof)."""
+    return _trgm_ranked(enc, min_sim_u).where("in_prefix").select(
+        "pkey", "p_partkey", "sz"
+    )
+
+
+def _trgm_candidates_from_idx(idx: DataFrame, min_sim_u: int) -> DataFrame:
+    """Candidate pairs from a prefix index: pkey equi-join + id-order
+    + the Jaccard size filter (J >= t forces min(sz)/max(sz) >= t,
+    checked in exact integer micro-units).  One row per pair with
+    ``n_pp`` = |prefix(A) ∩ prefix(B)| — the groupBy that dedups the
+    multi-shared-trigram pairs is the SAME shuffle a distinct would
+    cost, but its count is the first third of the verify sum."""
     a = idx.select("pkey", F.col("p_partkey").alias("id_a"), F.col("sz").alias("sz_a"))
     b = idx.select("pkey", F.col("p_partkey").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -2258,9 +2272,14 @@ def _trgm_candidates(enc: DataFrame, min_sim_u: int) -> DataFrame:
             F.least("sz_a", "sz_b").cast("bigint") * 1_000_000
             >= F.lit(int(min_sim_u)) * F.greatest("sz_a", "sz_b").cast("bigint")
         )
-        .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_pp"))
     )
+
+
+def _trgm_candidates(enc: DataFrame, min_sim_u: int) -> DataFrame:
+    """Standalone candidate generation (property-test entry point)."""
+    return _trgm_candidates_from_idx(_trgm_prefix_index(enc, min_sim_u), min_sim_u)
 
 
 def _trgm_similar_pairs(names: DataFrame, min_sim_u: int = TRGM_MIN_SIM_U) -> DataFrame:
@@ -2272,26 +2291,53 @@ def _trgm_similar_pairs(names: DataFrame, min_sim_u: int = TRGM_MIN_SIM_U) -> Da
     candidate index never touches the reported counts.  Pair keys are
     grouped as two columns, not an arithmetic bigint pack (ADVICE r4:
     the 2^32 pack would silently collide at ~2e13 partkeys)."""
-    # enc feeds FOUR subtrees (df table, prefix ranking, both verify
-    # sides) and the prefix index feeds its own self-join: pin both
-    # once (A/B at sf0.1: 11.2 s recomputed -> see SURVEY §6 r5) —
-    # the checkpoint is posting-scale, the same rows the old plan
+    # enc feeds the df table + ranking; the ranked frame feeds the
+    # candidate self-join AND both verify corrections: pin each once
+    # (A/B at sf0.1: 11.2 s fully recomputed -> 6.5 s checkpointed) —
+    # the checkpoints are posting-scale, the same rows the old plan
     # already shuffled once.
     enc = _trgm_encode(names).localCheckpoint(eager=True)
-    cand = _trgm_candidates(enc, min_sim_u)
-    pa = enc.select(F.col("p_partkey").alias("id_a"), "pkey")
-    pb = enc.select(F.col("p_partkey").alias("id_b"), "pkey")
-    # Both verify joins BROADCAST the posting table (posting-scale,
-    # vocabulary x name-length — ~5 MB at sf0.1): the candidate set
-    # streams map-side through both probes and the per-pair partial
-    # count combines before the one pair shuffle.  At a scale where
-    # postings outgrow broadcast range the same equi-joins degrade
-    # gracefully to shuffle joins — no plan rewrite needed.
+    ranked = _trgm_ranked(enc, min_sim_u).localCheckpoint(eager=True)
+    idx = ranked.where("in_prefix")
+    suf = ranked.where(~F.col("in_prefix"))
+    cand = _trgm_candidates_from_idx(idx, min_sim_u)
+    # SPLIT VERIFY: n_common = |P_A∩P_B| + |S_A∩B| + |P_A∩S_B|
+    # (A = P_A ⊎ S_A partitions every shared trigram exactly once).
+    # |P_A∩P_B| is the candidate groupBy's own count (free); the two
+    # correction joins probe only SUFFIX postings (~1.2 per name vs
+    # ~7 full), so verify streams ~cand x 2.4 rows instead of
+    # cand x |A| — all probes BROADCAST the posting-scale tables and
+    # combine map-side before the one pair-key shuffle.  At a scale
+    # where postings outgrow broadcast range the same equi-joins
+    # degrade gracefully to shuffle joins — no plan rewrite needed.
+    suf_a = suf.select(F.col("p_partkey").alias("id_a"), "pkey")
+    suf_b = suf.select(F.col("p_partkey").alias("id_b"), "pkey")
+    idx_a = idx.select(F.col("p_partkey").alias("id_a"), "pkey")
+    full_b = enc.select(F.col("p_partkey").alias("id_b"), "pkey")
+    pairs_only = cand.select("id_a", "id_b")
+    corr_sa = (
+        pairs_only.join(F.broadcast(suf_a), "id_a")
+        .join(F.broadcast(full_b), ["id_b", "pkey"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_sa"))
+    )
+    corr_ps = (
+        pairs_only.join(F.broadcast(suf_b), "id_b")
+        .join(F.broadcast(idx_a), ["id_a", "pkey"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_ps"))
+    )
     counted = (
-        cand.join(F.broadcast(pa), "id_a")
-        .join(F.broadcast(pb), ["id_b", "pkey"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(corr_sa, ["id_a", "id_b"], "left")
+        .join(corr_ps, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "sz_a", "sz_b",
+            (
+                F.col("n_pp")
+                + F.coalesce(F.col("n_sa"), F.lit(0))
+                + F.coalesce(F.col("n_ps"), F.lit(0))
+            ).alias("n_common"),
+        )
     )
     sim_u = F.floor(
         F.col("n_common").cast("double") * 1000000 / F.col("n_union")

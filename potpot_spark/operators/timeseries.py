@@ -4658,3 +4658,142 @@ def analytics_retention_decay_exponent(spark: SparkSession, sf_dir: str) -> Data
     return sums.select(
         F.col("n").alias("n_points"), F.round(slope, 9).alias("decay_exponent")
     )
+
+
+HW_M = 7          # weekly season on the daily rollup
+HW_ALPHA = 0.25   # binary fractions: every product is an exact
+HW_BETA = 0.5     # exponent shift, every add rounds identically in
+HW_GAMMA = 0.25   # both engines -> bit-equal state after ~30 steps
+
+
+@query(
+    "timeseries_holt_winters_seasonal",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+                   CAST(COUNT(*) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        ser AS (
+            SELECT event_type, list(x ORDER BY d) AS xs, COUNT(*) AS n
+            FROM daily GROUP BY 1
+        ),
+        init AS (
+            SELECT event_type, xs, n,
+                   (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / {HW_M} AS l0
+            FROM ser WHERE n >= {HW_M + 1}
+        ),
+        r AS (
+            SELECT event_type, xs, n, CAST({HW_M} AS BIGINT) AS t,
+                   l0 AS level,
+                   (xs[{HW_M + 1}] - xs[1]) / {HW_M} AS trend,
+                   [xs[1]-l0, xs[2]-l0, xs[3]-l0, xs[4]-l0,
+                    xs[5]-l0, xs[6]-l0, xs[7]-l0] AS svec
+            FROM init
+            UNION ALL
+            SELECT event_type, xs, n, t + 1,
+                   {HW_ALPHA} * (xs[t+1] - svec[t+1-{HW_M}])
+                     + {1.0 - HW_ALPHA} * (level + trend),
+                   {HW_BETA} * (({HW_ALPHA} * (xs[t+1] - svec[t+1-{HW_M}])
+                     + {1.0 - HW_ALPHA} * (level + trend)) - level)
+                     + {1.0 - HW_BETA} * trend,
+                   list_append(svec,
+                     {HW_GAMMA} * (xs[t+1]
+                       - ({HW_ALPHA} * (xs[t+1] - svec[t+1-{HW_M}])
+                          + {1.0 - HW_ALPHA} * (level + trend)))
+                       + {1.0 - HW_GAMMA} * svec[t+1-{HW_M}])
+            FROM r WHERE t < n
+        )
+        SELECT event_type,
+               ROUND(level, 6) AS level_last,
+               ROUND(trend, 6) AS trend_last,
+               ROUND(level + trend + svec[n+1-{HW_M}], 6) AS forecast_next,
+               CAST(n AS BIGINT) AS n_points
+        FROM r WHERE t = n
+        ORDER BY event_type
+    """,
+    tags=("E33", "E20"),
+)
+def timeseries_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing on the per-type daily
+    volume series (weekly season, m=7) — the seasonal completion of
+    the smoothing family (EWMA pins one recurrence, Holt two; this
+    pins level+trend+seasonal-vector state):
+
+        l_t = a*(x_t - s_(t-m)) + (1-a)*(l_(t-1) + b_(t-1))
+        b_t = B*(l_t - l_(t-1)) + (1-B)*b_(t-1)
+        s_t = g*(x_t - l_t) + (1-g)*s_(t-m)
+
+    Init convention (spelled out so the CTE anchor can repeat it
+    exactly): l = mean of the first week summed LEFT-TO-RIGHT,
+    b = (x_(m+1) - x_1)/m, s_i = x_i - l for the first week; stepping
+    starts at day m+1.  Binary-fraction smoothing constants + one
+    identical operation order per step keep ~23 chained steps
+    bit-equal across engines; outputs still round 6dp (the family
+    discipline).  Forecast is one step ahead: l + b + s_(n+1-m).
+    Scale: the only data-scale pass is the O(types x days) daily
+    rollup (map-side combinable); the recurrence runs per type on an
+    aggregate-scale array — embarrassingly parallel across types,
+    inherently sequential within one (the math's property)."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    ser = (
+        daily.select("event_type", F.struct(F.col("d"), F.col("x")).alias("p"))
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("p")).alias("sp"))
+        .select(
+            "event_type",
+            F.transform("sp", lambda s: s["x"]).alias("xs"),
+            F.size("sp").cast("bigint").alias("n"),
+        )
+        .where(F.col("n") >= HW_M + 1)
+    )
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("level_last", T.DoubleType()),
+                T.StructField("trend_last", T.DoubleType()),
+                T.StructField("forecast_next", T.DoubleType()),
+            ]
+        )
+    )
+    def hw_arr(vals: pd.Series) -> pd.DataFrame:
+        ll, tl, fc = [], [], []
+        for xs in vals:
+            m = HW_M
+            l0 = 0.0
+            for i in range(m):  # left-to-right, same order as the CTE
+                l0 = l0 + xs[i]
+            l0 = l0 / m
+            level = l0
+            trend = (xs[m] - xs[0]) / m
+            svec = [xs[i] - l0 for i in range(m)]
+            for t in range(m, len(xs)):
+                x = xs[t]
+                sm = svec[t - m]
+                new_level = HW_ALPHA * (x - sm) + (1.0 - HW_ALPHA) * (level + trend)
+                trend = HW_BETA * (new_level - level) + (1.0 - HW_BETA) * trend
+                svec.append(HW_GAMMA * (x - new_level) + (1.0 - HW_GAMMA) * sm)
+                level = new_level
+            ll.append(level)
+            tl.append(trend)
+            fc.append(level + trend + svec[len(xs) - m])
+        return pd.DataFrame({"level_last": ll, "trend_last": tl, "forecast_next": fc})
+
+    return (
+        ser.select("event_type", "n", hw_arr("xs").alias("c"))
+        .select(
+            "event_type",
+            F.round(F.col("c.level_last"), 6).alias("level_last"),
+            F.round(F.col("c.trend_last"), 6).alias("trend_last"),
+            F.round(F.col("c.forecast_next"), 6).alias("forecast_next"),
+            F.col("n").alias("n_points"),
+        )
+        .orderBy("event_type")
+    )
