@@ -916,3 +916,74 @@ def pipeline_epoch_shuffle_determinism(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("epoch")
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+        WITH base AS (
+            SELECT source, lang,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   md5(text) AS h
+            FROM documents
+        ),
+        per AS (
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dup_excess
+            FROM base GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM per)
+        SELECT p.source, p.lang, p.n_docs, p.total_chars, p.total_tokens,
+               p.median_chars, p.exact_dup_excess,
+               CAST(FLOOR(CAST(p.n_docs AS DOUBLE) * 1000000 / t.all_docs)
+                    AS BIGINT) AS share_u
+        FROM per p, tot t
+        ORDER BY p.source, p.lang
+    """,
+    tags=("E37", "E34"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD: the per-(source, lang) summary table every corpus
+    release ships — doc/char/token volumes, median length, exact-dup
+    excess, and each stratum's share of the corpus in exact
+    micro-units.  One declarative pass: everything is a map-side-
+    combinable aggregate over the documents scan except the exact
+    median (per-group typed buffer, O(distinct lengths)) and the
+    single-row total joined back by broadcast.  This is the artifact
+    a data lead signs off on; the drill-down numbers reconcile with
+    the dedicated ops (dedup_exact, text_token_count,
+    documents_length_histogram_log2) because all derive from the
+    same column definitions."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    per = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("h")))
+        .cast("bigint")
+        .alias("exact_dup_excess"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("all_docs"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "n_docs", "total_chars", "total_tokens",
+            "median_chars", "exact_dup_excess",
+            F.floor(F.col("n_docs").cast("double") * 1000000 / F.col("all_docs"))
+            .cast("bigint")
+            .alias("share_u"),
+        )
+        .orderBy("source", "lang")
+    )

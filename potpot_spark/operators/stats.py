@@ -3484,3 +3484,185 @@ def stats_permutation_test_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+BH_Q_NUM = 1          # FDR level q = 1/10
+BH_Q_DEN = 10
+BH_PERM_N = 199       # permutations per hypothesis
+BH_POP_MOD = 13       # population: every 13th event
+
+
+@query(
+    "stats_bh_fdr_correction",
+    oracle=f"""
+        WITH pop AS (
+            SELECT event_type, event_id AS unit,
+                   user_id % 2 AS grp,
+                   CAST(FLOOR(value) AS BIGINT) AS v
+            FROM events WHERE event_id % {BH_POP_MOD} = 0
+        ),
+        obs AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS sa,
+                   CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS sb,
+                   CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS cb
+            FROM pop GROUP BY 1
+        ),
+        perms AS (
+            SELECT event_type, k AS p,
+                   CAST(SUM(CASE WHEN pg = 0 THEN v END) AS BIGINT) AS sa,
+                   CAST(COUNT(CASE WHEN pg = 0 THEN 1 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN pg = 1 THEN v END) AS BIGINT) AS sb,
+                   CAST(COUNT(CASE WHEN pg = 1 THEN 1 END) AS BIGINT) AS cb
+            FROM (
+                SELECT pop.event_type, pop.v, t.k,
+                       {phash60_expr("CAST(unit AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)")} % 2 AS pg
+                FROM pop, range(0, {BH_PERM_N}) t(k)
+            )
+            GROUP BY 1, 2
+        ),
+        pvals AS (
+            SELECT o.event_type,
+                   CAST(1 + COUNT(CASE WHEN p.ca > 0 AND p.cb > 0
+                     AND ABS(p.sb * p.ca - p.sa * p.cb) * (o.ca * o.cb)
+                         >= ABS(o.sb * o.ca - o.sa * o.cb) * (p.ca * p.cb)
+                     THEN 1 END) AS BIGINT) AS p_num
+            FROM obs o JOIN perms p ON o.event_type = p.event_type
+            GROUP BY o.event_type, o.sa, o.ca, o.sb, o.cb
+        ),
+        ranked AS (
+            SELECT event_type, p_num,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pvals
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN p_num * m * {BH_Q_DEN}
+                             <= rnk * {BH_Q_NUM} * {BH_PERM_N + 1}
+                        THEN rnk ELSE NULL END AS ok_rank
+            FROM ranked
+        ),
+        cut AS (SELECT COALESCE(MAX(ok_rank), 0) AS k FROM flagged)
+        SELECT r.event_type,
+               ROUND(CAST(r.p_num AS DOUBLE) / {BH_PERM_N + 1}, 6) AS p_value,
+               r.rnk, r.m,
+               CASE WHEN r.rnk <= c.k THEN 1 ELSE 0 END AS significant
+        FROM ranked r, cut c
+        ORDER BY r.rnk
+    """,
+    tags=("E42", "E165"),
+)
+def stats_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR step-up over one permutation test PER
+    EVENT TYPE (does user-parity move the value metric anywhere?) —
+    the multiple-testing layer every experimentation platform needs
+    once it runs one test per segment.
+
+    Everything is exact integer arithmetic end to end: each
+    hypothesis's p-value is the seeded-permutation count from the
+    stats_permutation_test_fixed recipe (portable md5 relabelings,
+    BIGINT cross-multiplied extremeness), and the BH threshold
+    p_(i) <= i·q/m compares as p_num·m·q_den <= i·q_num·(N+1) — no
+    float enters until the display column.  The step-UP rule
+    (everything at or below the LARGEST passing rank is significant,
+    even interior points that individually fail) is the part naive
+    implementations get wrong; the cut CTE is that rule.
+
+    Scale: one data pass fans each unit into PERM_N relabelings that
+    combine map-side into (types x PERM_N) partials; ranking runs on
+    m = |types| rows."""
+    pop = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % BH_POP_MOD == 0)
+        .select(
+            "event_type",
+            F.col("event_id").alias("unit"),
+            (F.col("user_id") % 2).alias("grp"),
+            F.floor("value").cast("bigint").alias("v"),
+        )
+    )
+
+    def sides(gcol):
+        return [
+            F.sum(F.when(F.col(gcol) == 0, F.col("v"))).cast("bigint").alias("sa"),
+            F.count(F.when(F.col(gcol) == 0, 1)).cast("bigint").alias("ca"),
+            F.sum(F.when(F.col(gcol) == 1, F.col("v"))).cast("bigint").alias("sb"),
+            F.count(F.when(F.col(gcol) == 1, 1)).cast("bigint").alias("cb"),
+        ]
+
+    from potpot_spark.functions.numeric import phash60
+
+    obs = pop.groupBy("event_type").agg(*sides("grp"))
+    perms = (
+        pop.select(
+            "event_type", "v",
+            F.explode(F.sequence(F.lit(0), F.lit(BH_PERM_N - 1))).alias("p"),
+            (
+                phash60(
+                    F.concat(
+                        F.col("unit").cast("string"), F.lit(":"),
+                        F.col("p").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("pg"),
+        )
+        .groupBy("event_type", "p")
+        .agg(*sides("pg"))
+    )
+    o = obs.select(
+        "event_type",
+        F.col("sa").alias("osa"), F.col("ca").alias("oca"),
+        F.col("sb").alias("osb"), F.col("cb").alias("ocb"),
+    )
+    pvals = (
+        perms.join(F.broadcast(o), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.lit(1).cast("bigint")
+                + F.count(
+                    F.when(
+                        (F.col("ca") > 0)
+                        & (F.col("cb") > 0)
+                        & (
+                            F.abs(F.col("sb") * F.col("ca") - F.col("sa") * F.col("cb"))
+                            * (F.col("oca") * F.col("ocb"))
+                            >= F.abs(
+                                F.col("osb") * F.col("oca") - F.col("osa") * F.col("ocb")
+                            )
+                            * (F.col("ca") * F.col("cb"))
+                        ),
+                        1,
+                    )
+                )
+            ).alias("p_num")
+        )
+    )
+    w = Window.orderBy("p_num", "event_type")
+    ranked = pvals.select(
+        "event_type", "p_num",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).crossJoin(F.broadcast(pvals.agg(F.count(F.lit(1)).cast("bigint").alias("m"))))
+    flagged = ranked.withColumn(
+        "ok_rank",
+        F.when(
+            F.col("p_num") * F.col("m") * BH_Q_DEN
+            <= F.col("rnk") * BH_Q_NUM * (BH_PERM_N + 1),
+            F.col("rnk"),
+        ),
+    )
+    cut = flagged.agg(F.coalesce(F.max("ok_rank"), F.lit(0).cast("bigint")).alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            F.round(F.col("p_num").cast("double") / (BH_PERM_N + 1), 6).alias("p_value"),
+            "rnk",
+            "m",
+            F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0).alias("significant"),
+        )
+        .orderBy("rnk")
+    )

@@ -981,3 +981,27 @@ def test_permutation_test_pvalue_contract(spark, sf_dir):
     assert abs(r.p_value - round((1 + r.n_extreme) / (PERM_N + 1), 6)) < 1e-9
     assert 0.0 < r.p_value <= 1.0
     assert r.n_units == r.n_a + r.n_b
+
+
+def test_bh_fdr_stepup_is_rank_prefix(spark, sf_dir):
+    """BH step-up: the significant set is exactly ranks 1..k (a prefix
+    of the p-value order), p-values are nondecreasing in rank, and
+    every individually-passing rank is within the prefix."""
+    from potpot_spark.operators.stats import BH_PERM_N, BH_Q_DEN, BH_Q_NUM
+
+    rows = sorted(
+        registry.get("stats_bh_fdr_correction").fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
+    sig = [r.significant for r in rows]
+    if 1 in sig:
+        k = max(i for i, s in enumerate(sig) if s == 1)
+        assert all(s == 1 for s in sig[: k + 1])  # prefix property
+        m = rows[0].m
+        # the cut rank itself passes the BH inequality
+        r_k = rows[k]
+        p_num = round(r_k.p_value * (BH_PERM_N + 1))
+        assert p_num * m * BH_Q_DEN <= r_k.rnk * BH_Q_NUM * (BH_PERM_N + 1)
