@@ -1110,3 +1110,138 @@ def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MMR_POOL_N = 40   # candidate pool: top-N by relevance to the probe
+MMR_K = 8         # diversified selection size (lambda = 1/2)
+
+
+@query(
+    "sim_search_mmr_diverse_topk",
+    oracle=f"""
+        WITH RECURSIVE
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        rel AS (
+            SELECT e.vec_id,
+                   CAST(FLOOR(
+                     (SELECT SUM(a*b) FROM (SELECT UNNEST(q.embedding)::DOUBLE AS a,
+                                                   UNNEST(e.embedding)::DOUBLE AS b))
+                     / (SQRT((SELECT SUM(a*a) FROM (SELECT UNNEST(q.embedding)::DOUBLE AS a)))
+                      * SQRT((SELECT SUM(b*b) FROM (SELECT UNNEST(e.embedding)::DOUBLE AS b))))
+                     * 1000000) AS BIGINT) AS rel_u
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        pool AS (SELECT * FROM rel ORDER BY rel_u DESC, vec_id LIMIT {MMR_POOL_N}),
+        pv AS (SELECT p.vec_id, p.rel_u, e.embedding
+               FROM pool p JOIN embeddings e USING (vec_id)),
+        pairs AS (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   CAST(FLOOR(
+                     (SELECT SUM(a*b) FROM (SELECT UNNEST(x.embedding)::DOUBLE AS a,
+                                                   UNNEST(y.embedding)::DOUBLE AS b))
+                     / (SQRT((SELECT SUM(a*a) FROM (SELECT UNNEST(x.embedding)::DOUBLE AS a)))
+                      * SQRT((SELECT SUM(b*b) FROM (SELECT UNNEST(y.embedding)::DOUBLE AS b))))
+                     * 1000000) AS BIGINT) AS sim_u
+            FROM pv x JOIN pv y ON x.vec_id <> y.vec_id
+        ),
+        sel AS (
+            SELECT CAST(1 AS BIGINT) AS rnk, vec_id, rel_u, rel_u AS score2_u,
+                   [vec_id] AS ids
+            FROM (SELECT * FROM pool ORDER BY rel_u DESC, vec_id LIMIT 1)
+            UNION ALL
+            SELECT s.rnk + 1, nxt.vec_id, nxt.rel_u, nxt.score2_u,
+                   list_append(s.ids, nxt.vec_id)
+            FROM sel s, LATERAL (
+                SELECT p.vec_id, p.rel_u,
+                       p.rel_u - COALESCE((SELECT MAX(pr.sim_u) FROM pairs pr
+                                           WHERE pr.id_a = p.vec_id
+                                             AND list_contains(s.ids, pr.id_b)), 0)
+                           AS score2_u
+                FROM pool p
+                WHERE NOT list_contains(s.ids, p.vec_id)
+                ORDER BY score2_u DESC, p.vec_id
+                LIMIT 1
+            ) nxt
+            WHERE s.rnk < {MMR_K}
+        )
+        SELECT rnk, vec_id,
+               ROUND(CAST(rel_u AS DOUBLE) / 1000000, 6) AS relevance,
+               score2_u AS mmr2_u
+        FROM sel ORDER BY rnk
+    """,
+    tags=("E36", "E18"),
+)
+def sim_search_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified top-k — the data-curation
+    selection rule (pick examples RELEVANT to a probe but DIVERSE from
+    each other; lambda = 1/2): greedily maximize
+    2*score = rel(d) - max_{s in S} sim(d, s) over the candidate pool.
+
+    Two-phase, scale-split design: the DISTRIBUTED phase is the
+    existing brute-force machinery (broadcast probe x streamed corpus
+    -> top-{MMR_POOL_N} pool via WindowGroupLimit, then a pool x pool
+    self-join for pairwise sims — pool is a CONSTANT, so the pair
+    stage is O(1) regardless of corpus size); the greedy phase runs
+    driver-side over that aggregate-sized state ({MMR_POOL_N} +
+    {MMR_POOL_N}^2 rows — same class as the fixpoint scalars the
+    graph family collects), because a k-step sequential argmax over 40
+    rows is driver work, not cluster work.  All scores FLOOR-quantize
+    to 1e-6 BIGINTs BEFORE the greedy, so both engines select
+    identical ids (the DuckDB twin replays the same greedy as a
+    recursive CTE with a correlated LATERAL argmax).  At 100 TB the
+    relevance scan is one pass; nothing else grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("q_emb")
+    )
+    corpus = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("c_emb")
+    )
+    rel = F.broadcast(probe).crossJoin(corpus).select(
+        "vec_id",
+        F.floor(cosine(F.col("q_emb"), F.col("c_emb")) * 1_000_000)
+        .cast("bigint")
+        .alias("rel_u"),
+        "c_emb",
+    )
+    w = Window.orderBy(F.col("rel_u").desc(), "vec_id")
+    pool = rel.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= MMR_POOL_N
+    )
+    x = pool.select(F.col("vec_id").alias("id_a"), F.col("c_emb").alias("ea"))
+    y = pool.select(F.col("vec_id").alias("id_b"), F.col("c_emb").alias("eb"))
+    pair_rows = (
+        x.join(F.broadcast(y), F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000)
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .collect()
+    )
+    pool_rows = pool.select("vec_id", "rel_u").collect()
+    sims = {(r.id_a, r.id_b): r.sim_u for r in pair_rows}
+    rels = {r.vec_id: r.rel_u for r in pool_rows}
+    selected: list[tuple[int, int, int, int]] = []   # (rnk, id, rel_u, score2_u)
+    chosen: list[int] = []
+    while len(selected) < MMR_K and len(chosen) < len(rels):
+        best = None
+        for vid, rel_u in rels.items():
+            if vid in chosen:
+                continue
+            max_sim = max((sims[(vid, s)] for s in chosen), default=0)
+            score2 = rel_u - (max_sim if chosen else 0)
+            key = (-score2, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel_u, score2)
+        selected.append((len(selected) + 1, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        [
+            (rnk, vid, round(rel_u / 1e6, 6), score2)
+            for rnk, vid, rel_u, score2 in selected
+        ],
+        "rnk bigint, vec_id bigint, relevance double, mmr2_u bigint",
+    )

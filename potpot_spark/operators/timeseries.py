@@ -4797,3 +4797,135 @@ def timeseries_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "timeseries_mann_kendall_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                                 WHEN b.c < a.c THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.d > a.d
+            GROUP BY 1
+        ),
+        nn AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie18
+            FROM (
+                SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2
+            ) g WHERE t > 1 GROUP BY 1
+        )
+        SELECT nn.event_type, nn.n AS n_days, s.s_stat,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                   - COALESCE(ties.tie18, 0) AS var18,
+               ROUND(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                          WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END
+                     / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                 - COALESCE(ties.tie18, 0) AS DOUBLE) / 18.0),
+                     6) AS z_score,
+               CASE WHEN s.s_stat > 0 THEN 'increasing'
+                    WHEN s.s_stat < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM nn JOIN s USING (event_type)
+        LEFT JOIN ties USING (event_type)
+        ORDER BY nn.event_type
+    """,
+    tags=("E170", "E115"),
+)
+def timeseries_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per event type — the nonparametric
+    significance companion to timeseries_theil_sen_slope (that op
+    estimates the robust slope; this one decides whether a monotone
+    trend EXISTS): S = sum of sign(c_j - c_i) over day pairs i<j,
+    tie-corrected variance, and the standard normal Z with the
+    continuity correction.
+
+    Everything through the variance is exact integer arithmetic —
+    S is a signed pair count, var18 = n(n-1)(2n+5) - SUM t(t-1)(2t+5)
+    carries 18*Var as a BIGINT (no fraction ever forms), and only the
+    final Z divides/sqrts in doubles, identically ordered in both
+    engines.  The pair stage is O(days^2) per type over the O(types x
+    days) ROLLUP — calendar-bounded at any corpus size (the same
+    scale argument as Theil-Sen: never pairs over raw events)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("c").alias("cb"))
+    s = (
+        a.join(b, ["event_type"])
+        .where(F.col("db") > F.col("da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie18"), F.lit(0).cast("bigint"))
+    ).cast("bigint")
+    z = F.round(
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(var18.cast("double") / 18.0),
+        6,
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            z.alias("z_score"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )

