@@ -769,3 +769,115 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+BLOOM_M = 16384   # bloom width in bits (fixed so both engines agree)
+BLOOM_K = 3       # hash probes per key
+
+
+@query(
+    "dedup_bloom_prefilter_audit",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT md5(lower(text)) AS h FROM documents
+            WHERE doc_id < {INCR_SPLIT}
+        ),
+        bloom AS (
+            SELECT DISTINCT
+                   {phash60_expr("h || ':' || CAST(t.k AS VARCHAR)")}
+                       % {BLOOM_M} AS pos
+            FROM corpus, range(0, {BLOOM_K}) t(k)
+        ),
+        batch AS (
+            SELECT doc_id, md5(lower(text)) AS h FROM documents
+            WHERE doc_id >= {INCR_SPLIT}
+        ),
+        probe AS (
+            SELECT b.doc_id, b.h, CAST(COUNT(bl.pos) AS BIGINT) AS n_set
+            FROM batch b
+            CROSS JOIN range(0, {BLOOM_K}) t(k)
+            LEFT JOIN bloom bl
+              ON bl.pos = {phash60_expr("b.h || ':' || CAST(t.k AS VARCHAR)")}
+                              % {BLOOM_M}
+            GROUP BY 1, 2
+        ),
+        truth AS (SELECT DISTINCT h FROM corpus)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+               CAST(SUM(CASE WHEN p.n_set = {BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_dups,
+               CAST(SUM(CASE WHEN p.n_set = {BLOOM_K} AND t.h IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bloom) AS n_bits_set,
+               CAST(FLOOR(CAST(SUM(CASE WHEN p.n_set = {BLOOM_K} AND t.h IS NULL
+                                        THEN 1 ELSE 0 END) AS DOUBLE) * 1000000
+                          / GREATEST(COUNT(*) - SUM(CASE WHEN t.h IS NOT NULL
+                                                         THEN 1 ELSE 0 END), 1))
+                    AS BIGINT) AS fp_rate_u
+        FROM probe p LEFT JOIN truth t USING (h)
+    """,
+    tags=("E34", "E16"),
+)
+def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTER incremental dedup AUDIT — measures the m={BLOOM_M},
+    k={BLOOM_K} Bloom filter that a 100 TB incremental-ingest pipeline
+    puts IN FRONT of the exact anti join (dedup_incremental_new_only):
+    batch keys whose {BLOOM_K} portable-hash positions are all set are
+    the only ones that pay the exact lookup.  Reported: bloom hits vs
+    exact truth, false-positive count, the realized FP rate in
+    micro-units, and the fill (bits set) — the number that says
+    whether m was sized right for n (at sf0.1 the fixed test width
+    saturates visibly; production sizes m ∝ corpus keys).
+
+    Portable end to end: positions are phash60(h:k) % m, so the DuckDB
+    twin reconstructs the identical filter bit-for-bit.  Scale shape:
+    the filter is m-BOUNDED state (broadcast once), the probe is a
+    map-side join of batch × k rows against it, and the exact-truth
+    join here exists only to SCORE the filter — production runs it
+    solely on the hits."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.col("text")))
+    corpus = d.where(F.col("doc_id") < INCR_SPLIT).select(h.alias("h"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    pos = lambda hcol, kcol: (  # noqa: E731
+        phash60(F.concat(hcol, F.lit(":"), kcol.cast("string"))) % BLOOM_M
+    )
+    bloom = (
+        corpus.select(ks, "h")
+        .select(pos(F.col("h"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= INCR_SPLIT).select("doc_id", h.alias("h"))
+    probe = (
+        batch.select("doc_id", "h", ks)
+        .withColumn("pos", pos(F.col("h"), F.col("k")))
+        .join(F.broadcast(bloom.withColumnRenamed("pos", "bpos")),
+              F.col("pos") == F.col("bpos"), "left")
+        .groupBy("doc_id", "h")
+        .agg(F.count("bpos").cast("bigint").alias("n_set"))
+    )
+    truth = corpus.distinct().withColumn("is_dup", F.lit(1))
+    n_bits = bloom.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    hit = (F.col("n_set") == BLOOM_K).cast("int")
+    is_dup = F.col("is_dup").isNotNull().cast("int")
+    return (
+        probe.join(F.broadcast(truth), "h", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.sum(hit).cast("bigint").alias("n_bloom_hits"),
+            F.sum(is_dup).cast("bigint").alias("n_true_dups"),
+            F.sum(hit * (1 - is_dup)).cast("bigint").alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_batch", "n_bloom_hits", "n_true_dups", "n_false_pos", "n_bits_set",
+            F.floor(
+                F.col("n_false_pos").cast("double")
+                * 1_000_000
+                / F.greatest(F.col("n_batch") - F.col("n_true_dups"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("fp_rate_u"),
+        )
+    )

@@ -2987,3 +2987,151 @@ def ml_mcnemar_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFram
             "mcnemar_chi2"
         ),
     )
+
+
+@query(
+    "ml_auc_delong_ci",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                   value AS score
+            FROM events
+        ),
+        ranked AS (
+            SELECT label,
+                   2 * RANK() OVER (ORDER BY score)
+                     + (COUNT(*) OVER (PARTITION BY score) - 1) AS r2_all,
+                   2 * RANK() OVER (PARTITION BY label ORDER BY score)
+                     + (COUNT(*) OVER (PARTITION BY label, score) - 1) AS r2_in
+            FROM scored
+        ),
+        nn AS (
+            SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+            FROM scored
+        ),
+        plc AS (
+            SELECT r.label,
+                   CASE WHEN r.label = 1 THEN r.r2_all - r.r2_in
+                        ELSE 2 * n.n_pos - (r.r2_all - r.r2_in) END AS a
+            FROM ranked r, nn n
+        ),
+        sums AS (
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(a) AS DECIMAL(38,0)) AS sa,
+                   CAST(SUM(CAST(a AS HUGEINT) * a) AS DECIMAL(38,0)) AS saa
+            FROM plc GROUP BY 1
+        )
+        SELECT
+          ROUND(CAST(p.sa AS DOUBLE) / (2.0 * n.n_neg * n.n_pos), 6) AS auc,
+          ROUND(SQRT(
+             ((CAST(p.saa AS DOUBLE) - CAST(p.sa AS DOUBLE) * CAST(p.sa AS DOUBLE) / p.m)
+                  / (p.m - 1)) / (4.0 * n.n_neg * n.n_neg) / p.m
+           + ((CAST(q.saa AS DOUBLE) - CAST(q.sa AS DOUBLE) * CAST(q.sa AS DOUBLE) / q.m)
+                  / (q.m - 1)) / (4.0 * n.n_pos * n.n_pos) / q.m), 6) AS se,
+          ROUND(CAST(p.sa AS DOUBLE) / (2.0 * n.n_neg * n.n_pos)
+                - 1.96 * SQRT(
+             ((CAST(p.saa AS DOUBLE) - CAST(p.sa AS DOUBLE) * CAST(p.sa AS DOUBLE) / p.m)
+                  / (p.m - 1)) / (4.0 * n.n_neg * n.n_neg) / p.m
+           + ((CAST(q.saa AS DOUBLE) - CAST(q.sa AS DOUBLE) * CAST(q.sa AS DOUBLE) / q.m)
+                  / (q.m - 1)) / (4.0 * n.n_pos * n.n_pos) / q.m), 6) AS ci_lo,
+          ROUND(CAST(p.sa AS DOUBLE) / (2.0 * n.n_neg * n.n_pos)
+                + 1.96 * SQRT(
+             ((CAST(p.saa AS DOUBLE) - CAST(p.sa AS DOUBLE) * CAST(p.sa AS DOUBLE) / p.m)
+                  / (p.m - 1)) / (4.0 * n.n_neg * n.n_neg) / p.m
+           + ((CAST(q.saa AS DOUBLE) - CAST(q.sa AS DOUBLE) * CAST(q.sa AS DOUBLE) / q.m)
+                  / (q.m - 1)) / (4.0 * n.n_pos * n.n_pos) / q.m), 6) AS ci_hi,
+          n.n_pos, n.n_neg
+        FROM sums p, sums q, nn n
+        WHERE p.label = 1 AND q.label = 0
+    """,
+    tags=("E25", "E165"),
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELONG confidence interval for AUC-ROC — the variance the AUC
+    point estimate (ml_eval_auc_rank) needs before anyone compares two
+    models: Var(AUC) = S10/n_pos + S01/n_neg over the placement values
+    V10/V01, computed by the placement-rank identity (no O(n^2)
+    pairwise psi).
+
+    Integer exactness end to end: DOUBLED midranks 2R = 2*RANK() +
+    (ties-1) never form a fraction; the placement a = 2R_all - 2R_within
+    equals 2*n_neg*V10 (positives) / 2*n_pos*(1-V01) (negatives) as a
+    BIGINT, and the moment sums carry DECIMAL(38,0) (HUGEINT in the
+    twin) so no precision is lost before the one shared double chain
+    that forms AUC, SE and the 95% CI.  The numpy brute-force
+    validation matched to all 6 dp.  At 100 TB: one global ORDER BY
+    score (the same shuffle AUC itself needs) + per-label rank windows
+    + one aggregate; nothing is corpus-squared."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.col("value").alias("score"),
+    )
+    w_all = Window.orderBy("score")
+    w_all_t = Window.partitionBy("score")
+    w_in = Window.partitionBy("label").orderBy("score")
+    w_in_t = Window.partitionBy("label", "score")
+    ranked = scored.select(
+        "label",
+        (2 * F.rank().over(w_all) + (F.count(F.lit(1)).over(w_all_t) - 1)).alias(
+            "r2_all"
+        ),
+        (2 * F.rank().over(w_in) + (F.count(F.lit(1)).over(w_in_t) - 1)).alias(
+            "r2_in"
+        ),
+    )
+    nn = scored.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    plc = ranked.crossJoin(F.broadcast(nn)).select(
+        "label",
+        F.when(
+            F.col("label") == 1, F.col("r2_all") - F.col("r2_in")
+        )
+        .otherwise(2 * F.col("n_pos") - (F.col("r2_all") - F.col("r2_in")))
+        .cast("bigint")
+        .alias("a"),
+    )
+    sums = plc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum(
+            F.col("a").cast("decimal(19,0)") * F.col("a").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("saa"),
+    )
+    p = sums.where("label = 1").select(
+        F.col("m").alias("pm"), F.col("sa").alias("psa"), F.col("saa").alias("psaa")
+    )
+    q = sums.where("label = 0").select(
+        F.col("m").alias("qm"), F.col("sa").alias("qsa"), F.col("saa").alias("qsaa")
+    )
+    j = p.crossJoin(q).crossJoin(F.broadcast(nn))
+    auc = F.col("psa").cast("double") / (2.0 * F.col("n_neg") * F.col("n_pos"))
+    var10 = (
+        (
+            F.col("psaa").cast("double")
+            - F.col("psa").cast("double") * F.col("psa").cast("double") / F.col("pm")
+        )
+        / (F.col("pm") - 1)
+    ) / (4.0 * F.col("n_neg") * F.col("n_neg")) / F.col("pm")
+    var01 = (
+        (
+            F.col("qsaa").cast("double")
+            - F.col("qsa").cast("double") * F.col("qsa").cast("double") / F.col("qm")
+        )
+        / (F.col("qm") - 1)
+    ) / (4.0 * F.col("n_pos") * F.col("n_pos")) / F.col("qm")
+    se = F.sqrt(var10 + var01)
+    return j.select(
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(auc - 1.96 * se, 6).alias("ci_lo"),
+        F.round(auc + 1.96 * se, 6).alias("ci_hi"),
+        "n_pos",
+        "n_neg",
+    )

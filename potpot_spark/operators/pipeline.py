@@ -987,3 +987,108 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+TEMP_MIX_BUDGET = 100_000   # char budget B for the mixed corpus
+TEMP_MIX_SCALE = 1_000_000  # fixed-point grain for weights and rates
+
+
+@query(
+    "pipeline_temperature_mix_quota",
+    oracle=f"""
+        WITH per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1
+        ),
+        wt AS (
+            SELECT source, n_docs, n_chars,
+                   CAST(FLOOR(SQRT(CAST(n_chars AS DOUBLE)) * {TEMP_MIX_SCALE})
+                        AS BIGINT) AS w_u
+            FROM per
+        ),
+        tot AS (SELECT CAST(SUM(w_u) AS BIGINT) AS sw FROM wt),
+        base AS (
+            SELECT w.source, w.n_docs, w.n_chars, w.w_u,
+                   CAST({TEMP_MIX_BUDGET} * w.w_u // t.sw AS BIGINT) AS q0,
+                   CAST({TEMP_MIX_BUDGET} * w.w_u
+                        - ({TEMP_MIX_BUDGET} * w.w_u // t.sw) * t.sw
+                        AS BIGINT) AS rem
+            FROM wt w, tot t
+        ),
+        short AS (
+            SELECT CAST({TEMP_MIX_BUDGET} AS BIGINT)
+                       - CAST(SUM(q0) AS BIGINT) AS leftover
+            FROM base
+        ),
+        ranked AS (
+            SELECT b.*, s.leftover,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                        AS BIGINT) AS rr
+            FROM base b, short s
+        )
+        SELECT source, n_docs, n_chars, w_u,
+               q0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota_chars,
+               CAST(FLOOR(CAST(q0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                               AS DOUBLE) * {TEMP_MIX_SCALE} / n_chars)
+                    AS BIGINT) AS rate_u
+        FROM ranked ORDER BY source
+    """,
+    tags=("E69", "E101"),
+)
+def pipeline_temperature_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED SOURCE MIXING (alpha = 1/2) — the standard
+    pre-training data-mix rule: sample source s proportionally to
+    size^alpha, flattening the natural distribution so rare sources
+    upsample (rate_u can exceed 1e6 = multiple epochs of a small
+    source) and giant ones downsample.
+
+    The char budget allocates by the largest-remainder (Hamilton)
+    method in EXACT integers: weights are FLOOR(sqrt(chars)*1e6)
+    BIGINTs (sqrt is the one IEEE op, correctly rounded identically
+    in both engines), q0 = B*w DIV SUM(w), and the leftover
+    B - SUM(q0) goes to the largest division remainders (ties by
+    source) — quotas provably sum to B, which the property test pins.
+    Per-source aggregate state only; the allocation runs on
+    |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    wt = per.select(
+        "source", "n_docs", "n_chars",
+        F.floor(F.sqrt(F.col("n_chars").cast("double")) * TEMP_MIX_SCALE)
+        .cast("bigint")
+        .alias("w_u"),
+    )
+    tot = wt.agg(F.sum("w_u").cast("bigint").alias("sw"))
+    # integer DIV, not `/` (Spark's / on BIGINTs returns DOUBLE and the
+    # rounded quotient would break the exact remainder arithmetic)
+    q0 = F.expr(f"CAST({TEMP_MIX_BUDGET} AS BIGINT) * w_u DIV sw")
+    base = wt.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_chars", "w_u",
+        q0.alias("q0"),
+        (F.lit(TEMP_MIX_BUDGET) * F.col("w_u") - q0 * F.col("sw"))
+        .cast("bigint")
+        .alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(TEMP_MIX_BUDGET).cast("bigint") - F.sum("q0").cast("bigint")).alias(
+            "leftover"
+        )
+    )
+    ranked = base.crossJoin(F.broadcast(short)).withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).cast(
+            "bigint"
+        ),
+    )
+    quota = F.col("q0") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source", "n_docs", "n_chars", "w_u",
+        quota.cast("bigint").alias("quota_chars"),
+        F.floor(quota.cast("double") * TEMP_MIX_SCALE / F.col("n_chars"))
+        .cast("bigint")
+        .alias("rate_u"),
+    ).orderBy("source")

@@ -4929,3 +4929,128 @@ def timeseries_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "timeseries_best_run_window",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(MIN(d) AS BIGINT) AS d_first
+            FROM daily GROUP BY 1
+        ),
+        aug AS (
+            SELECT d.event_type, d.d, (d.c * t.n - t.sc) AS delta_u, t.n
+            FROM daily d JOIN tot t USING (event_type)
+            UNION ALL
+            SELECT event_type, d_first - 1, 0, n FROM tot
+        ),
+        pre AS (
+            SELECT event_type, d, n,
+                   CAST(SUM(delta_u) OVER
+                        (PARTITION BY event_type ORDER BY d) AS BIGINT) AS p,
+                   LEAD(d) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+            FROM aug
+        ),
+        run AS (
+            SELECT event_type, d, n, p,
+                   MIN({'p': p, 'nxt': nxt}) OVER
+                       (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+            FROM pre
+        ),
+        best AS (
+            SELECT event_type, n,
+                   MAX({'ex': p - m.p, 'nd': -d, 'start': m.nxt}) AS b
+            FROM run WHERE m IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, n AS n_days,
+               b.start AS d_start, -b.nd AS d_end, b.ex AS best_u,
+               ROUND(CAST(b.ex AS DOUBLE) / n, 6) AS best_excess
+        FROM best ORDER BY event_type
+    """,
+    tags=("E20", "E19"),
+)
+def timeseries_best_run_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST RUN (maximum-sum subarray / Kadane) per event type: the
+    contiguous span of the daily series with the largest cumulative
+    excess over the type's own mean — "the streak that made the
+    quarter", the windowed complement of analytics_max_drawdown
+    (which finds the worst peak-to-trough; this finds the best
+    trough-to-peak run).
+
+    Kadane's recurrence is sequential, but the PREFIX-SUM identity
+    best(j) = P_j - min_{i<j} P_i makes it two window passes — a
+    running sum and a running struct-min — entirely JVM-side.
+    Exactness: deviations scale by n (delta_u = n*c_d - SUM c) so no
+    mean fraction forms; a sentinel row (P=0, one pseudo-day before
+    the series) folds the empty-prefix case into the same struct-min,
+    and the min-struct carries the NEXT series day so gap days can't
+    shift the reported start.  Ties resolve lexicographically
+    (max excess, earliest end, argmin's earliest-start) — verified
+    against an O(n^2) brute force.  O(types x days) rollup rows; the
+    windows never touch raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.min("d").cast("bigint").alias("d_first"),
+    )
+    aug = (
+        daily.join(tot, "event_type")
+        .select(
+            "event_type", "d", (F.col("c") * F.col("n") - F.col("sc")).alias("delta_u"), "n"
+        )
+        .unionByName(
+            tot.select(
+                "event_type",
+                (F.col("d_first") - 1).alias("d"),
+                F.lit(0).cast("bigint").alias("delta_u"),
+                "n",
+            )
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    pre = aug.select(
+        "event_type", "d", "n",
+        F.sum("delta_u").over(wo).cast("bigint").alias("p"),
+        F.lead("d").over(wo).alias("nxt"),
+    )
+    wm = wo.rowsBetween(Window.unboundedPreceding, -1)
+    run = pre.select(
+        "event_type", "d", "n", "p",
+        F.min(F.struct("p", "nxt")).over(wm).alias("m"),
+    ).where(F.col("m").isNotNull())
+    best = run.groupBy("event_type", "n").agg(
+        F.max(
+            F.struct(
+                (F.col("p") - F.col("m.p")).alias("ex"),
+                (-F.col("d")).alias("nd"),
+                F.col("m.nxt").alias("start"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("b.start").alias("d_start"),
+        (-F.col("b.nd")).alias("d_end"),
+        F.col("b.ex").alias("best_u"),
+        F.round(F.col("b.ex").cast("double") / F.col("n"), 6).alias("best_excess"),
+    ).orderBy("event_type")
