@@ -2306,24 +2306,27 @@ def _trgm_similar_pairs(names: DataFrame, min_sim_u: int = TRGM_MIN_SIM_U) -> Da
     # |P_A∩P_B| is the candidate groupBy's own count (free); the two
     # correction joins probe only SUFFIX postings (~1.2 per name vs
     # ~7 full), so verify streams ~cand x 2.4 rows instead of
-    # cand x |A| — all probes BROADCAST the posting-scale tables and
-    # combine map-side before the one pair-key shuffle.  At a scale
-    # where postings outgrow broadcast range the same equi-joins
-    # degrade gracefully to shuffle joins — no plan rewrite needed.
+    # cand x |A|.  No explicit broadcast hints on the posting-scale
+    # tables (ADVICE r5: a hard F.broadcast() would ATTEMPT the
+    # broadcast at any size and fail past the 8 GB limit instead of
+    # falling back) — AQE's runtime size estimate picks broadcast
+    # when postings fit and a shuffle join when they don't, which is
+    # the graceful degradation the old comment wrongly claimed the
+    # hints provided.
     suf_a = suf.select(F.col("p_partkey").alias("id_a"), "pkey")
     suf_b = suf.select(F.col("p_partkey").alias("id_b"), "pkey")
     idx_a = idx.select(F.col("p_partkey").alias("id_a"), "pkey")
     full_b = enc.select(F.col("p_partkey").alias("id_b"), "pkey")
     pairs_only = cand.select("id_a", "id_b")
     corr_sa = (
-        pairs_only.join(F.broadcast(suf_a), "id_a")
-        .join(F.broadcast(full_b), ["id_b", "pkey"])
+        pairs_only.join(suf_a, "id_a")
+        .join(full_b, ["id_b", "pkey"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_sa"))
     )
     corr_ps = (
-        pairs_only.join(F.broadcast(suf_b), "id_b")
-        .join(F.broadcast(idx_a), ["id_a", "pkey"])
+        pairs_only.join(suf_b, "id_b")
+        .join(idx_a, ["id_a", "pkey"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_ps"))
     )
