@@ -12,10 +12,14 @@ and prints ONE SHORT JSON line as the final stdout line:
 The full per-query timing map (200+ keys) is written to
 BENCH_DETAIL.json next to this script — embedding it in the stdout
 line overflows the driver's stdout-tail buffer (ADVICE.md r1).
-Each query runs $SPARK_GRAFT_BENCH_RUNS (default 3) warm passes and
-the detail entry is {"median", "min", "runs"}; the headline total
-sums medians (r4 verdict #3 — single-run numbers could not
-adjudicate 2x swings on a shared host).  Queries that raise are
+Each query runs $SPARK_GRAFT_BENCH_RUNS (default 3) warm reps,
+INTERLEAVED as full passes over the suite (r5 verdict #3 — reps run
+back-to-back contend with ContextCleaner teardown of their own
+previous rep's shuffle files and bias explode-heavy medians 2-3x
+high); the detail entry is {"median", "min", "runs"} with a true
+statistics.median, and the headline total sums medians (r4 verdict
+#3 — single-run numbers could not adjudicate 2x swings on a shared
+host).  Queries that raise are
 recorded with median -1.0 and counted in "errors" so a regression
 from working to erroring is visible in the headline line.
 """
@@ -24,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -139,32 +144,48 @@ def main() -> int:
     # and the detail file carries {median, min, runs}; the headline
     # total sums MEDIANS (plus shared_build), so it is comparable
     # round-over-round and robust to one co-scheduled stage.
+    # r5 verdict #3: the reps are INTERLEAVED (pass 1 over every
+    # query, then pass 2, then pass 3) instead of back-to-back — r5's
+    # consecutive reps showed a repeatable median>=2x-min penalty on
+    # the explode-heavy family (decontaminate 11.4/3.9, winnowing
+    # 2.7/1.7) that isolated reruns of the same queries never
+    # reproduce: rep N was contending with ContextCleaner teardown of
+    # rep N-1's own just-dereferenced shuffle files.  Separating reps
+    # by a full pass removes the self-contention while keeping every
+    # rep warm (codegen/footer caches are session-level).
     runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, dict[str, float]] = {}
-    total = shared_build_sec
-    errors = 0
-    for name, spec in registry.specs().items():
-        if only and not any(f in name for f in only):
-            continue
-        times: list[float] = []
-        failed = False
-        for _ in range(runs_per_query):
+    names = [
+        name
+        for name in registry.specs()
+        if not only or any(f in name for f in only)
+    ]
+    times_by_name: dict[str, list[float]] = {n: [] for n in names}
+    failed: set[str] = set()
+    for _ in range(runs_per_query):
+        for name in names:
+            if name in failed:
+                continue
+            spec = registry.specs()[name]
             t0 = time.perf_counter()
             try:
                 materialize(spec.fn(spark, SF_DIR))
-                times.append(time.perf_counter() - t0)
+                times_by_name[name].append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001
                 print(
                     f"# BENCH ERROR {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}",
                     file=sys.stderr,
                 )
-                failed = True
-                break
-        if failed or not times:
+                failed.add(name)
+    timings: dict[str, dict[str, float]] = {}
+    total = shared_build_sec
+    errors = 0
+    for name in names:
+        times = times_by_name[name]
+        if name in failed or not times:
             timings[name] = {"median": -1.0, "min": -1.0, "runs": len(times)}
             errors += 1
             continue
-        med = sorted(times)[len(times) // 2]
+        med = statistics.median(times)
         timings[name] = {
             "median": round(med, 3),
             "min": round(min(times), 3),

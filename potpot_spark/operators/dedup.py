@@ -215,7 +215,7 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(threshold: float = 0.6) -> str:
     """DuckDB twin of the full MinHash+LSH pipeline — same portable
     base hash, same affine-permutation literals, same band tuples, so
     the candidate set (and the Jaccard-verified output) matches the
@@ -273,7 +273,7 @@ def _minhash_oracle_sql() -> str:
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b
         WHERE CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
-              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
     """
 
 

@@ -3173,12 +3173,18 @@ _BAYES_U = 1_000_000_000
             FROM pop
         ),
         tbl AS (
+            -- the k-domain derives from the DATA, not a constant
+            -- (r5 ADVICE: a fixed 2e6 range silently NULLed the lft
+            -- lookups past sf~30, and DuckDB's range() refuses
+            -- subquery bounds): row_number over orders covers any
+            -- aa+ba+ab+bb, because the population is a 1-in-20
+            -- subset of orders plus 4 pseudo-counts
             SELECT k,
                    CASE WHEN k >= 2
                         THEN CAST(FLOOR(LN(CAST(k AS DOUBLE)) * {_BAYES_U}) AS BIGINT)
                         ELSE 0 END AS lnq_u
-            FROM params, range(0, 2000001) t(k)
-            WHERE k <= aa + ba + ab + bb
+            FROM (SELECT row_number() OVER () - 1 AS k FROM orders) t
+            WHERE k <= (SELECT aa + ba + ab + bb FROM params)
         ),
         lft AS (
             SELECT k, lnq_u,
@@ -3195,8 +3201,10 @@ _BAYES_U = 1_000_000_000
             FROM params p
         ),
         terms AS (
-            SELECT c.*, t.k AS i FROM consts c, range(0, 2000001) t(k)
-            WHERE t.k < c.ab
+            SELECT c.*, t.k AS i
+            FROM consts c
+            JOIN (SELECT row_number() OVER () - 1 AS k FROM orders) t
+              ON t.k < c.ab
         ),
         scored AS (
             SELECT t.*,
@@ -3666,3 +3674,278 @@ def stats_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+HLL_P = 9                       # register-index bits -> m = 512 registers
+HLL_M = 1 << HLL_P
+_HLL_REM = 1 << (60 - HLL_P)    # 2^51: remainder width under the 60-bit hash
+_HLL_MAXR = 60 - HLL_P + 1      # rank of an all-zero remainder
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# single-division estimator: E = NUM / sum_z with NUM folded to one
+# double literal, so both engines perform exactly ONE float op
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_MAXR - 1) << 1)
+
+
+def _hll_est_sql(zeros: str, sumz: str) -> str:
+    return (
+        f"CASE WHEN {zeros} > 0 AND {_HLL_NUM!r} / {sumz} <= {2.5 * HLL_M} "
+        f"THEN ROUND({HLL_M} * LN({HLL_M} / CAST({zeros} AS DOUBLE)), 4) "
+        f"ELSE ROUND({_HLL_NUM!r} / {sumz}, 4) END"
+    )
+
+
+@query(
+    "sketch_hll_portable",
+    oracle=f"""
+        WITH hashed AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        regs AS MATERIALIZED (
+            SELECT event_type, h // {_HLL_REM} AS idx,
+                   MAX(CASE WHEN h % {_HLL_REM} = 0 THEN {_HLL_MAXR}
+                            ELSE {_HLL_MAXR} - LENGTH(bin(h % {_HLL_REM}))
+                       END) AS r
+            FROM hashed GROUP BY event_type, h // {_HLL_REM}
+        ),
+        merged AS (
+            SELECT '<all>' AS event_type, idx, MAX(r) AS r
+            FROM regs GROUP BY idx
+        ),
+        allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+        summed AS (
+            SELECT event_type,
+                   CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers,
+                   SUM(CAST(1 AS BIGINT) << ({_HLL_MAXR} - r))
+                     + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_MAXR})
+                       AS sum_z
+            FROM allregs GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '<all>', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        )
+        SELECT s.event_type, e.n_exact, s.n_zero_registers,
+               {_hll_est_sql('s.n_zero_registers', 'CAST(s.sum_z AS DOUBLE)')}
+                   AS hll_estimate
+        FROM summed s JOIN exact e USING (event_type)
+        ORDER BY s.event_type
+    """,
+    tags=("E16", "E28"),
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog: the classic Flajolet register sketch
+    (m={HLL_M}, 60-bit portable hash: top {HLL_P} bits index the
+    register, the rank is leading-zeros+1 of the remainder via the
+    binary-string length — LENGTH(bin(x)) is floor(log2)+1 EXACTLY,
+    no float log), with the small-range linear-counting correction.
+    Where agg_approx_distinct band-checks Spark's internal HLL, this
+    sketch is bit-reproducible across engines: registers, zero
+    counts, and the Σ2^-M[j] denominator are exact integers (scaled
+    2^{_HLL_MAXR}, max 512·2^{_HLL_MAXR} ≪ int64), and the estimate
+    performs exactly ONE float division (+ one ln on the
+    linear-counting branch) on identical inputs — through the value
+    oracle bit-for-bit, like KMV/theta/count-min before it.
+
+    The '<all>' row is built by MERGING the per-type registers
+    (max per index) — the HLL merge law, and why per-partition
+    sketches roll up losslessly at 100 TB: registers are m-bounded
+    state, the groupBy combines map-side, and no distinct-projection
+    shuffle is needed at all (rank-max is idempotent over raw
+    duplicates — cheaper than KMV's distinct first pass)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = e.select("event_type", h.alias("h"))
+    rem = F.col("h") % _HLL_REM
+    rank = F.when(rem == 0, F.lit(_HLL_MAXR)).otherwise(
+        F.lit(_HLL_MAXR) - F.length(F.bin(rem))
+    )
+    regs = hashed.groupBy(
+        "event_type", F.expr(f"h DIV {_HLL_REM}").alias("idx")
+    ).agg(F.max(rank).alias("r"))
+    merged = regs.groupBy("idx").agg(F.max("r").alias("r")).select(
+        F.lit("<all>").alias("event_type"), "idx", "r"
+    )
+    summed = (
+        regs.unionByName(merged)
+        .groupBy("event_type")
+        .agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("n_zero_registers"),
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXR} - r)"))
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << _HLL_MAXR).cast("bigint")
+            ).alias("sum_z"),
+        )
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+            .select(F.lit("<all>").alias("event_type"), "n_exact")
+        )
+    )
+    raw = F.lit(_HLL_NUM) / F.col("sum_z").cast("double")
+    est = F.when(
+        (F.col("n_zero_registers") > 0) & (raw <= 2.5 * HLL_M),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers").cast("double")),
+            4,
+        ),
+    ).otherwise(F.round(raw, 4))
+    return (
+        summed.join(exact, "event_type")
+        .select("event_type", "n_exact", "n_zero_registers", est.alias("hll_estimate"))
+        .orderBy("event_type")
+    )
+
+
+# Categorical columns entering the pairwise-association matrix
+# (two from lineitem, two from orders — the fixture's four
+# categoricals; the fact frame is lineitem joined to its order).
+_CRAMERS_COLS = (
+    ("linestatus", "l_linestatus"),
+    ("orderpriority", "o_orderpriority"),
+    ("orderstatus", "o_orderstatus"),
+    ("returnflag", "l_returnflag"),
+)
+
+
+def _cramers_oracle() -> str:
+    blocks = []
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CRAMERS_COLS)
+        for b in _CRAMERS_COLS[i + 1 :]
+    ]
+    for (an, ac), (bn, bc) in pairs:
+        blocks.append(f"""
+        SELECT '{an}' AS attr_a, '{bn}' AS attr_b, n, r_levels, c_levels,
+               CAST(chi2_u AS BIGINT) AS chi2_u,
+               CAST(FLOOR(SQRT((CAST(chi2_u AS DOUBLE) / 1000000.0)
+                               / CAST(n * (LEAST(r_levels, c_levels) - 1)
+                                      AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS cramers_v_u
+        FROM (
+            SELECT MAX(t.n) AS n,
+                   CAST(COUNT(DISTINCT c.va) AS BIGINT) AS r_levels,
+                   CAST(COUNT(DISTINCT c.vb) AS BIGINT) AS c_levels,
+                   SUM(CAST(FLOOR(((CAST(c.n_ij AS DOUBLE) / rt.rt)
+                                   * (CAST(c.n_ij AS DOUBLE) / ct.ct))
+                                  * t.n * 1000000.0) AS BIGINT))
+                        - MAX(t.n) * 1000000 AS chi2_u
+            FROM (
+                SELECT {ac} AS va, {bc} AS vb, CAST(COUNT(*) AS BIGINT) AS n_ij
+                FROM f GROUP BY 1, 2
+            ) c
+            JOIN (
+                SELECT {ac} AS va, CAST(COUNT(*) AS BIGINT) AS rt
+                FROM f GROUP BY 1
+            ) rt USING (va)
+            JOIN (
+                SELECT {bc} AS vb, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM f GROUP BY 1
+            ) ct USING (vb)
+            CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f) t
+        )""")
+    fact = ("SELECT l_returnflag, l_linestatus, o_orderstatus, "
+            "o_orderpriority FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey")
+    return (f"WITH f AS MATERIALIZED ({fact}) "
+            + " UNION ALL ".join(blocks) + " ORDER BY attr_a, attr_b")
+
+
+@query("stats_cramers_v_matrix", oracle=_cramers_oracle(), tags=("E14", "E26"))
+def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE CATEGORICAL ASSOCIATION matrix: Cramér's V (bias-free
+    form) over every pair of lineitem's categorical columns — the
+    screening step before encoding categoricals into features
+    (near-perfectly associated pairs are redundant; near-zero pairs
+    are independent signals).  chi² enters as per-cell FLOOR
+    fixed-point terms — chi² = n·(Σ n_ij²/(r_i·c_j) − 1), each term
+    computed in a PINNED float order (two divisions, two products)
+    identical in both engines, summed as exact BIGINTs — and V adds
+    one sqrt on the exact quotient, so the whole matrix passes the
+    value oracle bit-for-bit.
+
+    Scale shape: ONE melt pass over the fact table (array-of-structs
+    double explode, 4x4 combos filtered to the 6 ordered column
+    pairs per input row) aggregates map-side into
+    contingency cells bounded by level-count products — never by
+    data size; the marginal/total joins happen on those aggregate
+    frames.  The 6-block UNION in the oracle is the correctness
+    twin, not the plan: Spark reads lineitem once, DuckDB 6x."""
+    li = load_table(spark, sf_dir, "lineitem").join(
+        load_table(spark, sf_dir, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("attr"), F.col(c).alias("val"))
+            for a, c in _CRAMERS_COLS
+        ]
+    )
+    pairs = (
+        li.select(arr.alias("xs"))
+        .select(F.explode("xs").alias("a"), F.col("xs"))
+        .select("a", F.explode("xs").alias("b"))
+        .where(F.col("a.attr") < F.col("b.attr"))
+    )
+    cells = pairs.groupBy(
+        F.col("a.attr").alias("attr_a"),
+        F.col("b.attr").alias("attr_b"),
+        F.col("a.val").alias("va"),
+        F.col("b.val").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    rt = cells.groupBy("attr_a", "attr_b", "va").agg(
+        F.sum("n_ij").cast("bigint").alias("rt")
+    )
+    ct = cells.groupBy("attr_a", "attr_b", "vb").agg(
+        F.sum("n_ij").cast("bigint").alias("ct")
+    )
+    tot = rt.groupBy("attr_a", "attr_b").agg(
+        F.sum("rt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("r_levels"),
+    )
+    clev = ct.groupBy("attr_a", "attr_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_levels")
+    )
+    term = F.floor(
+        (
+            (F.col("n_ij").cast("double") / F.col("rt"))
+            * (F.col("n_ij").cast("double") / F.col("ct"))
+        )
+        * F.col("n")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    agg = (
+        cells.join(F.broadcast(rt), ["attr_a", "attr_b", "va"])
+        .join(F.broadcast(ct), ["attr_a", "attr_b", "vb"])
+        .join(F.broadcast(tot), ["attr_a", "attr_b"])
+        .groupBy("attr_a", "attr_b")
+        .agg(
+            F.max("n").alias("n"),
+            (F.sum(term) - F.max("n") * 1000000).alias("chi2_u"),
+        )
+        .join(F.broadcast(tot.select("attr_a", "attr_b", "r_levels")), ["attr_a", "attr_b"])
+        .join(F.broadcast(clev), ["attr_a", "attr_b"])
+    )
+    v_u = F.floor(
+        F.sqrt(
+            (F.col("chi2_u").cast("double") / F.lit(1000000.0))
+            / (F.col("n") * (F.least("r_levels", "c_levels") - 1)).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return agg.select(
+        "attr_a", "attr_b", "n", "r_levels", "c_levels", "chi2_u",
+        v_u.alias("cramers_v_u"),
+    ).orderBy("attr_a", "attr_b")

@@ -2152,6 +2152,10 @@ def text_gibberish_mash_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRGM_TOP = 25
 TRGM_MIN_SIM_U = 300000   # report pairs with trigram Jaccard >= 0.30
+# Size gate for verify-join broadcast hints: ~20M (partkey, pkey) int
+# pairs is ~500 MB as a broadcast hash table — comfortably inside the
+# 8 GB hard limit, far past bench scale (~140K postings at sf0.1).
+TRGM_BCAST_MAX_POSTINGS = 20_000_000
 
 
 def _trgm_names(parts: DataFrame) -> DataFrame:
@@ -2306,17 +2310,19 @@ def _trgm_similar_pairs(names: DataFrame, min_sim_u: int = TRGM_MIN_SIM_U) -> Da
     # |P_A∩P_B| is the candidate groupBy's own count (free); the two
     # correction joins probe only SUFFIX postings (~1.2 per name vs
     # ~7 full), so verify streams ~cand x 2.4 rows instead of
-    # cand x |A|.  No explicit broadcast hints on the posting-scale
-    # tables (ADVICE r5: a hard F.broadcast() would ATTEMPT the
-    # broadcast at any size and fail past the 8 GB limit instead of
-    # falling back) — AQE's runtime size estimate picks broadcast
-    # when postings fit and a shuffle join when they don't, which is
-    # the graceful degradation the old comment wrongly claimed the
-    # hints provided.
-    suf_a = suf.select(F.col("p_partkey").alias("id_a"), "pkey")
-    suf_b = suf.select(F.col("p_partkey").alias("id_b"), "pkey")
-    idx_a = idx.select(F.col("p_partkey").alias("id_a"), "pkey")
-    full_b = enc.select(F.col("p_partkey").alias("id_b"), "pkey")
+    # cand x |A|.  Broadcast hints on the posting tables are SIZE-
+    # GATED (ADVICE r5: a hard F.broadcast() attempts the broadcast
+    # at any size and fails past the 8 GB limit; but the hint-free
+    # plan costs +30% at bench scale because AQE only converts to
+    # broadcast after materializing the shuffle write): enc is
+    # already checkpointed, so one metadata-cheap count decides —
+    # postings under the cap get the hint, past it the joins degrade
+    # to plain shuffle joins, which is the graceful fallback.
+    bcast = F.broadcast if enc.count() <= TRGM_BCAST_MAX_POSTINGS else (lambda df: df)
+    suf_a = bcast(suf.select(F.col("p_partkey").alias("id_a"), "pkey"))
+    suf_b = bcast(suf.select(F.col("p_partkey").alias("id_b"), "pkey"))
+    idx_a = bcast(idx.select(F.col("p_partkey").alias("id_a"), "pkey"))
+    full_b = bcast(enc.select(F.col("p_partkey").alias("id_b"), "pkey"))
     pairs_only = cand.select("id_a", "id_b")
     corr_sa = (
         pairs_only.join(suf_a, "id_a")
@@ -2417,4 +2423,175 @@ def text_trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trgm_similar_pairs(names, TRGM_MIN_SIM_U)
         .orderBy(F.col("sim_u").desc(), "id_a", "id_b")
         .limit(TRGM_TOP)
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
+# micro-unit integers so the flag is exact cross-engine.
+GOPHER_TOP2_U = 180_000    # top 2-gram covers > 18% of chars
+GOPHER_DUP5_U = 300_000    # duplicated 5-grams cover > 30% of chars
+GOPHER_WREP_U = 600_000    # 1 - distinct/total words > 60%
+
+
+@query(
+    "text_gopher_repetition_filters",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS tok,
+                   CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 5
+        ),
+        stats AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(tok) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct
+            FROM base
+        ),
+        bi AS (
+            SELECT doc_id, n_chars, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id, n_chars,
+                       unnest(list_transform(
+                           range(1, len(tok)),
+                           i -> array_to_string(list_slice(tok, i, i + 1), ' ')
+                       )) AS g
+                FROM base
+            ) GROUP BY doc_id, n_chars, g
+        ),
+        top_bi AS (
+            SELECT doc_id,
+                   cnt * (LENGTH(g) - 1) * 1000000 // n_chars AS top_bigram_char_u
+            FROM (
+                SELECT doc_id, n_chars, g, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g) AS rn
+                FROM bi
+            ) WHERE rn = 1
+        ),
+        fv AS (
+            SELECT doc_id, n_chars, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id, n_chars,
+                       unnest(list_transform(
+                           range(1, len(tok) - 3),
+                           i -> array_to_string(list_slice(tok, i, i + 4), ' ')
+                       )) AS g
+                FROM base
+            ) GROUP BY doc_id, n_chars, g
+        ),
+        dup5 AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt * (LENGTH(g) - 4)) * 1000000
+                        // ANY_VALUE(n_chars) AS BIGINT)
+                       AS dup_5gram_char_u
+            FROM fv WHERE cnt >= 2
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_words,
+               (s.n_words - s.n_distinct) * 1000000 // s.n_words AS word_rep_u,
+               t.top_bigram_char_u,
+               COALESCE(d.dup_5gram_char_u, 0) AS dup_5gram_char_u,
+               (t.top_bigram_char_u > {GOPHER_TOP2_U}
+                OR COALESCE(d.dup_5gram_char_u, 0) > {GOPHER_DUP5_U}
+                OR (s.n_words - s.n_distinct) * 1000000 // s.n_words
+                       > {GOPHER_WREP_U}) AS is_repetitive
+        FROM stats s
+        JOIN top_bi t USING (doc_id)
+        LEFT JOIN dup5 d USING (doc_id)
+        ORDER BY s.doc_id
+    """,
+    tags=("E37", "E35"),
+)
+def text_gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT repetition filters in the Gopher/MassiveText
+    style — the quality gates an LLM corpus runs per document before
+    any cross-document dedup: (1) fraction of characters covered by
+    the single most frequent word 2-gram, (2) fraction of characters
+    inside word 5-grams that occur at least twice in the same
+    document (overlaps counted as Gopher does, so the ratio may
+    exceed 1), and (3) the word repetition ratio 1 - distinct/total.
+    A document tripping any threshold is flagged — looping generation
+    artifacts, keyword-stuffed spam and template echoes all light up
+    here while passing cross-doc filters.
+
+    Everything is exact integer arithmetic in micro-units (counts,
+    lengths, integer DIV), so the DuckDB twin matches bit-for-bit —
+    including the top-2-gram tie-break (count DESC, gram ASC).
+    Scale shape: two explode→count aggregations keyed by (doc_id,
+    gram) — embarrassingly parallel, no joins wider than doc_id, no
+    skew beyond document length (bounded by the 1024-byte text
+    constraint, SURVEY §1)."""
+    d = load_table(spark, sf_dir, "documents")
+    from potpot_spark.operators.dedup import tokens
+
+    tok = tokens()
+    base = d.where(F.size(tok) >= 5).select(
+        "doc_id",
+        tok.alias("tok"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+    )
+    stats = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("tok").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("tok")).cast("bigint").alias("n_distinct"),
+    )
+
+    def grams(k: int):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - (k - 1)),
+                lambda i: F.array_join(F.slice("tok", i, k), " "),
+            )
+        ).alias("g")
+
+    bi = (
+        base.select("doc_id", "n_chars", grams(2))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    top_bi = (
+        bi.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.expr("cnt * (length(g) - 1) * 1000000 DIV n_chars").alias(
+                "top_bigram_char_u"
+            ),
+        )
+    )
+    fv = (
+        base.select("doc_id", "n_chars", grams(5))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dup5 = (
+        fv.where(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "sum(cnt * (length(g) - 4)) * 1000000 DIV any_value(n_chars)"
+            ).alias("dup_5gram_char_u")
+        )
+    )
+    word_rep = F.expr("(n_words - n_distinct) * 1000000 DIV n_words")
+    return (
+        stats.join(top_bi, "doc_id")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            word_rep.alias("word_rep_u"),
+            "top_bigram_char_u",
+            F.coalesce("dup_5gram_char_u", F.lit(0)).alias("dup_5gram_char_u"),
+            (
+                (F.col("top_bigram_char_u") > GOPHER_TOP2_U)
+                | (F.coalesce("dup_5gram_char_u", F.lit(0)) > GOPHER_DUP5_U)
+                | (word_rep > GOPHER_WREP_U)
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
     )

@@ -714,7 +714,15 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     would cost a second pass and type-guess every field).  Documents
     are the adversarial payload on purpose: free text containing
     markup-significant characters must survive via writer-side
-    entity escaping, or the values the oracle sees diverge.  At scale
+    entity escaping, or the values the oracle sees diverge.  The
+    reader pins ignoreSurroundingSpaces=false (r5 ADVICE: the Spark 4
+    default TRIMS element text, so values with leading/trailing
+    whitespace would silently round-trip modified — fixtures happen
+    not to contain any, but the robustness claim must not depend on
+    that).  Empty-string text would still read back as null (an XML
+    empty element carries no such distinction); no fixture document
+    is empty, and a production pipeline needing the distinction must
+    carry an explicit is-empty attribute.  At scale
     the reader splits by row-element boundaries the same way
     JSON-lines splits by newline — per-file parallelism, no
     cross-file state."""
@@ -728,6 +736,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(_XML_SCHEMA)
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .format("xml")
         .load(target)
     )

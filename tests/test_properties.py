@@ -1045,3 +1045,69 @@ def test_mmr_selection_contracts(spark, sf_dir):
     # next-highest-relevance item (otherwise MMR degenerates)
     rels = [r.relevance for r in rows]
     assert rels != sorted(rels, reverse=True)
+
+
+def test_knn_hot_label_routes_through_nprobe_cells(spark):
+    """r5 verdict #4: a label beyond cap*nsub_max must route kNN
+    candidate generation through IVF cells with nprobe-nearest-cell
+    probing (_knn_celled_candidates) — per-src probed cells <= nprobe,
+    per-src candidates bounded far below the label size, total volume
+    far below the all-pairs floor — while on a well-separated
+    clustered corpus the candidate set still CONTAINS every src's true
+    top-HUB_K neighbors (recall 1.0 in the clustered regime, the
+    sim_search_ivf behavior transplanted to graph construction)."""
+    import numpy as np
+
+    from potpot_spark.operators.similarity import (
+        HUB_K,
+        _knn_candidates,
+        _knn_celled_candidates,
+        norm,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per_cluster = 16, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # round-robin so the deterministic k-means init (first k by vec_id)
+    # seeds one point per true cluster
+    vecs, rows = [], []
+    vid = 0
+    for _ in range(per_cluster):
+        for c in range(n_clusters):
+            p = centers[c] + 0.02 * rng.normal(size=dim)
+            rows.append((vid, "L0", [float(x) for x in p]))
+            vecs.append(p)
+            vid += 1
+    n = len(rows)
+    base = spark.createDataFrame(rows, ["vec_id", "label", "e"])
+    v = base.select("label", "vec_id", "e", norm(F.col("e")).alias("nrm"))
+    cap, nsub_max, nprobe = 64, 2, 2
+    # n=480 > cap*nsub_max=128 -> the dispatcher must take the celled path
+    cand = _knn_candidates(v, cap=cap, nsub_max=nsub_max, nprobe=nprobe)
+    pairs = {(r.src, r.dst) for r in cand.select("src", "dst").collect()}
+    per_src: dict[int, int] = {}
+    for s, _ in pairs:
+        per_src[s] = per_src.get(s, 0) + 1
+    # volume: quadratic routing would give ~n-1 per src and ~n(n-1) total
+    assert max(per_src.values()) <= n // 2, max(per_src.values())
+    assert len(pairs) < n * n // 4, len(pairs)
+    # probed-cell bound on the routed frame itself
+    cc = _knn_celled_candidates(v, cap=cap, nprobe=nprobe)
+    probed = (
+        cc.select("src", "cell_id")
+        .distinct()
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    assert probed and max(r["count"] for r in probed) <= nprobe
+    # recall: every src's true top-k survives candidate generation
+    m = np.stack(vecs)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    for src in range(n):
+        top = np.argsort(-sims[src], kind="stable")[:HUB_K]
+        for dst in top:
+            assert (src, int(dst)) in pairs, (src, int(dst))
