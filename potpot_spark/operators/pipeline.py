@@ -1189,3 +1189,94 @@ def pipeline_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("threshold")
     )
+
+
+# Filter-overlap matrix gates (micro-unit word-rep cut).
+OVERLAP_SHORT = 80
+OVERLAP_LONG = 450
+OVERLAP_WREP_U = 400_000
+
+
+@query(
+    "pipeline_filter_overlap_matrix",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, n_chars, lang,
+                   md5(lower(text)) AS h,
+                   len(string_split(lower(text), ' ')) AS n_words,
+                   len(list_distinct(string_split(lower(text), ' ')))
+                       AS n_distinct
+            FROM documents
+        ),
+        keep AS (
+            SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+        ),
+        flags AS (
+            SELECT b.n_chars < {OVERLAP_SHORT} AS too_short,
+                   b.n_chars > {OVERLAP_LONG} AS too_long,
+                   b.lang = 'zh' AS lang_excluded,
+                   b.doc_id <> k.keep_id AS exact_dup,
+                   (b.n_words - b.n_distinct) * 1000000 // b.n_words
+                       > {OVERLAP_WREP_U} AS high_word_rep
+            FROM base b JOIN keep k USING (h)
+        )
+        SELECT too_short, too_long, lang_excluded, exact_dup, high_word_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) * 1000000
+                   // (SELECT COUNT(*) FROM base) AS share_u
+        FROM flags
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY 1, 2, 3, 4, 5
+    """,
+    tags=("E34", "E37"),
+)
+def pipeline_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-OVERLAP MATRIX: every combination of five corpus gates
+    (too short, too long, excluded language, exact-dup casualty, high
+    within-doc word repetition) with its document count and corpus
+    share — the analysis that tells a pipeline owner which filters
+    are REDUNDANT (their rejections arrive flagged by something else
+    anyway) and which carry unique signal, before deciding ordering
+    or retirement.  The all-false row is the kept mass.
+
+    Exact end to end: flags are integer/string comparisons (the
+    word-rep cut is the micro-unit integer-DIV form), counts and
+    shares are BIGINT with integer division.  Scale shape: one pass
+    over documents computes every per-doc flag; the exact-dup flag
+    is the only join — on the content hash, the same shuffle
+    dedup_exact already pays; the combination groupBy collapses to
+    <= 32 rows map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        F.size(tok).alias("n_words"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flags = base.join(keep, "h").select(
+        (F.col("n_chars") < OVERLAP_SHORT).alias("too_short"),
+        (F.col("n_chars") > OVERLAP_LONG).alias("too_long"),
+        (F.col("lang") == "zh").alias("lang_excluded"),
+        (F.col("doc_id") != F.col("keep_id")).alias("exact_dup"),
+        (
+            F.expr("(n_words - n_distinct) * 1000000 DIV n_words")
+            > OVERLAP_WREP_U
+        ).alias("high_word_rep"),
+    )
+    total = base.agg(F.count(F.lit(1)).alias("total"))
+    cols = ["too_short", "too_long", "lang_excluded", "exact_dup", "high_word_rep"]
+    return (
+        flags.groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *cols,
+            "n_docs",
+            F.expr("n_docs * 1000000 DIV total").alias("share_u"),
+        )
+        .orderBy(*cols)
+    )

@@ -5054,3 +5054,304 @@ def timeseries_best_run_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.ex").alias("best_u"),
         F.round(F.col("b.ex").cast("double") / F.col("n"), 6).alias("best_excess"),
     ).orderBy("event_type")
+
+
+PACF_MAX_LAG = 4
+
+# Durbin-Levinson unrolled to lag 4, as ENGINE-NEUTRAL SQL expression
+# strings: the Spark side F.expr()s these and the DuckDB twin inlines
+# the same text, so both engines build the identical float expression
+# tree over the identical r1..r4 inputs — bit-equal outputs without a
+# fixed-point detour (the chain is pure +,*,/ in a pinned order).
+_DL_STEPS = (
+    ("phi11", "r1"),
+    ("phi22", "(r2 - phi11 * r1) / (1 - phi11 * r1)"),
+    ("phi21", "phi11 - phi22 * phi11"),
+    ("phi33", "(r3 - (phi21 * r2 + phi22 * r1)) / (1 - (phi21 * r1 + phi22 * r2))"),
+    ("phi31", "phi21 - phi33 * phi22"),
+    ("phi32", "phi22 - phi33 * phi21"),
+    (
+        "phi44",
+        "(r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1))"
+        " / (1 - (phi31 * r1 + phi32 * r2 + phi33 * r3))",
+    ),
+)
+
+
+def _pacf_oracle() -> str:
+    dl = ""
+    prev = "rs"
+    for i, (name, expr) in enumerate(_DL_STEPS):
+        dl += f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"s{i}"
+    return f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   COUNT(*) AS x
+            FROM events GROUP BY day
+        ),
+        idx AS (
+            SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                        AS DOUBLE) AS ss
+            FROM idx
+        ),
+        lags AS (
+            SELECT l.lag_k,
+                   CAST(SUM(CAST(a.x AS DECIMAL(18,2)) * CAST(b.x AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT unnest(range(1, {PACF_MAX_LAG} + 1)) AS lag_k) l
+            JOIN idx a ON TRUE
+            JOIN idx b ON b.t = a.t + l.lag_k
+            GROUP BY l.lag_k
+        ),
+        r AS (
+            SELECT lag_k,
+                   (sxy - (s / n) * (s / n) * n_pairs) / (ss - s * s / n) AS rk
+            FROM lags, stats
+        ),
+        rs AS (
+            SELECT MAX(CASE WHEN lag_k = 1 THEN rk END) AS r1,
+                   MAX(CASE WHEN lag_k = 2 THEN rk END) AS r2,
+                   MAX(CASE WHEN lag_k = 3 THEN rk END) AS r3,
+                   MAX(CASE WHEN lag_k = 4 THEN rk END) AS r4
+            FROM r
+        ){dl}
+        SELECT ROUND(r1, 6) AS acf_1, ROUND(r2, 6) AS acf_2,
+               ROUND(r3, 6) AS acf_3, ROUND(r4, 6) AS acf_4,
+               ROUND(phi11, 6) AS pacf_1, ROUND(phi22, 6) AS pacf_2,
+               ROUND(phi33, 6) AS pacf_3, ROUND(phi44, 6) AS pacf_4
+        FROM {prev}
+    """
+
+
+@query("timeseries_pacf_durbin", oracle=_pacf_oracle(), tags=("E19", "E43"))
+def timeseries_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of the daily event-count series at lags
+    1..{PACF_MAX_LAG} via the Durbin-Levinson recursion — the
+    AR-order diagnostic the raw ACF can't give (an AR(1) series shows
+    geometric ACF at every lag but PACF cuts off sharply after 1; the
+    Box-Jenkins order-picking companion to timeseries_autocorrelation,
+    same large-n r_k definition).
+
+    Cross-engine determinism by CONSTRUCTION: the recursion is
+    unrolled into engine-neutral SQL expression strings (_DL_STEPS)
+    that the Spark side evaluates via F.expr and the oracle inlines
+    verbatim — identical float expression trees over identical
+    r1..r4, so no fixed-point scaffolding is needed despite the
+    division chain.  Scale shape: identical to the ACF op — per-lag
+    co-partitioned self-joins on the O(days) rollup plus one scalar
+    aggregate; the recursion itself runs on a single 1-row frame."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).localCheckpoint()
+    xd = F.col("x").cast("decimal(18,2)")
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s"),
+        F.sum(xd * xd).cast("double").alias("ss"),
+    )
+    lag_k = F.explode(F.sequence(F.lit(1), F.lit(PACF_MAX_LAG))).alias("lag_k")
+    a = idx.select(F.col("x").alias("xa"), "t").select("xa", "t", lag_k)
+    b = idx.select(F.col("x").alias("xb"), F.col("t").alias("tb"))
+    lags = (
+        a.join(b, F.col("tb") == F.col("t") + F.col("lag_k"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(18,2)") * F.col("xb").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sxy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    rs = (
+        lags.crossJoin(F.broadcast(stats))
+        .select(
+            "lag_k",
+            F.expr("(sxy - (s / n) * (s / n) * n_pairs) / (ss - s * s / n)").alias("rk"),
+        )
+        .agg(
+            *[
+                F.max(F.when(F.col("lag_k") == k, F.col("rk"))).alias(f"r{k}")
+                for k in range(1, PACF_MAX_LAG + 1)
+            ]
+        )
+    )
+    out = rs
+    for name, expr in _DL_STEPS:
+        out = out.withColumn(name, F.expr(expr))
+    return out.select(
+        *[F.round(f"r{k}", 6).alias(f"acf_{k}") for k in range(1, PACF_MAX_LAG + 1)],
+        F.round("phi11", 6).alias("pacf_1"),
+        F.round("phi22", 6).alias("pacf_2"),
+        F.round("phi33", 6).alias("pacf_3"),
+        F.round("phi44", 6).alias("pacf_4"),
+    )
+
+
+POISSON_TAIL_U = 1_000_000      # flag two-sided tail < 0.001 (1e9 units)
+_POIS_U = 1_000_000_000
+
+
+@query(
+    "events_poisson_tail_anomaly",
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lam AS (
+            SELECT event_type, SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS nd
+            FROM daily GROUP BY event_type
+        ),
+        ks AS MATERIALIZED (
+            SELECT k,
+                   SUM(CASE WHEN k >= 2
+                            THEN CAST(FLOOR(LN(CAST(k AS DOUBLE)) * {_POIS_U})
+                                 AS BIGINT)
+                            ELSE 0 END)
+                       OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lf_u
+            FROM (SELECT row_number() OVER () - 1 AS k FROM events) t
+            WHERE k <= (SELECT MAX(x) FROM daily)
+        ),
+        terms AS (
+            SELECT d.event_type, d.day, d.x, l.s, l.nd, k.k,
+                   CAST(FLOOR(EXP(CAST(
+                       CAST(FLOOR((k.k * LN(CAST(l.s AS DOUBLE) / l.nd)
+                                   - CAST(l.s AS DOUBLE) / l.nd) * {_POIS_U})
+                            AS BIGINT) - k.lf_u
+                   AS DOUBLE) / {_POIS_U}) * {_POIS_U}) AS BIGINT) AS term_u
+            FROM daily d
+            JOIN lam l USING (event_type)
+            JOIN ks k ON k.k <= d.x
+        ),
+        cdf AS (
+            SELECT event_type, day, MAX(x) AS x, MAX(s) AS s, MAX(nd) AS nd,
+                   SUM(term_u) AS cdf_u,
+                   SUM(CASE WHEN k = x THEN term_u ELSE 0 END) AS termx_u
+            FROM terms GROUP BY event_type, day
+        ),
+        tails AS (
+            SELECT event_type, day, x,
+                   s * 1000000 // nd AS lambda_u,
+                   CASE WHEN x * nd > s THEN 'high' ELSE 'low' END AS direction,
+                   CAST(CASE WHEN x * nd > s
+                             THEN {_POIS_U} - (cdf_u - termx_u)
+                             ELSE cdf_u END AS BIGINT) AS tail_u
+            FROM cdf
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+               CAST(lambda_u AS BIGINT) AS lambda_u,
+               direction, tail_u,
+               tail_u < {POISSON_TAIL_U} AS is_anomaly
+        FROM tails
+        ORDER BY tail_u, event_type, day
+        LIMIT 20
+    """,
+    tags=("E43", "E26"),
+)
+def events_poisson_tail_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON TAIL anomaly detection on daily event counts: each
+    (type, day) is scored by its exact two-sided Poisson tail under
+    the type's mean daily rate — days with P < 0.001 are traffic
+    anomalies with a calibrated false-alarm budget, where the z-score
+    detectors (rolling_zscore, count_spike) only rank.  Direction
+    says burst vs outage-shaped.
+
+    Determinism is the Bayesian-posterior recipe transplanted: the
+    CDF is a sum of e^(k·lnλ − λ − ln k!) terms where ln k! comes
+    from the FLOOR-quantized cumulative BIGINT table, each term's log
+    is floor-quantized at 1e-9 BEFORE exp, and each exp re-quantizes
+    to an exact BIGINT before the sum — identical integer chains in
+    both engines (the k·lnλ − λ float is one pinned expression over
+    exact integers).  The high/low split is the EXACT integer compare
+    x·n_days > Σx, never a float λ.  Scale shape: the term join is
+    O(observed days × max daily count) over the aggregate-sized
+    rollup — data-scale work ended at the first groupBy; the ln-
+    factorial table is max(x)+1 rows built once."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint()
+    )
+    lam = daily.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    kmax = int(daily.agg(F.max("x")).first()[0])
+    lnq = F.when(
+        F.col("id") >= 2,
+        F.floor(F.log(F.col("id").cast("double")) * _POIS_U).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ks = spark.range(0, kmax + 1).select(
+        F.col("id").alias("k"),
+        F.sum(lnq)
+        .over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("lf_u"),
+    )
+    ln_term_u = (
+        F.floor(
+            (
+                F.col("k") * F.log(F.col("s").cast("double") / F.col("nd"))
+                - F.col("s").cast("double") / F.col("nd")
+            )
+            * _POIS_U
+        ).cast("bigint")
+        - F.col("lf_u")
+    )
+    terms = (
+        daily.join(lam, "event_type")
+        .join(F.broadcast(ks), F.col("k") <= F.col("x"))
+        .select(
+            "event_type", "day", "x", "s", "nd", "k",
+            F.floor(F.exp(ln_term_u.cast("double") / _POIS_U) * _POIS_U)
+            .cast("bigint")
+            .alias("term_u"),
+        )
+    )
+    cdf = terms.groupBy("event_type", "day").agg(
+        F.max("x").alias("x"),
+        F.max("s").alias("s"),
+        F.max("nd").alias("nd"),
+        F.sum("term_u").alias("cdf_u"),
+        F.sum(F.when(F.col("k") == F.col("x"), F.col("term_u")).otherwise(0)).alias(
+            "termx_u"
+        ),
+    )
+    high = F.col("x") * F.col("nd") > F.col("s")
+    return (
+        cdf.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.expr("s * 1000000 DIV nd").cast("bigint").alias("lambda_u"),
+            F.when(high, "high").otherwise("low").alias("direction"),
+            F.when(high, F.lit(_POIS_U) - (F.col("cdf_u") - F.col("termx_u")))
+            .otherwise(F.col("cdf_u"))
+            .cast("bigint")
+            .alias("tail_u"),
+        )
+        .withColumn("is_anomaly", F.col("tail_u") < POISSON_TAIL_U)
+        .orderBy("tail_u", "event_type", "day")
+        .limit(20)
+    )
