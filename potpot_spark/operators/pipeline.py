@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import phash60_expr
 from potpot_spark.operators.dedup import ngram_jaccard_pairs
 from potpot_spark.operators.graph import connected_components
 from potpot_spark.registry import query
@@ -1279,4 +1280,84 @@ def pipeline_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("n_docs * 1000000 DIV total").alias("share_u"),
         )
         .orderBy(*cols)
+    )
+
+
+SHARD_N = 64   # hash shards for the skew audit
+
+
+@query(
+    "pipeline_shard_skew_audit",
+    oracle=f"""
+        WITH sharded AS (
+            SELECT {{PH}} % {SHARD_N} AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+            FROM documents
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY n_bytes) AS rk,
+                   COUNT(*) OVER () AS ns
+            FROM sharded
+        )
+        SELECT CAST(MAX(ns) AS BIGINT) AS n_shards,
+               CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               MIN(n_bytes) AS min_bytes,
+               MAX(n_bytes) AS max_bytes,
+               MAX(CASE WHEN rk = CAST(CEIL(0.9 * ns) AS BIGINT)
+                        THEN n_bytes END) AS p90_bytes,
+               CAST(MAX(n_bytes) * MAX(ns) * 1000000
+                    // SUM(n_bytes) AS BIGINT) AS imbalance_u
+        FROM ranked
+    """.replace("{PH}", phash60_expr("CAST(doc_id AS VARCHAR)")),
+    tags=("E34", "E28"),
+)
+def pipeline_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-SKEW AUDIT of the training-export layout: documents hash
+    into {SHARD_N} shards on the portable 60-bit hash (the same
+    deterministic assignment a writer would use) and the audit
+    reports the byte distribution across shards — min/max/p90 and
+    the straggler factor max·n/total in micro-units.  The number
+    that predicts whether shard 17 will make every training epoch
+    wait; uniform hashing keeps it near 1e6, content-correlated keys
+    do not.
+
+    Exact integers end to end (p90 is an exact rank statistic: the
+    value at row ceil(0.9·n) of the byte-sorted shard list, no
+    interpolation).  Scale shape: ONE map-side-combinable groupBy to
+    {SHARD_N} rows; every statistic after runs on the aggregate
+    frame."""
+    from potpot_spark.functions.numeric import phash60
+
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.groupBy(
+        (phash60(F.col("doc_id").cast("string")) % SHARD_N).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+    )
+    wr = Window.orderBy("n_bytes")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = sharded.select(
+        "n_docs",
+        "n_bytes",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("ns"),
+    )
+    return ranked.agg(
+        F.max("ns").cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(0.9) * F.col("ns")), F.col("n_bytes")
+            )
+        ).alias("p90_bytes"),
+        F.expr("max(n_bytes) * max(ns) * 1000000 DIV sum(n_bytes)")
+        .cast("bigint")
+        .alias("imbalance_u"),
     )

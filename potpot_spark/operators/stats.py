@@ -3949,3 +3949,234 @@ def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr_a", "attr_b", "n", "r_levels", "c_levels", "chi2_u",
         v_u.alias("cramers_v_u"),
     ).orderBy("attr_a", "attr_b")
+
+
+# SPRT design constants (Wald): H0 p=0.48 vs H1 p=0.52, alpha=beta=0.05.
+# Per-observation LLR increments as shared shortest-roundtrip literals;
+# boundaries ln((1-b)/a) = ln 19.  Everything below quantizes at 1e-9.
+_SPRT_C1 = 0.08004270767353656     # ln(p1/p0): added per success
+_SPRT_C2 = -0.08004270767353656    # ln((1-p1)/(1-p0)): added per failure
+_SPRT_BOUND_U = 2_944_438_979      # floor(ln 19 * 1e9)
+
+
+@query(
+    "stats_sequential_sprt",
+    oracle=f"""
+        WITH pop AS (
+            SELECT o_custkey % 2 AS variant, o_orderdate AS d,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS success
+            FROM orders WHERE o_orderkey % 20 = 0
+        ),
+        daily AS (
+            SELECT variant, d,
+                   CAST(SUM(success) AS BIGINT) AS s_d,
+                   CAST(COUNT(*) - SUM(success) AS BIGINT) AS f_d
+            FROM pop GROUP BY variant, d
+        ),
+        walk AS (
+            SELECT variant, d, s_d, f_d,
+                   SUM(CAST(FLOOR((s_d * {_SPRT_C1!r} + f_d * {_SPRT_C2!r})
+                                  * 1000000000) AS BIGINT))
+                       OVER (PARTITION BY variant ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS llr_u
+            FROM daily
+        ),
+        crossings AS (
+            SELECT variant,
+                   MIN(CASE WHEN llr_u >= {_SPRT_BOUND_U} THEN d END) AS up_d,
+                   MIN(CASE WHEN llr_u <= -{_SPRT_BOUND_U} THEN d END) AS dn_d,
+                   CAST(SUM(s_d) AS BIGINT) AS s,
+                   CAST(SUM(s_d + f_d) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM walk GROUP BY variant
+        ),
+        final AS (
+            SELECT w.variant, c.n_days, c.n, c.s,
+                   CAST(w.llr_u AS BIGINT) AS llr_u_final,
+                   CASE
+                     WHEN c.up_d IS NOT NULL
+                          AND (c.dn_d IS NULL OR c.up_d <= c.dn_d)
+                       THEN 'accept_h1'
+                     WHEN c.dn_d IS NOT NULL THEN 'accept_h0'
+                     ELSE 'continue' END AS decision,
+                   CASE
+                     WHEN c.up_d IS NOT NULL
+                          AND (c.dn_d IS NULL OR c.up_d <= c.dn_d)
+                       THEN strftime(c.up_d, '%Y-%m-%d')
+                     WHEN c.dn_d IS NOT NULL THEN strftime(c.dn_d, '%Y-%m-%d')
+                   END AS decision_day
+            FROM walk w
+            JOIN crossings c USING (variant)
+            QUALIFY row_number() OVER (PARTITION BY w.variant
+                                       ORDER BY w.d DESC) = 1
+        )
+        SELECT CAST(variant AS BIGINT) AS variant, n_days, n, s,
+               llr_u_final, decision, decision_day
+        FROM final ORDER BY variant
+    """,
+    tags=("E42", "E20"),
+)
+def stats_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SEQUENTIAL probability ratio test over the experiment
+    stream: the daily cumulative log-likelihood-ratio walk for each
+    variant's conversion rate (H0 p=0.48 vs H1 p=0.52, α=β=0.05),
+    with the first boundary crossing and the resulting early-stop
+    decision — the "peek every day without inflating α" machinery
+    fixed-horizon tests (Welch/permutation/Bayesian in this family)
+    cannot provide.
+
+    Exactness (the EWMA/fixed-point discipline on a float walk):
+    each day's LLR increment s_d·ln(p1/p0) + f_d·ln((1−p1)/(1−p0))
+    is ONE pinned float expression over exact integers, FLOOR-
+    quantized to 1e-9 BEFORE the cumulative sum, so the walk is an
+    exact BIGINT prefix sum and boundary crossings are integer
+    compares against floor(ln19·1e9) — no float accumulation, no
+    near-boundary ambiguity.  Scale shape: data-scale work ends at
+    the per-(variant, day) aggregate; the walk is a window over the
+    O(days) rollup."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    daily = o.groupBy(
+        (F.col("o_custkey") % 2).alias("variant"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_d"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1))
+        .cast("bigint")
+        .alias("f_d"),
+    )
+    inc_u = F.floor(
+        (F.col("s_d") * _SPRT_C1 + F.col("f_d") * _SPRT_C2) * 1_000_000_000
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = daily.withColumn("llr_u", F.sum(inc_u).over(w))
+    crossings = walk.groupBy("variant").agg(
+        F.min(F.when(F.col("llr_u") >= _SPRT_BOUND_U, F.col("d"))).alias("up_d"),
+        F.min(F.when(F.col("llr_u") <= -_SPRT_BOUND_U, F.col("d"))).alias("dn_d"),
+        F.sum("s_d").cast("bigint").alias("s"),
+        F.sum(F.col("s_d") + F.col("f_d")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    last = (
+        walk.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("variant").orderBy(F.col("d").desc())),
+        )
+        .where(F.col("rn") == 1)
+        .select("variant", F.col("llr_u").cast("bigint").alias("llr_u_final"))
+    )
+    h1 = F.col("up_d").isNotNull() & (
+        F.col("dn_d").isNull() | (F.col("up_d") <= F.col("dn_d"))
+    )
+    return (
+        crossings.join(last, "variant")
+        .select(
+            F.col("variant").cast("bigint").alias("variant"),
+            "n_days",
+            "n",
+            "s",
+            "llr_u_final",
+            F.when(h1, "accept_h1")
+            .when(F.col("dn_d").isNotNull(), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+            F.when(h1, F.date_format("up_d", "yyyy-MM-dd"))
+            .when(F.col("dn_d").isNotNull(), F.date_format("dn_d", "yyyy-MM-dd"))
+            .alias("decision_day"),
+        )
+        .orderBy("variant")
+    )
+
+
+# Two-sided alpha=0.05 and power-0.80 normal quantiles (shared
+# shortest-roundtrip literals; Spark/DuckDB have no inverse normal).
+_Z_ALPHA = 1.9599639845400545
+_Z_POWER = 0.8416212335729143
+MDE_TARGET_REL_U = 20_000   # planning target: 2% relative lift
+
+
+@query(
+    "analytics_power_analysis_mde",
+    oracle=f"""
+        WITH pop AS (
+            SELECT o_custkey % 2 AS variant,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS success
+            FROM orders WHERE o_orderkey % 20 = 0
+        ),
+        base AS (
+            SELECT CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN variant = 0 THEN success END) AS BIGINT) AS s_a
+            FROM pop
+        )
+        SELECT n_a, s_a,
+               CAST(FLOOR((CAST(s_a AS DOUBLE) / n_a) * 1000000) AS BIGINT)
+                   AS p_u,
+               CAST(FLOOR((({_Z_ALPHA!r} + {_Z_POWER!r})
+                           * SQRT(2.0 * (CAST(s_a AS DOUBLE) / n_a)
+                                  * (1.0 - CAST(s_a AS DOUBLE) / n_a) / n_a))
+                          * 1000000) AS BIGINT) AS mde_abs_u,
+               CAST(FLOOR(((({_Z_ALPHA!r} + {_Z_POWER!r})
+                            * SQRT(2.0 * (CAST(s_a AS DOUBLE) / n_a)
+                                   * (1.0 - CAST(s_a AS DOUBLE) / n_a) / n_a))
+                           / (CAST(s_a AS DOUBLE) / n_a)) * 1000000) AS BIGINT)
+                   AS mde_rel_u,
+               CAST(CEIL((2.0 * (CAST(s_a AS DOUBLE) / n_a)
+                          * (1.0 - CAST(s_a AS DOUBLE) / n_a)
+                          * ({_Z_ALPHA!r} + {_Z_POWER!r})
+                          * ({_Z_ALPHA!r} + {_Z_POWER!r}))
+                         / (((CAST(s_a AS DOUBLE) / n_a)
+                             * ({MDE_TARGET_REL_U} / 1000000.0))
+                            * ((CAST(s_a AS DOUBLE) / n_a)
+                               * ({MDE_TARGET_REL_U} / 1000000.0))))
+                    AS BIGINT) AS n_per_arm_for_target
+        FROM base
+    """,
+    tags=("E42", "E26"),
+)
+def analytics_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT POWER PLANNING from the live control arm: the
+    minimum detectable effect at the CURRENT sample size (two-sided
+    α=0.05, power 0.80, equal arms — MDE = (z_α+z_β)·√(2p(1−p)/n))
+    and the per-arm n required to detect a 2% relative lift — the
+    two numbers a platform shows before anyone runs the test the
+    rest of this family analyzes.
+
+    Determinism: z-quantile constants are shared shortest-roundtrip
+    literals (neither engine has an inverse normal); p enters as one
+    exact-integer division and every output is a FLOOR/CEIL-quantized
+    single pinned float chain.  Scale shape: one aggregate over the
+    experiment population; everything after is scalar."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    base = o.agg(
+        F.count(F.when(F.col("o_custkey") % 2 == 0, 1)).cast("bigint").alias("n_a"),
+        F.sum(
+            F.when(
+                (F.col("o_custkey") % 2 == 0) & (F.col("o_orderstatus") == "F"), 1
+            ).otherwise(
+                F.when(F.col("o_custkey") % 2 == 0, 0)
+            )
+        )
+        .cast("bigint")
+        .alias("s_a"),
+    )
+    p = F.col("s_a").cast("double") / F.col("n_a")
+    zsum = F.lit(_Z_ALPHA + _Z_POWER)
+    mde_abs = zsum * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / F.col("n_a"))
+    delta = p * F.lit(MDE_TARGET_REL_U / 1_000_000.0)
+    return base.select(
+        "n_a",
+        "s_a",
+        F.floor(p * 1_000_000).cast("bigint").alias("p_u"),
+        F.floor(mde_abs * 1_000_000).cast("bigint").alias("mde_abs_u"),
+        F.floor((mde_abs / p) * 1_000_000).cast("bigint").alias("mde_rel_u"),
+        F.ceil(
+            (F.lit(2.0) * p * (F.lit(1.0) - p) * zsum * zsum) / (delta * delta)
+        )
+        .cast("bigint")
+        .alias("n_per_arm_for_target"),
+    )
