@@ -288,3 +288,47 @@ def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+        SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+        FROM orders
+        UNION ALL
+        SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+        FROM customer
+        ORDER BY tbl
+    """,
+    tags=("E18", "E24"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 IDENTIFIER() clause: table and column NAMES arrive as
+    bound string parameters — `FROM IDENTIFIER(:tbl)` — closing the
+    one hole named-parameter binds (sql_parameterized_query) leave
+    open, since identifiers cannot be bound as values.  The pattern
+    behind safe multi-tenant "run this audit over table X keyed by
+    column Y" templates: no string splicing, the identifier resolves
+    at analysis time and the plan is identical to the static form.
+    The oracle runs the fully-resolved equivalents."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    parts = []
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        parts.append(
+            spark.sql(
+                """
+                SELECT :tbl AS tbl, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT IDENTIFIER(:key)) AS BIGINT) AS n_keys
+                FROM IDENTIFIER(:tbl)
+                """,
+                args={"tbl": tbl, "key": key},
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")

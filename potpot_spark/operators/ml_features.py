@@ -3135,3 +3135,121 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
     )
+
+
+TSCV_FOLDS = 3
+TSCV_PURGE_DAYS = 7
+
+
+@query(
+    "ml_time_series_cv_folds",
+    oracle=f"""
+        WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+        b AS (
+            SELECT MIN(d) AS d0,
+                   date_diff('day', MIN(d), MAX(d)) AS span
+            FROM d
+        ),
+        folds AS (
+            SELECT t.fold,
+                   b.d0 + CAST(t.fold * b.span // {TSCV_FOLDS + 1} AS INTEGER)
+                       AS cut,
+                   b.d0 + CAST((t.fold + 1) * b.span // {TSCV_FOLDS + 1}
+                               AS INTEGER) AS tend
+            FROM b, (SELECT unnest(range(1, {TSCV_FOLDS} + 1)) AS fold) t
+        )
+        SELECT CAST(f.fold AS BIGINT) AS fold,
+               strftime(f.cut, '%Y-%m-%d') AS train_end,
+               strftime(f.cut + {TSCV_PURGE_DAYS}, '%Y-%m-%d') AS test_start,
+               strftime(f.tend, '%Y-%m-%d') AS test_end,
+               CAST(SUM(CASE WHEN d.d < f.cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(SUM(CASE WHEN d.d >= f.cut + {TSCV_PURGE_DAYS}
+                              AND d.d < f.tend THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               CAST(SUM(CASE WHEN d.d >= f.cut
+                              AND d.d < f.cut + {TSCV_PURGE_DAYS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+        FROM d, folds f
+        GROUP BY f.fold, f.cut, f.tend
+        ORDER BY fold
+    """,
+    tags=("E42", "E25"),
+)
+def ml_time_series_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPANDING-WINDOW time-series cross-validation folds with a
+    purge gap: each fold trains on everything before its cut, skips
+    {TSCV_PURGE_DAYS} days (the leakage quarantine for label windows
+    that look into the future — the Combinatorial-Purged-CV idea in
+    its simple expanding form), and tests on the next segment.  The
+    fold table IS the deliverable: per fold the boundary dates and
+    exact train/test/purged row counts, the assignment every honest
+    backtest of a temporal model starts from (random k-fold,
+    ml_kfold_assign, leaks future into past here).
+
+    Exact integer calendar arithmetic (day spans via integer DIV —
+    no float dates), so both engines agree to the day.  Scale shape:
+    one min/max aggregate, a {TSCV_FOLDS}-row literal fold frame
+    broadcast against the fact table, one conditional-count groupBy
+    — the fact table is read once and never shuffled by row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    b = o.agg(
+        F.min("d").alias("d0"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span"),
+    )
+    folds = (
+        b.select(
+            F.explode(F.sequence(F.lit(1), F.lit(TSCV_FOLDS))).alias("fold"),
+            "d0",
+            "span",
+        )
+        .select(
+            "fold",
+            F.expr(
+                f"date_add(d0, CAST(fold * span DIV {TSCV_FOLDS + 1} AS INT))"
+            ).alias("cut"),
+            F.expr(
+                f"date_add(d0, CAST((fold + 1) * span DIV {TSCV_FOLDS + 1} AS INT))"
+            ).alias("tend"),
+        )
+    )
+    g = TSCV_PURGE_DAYS
+    return (
+        o.crossJoin(F.broadcast(folds))
+        .groupBy("fold", "cut", "tend")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.date_add(F.col("cut"), g))
+                    & (F.col("d") < F.col("tend")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.col("cut"))
+                    & (F.col("d") < F.date_add(F.col("cut"), g)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purged"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            F.date_format("cut", "yyyy-MM-dd").alias("train_end"),
+            F.date_format(F.date_add("cut", g), "yyyy-MM-dd").alias("test_start"),
+            F.date_format("tend", "yyyy-MM-dd").alias("test_end"),
+            "n_train",
+            "n_test",
+            "n_purged",
+        )
+        .orderBy("fold")
+    )

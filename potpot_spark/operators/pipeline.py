@@ -220,6 +220,11 @@ def pipeline_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
+        # m-bounded (<= 2^20 ints): materialize ONCE so the three semi
+        # joins broadcast from the same tiny checkpoint instead of
+        # re-running the eval explode per build (exprId differences
+        # defeat exchange reuse across the three join instances)
+        .localCheckpoint(eager=True)
     )
     for k in range(3):
         probe = F.pmod(F.xxhash64(tr["s"], F.lit(k)), F.lit(m))

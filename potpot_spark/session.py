@@ -84,6 +84,20 @@ def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | Non
     builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # Shuffle/spill scratch on tmpfs when available: local-mode shuffle
+    # files (and their async ContextCleaner deletion) otherwise hit the
+    # root disk, and the teardown I/O of a heavy query taxes whatever
+    # runs next (the r6 bench "wake tax" — interleaved medians showed
+    # light queries 2-4s slower right after explode-heavy ones).  On a
+    # real cluster the cluster manager owns local dirs; this is purely
+    # the local-bench/test path.  Override with SPARK_GRAFT_LOCAL_DIR
+    # (set to "" to disable).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/potpot_spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -642,3 +642,58 @@ def test_hubness_knn_no_corpus_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_decontaminate_bloom_semi_joins_are_broadcast(spark, sf_dir):
+    """r5 verdict #2: the bloom prefilter must reach the plan as
+    broadcast LEFT SEMI hash joins (map-side — training postings are
+    dropped before any exchange), and after execution the identical
+    position-set broadcast must have been REUSED (AQE stage-level
+    reuse — invisible in the static explain), not built three
+    times."""
+    df = registry.get("pipeline_decontaminate_eval").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 3, plan
+    df.write.format("noop").mode("overwrite").save()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # the three bloom builds must scan the shared checkpoint (RDD
+    # scans), never replay the eval shingle explode per build: the
+    # only Generates left are the tr/ev posting explodes themselves
+    assert executed.count("Scan ExistingRDD") >= 3, executed[:4000]
+    assert executed.count("Generate") <= 2, executed[:4000]
+
+
+def test_hits_plan_no_cartesian_scalar_broadcasts(spark, sf_dir):
+    """HITS: the max-normalizations must enter as broadcast nested
+    loops over 1-row frames (scalar pattern), never a real cartesian;
+    the score joins shuffle on node keys only."""
+    df = registry.get("graph_hits_hubs_authorities").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_filter_overlap_single_documents_pass(spark, sf_dir):
+    """The overlap matrix reads documents for flags + the hash join —
+    the plan must not contain more than 2 parquet scans of documents
+    (one per side of the content-hash join), and the combination
+    groupBy must partially aggregate map-side."""
+    df = registry.get("pipeline_filter_overlap_matrix").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") <= 3, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_gopher_filters_partial_aggregation(spark, sf_dir):
+    """Both n-gram count aggregations must combine map-side (the
+    embarrassingly-parallel claim in the docstring)."""
+    df = registry.get("text_gopher_repetition_filters").fn(spark, sf_dir)
+    assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_sprt_walk_is_window_over_rollup(spark, sf_dir):
+    """The LLR walk must run as a window over the daily rollup — no
+    self-join, no cartesian."""
+    df = registry.get("stats_sequential_sprt").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
