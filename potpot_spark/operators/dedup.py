@@ -215,11 +215,12 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-def _minhash_oracle_sql(threshold: float = 0.6) -> str:
-    """DuckDB twin of the full MinHash+LSH pipeline — same portable
-    base hash, same affine-permutation literals, same band tuples, so
-    the candidate set (and the Jaccard-verified output) matches the
-    Spark side value-for-value."""
+def _minhash_cte_sql() -> str:
+    """Shared DuckDB CTE body of the MinHash+LSH pipeline (toks →
+    shingles → portable hashes → signatures → bands → candidate
+    pairs) — same portable base hash, same affine-permutation
+    literals, same band tuples as the Spark side, reused by the
+    near-dup oracle and the estimator audit."""
     rpb = NUM_HASHES // BANDS
     params = minhash_params(NUM_HASHES)
     mh_list = ",\n                   ".join(
@@ -228,8 +229,7 @@ def _minhash_oracle_sql(threshold: float = 0.6) -> str:
     )
     band_cols = ", ".join(f"mh[t.b * {rpb} + {r + 1}] AS r{r}" for r in range(rpb))
     band_eq = " AND ".join(f"a.r{r} = b.r{r}" for r in range(rpb))
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS tok
             FROM documents
         ),
@@ -264,7 +264,14 @@ def _minhash_oracle_sql(threshold: float = 0.6) -> str:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND {band_eq}
              AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.6) -> str:
+    """Near-dup oracle: the shared pipeline CTEs + exact-Jaccard
+    verification at ``threshold``."""
+    return f"""
+        WITH {_minhash_cte_sql()}
         SELECT c.doc_a, c.doc_b,
                ROUND(
                    CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
@@ -880,4 +887,102 @@ def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("fp_rate_u"),
         )
+    )
+
+
+def _mh_audit_oracle() -> str:
+    match_terms = " + ".join(
+        f"CASE WHEN a.mh[{i + 1}] = b.mh[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+        WITH {_minhash_cte_sql()},
+        scored AS (
+            SELECT ({match_terms}) * 1000000 // {NUM_HASHES} AS est_u,
+                   CAST(len(list_filter(sa.shingles,
+                                        s -> list_contains(sb.shingles, s)))
+                        AS BIGINT) * 1000000
+                     // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                       AS exact_u
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.doc_a
+            JOIN sigs b ON b.doc_id = c.doc_b
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT CAST(exact_u // 100000 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(exact_u) // COUNT(*) AS BIGINT) AS mean_exact_u,
+               CAST(SUM(est_u) // COUNT(*) AS BIGINT) AS mean_est_u,
+               CAST(SUM(ABS(est_u - exact_u)) // COUNT(*) AS BIGINT) AS mae_u,
+               CAST(SUM(est_u - exact_u) // COUNT(*) AS BIGINT) AS bias_u
+        FROM scored
+        GROUP BY 1
+        ORDER BY bin
+    """
+
+
+@query("dedup_minhash_estimator_audit", oracle=_mh_audit_oracle(), tags=("E35", "E16"))
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION: over the LSH candidate pairs,
+    compare the signature-estimated Jaccard (matching positions /
+    {NUM_HASHES}) against the exact shingle-set Jaccard, binned by
+    exact similarity decile — the audit that says whether the
+    {NUM_HASHES}-hash signature is trustworthy at the thresholds the
+    dedup pipeline actually cuts at (the estimator's ±1/√k noise is
+    exactly what separates "0.58" from "0.62" around a 0.6 cut).
+    Per bin: pair count, mean exact, mean estimated, MAE and signed
+    bias, all in micro-units.
+
+    PURE INTEGERS end to end — the estimate is matches·1e6 DIV k,
+    exact Jaccard is |∩|·1e6 DIV |∪|, and the per-bin means use
+    integer division — so the audit passes the value oracle
+    bit-for-bit.  Scale shape: the candidate join is the banded LSH
+    one (never all-pairs); the audit adds two signature probes and
+    the same shingle verify near_dup_pairs already pays."""
+    sigs = minhash_docs(load_table(spark, sf_dir, "documents")).persist()
+    cands = lsh_candidate_pairs(sigs)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    scored = (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            (matches.cast("bigint") * 1_000_000 / F.lit(NUM_HASHES))
+            .cast("bigint")
+            .alias("est_u_raw"),
+            inter.alias("inter"),
+            union.alias("union_n"),
+        )
+        .select(
+            F.expr(f"est_u_raw").alias("est_u"),
+            F.expr("inter * 1000000 DIV union_n").alias("exact_u"),
+        )
+    )
+    return (
+        scored.groupBy(F.expr("exact_u DIV 100000").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("sum(exact_u) DIV count(1)").cast("bigint").alias("mean_exact_u"),
+            F.expr("sum(est_u) DIV count(1)").cast("bigint").alias("mean_est_u"),
+            F.expr("sum(abs(est_u - exact_u)) DIV count(1)")
+            .cast("bigint")
+            .alias("mae_u"),
+            F.expr("sum(est_u - exact_u) DIV count(1)").cast("bigint").alias("bias_u"),
+        )
+        .orderBy("bin")
     )

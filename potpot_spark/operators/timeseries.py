@@ -5355,3 +5355,134 @@ def events_poisson_tail_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tail_u", "event_type", "day")
         .limit(20)
     )
+
+
+KM_CENSOR_DAYS = 90   # customers ordering this close to corpus end are censored
+
+
+@query(
+    "events_survival_kaplan_meier",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+        ),
+        users AS (
+            SELECT o_custkey,
+                   date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                             MAX(CAST(o_orderdate AS DATE))) AS dur,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                             (SELECT dmax FROM bounds)) < {KM_CENSOR_DAYS}
+                       AS censored
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM users),
+        tbl AS (
+            SELECT dur AS t,
+                   CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d_t,
+                   CAST(COUNT(*) AS BIGINT) AS leaving
+            FROM users GROUP BY dur
+        ),
+        risk AS (
+            SELECT t, d_t,
+                   (SELECT n0 FROM tot)
+                     - COALESCE(SUM(leaving) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_t
+            FROM tbl
+        ),
+        steps AS (
+            SELECT t, d_t, n_t,
+                   SUM(CASE WHEN d_t > 0 AND n_t > d_t
+                            THEN CAST(FLOOR(LN(CAST(n_t - d_t AS DOUBLE) / n_t)
+                                            * 1000000000) AS BIGINT)
+                            WHEN d_t > 0 THEN CAST(-100000000000 AS BIGINT)
+                            ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns_u
+            FROM risk
+        )
+        SELECT CAST(t AS BIGINT) AS t, CAST(n_t AS BIGINT) AS n_t, d_t,
+               CAST(FLOOR(EXP(CAST(lns_u AS DOUBLE) / 1000000000) * 1000000)
+                    AS BIGINT) AS survival_u
+        FROM steps
+        WHERE d_t > 0
+        ORDER BY t
+    """,
+    tags=("E43", "E20"),
+)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival of customer LIFETIMES (days between
+    first and last order), right-censored for customers still
+    ordering within {KM_CENSOR_DAYS} days of corpus end — the
+    product-limit estimator behind honest churn curves (naive "avg
+    lifetime" treats the still-alive as dead; the retention family's
+    point-in-time reads don't give a full curve).  Output: each death
+    time with the at-risk count, events, and S(t) in micro-units.
+    (The events table's synthetic users all span the whole corpus —
+    zero deaths — so the op runs on the orders fact, where lifetimes
+    genuinely vary; noted rather than hidden.)
+
+    Determinism (the SPRT/EWMA discipline on a cumulative PRODUCT):
+    each step's ln(1 − d/n) = ln((n−d)/n) is one pinned float over
+    exact integers, FLOOR-quantized at 1e-9 into an exact BIGINT
+    prefix sum, and S(t) re-quantizes once at output — the product
+    never accumulates in floats.  Scale shape: per-customer min/max
+    aggregate, then everything runs on the O(distinct lifetimes)
+    rollup; the at-risk count is a window prefix sum, not a
+    self-join."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    users = o.groupBy("o_custkey").agg(
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("dur"),
+        F.max(day).alias("last_day"),
+    )
+    bounds = o.agg(F.max(day).alias("dmax"))
+    users = users.crossJoin(F.broadcast(bounds)).select(
+        "dur",
+        (F.datediff(F.col("dmax"), F.col("last_day")) < KM_CENSOR_DAYS).alias(
+            "censored"
+        ),
+    )
+    tot = users.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    tbl = users.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).cast("bigint").alias("d_t"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = tbl.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_t",
+        (F.col("n0") - F.coalesce(F.sum("leaving").over(wprev), F.lit(0)))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    # n_t == d_t (everyone left dies at the last step) sends ln to
+    # -inf; substitute a sentinel that flushes S(t) to exactly 0 in
+    # both engines
+    ln_step = (
+        F.when(
+            (F.col("d_t") > 0) & (F.col("n_t") > F.col("d_t")),
+            F.floor(
+                F.log((F.col("n_t") - F.col("d_t")).cast("double") / F.col("n_t"))
+                * 1_000_000_000
+            ).cast("bigint"),
+        )
+        .when(F.col("d_t") > 0, F.lit(-100_000_000_000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    steps = risk.withColumn("lns_u", F.sum(ln_step).over(wcum))
+    return (
+        steps.where(F.col("d_t") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t"),
+            "n_t",
+            "d_t",
+            F.floor(F.exp(F.col("lns_u").cast("double") / 1_000_000_000) * 1_000_000)
+            .cast("bigint")
+            .alias("survival_u"),
+        )
+        .orderBy("t")
+    )
