@@ -11,6 +11,8 @@ oracle-tested.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -823,3 +825,93 @@ def multimodal_clip_alignment_stub(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(zero, F.lit(0.0)).otherwise(F.round(cos, 6)).alias("alignment"),
         F.when(zero, 1).when(cos < CLIP_ALIGN_MIN, 1).otherwise(0).alias("misaligned"),
     ).orderBy("doc_id")
+
+
+WDS_KEY_MOD = 10    # every 10th doc becomes a sample
+WDS_IMG_MOD = 20    # every 20th additionally carries an image part
+
+
+@query(
+    "multimodal_webdataset_samples",
+    oracle=f"""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(CASE WHEN doc_id % {WDS_IMG_MOD} = 0 THEN 3 ELSE 2 END
+                    AS BIGINT) AS n_parts,
+               CASE WHEN doc_id % {WDS_IMG_MOD} = 0
+                    THEN ['img', 'json', 'txt'] ELSE ['json', 'txt'] END AS exts,
+               CAST(LENGTH(text)
+                    + 24 + LENGTH(CAST(doc_id AS VARCHAR)) + LENGTH(lang)
+                    + CASE WHEN doc_id % {WDS_IMG_MOD} = 0 THEN 16 ELSE 0 END
+                    AS BIGINT) AS total_bytes,
+               doc_id % {WDS_IMG_MOD} = 0 AS has_image,
+               TRUE AS is_complete
+        FROM documents
+        WHERE doc_id % {WDS_KEY_MOD} = 0
+        ORDER BY key
+    """,
+    tags=("E38", "E1"),
+)
+def multimodal_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET-style sample assembly — the multimodal training-data
+    layout where one SAMPLE is a set of same-stem files
+    (``0042.txt`` + ``0042.json`` + ``0042.img``): scan the file tree
+    with the ``binaryFile`` source, derive (key, ext) from each path,
+    and group parts into samples with modality inventory, byte
+    totals, and a completeness flag — the loader-side plumbing every
+    image-caption pipeline runs before decoding (decode itself stays
+    behind the multimodal_decode_stub boundary, by design).
+
+    The tree is generated deterministically from the documents table
+    (text part = the document bytes, json part = a fixed-format
+    metadata record, image part = the md5 digest bytes as a stand-in
+    payload on every {WDS_IMG_MOD}th key), so the DuckDB twin derives
+    every expected size and modality list from documents ALONE — a
+    truncated write, a lost file, or a mis-parsed stem breaks the
+    value match.  Scale shape: binaryFile listing parallelizes per
+    file; the sample groupBy shuffles keys once, map-side combined;
+    at 100 TB the same plan reads tar-sharded stores (one row per
+    member) with the identical (key, ext) algebra."""
+    import hashlib
+    import json as _json
+
+    from potpot_spark.scratch import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % WDS_KEY_MOD == 0
+    )
+    root = os.path.join(scratch_dir("potpot_wds_"), "tree")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        for r in d.select("doc_id", "lang", "text").collect():
+            key = str(r.doc_id)
+            with open(os.path.join(root, f"{key}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+            with open(os.path.join(root, f"{key}.json"), "wb") as f:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "lang": r.lang}, separators=(", ", ": ")
+                    ).encode("utf-8")
+                )
+            if r.doc_id % WDS_IMG_MOD == 0:
+                with open(os.path.join(root, f"{key}.img"), "wb") as f:
+                    f.write(hashlib.md5(r.text.encode("utf-8")).digest())
+    bf = spark.read.format("binaryFile").load(root)
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    parts = bf.select(
+        F.element_at(F.split(fname, "\\."), 1).alias("key"),
+        F.element_at(F.split(fname, "\\."), 2).alias("ext"),
+        F.col("length").cast("bigint").alias("nbytes"),
+    )
+    return (
+        parts.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.array_sort(F.collect_list("ext")).alias("exts"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+            F.max(F.col("ext") == "img").alias("has_image"),
+            (
+                F.max(F.col("ext") == "txt") & F.max(F.col("ext") == "json")
+            ).alias("is_complete"),
+        )
+        .orderBy("key")
+    )

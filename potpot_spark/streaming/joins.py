@@ -201,3 +201,129 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value", scale=4)).cast("double").alias("total_value"),
     )
     return run_to_batch(agg, "complete")
+
+
+def _scd2_rebuild(rows: DataFrame) -> DataFrame:
+    """Collapse an ordered per-user change stream into SCD2 intervals
+    (the reshape_scd2_intervals lag/lead recipe)."""
+    _SCD2_W = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        rows.withColumn("prev_type", F.lag("event_type").over(_SCD2_W))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(_SCD2_W).alias("valid_to"),
+        F.when(F.lead("ts").over(_SCD2_W).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )
+
+
+def scd2_apply_batch(sess: SparkSession, target: str, batch: DataFrame, epoch_id: int) -> None:
+    """Apply ONE CDC micro-batch to the SCD2 history at ``target``
+    (module-level so tests can drive multi-epoch splits the
+    single-file availableNow source never produces): open intervals
+    of touched users re-enter the rebuild as seed rows (event_id −1
+    sorts them first), closed history and untouched users pass
+    through, staging-then-swap keeps replays idempotent."""
+    rows = batch.select("user_id", "ts", "event_id", "event_type")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        prev = sess.read.parquet(target)
+        touched = rows.select("user_id").distinct()
+        seeds = (
+            prev.join(touched, "user_id", "left_semi")
+            .where(F.col("is_current") == 1)
+            .select(
+                "user_id",
+                F.col("valid_from").alias("ts"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.col("state").alias("event_type"),
+            )
+        )
+        keep_closed = prev.join(touched, "user_id", "left_semi").where(
+            F.col("is_current") == 0
+        )
+        untouched = prev.join(touched, "user_id", "left_anti")
+        merged = untouched.unionByName(keep_closed).unionByName(
+            _scd2_rebuild(seeds.unionByName(rows))
+        )
+    else:
+        merged = _scd2_rebuild(rows)
+    staging = target + f"_epoch{epoch_id}"
+    merged.write.mode("overwrite").parquet(staging)
+    sess.read.parquet(staging).write.mode("overwrite").parquet(target)
+
+
+@query(
+    "stream_cdc_scd2_apply",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM flagged
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id,
+               event_type AS state,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS TIMESTAMP) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from
+    """,
+    tags=("E33", "E2", "E20"),
+)
+def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC → SCD2: maintain a slowly-changing-dimension
+    history table incrementally from a change stream via
+    ``foreachBatch`` — the lakehouse CDC-apply pattern (Debezium topic
+    → MERGE into dimension history).  Each epoch: load the current
+    history, pull the OPEN interval of every user present in the
+    batch as a synthetic seed row (state at its valid_from, event_id
+    −1 so it sorts first), recompute that user's intervals over seed ∪
+    batch with the same lag/lead change-collapse the batch builder
+    uses (reshape_scd2_intervals), and splice the rebuilt tails onto
+    the untouched closed history of unaffected users.  A batch whose
+    first state matches the open interval extends it (no spurious
+    row); a changed state closes it at the change timestamp.
+
+    The ORACLE is the full-history batch SCD2 build — streaming
+    application over any batch split must reproduce it exactly
+    (assumes per-key in-order delivery across epochs, the standard
+    CDC-transport contract; stated, not hidden).  Epoch ids +
+    staging-then-swap writes make replays idempotent, exactly the
+    upsert op's discipline."""
+    target = os.path.join(scratch_dir("potpot_scd2_"), "user_history")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        scd2_apply_batch(batch.sparkSession, target, batch, epoch_id)
+
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ckpt = scratch_dir("potpot_scd2_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(target)
+        .select("user_id", "state", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from")
+    )

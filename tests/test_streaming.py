@@ -86,3 +86,52 @@ def test_session_window_batch_streaming_agree_on_closed_sessions(spark, sf_dir):
         )
     )
     assert streamed <= batch
+
+
+def test_scd2_incremental_epochs_match_batch_build(spark, sf_dir):
+    """The CDC-apply merge must be SPLIT-INVARIANT: applying the event
+    log in 3 time-ordered epochs must produce exactly the SCD2 history
+    the one-shot batch build produces — including extending an open
+    interval when an epoch's first state matches, and closing it when
+    it changed.  (The availableNow single-file source only ever drives
+    one epoch, so this test exercises the incremental path.)"""
+    import os
+
+    from potpot_spark.catalog import load_table
+    from potpot_spark.scratch import scratch_dir
+    from potpot_spark.streaming.joins import _scd2_rebuild, scd2_apply_batch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    import pyspark.sql.functions as F
+
+    cuts = e.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.33, 10000) AS BIGINT)) AS c1",
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.66, 10000) AS BIGINT)) AS c2",
+    ).first()
+    target = os.path.join(scratch_dir("potpot_scd2_test_"), "hist")
+    epochs = [
+        e.where(F.col("ts") <= cuts.c1),
+        e.where((F.col("ts") > cuts.c1) & (F.col("ts") <= cuts.c2)),
+        e.where(F.col("ts") > cuts.c2),
+    ]
+    for i, ep in enumerate(epochs):
+        scd2_apply_batch(spark, target, ep, i)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(target)
+            .select("user_id", "state", "valid_from", "valid_to", "is_current")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            _scd2_rebuild(e)
+            .select("user_id", "state", "valid_from", "valid_to", "is_current")
+            .collect(),
+        )
+    )
+    assert got == want, (len(got), len(want))
