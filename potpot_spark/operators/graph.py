@@ -943,7 +943,10 @@ LPA_TOP = 25
 LPA_MIN_PAIR = BASKET_MIN_PAIR  # repeat co-purchases: the raw graph is near-clique
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_sql() -> str:
+    """Shared DuckDB CTE body of the LPA pipeline (repeat edges → sym
+    → unrolled vote/argmax rounds ending in l{LPA_ITERS}) — reused by
+    the community-size oracle and the modularity oracle."""
     steps = []
     for i in range(1, LPA_ITERS + 1):
         steps.append(
@@ -955,8 +958,7 @@ def _lpa_oracle() -> str:
             f"SELECT u, label, row_number() OVER (PARTITION BY u "
             f"ORDER BY cnt DESC, label) AS rn FROM c{i}) WHERE rn = 1)"
         )
-    return f"""
-        WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    return f"""b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e AS MATERIALIZED (
             SELECT a.l_partkey AS u, c.l_partkey AS v
             FROM b a JOIN b c
@@ -968,13 +970,51 @@ def _lpa_oracle() -> str:
             SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
         ),
         l0 AS MATERIALIZED (SELECT DISTINCT u, u AS label FROM sym),
-        {", ".join(steps)}
+        {", ".join(steps)}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+        WITH {_lpa_cte_sql()}
         SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
         FROM l{LPA_ITERS}
         GROUP BY label
         ORDER BY n_members DESC, community
         LIMIT {LPA_TOP}
     """
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str):
+    """(labels, sym) after LPA_ITERS synchronous rounds on the repeat
+    co-purchase graph — the full assignment, shared by the community-
+    size query and the modularity audit.  See
+    graph_label_propagation's docstring for the plan discipline."""
+    # the shared intermediate is already checkpointed: both union
+    # branches read materialized blocks, no persist dance needed
+    edges = part_repeat_pairs(spark, sf_dir).select("u", "v")
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    labels = labels.localCheckpoint()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(LPA_ITERS):
+            votes = (
+                sym.join(F.broadcast(labels), "u")
+                .groupBy(F.col("v").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                votes.groupBy("node")
+                .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("_b"))
+                .select(F.col("node").alias("u"), F.col("_b.label").alias("label"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return labels, sym
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle(), tags=("E8", "E14"))
@@ -1002,31 +1042,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-clique (avg degree ~90 at sf0.001) and collapses to one
     community in a single round — thresholding keeps the structure
     LPA exists to find."""
-    # the shared intermediate is already checkpointed: both union
-    # branches read materialized blocks, no persist dance needed
-    edges = part_repeat_pairs(spark, sf_dir).select("u", "v")
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
-    labels = labels.localCheckpoint()
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(LPA_ITERS):
-            votes = (
-                sym.join(F.broadcast(labels), "u")
-                .groupBy(F.col("v").alias("node"), "label")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
-            labels = (
-                votes.groupBy("node")
-                .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("_b"))
-                .select(F.col("node").alias("u"), F.col("_b.label").alias("label"))
-                .localCheckpoint()
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    labels, _ = lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -1648,3 +1664,84 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_key").cast("bigint").alias("node_key"),
         F.col("score_u").cast("bigint").alias("score_u"),
     ).orderBy("side", "rnk")
+
+
+def _modularity_oracle() -> str:
+    return f"""
+        WITH {_lpa_cte_sql()},
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        deg AS (
+            SELECT l.label, CAST(COUNT(*) AS BIGINT) AS deg_c
+            FROM sym s JOIN l{LPA_ITERS} l ON s.u = l.u
+            GROUP BY l.label
+        ),
+        within AS (
+            SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+            FROM e
+            JOIN l{LPA_ITERS} la ON e.u = la.u
+            JOIN l{LPA_ITERS} lb ON e.v = lb.u
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        terms AS (
+            SELECT d.label, d.deg_c, COALESCE(w.e_c, 0) AS e_c
+            FROM deg d LEFT JOIN within w USING (label)
+        )
+        SELECT (SELECT m FROM m) AS m_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(4 * (SELECT m FROM m) * e_c - deg_c * deg_c)
+                    * 1000000 // (4 * (SELECT m FROM m) * (SELECT m FROM m))
+                    AS BIGINT) AS modularity_u
+        FROM terms
+    """
+
+
+@query("graph_modularity_lpa", oracle=_modularity_oracle(), tags=("E8", "E14"))
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the LPA communities on the repeat
+    co-purchase graph — the quality score that says whether the
+    partition graph_label_propagation found is real structure or
+    noise (Q near 0: no better than random; 0.3+: strong community
+    structure).  The audit every community-detection run needs before
+    anyone acts on the clusters.
+
+    EXACT integer algebra end to end: with m undirected edges,
+    Q·4m² = Σ_c (4·m·e_c − deg_c²) is an integer, so modularity_u is
+    one BIGINT sum followed by one integer division — no floats
+    anywhere, the HITS discipline applied to a quality metric.
+    Scale shape: reuses the LPA label frame (shared
+    localCheckpointed pipeline, lpa_labels) plus two label joins on
+    the thresholded edge list and aggregate-sized algebra."""
+    labels, sym = lpa_labels(spark, sf_dir)
+    edges = part_repeat_pairs(spark, sf_dir).select("u", "v")
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        sym.join(labels, "u")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_c"))
+    )
+    la = labels.select(F.col("u").alias("eu"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("u").alias("ev"), F.col("label").alias("lab_b"))
+    within = (
+        edges.join(la, edges["u"] == la["eu"])
+        .join(lb, edges["v"] == lb["ev"])
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    terms = deg.join(within, "label", "left").select(
+        "label", "deg_c", F.coalesce("e_c", F.lit(0)).alias("e_c")
+    )
+    return (
+        terms.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("m").alias("m_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.expr(
+                "sum(4 * m * e_c - deg_c * deg_c) * 1000000"
+                " DIV (4 * max(m) * max(m))"
+            )
+            .cast("bigint")
+            .alias("modularity_u"),
+        )
+    )

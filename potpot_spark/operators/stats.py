@@ -4180,3 +4180,84 @@ def analytics_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_per_arm_for_target"),
     )
+
+
+@query(
+    "stats_overdispersion_nb",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS ss
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(FLOOR((CAST(s AS DOUBLE) / n) * 1000000) AS BIGINT)
+                   AS mean_u,
+               CAST(FLOOR((CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))
+                          * 1000000) AS BIGINT) AS var_u,
+               CAST(FLOOR(((CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))
+                           / (CAST(s AS DOUBLE) / n)) * 1000000) AS BIGINT)
+                   AS vmr_u,
+               n * (n * ss - s * s) > s * n * (n - 1) AS is_overdispersed,
+               CASE WHEN n * (n * ss - s * s) > s * n * (n - 1)
+                    THEN CAST(FLOOR(((CAST(s AS DOUBLE) / n)
+                                     * (CAST(s AS DOUBLE) / n)
+                                     / ((CAST(n * ss - s * s AS DOUBLE)
+                                         / (n * (n - 1)))
+                                        - CAST(s AS DOUBLE) / n)) * 1000000)
+                         AS BIGINT) END AS nb_r_u
+        FROM agg
+        ORDER BY event_type
+    """,
+    tags=("E26", "E43"),
+)
+def stats_overdispersion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION audit of daily event counts: the variance-to-
+    mean ratio per type and the method-of-moments negative-binomial
+    size r̂ = μ²/(σ²−μ) where variance exceeds the Poisson line — the
+    check that decides whether events_poisson_tail_anomaly's
+    false-alarm budget is honest (overdispersed counts make Poisson
+    tails anticonservative; NB is the standard fix) — the companion
+    audit, shipped WITH the detector instead of discovered in an
+    incident review.
+
+    The overdispersion FLAG is the exact integer cross-multiplication
+    n·(n·Σx²−S²) > S·n·(n−1) — never a float compare; the reported
+    moments are FLOOR-quantized single pinned chains over exact
+    BIGINTs.  Scale shape: one rollup groupBy, one moment aggregate;
+    nothing after touches data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    over = F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) > F.col(
+        "s"
+    ) * F.col("n") * (F.col("n") - 1)
+    return agg.select(
+        "event_type",
+        "n",
+        F.floor(mean * 1_000_000).cast("bigint").alias("mean_u"),
+        F.floor(var * 1_000_000).cast("bigint").alias("var_u"),
+        F.floor((var / mean) * 1_000_000).cast("bigint").alias("vmr_u"),
+        over.alias("is_overdispersed"),
+        F.when(over, F.floor((mean * mean / (var - mean)) * 1_000_000))
+        .cast("bigint")
+        .alias("nb_r_u"),
+    ).orderBy("event_type")
