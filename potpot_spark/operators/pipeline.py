@@ -1366,3 +1366,80 @@ def pipeline_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("imbalance_u"),
     )
+
+
+@query(
+    "pipeline_preference_pairs_dpo",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(list_distinct(string_split(lower(text), ' '))) * 1000
+                        + len(string_split(lower(text), ' ')) AS BIGINT) AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY score DESC, doc_id) AS rk_top,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY score ASC, doc_id) AS rk_bot,
+                   COUNT(*) OVER (PARTITION BY source, lang) AS n_cand
+            FROM scored
+        )
+        SELECT t.source, t.lang,
+               t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+               t.score - b.score AS margin,
+               CAST(t.n_cand AS BIGINT) AS n_candidates
+        FROM (SELECT * FROM ranked WHERE rk_top = 1) t
+        JOIN (SELECT * FROM ranked WHERE rk_bot = 1) b USING (source, lang)
+        WHERE t.doc_id <> b.doc_id AND t.score > b.score
+        ORDER BY t.source, t.lang
+    """,
+    tags=("E37", "E18"),
+)
+def pipeline_preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR construction for DPO/RLHF-style training: per
+    (source, lang) candidate pool, pair the highest-scoring document
+    (chosen) with the lowest (rejected) and emit the pair with its
+    score margin and pool size — the data-prep step that turns a
+    scored corpus into preference training rows.  The score here is a
+    deterministic integer proxy (1000·distinct_words + words, a
+    stand-in for a reward-model score with the same plan shape — the
+    pairing logic, tie-breaks, and margins are what this op pins);
+    degenerate pools (singleton or zero-margin) are dropped, as a
+    trainer would.
+
+    Exact: integer scores, (score, doc_id) tie-breaks on both ends,
+    integer margins.  Scale shape: one pass to score, two per-group
+    argmax/argmin via min(struct(...)) — map-side combined, one row
+    per group crosses each exchange; at 100 TB pools become (prompt
+    cluster) keys and the identical algebra holds."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.size(F.array_distinct(tok)).cast("bigint") * 1000 + F.size(tok)).alias(
+            "score"
+        ),
+    )
+    agg = scored.groupBy("source", "lang").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("doc_id"))).alias("_t"),
+        F.min(F.struct(F.col("score"), F.col("doc_id"))).alias("_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    return (
+        agg.select(
+            "source",
+            "lang",
+            F.col("_t.doc_id").alias("chosen_id"),
+            F.col("_b.doc_id").alias("rejected_id"),
+            ((-F.col("_t.neg")) - F.col("_b.score")).alias("margin"),
+            "n_candidates",
+        )
+        .where(
+            (F.col("chosen_id") != F.col("rejected_id")) & (F.col("margin") > 0)
+        )
+        .orderBy("source", "lang")
+    )

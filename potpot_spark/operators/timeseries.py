@@ -5486,3 +5486,141 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@query(
+    "events_concurrency_distribution",
+    oracle="""
+        WITH sess AS (
+            SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 480 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
+        ),
+        net AS (
+            SELECT t, SUM(delta) AS d FROM (
+                SELECT s_start AS t, 1 AS delta FROM sess
+                UNION ALL SELECT s_end, -1 FROM sess
+            ) GROUP BY t
+        ),
+        lv AS (
+            SELECT t,
+                   SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS live,
+                   LEAD(t) OVER (ORDER BY t) AS nxt
+            FROM net
+        ),
+        iv AS (
+            SELECT CAST(live AS BIGINT) AS live,
+                   epoch_us(nxt) - epoch_us(t) AS w
+            FROM lv WHERE nxt IS NOT NULL
+        ),
+        bylevel AS (
+            SELECT live, CAST(SUM(w) AS BIGINT) AS w FROM iv GROUP BY live
+        ),
+        cum AS (
+            SELECT live, w,
+                   SUM(w) OVER (ORDER BY live ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(w) OVER () AS total
+            FROM bylevel
+        )
+        SELECT CAST(MAX(total) AS BIGINT) AS total_span_micros,
+               CAST(MAX(live) AS BIGINT) AS peak,
+               CAST(FLOOR(CAST(SUM(live * w) AS DOUBLE) * 1000000
+                          / MAX(total)) AS BIGINT) AS mean_concurrency_u,
+               CAST(MIN(CASE WHEN cw * 100 >= 50 * total THEN live END)
+                    AS BIGINT) AS p50_concurrency,
+               CAST(MIN(CASE WHEN cw * 100 >= 95 * total THEN live END)
+                    AS BIGINT) AS p95_concurrency
+        FROM cum
+    """,
+    tags=("E31", "E20"),
+)
+def events_concurrency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED CONCURRENCY DISTRIBUTION: how many sessions are
+    open at a typical instant — duration-weighted mean, p50 and p95
+    of the live-session count plus the peak, over 480-minute-gap
+    sessions (boundaries in lockstep with the funnel/sessionize
+    family).  The capacity-planning companion to
+    events_max_concurrent_sessions: the peak says what to survive,
+    the p95 says what to provision.
+
+    Sweep algebra, all exact integers: endpoint deltas net per
+    DISTINCT timestamp, a running sum gives the level holding over
+    [t, next_t) with its microsecond weight, and percentiles are the
+    smallest level whose cumulative weight crosses the exact integer
+    threshold cw·100 ≥ q·total — no float weights anywhere (the one
+    division, the mean, FLOOR-quantizes a single pinned chain).
+    O(sessions) endpoints, one global ordered sweep; no interval
+    self-join."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 480 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    net = (
+        sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta")))
+        .groupBy("t")
+        .agg(F.sum("delta").alias("d"))
+    )
+    wt = Window.orderBy("t")
+    lv = net.select(
+        "t",
+        F.sum("d").over(wt.rowsBetween(Window.unboundedPreceding, 0)).alias("live"),
+        F.lead("t").over(wt).alias("nxt"),
+    )
+    iv = lv.where(F.col("nxt").isNotNull()).select(
+        F.col("live").cast("bigint").alias("live"),
+        (F.unix_micros("nxt") - F.unix_micros("t")).alias("w"),
+    )
+    bylevel = iv.groupBy("live").agg(F.sum("w").cast("bigint").alias("w"))
+    wl = Window.orderBy("live")
+    cum = bylevel.select(
+        "live",
+        "w",
+        F.sum("w").over(wl.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return cum.agg(
+        F.max("total").cast("bigint").alias("total_span_micros"),
+        F.max("live").cast("bigint").alias("peak"),
+        F.floor(
+            F.sum(F.col("live") * F.col("w")).cast("double")
+            * 1_000_000
+            / F.max("total")
+        )
+        .cast("bigint")
+        .alias("mean_concurrency_u"),
+        F.min(F.when(F.col("cw") * 100 >= 50 * F.col("total"), F.col("live")))
+        .cast("bigint")
+        .alias("p50_concurrency"),
+        F.min(F.when(F.col("cw") * 100 >= 95 * F.col("total"), F.col("live")))
+        .cast("bigint")
+        .alias("p95_concurrency"),
+    )
