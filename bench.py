@@ -126,6 +126,7 @@ def main() -> int:
         "dedup_embedding_cosine",      # embedding_cosine_pairs
         "sim_search_ivf",              # ivf_centroids + ivf_postings
         "sim_search_pq_adc",           # pq_codebooks + pq_codes
+        "graph_label_propagation",     # lpa_labels (also feeds modularity)
     )
     t0 = time.perf_counter()
     for warm_name in _SHARED_BUILDERS:

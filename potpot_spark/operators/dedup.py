@@ -962,14 +962,12 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         cands.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
         .select(
-            (matches.cast("bigint") * 1_000_000 / F.lit(NUM_HASHES))
-            .cast("bigint")
-            .alias("est_u_raw"),
+            matches.cast("bigint").alias("n_match"),
             inter.alias("inter"),
             union.alias("union_n"),
         )
         .select(
-            F.expr(f"est_u_raw").alias("est_u"),
+            F.expr(f"n_match * 1000000 DIV {NUM_HASHES}").alias("est_u"),
             F.expr("inter * 1000000 DIV union_n").alias("exact_u"),
         )
     )

@@ -986,35 +986,43 @@ def _lpa_oracle() -> str:
 
 def lpa_labels(spark: SparkSession, sf_dir: str):
     """(labels, sym) after LPA_ITERS synchronous rounds on the repeat
-    co-purchase graph — the full assignment, shared by the community-
-    size query and the modularity audit.  See
-    graph_label_propagation's docstring for the plan discipline."""
+    co-purchase graph — the full assignment, a SHARED MATERIALIZED
+    INTERMEDIATE (round-6 review: the community-size query and the
+    modularity audit both consume it; without sharing, each re-ran
+    every LPA round).  See graph_label_propagation's docstring for
+    the plan discipline."""
+    from potpot_spark.materialize import shared_intermediate
+
     # the shared intermediate is already checkpointed: both union
     # branches read materialized blocks, no persist dance needed
     edges = part_repeat_pairs(spark, sf_dir).select("u", "v")
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
-    labels = labels.localCheckpoint()
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(LPA_ITERS):
-            votes = (
-                sym.join(F.broadcast(labels), "u")
-                .groupBy(F.col("v").alias("node"), "label")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
-            labels = (
-                votes.groupBy("node")
-                .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("_b"))
-                .select(F.col("node").alias("u"), F.col("_b.label").alias("label"))
-                .localCheckpoint()
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return labels, sym
+
+    def build() -> DataFrame:
+        labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+        labels = labels.localCheckpoint()
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            for _ in range(LPA_ITERS):
+                votes = (
+                    sym.join(F.broadcast(labels), "u")
+                    .groupBy(F.col("v").alias("node"), "label")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
+                labels = (
+                    votes.groupBy("node")
+                    .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("_b"))
+                    .select(F.col("node").alias("u"), F.col("_b.label").alias("label"))
+                    .localCheckpoint()
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return labels
+
+    return shared_intermediate(spark, sf_dir, "lpa_labels", build), sym
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle(), tags=("E8", "E14"))

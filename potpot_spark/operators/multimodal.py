@@ -839,8 +839,9 @@ WDS_IMG_MOD = 20    # every 20th additionally carries an image part
                     AS BIGINT) AS n_parts,
                CASE WHEN doc_id % {WDS_IMG_MOD} = 0
                     THEN ['img', 'json', 'txt'] ELSE ['json', 'txt'] END AS exts,
-               CAST(LENGTH(text)
-                    + 24 + LENGTH(CAST(doc_id AS VARCHAR)) + LENGTH(lang)
+               CAST(OCTET_LENGTH(ENCODE(text))
+                    + 24 + LENGTH(CAST(doc_id AS VARCHAR))
+                    + OCTET_LENGTH(ENCODE(lang))
                     + CASE WHEN doc_id % {WDS_IMG_MOD} = 0 THEN 16 ELSE 0 END
                     AS BIGINT) AS total_bytes,
                doc_id % {WDS_IMG_MOD} = 0 AS has_image,
@@ -865,7 +866,9 @@ def multimodal_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame
     (text part = the document bytes, json part = a fixed-format
     metadata record, image part = the md5 digest bytes as a stand-in
     payload on every {WDS_IMG_MOD}th key), so the DuckDB twin derives
-    every expected size and modality list from documents ALONE — a
+    every expected size and modality list from documents ALONE
+    (utf-8 OCTET lengths, not character counts — byte-honest for
+    non-ASCII text) — a
     truncated write, a lost file, or a mis-parsed stem breaks the
     value match.  Scale shape: binaryFile listing parallelizes per
     file; the sample groupBy shuffles keys once, map-side combined;

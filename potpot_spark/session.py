@@ -94,7 +94,15 @@ def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | Non
     # (set to "" to disable).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/potpot_spark_local"
+        # only adopt tmpfs when it can actually absorb shuffle spill —
+        # Docker's default /dev/shm is 64 MB and would ENOSPC where the
+        # root-disk default works (round-6 review)
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                local_dir = "/dev/shm/potpot_spark_local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

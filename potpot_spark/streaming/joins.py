@@ -226,16 +226,47 @@ def _scd2_rebuild(rows: DataFrame) -> DataFrame:
     )
 
 
+def _scd2_pointer(target: str) -> str:
+    return target + ".POINTER"
+
+
+def scd2_read_current(sess: SparkSession, target: str) -> DataFrame | None:
+    """Resolve the SCD2 history through the atomic pointer file."""
+    ptr = _scd2_pointer(target)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        _, path = f.read().strip().split("\t", 1)
+    return sess.read.parquet(path)
+
+
 def scd2_apply_batch(sess: SparkSession, target: str, batch: DataFrame, epoch_id: int) -> None:
     """Apply ONE CDC micro-batch to the SCD2 history at ``target``
     (module-level so tests can drive multi-epoch splits the
     single-file availableNow source never produces): open intervals
     of touched users re-enter the rebuild as seed rows (event_id −1
     sorts them first), closed history and untouched users pass
-    through, staging-then-swap keeps replays idempotent."""
+    through.
+
+    Replay safety (round-6 review): each epoch writes a NEW
+    immutable parquet dir and commits by atomically replacing a tiny
+    POINTER file (``epoch\tpath``, os.replace) — a crash mid-write
+    leaves the pointer at the previous epoch (no half-written
+    table), and a redelivered epoch <= the committed one is skipped
+    outright, so a Spark-checkpoint/commit race cannot duplicate
+    closed intervals."""
+    ptr = _scd2_pointer(target)
+    last_epoch = -1
+    prev = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            last_raw, path = f.read().strip().split("\t", 1)
+        last_epoch = int(last_raw)
+        prev = sess.read.parquet(path)
+    if epoch_id <= last_epoch:
+        return  # replayed epoch: already committed
     rows = batch.select("user_id", "ts", "event_id", "event_type")
-    if os.path.exists(os.path.join(target, "_SUCCESS")):
-        prev = sess.read.parquet(target)
+    if prev is not None:
         touched = rows.select("user_id").distinct()
         seeds = (
             prev.join(touched, "user_id", "left_semi")
@@ -258,7 +289,10 @@ def scd2_apply_batch(sess: SparkSession, target: str, batch: DataFrame, epoch_id
         merged = _scd2_rebuild(rows)
     staging = target + f"_epoch{epoch_id}"
     merged.write.mode("overwrite").parquet(staging)
-    sess.read.parquet(staging).write.mode("overwrite").parquet(target)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{epoch_id}\t{staging}")
+    os.replace(tmp, ptr)
 
 
 @query(
@@ -323,7 +357,7 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return (
-        spark.read.parquet(target)
+        scd2_read_current(spark, target)
         .select("user_id", "state", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from")
     )

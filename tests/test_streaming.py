@@ -118,10 +118,15 @@ def test_scd2_incremental_epochs_match_batch_build(spark, sf_dir):
     ]
     for i, ep in enumerate(epochs):
         scd2_apply_batch(spark, target, ep, i)
+    # replayed epochs (checkpoint/commit race) must be no-ops
+    scd2_apply_batch(spark, target, epochs[2], 2)
+    scd2_apply_batch(spark, target, epochs[1], 1)
+    from potpot_spark.streaming.joins import scd2_read_current
+
     got = sorted(
         map(
             tuple,
-            spark.read.parquet(target)
+            scd2_read_current(spark, target)
             .select("user_id", "state", "valid_from", "valid_to", "is_current")
             .collect(),
         )
