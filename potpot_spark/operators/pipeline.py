@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from potpot_spark.catalog import load_table
+from potpot_spark.catalog import load_table, spread
 from potpot_spark.functions.numeric import phash60_expr
 from potpot_spark.operators.dedup import ngram_jaccard_pairs
 from potpot_spark.operators.graph import connected_components
@@ -1442,4 +1442,386 @@ def pipeline_preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("chosen_id") != F.col("rejected_id")) & (F.col("margin") > 0)
         )
         .orderBy("source", "lang")
+    )
+
+
+# --- E363: BPE pair-merge training rounds --------------------------------
+
+BPE_ROUNDS = 3
+# A run of k identical symbols needs ceil(log2(k)) left-to-right replace
+# passes to fully merge; 5 passes cover runs up to 32 symbols, longer
+# than any [a-z]+ fixture word.  Extra passes are no-ops.
+BPE_REPLACE_PASSES = 5
+
+
+def _bpe_oracle() -> str:
+    """Three BPE merge rounds as a DuckDB CTE chain (see the operator
+    docstring for the sentinel-replace argument)."""
+
+    def round_ctes(r: int) -> str:
+        seg = f"seg{r}"
+        nxt = f"seg{r + 1}"
+        rep = "seg"
+        for _ in range(BPE_REPLACE_PASSES):
+            rep = f"replace({rep}, x.s, x.r)"
+        return f"""
+        p{r} AS (
+            SELECT freq,
+                   unnest([l[i] || '|' || l[i + 1] for i in range(1, len(l))])
+                       AS pair
+            FROM (SELECT freq, string_split(trim(seg, '|'), '|') AS l
+                  FROM {seg})
+        ),
+        c{r} AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM p{r} GROUP BY pair
+        ),
+        t{r} AS (
+            SELECT pair, pair_count FROM c{r}
+            ORDER BY pair_count DESC, pair LIMIT 1
+        ),
+        {nxt} AS (
+            SELECT freq, {rep} AS seg
+            FROM {seg}, (SELECT '|' || pair || '|' AS s,
+                                '|' || replace(pair, '|', '') || '|' AS r
+                         FROM t{r}) x
+        )"""
+
+    rounds = ",".join(round_ctes(r) for r in range(1, BPE_ROUNDS + 1))
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {r} AS rnk, pair AS merge_pair, "
+        f"replace(pair, '|', '') AS merged, pair_count FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+            GROUP BY w
+        ),
+        seg1 AS (
+            SELECT freq,
+                   '|' || array_to_string(string_split(w, ''), '|') || '|'
+                       AS seg
+            FROM words
+        ),
+        {rounds}
+        SELECT rnk, merge_pair, merged, pair_count
+        FROM ({finals})
+        ORDER BY rnk
+    """
+
+
+@query("pipeline_bpe_pair_merge", oracle=_bpe_oracle(), tags=("E363",))
+def pipeline_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first {BPE_ROUNDS} merge rounds (Sennrich
+    et al.): count adjacent-symbol pairs over the word-frequency table,
+    merge the most frequent pair corpus-wide, re-segment, repeat.  This
+    is the inner loop every LLM tokenizer build runs thousands of
+    times; three rounds pin the algebra (pair counting weighted by word
+    frequency, deterministic (count DESC, pair ASC) tie-break, greedy
+    left-to-right re-segmentation).
+
+    Segmentations live as '|'-joined symbol strings with sentinel pipes
+    at both ends, so a merge is a plain string replace of '|a|b|' with
+    '|ab|' — full-symbol matches only (the sentinels make partial-
+    symbol matches impossible).  Left-to-right replace skips the text
+    it just wrote, so a run of k identical symbols halves per pass;
+    {BPE_REPLACE_PASSES} fixed passes (idempotent once done) make the
+    greedy merge exact in BOTH engines with identical semantics —
+    Java's String.replace and DuckDB's replace() scan the same way.
+
+    Scale shape: pair stats aggregate over the VOCAB (distinct words ×
+    avg word length), not the corpus — the corpus is touched once to
+    build word frequencies; each round is two map-side-combined
+    aggregates over vocab plus a 1-row top-pair scalar to the driver
+    (the same driver-scalar discipline as the graph fixpoints).  At
+    100 TB the vocab table persists in memory and rounds are
+    sub-second regardless of corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    seg = words.select(
+        "freq",
+        F.concat(
+            F.lit("|"), F.array_join(F.split(F.col("w"), ""), "|"), F.lit("|")
+        ).alias("seg"),
+    ).persist()
+    rules = []
+    cur = seg
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("seg"), F.lit("|")), "[|]")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    "|", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select("freq", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .first()
+        )
+        rules.append((r, top["pair"], top["pair"].replace("|", ""), top["pair_count"]))
+        search, repl = f"|{top['pair']}|", f"|{top['pair'].replace('|', '')}|"
+        rep = "seg"
+        for _ in range(BPE_REPLACE_PASSES):
+            rep = f"replace({rep}, '{search}', '{repl}')"
+        cur = cur.select("freq", F.expr(rep).alias("seg"))
+    seg.unpersist(blocking=False)
+    return spark.createDataFrame(
+        rules, "rnk INT, merge_pair STRING, merged STRING, pair_count BIGINT"
+    ).orderBy("rnk")
+
+
+# --- E364: tokenizer vocab coverage / OOV audit --------------------------
+
+VOCAB_TOP = 2000
+
+
+@query(
+    "pipeline_tokenizer_vocab_coverage",
+    oracle=f"""
+        WITH split AS (
+            SELECT lang, lower(text) AS text,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                        AS INT) AS h
+            FROM documents
+        ),
+        train_tok AS (
+            SELECT w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM split WHERE h < 8
+            ) WHERE w <> ''
+        ),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w,
+                       row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+                FROM train_tok GROUP BY w
+            ) WHERE rnk <= {VOCAB_TOP}
+        ),
+        eval_tok AS (
+            SELECT lang, w FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM split WHERE h >= 8
+            ) WHERE w <> ''
+        )
+        SELECT e.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+               CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN e.w END)
+                    AS BIGINT) AS n_distinct_oov
+        FROM eval_tok e LEFT JOIN vocab v ON v.w = e.w
+        GROUP BY e.lang
+        ORDER BY e.lang
+    """,
+    tags=("E364",),
+)
+def pipeline_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage audit: build a top-{VOCAB_TOP}
+    word vocab from the deterministic md5 train split (same split
+    expression as sample_train_test_split, so vocab membership is
+    bit-reproducible), then measure the held-out OOV rate per language
+    — the go/no-go check before freezing a tokenizer, and the per-lang
+    fairness view (a vocab trained on en-heavy data starves zh/de).
+
+    Scale shape: vocab ranking is a distributed TakeOrdered (orderBy +
+    limit — no single-partition window); the coverage join broadcasts
+    the {VOCAB_TOP}-row vocab against the exploded eval token stream;
+    everything else is one map-side-combined aggregate per lang.  At
+    100 TB the vocab is still {VOCAB_TOP} rows — the broadcast never
+    grows with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = spread(
+        d.select("lang", F.lower(F.col("text")).alias("text"), h.alias("h"))
+    )
+    tok = F.explode(F.split(F.col("text"), " ")).alias("w")
+    train_tok = base.where(F.col("h") < 8).select(tok).where(F.col("w") != "")
+    vocab = (
+        train_tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(VOCAB_TOP)
+        .select("w")
+    )
+    eval_tok = (
+        base.where(F.col("h") >= 8).select("lang", tok).where(F.col("w") != "")
+    )
+    joined = eval_tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).cast("bigint").alias("n_distinct_oov"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- E365: DSIR-style importance resampling ------------------------------
+
+DSIR_TOP = 100
+DSIR_SCALE = 1 << 20
+
+
+@query(
+    "pipeline_dsir_importance_resample",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, w FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ) WHERE regexp_matches(w, '^[a-z]+$')
+        ),
+        pool_tok AS (SELECT doc_id, w FROM tok WHERE lang <> 'en'),
+        tgt AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM tok WHERE lang = 'en' GROUP BY w
+        ),
+        raw AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cr
+            FROM pool_tok GROUP BY w
+        ),
+        consts AS (
+            SELECT (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt,
+                   (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM raw) AS nr,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM (SELECT w FROM tgt UNION SELECT w FROM raw)) AS v
+        ),
+        terms AS (
+            SELECT r.w,
+                   CAST(FLOOR({DSIR_SCALE} * (
+                       LOG2(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                       - LOG2(CAST(r.cr + 1 AS DOUBLE))
+                       + LOG2(CAST(c.nr + c.v AS DOUBLE))
+                       - LOG2(CAST(c.nt + c.v AS DOUBLE))
+                   )) AS BIGINT) AS term_q
+            FROM raw r LEFT JOIN tgt t ON t.w = r.w CROSS JOIN consts c
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tm.term_q) AS BIGINT) AS score_q
+            FROM pool_tok p JOIN terms tm ON tm.w = p.w
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_tokens, score_q,
+               CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT)
+                   AS rnk
+        FROM scored
+        ORDER BY score_q DESC, doc_id
+        LIMIT {DSIR_TOP}
+    """,
+    tags=("E365",),
+)
+def pipeline_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): select the
+    non-English pool documents whose unigram profile looks most like
+    the English target corpus.  Per-token importance term = add-1
+    smoothed log2 p_target(w) - log2 p_pool(w); per-doc score = sum of
+    terms over token OCCURRENCES; top-{DSIR_TOP} docs by score.  This
+    is the data-selection recipe used to pull target-domain-like text
+    out of a raw crawl before pretraining.
+
+    Exact algebra: each per-token term is quantized once —
+    FLOOR(2^20 * (log2(ct+1) - log2(cr+1) + log2(Nr+V) - log2(Nt+V)))
+    — then per-doc scores are BIGINT sums of those fixed-point terms:
+    partition-invariant, bit-identical in DuckDB (the log2 inputs are
+    integer-derived doubles below 2^53, IEEE-identical on both
+    engines; same discipline as the bigram-LM perplexity op).
+
+    Scale shape: LM counts are two map-side-combined aggregates; the
+    per-token term table is vocab-sized and joined once against the
+    exploded pool stream (shuffle on the token key); the top-k is a
+    distributed TakeOrdered.  At 100 TB the hashed-n-gram variant
+    replaces words with bucketed hashes and the identical plan
+    holds with a FIXED term-table size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+    )
+    pool_tok = tok.where(F.col("lang") != "en").select("doc_id", "w")
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    raw = pool_tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    consts = (
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
+        .crossJoin(
+            raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("nr"))
+        )
+        .crossJoin(
+            tgt.select("w")
+            .union(raw.select("w"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        )
+    )
+    terms = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "w",
+            F.floor(
+                F.lit(DSIR_SCALE)
+                * (
+                    F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double"))
+                    - F.log2((F.col("cr") + 1).cast("double"))
+                    + F.log2((F.col("nr") + F.col("v")).cast("double"))
+                    - F.log2((F.col("nt") + F.col("v")).cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("term_q"),
+        )
+    )
+    scored = (
+        pool_tok.join(terms, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("term_q").cast("bigint").alias("score_q"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("score_q"), "doc_id")
+    return (
+        scored.orderBy(F.desc("score_q"), "doc_id")
+        .limit(DSIR_TOP)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .select("doc_id", "n_tokens", "score_q", "rnk")
     )
