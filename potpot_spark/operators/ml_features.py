@@ -3253,3 +3253,482 @@ def ml_time_series_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --- E366: multinomial naive Bayes language classifier -------------------
+
+NB_SCALE = 1 << 20
+
+
+@query(
+    "ml_naive_bayes_multinomial",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> regexp_matches(w, '^[a-z]+$')) AS toks,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                        AS INT) AS h
+            FROM documents
+        ),
+        train_tok AS (
+            SELECT lang, unnest(toks) AS w FROM base WHERE h < 8
+        ),
+        cw AS (
+            SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train_tok GROUP BY lang, w
+        ),
+        cls AS (
+            SELECT lang AS cl, CAST(COUNT(*) AS BIGINT) AS nc
+            FROM train_tok GROUP BY lang
+        ),
+        vstat AS (
+            SELECT (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM train_tok)
+                       AS v
+        ),
+        prior AS (
+            SELECT lang AS cl, CAST(COUNT(*) AS BIGINT) AS ndocs
+            FROM base WHERE h < 8 GROUP BY lang
+        ),
+        consts AS (
+            SELECT p.cl, c.nc,
+                   CAST(FLOOR({NB_SCALE} * LOG2(
+                       CAST(p.ndocs AS DOUBLE)
+                       / (SELECT SUM(ndocs) FROM prior))) AS BIGINT)
+                       AS prior_q,
+                   CAST(FLOOR({NB_SCALE} * LOG2(
+                       1.0 / CAST(c.nc + vs.v AS DOUBLE))) AS BIGINT)
+                       AS unseen_q
+            FROM prior p JOIN cls c ON c.cl = p.cl CROSS JOIN vstat vs
+        ),
+        terms AS (
+            SELECT cw.w, cw.lang AS cl,
+                   CAST(FLOOR({NB_SCALE} * LOG2(
+                       CAST(cw.c + 1 AS DOUBLE)
+                       / CAST(k.nc + vs.v AS DOUBLE))) AS BIGINT)
+                   - k.unseen_q AS delta_q
+            FROM cw JOIN consts k ON k.cl = cw.lang CROSS JOIN vstat vs
+        ),
+        eval_docs AS (
+            SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok
+            FROM base WHERE h >= 8
+        ),
+        eval_tok AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS w FROM base WHERE h >= 8)
+            GROUP BY doc_id, w
+        ),
+        matched AS (
+            SELECT e.doc_id, t.cl,
+                   CAST(SUM(e.cnt * t.delta_q) AS BIGINT) AS sd_q
+            FROM eval_tok e JOIN terms t ON t.w = e.w
+            GROUP BY e.doc_id, t.cl
+        ),
+        scores AS (
+            SELECT d.doc_id, d.lang, k.cl,
+                   k.prior_q + d.n_tok * k.unseen_q + COALESCE(m.sd_q, 0)
+                       AS score_q
+            FROM eval_docs d CROSS JOIN consts k
+            LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.cl = k.cl
+        ),
+        pred AS (
+            SELECT doc_id, lang, cl AS pred_lang
+            FROM (SELECT doc_id, lang, cl,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score_q DESC, cl) AS rn
+                  FROM scores)
+            WHERE rn = 1
+        )
+        SELECT lang AS true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred
+        GROUP BY lang, pred_lang
+        ORDER BY true_lang, pred_lang
+    """,
+    tags=("E366",),
+)
+def ml_naive_bayes_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and
+    evaluated entirely in the engine: add-1 smoothed per-(class, word)
+    log-likelihoods and doc-count priors from the deterministic md5
+    train split, argmax scoring of the held-out split, confusion
+    matrix out.  The "train a model IN the warehouse" pattern — no
+    data leaves the cluster, and the fitted model is itself a table.
+
+    Exact algebra: every log2 is quantized once into fixed-point
+    BIGINTs (prior_q, unseen_q, per-word delta_q = term_q - unseen_q);
+    a doc's class score is prior_q + n_tok·unseen_q + Σ cnt·delta_q —
+    pure integer arithmetic, partition-invariant, bit-identical in
+    DuckDB.  The unseen-word decomposition means the score join only
+    touches words that EXIST in the model: OOV handling costs nothing.
+
+    Scale shape: model = two map-side-combined aggregates (vocab ×
+    5 classes); scoring joins eval postings against the model on the
+    word key (shuffle), then one argmax-by-struct per doc.  At 100 TB
+    the model table is vocab-bounded and the scoring join is the only
+    corpus-scale exchange."""
+    from potpot_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = spread(
+        d.select(
+            "doc_id",
+            "lang",
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda w: w.rlike("^[a-z]+$"),
+            ).alias("toks"),
+            h.alias("h"),
+        )
+    )
+    train_tok = base.where(F.col("h") < 8).select(
+        "lang", F.explode("toks").alias("w")
+    )
+    cw = train_tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cls = train_tok.groupBy(F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    vstat = train_tok.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    prior = (
+        base.where(F.col("h") < 8)
+        .groupBy(F.col("lang").alias("cl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ndocs"))
+    )
+    total = prior.agg(F.sum("ndocs").alias("ntotal"))
+    consts = (
+        prior.join(cls, "cl")
+        .crossJoin(F.broadcast(vstat))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cl",
+            "nc",
+            F.floor(
+                F.lit(NB_SCALE)
+                * F.log2(F.col("ndocs").cast("double") / F.col("ntotal"))
+            )
+            .cast("bigint")
+            .alias("prior_q"),
+            F.floor(
+                F.lit(NB_SCALE)
+                * F.log2(F.lit(1.0) / (F.col("nc") + F.col("v")).cast("double"))
+            )
+            .cast("bigint")
+            .alias("unseen_q"),
+        )
+    )
+    terms = (
+        cw.join(F.broadcast(consts), cw["lang"] == consts["cl"])
+        .crossJoin(F.broadcast(vstat))
+        .select(
+            "w",
+            "cl",
+            (
+                F.floor(
+                    F.lit(NB_SCALE)
+                    * F.log2(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("nc") + F.col("v")).cast("double")
+                    )
+                ).cast("bigint")
+                - F.col("unseen_q")
+            ).alias("delta_q"),
+        )
+    )
+    eval_docs = base.where(F.col("h") >= 8).select(
+        "doc_id", "lang", F.size("toks").cast("bigint").alias("n_tok")
+    )
+    eval_tok = (
+        base.where(F.col("h") >= 8)
+        .select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    matched = (
+        eval_tok.join(terms, "w")
+        .groupBy("doc_id", "cl")
+        .agg(F.sum(F.col("cnt") * F.col("delta_q")).cast("bigint").alias("sd_q"))
+    )
+    scores = (
+        eval_docs.crossJoin(F.broadcast(consts.select("cl", "prior_q", "unseen_q")))
+        .join(matched, ["doc_id", "cl"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cl",
+            (
+                F.col("prior_q")
+                + F.col("n_tok") * F.col("unseen_q")
+                + F.coalesce(F.col("sd_q"), F.lit(0))
+            ).alias("score_q"),
+        )
+    )
+    pred = scores.groupBy("doc_id", "lang").agg(
+        F.min(F.struct((-F.col("score_q")).alias("neg"), F.col("cl"))).alias("_m")
+    )
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"), F.col("_m.cl").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# --- E367: mutual information between features and the label -------------
+
+MI_SCALE = 1 << 20
+
+
+def _mi_oracle_feature(feat_expr: str, feat_name: str) -> str:
+    return f"""
+        SELECT '{feat_name}' AS feature, CAST(n AS BIGINT) AS n,
+               CAST(SUM(nxy * cell_q) AS BIGINT) AS mi_scaled_q,
+               ROUND(CAST(SUM(nxy * cell_q) AS DOUBLE) / n / {MI_SCALE}, 6)
+                   AS mi_bits
+        FROM (
+            SELECT nxy, n,
+                   CAST(FLOOR({MI_SCALE} * LOG2(
+                       CAST(nxy AS DOUBLE) * n
+                       / (CAST(nx AS DOUBLE) * ny))) AS BIGINT) AS cell_q
+            FROM (
+                SELECT x, y, nxy,
+                       SUM(nxy) OVER (PARTITION BY x) AS nx,
+                       SUM(nxy) OVER (PARTITION BY y) AS ny,
+                       SUM(nxy) OVER () AS n
+                FROM (SELECT {feat_expr} AS x, lang AS y,
+                             CAST(COUNT(*) AS BIGINT) AS nxy
+                      FROM documents GROUP BY 1, 2)
+            )
+        )
+        GROUP BY n
+    """
+
+
+@query(
+    "ml_mutual_information_label",
+    oracle=f"""
+        {_mi_oracle_feature("source", "source")}
+        UNION ALL
+        {_mi_oracle_feature(
+            "CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)",
+            "len_log2",
+        )}
+        ORDER BY feature
+    """,
+    tags=("E367",),
+)
+def ml_mutual_information_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) in bits for each candidate
+    feature against the language label — the model-free feature-ranking
+    step run before training a router/classifier (high-MI features
+    carry label signal; near-zero ones are noise).  Features here:
+    ``source`` and the ⌊log2(n_chars)⌋ length bucket (fixed-width bins,
+    no global ntile — bin assignment is a pure row expression).
+
+    Exact algebra: each contingency cell contributes
+    nxy · FLOOR(2^20·log2(nxy·n / (nx·ny))) — one quantized log2 per
+    cell, then BIGINT sums; the final bits value is one identical
+    double division + ROUND on both engines.  Joint/marginal counts
+    come from ONE aggregate plus window sums over the (tiny)
+    contingency table.
+
+    Scale shape: one map-side-combined groupBy per feature builds the
+    contingency table (|X|·|Y| rows — KBs even at 100 TB); marginals
+    are window sums over that table, never a second corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def mi_for(feat: Column, name: str) -> DataFrame:
+        ct = d.groupBy(feat.alias("x"), F.col("lang").alias("y")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nxy")
+        )
+        wx = Window.partitionBy("x")
+        wy = Window.partitionBy("y")
+        wall = Window.partitionBy()
+        cells = ct.select(
+            "nxy",
+            F.sum("nxy").over(wx).alias("nx"),
+            F.sum("nxy").over(wy).alias("ny"),
+            F.sum("nxy").over(wall).alias("n"),
+        ).select(
+            "nxy",
+            "n",
+            F.floor(
+                F.lit(MI_SCALE)
+                * F.log2(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            )
+            .cast("bigint")
+            .alias("cell_q"),
+        )
+        return cells.groupBy("n").agg(
+            F.sum(F.col("nxy") * F.col("cell_q")).cast("bigint").alias("mi_scaled_q"),
+            F.round(
+                F.sum(F.col("nxy") * F.col("cell_q")).cast("double")
+                / F.first("n")
+                / MI_SCALE,
+                6,
+            ).alias("mi_bits"),
+        ).select(F.lit(name).alias("feature"), "n", "mi_scaled_q", "mi_bits")
+
+    len_bin = (F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1).cast(
+        "bigint"
+    )
+    return mi_for(F.col("source"), "source").union(
+        mi_for(len_bin, "len_log2")
+    ).orderBy("feature")
+
+
+# --- E368: ridge regression via normal equations -------------------------
+
+RIDGE_LAMBDA = 1
+
+
+@query(
+    "ml_ridge_normal_equation",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE)
+                       AS sx1x1,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sx1x2,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sx2x2,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sx1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sx2y
+            FROM lineitem
+        ),
+        a AS (
+            SELECT n, sy, sx1y, sx2y,
+                   CAST(n AS DOUBLE) AS a00, sx1 AS a01, sx2 AS a02,
+                   sx1 AS a10, sx1x1 + {RIDGE_LAMBDA} AS a11, sx1x2 AS a12,
+                   sx2 AS a20, sx1x2 AS a21, sx2x2 + {RIDGE_LAMBDA} AS a22
+            FROM g
+        ),
+        s AS (
+            SELECT n, sy, sx1y, sx2y, a00, a01, a02, a10, a11, a12,
+                   a20, a21, a22,
+                   a00 * (a11 * a22 - a12 * a21)
+                   - a01 * (a10 * a22 - a12 * a20)
+                   + a02 * (a10 * a21 - a11 * a20) AS det
+            FROM a
+        )
+        SELECT n,
+               ROUND((sy * (a11 * a22 - a12 * a21)
+                      - a01 * (sx1y * a22 - a12 * sx2y)
+                      + a02 * (sx1y * a21 - a11 * sx2y)) / det, 6) AS beta0,
+               ROUND((a00 * (sx1y * a22 - a12 * sx2y)
+                      - sy * (a10 * a22 - a12 * a20)
+                      + a02 * (a10 * sx2y - sx1y * a20)) / det, 6) AS beta1,
+               ROUND((a00 * (a11 * sx2y - sx1y * a21)
+                      - a01 * (a10 * sx2y - sx1y * a20)
+                      + sy * (a10 * a21 - a11 * a20)) / det, 6) AS beta2
+        FROM s
+    """,
+    tags=("E368",),
+)
+def ml_ridge_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (normal equations) of
+    l_extendedprice on (l_quantity, l_discount) with an intercept:
+    accumulate the 3×3 Gram matrix X'X and X'y in ONE distributed
+    aggregate, add λ={RIDGE_LAMBDA} to the slope diagonal (intercept
+    unpenalized), solve by Cramer's rule in a final scalar expression.
+    The "d is small, n is huge" regression every warehouse runs — one
+    pass, no iterations, no driver-side data.
+
+    Exact algebra: all Gram sums go through exact DECIMAL accumulation
+    (order-independent; quantity is integral, discount/price are 2 dp,
+    so every product is an exact decimal), then the Cramer expansion
+    is an identical double expression tree on both engines —
+    bit-identical betas before the final ROUND(·, 6).
+
+    Scale shape: d features cost one d²-wide partial aggregate —
+    map-side combined, a single scalar row crosses the exchange; at
+    100 TB it is a pure scan-bound job.  Contrast with
+    ml_gradient_descent_linear (iterative) — this is the one-shot
+    exact path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = dec("l_quantity", 0)
+    x2 = dec("l_discount", 2)
+    y = dec("l_extendedprice", 2)
+    g = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("sx1x1"),
+        F.sum(x1 * x2).cast("double").alias("sx1x2"),
+        F.sum(x2 * x2).cast("double").alias("sx2x2"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"),
+    )
+    a = g.select(
+        "n",
+        "sy",
+        "sx1y",
+        "sx2y",
+        F.col("n").cast("double").alias("a00"),
+        F.col("sx1").alias("a01"),
+        F.col("sx2").alias("a02"),
+        F.col("sx1").alias("a10"),
+        (F.col("sx1x1") + RIDGE_LAMBDA).alias("a11"),
+        F.col("sx1x2").alias("a12"),
+        F.col("sx2").alias("a20"),
+        F.col("sx1x2").alias("a21"),
+        (F.col("sx2x2") + RIDGE_LAMBDA).alias("a22"),
+    )
+    s = a.withColumn(
+        "det",
+        F.col("a00") * (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a21"))
+        - F.col("a01") * (F.col("a10") * F.col("a22") - F.col("a12") * F.col("a20"))
+        + F.col("a02") * (F.col("a10") * F.col("a21") - F.col("a11") * F.col("a20")),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (
+                F.col("sy") * (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a21"))
+                - F.col("a01") * (F.col("sx1y") * F.col("a22") - F.col("a12") * F.col("sx2y"))
+                + F.col("a02") * (F.col("sx1y") * F.col("a21") - F.col("a11") * F.col("sx2y"))
+            )
+            / F.col("det"),
+            6,
+        ).alias("beta0"),
+        F.round(
+            (
+                F.col("a00") * (F.col("sx1y") * F.col("a22") - F.col("a12") * F.col("sx2y"))
+                - F.col("sy") * (F.col("a10") * F.col("a22") - F.col("a12") * F.col("a20"))
+                + F.col("a02") * (F.col("a10") * F.col("sx2y") - F.col("sx1y") * F.col("a20"))
+            )
+            / F.col("det"),
+            6,
+        ).alias("beta1"),
+        F.round(
+            (
+                F.col("a00") * (F.col("a11") * F.col("sx2y") - F.col("sx1y") * F.col("a21"))
+                - F.col("a01") * (F.col("a10") * F.col("sx2y") - F.col("sx1y") * F.col("a20"))
+                + F.col("sy") * (F.col("a10") * F.col("a21") - F.col("a11") * F.col("a20"))
+            )
+            / F.col("det"),
+            6,
+        ).alias("beta2"),
+    )
