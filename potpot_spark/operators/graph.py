@@ -1753,3 +1753,125 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("modularity_u"),
         )
     )
+
+
+# --- E370: SCC condensation of the flow-dominance digraph ----------------
+
+SCC_DOUBLING_ROUNDS = 3  # closure reaches path length 2^3 = 8 >= |types|
+
+
+@query(
+    "graph_scc_condensation",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pc AS (
+            SELECT event_type AS f, next_type AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT a.f, a.t
+            FROM pc a LEFT JOIN pc b ON b.f = a.t AND b.t = a.f
+            WHERE a.n > COALESCE(b.n, 0)
+        ),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        reach AS (
+            SELECT f AS src, t AS dst FROM edges
+            UNION
+            SELECT r.src, e.t FROM reach r JOIN edges e ON e.f = r.dst
+        ),
+        mutual AS (
+            SELECT a.src AS n, a.dst AS m
+            FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+        ),
+        labeled AS (
+            SELECT nd.node,
+                   LEAST(nd.node, COALESCE(MIN(mu.m), nd.node)) AS scc_id
+            FROM nodes nd LEFT JOIN mutual mu ON mu.n = nd.node
+            GROUP BY nd.node
+        )
+        SELECT node, scc_id,
+               CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        FROM labeled
+        ORDER BY node
+    """,
+    tags=("E370",),
+)
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the flow-dominance digraph:
+    nodes are event types, with an edge a→b when strictly more users
+    flow a→b than b→a (net-flow direction).  SCCs expose the cyclic
+    cores of the product flow — types locked in a feedback loop —
+    while the condensation orders the rest into a DAG.  The directed
+    complement to dedup_connected_components (undirected CC).
+
+    Mutual-reachability SCC: transitive closure by path doubling
+    (reach := reach ∪ reach⋈edges, {SCC_DOUBLING_ROUNDS} rounds cover
+    paths of length 2^{SCC_DOUBLING_ROUNDS} ≥ |types|), then
+    scc_id(n) = min over nodes m with n⇝m AND m⇝n, n included.  All
+    set algebra on integer-count dominance — no floats anywhere.
+
+    Scale shape: the corpus-scale work is ONE window pass over events
+    (lead per user) + one aggregate; everything after runs on the
+    |types|²-bounded edge table — metadata scale even at 100 TB.  For
+    graphs where |V| is corpus-scale (user→user), the same loop runs
+    with the reach table bucketed on src and the doubling count
+    raised to log2(diameter)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pc = (
+        seq.where(
+            F.col("next_type").isNotNull()
+            & (F.col("next_type") != F.col("event_type"))
+        )
+        .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = pc.alias("a")
+    b = pc.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.f") == F.col("a.t")) & (F.col("b.t") == F.col("a.f")),
+            "left",
+        )
+        .where(F.col("a.n") > F.coalesce(F.col("b.n"), F.lit(0)))
+        .select(F.col("a.f").alias("f"), F.col("a.t").alias("t"))
+    )
+    reach = edges.select(F.col("f").alias("src"), F.col("t").alias("dst"))
+    for _ in range(SCC_DOUBLING_ROUNDS):
+        ext = (
+            reach.alias("r")
+            .join(edges.alias("e"), F.col("e.f") == F.col("r.dst"))
+            .select(F.col("r.src").alias("src"), F.col("e.t").alias("dst"))
+        )
+        reach = reach.union(ext).distinct()
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    ra = reach.alias("ra")
+    rb = reach.alias("rb")
+    mutual = ra.join(
+        rb,
+        (F.col("rb.src") == F.col("ra.dst")) & (F.col("rb.dst") == F.col("ra.src")),
+    ).select(F.col("ra.src").alias("n"), F.col("ra.dst").alias("m"))
+    labeled = (
+        nodes.join(mutual, nodes["node"] == mutual["n"], "left")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.col("node"), F.coalesce(F.min("m"), F.col("node"))
+            ).alias("scc_id")
+        )
+    )
+    wsz = Window.partitionBy("scc_id")
+    return labeled.select(
+        "node", "scc_id", F.count(F.lit(1)).over(wsz).cast("bigint").alias("scc_size")
+    ).orderBy("node")

@@ -4261,3 +4261,151 @@ def stats_overdispersion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nb_r_u"),
     ).orderBy("event_type")
+
+
+# --- E369: Kendall tau-b rank correlation --------------------------------
+
+
+@query(
+    "stats_kendall_tau_b",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                            '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ),
+        nstat AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        ),
+        tx AS (
+            SELECT event_type,
+                   CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n1
+            FROM (SELECT event_type, x, COUNT(*) AS c
+                  FROM daily GROUP BY event_type, x)
+            GROUP BY event_type
+        ),
+        ty AS (
+            SELECT event_type,
+                   CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n2
+            FROM (SELECT event_type, y, COUNT(*) AS c
+                  FROM daily GROUP BY event_type, y)
+            GROUP BY event_type
+        )
+        SELECT p.event_type, n.n AS n_days, p.c AS concordant,
+               p.d AS discordant,
+               ROUND((CAST(p.c AS DOUBLE) - p.d)
+                     / SQRT((CAST(n.n * (n.n - 1) / 2 AS DOUBLE) - t1.n1)
+                            * (CAST(n.n * (n.n - 1) / 2 AS DOUBLE) - t2.n2)),
+                     6) AS tau_b
+        FROM pairs p
+        JOIN nstat n ON n.event_type = p.event_type
+        JOIN tx t1 ON t1.event_type = p.event_type
+        JOIN ty t2 ON t2.event_type = p.event_type
+        ORDER BY p.event_type
+    """,
+    tags=("E369",),
+)
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily event volume and
+    daily distinct users, per event type — the robust monotone-
+    association check next to Spearman (stats_spearman_rank_corr):
+    tau-b counts concordant/discordant PAIRS and corrects both tie
+    margins, so it is insensitive to outliers and exact on the heavily
+    tied integer series Spearman's midranks blur.
+
+    Exact algebra: concordance is integer sign tests on
+    (x1-x2)·(y1-y2); tie corrections n1/n2 are Σc(c-1)/2 over exact
+    group counts; only the final tau-b is a double (identical
+    expression tree + ROUND on both engines).
+
+    Scale shape: the pair self-join is per-group over the DAILY grain
+    — bounded by the calendar (30 days → 435 pairs per type), never by
+    event volume; the corpus-scale work is one map-side-combined daily
+    aggregate.  At 100 TB the daily table is still days × types rows.
+    The O(n log n) inversion-count formulation only matters once the
+    per-group series length is unbounded — at which point the same
+    daily table feeds it."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.countDistinct("user_id").cast("bigint").alias("y"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        )
+    )
+    nstat = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tx = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cnt") * (F.col("cnt") - 1) / 2))
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cnt") * (F.col("cnt") - 1) / 2))
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    return (
+        pairs.join(nstat, "event_type")
+        .join(tx, "event_type")
+        .join(ty, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.round(
+                (F.col("c").cast("double") - F.col("d"))
+                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )

@@ -2595,3 +2595,115 @@ def text_gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# --- E371: content-defined chunking (CDC) --------------------------------
+
+CDC_W = 16  # hash window (chars)
+CDC_DIV = 64  # boundary when window-hash % CDC_DIV == 0 -> ~64-char chunks
+
+
+@query(
+    "text_cdc_chunk_stats",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, source, text, length(text) AS ln,
+                   CASE WHEN length(text) >= {CDC_W + 1} THEN
+                       list_prepend(CAST(1 AS BIGINT),
+                           [i for i in range(2, length(text) - {CDC_W - 2})
+                            if ({phash60_expr(f"substring(text, CAST(i AS INT), {CDC_W})")})
+                               % {CDC_DIV} = 0])
+                   ELSE [CAST(1 AS BIGINT)] END AS starts
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, source,
+                   unnest([substring(text, CAST(starts[k] AS INT),
+                                     CAST(COALESCE(starts[k + 1], ln + 1)
+                                          - starts[k] AS INT))
+                           for k in range(1, len(starts) + 1)]) AS chunk
+            FROM c
+        )
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS total_chunks,
+               CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+               ROUND(CAST(SUM(length(chunk)) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_chunk_len,
+               ROUND(1 - CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE)
+                         / COUNT(*), 6) AS dup_chunk_ratio
+        FROM ch
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("E371",),
+)
+def text_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC recipe used for
+    exact-substring dedup at corpus scale): a cut point opens wherever
+    the {CDC_W}-char window hash ≡ 0 mod {CDC_DIV}, so chunk
+    boundaries are determined by CONTENT — insert one word and only
+    the chunks around the edit change, unlike fixed-width chunking
+    where everything downstream shifts.  Reports per-source chunk
+    counts and the duplicated-chunk ratio: the signal for how much of
+    each source is boilerplate shared across documents.
+
+    The window hash is the portable md5-60-bit family (phash60), so
+    boundaries — and therefore every chunk string and the md5 dedup
+    count — reproduce bit-for-bit in DuckDB: a full value oracle over
+    an "approximate" dedup structure.
+
+    Scale shape: boundary detection is a per-row JVM expression
+    (filter over a char-position sequence — no shuffle, no UDF);
+    chunks explode to one stream aggregated per source with map-side
+    combine.  At 100 TB the only exchange is the per-source aggregate;
+    distinct-chunk counting swaps to an HLL sketch when the exact
+    count itself becomes the bottleneck (agg_hll_daily_sketches
+    pattern)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    txt = F.col("text")
+    ln = F.length(txt)
+    cand = F.sequence(F.lit(2), ln - (CDC_W - 1))
+    starts = F.when(
+        ln >= CDC_W + 1,
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            F.filter(
+                cand,
+                lambda i: F.pmod(phash60(txt.substr(i, F.lit(CDC_W))), F.lit(CDC_DIV))
+                == 0,
+            ).cast("array<bigint>"),
+        ),
+    ).otherwise(F.array(F.lit(1).cast("bigint")))
+    withs = d.select("doc_id", "source", "text", ln.alias("ln"), starts.alias("starts"))
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("starts")),
+            lambda k: F.col("text").substr(
+                F.get(F.col("starts"), k - 1).cast("int"),
+                (
+                    F.coalesce(F.get(F.col("starts"), k), F.col("ln") + 1)
+                    - F.get(F.col("starts"), k - 1)
+                ).cast("int"),
+            ),
+        )
+    ).alias("chunk")
+    ch = withs.select("doc_id", "source", chunk)
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
+            F.countDistinct(F.md5("chunk")).cast("bigint").alias("distinct_chunks"),
+            F.round(
+                F.sum(F.length("chunk")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chunk_len"),
+            F.round(
+                F.lit(1)
+                - F.countDistinct(F.md5("chunk")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_chunk_ratio"),
+        )
+        .orderBy("source")
+    )
