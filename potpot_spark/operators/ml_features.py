@@ -3732,3 +3732,154 @@ def ml_ridge_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("beta2"),
     )
+
+
+# --- E373: exact fixed-point k-means (Lloyd, 2 rounds) -------------------
+
+KM_K = 8
+KM_ROUNDS = 2
+KM_SCALE = 1 << 20
+KM_INERTIA_SHIFT = 10  # report inertia as sum(dist >> 10): overflow-safe
+
+
+def _km_oracle() -> str:
+    from potpot_spark.functions.numeric import phash60_expr
+
+    def assign(cte_pts: str, cte_c: str, out: str) -> str:
+        return f"""
+        {out}d AS (
+            SELECT p.vec_id, c.cid,
+                   CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist
+            FROM {cte_pts} p JOIN {cte_c} c ON c.dim = p.dim
+            GROUP BY p.vec_id, c.cid
+        ),
+        {out} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM {out}d
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH pts AS (
+            SELECT vec_id, d.i AS dim,
+                   CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * {KM_SCALE})
+                        AS BIGINT) AS q
+            FROM embeddings, (SELECT unnest(range(1, 10001)) AS i) d
+            WHERE d.i <= len(embedding)
+        ),
+        seeds AS (
+            SELECT vec_id, CAST(rn AS INT) AS cid FROM (
+                SELECT vec_id,
+                       row_number() OVER (
+                           ORDER BY {phash60_expr("CAST(vec_id AS VARCHAR)")},
+                                    vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn <= {KM_K}
+        ),
+        c0 AS (
+            SELECT s.cid, p.dim, p.q AS cq
+            FROM seeds s JOIN pts p ON p.vec_id = s.vec_id
+        ),
+        {assign("pts", "c0", "a1")},
+        c1 AS (
+            SELECT a.cid, p.dim,
+                   CAST(FLOOR(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS cq
+            FROM a1 a JOIN pts p ON p.vec_id = a.vec_id
+            GROUP BY a.cid, p.dim
+        ),
+        {assign("pts", "c1", "a2")}
+        SELECT cid AS centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(dist // {1 << KM_INERTIA_SHIFT}) AS BIGINT)
+                   AS inertia_kq
+        FROM a2
+        GROUP BY cid
+        ORDER BY cid
+    """
+
+
+@query("ml_kmeans_fixed_point", oracle=_km_oracle(), tags=("E373",))
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed k-means (Lloyd's algorithm, k={KM_K},
+    {KM_ROUNDS} rounds) over the embedding table — the clustering
+    step behind IVF index training, SemDeDup-style semantic dedup,
+    and topic bucketing, here with a FULL value oracle: coordinates
+    are quantized once to 2^20 fixed-point BIGINTs, so every distance,
+    every argmin, every centroid update is integer-exact and the
+    whole trajectory reproduces bit-for-bit in DuckDB (the IVF ops
+    keep float k-means engine-internal and are rows-only by declared
+    design — this op is the checkable twin).
+
+    Determinism pins: seeds are the {KM_K} lowest (phash60(vec_id),
+    vec_id) points (content-independent, no RNG); assignment ties
+    break (dist, cid) ascending; centroid update is
+    FLOOR(sum/count) — floor division via double on <2^53 sums,
+    identical in both engines; inertia is reported as
+    sum(dist >> {KM_INERTIA_SHIFT}) so the per-cluster total cannot
+    overflow BIGINT even at adversarial spread.
+
+    Scale shape: each round is one (points×k) distance aggregate —
+    shuffle on (vec_id) then (cid, dim), both map-side combined; the
+    centroid table is k·d rows and broadcasts.  At 100 TB rounds are
+    scan-bound; k-means|| seeding would replace the hash seeds, and
+    the quantized algebra carries over unchanged."""
+    from potpot_spark.functions.numeric import phash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * KM_SCALE).cast("bigint").alias("q"),
+    )
+    seeds = (
+        emb.select(
+            "vec_id", phash60(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(KM_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy("h", "vec_id"))
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cent = seeds.join(pts, "vec_id").select("cid", "dim", F.col("q").alias("cq"))
+
+    assign = None
+    for _ in range(KM_ROUNDS):
+        diff = F.col("q") - F.col("cq")
+        dists = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).cast("bigint").alias("dist"))
+        )
+        assign = dists.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("_m")
+        ).select("vec_id", F.col("_m.cid").alias("cid"), F.col("_m.dist").alias("dist"))
+        cent = (
+            assign.join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("cq")
+            )
+        )
+    return (
+        assign.groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(F.shiftright(F.col("dist"), KM_INERTIA_SHIFT))
+            .cast("bigint")
+            .alias("inertia_kq"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -5624,3 +5624,108 @@ def events_concurrency_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("p95_concurrency"),
     )
+
+
+# --- E372: token-bucket rate-limit replay --------------------------------
+
+TB_CAPACITY = 5
+TB_REFILL_US = 10_000_000  # one token per 10 s
+
+
+@query(
+    "events_rate_limit_token_bucket",
+    oracle=f"""
+        WITH RECURSIVE ord AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, rn, t,
+                   CAST({TB_CAPACITY} - 1 AS BIGINT) AS b,
+                   CAST(0 AS BIGINT) AS den
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.rn, o.t,
+                   CASE WHEN LEAST({TB_CAPACITY},
+                                   r.b + (o.t - r.t) // {TB_REFILL_US}) >= 1
+                        THEN LEAST({TB_CAPACITY},
+                                   r.b + (o.t - r.t) // {TB_REFILL_US}) - 1
+                        ELSE LEAST({TB_CAPACITY},
+                                   r.b + (o.t - r.t) // {TB_REFILL_US})
+                   END,
+                   r.den + CASE WHEN LEAST({TB_CAPACITY},
+                                           r.b + (o.t - r.t) // {TB_REFILL_US}) >= 1
+                                THEN 0 ELSE 1 END
+            FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id,
+               CAST(MAX(rn) AS BIGINT) AS n_events,
+               CAST(arg_max(den, rn) AS BIGINT) AS n_denied,
+               CAST(arg_max(b, rn) AS BIGINT) AS tokens_left
+        FROM r GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("E372",),
+)
+def events_rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay per user: capacity
+    {TB_CAPACITY}, one token refilled per {TB_REFILL_US} µs, one token
+    consumed per allowed event; events arriving with an empty bucket
+    are denied (and consume nothing).  The bursty-traffic complement
+    to events_velocity_limit_flags' fixed-window limiter: a bucket
+    tolerates bursts up to capacity, then throttles to the refill
+    rate — replaying it over history is how a limiter's parameters
+    are tuned before enforcement.
+
+    The recurrence (min-capped refill, conditional consume) is
+    NON-linear, so no window-sum trick exists; it runs as a JVM
+    higher-order ``aggregate`` over each user's (ts, event_id)-sorted
+    event array — sequential within a user (the math's property),
+    embarrassingly parallel across users, no Python in the row path.
+    All arithmetic is integer microseconds (refill = dt // 1e7 —
+    exact floor division in both engines), so the oracle's recursive
+    CTE reproduces the state walk bit-for-bit.
+
+    Scale shape: one shuffle to group each user's events; per-user
+    arrays are session-sized.  At 100 TB the same fold runs inside
+    transformWithState for the streaming enforcement path
+    (stream_transform_with_state pins that machinery)."""
+    e = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.unix_micros(F.col("ts")).alias("t"), F.col("event_id"))
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        arr.alias("evs"), F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+    def step(st, x):
+        refill = F.floor((x["t"] - st["pt"]).cast("double") / TB_REFILL_US).cast(
+            "long"
+        )
+        pre = F.when(st["pt"] < 0, F.lit(TB_CAPACITY).cast("long")).otherwise(
+            F.least(F.lit(TB_CAPACITY).cast("long"), st["b"] + refill)
+        )
+        allowed = pre >= 1
+        return F.struct(
+            x["t"].alias("pt"),
+            F.when(allowed, pre - 1).otherwise(pre).alias("b"),
+            (st["den"] + F.when(allowed, 0).otherwise(1)).alias("den"),
+        )
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("pt"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("den"),
+    )
+    final = F.aggregate(F.col("evs"), init, step)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        final["den"].cast("bigint").alias("n_denied"),
+        final["b"].cast("bigint").alias("tokens_left"),
+    ).orderBy("user_id")
