@@ -1521,17 +1521,20 @@ def pipeline_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge the most frequent pair corpus-wide, re-segment, repeat.  This
     is the inner loop every LLM tokenizer build runs thousands of
     times; three rounds pin the algebra (pair counting weighted by word
-    frequency, deterministic (count DESC, pair ASC) tie-break, greedy
-    left-to-right re-segmentation).
+    frequency, deterministic (count DESC, pair ASC) tie-break,
+    maximal non-overlapping re-segmentation).
 
     Segmentations live as '|'-joined symbol strings with sentinel pipes
     at both ends, so a merge is a plain string replace of '|a|b|' with
     '|ab|' — full-symbol matches only (the sentinels make partial-
-    symbol matches impossible).  Left-to-right replace skips the text
-    it just wrote, so a run of k identical symbols halves per pass;
-    {BPE_REPLACE_PASSES} fixed passes (idempotent once done) make the
-    greedy merge exact in BOTH engines with identical semantics —
-    Java's String.replace and DuckDB's replace() scan the same way.
+    symbol matches impossible).  Replace is applied
+    {BPE_REPLACE_PASSES} fixed passes (idempotent once done) until no
+    adjacent (a,b) pair survives; on a run of k identical symbols this
+    yields the same merge MULTISET as reference greedy BPE (⌊k/2⌋
+    merged + k mod 2 single — property-tested), though odd runs may
+    group differently (pass-based vs single-scan greedy), a documented
+    variant.  Java's String.replace and DuckDB's replace() scan
+    identically, so both engines walk the same segmentations.
 
     Scale shape: pair stats aggregate over the VOCAB (distinct words ×
     avg word length), not the corpus — the corpus is touched once to

@@ -1111,3 +1111,73 @@ def test_knn_hot_label_routes_through_nprobe_cells(spark):
         top = np.argsort(-sims[src], kind="stable")[:HUB_K]
         for dst in top:
             assert (src, int(dst)) in pairs, (src, int(dst))
+
+
+def test_bpe_sentinel_replace_merges_identical_runs(spark):
+    """The 5-pass sentinel replace must be MAXIMAL (no adjacent (a,a)
+    pair survives) and produce the same merge multiset as greedy BPE
+    on runs of identical symbols: n singles -> floor(n/2) 'aa' +
+    (n mod 2) 'a'.  Grouping order may differ from single-scan greedy
+    (documented variant) — the multiset may not."""
+    from pyspark.sql import functions as F
+
+    from potpot_spark.operators.pipeline import BPE_REPLACE_PASSES
+
+    rows = [(n, "|" + "|".join("a" * 1 for _ in range(n)) + "|") for n in range(2, 33)]
+    df = spark.createDataFrame(rows, "n INT, seg STRING")
+    rep = "seg"
+    for _ in range(BPE_REPLACE_PASSES):
+        rep = f"replace({rep}, '|a|a|', '|aa|')"
+    out = {r["n"]: r["m"] for r in df.select("n", F.expr(rep).alias("m")).collect()}
+    for n in range(2, 33):
+        got = out[n]
+        assert "|a|a|" not in got, (n, got)  # maximality
+        syms = got.strip("|").split("|")
+        assert sorted(syms) == ["a"] * (n % 2) + ["aa"] * (n // 2), (n, got)
+
+
+def test_token_bucket_denies_burst_beyond_capacity(spark, tmp_path):
+    """A burst of capacity+3 events in the same instant must deny
+    exactly 3; after a full refill interval the bucket admits again."""
+    import shutil
+
+    from potpot_spark.operators.timeseries import (
+        TB_CAPACITY,
+        events_rate_limit_token_bucket,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    rows = []
+    eid = 0
+    for i in range(TB_CAPACITY + 3):  # burst at t0
+        rows.append((eid, base, 1, "click", 0.0, "{}"))
+        eid += 1
+    rows.append((eid, base + 10_000_000, 1, "click", 0.0, "{}"))  # 1 token back
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id", "event_type",
+        "value", "props"
+    )
+    d = str(tmp_path / "sf_tb")
+    df.write.parquet(f"{d}/events.parquet")
+    try:
+        out = events_rate_limit_token_bucket(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_events"] == TB_CAPACITY + 4
+        assert r["n_denied"] == 3
+        assert r["tokens_left"] == 0  # the refilled token was consumed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmeans_fixed_point_partition_invariant(spark, sf_dir):
+    """Cluster sizes and inertia must not depend on input layout."""
+    from potpot_spark.operators.ml_features import ml_kmeans_fixed_point
+
+    a = ml_kmeans_fixed_point(spark, sf_dir).collect()
+    assert sum(r["n_points"] for r in a) > 0
+    b = ml_kmeans_fixed_point(spark, sf_dir).collect()
+    assert a == b
