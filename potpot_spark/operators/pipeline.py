@@ -1448,22 +1448,17 @@ def pipeline_preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- E363: BPE pair-merge training rounds --------------------------------
 
 BPE_ROUNDS = 3
-# A run of k identical symbols needs ceil(log2(k)) left-to-right replace
-# passes to fully merge; 5 passes cover runs up to 32 symbols, longer
-# than any [a-z]+ fixture word.  Extra passes are no-ops.
-BPE_REPLACE_PASSES = 5
 
 
 def _bpe_oracle() -> str:
-    """Three BPE merge rounds as a DuckDB CTE chain (see the operator
-    docstring for the sentinel-replace argument)."""
+    """Three BPE merge rounds as a DuckDB CTE chain.  Re-segmentation
+    is a single-scan greedy fold (list_reduce with a string-encoded
+    (out, pending) state — '~' separator, safe because words are
+    [a-z]+), exactly mirroring the Spark side's ``aggregate`` HOF."""
 
     def round_ctes(r: int) -> str:
         seg = f"seg{r}"
         nxt = f"seg{r + 1}"
-        rep = "seg"
-        for _ in range(BPE_REPLACE_PASSES):
-            rep = f"replace({rep}, x.s, x.r)"
         return f"""
         p{r} AS (
             SELECT freq,
@@ -1480,11 +1475,37 @@ def _bpe_oracle() -> str:
             SELECT pair, pair_count FROM c{r}
             ORDER BY pair_count DESC, pair LIMIT 1
         ),
+        xr{r} AS (
+            SELECT string_split(pair, '|')[1] AS a_sym,
+                   string_split(pair, '|')[2] AS b_sym,
+                   replace(pair, '|', '') AS m_sym
+            FROM t{r}
+        ),
         {nxt} AS (
-            SELECT freq, {rep} AS seg
-            FROM {seg}, (SELECT '|' || pair || '|' AS s,
-                                '|' || replace(pair, '|', '') || '|' AS r
-                         FROM t{r}) x
+            SELECT freq,
+                   CASE WHEN string_split(s, '~')[2] = ''
+                        THEN string_split(s, '~')[1] || '|'
+                        ELSE string_split(s, '~')[1] || '|'
+                             || string_split(s, '~')[2] || '|'
+                   END AS seg
+            FROM (
+                SELECT freq,
+                       list_reduce(
+                           list_prepend('~',
+                               string_split(trim(seg, '|'), '|')),
+                           (acc, x) -> CASE
+                               WHEN string_split(acc, '~')[2] = '' THEN
+                                   string_split(acc, '~')[1] || '~' || x
+                               WHEN string_split(acc, '~')[2] = a_sym
+                                    AND x = b_sym THEN
+                                   string_split(acc, '~')[1] || '|'
+                                   || m_sym || '~'
+                               ELSE
+                                   string_split(acc, '~')[1] || '|'
+                                   || string_split(acc, '~')[2] || '~' || x
+                           END) AS s
+                FROM {seg}, xr{r}
+            )
         )"""
 
     rounds = ",".join(round_ctes(r) for r in range(1, BPE_ROUNDS + 1))
@@ -1514,6 +1535,47 @@ def _bpe_oracle() -> str:
     """
 
 
+def _greedy_merge(seg_col, a: str, b: str, m: str):
+    """Single-scan greedy BPE re-segmentation as a JVM ``aggregate``
+    fold: pending symbol + emitted prefix; (a, b) adjacent -> emit m,
+    clear pending (a merged symbol never re-merges in the same round
+    — canonical BPE).  Mirrored exactly by the oracle's list_reduce."""
+    syms = F.split(F.trim(seg_col, F.lit("|")), "[|]")
+    init = F.struct(F.lit("").alias("out"), F.lit("").alias("pend"))
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"] == "",
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == a) & (x == b),
+                F.struct(
+                    F.concat(acc["out"], F.lit("|" + m)).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.lit("|"), acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.concat(
+            acc["out"],
+            F.when(acc["pend"] == "", F.lit("")).otherwise(
+                F.concat(F.lit("|"), acc["pend"])
+            ),
+            F.lit("|"),
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
 @query("pipeline_bpe_pair_merge", oracle=_bpe_oracle(), tags=("E363",))
 def pipeline_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, first {BPE_ROUNDS} merge rounds (Sennrich
@@ -1522,19 +1584,15 @@ def pipeline_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the inner loop every LLM tokenizer build runs thousands of
     times; three rounds pin the algebra (pair counting weighted by word
     frequency, deterministic (count DESC, pair ASC) tie-break,
-    maximal non-overlapping re-segmentation).
+    single-scan greedy left-to-right re-segmentation — canonical BPE,
+    property-tested against a reference scan on identical-symbol runs).
 
     Segmentations live as '|'-joined symbol strings with sentinel pipes
-    at both ends, so a merge is a plain string replace of '|a|b|' with
-    '|ab|' — full-symbol matches only (the sentinels make partial-
-    symbol matches impossible).  Replace is applied
-    {BPE_REPLACE_PASSES} fixed passes (idempotent once done) until no
-    adjacent (a,b) pair survives; on a run of k identical symbols this
-    yields the same merge MULTISET as reference greedy BPE (⌊k/2⌋
-    merged + k mod 2 single — property-tested), though odd runs may
-    group differently (pass-based vs single-scan greedy), a documented
-    variant.  Java's String.replace and DuckDB's replace() scan
-    identically, so both engines walk the same segmentations.
+    at both ends; re-segmentation is a greedy fold over the symbol
+    array (JVM ``aggregate`` HOF / DuckDB ``list_reduce`` with the
+    SAME (out, pending) state walk), so both engines produce identical
+    segmentations — including odd runs of a merged pair, where naive
+    string replace diverges from greedy BPE.
 
     Scale shape: pair stats aggregate over the VOCAB (distinct words ×
     avg word length), not the corpus — the corpus is touched once to
@@ -1577,11 +1635,11 @@ def pipeline_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         rules.append((r, top["pair"], top["pair"].replace("|", ""), top["pair_count"]))
-        search, repl = f"|{top['pair']}|", f"|{top['pair'].replace('|', '')}|"
-        rep = "seg"
-        for _ in range(BPE_REPLACE_PASSES):
-            rep = f"replace({rep}, '{search}', '{repl}')"
-        cur = cur.select("freq", F.expr(rep).alias("seg"))
+        a_sym, b_sym = top["pair"].split("|")
+        cur = cur.select(
+            "freq",
+            _greedy_merge(F.col("seg"), a_sym, b_sym, a_sym + b_sym).alias("seg"),
+        )
     seg.unpersist(blocking=False)
     return spark.createDataFrame(
         rules, "rnk INT, merge_pair STRING, merged STRING, pair_count BIGINT"

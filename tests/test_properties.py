@@ -1113,27 +1113,27 @@ def test_knn_hot_label_routes_through_nprobe_cells(spark):
             assert (src, int(dst)) in pairs, (src, int(dst))
 
 
-def test_bpe_sentinel_replace_merges_identical_runs(spark):
-    """The 5-pass sentinel replace must be MAXIMAL (no adjacent (a,a)
-    pair survives) and produce the same merge multiset as greedy BPE
-    on runs of identical symbols: n singles -> floor(n/2) 'aa' +
-    (n mod 2) 'a'.  Grouping order may differ from single-scan greedy
-    (documented variant) — the multiset may not."""
+def test_bpe_greedy_fold_matches_reference_scan(spark):
+    """The aggregate-HOF re-segmentation must equal canonical
+    single-scan greedy BPE: on a run of n identical symbols, merge
+    (a,a) yields floor(n/2) 'aa' then (n mod 2) trailing 'a' — left
+    pairs first, in order (where naive repeated string replace
+    diverges)."""
     from pyspark.sql import functions as F
 
-    from potpot_spark.operators.pipeline import BPE_REPLACE_PASSES
+    from potpot_spark.operators.pipeline import _greedy_merge
 
-    rows = [(n, "|" + "|".join("a" * 1 for _ in range(n)) + "|") for n in range(2, 33)]
+    rows = [(n, "|" + "|".join("a" for _ in range(n)) + "|") for n in range(2, 33)]
     df = spark.createDataFrame(rows, "n INT, seg STRING")
-    rep = "seg"
-    for _ in range(BPE_REPLACE_PASSES):
-        rep = f"replace({rep}, '|a|a|', '|aa|')"
-    out = {r["n"]: r["m"] for r in df.select("n", F.expr(rep).alias("m")).collect()}
+    out = {
+        r["n"]: r["m"]
+        for r in df.select(
+            "n", _greedy_merge(F.col("seg"), "a", "a", "aa").alias("m")
+        ).collect()
+    }
     for n in range(2, 33):
-        got = out[n]
-        assert "|a|a|" not in got, (n, got)  # maximality
-        syms = got.strip("|").split("|")
-        assert sorted(syms) == ["a"] * (n % 2) + ["aa"] * (n // 2), (n, got)
+        want = "|" + "|".join(["aa"] * (n // 2) + (["a"] if n % 2 else [])) + "|"
+        assert out[n] == want, (n, out[n], want)
 
 
 def test_token_bucket_denies_burst_beyond_capacity(spark, tmp_path):
