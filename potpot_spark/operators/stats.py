@@ -4409,3 +4409,159 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- E375: Theil index inequality decomposition --------------------------
+
+THEIL_SCALE = 1 << 20
+
+
+@query(
+    "analytics_theil_decomposition",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM base
+        ),
+        g AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(x) AS BIGINT) AS sg
+            FROM base GROUP BY grp
+        ),
+        rows_q AS (
+            SELECT b.x,
+                   CAST(FLOOR({THEIL_SCALE} * (
+                       LOG2(CAST(b.x AS DOUBLE) * t.n)
+                       - LOG2(CAST(t.s AS DOUBLE)))) AS BIGINT) AS q_tot,
+                   CAST(FLOOR({THEIL_SCALE} * (
+                       LOG2(CAST(b.x AS DOUBLE) * gg.ng)
+                       - LOG2(CAST(gg.sg AS DOUBLE)))) AS BIGINT) AS q_win
+            FROM base b JOIN g gg ON gg.grp = b.grp CROSS JOIN tot t
+        ),
+        sums AS (
+            SELECT CAST(SUM(CAST(x * q_tot AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS st,
+                   CAST(SUM(CAST(x * q_win AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sw
+            FROM rows_q
+        ),
+        btw AS (
+            SELECT CAST(SUM(CAST(gg.sg *
+                       CAST(FLOOR({THEIL_SCALE} * (
+                           LOG2(CAST(gg.sg AS DOUBLE) * t.n)
+                           - LOG2(CAST(t.s AS DOUBLE) * gg.ng)))
+                           AS BIGINT) AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sb
+            FROM g gg CROSS JOIN tot t
+        )
+        SELECT t.n,
+               ROUND(CAST(s.st AS DOUBLE) / t.s / {THEIL_SCALE}, 6)
+                   AS theil_total_bits,
+               ROUND(CAST(s.sw AS DOUBLE) / t.s / {THEIL_SCALE}, 6)
+                   AS theil_within_bits,
+               ROUND(CAST(b.sb AS DOUBLE) / t.s / {THEIL_SCALE}, 6)
+                   AS theil_between_bits
+        FROM tot t CROSS JOIN sums s CROSS JOIN btw b
+    """,
+    tags=("E375",),
+)
+def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of order value, decomposed into
+    within-priority-class and between-class components (base-2 logs —
+    bits): the additively decomposable inequality measure Gini lacks,
+    answering "is revenue concentration driven by spread INSIDE each
+    priority class or by the classes themselves?" — the same question
+    a data-mix owner asks of token counts across sources.
+
+    Exact algebra: amounts are exact cents; each row's log term is
+    quantized once (FLOOR(2^20·(log2(x·n) − log2(S))) — identical
+    double expression trees on both engines), then x·q products
+    (≤2^60) accumulate through exact DECIMAL(38,0) sums, so every
+    component is partition-invariant and bit-identical in DuckDB.
+    Total = within + between holds for the underlying math; the three
+    reported values are each quantized independently (documented —
+    the identity holds to ~2^-20 per term).
+
+    Scale shape: one pass for group sums (map-side combined), one
+    broadcast join of the |groups|-row constants back onto rows, one
+    decimal aggregate.  At 100 TB it is two scan-bound aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    rows_q = (
+        base.join(F.broadcast(g), "grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.floor(
+                F.lit(THEIL_SCALE)
+                * (
+                    F.log2(F.col("x").cast("double") * F.col("n"))
+                    - F.log2(F.col("s").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("q_tot"),
+            F.floor(
+                F.lit(THEIL_SCALE)
+                * (
+                    F.log2(F.col("x").cast("double") * F.col("ng"))
+                    - F.log2(F.col("sg").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("q_win"),
+        )
+    )
+    sums = rows_q.agg(
+        F.sum((F.col("x") * F.col("q_tot")).cast("decimal(38,0)")).alias("st"),
+        F.sum((F.col("x") * F.col("q_win")).cast("decimal(38,0)")).alias("sw"),
+    )
+    btw = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("sg")
+                * F.floor(
+                    F.lit(THEIL_SCALE)
+                    * (
+                        F.log2(F.col("sg").cast("double") * F.col("n"))
+                        - F.log2(F.col("s").cast("double") * F.col("ng"))
+                    )
+                ).cast("bigint")
+            ).cast("decimal(38,0)").alias("term")
+        )
+        .agg(F.sum("term").alias("sb"))
+    )
+    return (
+        tot.crossJoin(sums)
+        .crossJoin(btw)
+        .select(
+            "n",
+            F.round(
+                F.col("st").cast("double") / F.col("s") / THEIL_SCALE, 6
+            ).alias("theil_total_bits"),
+            F.round(
+                F.col("sw").cast("double") / F.col("s") / THEIL_SCALE, 6
+            ).alias("theil_within_bits"),
+            F.round(
+                F.col("sb").cast("double") / F.col("s") / THEIL_SCALE, 6
+            ).alias("theil_between_bits"),
+        )
+    )

@@ -5729,3 +5729,140 @@ def events_rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFram
         final["den"].cast("bigint").alias("n_denied"),
         final["b"].cast("bigint").alias("tokens_left"),
     ).orderBy("user_id")
+
+
+# --- E374: dynamic time warping distance ---------------------------------
+
+DTW_INF = 1 << 50  # unreachable-cell sentinel; sums stay far below 2^62
+
+
+@query(
+    "timeseries_dtw_distance",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        ser AS (
+            SELECT event_type, list(x ORDER BY day) AS b
+            FROM daily GROUP BY event_type
+        ),
+        ref AS (SELECT b AS a FROM ser ORDER BY event_type LIMIT 1),
+        st AS (
+            SELECT s.event_type, s.b, r.a, 0 AS i,
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST({DTW_INF} AS BIGINT) + 0 * v for v in r.a])
+                       AS row
+            FROM ser s, ref r
+            UNION ALL
+            SELECT event_type, b, a, i + 1,
+                   list_prepend(CAST({DTW_INF} AS BIGINT),
+                       [CAST(sp[j + 1]
+                             + list_min([e[k] - sp[k]
+                                         for k in range(1, j + 1)])
+                             AS BIGINT)
+                        for j in range(1, len(a) + 1)])
+            FROM (
+                SELECT event_type, b, a, i, row,
+                       [least(row[k], row[k + 1])
+                        for k in range(1, len(a) + 1)] AS e,
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(COALESCE(list_sum(c[1:j]), 0) AS BIGINT)
+                            for j in range(1, len(a) + 1)]) AS sp
+                FROM (
+                    SELECT event_type, b, a, i, row,
+                           [abs(b[i + 1] - a[j])
+                            for j in range(1, len(a) + 1)] AS c
+                    FROM st WHERE i < len(b)
+                )
+            )
+        )
+        SELECT event_type,
+               CAST(len(b) AS BIGINT) AS n_points,
+               CAST(len(a) AS BIGINT) AS n_ref,
+               CAST(row[len(a) + 1] AS BIGINT) AS dtw_q
+        FROM st WHERE i = len(b)
+        ORDER BY event_type
+    """,
+    tags=("E374",),
+)
+def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between each event type's daily
+    volume series and the reference series (alphabetically-first
+    type): the shape-similarity measure that tolerates phase shifts
+    (a type ramping two days late still matches), used for grouping
+    metrics by behavior and finding the series a new one resembles.
+
+    Exact integer DP, same trajectory in both engines: costs are
+    |x_i − y_j| on BIGINT daily counts, and the within-row left-to-
+    right dependency D(i,j) = c_ij + min(up, diag, D(i,j−1)) is
+    UNROLLED to D(i,j) = S_j + min_{{k≤j}}(e_k − S_{{k-1}})
+    (prefix sums S, e_k = min(up_k, diag_k)) — so each DP row is a
+    pure array comprehension over the previous row, no sequential
+    fold inside a row.  Spark steps rows with one ``aggregate`` HOF
+    over the series array; the oracle steps them with a recursive CTE
+    carrying the row as a LIST — identical integer state either way.
+
+    Scale shape: the corpus-scale work is one daily aggregate; DP
+    runs on calendar-bounded arrays (days² per type) entirely inside
+    a row expression — embarrassingly parallel across types/pairs.
+    At 100 TB with a large pair catalog, a Sakoe-Chiba band caps each
+    row comprehension at O(band) and the identical algebra holds."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s"))
+        .select(
+            "event_type", F.transform("s", lambda r: r["x"]).alias("b")
+        )
+    )
+    ref = ser.orderBy("event_type").limit(1).select(F.col("b").alias("a"))
+    both = ser.crossJoin(F.broadcast(ref))
+    n = F.size(F.col("a"))
+    inf = F.lit(DTW_INF).cast("long")
+    r0 = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.col("a"), lambda v: F.lit(DTW_INF).cast("long") + 0 * v),
+    )
+
+    def step(prev, x):
+        c = F.transform(F.col("a"), lambda y: F.abs(x - y))
+        sp = F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda j: F.aggregate(
+                    F.slice(c, F.lit(1), j),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+        ee = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda k: F.least(F.element_at(prev, k), F.element_at(prev, k + 1)),
+        )
+        tail = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.element_at(sp, j + 1)
+            + F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), j),
+                    lambda k: F.element_at(ee, k) - F.element_at(sp, k),
+                )
+            ),
+        )
+        return F.concat(F.array(inf), tail)
+
+    final_row = F.aggregate(F.col("b"), r0, step)
+    return both.select(
+        "event_type",
+        F.size("b").cast("bigint").alias("n_points"),
+        F.size("a").cast("bigint").alias("n_ref"),
+        F.element_at(final_row, n + 1).cast("bigint").alias("dtw_q"),
+    ).orderBy("event_type")
