@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table, spread
-from potpot_spark.functions.numeric import phash60_expr
+from potpot_spark.functions.numeric import phash60 as phash60_col, phash60_expr
 from potpot_spark.operators.dedup import ngram_jaccard_pairs
 from potpot_spark.operators.graph import connected_components
 from potpot_spark.registry import query
@@ -1885,4 +1885,154 @@ def pipeline_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataF
         .limit(DSIR_TOP)
         .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
         .select("doc_id", "n_tokens", "score_q", "rnk")
+    )
+
+
+# --- E378: T5-style span-corruption mask audit ---------------------------
+
+SPAN_START_MOD = 8   # ~12.5% of positions open a span (power of two:
+                     # the length draw is then an exact bit shift)
+SPAN_MAX_EXTRA = 3   # span length 1 + h%3 in {1, 2, 3}
+
+
+@query(
+    "pipeline_span_corruption_masks",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   string_split(lower(text), ' ') AS toks
+            FROM documents
+        ),
+        marked AS (
+            SELECT doc_id, source, len(toks) AS n, m,
+                   len([i for i in range(1, len(m) + 1) if m[i]])
+                       AS n_masked,
+                   len([i for i in range(1, len(m) + 1)
+                        if m[i] AND (i = 1 OR NOT m[greatest(i - 1, 1)])])
+                       AS n_spans
+            FROM (
+                SELECT doc_id, source, toks,
+                       [
+                         (st[i] AND ln[i] > 0)
+                         OR (i > 1 AND st[greatest(i - 1, 1)]
+                             AND ln[greatest(i - 1, 1)] > 1)
+                         OR (i > 2 AND st[greatest(i - 2, 1)]
+                             AND ln[greatest(i - 2, 1)] > 2)
+                         for i in range(1, len(toks) + 1)
+                       ] AS m
+                FROM (
+                    SELECT doc_id, source, toks,
+                           [({phash60_expr(
+                               "doc_id::VARCHAR || ':' || i::VARCHAR")})
+                            % {SPAN_START_MOD} = 0
+                            for i in range(1, len(toks) + 1)] AS st,
+                           [1 + ({phash60_expr(
+                               "doc_id::VARCHAR || ':' || i::VARCHAR")})
+                            // {SPAN_START_MOD} % {SPAN_MAX_EXTRA}
+                            for i in range(1, len(toks) + 1)] AS ln
+                            -- // 8 == >> 3 for the non-negative phash60;
+                            -- the Spark side shifts, bit-identical
+                    FROM d
+                )
+            )
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_masked) AS BIGINT) AS total_masked,
+               CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+               ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n), 6)
+                   AS corruption_rate,
+               ROUND(CAST(SUM(n_masked) AS DOUBLE)
+                     / greatest(SUM(n_spans), 1), 6) AS avg_span_len
+        FROM marked
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("E378",),
+)
+def pipeline_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask generation, audited per
+    source: each token position opens a masked span with probability
+    1/{SPAN_START_MOD} and length 1..{SPAN_MAX_EXTRA}, both decided
+    by the PORTABLE hash of (doc_id, position) — no RNG state, so the
+    exact same spans regenerate on any cluster, any partitioning, any
+    engine (the property a reproducible denoising-objective pipeline
+    needs; the oracle proves it by rebuilding every mask in DuckDB).
+    Overlapping spans merge; the audit reports realized corruption
+    rate and mean span length — the two knobs T5 tuning cares about.
+
+    Mask algebra: a position is masked iff a span starting at most
+    {SPAN_MAX_EXTRA}−1 back covers it (bounded lookback — pure array
+    comprehension, no sequential scan); span count = masked positions
+    whose predecessor is unmasked.  All counting integer-exact.
+
+    Scale shape: everything is per-row JVM expressions until one
+    map-side-combined aggregate per source; no shuffle touches token
+    granularity.  At 100 TB this runs at scan speed — mask MATERIAL-
+    IZATION (emitting sentinel tokens) reuses the same arrays in
+    pipeline_training_export's layout."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+
+    def pos_hash(i):
+        return phash60_col(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))
+        )
+
+    idx = F.sequence(F.lit(1), n)
+    st = F.transform(idx, lambda i: F.pmod(pos_hash(i), F.lit(SPAN_START_MOD)) == 0)
+    ln = F.transform(
+        idx,
+        lambda i: 1
+        + F.pmod(
+            F.shiftright(pos_hash(i), 3),  # exact h // 8: no double division
+            F.lit(SPAN_MAX_EXTRA),
+        ),
+    )
+    base = d.select(
+        "doc_id", "source", n.alias("n"), st.alias("st"), ln.alias("ln")
+    )
+    g = lambda arr, i, k: F.element_at(arr, F.greatest(i - k, F.lit(1)))  # noqa: E731
+    m = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (F.element_at(F.col("st"), i) & (g(F.col("ln"), i, 0) > 0))
+        | ((i > 1) & g(F.col("st"), i, 1) & (g(F.col("ln"), i, 1) > 1))
+        | ((i > 2) & g(F.col("st"), i, 2) & (g(F.col("ln"), i, 2) > 2)),
+    )
+    marked = base.select("source", "n", m.alias("m"))
+    n_masked = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.element_at(F.col("m"), i),
+        )
+    )
+    n_spans = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.element_at(F.col("m"), i)
+            & ((i == 1) | ~F.element_at(F.col("m"), F.greatest(i - 1, F.lit(1)))),
+        )
+    )
+    per_doc = marked.select(
+        "source", "n", n_masked.alias("n_masked"), n_spans.alias("n_spans")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("n_masked").cast("bigint").alias("total_masked"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.round(
+                F.sum("n_masked").cast("double") / F.sum("n"), 6
+            ).alias("corruption_rate"),
+            F.round(
+                F.sum("n_masked").cast("double")
+                / F.greatest(F.sum("n_spans"), F.lit(1)),
+                6,
+            ).alias("avg_span_len"),
+        )
+        .orderBy("source")
     )

@@ -487,3 +487,138 @@ def sample_user_consistent_holdout(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("split")
     )
+
+
+# --- E377: contrastive pair sampling -------------------------------------
+
+CONTRASTIVE_OFFSET = 7  # hash-ring stride for negative candidates
+CONTRASTIVE_BUCKETS = 16  # negatives pair within hash buckets: no global rank
+
+
+@query(
+    "sample_balanced_pairs_contrastive",
+    oracle=f"""
+        WITH pos AS (
+            SELECT label, vec_id,
+                   COALESCE(
+                       LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                       MIN(vec_id) OVER (PARTITION BY label)) AS pos_id,
+                   COUNT(*) OVER (PARTITION BY label) AS nl
+            FROM embeddings
+        ),
+        ring AS (
+            SELECT label, vec_id, h % {CONTRASTIVE_BUCKETS} AS bkt,
+                   row_number() OVER (
+                       PARTITION BY h % {CONTRASTIVE_BUCKETS}
+                       ORDER BY h, vec_id) AS rk,
+                   COUNT(*) OVER (
+                       PARTITION BY h % {CONTRASTIVE_BUCKETS}) AS n
+            FROM (SELECT label, vec_id,
+                         CAST(('0x' || substring(
+                             md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                             AS h
+                  FROM embeddings)
+        ),
+        neg AS (
+            SELECT a.label, a.vec_id, b.vec_id AS neg_id,
+                   CASE WHEN b.label <> a.label THEN 1 ELSE 0 END AS ok
+            FROM ring a JOIN ring b
+              ON b.bkt = a.bkt
+             AND b.rk = ((a.rk - 1 + {CONTRASTIVE_OFFSET}) % a.n) + 1
+        )
+        SELECT p.label,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               CAST(SUM(CASE WHEN p.nl > 1 AND p.pos_id <> p.vec_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pairs,
+               CAST(SUM(n.ok) AS BIGINT) AS n_neg_pairs,
+               CAST(SUM(CASE WHEN p.nl > 1 AND p.pos_id <> p.vec_id
+                             THEN p.vec_id * 31 + p.pos_id
+                             ELSE 0 END) AS BIGINT) AS pos_checksum,
+               CAST(SUM(CASE WHEN n.ok = 1
+                             THEN p.vec_id * 31 + n.neg_id
+                             ELSE 0 END) AS BIGINT) AS neg_checksum
+        FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+        GROUP BY p.label
+        ORDER BY p.label
+    """,
+    tags=("E377",),
+)
+def sample_balanced_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive pair assembly for embedding training:
+    every vector anchors one positive (the next vec_id cyclically
+    within its label — no RNG, survives regeneration) and one negative
+    candidate (the vector {CONTRASTIVE_OFFSET} positions ahead on its
+    md5 hash ring, rings being {CONTRASTIVE_BUCKETS} independent hash
+    buckets; kept only when the labels differ, so the negative rate is
+    itself a mixing diagnostic).  Checksums (Σ id·31+pair_id)
+    pin the EXACT pair sets, not just counts — the property a
+    reproducible training run needs.
+
+    Scale shape: positives are one window pass per label; rings are
+    PER-BUCKET (rank windows partition on the hash bucket — no global
+    single-partition rank anywhere) and the negative lookup is a 1:1
+    self-equi-join on (bucket, position).  At 100 TB raise the bucket
+    count with the corpus; checksums are plain BIGINT sums (ids ≪
+    2^31, no overflow)."""
+    from potpot_spark.functions.numeric import phash60
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w_lab = Window.partitionBy("label").orderBy("vec_id")
+    w_lab_all = Window.partitionBy("label")
+    pos = emb.select(
+        "label",
+        "vec_id",
+        F.coalesce(
+            F.lead("vec_id").over(w_lab), F.min("vec_id").over(w_lab_all)
+        ).alias("pos_id"),
+        F.count(F.lit(1)).over(w_lab_all).alias("nl"),
+    )
+    hashed = emb.select(
+        "label", "vec_id", phash60(F.col("vec_id").cast("string")).alias("h")
+    ).withColumn("bkt", F.pmod(F.col("h"), F.lit(CONTRASTIVE_BUCKETS)))
+    w_ring = Window.partitionBy("bkt").orderBy("h", "vec_id")
+    ring = hashed.select(
+        "label",
+        "vec_id",
+        "bkt",
+        F.row_number().over(w_ring).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("bkt")).alias("n"),
+    )
+    a = ring.alias("a")
+    b = ring.alias("b")
+    neg = a.join(
+        b,
+        (F.col("b.bkt") == F.col("a.bkt"))
+        & (
+            F.col("b.rk")
+            == F.pmod(F.col("a.rk") - 1 + CONTRASTIVE_OFFSET, F.col("a.n")) + 1
+        ),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neg_id"),
+        F.when(F.col("b.label") != F.col("a.label"), 1).otherwise(0).alias("ok"),
+    )
+    pos_valid = (F.col("nl") > 1) & (F.col("pos_id") != F.col("vec_id"))
+    return (
+        pos.join(neg, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum(F.when(pos_valid, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos_pairs"),
+            F.sum("ok").cast("bigint").alias("n_neg_pairs"),
+            F.sum(
+                F.when(pos_valid, F.col("vec_id") * 31 + F.col("pos_id")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pos_checksum"),
+            F.sum(
+                F.when(F.col("ok") == 1, F.col("vec_id") * 31 + F.col("neg_id"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("neg_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -4565,3 +4565,142 @@ def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("theil_between_bits"),
         )
     )
+
+
+# --- E376: Wilcoxon signed-rank test -------------------------------------
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        ref AS (
+            SELECT day, x AS xr FROM daily
+            WHERE event_type = (SELECT MIN(event_type) FROM daily)
+        ),
+        diffs AS (
+            SELECT d.event_type, d.x - r.xr AS dv, abs(d.x - r.xr) AS ad
+            FROM daily d JOIN ref r ON r.day = d.day
+            WHERE d.event_type <> (SELECT MIN(event_type) FROM daily)
+              AND d.x - r.xr <> 0
+        ),
+        ranked AS (
+            SELECT event_type, dv, ad,
+                   rank() OVER (PARTITION BY event_type ORDER BY ad) AS lo,
+                   COUNT(*) OVER (PARTITION BY event_type, ad) AS tc
+            FROM diffs
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN dv > 0 THEN 2 * lo + tc - 1
+                                 ELSE 0 END) AS BIGINT) AS w_plus2,
+                   CAST(SUM(CASE WHEN dv < 0 THEN 2 * lo + tc - 1
+                                 ELSE 0 END) AS BIGINT) AS w_minus2
+            FROM ranked GROUP BY event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie_sum
+            FROM (SELECT event_type, ad, CAST(COUNT(*) AS BIGINT) AS tc
+                  FROM diffs GROUP BY event_type, ad)
+            GROUP BY event_type
+        )
+        SELECT a.event_type, a.n, a.w_plus2, a.w_minus2,
+               ROUND((CAST(a.w_plus2 AS DOUBLE) / 2
+                      - CAST(a.n AS DOUBLE) * (a.n + 1) / 4)
+                     / SQRT(CAST(a.n AS DOUBLE) * (a.n + 1) * (2 * a.n + 1)
+                            / 24 - CAST(t.tie_sum AS DOUBLE) / 48), 6) AS z
+        FROM agg a JOIN ties t ON t.event_type = a.event_type
+        ORDER BY a.event_type
+    """,
+    tags=("E376",),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of each event type's daily volume
+    against the reference type's, paired BY DAY — the nonparametric
+    paired test missing next to Mann-Whitney (unpaired) and Welch
+    (parametric): day-pairing removes the shared daily traffic level,
+    so the test sees only the per-day contrast.
+
+    Exactness: zero diffs drop (textbook), midranks stay integer as
+    2·midrank = 2·rank + tiecount − 1 (never a .5 float), W± are
+    BIGINT sums of those, and the tie-corrected normal z is one
+    identical double expression over integers on both engines.
+
+    Scale shape: daily grain only — the corpus-scale work is one
+    aggregate; ranking windows run per (type) over calendar-bounded
+    partitions.  Same discipline as stats_kendall_tau_b."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ref_type = daily.agg(F.min("event_type").alias("rt"))
+    ref = (
+        daily.join(F.broadcast(ref_type), daily["event_type"] == F.col("rt"))
+        .select("day", F.col("x").alias("xr"))
+    )
+    diffs = (
+        daily.crossJoin(F.broadcast(ref_type))
+        .where(F.col("event_type") != F.col("rt"))
+        .join(ref, "day")
+        .select(
+            "event_type",
+            (F.col("x") - F.col("xr")).alias("dv"),
+            F.abs(F.col("x") - F.col("xr")).alias("ad"),
+        )
+        .where(F.col("dv") != 0)
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("ad")
+    w_tie = Window.partitionBy("event_type", "ad")
+    ranked = diffs.select(
+        "event_type",
+        "dv",
+        "ad",
+        F.rank().over(w_rank).alias("lo"),
+        F.count(F.lit(1)).over(w_tie).alias("tc"),
+    )
+    mid2 = 2 * F.col("lo") + F.col("tc") - 1
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("dv") > 0, mid2).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus2"),
+        F.sum(F.when(F.col("dv") < 0, mid2).otherwise(0))
+        .cast("bigint")
+        .alias("w_minus2"),
+    )
+    ties = (
+        diffs.groupBy("event_type", "ad")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    nn = F.col("n").cast("double")
+    return (
+        agg.join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "w_plus2",
+            "w_minus2",
+            F.round(
+                (F.col("w_plus2").cast("double") / 2 - nn * (F.col("n") + 1) / 4)
+                / F.sqrt(
+                    nn * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                    - F.col("tie_sum").cast("double") / 48
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
