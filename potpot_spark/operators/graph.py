@@ -1875,3 +1875,133 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.select(
         "node", "scc_id", F.count(F.lit(1)).over(wsz).cast("bigint").alias("scc_size")
     ).orderBy("node")
+
+
+# --- E381: wedge-sampled clustering-coefficient estimate -----------------
+
+WEDGE_SAMPLES_PER_NODE = 2  # disjoint hash-ranked neighbor pairs per center
+
+
+@query(
+    "graph_wedge_sample_clustering",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        adj AS (
+            SELECT u AS c, v AS nbr FROM e
+            UNION ALL SELECT v AS c, u AS nbr FROM e
+        ),
+        ranked AS (
+            SELECT c, nbr,
+                   row_number() OVER (PARTITION BY c ORDER BY
+                       CAST(('0x' || substring(md5(CAST(nbr AS VARCHAR)),
+                                               1, 15)) AS BIGINT),
+                       nbr) AS rk,
+                   COUNT(*) OVER (PARTITION BY c) AS d
+            FROM adj
+        ),
+        wedges AS (
+            SELECT a.c, a.d,
+                   LEAST(a.nbr, b.nbr) AS n1, GREATEST(a.nbr, b.nbr) AS n2
+            FROM ranked a JOIN ranked b
+              ON b.c = a.c AND a.rk % 2 = 1 AND b.rk = a.rk + 1
+             AND a.rk <= {2 * WEDGE_SAMPLES_PER_NODE - 1}
+        ),
+        checked AS (
+            SELECT w.c, w.d,
+                   CAST(COUNT(*) AS BIGINT) AS sampled,
+                   CAST(SUM(CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS closed
+            FROM wedges w
+            LEFT JOIN e ON e.u = w.n1 AND e.v = w.n2
+            GROUP BY w.c, w.d
+        )
+        SELECT CAST(SUM(sampled) AS BIGINT) AS n_sampled_wedges,
+               CAST(SUM(closed) AS BIGINT) AS n_closed,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS total_wedges,
+               CAST(SUM(d * (d - 1) / 2 * closed * (2 // sampled)) AS BIGINT)
+                   AS est_num2,
+               ROUND(CAST(SUM(d * (d - 1) / 2 * closed * (2 // sampled))
+                          AS DOUBLE)
+                     / 2 / SUM(d * (d - 1) / 2), 6) AS est_transitivity
+        FROM checked
+    """,
+    tags=("E381",),
+)
+def graph_wedge_sample_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-SAMPLED transitivity estimate (Seshadhri et al.): instead
+    of closing every wedge (what graph_clustering_coefficient pays —
+    Σd² work), each center contributes {WEDGE_SAMPLES_PER_NODE}
+    disjoint neighbor pairs chosen by the portable hash ranking, and
+    the global estimate degree-weights each center's sampled closure
+    rate by its true wedge count d(d−1)/2.  THIS is the query that
+    survives 100 TB: per-node work drops from d² to O(1) while the
+    estimator stays unbiased under the hash's arbitrary-but-fixed
+    neighbor order; the exact op stays as the fixture-scale truth.
+
+    Determinism: neighbor ranking is (phash60(nbr), nbr); sampled
+    wedges, closures, and the weighted estimate reproduce bit-for-bit
+    in DuckDB (closed_v·(2//sampled_v) keeps the per-node rate exact
+    in integers — sampled ∈ {{1, 2}}).
+
+    Scale shape: one window rank over the adjacency (shuffle on
+    center), a 1:1 self-join for pair assembly, one hash join against
+    the edge list for closure, one aggregate.  No d² blowup
+    anywhere."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    from potpot_spark.functions.numeric import phash60
+
+    adj = edges.select(F.col("u").alias("c"), F.col("v").alias("nbr")).union(
+        edges.select(F.col("v").alias("c"), F.col("u").alias("nbr"))
+    )
+    w_rank = Window.partitionBy("c").orderBy(
+        phash60(F.col("nbr").cast("string")), "nbr"
+    )
+    ranked = adj.select(
+        "c",
+        "nbr",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("c")).alias("d"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("b.c") == F.col("a.c"))
+        & (F.col("a.rk") % 2 == 1)
+        & (F.col("b.rk") == F.col("a.rk") + 1)
+        & (F.col("a.rk") <= 2 * WEDGE_SAMPLES_PER_NODE - 1),
+    ).select(
+        F.col("a.c").alias("c"),
+        F.col("a.d").alias("d"),
+        F.least(F.col("a.nbr"), F.col("b.nbr")).alias("n1"),
+        F.greatest(F.col("a.nbr"), F.col("b.nbr")).alias("n2"),
+    )
+    checked = (
+        wedges.join(
+            edges.withColumn("hit", F.lit(1)),
+            (wedges["n1"] == edges["u"]) & (wedges["n2"] == edges["v"]),
+            "left",
+        )
+        .groupBy("c", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sampled"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("closed"),
+        )
+    )
+    wv = (F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+    num2 = wv * F.col("closed") * F.when(F.col("sampled") == 1, 2).otherwise(1)
+    return checked.agg(
+        F.sum("sampled").cast("bigint").alias("n_sampled_wedges"),
+        F.sum("closed").cast("bigint").alias("n_closed"),
+        F.sum(wv).cast("bigint").alias("total_wedges"),
+        F.sum(num2).cast("bigint").alias("est_num2"),
+        F.round(
+            F.sum(num2).cast("double") / 2 / F.sum(wv), 6
+        ).alias("est_transitivity"),
+    )

@@ -709,3 +709,47 @@ def sql_api_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# Verbatim-shared SQL text: correlated EXISTS / NOT EXISTS / scalar
+# subquery — the three decorrelation shapes Catalyst must rewrite into
+# joins (semi, anti, left) without changing semantics.
+_SQL_CORRELATED = """
+    SELECT c.c_custkey,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 150000)
+      AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F'
+                AND o.o_totalprice < 30000)
+    ORDER BY c.c_custkey
+"""
+
+
+@query("sql_api_exists_correlated", oracle=_SQL_CORRELATED, tags=("E379",))
+def sql_api_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL front door, one verbatim
+    text both engines run: EXISTS (→ left-semi join), NOT EXISTS
+    (→ left-anti join), and two correlated scalar aggregates in the
+    select list (→ left-join + aggregate after decorrelation).  These
+    are the shapes every migrated warehouse workload leans on; the op
+    pins that Catalyst's decorrelation rewrites preserve semantics
+    bit-for-bit against DuckDB's.
+
+    Plan note: all four subqueries hit the same orders table — after
+    decorrelation Spark runs them as joins on o_custkey, sharing the
+    shuffle; none executes per-row.  Deterministic: keys, counts,
+    MAX — no floats but o_totalprice passthrough (exact parquet
+    doubles on both sides)."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)

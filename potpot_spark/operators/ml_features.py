@@ -3883,3 +3883,191 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --- E382: gradient-boosted decision stumps (squared loss) ---------------
+
+BOOST_ROUNDS = 2
+
+
+def _boost_round_sql(src: str, r: int) -> str:
+    nxt = f"base{r + 1}"
+    return f"""
+        f{r} AS (
+            SELECT 1 AS f, x1 AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(CAST(y AS HUGEINT)) AS s,
+                   SUM(CAST(y AS HUGEINT) * y) AS ss
+            FROM {src} GROUP BY x1
+            UNION ALL
+            SELECT 2 AS f, x2 AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(CAST(y AS HUGEINT)) AS s,
+                   SUM(CAST(y AS HUGEINT) * y) AS ss
+            FROM {src} GROUP BY x2
+        ),
+        c{r} AS (
+            SELECT f, v,
+                   SUM(cnt) OVER w AS cl, SUM(s) OVER w AS sl,
+                   SUM(ss) OVER w AS ssl,
+                   SUM(cnt) OVER wf AS ct, SUM(s) OVER wf AS st,
+                   SUM(ss) OVER wf AS sst
+            FROM f{r}
+            WINDOW w AS (PARTITION BY f ORDER BY v
+                         ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY f)
+        ),
+        e{r} AS (
+            SELECT f, v, cl, ct - cl AS cr, sl, ssl, st, sst,
+                   CAST(FLOOR(CAST(sl AS DOUBLE) / cl) AS BIGINT) AS mul,
+                   CAST(FLOOR(CAST(st - sl AS DOUBLE) / (ct - cl)) AS BIGINT)
+                       AS mur
+            FROM c{r} WHERE ct - cl > 0
+        ),
+        g{r} AS (
+            SELECT f, v, mul, mur,
+                   (ssl - 2 * CAST(mul AS HUGEINT) * sl
+                        + CAST(cl AS HUGEINT) * mul * mul)
+                   + ((sst - ssl) - 2 * CAST(mur AS HUGEINT) * (st - sl)
+                        + CAST(cr AS HUGEINT) * mur * mur) AS sse
+            FROM e{r}
+        ),
+        b{r} AS (
+            SELECT f, v, mul, mur, sse FROM g{r}
+            ORDER BY sse, f, v LIMIT 1
+        ),
+        {nxt} AS (
+            SELECT x1, x2,
+                   y - CASE WHEN (b.f = 1 AND x1 <= b.v)
+                              OR (b.f = 2 AND x2 <= b.v)
+                            THEN b.mul ELSE b.mur END AS y
+            FROM {src}, b{r} b
+        )"""
+
+
+def _boost_oracle() -> str:
+    rounds = ",".join(
+        _boost_round_sql(f"base{r}", r) for r in range(1, BOOST_ROUNDS + 1)
+    )
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {r} AS rnd, f AS feature, v AS threshold, mul AS mu_left, "
+        f"mur AS mu_right, "
+        f"CAST(FLOOR(CAST(sse AS DOUBLE) / 1000000) AS BIGINT) AS sse_millions "
+        f"FROM b{r}"
+        for r in range(1, BOOST_ROUNDS + 1)
+    )
+    return f"""
+        WITH base1 AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        {rounds}
+        SELECT rnd, feature, threshold, mu_left, mu_right, sse_millions
+        FROM ({finals})
+        ORDER BY rnd
+    """
+
+
+@query("ml_gradient_boosted_stumps", oracle=_boost_oracle(), tags=("E382",))
+def ml_gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting with depth-1 trees (decision stumps) under
+    squared loss, {BOOST_ROUNDS} rounds, fully in-engine and fully
+    exact: each round scans every (feature, threshold) candidate via
+    per-feature value-grouped stats + running prefix sums (the
+    histogram trick every GBDT library uses), picks the SSE-minimizing
+    stump with a (sse, feature, threshold) tie-break, and fits the
+    next round on integer residuals.  The missing ensemble-tree
+    primitive next to the linear learners (GD, ridge) and the single
+    split (ml_decision_split_gini).
+
+    Exactness: targets are integer cents; leaf means are
+    FLOOR(sum/cnt) (sums < 2^53, double floor-division exact); SSE is
+    assembled from Σy², Σy, n in 128-bit-exact arithmetic (HUGEINT in
+    DuckDB, DECIMAL(38,0) in Spark — values ≤ ~10^21 fit both), so
+    the argmin and the whole boosting trajectory are bit-identical.
+
+    Scale shape: per round, ONE pass builds per-(feature, value)
+    histograms (map-side combined; candidates = distinct values, not
+    rows); prefix sums run over the tiny histogram; the chosen stump
+    is a 1-row driver scalar and residuals are a map-side expression.
+    At 100 TB with continuous features, the same plan runs on
+    quantile-binned histograms (256 bins) — the LightGBM recipe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    out_rows = []
+    cur = base
+    for r in range(1, BOOST_ROUNDS + 1):
+        hists = []
+        for fi, xc in ((1, "x1"), (2, "x2")):
+            hists.append(
+                cur.groupBy(F.col(xc).alias("v"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                    F.sum(F.col("y").cast(d38)).alias("s"),
+                    F.sum((F.col("y") * F.col("y")).cast(d38)).alias("ss"),
+                )
+                .select(F.lit(fi).alias("f"), "v", "cnt", "s", "ss")
+            )
+        hist = hists[0].unionByName(hists[1])
+        w = (
+            Window.partitionBy("f")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = Window.partitionBy("f")
+        c = hist.select(
+            "f",
+            "v",
+            F.sum("cnt").over(w).alias("cl"),
+            F.sum("s").over(w).alias("sl"),
+            F.sum("ss").over(w).alias("ssl"),
+            F.sum("cnt").over(wf).alias("ct"),
+            F.sum("s").over(wf).alias("st"),
+            F.sum("ss").over(wf).alias("sst"),
+        ).where(F.col("ct") - F.col("cl") > 0)
+        mul = F.floor(F.col("sl").cast("double") / F.col("cl")).cast("bigint")
+        mur = F.floor(
+            (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("ct") - F.col("cl"))
+        ).cast("bigint")
+        e = c.select(
+            "f", "v", "cl", (F.col("ct") - F.col("cl")).alias("cr"),
+            "sl", "ssl", "st", "sst", mul.alias("mul"), mur.alias("mur"),
+        )
+        sse = (
+            F.col("ssl")
+            - 2 * F.col("mul").cast(d38) * F.col("sl")
+            + F.col("cl").cast(d38) * F.col("mul") * F.col("mul")
+        ) + (
+            (F.col("sst") - F.col("ssl"))
+            - 2 * F.col("mur").cast(d38) * (F.col("st") - F.col("sl"))
+            + F.col("cr").cast(d38) * F.col("mur") * F.col("mur")
+        )
+        best = (
+            e.select("f", "v", "mul", "mur", sse.alias("sse"))
+            .orderBy("sse", "f", "v")
+            .first()
+        )
+        out_rows.append(
+            (
+                r,
+                best["f"],
+                best["v"],
+                best["mul"],
+                best["mur"],
+                int(float(best["sse"]) // 1_000_000),
+            )
+        )
+        xc = "x1" if best["f"] == 1 else "x2"
+        pred = F.when(F.col(xc) <= best["v"], best["mul"]).otherwise(best["mur"])
+        cur = cur.select("x1", "x2", (F.col("y") - pred).alias("y"))
+    return spark.createDataFrame(
+        out_rows,
+        "rnd INT, feature INT, threshold BIGINT, mu_left BIGINT,"
+        " mu_right BIGINT, sse_millions BIGINT",
+    ).orderBy("rnd")

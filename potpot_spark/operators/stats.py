@@ -4704,3 +4704,106 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- E380: mean-excess plot (EVT threshold diagnostic) -------------------
+
+MEP_PCTS = (90, 95, 97, 99)
+
+
+@query(
+    "stats_mean_excess_plot",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders
+        ),
+        ranked AS (
+            SELECT grp, x,
+                   row_number() OVER (PARTITION BY grp ORDER BY x) AS rk,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM base
+        ),
+        thr AS (
+            SELECT grp, p.p,
+                   MIN(CASE WHEN rk = CAST(CEIL(p.p / 100.0 * n) AS BIGINT)
+                            THEN x END) AS u
+            FROM ranked
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in MEP_PCTS)}])
+                            AS p) p
+            GROUP BY grp, p.p
+        )
+        SELECT b.grp, t.p, t.u AS u_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_exceed,
+               ROUND(CAST(SUM(b.x - t.u) AS DOUBLE) / COUNT(*) / 100, 6)
+                   AS mean_excess_dollars
+        FROM base b JOIN thr t ON t.grp = b.grp AND b.x > t.u
+        GROUP BY b.grp, t.p, t.u
+        ORDER BY b.grp, t.p
+    """,
+    tags=("E380",),
+)
+def stats_mean_excess_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (mean-residual-life) plot per priority class at the
+    p90/p95/p97/p99 thresholds — the extreme-value-theory diagnostic
+    that decides whether a tail is GPD-heavy (mean excess RISING in
+    the threshold → shape ξ>0, provision for unbounded tails) or
+    exponential-ish (flat) before fitting anything.  Complements
+    stats_extreme_value_block_maxima (block maxima) and
+    stats_hill_tail_index (log-rank slope) with the
+    peaks-over-threshold view.
+
+    Exact: thresholds are DISCRETE rank picks (value at ⌈p·n/100⌉,
+    integer cents, deterministic tie-break by value), exceedance sums
+    are BIGINT, and the final mean is one identical division.
+
+    Scale shape: one rank window per group (same discipline as
+    agg_percentile_disc_rank), a broadcast of the groups×4 threshold
+    rows, one filtered aggregate.  At 100 TB the rank window is the
+    per-group sort the semantics require; everything else is
+    scan-bound."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("grp").orderBy("x")
+    ranked = base.select(
+        "grp",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in MEP_PCTS])).alias("p")
+    thr = (
+        ranked.select("grp", "x", "rk", "n", ps)
+        .groupBy("grp", "p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rk")
+                    == F.ceil(F.col("p") / 100.0 * F.col("n")).cast("bigint"),
+                    F.col("x"),
+                )
+            ).alias("u")
+        )
+    )
+    return (
+        base.join(
+            F.broadcast(thr),
+            (base["grp"] == thr["grp"]) & (base["x"] > thr["u"]),
+        )
+        .drop(thr["grp"])
+        .groupBy("grp", "p", F.col("u").alias("u_cents"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+            F.round(
+                F.sum(F.col("x") - F.col("u")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("mean_excess_dollars"),
+        )
+        .orderBy("grp", "p")
+    )
