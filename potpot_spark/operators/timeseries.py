@@ -5799,11 +5799,14 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x_i − y_j| on BIGINT daily counts, and the within-row left-to-
     right dependency D(i,j) = c_ij + min(up, diag, D(i,j−1)) is
     UNROLLED to D(i,j) = S_j + min_{{k≤j}}(e_k − S_{{k-1}})
-    (prefix sums S, e_k = min(up_k, diag_k)) — so each DP row is a
-    pure array comprehension over the previous row, no sequential
-    fold inside a row.  Spark steps rows with one ``aggregate`` HOF
-    over the series array; the oracle steps them with a recursive CTE
-    carrying the row as a LIST — identical integer state either way.
+    (prefix sums S, e_k = min(up_k, diag_k)) — so each DP row derives
+    from the previous via prefix-sum and running-min arrays.  Spark
+    steps rows with one ``aggregate`` HOF whose body is all O(n)
+    array expressions (list-pushing folds + zip_with — an O(n²)
+    expression tree cost ~9 s of flat Catalyst overhead; see comment);
+    the oracle steps them with a recursive CTE carrying the row as a
+    LIST built by O(n²)-but-tiny list comprehensions — identical
+    integer state either way.
 
     Scale shape: the corpus-scale work is one daily aggregate; DP
     runs on calendar-bounded arrays (days² per type) entirely inside
@@ -5831,32 +5834,37 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(prev, x):
+        # All O(n) array expressions — prefix sums and running mins are
+        # built by list-pushing aggregates, pairwise terms by zip_with.
+        # (A transform-over-sequence + aggregate-over-slice formulation
+        # was O(n^2) in EXPRESSION size and cost ~9 s of constant
+        # Catalyst/codegen overhead regardless of data scale; this
+        # shape plans in well under a second.)
         c = F.transform(F.col("a"), lambda y: F.abs(x - y))
-        sp = F.concat(
+        sp = F.aggregate(
+            c,
             F.array(F.lit(0).cast("long")),
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda j: F.aggregate(
-                    F.slice(c, F.lit(1), j),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
+            lambda acc, v: F.concat(acc, F.array(F.element_at(acc, -1) + v)),
+        )
+        ee = F.zip_with(
+            F.slice(prev, 1, n),
+            F.slice(prev, F.lit(2), n),
+            lambda p, q: F.least(p, q),
+        )
+        g = F.zip_with(ee, F.slice(sp, 1, n), lambda e, sv: e - sv)
+        rm = F.aggregate(
+            g,
+            F.array().cast("array<bigint>"),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, v).otherwise(
+                        F.least(F.element_at(acc, -1), v)
+                    )
                 ),
             ),
         )
-        ee = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda k: F.least(F.element_at(prev, k), F.element_at(prev, k + 1)),
-        )
-        tail = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda j: F.element_at(sp, j + 1)
-            + F.array_min(
-                F.transform(
-                    F.sequence(F.lit(1), j),
-                    lambda k: F.element_at(ee, k) - F.element_at(sp, k),
-                )
-            ),
-        )
+        tail = F.zip_with(F.slice(sp, F.lit(2), n), rm, lambda sv, m: sv + m)
         return F.concat(F.array(inf), tail)
 
     final_row = F.aggregate(F.col("b"), r0, step)
