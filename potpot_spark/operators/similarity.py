@@ -1342,3 +1342,136 @@ def sim_search_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rnk bigint, vec_id bigint, relevance double, mmr2_u bigint",
     )
+
+
+# --- E383: k-center greedy (farthest-point) diverse selection ------------
+
+KCENTER_K = 4  # selection rounds after the hash-seeded start
+
+
+def _kcenter_oracle() -> str:
+    from potpot_spark.functions.numeric import phash60_expr
+
+    steps = []
+    for r in range(2, KCENTER_K + 1):
+        steps.append(f"""
+        md{r} AS (
+            SELECT p.vec_id,
+                   MIN((SELECT SUM((p.q[i] - s.q[i]) * (p.q[i] - s.q[i]))
+                        FROM (SELECT unnest(range(1, len(p.q) + 1)) AS i)))
+                       AS dmin
+            FROM pts p, sel{r - 1} s
+            GROUP BY p.vec_id
+        ),
+        pick{r} AS (
+            SELECT vec_id, CAST(dmin AS BIGINT) AS dist_q
+            FROM md{r} ORDER BY dmin DESC, vec_id LIMIT 1
+        ),
+        sel{r} AS (
+            SELECT * FROM sel{r - 1}
+            UNION ALL
+            SELECT {r} AS rnk, p.vec_id, p.q
+            FROM pts p JOIN pick{r} k ON k.vec_id = p.vec_id
+        )""")
+    picks = "\n            UNION ALL ".join(
+        [
+            "SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS dist_q FROM sel1",
+        ]
+        + [
+            f"SELECT {r} AS rnk, vec_id, dist_q FROM pick{r}"
+            for r in range(2, KCENTER_K + 1)
+        ]
+    )
+    return f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   [CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+                    for v in embedding] AS q
+            FROM embeddings
+        ),
+        sel1 AS (
+            SELECT 1 AS rnk, vec_id, q FROM pts
+            ORDER BY {phash60_expr("CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT 1
+        ),
+        {",".join(steps)}
+        SELECT rnk, vec_id, dist_q
+        FROM ({picks})
+        ORDER BY rnk
+    """
+
+
+@query("sim_search_kcenter_greedy", oracle=_kcenter_oracle(), tags=("E383",))
+def sim_search_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point / Gonzalez) diverse selection
+    over the embedding table: start from the hash-seeded point, then
+    {KCENTER_K}−1 times pick the point FARTHEST from everything chosen
+    so far (max-min distance, (dist DESC, vec_id) tie-break).  The
+    2-approximation to k-center — the coreset/diverse-subset primitive
+    behind "pick maximally different examples" curation, active-
+    learning batches, and prototype selection; the geometric opposite
+    of MMR's relevance-diversity blend (sim_search_mmr_diverse_topk).
+
+    Exact: coordinates quantized once to 2^20 BIGINTs (same recipe as
+    ml_kmeans_fixed_point), distances are integer sums of squares, so
+    every argmax — and therefore the exact selected id sequence —
+    reproduces in DuckDB.
+
+    Scale shape: each round is one broadcast of the (tiny) selected
+    set against the point table with a min-over-selected distance and
+    a TakeOrdered argmax — k scans, no pairwise blowup; min-distances
+    are monotone so a 100 TB run caches the running min per point
+    (one column, updated by the newest seed only)."""
+    from potpot_spark.functions.numeric import phash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1048576).cast("bigint"),
+        ).alias("q"),
+    )
+    seed = (
+        pts.orderBy(phash60(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("rnk"), "vec_id", "q")
+    )
+    sel_rows = [(1, seed.first()["vec_id"], 0)]
+    sel = pts.join(
+        F.broadcast(
+            pts.sparkSession.createDataFrame(
+                [(sel_rows[0][1],)], "vec_id BIGINT"
+            )
+        ),
+        "vec_id",
+    ).select("vec_id", "q")
+    for r in range(2, KCENTER_K + 1):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("q"), F.col("sq"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        md = (
+            pts.crossJoin(
+                F.broadcast(sel.select(F.col("q").alias("sq")))
+            )
+            .select("vec_id", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"))
+        )
+        pick = md.orderBy(F.desc("dmin"), "vec_id").first()
+        sel_rows.append((r, pick["vec_id"], pick["dmin"]))
+        sel = pts.join(
+            F.broadcast(
+                pts.sparkSession.createDataFrame(
+                    [(v,) for _, v, _ in sel_rows], "vec_id BIGINT"
+                )
+            ),
+            "vec_id",
+        ).select("vec_id", "q")
+    return pts.sparkSession.createDataFrame(
+        sel_rows, "rnk INT, vec_id BIGINT, dist_q BIGINT"
+    ).orderBy("rnk")

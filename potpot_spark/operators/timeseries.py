@@ -5874,3 +5874,103 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("a").cast("bigint").alias("n_ref"),
         F.element_at(final_row, n + 1).cast("bigint").alias("dtw_q"),
     ).orderBy("event_type")
+
+
+# --- E384: point-in-time (leakage-free) feature assembly -----------------
+
+PIT_1D_US = 86_400_000_000
+PIT_7D_US = 7 * 86_400_000_000
+
+
+@query(
+    "events_point_in_time_features",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+            FROM events
+        ),
+        feat AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                          THEN 1 END) OVER w1, 0) AS BIGINT)
+                       AS n_view_1d,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                          THEN 1 END) OVER w7, 0) AS BIGINT)
+                       AS n_view_7d,
+                   CAST(COALESCE(COUNT(*) OVER w7, 0) AS BIGINT) AS n_any_7d,
+                   tus - LAG(tus) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id)
+                       AS gap_prev_us
+            FROM e
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY tus
+                          RANGE BETWEEN {PIT_1D_US} PRECEDING
+                                    AND 1 PRECEDING),
+                   w7 AS (PARTITION BY user_id ORDER BY tus
+                          RANGE BETWEEN {PIT_7D_US} PRECEDING
+                                    AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, n_view_1d, n_view_7d, n_any_7d,
+               gap_prev_us
+        FROM feat WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    tags=("E384",),
+)
+def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature assembly for a training set: for every
+    purchase (the label event), trailing-window behavioral features —
+    views in the last 1d/7d, any-event count in 7d, microseconds since
+    the previous event — computed AS OF strictly before the label
+    timestamp (RANGE frames ending at 1 µs PRECEDING), so nothing
+    from the label instant or later leaks into its own features.
+    This is the feature-store materialization that kills
+    training-serving skew; getting the strict-before boundary wrong
+    is the classic silent leak.
+
+    Exact: integer-microsecond RANGE frames (value-based, so same-
+    timestamp peers resolve identically in both engines regardless of
+    row order), integer counts, deterministic (tus, event_id) lag.
+
+    Scale shape: ONE window pass over events per user computes every
+    feature (no per-label self-joins, no point-in-time lookups); at
+    100 TB this is the standard shuffle-on-user + per-user sort, and
+    adding features is adding window expressions to the same pass."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-PIT_1D_US, -1)
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-PIT_7D_US, -1)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    is_view = F.when(F.col("event_type") == "view", 1)
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.sum(is_view).over(w1), F.lit(0)).cast("bigint").alias(
+            "n_view_1d"
+        ),
+        F.coalesce(F.sum(is_view).over(w7), F.lit(0)).cast("bigint").alias(
+            "n_view_7d"
+        ),
+        F.coalesce(F.count(F.lit(1)).over(w7), F.lit(0)).cast("bigint").alias(
+            "n_any_7d"
+        ),
+        (F.col("tus") - F.lag("tus").over(wlag)).alias("gap_prev_us"),
+    )
+    return (
+        feat.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "n_view_1d", "n_view_7d", "n_any_7d",
+            "gap_prev_us",
+        )
+        .orderBy("event_id")
+    )
