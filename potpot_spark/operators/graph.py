@@ -1849,10 +1849,15 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reach = edges.select(F.col("f").alias("src"), F.col("t").alias("dst"))
     for _ in range(SCC_DOUBLING_ROUNDS):
+        # True path doubling: reach ∪ (reach ⋈ reach) squares the
+        # reachable path length each round — 3 rounds cover length
+        # 2^3 = 8 ≥ |types| (the oracle's recursive CTE extends one
+        # edge per iteration instead; the closure fixpoint is the
+        # same set).
         ext = (
             reach.alias("r")
-            .join(edges.alias("e"), F.col("e.f") == F.col("r.dst"))
-            .select(F.col("r.src").alias("src"), F.col("e.t").alias("dst"))
+            .join(reach.alias("e"), F.col("e.src") == F.col("r.dst"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
         )
         reach = reach.union(ext).distinct()
     nodes = e.select(F.col("event_type").alias("node")).distinct()
