@@ -1475,3 +1475,120 @@ def sim_search_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.sparkSession.createDataFrame(
         sel_rows, "rnk INT, vec_id BIGINT, dist_q BIGINT"
     ).orderBy("rnk")
+
+
+# --- E385: retrieval recall@k evaluation ---------------------------------
+
+RETR_QUERIES = 20
+RETR_K = 10
+RETR_SCALE = 1 << 20
+
+
+@query(
+    "sim_search_retrieval_recall_eval",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, label,
+                   [CAST(ROUND(CAST(v AS DOUBLE) * {RETR_SCALE}) AS BIGINT)
+                    for v in embedding] AS q
+            FROM embeddings
+        ),
+        queries AS (
+            SELECT vec_id AS qid, label AS qlabel, q AS qv FROM pts
+            ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT), vec_id
+            LIMIT {RETR_QUERIES}
+        ),
+        scored AS (
+            SELECT qu.qid, qu.qlabel, p.vec_id, p.label,
+                   (SELECT SUM(qu.qv[i] * p.q[i])
+                    FROM (SELECT unnest(range(1, len(p.q) + 1)) AS i)) AS dot
+            FROM queries qu JOIN pts p ON p.vec_id <> qu.qid
+        ),
+        topk AS (
+            SELECT qid, qlabel, vec_id, label, dot FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+                FROM scored
+            ) WHERE rn <= {RETR_K}
+        )
+        SELECT qlabel AS label,
+               CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label,
+               ROUND(CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / ({RETR_K} * COUNT(DISTINCT qid)), 6) AS precision_at_k
+        FROM topk
+        GROUP BY qlabel
+        ORDER BY qlabel
+    """,
+    tags=("E385",),
+)
+def sim_search_retrieval_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: {RETR_QUERIES} hash-selected query
+    vectors retrieve their top-{RETR_K} neighbors by dot product over
+    the full table (self excluded), and label agreement scores the
+    retriever — precision@k with same-label as the relevance proxy,
+    reported per query label.  This is the eval loop every embedding-
+    model change reruns; pinning it exactly means a metric change is a
+    MODEL change, never engine noise.
+
+    Exact: coordinates quantized once to 2^20 BIGINTs, dot products
+    are integer sums (|q|·|v|·d ≤ 2^47), ranking ties break
+    (dot DESC, vec_id) — the top-k sets, not just the metric,
+    reproduce bit-for-bit in DuckDB.
+
+    Scale shape: the query set broadcasts (fixed size) against one
+    scan of the vector table; per-query ranking rides WindowGroupLimit
+    (top-k per group, no global sort).  At 100 TB the brute-force scan
+    swaps for the IVF probe path (sim_search_ivf) and THIS op is the
+    recall gate that certifies the swap."""
+    from potpot_spark.functions.numeric import phash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * RETR_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+    queries = (
+        pts.orderBy(phash60(F.col("vec_id").cast("string")), "vec_id")
+        .limit(RETR_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("q").alias("qv"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", "vec_id", "label", dot.alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), "vec_id")
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= RETR_K
+    )
+    same = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        topk.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.countDistinct("qid").cast("bigint").alias("n_queries"),
+            F.sum(same).cast("bigint").alias("n_same_label"),
+            F.round(
+                F.sum(same).cast("double")
+                / (RETR_K * F.countDistinct("qid")),
+                6,
+            ).alias("precision_at_k"),
+        )
+        .orderBy("label")
+    )
