@@ -5974,3 +5974,411 @@ def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_id")
     )
+
+
+KALMAN_Q = 0.25   # process noise (dyadic: exact double)
+KALMAN_R = 4.0    # observation noise (dyadic)
+KALMAN_P0 = 1.0   # initial state variance
+
+
+@query(
+    "timeseries_kalman_filter_1d",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS z
+            FROM events GROUP BY 1, 2
+        ),
+        ord AS (
+            SELECT event_type, z,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ),
+        kf AS (
+            SELECT event_type, rn, z AS x,
+                   CAST({KALMAN_P0} AS DOUBLE) AS p,
+                   CAST(0.0 AS DOUBLE) AS max_abs_innov
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.rn,
+                   r.x + ((r.p + {KALMAN_Q}) / (r.p + {KALMAN_Q} + {KALMAN_R}))
+                       * (o.z - r.x) AS x,
+                   (1.0 - (r.p + {KALMAN_Q}) / (r.p + {KALMAN_Q} + {KALMAN_R}))
+                       * (r.p + {KALMAN_Q}) AS p,
+                   greatest(r.max_abs_innov, abs(o.z - r.x)) AS max_abs_innov
+            FROM ord o
+            JOIN kf r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        )
+        SELECT event_type,
+               CAST(MAX(rn) AS BIGINT) AS n_days,
+               ROUND(arg_max(x, rn), 9) AS x_last,
+               ROUND(arg_max(p, rn), 9) AS p_last,
+               ROUND(arg_max(max_abs_innov, rn), 9) AS max_abs_innov
+        FROM kf GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E386",),
+)
+def timeseries_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER (random-walk-plus-noise model) over the daily
+    event-count series of each event_type: per step the state estimate
+    blends prediction and observation with the optimal gain
+    K = P'/(P'+R), P' = P+Q — the steady-state smoother behind
+    level-tracking dashboards and anomaly scores (the innovation
+    |z - x_pred| is the anomaly signal; its max is reported).
+
+    Bit-exactness engineering (the Croston discipline): Q/R/P0 are
+    dyadic literals, observations are exact integer counts in double,
+    and every step is the same +,-,*,/ sequence in the same order on
+    both engines (IEEE ops are correctly rounded, so identical input
+    sequences give identical bits); the single ROUND(...,9) happens
+    once at the end.  applyInPandas carries (x, P) per event_type —
+    parallel across series, sequential within one, which is the
+    filter's own data dependency.  At 100 TB: millions of independent
+    series shuffle once on the series key; per-series state is O(1).
+
+    Reference parity: the reference has no time-series surface
+    (src/lib.rs:1-12 — storage only); engine-declared extension."""
+    e = load_table(spark, sf_dir, "events")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("z"))
+    paired = daily.select(
+        "event_type",
+        F.struct(
+            F.datediff("day", F.lit("1970-01-01").cast("timestamp")).alias("d"),
+            F.col("z"),
+        ).alias("p"),
+    )
+    seqs = paired.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("p")).alias("sp")
+    ).select(
+        "event_type",
+        F.transform("sp", lambda x: x["z"]).alias("zs"),
+    )
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_days", T.LongType()),
+                T.StructField("x_last", T.DoubleType()),
+                T.StructField("p_last", T.DoubleType()),
+                T.StructField("max_abs_innov", T.DoubleType()),
+            ]
+        )
+    )
+    def kalman(zcol: pd.Series) -> pd.DataFrame:
+        ns, xs, ps, mi = [], [], [], []
+        for zs in zcol:
+            n = len(zs)
+            x, p, m = float(zs[0]), KALMAN_P0, 0.0
+            for k in range(1, n):
+                ppred = p + KALMAN_Q
+                gain = ppred / (ppred + KALMAN_R)
+                innov = float(zs[k]) - x
+                x = x + gain * innov
+                p = (1.0 - gain) * ppred
+                m = max(m, abs(innov))
+            ns.append(n); xs.append(x); ps.append(p); mi.append(m)
+        return pd.DataFrame(
+            {"n_days": ns, "x_last": xs, "p_last": ps, "max_abs_innov": mi}
+        )
+
+    out = seqs.select("event_type", kalman("zs").alias("k")).select(
+        "event_type", "k.*"
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round("x_last", 9).alias("x_last"),
+        F.round("p_last", 9).alias("p_last"),
+        F.round("max_abs_innov", 9).alias("max_abs_innov"),
+    ).orderBy("event_type")
+
+
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles -> 4 symbols
+
+
+@query(
+    "timeseries_sax_symbols",
+    oracle="""
+        WITH weekly AS (
+            SELECT event_type,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_start,
+                   CAST(COUNT(*) AS BIGINT) AS wk_count
+            FROM events GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                   CAST(SUM(wk_count) AS BIGINT) AS s,
+                   CAST(SUM(wk_count * wk_count) AS BIGINT) AS ss
+            FROM weekly GROUP BY event_type
+        ),
+        z AS (
+            SELECT w.event_type, w.week_start, w.wk_count,
+                   CASE WHEN sqrt((CAST(ss AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / CAST(n_weeks AS DOUBLE))
+                                  / CAST(n_weeks AS DOUBLE)) = 0.0
+                        THEN 0.0
+                        ELSE (CAST(wk_count AS DOUBLE)
+                              - CAST(s AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                             / sqrt((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                       / CAST(n_weeks AS DOUBLE))
+                                    / CAST(n_weeks AS DOUBLE))
+                   END AS zval
+            FROM weekly w JOIN st USING (event_type)
+            WHERE n_weeks >= 2
+        )
+        SELECT event_type, week_start, wk_count,
+               ROUND(zval, 9) AS zval,
+               CASE WHEN zval < -0.6745 THEN 'a'
+                    WHEN zval < 0.0     THEN 'b'
+                    WHEN zval < 0.6745  THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM z
+        ORDER BY event_type, week_start
+    """,
+    tags=("E387",),
+)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX SYMBOLIZATION (Lin et al.'s Symbolic Aggregate
+    approXimation) of each event_type's weekly-count series: aggregate
+    to weekly buckets (the PAA step on the calendar grid), z-normalize
+    against the series' own mean/std, and bin into a 4-letter alphabet
+    at the N(0,1) quartile breakpoints +-0.6745.  The symbol stream is
+    the input to motif mining, discord detection and sequence
+    indexing at a fraction of the raw-series cost.
+
+    Exact parity: weekly counts, their sum and sum-of-squares are
+    exact BIGINTs; mean/variance are spelled as the identical
+    +,-,*,/,sqrt expression on both engines (population variance via
+    (SS - S^2/n)/n), so the z-values agree bit-for-bit before the
+    single ROUND; breakpoint binning compares identical doubles
+    against identical literals.  Plan: one hash aggregate to weekly,
+    one tiny per-series stats aggregate broadcast back — two shuffles
+    on the series key, no window, no Python.  At 100 TB the stats
+    side stays proportional to #series, not #rows."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week_start")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("wk_count"))
+    st = weekly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("wk_count").cast("bigint").alias("s"),
+        F.sum(F.col("wk_count") * F.col("wk_count")).cast("bigint").alias("ss"),
+    )
+    j = weekly.join(F.broadcast(st), "event_type").where(F.col("n_weeks") >= 2)
+    mean = F.col("s").cast("double") / F.col("n_weeks").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_weeks").cast("double")
+    ) / F.col("n_weeks").cast("double")
+    sd = F.sqrt(var)
+    zval = F.when(sd == 0.0, F.lit(0.0)).otherwise(
+        (F.col("wk_count").cast("double") - mean) / sd
+    )
+    lo, mid, hi = SAX_BREAKPOINTS
+    symbol = (
+        F.when(zval < lo, "a")
+        .when(zval < mid, "b")
+        .when(zval < hi, "c")
+        .otherwise("d")
+    )
+    return (
+        j.select(
+            "event_type",
+            "week_start",
+            "wk_count",
+            F.round(zval, 9).alias("zval"),
+            symbol.alias("symbol"),
+        )
+        .orderBy("event_type", "week_start")
+    )
+
+
+MP_W = 7  # motif window length (days)
+
+
+@query(
+    "timeseries_matrix_profile_motif",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+            FROM daily GROUP BY event_type
+        ),
+        grid AS (
+            SELECT b.event_type,
+                   CAST(b.mn + CAST(g.k AS BIGINT) * INTERVAL 1 DAY AS DATE)
+                       AS day,
+                   CAST(g.k AS BIGINT) AS idx
+            FROM bounds b,
+                 LATERAL (SELECT unnest(generate_series(0,
+                              date_diff('day', b.mn, b.mx))) AS k) g
+        ),
+        filled AS (
+            SELECT g.event_type, g.idx, g.day, COALESCE(d.c, 0) AS c,
+                   CAST(COUNT(*) OVER (PARTITION BY g.event_type) AS BIGINT)
+                       AS n
+            FROM grid g
+            LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        wins AS (
+            SELECT f.event_type, f.idx - k.k AS i, k.k AS k, f.c, f.n
+            FROM filled f,
+                 LATERAL (SELECT unnest(generate_series(0, {MP_W - 1})) AS k) k
+            WHERE f.idx - k.k >= 0 AND f.idx - k.k <= f.n - {MP_W}
+        ),
+        pairs AS (
+            SELECT a.event_type, a.i AS i, b.i AS j,
+                   CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+            FROM wins a
+            JOIN wins b
+              ON a.event_type = b.event_type AND a.k = b.k
+             AND b.i >= a.i + {MP_W}
+            GROUP BY a.event_type, a.i, b.i
+        ),
+        best AS (
+            SELECT event_type, i, j, dist2,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dist2, i, j) AS rn
+            FROM pairs
+        )
+        SELECT b.event_type,
+               CAST(bo.mn + b.i * INTERVAL 1 DAY AS TIMESTAMP)
+                   AS motif_a_start,
+               CAST(bo.mn + b.j * INTERVAL 1 DAY AS TIMESTAMP)
+                   AS motif_b_start,
+               b.dist2
+        FROM best b JOIN bounds bo USING (event_type)
+        WHERE b.rn = 1
+        ORDER BY b.event_type
+    """,
+    tags=("E388",),
+)
+def timeseries_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-1 MOTIF per event_type via an exact (brute-force) matrix
+    profile over the zero-filled daily-count series: the pair of
+    non-overlapping length-{MP_W} windows with minimum Euclidean
+    distance — the series' most-repeated weekly shape.  Distances are
+    computed on raw integer counts (SUM of squared BIGINT diffs), so
+    dist2 is exact and the argmin is unambiguous; ties break on
+    (dist2, i, j).
+
+    Plan: one hash aggregate to daily counts, JVM `sequence()` fills
+    calendar gaps with zeros, the per-series array is built once
+    (sort_array over collect_list), and the O(n^2) window-pair scan
+    runs as array HOFs (two exploded index sequences + an
+    `aggregate` fold over the {MP_W} lags) — integer-only, no Python,
+    no shuffle after the series build.  Scale: series length is
+    calendar-bounded (n ~ 366 here) so the quadratic term is a
+    per-series constant; at 100 TB with millions of series the job is
+    one shuffle on the series key + embarrassingly parallel
+    per-series compute — the standard matrix-profile sharding.  A
+    sub-quadratic MASS/FFT profile is a different algorithm with
+    float transforms; exact integer brute is the oracle-able choice
+    and the right one at bounded n."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # Per-series dense array: calendar grid from min..max day, gaps = 0.
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.min("day").alias("mn"),
+            F.max("day").alias("mx"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("c")))
+            ).alias("sp"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            F.map_from_arrays(
+                F.transform("sp", lambda x: x["day"]),
+                F.transform("sp", lambda x: x["c"]),
+            ).alias("m"),
+            F.sequence(F.lit(0), F.datediff("mx", "mn")).alias("ks"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            F.transform(
+                "ks",
+                lambda k: F.coalesce(
+                    F.element_at("m", F.date_add("mn", k)), F.lit(0).cast("bigint")
+                ),
+            ).alias("arr"),
+        )
+    )
+    n = F.size("arr")
+    pairs = (
+        series.where(n >= 2 * MP_W)
+        .select(
+            "event_type",
+            "mn",
+            "arr",
+            F.explode(F.sequence(F.lit(0), n - 2 * MP_W)).alias("i"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            "arr",
+            "i",
+            F.explode(
+                F.sequence(F.col("i") + MP_W, F.size("arr") - MP_W)
+            ).alias("j"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            "i",
+            "j",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(MP_W - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, k: acc
+                + (
+                    F.element_at("arr", (F.col("i") + k + 1).cast("int"))
+                    - F.element_at("arr", (F.col("j") + k + 1).cast("int"))
+                )
+                * (
+                    F.element_at("arr", (F.col("i") + k + 1).cast("int"))
+                    - F.element_at("arr", (F.col("j") + k + 1).cast("int"))
+                ),
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("dist2", "i", "j")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_add("mn", F.col("i").cast("int"))
+            .cast("timestamp")
+            .alias("motif_a_start"),
+            F.date_add("mn", F.col("j").cast("int"))
+            .cast("timestamp")
+            .alias("motif_b_start"),
+            "dist2",
+        )
+        .orderBy("event_type")
+    )
