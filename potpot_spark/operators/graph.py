@@ -2010,3 +2010,107 @@ def graph_wedge_sample_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(num2).cast("double") / 2 / F.sum(wv), 6
         ).alias("est_transitivity"),
     )
+
+
+RA_SCALE = 10**12  # fixed-point scale for 1/deg wedge weights
+
+
+@query(
+    "graph_link_prediction_resource_allocation",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT u AS node, COUNT(*) AS degree FROM sym GROUP BY u
+        ),
+        wedges AS (
+            SELECT s1.v AS a, s2.v AS b,
+                   CAST(COUNT(*) AS BIGINT) AS common,
+                   CAST(SUM(CAST({RA_SCALE} AS BIGINT)
+                            // dw.degree) AS BIGINT) AS ra_fp
+            FROM sym s1
+            JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            JOIN deg dw ON dw.node = s1.u
+            WHERE s1.v < {LP_UNIVERSE} AND s2.v < {LP_UNIVERSE}
+            GROUP BY s1.v, s2.v
+        )
+        SELECT w.a, w.b, w.common, w.ra_fp
+        FROM wedges w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.u = w.a AND e.v = w.b
+        )
+        ORDER BY w.ra_fp DESC, w.a, w.b
+        LIMIT {LP_TOP}
+    """,
+    tags=("E389",),
+)
+def graph_link_prediction_resource_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by the RESOURCE-ALLOCATION index (Zhou, Lu &
+    Zhang): non-adjacent part pairs scored by sum(1/deg(z)) over
+    shared neighbors z — common neighbors count MORE when they are
+    selective.  RA consistently beats plain common-neighbors and
+    Jaccard on co-occurrence graphs because a hub that touches
+    everything carries no signal; this is the log-free cousin of
+    Adamic-Adar (1/deg instead of 1/log deg), chosen because it is
+    exactly representable: each wedge contributes the INTEGER
+    floor(1e12 / deg(center)), so scores are exact BIGINT sums — no
+    float summation order anywhere.
+
+    Same scalable shape as the Jaccard variant (graph.py
+    `graph_link_prediction_jaccard`): wedges enumerate two hops
+    through each shared neighbor (never a node-pair cross product),
+    the center's degree joins in BEFORE the pair aggregate, existing
+    edges drop via left-anti, endpoints bounded to the LP_UNIVERSE
+    working set.  At 100 TB the wedge join shards on the center node
+    and hot hubs contribute the least weight — RA is naturally
+    skew-damping."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    dw = F.broadcast(
+        deg.select(F.col("node").alias("w"), F.col("degree").alias("deg_w"))
+    )
+    wedges = (
+        s1.join(s2, "w")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("a") < LP_UNIVERSE)
+            & (F.col("b") < LP_UNIVERSE)
+        )
+        .join(dw, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            # `div` is exact BIGINT division (matching DuckDB `//`);
+            # a double `/` then cast can round across an integer once
+            # deg exceeds ~1/ulp(1e12) ≈ 4e3.
+            F.sum(
+                F.expr(f"CAST({RA_SCALE} AS BIGINT) div deg_w")
+            ).cast("bigint").alias("ra_fp"),
+        )
+    )
+    non_edges = wedges.join(
+        edges, (wedges.a == edges.u) & (wedges.b == edges.v), "left_anti"
+    )
+    return (
+        non_edges.select("a", "b", "common", "ra_fp")
+        .orderBy(F.desc("ra_fp"), F.asc("a"), F.asc("b"))
+        .limit(LP_TOP)
+    )

@@ -4071,3 +4071,132 @@ def ml_gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnd INT, feature INT, threshold BIGINT, mu_left BIGINT,"
         " mu_right BIGINT, sse_millions BIGINT",
     ).orderBy("rnd")
+
+
+ENET_ITERS = 10
+ENET_L1_PER_N = 1024.0   # l1 penalty per row (dyadic)
+ENET_L2_PER_N = 256.0    # l2 penalty per row (dyadic)
+
+
+def _enet_oracle() -> str:
+    """Unrolled elastic-net coordinate descent: Gauss-Seidel b1/b2
+    updates with soft-thresholding, scalar algebra over exact-decimal
+    sufficient statistics (the ml_gradient_descent_linear pattern).
+    Steps are MATERIALIZED so the chain evaluates linearly."""
+    steps = ["s0 AS MATERIALIZED (SELECT 0.0 AS b1, 0.0 AS b2 FROM sums)"]
+    st = (
+        "CASE WHEN {rho} > l1v THEN ({rho} - l1v) / ({den} + l2v) "
+        "WHEN {rho} < -l1v THEN ({rho} + l1v) / ({den} + l2v) "
+        "ELSE 0.0 END"
+    )
+    for i in range(1, ENET_ITERS + 1):
+        b1 = st.format(rho="rho1", den="c11")
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT b1, "
+            + st.format(rho="(c2y - c12 * b1)", den="c22")
+            + " AS b2 FROM ("
+            f"SELECT {b1} AS b1, c2y, c12, c22, l1v, l2v FROM ("
+            f"SELECT c1y - c12 * s{i - 1}.b2 AS rho1, "
+            f"c11, c12, c22, c2y, l1v, l2v "
+            f"FROM sums, s{i - 1})))"
+        )
+    trace = " UNION ALL ".join(
+        f"SELECT {i} AS iteration, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2 "
+        f"FROM s{i}"
+        for i in range(1, ENET_ITERS + 1)
+    )
+    return f"""
+        WITH sums AS MATERIALIZED (
+            SELECT
+                CAST(SUM(x1 * x1) AS DOUBLE) AS c11,
+                CAST(SUM(x2 * x2) AS DOUBLE) AS c22,
+                CAST(SUM(x1 * x2) AS DOUBLE) AS c12,
+                CAST(SUM(x1 * y) AS DOUBLE) AS c1y,
+                CAST(SUM(x2 * y) AS DOUBLE) AS c2y,
+                {ENET_L1_PER_N} * COUNT(*) AS l1v,
+                {ENET_L2_PER_N} * COUNT(*) AS l2v
+            FROM (
+                SELECT CAST(l_quantity AS DECIMAL(18,4)) AS x1,
+                       CAST(l_discount AS DECIMAL(18,4)) * 100 AS x2,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) AS y
+                FROM lineitem
+            )
+        ), {", ".join(steps)}
+        SELECT * FROM ({trace}) ORDER BY iteration
+    """
+
+
+@query("ml_elastic_net_coordinate_descent", oracle=_enet_oracle(), tags=("E393",))
+def ml_elastic_net_coordinate_descent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ELASTIC-NET regression (L1 + L2) by cyclic coordinate descent —
+    the glmnet algorithm — for extendedprice ~ quantity + discount%:
+    each coordinate update soft-thresholds its partial residual
+    correlation (the L1 shrink-to-zero) and shrinks by the ridge term
+    (the L2).  The lasso path's defining behavior is visible in the
+    trace: a weak coordinate hits the threshold and snaps to exactly
+    0.0.
+
+    The distributed insight is the same as ml_gradient_descent_linear:
+    penalized least squares has fixed sufficient statistics (the
+    feature Gram matrix and feature-target correlations), so 100 TB is
+    scanned ONCE into exact decimal sums; the 10 iterations are then
+    O(1) scalar algebra on that aggregate row, replayed driver-side
+    (the graph-fixpoint-scalar pattern — unlike the unpenalized GD
+    twin, the soft-threshold CASE references its argument three
+    times, so unrolling it as a plan expression grows 3^k and OOMs
+    Catalyst; the collect moves one 7-double row, not data).  Python
+    floats are IEEE doubles, so +,-,*,/ and the threshold comparisons
+    replay DuckDB's arithmetic bit-for-bit; rounding happens JVM-side
+    (HALF_UP, matching DuckDB ROUND).  Penalties scale with row count
+    (dyadic per-row constants), keeping shrinkage meaningful at any
+    SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(18,4)")
+    x2 = F.col("l_discount").cast("decimal(18,4)") * 100
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.agg(
+        F.sum(x1 * x1).cast("double").alias("c11"),
+        F.sum(x2 * x2).cast("double").alias("c22"),
+        F.sum(x1 * x2).cast("double").alias("c12"),
+        F.sum(x1 * y).cast("double").alias("c1y"),
+        F.sum(x2 * y).cast("double").alias("c2y"),
+        (F.lit(ENET_L1_PER_N) * F.count(F.lit(1))).alias("l1v"),
+        (F.lit(ENET_L2_PER_N) * F.count(F.lit(1))).alias("l2v"),
+    )
+
+    m = sums.collect()[0]
+    c11, c22, c12 = m["c11"], m["c22"], m["c12"]
+    c1y, c2y, l1v, l2v = m["c1y"], m["c2y"], m["l1v"], m["l2v"]
+
+    def soft(rho: float, den: float) -> float:
+        if rho > l1v:
+            return (rho - l1v) / (den + l2v)
+        if rho < -l1v:
+            return (rho + l1v) / (den + l2v)
+        return 0.0
+
+    b1, b2 = 0.0, 0.0
+    trace = []
+    for i in range(1, ENET_ITERS + 1):
+        b1 = soft(c1y - c12 * b2, c11)
+        b2 = soft(c2y - c12 * b1, c22)
+        trace.append((i, b1, b2))
+    from pyspark.sql import types as T
+
+    out = spark.createDataFrame(
+        trace,
+        T.StructType(
+            [
+                T.StructField("iteration", T.IntegerType()),
+                T.StructField("b1", T.DoubleType()),
+                T.StructField("b2", T.DoubleType()),
+            ]
+        ),
+    )
+    return out.select(
+        "iteration",
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    ).orderBy("iteration")

@@ -2036,3 +2036,116 @@ def pipeline_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+BATCH_B = 8  # sequences per training batch
+
+
+@query(
+    "pipeline_length_grouped_batching",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        assigned AS (
+            SELECT 'length_sorted' AS strategy, n_tok,
+                   (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                       // {BATCH_B} AS batch_id
+            FROM toks
+            UNION ALL
+            SELECT 'hash_random', n_tok,
+                   (row_number() OVER (
+                        ORDER BY {{PH}}, doc_id) - 1) // {BATCH_B}
+            FROM toks
+        ),
+        per_batch AS (
+            SELECT strategy, batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(MAX(n_tok) AS BIGINT) AS mx,
+                   CAST(SUM(n_tok) AS BIGINT) AS sm
+            FROM assigned GROUP BY strategy, batch_id
+        )
+        SELECT strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(sm) AS BIGINT) AS total_tokens,
+               CAST(SUM(mx * cnt) AS BIGINT) AS padded_slots,
+               CAST(SUM(mx * cnt) - SUM(sm) AS BIGINT) AS waste_tokens,
+               CAST((SUM(mx * cnt) - SUM(sm)) * 1000
+                    // SUM(mx * cnt) AS BIGINT) AS waste_per_mille
+        FROM per_batch
+        GROUP BY strategy
+        ORDER BY strategy
+    """.replace("{PH}", phash60_expr("CAST(doc_id AS VARCHAR)")),
+    tags=("E395",),
+)
+def pipeline_length_grouped_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LENGTH-GROUPED BATCHING audit: pack documents into fixed-size
+    training batches two ways — sorted by token length (similar
+    lengths share a batch) vs hash-random — and measure the padding
+    each strategy pays, since every sequence in a batch pads to the
+    batch max.  Length grouping is the standard trainer trick
+    (HuggingFace's group_by_length) that typically cuts padding FLOPs
+    by 2-10x; this op quantifies the saving on the actual corpus.
+
+    Exact: token counts, batch maxima, padded-slot sums and the
+    per-mille waste ratio are all BIGINT arithmetic (integer floor
+    division at the end); the hash-random baseline uses the portable
+    60-bit md5 hash so both engines assign identical batches.  Plan:
+    one tokenize+count pass, a global row_number sort per strategy
+    (the sort IS the algorithm; at 100 TB this becomes a range
+    partition by length — equivalent batches, distributed sort), one
+    batch aggregate, one strategy rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("bigint").alias("n_tok"),
+    )
+    w_len = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    w_hash = Window.orderBy(
+        phash60_col(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    assigned = toks.select(
+        F.lit("length_sorted").alias("strategy"),
+        "n_tok",
+        ((F.row_number().over(w_len) - 1) / BATCH_B).cast("bigint").alias(
+            "batch_id"
+        ),
+    ).union(
+        toks.select(
+            F.lit("hash_random").alias("strategy"),
+            "n_tok",
+            ((F.row_number().over(w_hash) - 1) / BATCH_B)
+            .cast("bigint")
+            .alias("batch_id"),
+        )
+    )
+    per_batch = assigned.groupBy("strategy", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("n_tok").cast("bigint").alias("mx"),
+        F.sum("n_tok").cast("bigint").alias("sm"),
+    )
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("sm").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("cnt")).cast("bigint").alias(
+                "padded_slots"
+            ),
+            (F.sum(F.col("mx") * F.col("cnt")) - F.sum("sm"))
+            .cast("bigint")
+            .alias("waste_tokens"),
+            F.expr(
+                f"CAST(((SUM(mx * cnt) - SUM(sm)) * 1000)"
+                f" div SUM(mx * cnt) AS BIGINT)"
+            ).alias("waste_per_mille"),
+        )
+        .orderBy("strategy")
+    )

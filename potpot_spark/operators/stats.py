@@ -4807,3 +4807,108 @@ def stats_mean_excess_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "p")
     )
+
+
+@query(
+    "stats_friedman_test",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT d.day, t.event_type, COALESCE(x.c, 0) AS c
+            FROM (SELECT DISTINCT day FROM daily) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+            LEFT JOIN daily x
+              ON x.day = d.day AND x.event_type = t.event_type
+        ),
+        ranked AS (
+            SELECT day, event_type,
+                   2 * rank() OVER (PARTITION BY day ORDER BY c)
+                     + COUNT(*) OVER (PARTITION BY day, c) - 1 AS ar2
+            FROM cells
+        ),
+        sums AS (
+            SELECT event_type, CAST(SUM(ar2) AS BIGINT) AS rank2_sum
+            FROM ranked GROUP BY event_type
+        ),
+        dims AS (
+            SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+            FROM cells
+        )
+        SELECT d.n AS n_blocks, d.k AS k_treatments,
+               ROUND(
+                   3.0 * CAST((SELECT SUM(rank2_sum * rank2_sum) FROM sums)
+                              AS DOUBLE)
+                   / (CAST(d.n AS DOUBLE) * CAST(d.k AS DOUBLE)
+                      * CAST(d.k + 1 AS DOUBLE))
+                   - 3.0 * CAST(d.n AS DOUBLE) * CAST(d.k + 1 AS DOUBLE), 9)
+                   AS friedman_stat
+        FROM dims d
+    """,
+    tags=("E394",),
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST for repeated measures: does any event_type
+    consistently out-rank the others across days?  Blocks = days,
+    treatments = event types; within each day the k treatments are
+    ranked (zero-filled cells so absent types rank lowest), and the
+    statistic chi2_F = 12/(n k(k+1)) * sum R_j^2 - 3 n (k+1) measures
+    rank-sum divergence — the non-parametric two-way ANOVA used when
+    per-day count distributions are non-normal (they are: Poisson-ish
+    with weekly seasonality).
+
+    Exactness: tie-average ranks are carried as DOUBLED integer ranks
+    ar2 = 2*min_rank + ties - 1 (exact BIGINTs; R_j = sum(ar2)/2, so
+    12*sum(R_j^2) = 3*sum(ar2^2) absorbs the /4), leaving integer
+    sums + one double expression — identical to the digit.  Plan: one
+    hash aggregate, a tiny day x type zero-fill (dimension cross join,
+    both sides aggregate-sized), one rank window per day, one final
+    aggregate.  At 100 TB ranks partition by block — millions of
+    small independent windows, no skew."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    cells = (
+        days.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("c", F.lit(0).cast("bigint")).alias("c")
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = cells.select(
+        "day",
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("ar2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("ar2").cast("bigint").alias("rank2_sum")
+    )
+    dims = cells.agg(
+        F.countDistinct("day").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    total = sums.agg(
+        F.sum(F.col("rank2_sum") * F.col("rank2_sum")).alias("ss")
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    k1d = (F.col("k") + 1).cast("double")
+    return dims.crossJoin(total).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(
+            F.lit(3.0) * F.col("ss").cast("double") / (nd * kd * k1d)
+            - F.lit(3.0) * nd * k1d,
+            9,
+        ).alias("friedman_stat"),
+    )

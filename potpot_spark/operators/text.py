@@ -2707,3 +2707,138 @@ def text_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BM25_K1 = 1.25          # term-saturation constant (dyadic: exact)
+BM25_B = 0.75           # length-normalization constant (dyadic)
+BM25_QRANK = (10, 12)   # query = terms ranked 10..12 by df (desc, term)
+BM25_TOP = 20           # top documents returned
+BM25_FP = 10**9         # fixed-point scale for order-free score sums
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+            GROUP BY doc_id
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY term
+        ),
+        gl AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens
+            FROM dl
+        ),
+        qterms AS (
+            SELECT term, df FROM (
+                SELECT term, df,
+                       row_number() OVER (ORDER BY df DESC, term) AS rn
+                FROM df
+            ) WHERE rn BETWEEN {BM25_QRANK[0]} AND {BM25_QRANK[1]}
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(FLOOR(
+                       ((CAST(gl.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE)
+                         + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+                          / (CAST(tf.tf AS DOUBLE)
+                             + {BM25_K1} * (1.0 - {BM25_B}
+                                 + {BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                     / (CAST(gl.total_tokens AS DOUBLE)
+                                        / CAST(gl.n_docs AS DOUBLE))))))
+                       * {BM25_FP}.0) AS BIGINT) AS score_fp
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN gl
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_query_terms_hit,
+               CAST(SUM(score_fp) AS BIGINT) AS bm25_fp
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25_fp DESC, doc_id
+        LIMIT {BM25_TOP}
+    """,
+    tags=("E390",),
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 DOCUMENT RETRIEVAL over the corpus for a deterministic
+    3-term query (the terms ranked 10-12 by document frequency — past
+    the stopword head, still corpus-common enough to hit many docs):
+    the standard Okapi ranking function with term saturation (k1) and
+    document-length normalization (b), the default first-stage ranker
+    in front of every neural reranker.
+
+    Exactness engineering: the textbook log-idf is replaced by the
+    RATIONAL idf (N - df + 0.5)/(df + 0.5) — the same monotone
+    ordering, but built only from +,-,*,/ on exact integers, so both
+    engines produce bit-identical doubles; per-(doc,term) scores are
+    then FLOOR-quantized to 1e-9 fixed point and summed as BIGINTs,
+    making the cross-term sum independent of addition order (the
+    FLOOR-fixed-point discipline).  Plan: explode -> tf/df/dl hash
+    aggregates; the 3-row query-term table and the 2-value global
+    stats broadcast; one per-doc aggregate; top-k with deterministic
+    ties.  At 100 TB this is the inverted-index shape: postings
+    shuffle once on term, scoring is map-side after the broadcast
+    join."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tok()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    gl = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_tbl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").between(*BM25_QRANK))
+        .select("term", "df")
+    )
+    n_docs = F.col("n_docs").cast("double")
+    dfq = F.col("df").cast("double")
+    tfq = F.col("tf").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_docs
+    idf = (n_docs - dfq + 0.5) / (dfq + 0.5)
+    tf_norm = (
+        tfq * (BM25_K1 + 1.0)
+        / (tfq + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "doc_id",
+            F.floor(idf * tf_norm * float(BM25_FP)).cast("bigint").alias(
+                "score_fp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms_hit"),
+            F.sum("score_fp").cast("bigint").alias("bm25_fp"),
+        )
+        .orderBy(F.desc("bm25_fp"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

@@ -6382,3 +6382,266 @@ def timeseries_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+LITTLE_GAP_MIN = 480  # session gap (lockstep with the sessionize family)
+
+
+@query(
+    "events_littles_law_audit",
+    oracle=f"""
+        WITH sess AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(tus) AS BIGINT) AS s_start,
+                   CAST(MAX(tus) AS BIGINT) AS s_end
+            FROM (
+                SELECT user_id, event_id, tus,
+                       SUM(CASE WHEN prev_tus IS NULL
+                                  OR tus - prev_tus
+                                     > CAST({LITTLE_GAP_MIN * 60_000_000}
+                                            AS BIGINT)
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                           lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                              event_id) AS prev_tus
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
+        ),
+        direct AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(s_end - s_start) AS BIGINT) AS total_us_direct,
+                   CAST(MIN(s_start) AS BIGINT) AS w_start,
+                   CAST(MAX(s_end) AS BIGINT) AS w_end
+            FROM sess
+        ),
+        endpoints AS (
+            SELECT s_start AS t, 1 AS delta FROM sess
+            UNION ALL
+            SELECT s_end, -1 FROM sess
+        ),
+        swept AS (
+            SELECT t,
+                   SUM(delta) OVER (ORDER BY t, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS live,
+                   lead(t) OVER (ORDER BY t, delta DESC) AS next_t
+            FROM endpoints
+        ),
+        integral AS (
+            SELECT CAST(SUM(live * (next_t - t)) AS BIGINT) AS total_us_sweep
+            FROM swept WHERE next_t IS NOT NULL
+        )
+        SELECT d.n_sessions,
+               d.total_us_direct,
+               i.total_us_sweep,
+               d.total_us_direct = i.total_us_sweep AS littles_law_holds,
+               ROUND(CAST(i.total_us_sweep AS DOUBLE)
+                     / CAST(d.w_end - d.w_start AS DOUBLE), 9)
+                   AS avg_concurrency,
+               CAST(d.total_us_direct // d.n_sessions AS BIGINT)
+                   AS mean_session_us
+        FROM direct d CROSS JOIN integral i
+    """,
+    tags=("E391",),
+)
+def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW AUDIT (L = λ·W) on the session system: the
+    time-in-system total measured two independent ways — directly
+    (sum of session durations) and as the sweep-line INTEGRAL of
+    instantaneous concurrency over time — must agree exactly, which
+    is Little's law in integral form on a finite window.  Reports
+    both totals, the equality flag, average concurrency (L, 1e-9
+    fixed point over the observation window) and mean session
+    duration (W, integer µs): the queueing triangle every capacity
+    model starts from.
+
+    Exact: all integer-microsecond arithmetic end to end (durations,
+    the concurrency integral, the two integer divisions); equal-time
+    boundaries contribute zero-width intervals so the sweep ordering
+    cannot change the integral.  Plan: sessionize with the family's
+    480-min gap windows, 2 boundary rows per session, one global
+    ordered cumulative sum — the same single-partition sweep the
+    max-concurrency op documents (boundary stream is ~2/session,
+    orders of magnitude smaller than events; at 100 TB shard the
+    sweep by calendar range and stitch with per-shard offsets)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = LITTLE_GAP_MIN * 60_000_000
+    marked = e.withColumn("prev_tus", F.lag("tus").over(wlag)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_tus").isNull()
+            | (F.col("tus") - F.col("prev_tus") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        marked.withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                wlag.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("tus").cast("bigint").alias("s_start"),
+            F.max("tus").cast("bigint").alias("s_end"),
+        )
+    )
+    direct = sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("s_end") - F.col("s_start")).cast("bigint").alias(
+            "total_us_direct"
+        ),
+        F.min("s_start").cast("bigint").alias("w_start"),
+        F.max("s_end").cast("bigint").alias("w_end"),
+    )
+    endpoints = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).union(sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta")))
+    wsweep = Window.orderBy(F.col("t"), F.col("delta").desc())
+    swept = endpoints.select(
+        "t",
+        F.sum("delta").over(
+            wsweep.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("live"),
+        F.lead("t").over(wsweep).alias("next_t"),
+    )
+    integral = swept.where(F.col("next_t").isNotNull()).agg(
+        F.sum(F.col("live") * (F.col("next_t") - F.col("t")))
+        .cast("bigint")
+        .alias("total_us_sweep")
+    )
+    return direct.crossJoin(integral).select(
+        "n_sessions",
+        "total_us_direct",
+        "total_us_sweep",
+        (F.col("total_us_direct") == F.col("total_us_sweep")).alias(
+            "littles_law_holds"
+        ),
+        F.round(
+            F.col("total_us_sweep").cast("double")
+            / (F.col("w_end") - F.col("w_start")).cast("double"),
+            9,
+        ).alias("avg_concurrency"),
+        F.expr("CAST(total_us_direct div n_sessions AS BIGINT)").alias(
+            "mean_session_us"
+        ),
+    )
+
+
+ADSTOCK_DECAY = 0.5   # per-day carryover (dyadic: every product exact)
+ADSTOCK_LAGS = 7      # memory horizon in days
+
+
+@query(
+    "analytics_adstock_carryover",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+            FROM daily GROUP BY event_type
+        ),
+        grid AS (
+            SELECT b.event_type,
+                   CAST(b.mn + CAST(g.k AS BIGINT) * INTERVAL 1 DAY AS DATE)
+                       AS day
+            FROM bounds b,
+                 LATERAL (SELECT unnest(generate_series(0,
+                              date_diff('day', b.mn, b.mx))) AS k) g
+        ),
+        filled AS (
+            SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+            FROM grid g
+            LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        ad AS (
+            SELECT event_type, day, c,
+                   CAST(lag(c, 1, 0) OVER w AS DOUBLE) * 0.5
+                 + CAST(lag(c, 2, 0) OVER w AS DOUBLE) * 0.25
+                 + CAST(lag(c, 3, 0) OVER w AS DOUBLE) * 0.125
+                 + CAST(lag(c, 4, 0) OVER w AS DOUBLE) * 0.0625
+                 + CAST(lag(c, 5, 0) OVER w AS DOUBLE) * 0.03125
+                 + CAST(lag(c, 6, 0) OVER w AS DOUBLE) * 0.015625
+                 + CAST(lag(c, 7, 0) OVER w AS DOUBLE) * 0.0078125
+                 + CAST(c AS DOUBLE) AS adstock
+            FROM filled
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, c, adstock
+        FROM ad
+        ORDER BY event_type, day
+    """,
+    tags=("E392",),
+)
+def analytics_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC ADSTOCK (advertising carryover): each day's effective
+    exposure is today's activity plus a {ADSTOCK_DECAY}-decayed echo of
+    the previous {ADSTOCK_LAGS} days — the standard marketing-mix
+    transformation before any media-effect regression (exposure acts
+    after the day it is bought).
+
+    Exact: the decay is dyadic (0.5^k are exact powers of two) and
+    counts are small integers, so every product and the 8-term sum are
+    EXACT doubles — no fixed-point needed, any addition order gives
+    the same bits (no rounding ever occurs).  The day grid is
+    zero-filled so gaps decay correctly rather than skipping.  Plan:
+    one hash aggregate + calendar fill + a single window pass with 8
+    lag() taps per series; at 100 TB this shuffles once on the series
+    key and the taps stay in one whole-stage-codegen window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.datediff("mx", "mn")),
+                    lambda k: F.date_add("mn", k),
+                )
+            ).alias("day"),
+        )
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0).cast("bigint")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    # Build the identical explicit 8-term chain the oracle spells out
+    # (lag1*0.5 + ... + lag7*0.0078125 + c); all terms dyadic-exact.
+    terms = [
+        F.lag("c", k, 0).over(w).cast("double") * (ADSTOCK_DECAY ** k)
+        for k in range(1, ADSTOCK_LAGS + 1)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    expr = expr + F.col("c").cast("double")
+    return (
+        filled.select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "c",
+            expr.alias("adstock"),
+        )
+        .orderBy("event_type", "day")
+    )
