@@ -622,3 +622,89 @@ def sample_balanced_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("label")
     )
+
+
+NEYMAN_N = 1000        # total sample budget to allocate
+NEYMAN_FP = 2 ** 20    # fixed-point scale for stratum weights
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+        WITH strata AS (
+            SELECT o_orderpriority AS stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_h,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)))
+                        AS DOUBLE) AS s,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0))
+                            * CAST(ROUND(o_totalprice * 100)
+                                   AS DECIMAL(19,0))) AS DOUBLE) AS ss
+            FROM orders GROUP BY o_orderpriority
+        ),
+        weighted AS (
+            SELECT stratum, n_h,
+                   CAST(FLOOR(
+                       CAST(n_h AS DOUBLE)
+                       * sqrt((ss - s * s / CAST(n_h AS DOUBLE))
+                              / CAST(n_h AS DOUBLE))
+                       * {NEYMAN_FP}.0 / 100.0) AS BIGINT) AS w_fp
+            FROM strata
+        ),
+        tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS total_w FROM weighted)
+        SELECT w.stratum, w.n_h, w.w_fp,
+               CAST(({NEYMAN_N} * w.w_fp) // t.total_w AS BIGINT)
+                   AS n_alloc
+        FROM weighted w CROSS JOIN tot t
+        ORDER BY w.stratum
+    """,
+    tags=("E398",),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION for stratified sampling: split a
+    fixed sample budget across the order-priority strata in proportion
+    to N_h * sigma_h — the allocation that minimizes the variance of
+    the stratified mean estimator for a fixed total n (big AND
+    volatile strata get more samples; uniform and proportional
+    allocation are both strictly worse unless sigmas are equal).
+    This is the planning step in front of every stratified sampler
+    (the executing sibling is sample_stratified_by_flag).
+
+    Exact: per-stratum sums run in integer cents (exact DECIMAL),
+    sigma_h is the one spelled-identical sqrt expression, and the
+    weight N_h*sigma_h is FLOOR-quantized to 2^-20 fixed point BEFORE
+    the cross-stratum total — so the total is an exact BIGINT sum
+    (order-free) and every allocation is one exact integer division.
+    Plan: one hash aggregate over orders, a 5-row weight table, a
+    1-row total broadcast back.  At 100 TB the stats pass is the only
+    data touch; allocation is O(#strata)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(cents).cast("double").alias("s"),
+        F.sum(cents * cents).cast("double").alias("ss"),
+    )
+    nhd = F.col("n_h").cast("double")
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / nhd) / nhd
+    )
+    weighted = strata.select(
+        "stratum",
+        "n_h",
+        F.floor(nhd * sigma * float(NEYMAN_FP) / 100.0).cast("bigint").alias(
+            "w_fp"
+        ),
+    )
+    tot = weighted.agg(F.sum("w_fp").cast("bigint").alias("total_w"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            "w_fp",
+            F.expr(f"CAST(({NEYMAN_N} * w_fp) div total_w AS BIGINT)").alias(
+                "n_alloc"
+            ),
+        )
+        .orderBy("stratum")
+    )

@@ -2842,3 +2842,117 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_fp"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+KN_D = 0.75      # Kneser-Ney absolute discount (dyadic: exact)
+KN_TOP = 25      # bigrams reported
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS ts
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT t.ts[g.k] AS w1, t.ts[g.k + 1] AS w2
+            FROM toks t,
+                 LATERAL (SELECT unnest(generate_series(1, len(t.ts) - 1))
+                          AS k) g
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM c12 GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS fanin
+            FROM c12 GROUP BY w2
+        ),
+        nbig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12)
+        SELECT b.w1, b.w2, b.c12, c1.c1, c1.fanout, ct.fanin,
+               ROUND(
+                   (CAST(b.c12 AS DOUBLE) - {KN_D}) / CAST(c1.c1 AS DOUBLE)
+                   + ({KN_D} * CAST(c1.fanout AS DOUBLE)
+                      / CAST(c1.c1 AS DOUBLE))
+                     * (CAST(ct.fanin AS DOUBLE)
+                        / CAST(n.n_types AS DOUBLE)), 9) AS p_kn
+        FROM c12 b
+        JOIN c1 USING (w1)
+        JOIN cont ct USING (w2)
+        CROSS JOIN nbig n
+        ORDER BY b.c12 DESC, b.w1, b.w2
+        LIMIT {KN_TOP}
+    """,
+    tags=("E399",),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram probabilities for the corpus's most
+    frequent bigrams: absolute discounting (D={KN_D}) of the raw
+    bigram estimate, with the stolen mass redistributed by the
+    CONTINUATION probability — how many distinct contexts a word
+    FOLLOWS, not how often it occurs ("francisco" is frequent but only
+    ever follows "san", so its continuation weight is tiny).  KN is
+    the strongest classical n-gram smoother and the baseline every
+    neural LM paper still reports against.
+
+    Exact: all counts (bigram, left-context total, fanout N1+(w1 ·),
+    fanin N1+(· w2), bigram-type total) are exact BIGINTs; D is
+    dyadic; p_kn is one fixed +,-,*,/ expression spelled identically
+    on both engines (every report column carries the raw counts so
+    the probability is auditable).  Top-{KN_TOP} rows report the most
+    frequent bigrams (frequent rows have the discount behavior most
+    visible); ties break lexically.  Plan: per-doc token arrays,
+    adjacency pairs via index zip (one explode), three hash
+    aggregates sharing the bigram key, broadcast of the two unigram
+    side tables.  At 100 TB this is two shuffles (bigram, unigram) —
+    the standard LM count pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(
+                    "ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fanin")
+    )
+    nbig = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        (F.col("c12").cast("double") - KN_D) / F.col("c1").cast("double")
+        + (KN_D * F.col("fanout").cast("double") / F.col("c1").cast("double"))
+        * (F.col("fanin").cast("double") / F.col("n_types").cast("double"))
+    )
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nbig))
+        .select(
+            "w1", "w2", "c12", "c1", "fanout", "fanin",
+            F.round(p_kn, 9).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP)
+    )

@@ -6645,3 +6645,263 @@ def analytics_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+SHAP6_W = {0: 2, 1: 1, 2: 2}  # 6 x Shapley weight by coalition size (k=3)
+
+
+@query(
+    "events_shapley_channel_attribution",
+    oracle="""
+        WITH first_purchase AS (
+            SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS fp
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        touches AS (
+            SELECT e.user_id,
+                   MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+                       AS tv,
+                   MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                       AS tc,
+                   MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS ts
+            FROM events e
+            JOIN first_purchase p
+              ON p.user_id = e.user_id AND CAST(e.ts AS TIMESTAMP) < p.fp
+            GROUP BY e.user_id
+        ),
+        pat AS (
+            SELECT
+                CAST(COUNT(*) FILTER (tv=0 AND tc=0 AND ts=0) AS BIGINT)
+                    AS e000,
+                CAST(COUNT(*) FILTER (tv=1 AND tc=0 AND ts=0) AS BIGINT)
+                    AS e100,
+                CAST(COUNT(*) FILTER (tv=0 AND tc=1 AND ts=0) AS BIGINT)
+                    AS e010,
+                CAST(COUNT(*) FILTER (tv=0 AND tc=0 AND ts=1) AS BIGINT)
+                    AS e001,
+                CAST(COUNT(*) FILTER (tv=1 AND tc=1 AND ts=0) AS BIGINT)
+                    AS e110,
+                CAST(COUNT(*) FILTER (tv=1 AND tc=0 AND ts=1) AS BIGINT)
+                    AS e101,
+                CAST(COUNT(*) FILTER (tv=0 AND tc=1 AND ts=1) AS BIGINT)
+                    AS e011,
+                CAST(COUNT(*) FILTER (tv=1 AND tc=1 AND ts=1) AS BIGINT)
+                    AS e111
+            FROM touches
+        ),
+        v AS (
+            SELECT e000 AS v0,
+                   e000+e100 AS v_v, e000+e010 AS v_c, e000+e001 AS v_s,
+                   e000+e100+e010+e110 AS v_vc,
+                   e000+e100+e001+e101 AS v_vs,
+                   e000+e010+e001+e011 AS v_cs,
+                   e000+e100+e010+e001+e110+e101+e011+e111 AS v_all
+            FROM pat
+        )
+        SELECT CAST(2*(v_v - v0) + 1*(v_vc - v_c) + 1*(v_vs - v_s)
+                    + 2*(v_all - v_cs) AS BIGINT) AS phi6_view,
+               CAST(2*(v_c - v0) + 1*(v_vc - v_v) + 1*(v_cs - v_s)
+                    + 2*(v_all - v_vs) AS BIGINT) AS phi6_click,
+               CAST(2*(v_s - v0) + 1*(v_vs - v_v) + 1*(v_cs - v_c)
+                    + 2*(v_all - v_vc) AS BIGINT) AS phi6_signup,
+               CAST(v_all - v0 AS BIGINT) AS attributable_conversions,
+               (2*(v_v - v0) + 1*(v_vc - v_c) + 1*(v_vs - v_s)
+                    + 2*(v_all - v_cs))
+               + (2*(v_c - v0) + 1*(v_vc - v_v) + 1*(v_cs - v_s)
+                    + 2*(v_all - v_vs))
+               + (2*(v_s - v0) + 1*(v_vs - v_v) + 1*(v_cs - v_c)
+                    + 2*(v_all - v_vc)) = 6*(v_all - v0)
+                   AS efficiency_holds
+        FROM v
+    """,
+    tags=("E396",),
+)
+def events_shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT SHAPLEY-VALUE channel attribution over the 3 marketing
+    touch channels (view/click/signup) for purchase conversions: the
+    coalition value v(T) counts converted users whose pre-purchase
+    touch set is contained in T, and each channel's Shapley value is
+    the weighted average of its marginal contributions over all
+    coalition orderings — the only attribution scheme that is
+    efficient (values sum to total attributable conversions, checked
+    in-row), symmetric and additive; last-touch/U-shape (the sibling
+    ops) are its heuristic approximations.
+
+    Exact: k=3 makes the 3! orderings enumerable in closed form with
+    weights 1/3,1/6,1/6,1/3 — carried as x6 INTEGER weights (2,1,1,2),
+    so every phi6 is an exact BIGINT and the efficiency identity is
+    exact integer equality, not a float tolerance.  Plan: one
+    first-purchase aggregate, one strictly-before semi-join pass,
+    ONE row of 8 exact-pattern counts (the full coalition lattice),
+    scalar algebra after that.  At 100 TB per-user touch sets shuffle
+    once on user_id; the lattice row is O(2^k) regardless of data."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    touches = (
+        e.join(fp, "user_id")
+        .where(F.col("ts") < F.col("fp"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("tv"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("tc"),
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("ts"),
+        )
+    )
+
+    def pat(v, c, s):
+        return F.count_if(
+            (F.col("tv") == v) & (F.col("tc") == c) & (F.col("ts") == s)
+        ).cast("bigint")
+
+    patterns = touches.agg(
+        pat(0, 0, 0).alias("e000"),
+        pat(1, 0, 0).alias("e100"),
+        pat(0, 1, 0).alias("e010"),
+        pat(0, 0, 1).alias("e001"),
+        pat(1, 1, 0).alias("e110"),
+        pat(1, 0, 1).alias("e101"),
+        pat(0, 1, 1).alias("e011"),
+        pat(1, 1, 1).alias("e111"),
+    )
+    v = patterns.select(
+        F.col("e000").alias("v0"),
+        (F.col("e000") + F.col("e100")).alias("v_v"),
+        (F.col("e000") + F.col("e010")).alias("v_c"),
+        (F.col("e000") + F.col("e001")).alias("v_s"),
+        (F.col("e000") + F.col("e100") + F.col("e010") + F.col("e110")).alias("v_vc"),
+        (F.col("e000") + F.col("e100") + F.col("e001") + F.col("e101")).alias("v_vs"),
+        (F.col("e000") + F.col("e010") + F.col("e001") + F.col("e011")).alias("v_cs"),
+        (
+            F.col("e000") + F.col("e100") + F.col("e010") + F.col("e001")
+            + F.col("e110") + F.col("e101") + F.col("e011") + F.col("e111")
+        ).alias("v_all"),
+    )
+    phi_v = (
+        2 * (F.col("v_v") - F.col("v0"))
+        + (F.col("v_vc") - F.col("v_c"))
+        + (F.col("v_vs") - F.col("v_s"))
+        + 2 * (F.col("v_all") - F.col("v_cs"))
+    )
+    phi_c = (
+        2 * (F.col("v_c") - F.col("v0"))
+        + (F.col("v_vc") - F.col("v_v"))
+        + (F.col("v_cs") - F.col("v_s"))
+        + 2 * (F.col("v_all") - F.col("v_vs"))
+    )
+    phi_s = (
+        2 * (F.col("v_s") - F.col("v0"))
+        + (F.col("v_vs") - F.col("v_v"))
+        + (F.col("v_cs") - F.col("v_c"))
+        + 2 * (F.col("v_all") - F.col("v_vc"))
+    )
+    return v.select(
+        phi_v.cast("bigint").alias("phi6_view"),
+        phi_c.cast("bigint").alias("phi6_click"),
+        phi_s.cast("bigint").alias("phi6_signup"),
+        (F.col("v_all") - F.col("v0")).cast("bigint").alias(
+            "attributable_conversions"
+        ),
+        (
+            (phi_v + phi_c + phi_s) == 6 * (F.col("v_all") - F.col("v0"))
+        ).alias("efficiency_holds"),
+    )
+
+
+HAMPEL_HALF = 3   # window = 2*HALF+1 = 7 days
+HAMPEL_K = 3      # outlier if |x - med| > K * MAD
+
+
+@query(
+    "timeseries_hampel_outlier_repair",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, day, c,
+                   list(c) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                                          AND {HAMPEL_HALF} FOLLOWING) AS w
+            FROM daily
+        ),
+        stat AS (
+            SELECT event_type, day, c,
+                   list_sort(w)[{HAMPEL_HALF + 1}] AS med7,
+                   list_sort(list_transform(
+                       w, x -> abs(x - list_sort(w)[{HAMPEL_HALF + 1}])
+                   ))[{HAMPEL_HALF + 1}] AS mad7
+            FROM win
+            WHERE len(w) = {2 * HAMPEL_HALF + 1}
+        )
+        SELECT event_type, day, c, med7, mad7,
+               abs(c - med7) > {HAMPEL_K} * mad7 AS is_outlier,
+               CASE WHEN abs(c - med7) > {HAMPEL_K} * mad7
+                    THEN med7 ELSE c END AS repaired
+        FROM stat
+        ORDER BY event_type, day
+    """,
+    tags=("E397",),
+)
+def timeseries_hampel_outlier_repair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAMPEL FILTER outlier repair on each event_type's daily-count
+    series: a point is an outlier when it sits more than {HAMPEL_K}
+    robust deviations (MAD) from the centered rolling MEDIAN, and is
+    repaired by that median — the standard despiking filter that,
+    unlike z-score rules, survives the outliers it is hunting (both
+    median and MAD have 50% breakdown).
+
+    Exact: counts are integers, the window median of 7 integers is an
+    integer (sorted-array pick, no interpolation), MAD is the median
+    of integer absolute deviations, and the decision threshold is an
+    integer comparison — no floats anywhere.  Plan: one hash
+    aggregate, one window collect of 7 values per row, array sort +
+    element picks in JVM HOFs; only full windows emit (edges have no
+    robust estimate).  At 100 TB: partition by series, sort by day —
+    one window pass, 7-element arrays, embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    full = 2 * HAMPEL_HALF + 1
+    win = daily.select(
+        "event_type", "day", "c", F.collect_list("c").over(w).alias("w")
+    ).where(F.size("w") == full)
+    med = F.element_at(F.array_sort("w"), HAMPEL_HALF + 1)
+    stat = win.select(
+        "event_type",
+        "day",
+        "c",
+        med.alias("med7"),
+        F.element_at(
+            F.array_sort(F.transform("w", lambda x: F.abs(x - med))),
+            HAMPEL_HALF + 1,
+        ).alias("mad7"),
+    )
+    is_out = F.abs(F.col("c") - F.col("med7")) > HAMPEL_K * F.col("mad7")
+    return stat.select(
+        "event_type",
+        "day",
+        "c",
+        "med7",
+        "mad7",
+        is_out.alias("is_outlier"),
+        F.when(is_out, F.col("med7")).otherwise(F.col("c")).alias("repaired"),
+    ).orderBy("event_type", "day")
