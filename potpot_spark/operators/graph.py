@@ -2114,3 +2114,109 @@ def graph_link_prediction_resource_allocation(
         .orderBy(F.desc("ra_fp"), F.asc("a"), F.asc("b"))
         .limit(LP_TOP)
     )
+
+
+HC_SEED_MOD = 797  # seed working set (~26 seeds at sf0.1; multi-source
+                   # BFS cost is seeds x edges per hop at saturation, so
+                   # the seed budget is the knob — mod 97's 207 seeds
+                   # measured 79 s at sf0.1, 797's 26 seeds ~5 s)
+HC_MAX_HOPS = 3
+HC_FP = 10**12     # fixed-point scale for 1/dist contributions
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        )
+        SELECT seed,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(CAST({HC_FP} AS BIGINT) // dist) AS BIGINT) AS h_fp
+        FROM best
+        WHERE dist > 0
+        GROUP BY seed
+        ORDER BY seed
+    """,
+    tags=("E402",),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CENTRALITY of the seed parts (keys divisible by
+    {HC_SEED_MOD}, the BFS family's seed convention) on the
+    co-purchase graph, truncated at {HC_MAX_HOPS} hops: H(s) =
+    sum over reachable v of 1/d(s,v) — the closeness variant that
+    stays well-defined on DISCONNECTED graphs (unreachable nodes
+    contribute exactly 0 instead of poisoning an average), which is
+    why it replaced classic closeness in large-graph practice.
+
+    Exact: contributions ride as floor(1e12/d) BIGINTs (`div`), so
+    per-seed sums are order-free exact integers.  Plan: multi-source
+    BFS — ONE frontier carrying a (seed, node) pair per live path,
+    all seeds expanding in the same {HC_MAX_HOPS} rounds of map-side
+    broadcast joins against the never-shuffled edge table (the
+    graph_bfs_distances loop, widened by the seed column).  At 100 TB
+    the frontier is seeds x nodes bounded and shuffles on node; the
+    truncation bound is what makes harmonic centrality computable at
+    all on big graphs (exact full-length closeness is a known
+    all-pairs problem)."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % HC_SEED_MOD == 0)
+    )
+    dist = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, HC_MAX_HOPS + 1):
+        neighbors = (
+            F.broadcast(frontier)
+            .join(sym, frontier.node == sym.src)
+            .select("seed", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = neighbors.join(
+            F.broadcast(dist.select("seed", "node")),
+            ["seed", "node"],
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        dist = dist.union(new)
+        frontier = new
+    return (
+        dist.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr(f"CAST({HC_FP} AS BIGINT) div dist"))
+            .cast("bigint")
+            .alias("h_fp"),
+        )
+        .orderBy("seed")
+    )

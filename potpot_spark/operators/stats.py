@@ -4912,3 +4912,235 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("friedman_stat"),
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   2 * rank() OVER (ORDER BY value)
+                     + COUNT(*) OVER (PARTITION BY value) - 1 AS ar2
+            FROM events
+        ),
+        grp AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(ar2) AS BIGINT) AS r2_j
+            FROM ranked GROUP BY event_type
+        ),
+        terms AS (
+            SELECT CAST(SUM(CAST(FLOOR(
+                       CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)
+                       / CAST(n_j AS DOUBLE)) AS BIGINT)) AS BIGINT) AS t_fp,
+                   CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM grp
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM events GROUP BY value
+            )
+        )
+        SELECT t.n AS n_total, t.k AS k_groups,
+               ROUND(3.0 * CAST(t.t_fp AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+                     - 3.0 * CAST(t.n + 1 AS DOUBLE), 9) AS h_stat,
+               ROUND((3.0 * CAST(t.t_fp AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+                      - 3.0 * CAST(t.n + 1 AS DOUBLE))
+                     / (1.0 - CAST(ti.tie_term AS DOUBLE)
+                        / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                           * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE))), 9)
+                   AS h_corrected
+        FROM terms t CROSS JOIN ties ti
+    """,
+    tags=("E400",),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test: do the event-type groups draw from the
+    same `value` distribution?  One-way ANOVA on global ranks — the
+    k-group generalization of Mann-Whitney (both already in the
+    battery), robust to the non-normality that invalidates plain
+    ANOVA's F; reported with the standard tie correction (the value
+    column is discretized to cents, so ties are plentiful).
+
+    Exactness: tie-average ranks ride as DOUBLED integers (ar2 =
+    2*min_rank + ties - 1, the Friedman trick), so group rank sums
+    are exact BIGINTs; the per-group R2^2/n_j terms are single
+    correctly-rounded double ops FLOOR-quantized to integers BEFORE
+    the cross-group sum (addition order free); 12/(N(N+1)) * sum/4
+    becomes 3*sum/(N(N+1)); the tie term sum(t^3 - t) is exact
+    integer.  Plan: one global rank window (range-partition sort at
+    scale), two hash aggregates, O(k) finale."""
+    e = load_table(spark, sf_dir, "events")
+    wr = Window.orderBy("value")
+    wt = Window.partitionBy("value")
+    ranked = e.select(
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("ar2"),
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("ar2").cast("bigint").alias("r2_j"),
+    )
+    terms = grp.agg(
+        F.sum(
+            F.floor(
+                F.col("r2_j").cast("double")
+                * F.col("r2_j").cast("double")
+                / F.col("n_j").cast("double")
+            ).cast("bigint")
+        ).cast("bigint").alias("t_fp"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = (
+        e.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    nd = F.col("n").cast("double")
+    n1d = (F.col("n") + 1).cast("double")
+    h = 3.0 * F.col("t_fp").cast("double") / (nd * n1d) - 3.0 * n1d
+    corr = 1.0 - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    return terms.crossJoin(ties).select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.round(h, 9).alias("h_stat"),
+        F.round(h / corr, 9).alias("h_corrected"),
+    )
+
+
+LEVENE_FP = 10**3  # |x - median| quantization; keeps s_j^2 inside
+                   # the exact double/long range through sf~1 (at 1e6
+                   # the per-group between term wrapped a long at sf0.1)
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, MAX(value) AS med
+            FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n_g
+                FROM events
+            )
+            WHERE rn * 2 <= n_g + 1
+            GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type,
+                   CAST(FLOOR(abs(e.value - m.med) * {LEVENE_FP}.0)
+                        AS BIGINT) AS d_fp
+            FROM events e JOIN med m USING (event_type)
+        ),
+        grp AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(d_fp) AS BIGINT) AS s_j,
+                   SUM(CAST(d_fp AS DECIMAL(19,0))
+                       * CAST(d_fp AS DECIMAL(19,0))) AS ss_j
+            FROM dev GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(s_j) AS BIGINT) AS s,
+                   SUM(CAST(FLOOR(CAST(s_j AS DOUBLE)
+                                  * CAST(s_j AS DOUBLE)
+                                  / CAST(n_j AS DOUBLE))
+                            AS DECIMAL(38,0))) AS between_fp,
+                   CAST(SUM(ss_j) AS DOUBLE) AS ss
+            FROM grp
+        )
+        SELECT n AS n_total, k AS k_groups,
+               ROUND(
+                   ((CAST(between_fp AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                   / ((ss - CAST(between_fp AS DOUBLE))
+                      / CAST(n - k AS DOUBLE)), 9) AS bf_stat
+        FROM tot
+    """,
+    tags=("E401",),
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE test for variance homogeneity across event
+    types: a one-way ANOVA F on absolute deviations from each group's
+    MEDIAN (Levene's test with the median center — the robust variant
+    recommended for skewed data).  Equal variances is the assumption
+    plain ANOVA makes and Welch avoids; this op is the check that
+    decides between them in the battery.
+
+    Exactness: the group center is the discrete LOWER median (exact
+    rank pick, no interpolation, deterministic (value, event_id)
+    order); deviations are FLOOR-quantized to 1e-6 fixed point so all
+    group sums are exact integers (squares via DECIMAL(19,0) to dodge
+    BIGINT overflow); the between-group sum n_j-weighted means ride
+    the same FLOOR-per-group-then-integer-sum discipline as
+    Kruskal-Wallis; one final double expression.  Plan: one median
+    window pass per group, one deviation scan, two hash aggregates —
+    at 100 TB, two shuffles on the group key."""
+    e = load_table(spark, sf_dir, "events")
+    wrn = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wng = Window.partitionBy("event_type")
+    med = (
+        e.select(
+            "event_type",
+            "value",
+            F.row_number().over(wrn).alias("rn"),
+            F.count(F.lit(1)).over(wng).alias("n_g"),
+        )
+        .where(F.col("rn") * 2 <= F.col("n_g") + 1)
+        .groupBy("event_type")
+        .agg(F.max("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.floor(F.abs(F.col("value") - F.col("med")) * float(LEVENE_FP))
+        .cast("bigint")
+        .alias("d_fp"),
+    )
+    d19 = F.col("d_fp").cast("decimal(19,0)")
+    grp = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("d_fp").cast("bigint").alias("s_j"),
+        F.sum(d19 * d19).alias("ss_j"),
+    )
+    tot = grp.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_j").cast("bigint").alias("s"),
+        F.sum(
+            F.floor(
+                F.col("s_j").cast("double")
+                * F.col("s_j").cast("double")
+                / F.col("n_j").cast("double")
+            ).cast("decimal(38,0)")
+        ).alias("between_fp"),
+        F.sum("ss_j").cast("double").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    between = (
+        F.col("between_fp").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (F.col("k") - 1).cast("double")
+    within = (F.col("ss") - F.col("between_fp").cast("double")) / (
+        F.col("n") - F.col("k")
+    ).cast("double")
+    return tot.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.round(between / within, 9).alias("bf_stat"),
+    )

@@ -6905,3 +6905,138 @@ def timeseries_hampel_outlier_repair(
         is_out.alias("is_outlier"),
         F.when(is_out, F.col("med7")).otherwise(F.col("c")).alias("repaired"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "events_funnel_aa_significance",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   user_id % 2 AS arm,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+            FROM events GROUP BY user_id
+        ),
+        steps AS (
+            SELECT arm,
+                   CAST(COUNT(*) FILTER (t_view IS NOT NULL) AS BIGINT)
+                       AS s1,
+                   CAST(COUNT(*) FILTER (t_view IS NOT NULL
+                        AND t_click > t_view) AS BIGINT) AS s2,
+                   CAST(COUNT(*) FILTER (t_view IS NOT NULL
+                        AND t_click > t_view AND t_buy > t_click)
+                        AS BIGINT) AS s3
+            FROM firsts GROUP BY arm
+        ),
+        pairs AS (
+            SELECT 'view->click' AS step, a.s1 AS n_a, a.s2 AS c_a,
+                   b.s1 AS n_b, b.s2 AS c_b
+            FROM steps a JOIN steps b ON a.arm = 0 AND b.arm = 1
+            UNION ALL
+            SELECT 'click->purchase', a.s2, a.s3, b.s2, b.s3
+            FROM steps a JOIN steps b ON a.arm = 0 AND b.arm = 1
+        )
+        SELECT step, n_a, c_a, n_b, c_b,
+               ROUND(
+                   (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / ((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))), 9) AS z2
+        FROM pairs
+        ORDER BY step
+    """,
+    tags=("E403",),
+)
+def events_funnel_aa_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A FUNNEL AUDIT: split users into two arms by a hash-free
+    deterministic key (user_id parity — the arms share no traffic),
+    build the view -> click -> purchase first-touch funnel per arm,
+    and test each step conversion for a significant difference with
+    the pooled two-proportion z^2 statistic.  The arms are random
+    halves of the SAME population, so large z^2 flags instrumentation
+    or assignment bias BEFORE any real experiment trusts the split —
+    the A/A test every experimentation platform runs first.
+
+    Exact: step counts are exact BIGINTs (strict first-touch ordering
+    on microsecond timestamps); z^2 is one fixed rational expression
+    of those integers (squared difference over pooled variance, no
+    sqrt), identical to the digit on both engines.  Plan: one
+    per-user aggregate (three conditional MINs), a 2-row arm rollup,
+    O(1) finale — at 100 TB a single shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    steps = firsts.groupBy("arm").agg(
+        F.count_if(F.col("t_view").isNotNull()).cast("bigint").alias("s1"),
+        F.count_if(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+        ).cast("bigint").alias("s2"),
+        F.count_if(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_buy") > F.col("t_click"))
+        ).cast("bigint").alias("s3"),
+    )
+    a = steps.where(F.col("arm") == 0).select(
+        F.col("s1").alias("a1"), F.col("s2").alias("a2"), F.col("s3").alias("a3")
+    )
+    b = steps.where(F.col("arm") == 1).select(
+        F.col("s1").alias("b1"), F.col("s2").alias("b2"), F.col("s3").alias("b3")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            F.lit("view->click").alias("step"),
+            F.col("a1").alias("n_a"),
+            F.col("a2").alias("c_a"),
+            F.col("b1").alias("n_b"),
+            F.col("b2").alias("c_b"),
+        )
+        .union(
+            a.crossJoin(b).select(
+                F.lit("click->purchase").alias("step"),
+                F.col("a2").alias("n_a"),
+                F.col("a3").alias("c_a"),
+                F.col("b2").alias("n_b"),
+                F.col("b3").alias("c_b"),
+            )
+        )
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z2 = (
+        (pa - pb) * (pa - pb)
+        / (
+            pp
+            * (1.0 - pp)
+            * (
+                1.0 / F.col("n_a").cast("double")
+                + 1.0 / F.col("n_b").cast("double")
+            )
+        )
+    )
+    return pairs.select(
+        "step", "n_a", "c_a", "n_b", "c_b", F.round(z2, 9).alias("z2")
+    ).orderBy("step")
