@@ -5144,3 +5144,229 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("k_groups"),
         F.round(between / within, 9).alias("bf_stat"),
     )
+
+
+@query(
+    "profile_quality_rule_engine",
+    oracle="""
+        WITH checked AS (
+            SELECT o.o_orderkey,
+                   o.o_custkey IS NOT NULL AS r_custkey_not_null,
+                   o.o_totalprice > 0.0 AS r_price_positive,
+                   o.o_orderstatus IN ('O', 'F', 'P') AS r_status_domain,
+                   CAST(o.o_orderdate AS TIMESTAMP)
+                       >= TIMESTAMP '1990-01-01' AS r_date_floor,
+                   c.c_custkey IS NOT NULL AS r_customer_exists
+            FROM orders o
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        long AS (
+            SELECT 'custkey_not_null' AS rule,
+                   CAST(COUNT(*) FILTER (NOT r_custkey_not_null) AS BIGINT)
+                       AS n_fail, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM checked
+            UNION ALL
+            SELECT 'price_positive',
+                   CAST(COUNT(*) FILTER (NOT r_price_positive) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM checked
+            UNION ALL
+            SELECT 'status_domain',
+                   CAST(COUNT(*) FILTER (NOT r_status_domain) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM checked
+            UNION ALL
+            SELECT 'date_floor',
+                   CAST(COUNT(*) FILTER (NOT r_date_floor) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM checked
+            UNION ALL
+            SELECT 'customer_exists',
+                   CAST(COUNT(*) FILTER (NOT r_customer_exists) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM checked
+        )
+        SELECT rule, n_fail, n_rows,
+               CAST(n_fail * 1000000 // n_rows AS BIGINT) AS fail_ppm,
+               n_fail = 0 AS passed
+        FROM long
+        ORDER BY rule
+    """,
+    tags=("E406",),
+)
+def profile_quality_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY RULE ENGINE (the Deequ / dbt-test
+    shape) over orders: five rule classes — not-null, numeric range,
+    value domain, date floor, referential integrity against customer —
+    evaluated in ONE pass and reported as per-rule fail counts,
+    parts-per-million rates and a pass flag.  This is the contract
+    gate a warehouse runs before promoting a load; the reference's
+    row-constraint machinery (types.rs:16,129 — max lengths, column
+    counts) is the same idea at the storage layer, and
+    constrain_text_1024_cols_64 ports that exact check.
+
+    Exact: every rule is a boolean column, every count an exact
+    BIGINT, the rate an integer ppm division.  Plan: all five rules
+    evaluate in a single scan + one broadcast join (referential
+    check); the rollup is a 5-branch conditional aggregate over the
+    SAME checked relation, so adding a rule is adding a column, not a
+    pass.  At 100 TB: one scan, one broadcast, no matter how many
+    rules."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    checked = o.join(
+        F.broadcast(c), o.o_custkey == F.col("ck"), "left"
+    ).select(
+        F.col("o_custkey").isNotNull().alias("r_custkey_not_null"),
+        (F.col("o_totalprice") > 0.0).alias("r_price_positive"),
+        F.col("o_orderstatus").isin("O", "F", "P").alias("r_status_domain"),
+        (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")).alias(
+            "r_date_floor"
+        ),
+        F.col("ck").isNotNull().alias("r_customer_exists"),
+    )
+    rules = [
+        ("custkey_not_null", "r_custkey_not_null"),
+        ("price_positive", "r_price_positive"),
+        ("status_domain", "r_status_domain"),
+        ("date_floor", "r_date_floor"),
+        ("customer_exists", "r_customer_exists"),
+    ]
+    agg = checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.count_if(~F.col(col)).cast("bigint").alias(f"fail_{name}")
+            for name, col in rules
+        ],
+    )
+    long = None
+    for name, _ in rules:
+        row = agg.select(
+            F.lit(name).alias("rule"),
+            F.col(f"fail_{name}").alias("n_fail"),
+            F.col("n_rows"),
+        )
+        long = row if long is None else long.union(row)
+    return long.select(
+        "rule",
+        "n_fail",
+        "n_rows",
+        F.expr("CAST((n_fail * 1000000) div n_rows AS BIGINT)").alias(
+            "fail_ppm"
+        ),
+        (F.col("n_fail") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+@query(
+    "analytics_cem_att",
+    oracle="""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS treated,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+            FROM events GROUP BY user_id
+        ),
+        coarse AS (
+            SELECT user_id, treated, n_purch,
+                   CASE WHEN n_events < 5 THEN 'lo'
+                        WHEN n_events < 15 THEN 'mid'
+                        ELSE 'hi' END AS activity_stratum,
+                   user_id % 4 AS cohort_stratum
+            FROM users
+        ),
+        strata AS (
+            SELECT activity_stratum, cohort_stratum,
+                   CAST(COUNT(*) FILTER (treated = 1) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) FILTER (treated = 0) AS BIGINT) AS n_c,
+                   CAST(SUM(n_purch) FILTER (treated = 1) AS BIGINT) AS y_t,
+                   CAST(SUM(n_purch) FILTER (treated = 0) AS BIGINT) AS y_c
+            FROM coarse
+            GROUP BY activity_stratum, cohort_stratum
+        ),
+        matched AS (
+            SELECT *,
+                   CAST(FLOOR((CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                               - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                              * CAST(n_t AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS wdiff_fp
+            FROM strata
+            WHERE n_t > 0 AND n_c > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_strata,
+               CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+               CAST(SUM(n_c) AS BIGINT) AS n_control_matched,
+               ROUND(CAST(SUM(wdiff_fp) AS DOUBLE) / 1000000.0
+                     / CAST(SUM(n_t) AS DOUBLE), 9) AS att
+        FROM matched
+    """,
+    tags=("E407",),
+)
+def analytics_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COARSENED EXACT MATCHING estimate of the average treatment
+    effect on the treated (ATT): treatment = user ever signed up,
+    outcome = purchase count, confounders coarsened into strata
+    (activity level x user cohort); within each stratum that contains
+    BOTH arms, the outcome difference is weighted by its treated
+    count and unmatched strata drop — the Iacus-King-Porro design
+    that bounds imbalance by construction and needs no propensity
+    model (the logistic alternative isn't bit-reproducible anyway).
+
+    Exact: counts/sums are exact BIGINTs; each stratum's weighted
+    mean-difference is a fixed double expression FLOOR-quantized to
+    1e-6 BEFORE the cross-stratum sum (order-free), one final
+    division.  Plan: one per-user aggregate, one stratum aggregate
+    (a dozen groups), O(1) finale — a single user_id shuffle at any
+    scale, which is why CEM is the causal estimator that actually
+    runs at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_purch"),
+    )
+    coarse = users.select(
+        "treated",
+        "n_purch",
+        F.when(F.col("n_events") < 5, "lo")
+        .when(F.col("n_events") < 15, "mid")
+        .otherwise("hi")
+        .alias("activity_stratum"),
+        (F.col("user_id") % 4).alias("cohort_stratum"),
+    )
+    strata = coarse.groupBy("activity_stratum", "cohort_stratum").agg(
+        F.count_if(F.col("treated") == 1).cast("bigint").alias("n_t"),
+        F.count_if(F.col("treated") == 0).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("n_purch"))).cast(
+            "bigint"
+        ).alias("y_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("n_purch"))).cast(
+            "bigint"
+        ).alias("y_c"),
+    )
+    ntd = F.col("n_t").cast("double")
+    ncd = F.col("n_c").cast("double")
+    wdiff = F.floor(
+        (F.col("y_t").cast("double") / ntd - F.col("y_c").cast("double") / ncd)
+        * ntd
+        * 1000000.0
+    ).cast("bigint")
+    matched = strata.where((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "n_t", "n_c", wdiff.alias("wdiff_fp")
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_strata"),
+        F.sum("n_t").cast("bigint").alias("n_treated_matched"),
+        F.sum("n_c").cast("bigint").alias("n_control_matched"),
+        F.round(
+            F.sum("wdiff_fp").cast("double")
+            / 1000000.0
+            / F.sum("n_t").cast("double"),
+            9,
+        ).alias("att"),
+    )

@@ -2956,3 +2956,190 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
         .limit(KN_TOP)
     )
+
+
+SEGDUP_W = 3    # tokens per segment (the "line" unit of this corpus)
+SEGDUP_DF = 5   # segment is boilerplate when >= this many distinct docs
+
+
+@query(
+    "text_segment_dedup_reconstruct",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS ts
+            FROM documents
+        ),
+        segs AS (
+            SELECT t.doc_id, CAST(g.k AS BIGINT) AS sid,
+                   array_to_string(
+                       list_slice(t.ts, g.k * {SEGDUP_W} + 1,
+                                  g.k * {SEGDUP_W} + {SEGDUP_W}), ' ') AS seg
+            FROM toks t,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(floor((len(t.ts) - 1) / {SEGDUP_W}) AS BIGINT)))
+                     AS k) g
+        ),
+        df AS (
+            SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM segs GROUP BY seg
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.sid, s.seg, d.df >= {SEGDUP_DF} AS is_boiler
+            FROM segs s JOIN df d USING (seg)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) FILTER (is_boiler) AS BIGINT) AS n_removed,
+               string_agg(seg, ' ' ORDER BY sid)
+                   FILTER (NOT is_boiler) AS kept_text
+        FROM flagged
+        GROUP BY doc_id
+        HAVING COUNT(*) FILTER (is_boiler) > 0
+        ORDER BY doc_id
+    """,
+    tags=("E404",),
+)
+def text_segment_dedup_reconstruct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEGMENT-LEVEL BOILERPLATE REMOVAL with text reconstruction (the
+    CCNet / RefinedWeb line-dedup step, on this corpus's
+    {SEGDUP_W}-token segment unit since it has no newlines): segments
+    whose exact text appears in >= {SEGDUP_DF} distinct documents are
+    navigation/template boilerplate, and each affected document is
+    re-emitted with those segments spliced OUT, order preserved —
+    removal happens at the sub-document level, unlike the whole-doc
+    dedup family.  Returns only modified docs (count + reconstructed
+    text), which is also the human-review sample.
+
+    Exact: segments are exact strings, doc frequency is an exact
+    distinct count, and reconstruction is an order-pinned string
+    aggregation (ORDER BY segment index) — byte-identical on both
+    engines.  Plan: one explode to segments, one distinct-count
+    aggregate on the segment key (the shuffle), one broadcast-back
+    join, one ordered per-doc re-agg.  At 100 TB this is exactly the
+    inverted-index shape; the df table is vocabulary-sized and the
+    hot-segment skew lands on the aggregate, not a join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
+    )
+    n_seg = F.floor((F.size("ts") - 1) / SEGDUP_W).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg),
+                lambda k: F.array_join(
+                    F.slice("ts", (k * SEGDUP_W + 1).cast("int"), SEGDUP_W), " "
+                ),
+            )
+        ).alias("sid", "seg"),
+    ).select("doc_id", F.col("sid").cast("bigint").alias("sid"), "seg")
+    df_tbl = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    flagged = segs.join(df_tbl, "seg").select(
+        "doc_id", "sid", "seg", (F.col("df") >= SEGDUP_DF).alias("is_boiler")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.count_if("is_boiler").cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("sid", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .where(F.col("n_removed") > 0)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_removed",
+            # all-boilerplate docs reconstruct to NULL on the oracle
+            # side (FILTER leaves no rows); mirror that.
+            F.when(
+                F.col("n_removed") < F.col("n_segments"), F.col("kept_text")
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CODE_TOKENS = (
+    "scan", "join", "filter", "hash", "merge", "sort", "query", "table",
+)
+
+
+@query(
+    "text_code_vs_prose_detector",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> list_contains(
+                            {list(CODE_TOKENS)}, x))) AS BIGINT)
+                       AS n_code_tok
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tok, n_code_tok,
+               CAST(n_code_tok * 1000 // n_tok AS BIGINT) AS code_per_mille,
+               n_code_tok * 4 >= n_tok AS looks_like_code
+        FROM scored
+        WHERE n_tok > 0
+        ORDER BY doc_id
+    """,
+    tags=("E405",),
+)
+def text_code_vs_prose_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection, the pretraining router that decides
+    which quality pipeline a document enters (code gets AST/lint
+    filters, prose gets perplexity/gopher rules; mixing them ruins
+    both): score each document by the density of code-domain
+    vocabulary ({', '.join(CODE_TOKENS)} — this corpus's synthetic
+    stand-in for brace/semicolon/keyword signals) and flag documents
+    where code tokens are >= 25% of all tokens.
+
+    Exact: token counts are exact BIGINTs, the density is an integer
+    per-mille division, and the flag is an integer cross-multiplied
+    comparison (n_code*4 >= n, no float ratio).  Plan: a single
+    stateless scan — no shuffle at all; at 100 TB this is a
+    map-only pass that Catalyst pipelines into whatever filter comes
+    next, the cheapest possible router."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    code_arr = F.array(*[F.lit(t) for t in CODE_TOKENS])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(code_arr, x))
+        ).cast("bigint").alias("n_code_tok"),
+    ).where(F.col("n_tok") > 0)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "n_code_tok",
+        F.expr("CAST((n_code_tok * 1000) div n_tok AS BIGINT)").alias(
+            "code_per_mille"
+        ),
+        (F.col("n_code_tok") * 4 >= F.col("n_tok")).alias("looks_like_code"),
+    ).orderBy("doc_id")
