@@ -230,3 +230,68 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_window_leader_election",
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        ),
+        counts AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM ev
+            GROUP BY 1, 2
+            HAVING time_bucket(INTERVAL '15 minutes', ts)
+                   + INTERVAL 15 MINUTE
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+        )
+        SELECT window_start,
+               MAX({'n': n_events, 't': event_type}).t AS leader,
+               CAST(MAX({'n': n_events, 't': event_type}).n AS BIGINT)
+                   AS leader_events,
+               CAST(SUM(n_events) AS BIGINT) AS window_events
+        FROM counts
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    tags=("E408",),
+)
+def stream_window_leader_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LEADER ELECTION per closed window: which event type
+    dominated each 15-minute window?  Two chained stateful operators
+    in one micro-batch stream (the multi-stateful pattern of
+    stream_chained_window_rollup): per-(window, type) counts feed a
+    per-window argmax — the live "top source right now" tile on every
+    traffic dashboard, emitted append-only as the watermark closes
+    each window.
+
+    Determinism: the leader is max(struct(n_events, event_type)) —
+    count ties break on the lexically LAST type on both engines
+    (struct/tuple comparison is lexicographic in Spark and DuckDB
+    alike), so the elected leader is unambiguous.  The oracle states
+    the append contract exactly: every 15-min window whose end <=
+    max(ts) - 10min.  Scale: state is one (window, type) layer plus
+    one (window) layer, both dropped at watermark closure — bounded
+    regardless of stream age; the argmax carries one struct per
+    window, never a per-type list."""
+    s = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy(F.window(F.col("window"), "15 minutes"))
+        .agg(
+            F.max(F.struct("n_events", "event_type")).alias("top"),
+            F.sum("n_events").cast("bigint").alias("window_events"),
+        )
+    )
+    out = run_to_batch(s, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("top.event_type").alias("leader"),
+        F.col("top.n_events").cast("bigint").alias("leader_events"),
+        "window_events",
+    ).orderBy("window_start")
