@@ -753,3 +753,50 @@ def sql_api_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_CORRELATED)
+
+
+@query(
+    "sql_api_star_except_order_all",
+    oracle="""
+        SELECT * EXCLUDE (o_orderstatus, o_orderpriority)
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+            FROM orders
+            GROUP BY ALL
+        )
+        ORDER BY ALL
+    """,
+    tags=("E409",),
+)
+def sql_api_star_except_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) + ORDER BY ALL — the column-pruning and
+    total-ordering ergonomics of modern SQL, exercised through the SQL
+    front door: the star-except drops the grouping keys from a rollup
+    (the "all measures, no dimensions" projection every BI export
+    wants) and ORDER BY ALL pins a total deterministic order without
+    enumerating columns.  Spark 4 spells the exclusion EXCEPT, DuckDB
+    spells it EXCLUDE — same semantics, the one dialect seam this op
+    documents (the oracle carries the DuckDB spelling).
+
+    Plan note: EXCEPT is resolved at ANALYSIS time, so column pruning
+    still reaches the scan — the pruned columns never leave parquet;
+    ORDER BY ALL is an ordinary global sort on the 2 surviving
+    columns."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderstatus, o_orderpriority)
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+            FROM orders
+            GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )

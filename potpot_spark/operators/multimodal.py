@@ -918,3 +918,93 @@ def multimodal_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("key")
     )
+
+
+OCR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("region_no", T.IntegerType()),
+        T.StructField("region_x", T.IntegerType()),
+        T.StructField("region_y", T.IntegerType()),
+        T.StructField("ocr_text", T.StringType()),
+        T.StructField("confidence_bp", T.IntegerType()),
+    ]
+)
+
+
+def _fake_ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OCR stand-in: a real engine (tesseract/PaddleOCR) is absent in
+    this container BY DESIGN; the stub derives region boxes and "text"
+    deterministically from the payload bytes so the whole distributed
+    pipeline — Arrow batching, per-region explode, downstream joins —
+    is value-oracle-checkable.  Swap this function for the real
+    decoder; nothing else changes."""
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "region_no": [],
+            "region_x": [],
+            "region_y": [],
+            "ocr_text": [],
+            "confidence_bp": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_regions = int(doc_id) % 2 + 1
+            for r in range(n_regions):
+                rows["doc_id"].append(int(doc_id))
+                rows["region_no"].append(r)
+                rows["region_x"].append((n * (r + 3)) % 640)
+                rows["region_y"].append((n * (r + 7)) % 480)
+                start = (r * 16) % max(n, 1)
+                rows["ocr_text"].append(
+                    payload[start:start + 12].decode("utf-8", "ignore")
+                )
+                rows["confidence_bp"].append(5000 + (n + r) % 5000)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "multimodal_ocr_stub",
+    oracle="""
+        WITH regions AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   unnest(generate_series(0, doc_id % 2)) AS region_no
+            FROM documents
+        )
+        SELECT r.doc_id,
+               CAST(r.region_no AS INT) AS region_no,
+               CAST((r.n * (r.region_no + 3)) % 640 AS INT) AS region_x,
+               CAST((r.n * (r.region_no + 7)) % 480 AS INT) AS region_y,
+               substring(d.text,
+                         CAST((r.region_no * 16) % greatest(r.n, 1) + 1
+                              AS BIGINT), 12) AS ocr_text,
+               CAST(5000 + (r.n + r.region_no) % 5000 AS INT)
+                   AS confidence_bp
+        FROM regions r JOIN documents d USING (doc_id)
+        ORDER BY r.doc_id, region_no
+    """,
+    tags=("E410",),
+)
+def multimodal_ocr_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR EXTRACTION pipeline over binary page payloads: each page
+    yields 1-2 text regions with box coordinates, extracted text and a
+    basis-point confidence — the document-understanding front end of a
+    multimodal training pipeline (PDFs/scans -> text spans), run as an
+    Arrow-batched ``mapInPandas`` with the decode stubbed behind a
+    deterministic fake (the container ships no OCR engine by design;
+    see _fake_ocr).  The Spark-side plumbing — binary payload column,
+    batch iterator signature, per-region fan-out, typed output schema —
+    is real and value-oracled.
+
+    Scale: OCR is embarrassingly parallel per page and CPU-bound, the
+    textbook mapInPandas shape — Arrow moves each batch once, regions
+    fan out ~2x, and the output joins downstream on doc_id without a
+    shuffle (partitioning is preserved through mapInPandas).  ASCII
+    payloads make the byte-slice/char-substring twin exact here; a
+    real corpus would compare post-decode text."""
+    d = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return d.mapInPandas(_fake_ocr, OCR_SCHEMA).orderBy("doc_id", "region_no")

@@ -7040,3 +7040,174 @@ def events_funnel_aa_significance(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.select(
         "step", "n_a", "c_a", "n_b", "c_b", F.round(z2, 9).alias("z2")
     ).orderBy("step")
+
+
+EWMAX_FAST = 0.5      # fast EWMA alpha (dyadic)
+EWMAX_SLOW = 0.0625   # slow EWMA alpha = 1/16 (dyadic)
+
+
+@query(
+    "timeseries_ewma_crossover_signals",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+            FROM daily GROUP BY event_type
+        ),
+        grid AS (
+            SELECT b.event_type,
+                   CAST(b.mn + CAST(g.k AS BIGINT) * INTERVAL 1 DAY AS DATE)
+                       AS day,
+                   CAST(g.k AS BIGINT) + 1 AS rn
+            FROM bounds b,
+                 LATERAL (SELECT unnest(generate_series(0,
+                              date_diff('day', b.mn, b.mx))) AS k) g
+        ),
+        filled AS (
+            SELECT g.event_type, g.day, g.rn,
+                   CAST(COALESCE(d.c, 0) AS DOUBLE) AS z
+            FROM grid g
+            LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        ew AS (
+            SELECT event_type, day, rn, z AS f, z AS s
+            FROM filled WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.day, o.rn,
+                   {EWMAX_FAST} * o.z + {1 - EWMAX_FAST} * e.f,
+                   {EWMAX_SLOW} * o.z + {1 - EWMAX_SLOW} * e.s
+            FROM filled o
+            JOIN ew e ON o.event_type = e.event_type AND o.rn = e.rn + 1
+        ),
+        signed AS (
+            SELECT event_type, day, rn, f, s,
+                   CASE WHEN f > s THEN 1 WHEN f < s THEN -1 ELSE 0 END
+                       AS sgn
+            FROM ew
+        ),
+        crossings AS (
+            SELECT event_type, day, f, s, sgn,
+                   lag(sgn) OVER (PARTITION BY event_type ORDER BY rn)
+                       AS prev_sgn
+            FROM signed
+        )
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+               CASE WHEN sgn > prev_sgn THEN 'golden' ELSE 'death' END
+                   AS signal,
+               ROUND(f, 9) AS fast,
+               ROUND(s, 9) AS slow
+        FROM crossings
+        WHERE prev_sgn IS NOT NULL AND sgn <> prev_sgn AND sgn <> 0
+        ORDER BY event_type, day
+    """,
+    tags=("E411",),
+)
+def timeseries_ewma_crossover_signals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUAL-EWMA CROSSOVER SIGNALS per event_type: a fast (alpha=1/2)
+    and a slow (alpha=1/16) exponential average over the zero-filled
+    daily-count grid, emitting a 'golden' signal when the fast line
+    crosses above the slow and 'death' when it crosses below — the
+    moving-average-crossover detector behind momentum dashboards and
+    simple regime-change alerts (the trend-following complement to
+    CUSUM's mean-shift detector already in the battery).
+
+    Exact: both alphas are dyadic, so every smoothing step is exact
+    double arithmetic on integer counts — state is bit-identical to
+    the oracle's recursive CTE; crossings compare identical doubles,
+    and equality days (f == s exactly, common in all-zero gaps) emit
+    nothing until a strict sign appears.  applyInPandas carries the
+    (f, s) pair per series; parallel across series, sequential within
+    one — same shape and 100 TB story as the Kalman/Croston family."""
+    e = load_table(spark, sf_dir, "events")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.min("day").alias("mn"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("c")))
+            ).alias("sp"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            F.map_from_arrays(
+                F.transform("sp", lambda x: x["day"]),
+                F.transform("sp", lambda x: x["c"]),
+            ).alias("m"),
+            F.sequence(
+                F.lit(0), F.datediff(F.element_at(F.transform("sp", lambda x: x["day"]), -1), "mn")
+            ).alias("ks"),
+        )
+        .select(
+            "event_type",
+            "mn",
+            F.transform(
+                "ks",
+                lambda k: F.coalesce(
+                    F.element_at("m", F.date_add("mn", k)),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("zs"),
+        )
+    )
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("k", T.IntegerType()),
+                    T.StructField("signal", T.StringType()),
+                    T.StructField("fast", T.DoubleType()),
+                    T.StructField("slow", T.DoubleType()),
+                ]
+            )
+        )
+    )
+    def crossings(zcol: pd.Series) -> pd.Series:
+        out = []
+        for zs in zcol:
+            f = s = float(zs[0])
+            prev = 0  # row 1 has f == s exactly -> sign 0
+            sig = []
+            for k in range(1, len(zs)):
+                z = float(zs[k])
+                f = EWMAX_FAST * z + (1 - EWMAX_FAST) * f
+                s = EWMAX_SLOW * z + (1 - EWMAX_SLOW) * s
+                sgn = 1 if f > s else (-1 if f < s else 0)
+                if sgn != prev and sgn != 0:
+                    sig.append(
+                        (k, "golden" if sgn > prev else "death", f, s)
+                    )
+                prev = sgn
+            out.append(sig)
+        return pd.Series(out)
+
+    return (
+        series.select(
+            "event_type", "mn", F.explode(crossings("zs")).alias("x")
+        )
+        .select(
+            "event_type",
+            F.date_add("mn", F.col("x.k")).cast("timestamp").alias("day"),
+            F.col("x.signal").alias("signal"),
+            F.round("x.fast", 9).alias("fast"),
+            F.round("x.slow", 9).alias("slow"),
+        )
+        .orderBy("event_type", "day")
+    )
