@@ -2220,3 +2220,72 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+@query(
+    "graph_transition_reciprocity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+            FROM events
+        ),
+        edges AS (
+            SELECT DISTINCT event_type AS src, nxt AS dst
+            FROM seq
+            WHERE nxt IS NOT NULL AND nxt <> event_type
+        ),
+        recip AS (
+            SELECT e.src, e.dst,
+                   EXISTS (SELECT 1 FROM edges r
+                           WHERE r.src = e.dst AND r.dst = e.src)
+                       AS has_reverse
+            FROM edges e
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+               CAST(COUNT(*) FILTER (has_reverse) AS BIGINT)
+                   AS n_reciprocated,
+               CAST(COUNT(*) FILTER (has_reverse) * 1000000
+                    // COUNT(*) AS BIGINT) AS reciprocity_ppm
+        FROM recip
+    """,
+    tags=("E414",),
+)
+def graph_transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCITY of the event-type transition graph: what fraction
+    of directed behavioral transitions A -> B also occur as B -> A?
+    High reciprocity means users bounce between states (view <->
+    click loops); low means the flow is a one-way funnel — the single
+    scalar that separates browsing behavior from pipeline behavior,
+    and the directed-graph sibling of the clustering coefficient.
+
+    Exact: the edge set is exact-distinct consecutive-event pairs
+    (deterministic (ts, event_id) ordering), the reverse-edge check
+    is a self semi join, the rate an integer ppm.  Plan: one lead()
+    window per user, a distinct on the tiny type-transition edge set,
+    a broadcast self semi join — at 100 TB the user window is the
+    only data-sized pass; the edge set stays O(|types|^2)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    edges = (
+        seq.where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("event_type")))
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(
+        F.broadcast(rev).withColumn("has_reverse", F.lit(True)),
+        ["src", "dst"],
+        "left",
+    ).select(F.coalesce("has_reverse", F.lit(False)).alias("has_reverse"))
+    return recip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        F.count_if("has_reverse").cast("bigint").alias("n_reciprocated"),
+        F.expr(
+            "CAST((count_if(has_reverse) * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )

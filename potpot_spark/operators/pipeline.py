@@ -2149,3 +2149,83 @@ def pipeline_length_grouped_batching(
         )
         .orderBy("strategy")
     )
+
+
+SHARD_TOKEN_BUDGET = 2048  # tokens per output shard
+
+
+@query(
+    "pipeline_token_budget_sharding",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_tok,
+                   CAST((SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) - 1)
+                        // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+            FROM toks
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+        FROM packed
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("E412",),
+)
+def pipeline_token_budget_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET SHARD PACKING: assign documents to output shards so
+    each shard carries ~{SHARD_TOKEN_BUDGET} tokens — the WebDataset /
+    training-shard layout rule (fixed token budget per file keeps
+    loader throughput and step time uniform; fixed DOC counts do not,
+    because document lengths are heavy-tailed).  Packing is
+    next-fit-decreasing expressed relationally: docs sort by length
+    descending and the RUNNING token total integer-divides by the
+    budget — a deterministic O(n log n) plan that needs no sequential
+    packer, wastes at most one max-doc per boundary vs true FFD, and
+    reproduces bit-for-bit on any cluster.
+
+    Exact: token counts and running sums are BIGINTs; the shard id is
+    one integer floor-division of the cumulative sum.  Plan: one
+    tokenize scan, one global sort window (range-partitioned sort at
+    scale — the same shape every sorted-write already pays), one hash
+    aggregate per shard.  At 100 TB the cumulative sum IS the
+    shard manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"CAST((SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id"
+            f" ROWS UNBOUNDED PRECEDING) - 1) div {SHARD_TOKEN_BUDGET}"
+            f" AS BIGINT)"
+        ).alias("shard_id"),
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -708,3 +708,56 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+SYSK = 13  # take every k-th row of the deterministic ordering
+
+
+@query(
+    "sample_systematic_interval",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS sample_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sample_totalprice,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+        FROM ordered
+        WHERE rn % {SYSK} = 1
+    """,
+    tags=("E415",),
+)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC INTERVAL SAMPLING: every {SYSK}-th row of the
+    key-ordered population (rows 1, {SYSK}+1, 2*{SYSK}+1, ...) — the
+    classic survey design that guarantees even coverage across the
+    ordering dimension, where Bernoulli sampling only achieves it in
+    expectation (and hash-systematic, the sibling op, achieves it per
+    hash bucket).  With the frame ordered by a time-correlated key,
+    this is implicit stratification over time for free.
+
+    Exact: membership is a row_number arithmetic predicate on a total
+    deterministic order, so the SAMPLE IDENTITY (not just its size)
+    reproduces on both engines and any partitioning; the decimal sum
+    proves it value-for-value.  Plan: one global sort window + filter
+    — at 100 TB a range-partitioned sort, or zero extra cost when the
+    table is already key-sorted (the common layout)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    ordered = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    return ordered.where(F.col("rn") % SYSK == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sample_totalprice"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+        F.max("o_orderkey").cast("bigint").alias("last_key"),
+    )

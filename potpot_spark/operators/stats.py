@@ -5370,3 +5370,97 @@ def analytics_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("att"),
     )
+
+
+@query(
+    "stats_grubbs_statistic",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ),
+        mom AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                       AS ss
+            FROM cents GROUP BY grp
+        ),
+        dev AS (
+            SELECT c.grp, m.n,
+                   MAX(abs(CAST(c.c AS DOUBLE)
+                           - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                       AS max_dev,
+                   MAX({'d': abs(CAST(c.c AS DOUBLE)
+                                 - CAST(m.s AS DOUBLE)
+                                   / CAST(m.n AS DOUBLE)),
+                        'c': c.c}).c AS suspect_cents
+            FROM cents c JOIN mom m USING (grp)
+            GROUP BY c.grp, m.n
+        )
+        SELECT d.grp, d.n, d.suspect_cents,
+               ROUND(d.max_dev
+                     / sqrt((CAST(m.ss AS DOUBLE)
+                             - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                               / CAST(m.n AS DOUBLE))
+                            / (CAST(m.n AS DOUBLE) - 1.0)), 9) AS g_stat
+        FROM dev d JOIN mom m USING (grp)
+        ORDER BY d.grp
+    """,
+    tags=("E413",),
+)
+def stats_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' OUTLIER STATISTIC per order-priority class: G =
+    max|x - mean| / s, the classic single-outlier test statistic on
+    order totals (flag against the t-based critical value is the
+    caller's policy decision; the engine's job is the exact
+    statistic and WHICH point is the suspect).  Complements the Tukey
+    fences (rank-based) and MAD (robust) outlier ops with the
+    normal-theory member of the family.
+
+    Exact: cents moments are exact integers (DECIMAL squares), the
+    mean enters each |x - mean| as the identical one-division
+    expression, the argmax suspect ties break on the value itself,
+    and G is one fixed expression with a single sqrt.  Plan: two hash
+    aggregates over the same scan (moments, then a max+argmax pass
+    with the broadcast moments) — 100 TB cost is two passes, no
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    c19 = F.col("c").cast("decimal(19,0)")
+    mom = cents.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(c19 * c19).alias("ss"),
+    )
+    joined = cents.join(F.broadcast(mom), "grp")
+    dev_expr = F.abs(
+        F.col("c").cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    dev = joined.groupBy("grp", "n").agg(
+        F.max(dev_expr).alias("max_dev"),
+        F.max(F.struct(dev_expr.alias("d"), F.col("c"))).alias("arg"),
+    )
+    out = dev.select(
+        "grp", "n", F.col("arg.c").alias("suspect_cents"), "max_dev"
+    ).join(F.broadcast(mom.select("grp", "s", "ss")), "grp")
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nd
+        )
+        / (nd - 1.0)
+    )
+    return out.select(
+        "grp",
+        "n",
+        "suspect_cents",
+        F.round(F.col("max_dev") / sd, 9).alias("g_stat"),
+    ).orderBy("grp")
