@@ -2289,3 +2289,111 @@ def graph_transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((count_if(has_reverse) * 1000000) div COUNT(*) AS BIGINT)"
         ).alias("reciprocity_ppm"),
     )
+
+
+PPR_ITERS = 6
+PPR_SEED_MOD = 797  # the harmonic-centrality seed working set
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    for i in range(1, PPR_ITERS + 1):
+        steps.append(
+            f"p{i} AS MATERIALIZED (SELECT w.v AS u, "
+            f"CAST(CASE WHEN w.v % {PPR_SEED_MOD} = 0"
+            f" THEN {1 - PR_DAMPING} ELSE 0.0 END + {PR_DAMPING} * "
+            f"(CAST(SUM(CAST(FLOOR(p{i - 1}.rank * w.w * {PR_SCALE})"
+            f" AS BIGINT)) AS DOUBLE)"
+            f" / {PR_SCALE}) AS DOUBLE) AS rank "
+            f"FROM w JOIN p{i - 1} ON w.u = p{i - 1}.u GROUP BY w.v)"
+        )
+    return f"""
+        WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, c.l_partkey AS v
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+        w AS MATERIALIZED (
+            SELECT s.u, s.v, 1.0 / d.deg AS w FROM sym s JOIN deg d ON s.u = d.u
+        ),
+        p0 AS MATERIALIZED (
+            SELECT u, CAST(CASE WHEN u % {PPR_SEED_MOD} = 0
+                           THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank
+            FROM deg
+        ),
+        {", ".join(steps)}
+        SELECT u AS part_key, ROUND(rank, 9) AS rank
+        FROM p{PPR_ITERS}
+        WHERE rank > 0.0
+        ORDER BY rank DESC, u
+        LIMIT {PR_TOP}
+    """
+
+
+@query("graph_pagerank_personalized", oracle=_ppr_oracle(), tags=("E416",))
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK from the seed working set (part keys
+    divisible by {PPR_SEED_MOD}, shared with harmonic centrality):
+    random walks restart at the SEEDS instead of uniformly, so rank
+    measures importance *relative to those parts* — the
+    similar-items-for-THESE-items recommender kernel (global PageRank,
+    the sibling op, answers "important overall").  Top-20 by
+    personalized rank, zero-rank nodes (unreached from the seeds in
+    {PPR_ITERS} hops) excluded.
+
+    Same exactness discipline as graph_pagerank_fixed: per-edge
+    contributions are FLOOR(rank*w*2^40) fixed-point BIGINTs so each
+    iteration's summation is order-free exact; the teleport term is a
+    per-node CASE on the seed predicate.  Same loop shape too — the
+    pre-divided, contribution-key-partitioned edge cache never
+    re-shuffles; each round broadcasts the rank vector (sparse at
+    first: only seed-reachable nodes carry mass)."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    withdeg = (
+        sym.join(deg, "u")
+        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(8, "v")
+        .persist()
+    )
+    withdeg.count()
+    is_seed = (F.col("u") % PPR_SEED_MOD == 0).cast("double")
+    ranks = deg.select("u", is_seed.alias("rank")).localCheckpoint()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(PPR_ITERS):
+            contribs = withdeg.join(F.broadcast(ranks), "u").select(
+                F.col("v").alias("u"),
+                F.floor(F.col("rank") * F.col("w") * PR_SCALE)
+                .cast("bigint")
+                .alias("c"),
+            )
+            ranks = (
+                contribs.groupBy("u")
+                .agg(
+                    (
+                        F.when(F.col("u") % PPR_SEED_MOD == 0, 1 - PR_DAMPING)
+                        .otherwise(0.0)
+                        + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
+                    ).alias("rank")
+                )
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    withdeg.unpersist()
+    return (
+        ranks.where(F.col("rank") > 0.0)
+        .orderBy(F.col("rank").desc(), "u")
+        .limit(PR_TOP)
+        .select(F.col("u").alias("part_key"), F.round("rank", 9).alias("rank"))
+    )
