@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table
 from potpot_spark.registry import query
@@ -209,3 +210,88 @@ def reshape_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state", "valid_from", "valid_to",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+JOURNEY_MAX_EVENTS = 50  # cap exported sequence length per user
+
+
+@query(
+    "reshape_user_journey_nested",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP),
+                                               event_id) AS rn
+            FROM events
+        ),
+        capped AS (
+            SELECT * FROM ordered WHERE rn <= {JOURNEY_MAX_EVENTS}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us,
+               '[' || string_agg(
+                   '{{"t":' || CAST(tus AS VARCHAR) || ',"e":"'
+                       || event_type || '"}}', ',' ORDER BY rn)
+                   || ']' AS journey_json
+        FROM capped
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("E417",),
+)
+def reshape_user_journey_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-JOURNEY SEQUENCE EXPORT: each user's event stream rolls up
+    into one ordered JSON array of (timestamp, event) steps, capped at
+    {JOURNEY_MAX_EVENTS} — the row-per-example format behavioral
+    sequence models train on (the events-table analog of conversation
+    -turn packing; pipeline_training_export is the document-side
+    sibling).  Span and step count ride along for curriculum/bucket
+    decisions downstream.
+
+    Exact: the JSON is assembled by hand from deterministic pieces
+    (integer microseconds, ordered string aggregation) rather than
+    engine to_json — so the exported BYTES, not just the logical
+    content, reproduce across engines and partitionings; the length
+    cap is a rank predicate on the same (ts, event_id) total order.
+    Plan: one window pass + one ordered per-user aggregate — a single
+    user_id shuffle; at 100 TB the cap bounds both memory per group
+    and example length for the trainer."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= JOURNEY_MAX_EVENTS)
+    step = F.concat(
+        F.lit('{"t":'),
+        F.col("tus").cast("string"),
+        F.lit(',"e":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    return (
+        ordered.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            (F.max("tus") - F.min("tus")).cast("bigint").alias("span_us"),
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", step.alias("s")))
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("journey_json"),
+        )
+        .orderBy("user_id")
+    )
