@@ -411,3 +411,102 @@ def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall_ok"
         ),
     )
+
+
+@query("sim_search_ivfpq_adc", oracle=None, tags=("E418", "rows-only"))
+def sim_search_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined index — the FAISS IVFPQ architecture and the
+    default billion-scale ANN deployment: the IVF coarse quantizer
+    restricts each query to its nprobe nearest cells' postings, and
+    within those candidates distance is the PQ asymmetric lookup (4
+    table reads per vector) instead of full-vector math.  The two
+    stages multiply their savings: IVF cuts WHICH vectors are touched
+    (~nprobe/nlist of the corpus), PQ cuts WHAT is read per touched
+    vector (4 bytes, not 256) — at 100 TB neither alone is enough.
+
+    Shares BOTH trained indexes (the IVF cells and the PQ codebooks
+    materialize once per corpus snapshot; this op trains nothing).
+    Deterministic by the components' own engineering (ordered init,
+    decimal means, struct tie-breaks), so declared rows are stable;
+    rows-only by declared design (trained indexes have no SQL twin) —
+    the oracle-gated quality statement is sim_search_ivfpq_recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents, postings = _ivf_index(spark, sf_dir)
+    pq_cents, codes = _pq_index(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb")
+    )
+    probes = assign_cells(queries_df, cents, n=N_PROBE).select(
+        "query_id", "cell_id"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(postings.select("cell_id", "vec_id"), "cell_id")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    lut = (
+        _subvectors(queries_df, emb_col="emb")
+        .select("m", "query_id", "sub")
+        .join(F.broadcast(pq_cents), "m")
+        .select(
+            "m",
+            "query_id",
+            "code",
+            sq_dist(F.col("sub"), F.col("centroid")).alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["m", "code", "query_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rnk")
+    )
+
+
+IVFPQ_RECALL_FLOOR = 0.25  # MEAN recall@10: measured 0.46 (sf0.001), 0.40 (sf0.01)
+
+
+@query(
+    "sim_search_ivfpq_recall",
+    oracle=f"""
+        SELECT {TOP_K} AS k, TRUE AS mean_recall_ok
+    """,
+    tags=("E418",),
+)
+def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall CONTRACT through the oracle gate: mean recall@10
+    of the combined index vs exact brute force must clear
+    IVFPQ_RECALL_FLOOR (lower than either component's own floor — the
+    two approximations compound, which is exactly the tradeoff this
+    op documents and pins).  Consumes both shared indexes; costs one
+    brute-force pass over the query set."""
+    from potpot_spark.operators.similarity import brute_force_topk
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    ann = sim_search_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
+    exact = brute_force_topk(
+        raw.where(F.col("vec_id") < N_QUERIES), raw
+    ).select("query_id", "vec_id")
+    hits = ann.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").agg(
+        F.lit(TOP_K).alias("k"),
+        (
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0)))
+            / F.sum("n_exact")
+            >= IVFPQ_RECALL_FLOOR
+        ).alias("mean_recall_ok"),
+    )
