@@ -30,9 +30,13 @@ def test_survey_shipped_count_matches_registry():
 
 
 def test_oracle_coverage_claim_matches_registry():
-    """README claims N-2 of N are value-verified (2 rows-only by
-    declared design: the trained-index ANN outputs)."""
+    """Exactly the declared trained-index ANN outputs are rows-only;
+    everything else must carry a DuckDB value oracle."""
     registry.load_all()
     specs = registry.specs()
     rows_only = [name for name, s in specs.items() if s.oracle is None]
-    assert sorted(rows_only) == ["sim_search_ivf", "sim_search_pq_adc"], rows_only
+    assert sorted(rows_only) == [
+        "sim_search_ivf",
+        "sim_search_ivfpq_adc",
+        "sim_search_pq_adc",
+    ], rows_only
