@@ -4200,3 +4200,161 @@ def ml_elastic_net_coordinate_descent(
         F.round("b1", 6).alias("b1"),
         F.round("b2", 6).alias("b2"),
     ).orderBy("iteration")
+
+
+TREE2_HOUR_GRID = (6, 12, 18)  # child-level splits: hour-of-day
+
+
+@query(
+    "ml_decision_tree_depth2",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT value,
+                   CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                       AS hr,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label
+            FROM events
+        ),
+        t1 AS (SELECT unnest([{', '.join(str(t) for t in GINI_THRESHOLDS)}])
+               AS v_th),
+        t2 AS (SELECT unnest([{', '.join(str(h) for h in TREE2_HOUR_GRID)}])
+               AS h_th),
+        cells AS (
+            SELECT a.v_th, b.h_th,
+                   CAST(SUM(CASE WHEN l.value < a.v_th AND l.hr < b.h_th
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ll,
+                   CAST(SUM(CASE WHEN l.value < a.v_th AND l.hr < b.h_th
+                                 THEN l.label ELSE 0 END) AS BIGINT) AS p_ll,
+                   CAST(SUM(CASE WHEN l.value < a.v_th AND l.hr >= b.h_th
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_lr,
+                   CAST(SUM(CASE WHEN l.value < a.v_th AND l.hr >= b.h_th
+                                 THEN l.label ELSE 0 END) AS BIGINT) AS p_lr,
+                   CAST(SUM(CASE WHEN l.value >= a.v_th AND l.hr < b.h_th
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rl,
+                   CAST(SUM(CASE WHEN l.value >= a.v_th AND l.hr < b.h_th
+                                 THEN l.label ELSE 0 END) AS BIGINT) AS p_rl,
+                   CAST(SUM(CASE WHEN l.value >= a.v_th AND l.hr >= b.h_th
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rr,
+                   CAST(SUM(CASE WHEN l.value >= a.v_th AND l.hr >= b.h_th
+                                 THEN l.label ELSE 0 END) AS BIGINT) AS p_rr
+            FROM t1 a CROSS JOIN t2 b CROSS JOIN labeled l
+            GROUP BY a.v_th, b.h_th
+        ),
+        scored AS (
+            SELECT v_th, h_th,
+                   CASE WHEN n_ll = 0 THEN 0.0 ELSE
+                     CAST(n_ll*n_ll - p_ll*p_ll - (n_ll-p_ll)*(n_ll-p_ll)
+                          AS DOUBLE) / n_ll END
+                 + CASE WHEN n_lr = 0 THEN 0.0 ELSE
+                     CAST(n_lr*n_lr - p_lr*p_lr - (n_lr-p_lr)*(n_lr-p_lr)
+                          AS DOUBLE) / n_lr END AS g_left,
+                   CASE WHEN n_rl = 0 THEN 0.0 ELSE
+                     CAST(n_rl*n_rl - p_rl*p_rl - (n_rl-p_rl)*(n_rl-p_rl)
+                          AS DOUBLE) / n_rl END
+                 + CASE WHEN n_rr = 0 THEN 0.0 ELSE
+                     CAST(n_rr*n_rr - p_rr*p_rr - (n_rr-p_rr)*(n_rr-p_rr)
+                          AS DOUBLE) / n_rr END AS g_right
+            FROM cells
+        ),
+        best AS (
+            SELECT v_th,
+                   MIN({{'g': g_left, 'h': h_th}}).h AS h_left,
+                   MIN({{'g': g_left, 'h': h_th}}).g AS gl,
+                   MIN({{'g': g_right, 'h': h_th}}).h AS h_right,
+                   MIN({{'g': g_right, 'h': h_th}}).g AS gr
+            FROM scored GROUP BY v_th
+        )
+        SELECT v_th AS root_value_threshold,
+               CAST(h_left AS BIGINT) AS left_hour_threshold,
+               CAST(h_right AS BIGINT) AS right_hour_threshold,
+               ROUND(gl + gr, 9) AS tree_gini_mass
+        FROM best
+        ORDER BY gl + gr, v_th
+        LIMIT 1
+    """,
+    tags=("E419",),
+)
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DEPTH-2 DECISION TREE over a threshold grid: the root
+    splits on `value`, each child splits on hour-of-day, and the
+    chosen tree minimizes total weighted Gini mass — CART's greedy
+    level-2 step made exhaustive-exact (grid enumeration instead of
+    per-value scan), extending the battery's stump
+    (ml_decision_split_gini) and boosted stumps to an interaction-
+    capable model: it can express "high value AND evening".
+
+    Exactness: every candidate (root, child-split) cell is ONE
+    conditional aggregate of exact BIGINTs — the weighted Gini n*g =
+    (n^2 - pos^2 - neg^2)/n is integers + one division; per-root
+    child argmins and the final root argmin ride min(struct) with
+    threshold tie-breaks.  Plan: one pass over events cross-joined
+    with the 8x3 threshold grid (a 24-row broadcast literal — rows
+    scale linearly, not by distinct values), one hash aggregate,
+    O(grid) finale.  At 100 TB this is the histogram trick every
+    distributed GBDT uses: candidate stats in one scan, tree chosen
+    from the histogram."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        "value",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    t1 = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in GINI_THRESHOLDS])
+        ).alias("v_th")
+    )
+    t2 = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in TREE2_HOUR_GRID])).alias("h_th")
+    )
+    grid = F.broadcast(t1.crossJoin(t2))
+    j = labeled.crossJoin(grid)
+
+    def cnt(cond, lab=False):
+        src = F.when(cond, F.col("label") if lab else F.lit(1)).otherwise(0)
+        return F.sum(src).cast("bigint")
+
+    lv = F.col("value") < F.col("v_th")
+    lh = F.col("hr") < F.col("h_th")
+    cells = j.groupBy("v_th", "h_th").agg(
+        cnt(lv & lh).alias("n_ll"),
+        cnt(lv & lh, True).alias("p_ll"),
+        cnt(lv & ~lh).alias("n_lr"),
+        cnt(lv & ~lh, True).alias("p_lr"),
+        cnt(~lv & lh).alias("n_rl"),
+        cnt(~lv & lh, True).alias("p_rl"),
+        cnt(~lv & ~lh).alias("n_rr"),
+        cnt(~lv & ~lh, True).alias("p_rr"),
+    )
+
+    def g(n, p):
+        n, p = F.col(n), F.col(p)
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            (n * n - p * p - (n - p) * (n - p)).cast("double") / n
+        )
+
+    scored = cells.select(
+        "v_th",
+        "h_th",
+        (g("n_ll", "p_ll") + g("n_lr", "p_lr")).alias("g_left"),
+        (g("n_rl", "p_rl") + g("n_rr", "p_rr")).alias("g_right"),
+    )
+    best = scored.groupBy("v_th").agg(
+        F.min(F.struct(F.col("g_left").alias("g"), F.col("h_th").alias("h"))).alias("bl"),
+        F.min(F.struct(F.col("g_right").alias("g"), F.col("h_th").alias("h"))).alias("br"),
+    )
+    return (
+        best.select(
+            F.col("v_th").alias("root_value_threshold"),
+            F.col("bl.h").cast("bigint").alias("left_hour_threshold"),
+            F.col("br.h").cast("bigint").alias("right_hour_threshold"),
+            F.round(F.col("bl.g") + F.col("br.g"), 9).alias("tree_gini_mass"),
+            (F.col("bl.g") + F.col("br.g")).alias("_tot"),
+        )
+        .orderBy("_tot", "root_value_threshold")
+        .drop("_tot")
+        .limit(1)
+    )

@@ -7211,3 +7211,76 @@ def timeseries_ewma_crossover_signals(
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_semi_markov_holding_times",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS src,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                   lead(event_type) OVER w AS dst,
+                   lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS next_tus
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        )
+        SELECT src, dst,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(SUM(next_tus - tus) AS BIGINT) AS total_hold_us,
+               CAST(SUM(next_tus - tus) // COUNT(*) AS BIGINT)
+                   AS mean_hold_us,
+               CAST(MIN(next_tus - tus) AS BIGINT) AS min_hold_us,
+               CAST(MAX(next_tus - tus) AS BIGINT) AS max_hold_us
+        FROM seq
+        WHERE dst IS NOT NULL
+        GROUP BY src, dst
+        ORDER BY src, dst
+    """,
+    tags=("E420",),
+)
+def events_semi_markov_holding_times(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMI-MARKOV HOLDING TIMES: for every behavioral transition
+    src -> dst, how long do users SIT in src before making that move?
+    The transition-matrix sibling (events_transition_matrix) captures
+    WHERE users go; this captures WHEN — the holding-time layer that
+    upgrades a Markov chain to a semi-Markov process, which is what
+    session-length prediction, cart-abandonment timing and SLA models
+    actually need (exponential holding is the assumption; min/max and
+    the mean expose whether it's even plausible).
+
+    Exact: integer-microsecond gaps on the deterministic (ts,
+    event_id) order; totals are exact BIGINT sums, the mean one
+    integer division.  Plan: one lead() window per user, one hash
+    aggregate on the tiny (src, dst) key — single user shuffle at any
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "user_id",
+    ).select(
+        "src",
+        "tus",
+        F.lead("src").over(w).alias("dst"),
+        F.lead("tus").over(w).alias("next_tus"),
+    )
+    hold = F.col("next_tus") - F.col("tus")
+    return (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(hold).cast("bigint").alias("total_hold_us"),
+            F.expr(
+                "CAST(SUM(next_tus - tus) div COUNT(*) AS BIGINT)"
+            ).alias("mean_hold_us"),
+            F.min(hold).cast("bigint").alias("min_hold_us"),
+            F.max(hold).cast("bigint").alias("max_hold_us"),
+        )
+        .orderBy("src", "dst")
+    )
