@@ -5464,3 +5464,174 @@ def stats_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suspect_cents",
         F.round(F.col("max_dev") / sd, 9).alias("g_stat"),
     ).orderBy("grp")
+
+
+@query(
+    "sketch_theta_anotb_portable",
+    oracle=f"""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT event_type, user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        sk AS MATERIALIZED (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM du
+            ) WHERE rn <= {THETA_K}
+        ),
+        theta AS (
+            SELECT event_type,
+                   CASE WHEN COUNT(*) < {THETA_K} THEN {_KMV_2_60}
+                        ELSE CAST(MAX(h) AS DOUBLE) END AS theta
+            FROM sk GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS event_a, b.event_type AS event_b,
+                   least(ta.theta, tb.theta) AS theta
+            FROM theta ta
+            JOIN theta tb ON ta.event_type < tb.event_type
+            JOIN (SELECT DISTINCT event_type FROM sk) a
+              ON a.event_type = ta.event_type
+            JOIN (SELECT DISTINCT event_type FROM sk) b
+              ON b.event_type = tb.event_type
+        ),
+        retained AS (
+            SELECT p.event_a, p.event_b, p.theta,
+                   CAST(COUNT(*) FILTER (
+                       CAST(sa.h AS DOUBLE) < p.theta AND sb.h IS NULL
+                   ) AS BIGINT) AS n_ret
+            FROM pairs p
+            JOIN sk sa ON sa.event_type = p.event_a
+            LEFT JOIN sk sb
+              ON sb.event_type = p.event_b AND sb.h = sa.h
+            GROUP BY p.event_a, p.event_b, p.theta
+        ),
+        exact_diff AS (
+            SELECT a.event_type AS event_a, b.event_type AS event_b,
+                   CAST(COUNT(*) FILTER (x.user_id IS NULL) AS BIGINT)
+                       AS n_diff_exact
+            FROM du a
+            JOIN (SELECT DISTINCT event_type FROM du) b
+              ON a.event_type < b.event_type
+            LEFT JOIN du x
+              ON x.event_type = b.event_type AND x.user_id = a.user_id
+            GROUP BY 1, 2
+        )
+        SELECT r.event_a, r.event_b, r.n_ret,
+               COALESCE(x.n_diff_exact, 0) AS n_diff_exact,
+               ROUND(CAST(r.n_ret AS DOUBLE)
+                     * ({_KMV_2_60} / r.theta), 4) AS anotb_est
+        FROM retained r
+        LEFT JOIN exact_diff x
+          ON x.event_a = r.event_a AND x.event_b = r.event_b
+        ORDER BY r.event_a, r.event_b
+    """,
+    tags=("E421",),
+)
+def sketch_theta_anotb_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B (set difference) with DataSketches
+    semantics: clip both sketches to theta = min(theta_A, theta_B),
+    keep A's retained hashes absent from B, and scale the count by
+    1/theta — the audience-exclusion estimator ("users who viewed but
+    never purchased") that composes with the union/intersection
+    siblings into a full sketch algebra.  Exact |A\\B| truth rides
+    along for the error audit, as in the intersection op.
+
+    Portable md5 hashing makes the sketch CONTENTS bit-reproducible,
+    so the estimate itself goes through the value-hash gate (the
+    repo's standard trick for 'approximate' structures).  Plan:
+    per-type k=64 sketches (WindowGroupLimit), pair stage joins 64
+    longs per side + an anti-join INSIDE the sketch rows — at 100 TB
+    the difference estimate reads sketch tables only; the exact-truth
+    column (dropped in production) is the only events re-touch."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    du = e.select("event_type", "user_id").distinct().select(
+        "event_type", "user_id", h.alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        du.select("event_type", "h", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= THETA_K)
+        .select("event_type", "h")
+    )
+    theta = sk.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < THETA_K, F.lit(_KMV_2_60))
+        .otherwise(F.max("h").cast("double"))
+        .alias("theta")
+    )
+    pairs = (
+        theta.select(F.col("event_type").alias("event_a"), F.col("theta").alias("ta"))
+        .join(
+            theta.select(
+                F.col("event_type").alias("event_b"), F.col("theta").alias("tb")
+            ),
+            F.col("event_a") < F.col("event_b"),
+        )
+        .select("event_a", "event_b", F.least("ta", "tb").alias("theta"))
+    )
+    sa = sk.select(F.col("event_type").alias("event_a"), "h")
+    sb = sk.select(
+        F.col("event_type").alias("eb_sk"), F.col("h").alias("hb")
+    )
+    retained = (
+        F.broadcast(pairs)
+        .join(sa, "event_a")
+        .join(
+            sb,
+            (F.col("event_b") == F.col("eb_sk")) & (F.col("h") == F.col("hb")),
+            "left",
+        )
+        .groupBy("event_a", "event_b", "theta")
+        .agg(
+            F.count_if(
+                (F.col("h").cast("double") < F.col("theta"))
+                & F.col("hb").isNull()
+            ).cast("bigint").alias("n_ret")
+        )
+    )
+    dua = du.select(F.col("event_type").alias("event_a"), "user_id")
+    dub = du.select(
+        F.col("event_type").alias("eb_du"), F.col("user_id").alias("ub")
+    )
+    types = du.select("event_type").distinct()
+    tpairs = (
+        types.select(F.col("event_type").alias("event_a"))
+        .join(
+            types.select(F.col("event_type").alias("event_b")),
+            F.col("event_a") < F.col("event_b"),
+        )
+    )
+    exact = (
+        F.broadcast(tpairs)
+        .join(dua, "event_a")
+        .join(
+            dub,
+            (F.col("event_b") == F.col("eb_du"))
+            & (F.col("user_id") == F.col("ub")),
+            "left",
+        )
+        .groupBy("event_a", "event_b")
+        .agg(F.count_if(F.col("ub").isNull()).cast("bigint").alias("n_diff_exact"))
+    )
+    return (
+        retained.join(exact, ["event_a", "event_b"], "left")
+        .select(
+            "event_a",
+            "event_b",
+            "n_ret",
+            F.coalesce("n_diff_exact", F.lit(0)).alias("n_diff_exact"),
+            F.round(
+                F.col("n_ret").cast("double")
+                * (F.lit(_KMV_2_60) / F.col("theta")),
+                4,
+            ).alias("anotb_est"),
+        )
+        .orderBy("event_a", "event_b")
+    )

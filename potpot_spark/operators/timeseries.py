@@ -7284,3 +7284,202 @@ def events_semi_markov_holding_times(
         )
         .orderBy("src", "dst")
     )
+
+
+NEWSV_CU = 3   # underage cost (lost margin)
+NEWSV_CO = 1   # overage cost (holding) -> critical ratio 3/4
+NEWSV_MIN_DAYS = 4
+
+
+@query(
+    "orders_newsvendor_stock_level",
+    oracle=f"""
+        WITH demand AS (
+            SELECT l_partkey,
+                   date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT l_partkey, z,
+                   row_number() OVER (PARTITION BY l_partkey
+                                      ORDER BY z, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_partkey) AS n_days
+            FROM demand
+        )
+        SELECT l_partkey,
+               CAST(MAX(n_days) AS BIGINT) AS n_days,
+               CAST(MAX(z) AS BIGINT) AS q_star
+        FROM ranked
+        WHERE rn * ({NEWSV_CU} + {NEWSV_CO}) <= n_days * {NEWSV_CU}
+          AND n_days >= {NEWSV_MIN_DAYS}
+        GROUP BY l_partkey
+        ORDER BY l_partkey
+    """,
+    tags=("E422",),
+)
+def orders_newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR OPTIMAL STOCK per part: the profit-maximizing order
+    quantity is the critical-ratio quantile of daily demand — with
+    underage cost {NEWSV_CU} and overage cost {NEWSV_CO}, stock at the
+    empirical {NEWSV_CU}/{NEWSV_CU + NEWSV_CO} quantile.  The classic
+    single-period inventory result, computed from each part's actual
+    demand distribution (no normality assumption); pairs with the
+    ABC/XYZ and Croston ops as the "how much" to their "how often".
+
+    Exact: the quantile is a DISCRETE rank pick (largest demand with
+    rank*(cu+co) <= n*cu — integer cross-multiplication, no floats,
+    no interpolation), ties broken by day; demands are exact BIGINT
+    sums.  Plan: one hash aggregate to daily demand, one rank window
+    per part, one max aggregate — two shuffles on the part key at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        "l_partkey", F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
+    w = Window.partitionBy("l_partkey").orderBy("z", "day")
+    wc = Window.partitionBy("l_partkey")
+    ranked = demand.select(
+        "l_partkey",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_days"),
+    )
+    return (
+        ranked.where(
+            (F.col("rn") * (NEWSV_CU + NEWSV_CO) <= F.col("n_days") * NEWSV_CU)
+            & (F.col("n_days") >= NEWSV_MIN_DAYS)
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.max("z").cast("bigint").alias("q_star"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+RRS_W = 14  # rolling regression window (days)
+
+
+@query(
+    "timeseries_rolling_regression_slope",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+            FROM daily GROUP BY event_type
+        ),
+        grid AS (
+            SELECT b.event_type,
+                   CAST(b.mn + CAST(g.k AS BIGINT) * INTERVAL 1 DAY AS DATE)
+                       AS day,
+                   CAST(g.k AS BIGINT) AS x
+            FROM bounds b,
+                 LATERAL (SELECT unnest(generate_series(0,
+                              date_diff('day', b.mn, b.mx))) AS k) g
+        ),
+        filled AS (
+            SELECT g.event_type, g.day, g.x, COALESCE(d.c, 0) AS y
+            FROM grid g
+            LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        sums AS (
+            SELECT event_type, day,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+            FROM filled
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {RRS_W - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+        FROM sums
+        WHERE n = {RRS_W}
+        ORDER BY event_type, day
+    """,
+    tags=("E423",),
+)
+def timeseries_rolling_regression_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING OLS SLOPE (events/day per day) over a {RRS_W}-day
+    window on each event_type's zero-filled daily grid — the local
+    trend estimate dashboards draw as "momentum", strictly more
+    informative than a moving-average delta because it uses every
+    point in the window, and the windowed cousin of the global
+    Theil-Sen and Mann-Kendall ops.
+
+    Exact: x is the integer day index and y the integer count, so the
+    windowed sums (Sx, Sy, Sxy, Sxx) are exact BIGINTs and the slope
+    is ONE double division of two exact integers — bit-identical on
+    both engines.  Plan: one hash aggregate, calendar fill, ONE
+    window pass computing all four sums together (Spark fuses them
+    into a single frame evaluation); partition by series, sort by
+    day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            "mn",
+            F.explode(F.sequence(F.lit(0), F.datediff("mx", "mn"))).alias("x"),
+        )
+        .select(
+            "event_type",
+            F.date_add("mn", F.col("x").cast("int")).alias("day"),
+            F.col("x").cast("bigint").alias("x"),
+        )
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "x",
+        F.coalesce("c", F.lit(0).cast("bigint")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(RRS_W - 1), 0)
+    )
+    sums = filled.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    return (
+        sums.where(F.col("n") == RRS_W)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("slope"),
+        )
+        .orderBy("event_type", "day")
+    )
