@@ -4358,3 +4358,87 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_tot")
         .limit(1)
     )
+
+
+MCC_THRESHOLD = 100.0  # operating point for the confusion counts
+
+
+@query(
+    "ml_mcc_balanced_metrics",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                   value AS score
+            FROM events
+        ),
+        conf AS (
+            SELECT CAST(SUM(CASE WHEN score > {MCC_THRESHOLD} AND label = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score > {MCC_THRESHOLD} AND label = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score <= {MCC_THRESHOLD} AND label = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score <= {MCC_THRESHOLD} AND label = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM scored
+        )
+        SELECT tp, fp, fn, tn,
+               ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                     / sqrt((CAST(tp + fp AS DOUBLE))
+                            * (CAST(tp + fn AS DOUBLE))
+                            * (CAST(tn + fp AS DOUBLE))
+                            * (CAST(tn + fn AS DOUBLE))), 9) AS mcc,
+               ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                      + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))
+                     / 2.0, 9) AS balanced_accuracy,
+               ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                     + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)
+                     - 1.0, 9) AS youden_j
+        FROM conf
+    """,
+    tags=("E426",),
+)
+def ml_mcc_balanced_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION + balanced accuracy + Youden's J at a
+    fixed operating point: the three imbalance-robust summaries of a
+    confusion matrix.  MCC is the full four-cell correlation (the
+    only single scalar that punishes BOTH error types under skew —
+    accuracy and even F1 can look good while tn or tp collapses);
+    balanced accuracy and J are its sensitivity+specificity cousins.
+    Completes the eval battery's threshold family
+    (ml_eval_binary_classifier's per-threshold counts,
+    ml_threshold_sweep_f1's argmax).
+
+    Exact: the four cells are exact BIGINTs from one conditional
+    aggregate; each metric is a fixed rational expression (MCC's
+    denominator is one sqrt of an exact integer product in double).
+    Plan: single scan, single aggregate row — nothing shuffles but
+    four longs."""
+    e = load_table(spark, sf_dir, "events")
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    pos = F.col("value") > MCC_THRESHOLD
+    scored = e.select(label.alias("label"), pos.alias("pos"))
+    conf = scored.agg(
+        F.count_if(F.col("pos") & (F.col("label") == 1)).cast("bigint").alias("tp"),
+        F.count_if(F.col("pos") & (F.col("label") == 0)).cast("bigint").alias("fp"),
+        F.count_if(~F.col("pos") & (F.col("label") == 1)).cast("bigint").alias("fn"),
+        F.count_if(~F.col("pos") & (F.col("label") == 0)).cast("bigint").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    sens = tp / (tp + fn)
+    spec = tn / (tn + fp)
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(mcc, 9).alias("mcc"),
+        F.round((sens + spec) / 2.0, 9).alias("balanced_accuracy"),
+        F.round(sens + spec - 1.0, 9).alias("youden_j"),
+    )

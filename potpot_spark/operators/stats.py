@@ -5635,3 +5635,101 @@ def sketch_theta_anotb_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_a", "event_b")
     )
+
+
+WILSON_Z = 1.96  # 95% normal quantile (fixed literal both engines)
+
+
+@query(
+    "stats_wilson_proportion_ci",
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(DISTINCT CASE WHEN weekday THEN user_id END)
+                        AS BIGINT) AS n_weekday
+            FROM (
+                SELECT event_type, user_id,
+                       dayofweek(CAST(ts AS TIMESTAMP)) BETWEEN 1 AND 5
+                           AS weekday
+                FROM events
+            )
+            GROUP BY event_type
+        )
+        SELECT event_type, n_users, n_weekday,
+               ROUND(CAST(n_weekday AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+                   AS p_hat,
+               ROUND((CAST(n_weekday AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + {WILSON_Z} * {WILSON_Z}
+                        / (2.0 * CAST(n_users AS DOUBLE))
+                      - {WILSON_Z} * sqrt(
+                          (CAST(n_weekday AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (1.0 - CAST(n_weekday AS DOUBLE)
+                                   / CAST(n_users AS DOUBLE))
+                            / CAST(n_users AS DOUBLE)
+                          + {WILSON_Z} * {WILSON_Z}
+                            / (4.0 * CAST(n_users AS DOUBLE)
+                               * CAST(n_users AS DOUBLE))))
+                     / (1.0 + {WILSON_Z} * {WILSON_Z}
+                              / CAST(n_users AS DOUBLE)), 9) AS wilson_lo,
+               ROUND((CAST(n_weekday AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + {WILSON_Z} * {WILSON_Z}
+                        / (2.0 * CAST(n_users AS DOUBLE))
+                      + {WILSON_Z} * sqrt(
+                          (CAST(n_weekday AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (1.0 - CAST(n_weekday AS DOUBLE)
+                                   / CAST(n_users AS DOUBLE))
+                            / CAST(n_users AS DOUBLE)
+                          + {WILSON_Z} * {WILSON_Z}
+                            / (4.0 * CAST(n_users AS DOUBLE)
+                               * CAST(n_users AS DOUBLE))))
+                     / (1.0 + {WILSON_Z} * {WILSON_Z}
+                              / CAST(n_users AS DOUBLE)), 9) AS wilson_hi
+        FROM counts
+        ORDER BY event_type
+    """,
+    tags=("E425",),
+)
+def stats_wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE INTERVAL for a proportion (the share of each event
+    type's users who are weekday-active): the binomial CI that stays
+    inside [0,1] and behaves at small n and extreme p where the
+    normal (Wald) interval collapses — the interval every ranking
+    system ("sort by lower confidence bound") and dashboard should
+    use instead of p +/- z*se.
+
+    Exact: counts are exact distinct BIGINTs; the interval is one
+    fixed +,-,*,/,sqrt expression with the z constant as an identical
+    literal, spelled the same on both engines — bit-identical before
+    the single ROUND.  Plan: one distinct aggregate per (type, flag),
+    O(k) finale."""
+    e = load_table(spark, sf_dir, "events")
+    weekday = F.dayofweek("ts").between(2, 6)  # Spark: 1=Sunday
+    counts = (
+        e.select(
+            "event_type",
+            "user_id",
+            weekday.alias("weekday"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("weekday"), F.col("user_id"))
+            ).cast("bigint").alias("n_weekday"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_weekday").cast("double") / n
+    z = WILSON_Z
+    center = p + z * z / (2.0 * n)
+    half = z * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    denom = 1.0 + z * z / n
+    return counts.select(
+        "event_type",
+        "n_users",
+        "n_weekday",
+        F.round(p, 9).alias("p_hat"),
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"),
+    ).orderBy("event_type")

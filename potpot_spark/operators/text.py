@@ -3143,3 +3143,126 @@ def text_code_vs_prose_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_code_tok") * 4 >= F.col("n_tok")).alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ml_cohens_kappa_langid",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {{SC_EN}} AS score_en,
+                   {{SC_ES}} AS score_es,
+                   {{SC_FR}} AS score_fr,
+                   {{SC_DE}} AS score_de,
+                   {{SC_ZH}} AS score_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang AS tagged_lang,
+                   CASE
+                       WHEN score_en >= score_es AND score_en >= score_fr
+                            AND score_en >= score_de AND score_en >= score_zh
+                           THEN 'en'
+                       WHEN score_es >= score_fr AND score_es >= score_de
+                            AND score_es >= score_zh THEN 'es'
+                       WHEN score_fr >= score_de AND score_fr >= score_zh
+                           THEN 'fr'
+                       WHEN score_de >= score_zh THEN 'de'
+                       ELSE 'zh'
+                   END AS predicted_lang
+            FROM scored
+        ),
+        cells AS (
+            SELECT tagged_lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT COALESCE(r.lang, c.lang) AS lang,
+                   COALESCE(r.row_n, 0) AS row_n,
+                   COALESCE(c.col_n, 0) AS col_n
+            FROM (SELECT tagged_lang AS lang,
+                         CAST(SUM(n) AS BIGINT) AS row_n
+                  FROM cells GROUP BY 1) r
+            FULL JOIN (SELECT predicted_lang AS lang,
+                              CAST(SUM(n) AS BIGINT) AS col_n
+                       FROM cells GROUP BY 1) c
+              ON r.lang = c.lang
+        ),
+        tots AS (
+            SELECT CAST((SELECT SUM(n) FROM cells) AS BIGINT) AS n_total,
+                   CAST((SELECT SUM(n) FROM cells
+                         WHERE tagged_lang = predicted_lang) AS BIGINT)
+                       AS n_agree,
+                   CAST((SELECT SUM(row_n * col_n) FROM marg) AS BIGINT)
+                       AS chance_mass
+        )
+        SELECT n_total, n_agree,
+               ROUND(CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+                   AS observed_agreement,
+               ROUND(CAST(chance_mass AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 9)
+                   AS expected_agreement,
+               ROUND((CAST(n_agree AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      - CAST(chance_mass AS DOUBLE))
+                     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                        - CAST(chance_mass AS DOUBLE)), 9) AS kappa
+        FROM tots
+    """.replace("{SC_EN}", _sql_count_in(LANG_PROFILES["en"]))
+     .replace("{SC_ES}", _sql_count_in(LANG_PROFILES["es"]))
+     .replace("{SC_FR}", _sql_count_in(LANG_PROFILES["fr"]))
+     .replace("{SC_DE}", _sql_count_in(LANG_PROFILES["de"]))
+     .replace("{SC_ZH}", _sql_count_in(LANG_PROFILES["zh"])),
+    tags=("E424",),
+)
+def ml_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the stopword-profile language classifier
+    and the corpus's tagged labels: chance-corrected agreement,
+    kappa = (p_o - p_e)/(1 - p_e) — the single quality scalar that the
+    raw confusion matrix (text_lang_id_confusion) and plain accuracy
+    both overstate when the label distribution is skewed (a
+    majority-class guesser gets high accuracy but kappa ~ 0).  The
+    standard acceptance metric when a cheap classifier is audited
+    against gold labels before it gates a training corpus.
+
+    Exact: all confusion-cell and marginal masses are exact BIGINTs;
+    kappa is spelled as the cross-multiplied rational
+    (n_agree*N - chance)/(N^2 - chance) — one fixed expression, no
+    intermediate ratios.  Plan: one classify pass (JVM stopword
+    scoring), one cell aggregate, O(k) marginal algebra — the
+    confusion-matrix shuffle and nothing more."""
+    pred = text_lang_id(spark, sf_dir).select("tagged_lang", "predicted_lang")
+    cells = pred.groupBy("tagged_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rows = cells.groupBy(F.col("tagged_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    cols = cells.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    marg = rows.join(cols, "lang", "full").select(
+        F.coalesce("row_n", F.lit(0)).alias("row_n"),
+        F.coalesce("col_n", F.lit(0)).alias("col_n"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.col("tagged_lang") == F.col("predicted_lang"), F.col("n"))
+        ).cast("bigint").alias("n_agree"),
+    )
+    chance = marg.agg(
+        F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias(
+            "chance_mass"
+        )
+    )
+    nt = F.col("n_total").cast("double")
+    na = F.col("n_agree").cast("double")
+    cm = F.col("chance_mass").cast("double")
+    return tot.crossJoin(chance).select(
+        "n_total",
+        "n_agree",
+        F.round(na / nt, 9).alias("observed_agreement"),
+        F.round(cm / (nt * nt), 9).alias("expected_agreement"),
+        F.round((na * nt - cm) / (nt * nt - cm), 9).alias("kappa"),
+    )
