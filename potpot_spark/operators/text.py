@@ -3266,3 +3266,75 @@ def ml_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cm / (nt * nt), 9).alias("expected_agreement"),
         F.round((na * nt - cm) / (nt * nt - cm), 9).alias("kappa"),
     )
+
+
+LANGID_MARGIN_MIN = 2  # abstain when top1 - top2 stopword hits < this
+
+
+@query(
+    "text_lang_id_margin_abstain",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {{SC_EN}} AS score_en,
+                   {{SC_ES}} AS score_es,
+                   {{SC_FR}} AS score_fr,
+                   {{SC_DE}} AS score_de,
+                   {{SC_ZH}} AS score_zh
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   greatest(score_en, score_es, score_fr, score_de, score_zh)
+                       AS top1,
+                   -- top2 = max over the 5 scores of the min against
+                   -- every other (second-largest via sort of the list)
+                   list_sort([score_en, score_es, score_fr, score_de,
+                              score_zh])[4] AS top2
+            FROM scored
+        )
+        SELECT doc_id, lang AS tagged_lang,
+               CAST(top1 AS BIGINT) AS top1_hits,
+               CAST(top2 AS BIGINT) AS top2_hits,
+               CAST(top1 - top2 AS BIGINT) AS margin,
+               top1 - top2 < {LANGID_MARGIN_MIN} AS abstain
+        FROM ranked
+        ORDER BY doc_id
+    """.replace("{SC_EN}", _sql_count_in(LANG_PROFILES["en"]))
+     .replace("{SC_ES}", _sql_count_in(LANG_PROFILES["es"]))
+     .replace("{SC_FR}", _sql_count_in(LANG_PROFILES["fr"]))
+     .replace("{SC_DE}", _sql_count_in(LANG_PROFILES["de"]))
+     .replace("{SC_ZH}", _sql_count_in(LANG_PROFILES["zh"])),
+    tags=("E427",),
+)
+def text_lang_id_margin_abstain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER MARGIN + ABSTENTION for language ID: the difference
+    between the best and second-best stopword-profile scores is the
+    classifier's confidence margin; documents below the margin floor
+    ABSTAIN and route to the expensive path (bigger model / human) —
+    the standard cheap-classifier-with-escape-hatch corpus router,
+    and the missing piece between raw prediction (text_lang_id) and
+    quality audit (kappa, confusion).
+
+    Exact: scores are integer stopword hit counts, top-2 selection is
+    an integer sort pick, the margin an integer subtraction and the
+    abstain flag an integer comparison — no floats at all.  Plan:
+    single stateless scan (JVM array sort over 5 ints per row), no
+    shuffle; at 100 TB this routes the corpus in one map pass."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", F.col("lang").alias("tagged_lang"), *_langid_spark())
+    arr = F.array(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    srt = F.array_sort(arr)
+    top1 = F.element_at(srt, 5)
+    top2 = F.element_at(srt, 4)
+    return (
+        scored.select(
+            "doc_id",
+            "tagged_lang",
+            top1.cast("bigint").alias("top1_hits"),
+            top2.cast("bigint").alias("top2_hits"),
+            (top1 - top2).cast("bigint").alias("margin"),
+            ((top1 - top2) < LANGID_MARGIN_MIN).alias("abstain"),
+        )
+        .orderBy("doc_id")
+    )
