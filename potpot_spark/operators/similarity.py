@@ -1592,3 +1592,119 @@ def sim_search_retrieval_recall_eval(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("label")
     )
+
+
+ANISO_FP = 10**9  # fixed-point scale for normalized components
+
+
+@query(
+    "embedding_anisotropy_mean_cosine",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id,
+                   list_transform(
+                       v, x -> CAST(FLOOR(x / sqrt(list_sum(
+                           list_transform(v, y -> y * y)))
+                           * CAST({ANISO_FP} AS DOUBLE)) AS BIGINT)) AS q
+            FROM vecs
+        ),
+        dims AS (
+            SELECT g.k AS dim, CAST(SUM(q[g.k]) AS BIGINT) AS s_d
+            FROM quant,
+                 LATERAL (SELECT unnest(generate_series(1, len(q))) AS k) g
+            GROUP BY g.k
+        ),
+        selfm AS (
+            SELECT q.vec_id,
+                   SUM(CAST(q.q[g.k] AS HUGEINT)
+                       * CAST(q.q[g.k] AS HUGEINT)) AS m
+            FROM quant q,
+                 LATERAL (SELECT unnest(generate_series(1, len(q.q))) AS k) g
+            GROUP BY q.vec_id
+        ),
+        tot AS (
+            SELECT (SELECT SUM(CAST(s_d AS HUGEINT) * CAST(s_d AS HUGEINT))
+                    FROM dims) AS s_norm2,
+                   (SELECT SUM(m) FROM selfm) AS self_mass,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM quant) AS n
+        )
+        SELECT n,
+               ROUND((CAST(s_norm2 AS DOUBLE) - CAST(self_mass AS DOUBLE))
+                     / (CAST({ANISO_FP} AS DOUBLE)
+                        * CAST({ANISO_FP} AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9)
+                   AS mean_pairwise_cosine
+        FROM tot
+    """,
+    tags=("E430",),
+)
+def embedding_anisotropy_mean_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING ANISOTROPY: the mean pairwise cosine over ALL vector
+    pairs, computed WITHOUT any pair enumeration via the sum-vector
+    identity sum_{{i != j}} v_i . v_j = ||S||^2 - sum_i ||v_i||^2 with
+    S = sum v_i — Ethayarajh's diagnostic for embedding-space
+    collapse (isotropic spaces score near 0; a high mean cosine means
+    every document looks like every other and retrieval/dedup
+    thresholds silently degrade).  The audit to run BEFORE trusting
+    any cosine threshold in the dedup/ANN family.
+
+    Exactness: normalized components are FLOOR-quantized to 1e-9
+    fixed point, so the per-dimension sums, ||S||^2 and the self-mass
+    are all exact integers (DECIMAL38 squares), and the final mean is
+    one double expression — bit-identical despite being a sum over
+    ~n^2/2 implicit pairs.  Scale: O(n*d) one pass + a d-row
+    aggregate; the identity is what makes the all-pairs statistic
+    computable at 100 TB at all (a pair join would be 10^18 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda y: y * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(x / nrm * float(ANISO_FP)).cast("bigint")
+        ).alias("q"),
+    )
+    dims = (
+        quant.select(F.posexplode("q").alias("dim0", "qv"))
+        .groupBy("dim0")
+        .agg(F.sum("qv").cast("bigint").alias("s_d"))
+    )
+    s19 = F.col("s_d").cast("decimal(38,0)")
+    s_norm2 = dims.agg(F.sum(s19 * s19).alias("s_norm2"))
+    self_mass = quant.select(
+        F.aggregate(
+            F.transform(
+                "q",
+                lambda x: x.cast("decimal(19,0)") * x.cast("decimal(19,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda a, x: a + x.cast("decimal(38,0)"),
+        ).alias("m")
+    ).agg(F.sum("m").cast("decimal(38,0)").alias("self_mass"))
+    n_df = quant.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    return (
+        n_df.crossJoin(s_norm2)
+        .crossJoin(self_mass)
+        .select(
+            "n",
+            F.round(
+                (F.col("s_norm2").cast("double") - F.col("self_mass").cast("double"))
+                / (float(ANISO_FP) * float(ANISO_FP))
+                / (nd * (nd - 1.0)),
+                9,
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
