@@ -4545,3 +4545,114 @@ def udf_pandas_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, schema)
     )
     return out.orderBy("user_id", "event_id")
+
+
+REG_LAG = 7  # seasonal-naive horizon the metrics evaluate
+
+
+@query(
+    "ml_regression_metrics_suite",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT event_type, day, c,
+                   lag(c, {REG_LAG}) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS yhat
+            FROM daily
+        ),
+        err AS (
+            SELECT event_type, c, yhat, c - yhat AS e,
+                   abs(c - yhat) AS ae,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(c - yhat), day) AS ae_rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM pred WHERE yhat IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(ae) // MAX(n) AS BIGINT) AS mae_floor,
+               ROUND(sqrt(CAST(SUM(e * e) AS DOUBLE)
+                          / CAST(MAX(n) AS DOUBLE)), 9) AS rmse,
+               CAST(SUM(CASE WHEN c > 0
+                             THEN ae * 1000000 // c ELSE 0 END)
+                    // MAX(n) AS BIGINT) AS mape_ppm,
+               CAST(MAX(CASE WHEN ae_rn * 2 <= n + 1 THEN ae END)
+                    AS BIGINT) AS median_ae,
+               ROUND(1.0 - CAST(MAX(n) AS DOUBLE) * CAST(SUM(e * e) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
+                        - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)),
+                     9) AS r2
+        FROM err
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E431",),
+)
+def ml_regression_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REGRESSION EVAL TOOLBOX — MAE, RMSE, MAPE, median-AE and
+    R² in one pass — for the lag-{REG_LAG} seasonal-naive forecaster
+    on each event_type's daily counts: the metric battery every
+    forecast comparison starts from, each metric exposing a different
+    failure mode (MAE = typical miss, RMSE = tail-weighted, MAPE =
+    relative, median-AE = robust, R² = vs the mean baseline; a model
+    can win four and lose the fifth).  The seasonal-naive target
+    makes the suite self-contained and gives every fancier model in
+    the battery (Holt-Winters, Croston, backtests) a common floor to
+    beat.
+
+    Exact: errors are integer count differences; MAE and MAPE ride
+    integer floor divisions (MAPE per-row quantized to ppm BEFORE the
+    sum — order-free), median-AE is a rank pick, R² is spelled as the
+    cross-multiplied rational 1 − nΣe²/(nΣy²−(Σy)²), RMSE's one sqrt
+    is the only irrational step.  Plan: one lag window + one
+    aggregate per series — a single series-key shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    pred = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c", REG_LAG).over(wl).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    ae = F.abs(F.col("c") - F.col("yhat"))
+    wr = W.partitionBy("event_type").orderBy(ae, "day")
+    wn = W.partitionBy("event_type")
+    err = pred.select(
+        "event_type",
+        "c",
+        (F.col("c") - F.col("yhat")).alias("e"),
+        ae.alias("ae"),
+        F.row_number().over(wr).alias("ae_rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nd = F.max("n").cast("double")
+    se = F.sum(F.col("e") * F.col("e")).cast("double")
+    sc = F.sum("c").cast("double")
+    scc = F.sum(F.col("c") * F.col("c")).cast("double")
+    return (
+        err.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.expr("CAST(SUM(ae) div MAX(n) AS BIGINT)").alias("mae_floor"),
+            F.round(F.sqrt(se / nd), 9).alias("rmse"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c > 0 THEN (ae * 1000000) div c"
+                " ELSE 0 END) div MAX(n) AS BIGINT)"
+            ).alias("mape_ppm"),
+            F.max(
+                F.when(F.col("ae_rn") * 2 <= F.col("n") + 1, F.col("ae"))
+            ).cast("bigint").alias("median_ae"),
+            F.round(1.0 - nd * se / (nd * scc - sc * sc), 9).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

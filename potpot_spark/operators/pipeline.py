@@ -2229,3 +2229,110 @@ def pipeline_token_budget_sharding(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("shard_id")
     )
+
+
+SNAPDIFF_OFFSET = 10_000_000  # synthetic ids for the "added" docs
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id,
+                   {{PH}} AS content_hash
+            FROM documents
+        ),
+        b AS (
+            -- snapshot B, derived deterministically from A:
+            -- doc_id %% 7 = 0 dropped, %% 11 = 0 edited, %% 13 = 0
+            -- duplicated under a new id (the "added" class)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN {{PH_EDIT}}
+                        ELSE {{PH}} END AS content_hash
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + {SNAPDIFF_OFFSET}, {{PH}}
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        classed AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE
+                       WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.content_hash <> b.content_hash THEN 'changed'
+                       ELSE 'unchanged'
+                   END AS class
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT class,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM classed
+        GROUP BY class
+        ORDER BY class
+    """.replace(
+        "{PH}", phash60_expr("text")
+    ).replace(
+        "{PH_EDIT}", phash60_expr("text || ' [edited]'")
+    ),
+    tags=("E432",),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS SNAPSHOT DIFF: classify every document across two
+    dataset versions as added / removed / changed / unchanged by
+    joining on doc_id and comparing CONTENT HASHES — the manifest
+    every dataset release pipeline publishes (and the input to
+    incremental re-embedding, re-dedup and cache invalidation: only
+    'added' + 'changed' need reprocessing).  Snapshot B is derived
+    deterministically in-query (drops, edits and additions by id
+    residue) so the op is self-contained and the expected class of
+    every doc is checkable.
+
+    Exact: content identity is the portable 60-bit md5 hash, classes
+    come from one FULL OUTER JOIN on the id, counts and id ranges are
+    exact.  Plan: two scans + one full join on doc_id + a 4-row
+    aggregate; at 100 TB this is the standard snapshot-reconciliation
+    shuffle, and hashing beats byte-comparison by reading each text
+    once."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", phash60_col(F.col("text")).alias("content_hash"))
+    b = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                phash60_col(F.concat(F.col("text"), F.lit(" [edited]"))),
+            )
+            .otherwise(phash60_col(F.col("text")))
+            .alias("content_hash"),
+        )
+        .union(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + SNAPDIFF_OFFSET).alias("doc_id"),
+                phash60_col(F.col("text")).alias("content_hash"),
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full"
+    )
+    classed = joined.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.content_hash") != F.col("b.content_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("class"),
+    )
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("class")
+    )
