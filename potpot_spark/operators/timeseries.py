@@ -7483,3 +7483,124 @@ def timeseries_rolling_regression_slope(
         )
         .orderBy("event_type", "day")
     )
+
+
+LB_LAGS = 10     # Ljung-Box portmanteau horizon
+LB_FP = 10**12   # fixed-point scale for per-lag terms
+
+
+@query(
+    "stats_ljung_box_q",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   COUNT(*) AS x
+            FROM events GROUP BY day
+        ),
+        idx AS (
+            SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2))
+                            * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM idx
+        ),
+        lags AS (
+            SELECT l.lag_k,
+                   CAST(SUM(CAST(a.x AS DECIMAL(18,2))
+                            * CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT unnest(range(1, {LB_LAGS} + 1)) AS lag_k) l
+            JOIN idx a ON TRUE
+            JOIN idx b ON b.t = a.t + l.lag_k
+            GROUP BY l.lag_k
+        ),
+        terms AS (
+            SELECT CAST(SUM(CAST(FLOOR(
+                       ((sxy - (s / n) * (s / n) * n_pairs)
+                        / (ss - s * s / n))
+                       * ((sxy - (s / n) * (s / n) * n_pairs)
+                          / (ss - s * s / n))
+                       / (CAST(n AS DOUBLE) - lag_k)
+                       * CAST({LB_FP} AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                       AS q_fp,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM lags, stats
+        )
+        SELECT n, {LB_LAGS} AS k_lags,
+               ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * (CAST(q_fp AS DOUBLE) / CAST({LB_FP} AS DOUBLE)), 9)
+                   AS ljung_box_q
+        FROM terms
+    """,
+    tags=("E433",),
+)
+def stats_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU statistic over the first {LB_LAGS}
+    autocorrelations of the global daily-count series: Q = n(n+2)
+    Σ r_k²/(n−k) — the "is there ANY autocorrelation left" test run
+    on every forecast's residuals (a well-specified model leaves
+    white noise; large Q on raw traffic counts is expected and
+    confirms the weekly structure the seasonal ops model).
+    Complements the per-lag ACF op (timeseries_autocorrelation) with
+    its standard scalar summary.
+
+    Exact: the per-lag r_k reuses the ACF op's deterministic double
+    expression (exact-decimal products, fixed shape); each r_k²/(n−k)
+    term is FLOOR-quantized to 1e-12 BEFORE the cross-lag sum
+    (order-free integer addition), and the n(n+2) scaling is one
+    final expression.  Plan: the ACF lag join (10 offsets against the
+    day index) + one aggregate — series-length bounded, trivially
+    parallel across series if partitioned."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("day")
+    idx = daily.select(
+        F.col("x").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(w).alias("t"),
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("ss"),
+    )
+    lag_tbl = spark.range(1, LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag_k")
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("t").alias("ta"))
+    b = idx.select(F.col("x").alias("xb"), F.col("t").alias("tb"))
+    lags = (
+        F.broadcast(lag_tbl)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag_k"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    r_k = (
+        F.col("sxy") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")) * F.col("n_pairs")
+    ) / (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+    terms = lags.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            F.floor(
+                r_k * r_k / (nd - F.col("lag_k")) * float(LB_FP)
+            ).cast("bigint")
+        ).cast("bigint").alias("q_fp"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    nn = F.col("n").cast("double")
+    return terms.select(
+        "n",
+        F.lit(LB_LAGS).alias("k_lags"),
+        F.round(
+            nn * (nn + 2.0) * (F.col("q_fp").cast("double") / float(LB_FP)), 9
+        ).alias("ljung_box_q"),
+    )
