@@ -514,3 +514,69 @@ def scalar_surrogate_key_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(h, 21, 12),
     )
     return o.select("o_orderkey", uuid.alias("surrogate_uuid"))
+
+
+@query(
+    "scalar_luhn_check_digit",
+    oracle="""
+        WITH ids AS (
+            SELECT o_orderkey,
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS body
+            FROM orders
+        ),
+        digits AS (
+            SELECT o_orderkey, body,
+                   CAST(SUM(
+                       CASE WHEN (13 - g.k) % 2 = 1 THEN
+                           CASE WHEN CAST(body[g.k] AS BIGINT) * 2 > 9
+                                THEN CAST(body[g.k] AS BIGINT) * 2 - 9
+                                ELSE CAST(body[g.k] AS BIGINT) * 2 END
+                       ELSE CAST(body[g.k] AS BIGINT) END) AS BIGINT) AS s
+            FROM ids,
+                 LATERAL (SELECT unnest(generate_series(1, 12)) AS k) g
+            GROUP BY o_orderkey, body
+        )
+        SELECT o_orderkey, body,
+               CAST((10 - s % 10) % 10 AS BIGINT) AS luhn_digit,
+               body || CAST((10 - s % 10) % 10 AS VARCHAR) AS account_number
+        FROM digits
+        ORDER BY o_orderkey
+    """,
+    tags=("E434",),
+)
+def scalar_luhn_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN CHECK DIGIT generation (ISO/IEC 7812 — card numbers, IMEIs,
+    surrogate account ids): zero-pad the key to a 12-digit body,
+    double every second digit from the right (casting out nines), and
+    append the mod-10 check digit — the data-quality primitive that
+    lets every downstream system REJECT single-digit typos and most
+    transpositions without a lookup.  Generation here; validation is
+    the same sum tested against 0.
+
+    Exact: pure integer digit manipulation — substring picks, parity
+    on position-from-the-right, one modulus — identical everywhere.
+    Plan: stateless map over a JVM transform of 12 fixed positions —
+    no shuffle, whole-stage codegen, the cheapest possible scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    body = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    withbody = o.select("o_orderkey", body.alias("body"))
+    digit = lambda k: F.substring("body", k, 1).cast("bigint")  # noqa: E731
+    terms = []
+    for k in range(1, 13):
+        d = digit(k)
+        if (13 - k) % 2 == 1:
+            terms.append(
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            )
+        else:
+            terms.append(d)
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    check = (10 - s % 10) % 10
+    return withbody.select(
+        "o_orderkey",
+        "body",
+        check.cast("bigint").alias("luhn_digit"),
+        F.concat(F.col("body"), check.cast("string")).alias("account_number"),
+    ).orderBy("o_orderkey")
