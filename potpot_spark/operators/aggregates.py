@@ -611,3 +611,55 @@ def agg_trimmed_winsorized_compare(
         )
         .orderBy("grp")
     )
+
+
+HH_K = 1000  # heavy hitter = item with share > 1/HH_K of all rows
+
+
+@query(
+    "agg_heavy_hitters_exact",
+    oracle=f"""
+        WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        freq AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT f.l_partkey, f.cnt, t.n,
+               CAST(f.cnt * 1000000 // t.n AS BIGINT) AS share_ppm
+        FROM freq f CROSS JOIN tot t
+        WHERE f.cnt * {HH_K} > t.n
+        ORDER BY f.cnt DESC, f.l_partkey
+    """,
+    tags=("E435",),
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT epsilon-HEAVY HITTERS: every part whose line-item share
+    exceeds 1/{HH_K} of the table — the exact ground truth the
+    sketch family (count-min E204, SpaceSaving-style top-k) trades
+    against, and the skew DETECTOR that feeds the salted-join and
+    hot-label machinery: these keys are precisely the ones that
+    need salting at 100 TB.
+
+    Exact: threshold membership is the integer cross-multiplication
+    cnt*k > n (no ratio), the reported share an integer ppm.  Plan:
+    one hash aggregate (map-side partials make the per-key cost one
+    long), one broadcast of the 1-row total, filter — the aggregate
+    IS the full job; output is at most {HH_K} rows by construction,
+    driver-safe at any scale (a provable output bound most top-k
+    reports lack)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    freq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * HH_K > F.col("n"))
+        .select(
+            "l_partkey",
+            "cnt",
+            "n",
+            F.expr("CAST((cnt * 1000000) div n AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    )

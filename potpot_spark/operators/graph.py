@@ -2397,3 +2397,97 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select(F.col("u").alias("part_key"), F.round("rank", 9).alias("rank"))
     )
+
+
+@query(
+    "graph_eccentricity_seed_sample",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        )
+        SELECT seed,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(MAX(dist) AS INT) AS eccentricity_capped
+        FROM best
+        GROUP BY seed
+        ORDER BY seed
+    """,
+    tags=("E436",),
+)
+def graph_eccentricity_seed_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED ECCENTRICITY on the co-purchase graph: for each seed in
+    the shared working set, the farthest reachable node within the hop
+    cap — min over seeds estimates the RADIUS, max estimates the
+    DIAMETER (lower bounds, since both sampling and truncation only
+    shrink).  The small-world check: if most seeds max out below the
+    cap, the graph's effective diameter is tiny and hop-bounded
+    algorithms (the BFS/harmonic family) see the whole component —
+    exactly the property their truncation arguments rely on, now
+    measured instead of assumed.
+
+    Shares the multi-source BFS machinery and seed convention of
+    graph_harmonic_centrality (one frontier carrying (seed, node),
+    {HC_MAX_HOPS} rounds of map-side broadcast joins, edge table never
+    shuffled); the eccentricity is the MAX of the same per-(seed,
+    node) min-distances whose reciprocals harmonic centrality sums —
+    one extra aggregate, no extra pass when both run in one job."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % HC_SEED_MOD == 0)
+    )
+    dist = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, HC_MAX_HOPS + 1):
+        neighbors = (
+            F.broadcast(frontier)
+            .join(sym, frontier.node == sym.src)
+            .select("seed", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = neighbors.join(
+            F.broadcast(dist.select("seed", "node")),
+            ["seed", "node"],
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        dist = dist.union(new)
+        frontier = new
+    return (
+        dist.groupBy("seed")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+            F.max("dist").cast("int").alias("eccentricity_capped"),
+        )
+        .orderBy("seed")
+    )
