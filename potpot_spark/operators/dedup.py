@@ -26,6 +26,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from potpot_spark.catalog import load_table, spread
 from potpot_spark.functions.numeric import phash60, phash60_expr
@@ -983,4 +984,90 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("sum(est_u - exact_u) DIV count(1)").cast("bigint").alias("bias_u"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "dedup_survivorship_rules",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, n_chars, source,
+                   {{PH}} AS content_hash
+            FROM documents
+        ),
+        groups AS (
+            SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM hashed GROUP BY content_hash
+            HAVING COUNT(*) > 1
+        ),
+        ranked AS (
+            SELECT h.content_hash, g.n_dups, h.doc_id, h.n_chars, h.source,
+                   row_number() OVER (
+                       PARTITION BY h.content_hash
+                       ORDER BY h.n_chars DESC,
+                                CASE h.source WHEN 'web' THEN 0
+                                              WHEN 'wiki' THEN 1
+                                              ELSE 2 END,
+                                h.doc_id) AS rn
+            FROM hashed h JOIN groups g USING (content_hash)
+        )
+        SELECT content_hash, n_dups,
+               doc_id AS survivor_doc_id,
+               n_chars AS survivor_n_chars,
+               source AS survivor_source
+        FROM ranked WHERE rn = 1
+        ORDER BY content_hash
+    """.replace("{PH}", phash60_expr("text")),
+    tags=("E437",),
+)
+def dedup_survivorship_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP RULES for duplicate groups — the MDM "golden
+    record" step the plain keep-min-id dedup (dedup_keep_canonical)
+    skips: within each exact-content group the survivor is chosen by
+    an ordered RULE CASCADE (longest text, then source priority
+    web > wiki > other, then lowest id as the final deterministic
+    tie-break).  In a crawl pipeline this is "keep the most complete
+    copy from the most trusted source" — the difference between
+    deduping and CURATING.
+
+    Exact: content identity is the portable hash, the cascade is one
+    multi-key row_number with an integer CASE for source rank — the
+    survivor is bit-deterministic on both engines.  Plan: one hash
+    per doc, one group aggregate to find multi-doc groups, one window
+    pass over ONLY those groups (duplicates are a tiny fraction; the
+    anti-join drops singletons before the sort).  At 100 TB this is
+    the same shuffle as exact dedup plus a window over the dup
+    minority."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        phash60(F.col("text")).alias("content_hash"),
+    )
+    groups = (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+    src_rank = (
+        F.when(F.col("source") == "web", 0)
+        .when(F.col("source") == "wiki", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("n_chars"), src_rank.asc(), F.asc("doc_id")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "content_hash",
+            "n_dups",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+            F.col("source").alias("survivor_source"),
+        )
+        .orderBy("content_hash")
     )
