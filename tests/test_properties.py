@@ -1322,3 +1322,80 @@ def test_elastic_net_lasso_snaps_to_zero_under_huge_penalty(spark):
         assert all(r["b1"] == 0.0 and r["b2"] == 0.0 for r in rows)
     finally:
         mlf.ENET_L1_PER_N = orig
+
+
+def test_bm25_reexecution_bit_identical(spark, sf_dir):
+    """BM25's FLOOR-fixed-point scores must be bit-identical across
+    independent executions (Spark is free to change partitioning,
+    scheduling and aggregation order between runs — the fixed-point
+    sum discipline is what makes that invisible)."""
+    from potpot_spark.operators.text import text_bm25_retrieval
+
+    base = _rows(text_bm25_retrieval(spark, sf_dir))
+    assert base
+    again = _rows(text_bm25_retrieval(spark, sf_dir))
+    assert base == again
+
+
+def test_heavy_hitters_threshold_contract(spark, sf_dir):
+    """Every reported heavy hitter must clear the integer threshold,
+    the output must be bounded by HH_K, and re-execution reproduces
+    the exact rows."""
+    from potpot_spark.operators.aggregates import (
+        HH_K,
+        agg_heavy_hitters_exact,
+    )
+
+    rows = agg_heavy_hitters_exact(spark, sf_dir).collect()
+    assert 0 < len(rows) <= HH_K
+    for r in rows:
+        assert r["cnt"] * HH_K > r["n"]
+    assert rows == agg_heavy_hitters_exact(spark, sf_dir).collect()
+
+
+def test_survivorship_survivor_dominates_group(spark, sf_dir):
+    """The survivor must be a member of its duplicate group and no
+    other member may beat it under the rule cascade."""
+    from potpot_spark.operators.dedup import dedup_survivorship_rules
+    from potpot_spark.functions.numeric import phash60
+
+    surv = {
+        r["content_hash"]: r
+        for r in dedup_survivorship_rules(spark, sf_dir).collect()
+    }
+    if not surv:  # corpus may have no exact dups at this SF
+        return
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "source", phash60(F.col("text")).alias("h"))
+        .collect()
+    )
+    rank = {"web": 0, "wiki": 1}
+    by_hash: dict[int, list] = {}
+    for d in docs:
+        by_hash.setdefault(d["h"], []).append(d)
+    for h, s in surv.items():
+        group = by_hash[h]
+        assert len(group) == s["n_dups"]
+        key = lambda d: (-d["n_chars"], rank.get(d["source"], 2), d["doc_id"])  # noqa: E731
+        best = min(group, key=key)
+        assert best["doc_id"] == s["survivor_doc_id"]
+
+
+def test_eccentricity_bounded_by_hops_and_consistent_with_harmonic(
+    spark, sf_dir
+):
+    """Eccentricity is capped by the hop budget, and each seed's
+    reached-count matches the harmonic-centrality op (same BFS)."""
+    from potpot_spark.operators.graph import (
+        HC_MAX_HOPS,
+        graph_eccentricity_seed_sample,
+        graph_harmonic_centrality,
+    )
+
+    ecc = {r["seed"]: r for r in graph_eccentricity_seed_sample(spark, sf_dir).collect()}
+    hc = {r["seed"]: r for r in graph_harmonic_centrality(spark, sf_dir).collect()}
+    assert set(ecc) == set(hc)
+    for seed, r in ecc.items():
+        assert 0 <= r["eccentricity_capped"] <= HC_MAX_HOPS
+        assert r["n_reached"] == hc[seed]["n_reached"]
