@@ -697,3 +697,55 @@ def test_sprt_walk_is_window_over_rollup(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_graph_state_broadcast_gate_fallback_plan(spark):
+    """r6 verdict #1: iterative graph kernels must not hard-hint a
+    broadcast of growing frontier/visited state.  ``_state_bcast``
+    picks the hint only under the row-count cap; PAST the cap the same
+    BFS round must build with NO BroadcastExchange — a shuffle join
+    that degrades gracefully instead of throwing at the 8 GB broadcast
+    ceiling — and produce identical rows.  Synthetic large-frontier
+    round, auto-broadcast disabled so the only broadcasts visible are
+    explicit hints."""
+    from potpot_spark.operators import graph as G
+
+    sym = spark.range(0, 4000).selectExpr("id AS src", "id + 1 AS dst")
+    frontier = spark.range(0, 500).selectExpr(
+        "id AS node", "CAST(0 AS INT) AS dist"
+    )
+    dist = frontier
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        past = G._bfs_round(
+            frontier, sym.repartition("src"), dist,
+            G._state_bcast(G.GRAPH_BCAST_MAX_STATE + 1), 1, ("node",),
+        )
+        plan = formatted_plan(past)
+        assert "BroadcastExchange" not in plan, plan
+        under = G._bfs_round(
+            frontier, sym, dist, G._state_bcast(1), 1, ("node",)
+        )
+        assert "BroadcastExchange" in formatted_plan(under)
+        rows_past = sorted(tuple(r) for r in past.collect())
+        rows_under = sorted(tuple(r) for r in under.collect())
+        assert rows_past == rows_under and len(rows_past) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_graph_state_broadcast_gate_env_override(monkeypatch):
+    """The gate cap is env-overridable (POTPOT_GRAPH_BCAST_MAX_STATE)
+    so the fallback plan is drivable at tiny SF; default cap keeps
+    bench-scale state on the hinted fast path."""
+    from potpot_spark.operators import graph as G
+
+    monkeypatch.setenv("POTPOT_GRAPH_BCAST_MAX_STATE", "0")
+    assert G._state_bcast(1) is not F.broadcast
+    monkeypatch.delenv("POTPOT_GRAPH_BCAST_MAX_STATE")
+    assert G._state_bcast(1) is F.broadcast
+    assert G._state_bcast(G.GRAPH_BCAST_MAX_STATE + 1) is not F.broadcast
