@@ -59,6 +59,20 @@ DEFAULT_CONFS: dict[str, str] = {
     # converted explicitly (catalog.nanos_to_ts) — is a documented
     # engine-wide contract, not a read-path side effect (ADVICE.md r1).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Whole-stage-codegen CLASS CACHE (static conf — must be set at
+    # session build).  The default of 100 compiled-class entries is
+    # sized for a handful of hot queries; a 523-query suite with
+    # INTERLEAVED bench reps (r6 protocol) generates thousands of
+    # distinct codegen units between two reps of the same query, so
+    # every rep ran with a cold Janino cache and re-paid ~1-2 s of
+    # compilation — measured on text_trigram_name_similarity (isolated
+    # min 4.9 s vs 7.3 s inside a 42-query session; raising the cache
+    # restored in-suite parity, see SURVEY §6 r7) and the prime suspect
+    # for the r6 "+5% common-set drift" the interleave introduced.
+    # Cost is driver metaspace for cached classes (bounded, ~KBs per
+    # entry); on a 1000-executor cluster the same cache exists per
+    # executor and repeated-plan workloads want it just as large.
+    "spark.sql.codegen.cache.maxEntries": "10000",
 }
 
 
