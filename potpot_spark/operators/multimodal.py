@@ -862,49 +862,118 @@ def multimodal_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame
     image-caption pipeline runs before decoding (decode itself stays
     behind the multimodal_decode_stub boundary, by design).
 
-    The tree is generated deterministically from the documents table
+    The store is generated deterministically from the documents table
     (text part = the document bytes, json part = a fixed-format
     metadata record, image part = the md5 digest bytes as a stand-in
     payload on every {WDS_IMG_MOD}th key), so the DuckDB twin derives
     every expected size and modality list from documents ALONE
     (utf-8 OCTET lengths, not character counts — byte-honest for
-    non-ASCII text) — a
-    truncated write, a lost file, or a mis-parsed stem breaks the
-    value match.  Scale shape: binaryFile listing parallelizes per
-    file; the sample groupBy shuffles keys once, map-side combined;
-    at 100 TB the same plan reads tar-sharded stores (one row per
-    member) with the identical (key, ext) algebra."""
-    import hashlib
-    import json as _json
+    non-ASCII text) — a truncated write, a lost member, or a
+    mis-parsed stem breaks the value match.
 
+    Both halves are DISTRIBUTED and model the op's own declared
+    100 TB shape end-to-end (r6 verdict #5 — the previous fixture
+    synthesis collected corpus text to the driver):
+    WRITE: ``foreachPartition`` streams each partition's documents
+    into one .tar shard — WebDataset's actual on-disk unit — so no
+    document text ever crosses the driver;
+    READ: ``binaryFile`` lists shards in parallel (one row per tar)
+    and an Arrow-batched ``mapInPandas`` expands members into (key,
+    ext, nbytes) rows — the loader-side record stream; the sample
+    groupBy then shuffles keys once, map-side combined.  At real
+    scale shards are ~1 GB and maxPartitionBytes keeps one shard per
+    task, which is exactly how WebDataset loaders consume tar
+    stores."""
     from potpot_spark.scratch import scratch_dir
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % WDS_KEY_MOD == 0
     )
-    root = os.path.join(scratch_dir("potpot_wds_"), "tree")
+    root = os.path.join(scratch_dir("potpot_wds_"), "shards")
     if not os.path.isdir(root):
         os.makedirs(root, exist_ok=True)
-        for r in d.select("doc_id", "lang", "text").collect():
-            key = str(r.doc_id)
-            with open(os.path.join(root, f"{key}.txt"), "wb") as f:
-                f.write(r.text.encode("utf-8"))
-            with open(os.path.join(root, f"{key}.json"), "wb") as f:
-                f.write(
-                    _json.dumps(
-                        {"doc_id": r.doc_id, "lang": r.lang}, separators=(", ", ": ")
-                    ).encode("utf-8")
-                )
-            if r.doc_id % WDS_IMG_MOD == 0:
-                with open(os.path.join(root, f"{key}.img"), "wb") as f:
-                    f.write(hashlib.md5(r.text.encode("utf-8")).digest())
-    bf = spark.read.format("binaryFile").load(root)
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
-    parts = bf.select(
-        F.element_at(F.split(fname, "\\."), 1).alias("key"),
-        F.element_at(F.split(fname, "\\."), 2).alias("ext"),
-        F.col("length").cast("bigint").alias("nbytes"),
+        img_mod = WDS_IMG_MOD
+
+        def write_shard(rows) -> None:
+            import hashlib
+            import io
+            import json as _json
+            import os as _os
+            import tarfile
+            import uuid
+
+            buf = io.BytesIO()
+            n = 0
+            with tarfile.open(fileobj=buf, mode="w") as tar:
+
+                def add(name: str, data: bytes) -> None:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(data))
+
+                for r in rows:
+                    key = str(r.doc_id)
+                    add(f"{key}.txt", r.text.encode("utf-8"))
+                    add(
+                        f"{key}.json",
+                        _json.dumps(
+                            {"doc_id": r.doc_id, "lang": r.lang},
+                            separators=(", ", ": "),
+                        ).encode("utf-8"),
+                    )
+                    if r.doc_id % img_mod == 0:
+                        add(
+                            f"{key}.img",
+                            hashlib.md5(r.text.encode("utf-8")).digest(),
+                        )
+                    n += 1
+            if n:
+                # unique shard name per task: concurrent writers never
+                # collide, retried tasks leave at most a duplicate-free
+                # orphan on rename-less local FS (content is identical)
+                path = _os.path.join(root, f"shard-{uuid.uuid4().hex}.tar")
+                with open(path + ".tmp", "wb") as f:
+                    f.write(buf.getvalue())
+                _os.rename(path + ".tmp", path)
+
+        d.select("doc_id", "lang", "text").repartition(
+            8, "doc_id"
+        ).foreachPartition(write_shard)
+
+    member_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ext", T.StringType()),
+            T.StructField("nbytes", T.LongType()),
+        ]
     )
+
+    def expand_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            keys: list = []
+            exts: list = []
+            sizes: list = []
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        stem, _, ext = m.name.rpartition(".")
+                        keys.append(stem)
+                        exts.append(ext)
+                        sizes.append(m.size)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="object"),
+                    "ext": pd.Series(exts, dtype="object"),
+                    "nbytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    bf = spark.read.format("binaryFile").load(root)
+    parts = bf.select("content").mapInPandas(expand_members, member_schema)
     return (
         parts.groupBy("key")
         .agg(

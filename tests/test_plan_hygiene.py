@@ -47,3 +47,48 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark, sf_dir):
         if flags:
             offenders.append((name, flags))
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_no_corpus_collect_in_operator_paths():
+    """r6 verdict #5: no operator may materialize corpus-scale data on
+    the driver.  Every ``.collect()`` in the package must be one of the
+    pinned aggregate-scale sites (fixpoint scalars, dxd covariance
+    cells, catalog DESCRIBE rows, the MMR bounded pool, one max-date
+    scalar).  A new ``.collect()`` anywhere else — e.g. a fixture
+    loop over document text, the exact shape this gate was written to
+    keep out — fails here until it is either distributed or explicitly
+    adjudicated onto the allowlist."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "potpot_spark"
+    allowed = {
+        ("operators/timeseries.py", "max-date scalar"),
+        ("operators/ml_features.py", "covariance cells"),
+        ("operators/ddl.py", "catalog DESCRIBE rows"),
+        ("operators/graph.py", "fixpoint convergence scalars"),
+        ("operators/similarity.py", "MMR bounded pool"),
+    }
+    allowed_files = {f for f, _ in allowed}
+    expected_counts = {
+        "operators/timeseries.py": 1,
+        "operators/ml_features.py": 2,
+        "operators/ddl.py": 2,
+        "operators/graph.py": 2,
+        "operators/similarity.py": 2,
+    }
+    offenders = []
+    counts: dict[str, int] = {}
+    for py in pkg.rglob("*.py"):
+        rel = py.relative_to(pkg).as_posix()
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.collect\(\)", line) and "collect_list" not in line:
+                counts[rel] = counts.get(rel, 0) + 1
+                if rel not in allowed_files:
+                    offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "unreviewed driver-side collect():\n" + "\n".join(offenders)
+    for rel, n in counts.items():
+        assert n <= expected_counts.get(rel, 0), (
+            f"{rel} gained a .collect() site ({n} > {expected_counts.get(rel, 0)}); "
+            "review it for driver-side corpus materialization, then bump the pin"
+        )
