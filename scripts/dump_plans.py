@@ -34,7 +34,7 @@ SHOWCASE = [
     ("join_shuffle_hash_hint", "ShuffledHashJoin pinned by hint — no sort on either side, no broadcast"),
     ("tpch_q21_waiting_supplier", "EXISTS and NOT-EXISTS as LeftSemi + LeftAnti over the shared lateness relation — probe side never materializes"),
     ("join_grid_epsilon_pairs", "eps-neighbor candidate join is a pure equi join on the grid cell — no CartesianProduct at any scale"),
-    ("sql_api_recursive_cte", "WITH RECURSIVE compiled to the UnionLoop operator — iteration inside one declarative plan"),
+    ("sql_api_recursive_cte", "WITH RECURSIVE compiled to the UnionLoop operator — iteration inside one declarative plan.  Cost note (r6 verdict #7): the ~4.8 s at sf0.1 is measured-inherent — one distributed join per depth level plus the per-level scheduling floor (r2 A/B recorded in SURVEY §6); not a bad plan, the price of level-synchronous recursion"),
     ("pipeline_decontaminate_eval", "inverted-index decontamination: both sides explode to postings, ONE equi join on the shingle"),
     ("join_bloom_pruned", "runtime-filter bloom: one-row bitmap BroadcastNestedLoopJoin feeding codegen bit tests that prune the fact BEFORE the key join — no shuffle carries non-candidate rows"),
     ("dedup_near_minhash", "portable MinHash: shingle md5-hash materialized once, 32 affine permutations as pure projections, band tuples joined as a multi-column equi join — no CartesianProduct"),
@@ -43,6 +43,8 @@ SHOWCASE = [
     ("graph_clustering_coefficient", "per-node triangle credits in ONE pass: concat+transform feed a single explode — the 3-branch union would re-run the adjacency joins"),
     ("dedup_image_ahash_stub", "banded Hamming LSH: Arrow-batched numpy hash kernel, 4 16-bit band equi join, bit_count(xor) verify — no all-pairs join"),
     ("ml_threshold_sweep_f1", "corpus read once: 21-threshold grid fans out map-side below the partial aggregate"),
+    ("timeseries_croston_intermittent", "Arrow-batched per-part series recurrence (one corpus shuffle co-locates each part's demand series, then ArrowEvalPython runs the smoothing).  Cost note (r6 verdict #7): the ~4.3 s at sf0.1 is measured-inherent — Croston IS a sequential recurrence per series (re-batched in r3 from 30.8 s; the residual is the method's definition, not the plan).  The visible plan is the final aggregate; the recurrence kernel sits in the Arrow eval above the single exchange"),
+    ("graph_harmonic_centrality", "multi-source truncated BFS: ONE frontier carries (seed, node) pairs, all seeds expand together; the edge table is joined map-side under the size-gated broadcast (shuffle-to-pre-partitioned-edges past the cap — r7 gate) and never reshuffled.  Cost note (r6 verdict #7): runtime scales with the seed budget, the documented knob — HC_SEED_MOD A/B at sf0.1: 26 seeds ~7 s vs 207 seeds ~79 s.  The displayed plan is the final per-seed aggregate over the hop checkpoints; the per-round join plan is pinned by tests/test_plans.py's gate test"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
