@@ -5733,3 +5733,141 @@ def stats_wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 9).alias("wilson_lo"),
         F.round((center + half) / denom, 9).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+DEMING_DELTA = 1.0  # error-variance ratio; 1.0 = orthogonal regression
+
+
+@query(
+    "stats_deming_regression",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                       AS sxx,
+                   SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                       AS syy,
+                   SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                       AS sxy
+            FROM r GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n AS n_rows,
+               ROUND((
+                   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   + sqrt(
+                       ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       + 4.0 * {DEMING_DELTA}
+                         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ) / (2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS slope_cents,
+               ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ((
+                   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   + sqrt(
+                       ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        - {DEMING_DELTA} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       + 4.0 * {DEMING_DELTA}
+                         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ) / (2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))))
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS intercept_cents
+        FROM m ORDER BY l_returnflag
+    """,
+    tags=("E438",),
+)
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMING (errors-in-variables) REGRESSION of extended price (cents)
+    on quantity per return flag, delta = 1 (orthogonal regression):
+    unlike OLS — which attributes ALL noise to y and biases the slope
+    toward zero when x is also measured with error — Deming minimizes
+    perpendicular-ish distance and is the standard for method-
+    comparison studies (two instruments measuring the same quantity).
+    Closed form from the five second-order moments:
+
+        s = (Syy - d*Sxx + sqrt((Syy - d*Sxx)^2 + 4*d*Sxy^2)) / (2*d'*Sxy)
+
+    The reference has no aggregation of any kind (its query surface is
+    two stubs, /root/reference/src/query.rs:3-9); this extends the
+    engine's regression family (OLS per group, ridge, Theil-Sen) with
+    the errors-in-both-variables case.
+
+    Exact: x = integral quantity as BIGINT, y = price through
+    DECIMAL(12,2)*100 (never double*100 — truncation at the cast can
+    differ cross-engine); all five moments are exact integer /
+    decimal(38,0) sums (decimal(19,0) squares for BIGINT-overflow
+    headroom, the repo discipline), and the closed form is ONE double
+    expression over those exact scalars, spelled identically on both
+    engines — bit-identical before the final ROUND 6.  Plan: one
+    map-side-combined groupBy over 3 flags; finale is O(1) per group.
+    100 TB: the moment aggregation is the whole cost — embarrassingly
+    parallel, no second pass, no driver state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = float(DEMING_DELTA)
+    r = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    Sxx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    Syy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    Sxy = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    core = Syy - d * Sxx
+    slope = (core + F.sqrt(core * core + 4.0 * d * Sxy * Sxy)) / (2.0 * Sxy)
+    intercept = (
+        F.col("sy").cast("double") / nd
+        - slope * F.col("sx").cast("double") / nd
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    ).orderBy("l_returnflag")
