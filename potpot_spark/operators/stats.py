@@ -5871,3 +5871,269 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_cents"),
         F.round(intercept, 6).alias("intercept_cents"),
     ).orderBy("l_returnflag")
+
+
+JACK_FP = 10**6   # per-row value quantization (micros)
+JACK_RFP = 10**9  # leave-one-out estimate quantization before the
+                  # cross-block sum (FLOOR-fixed-point discipline)
+JACK_Z = 1.96
+
+
+@query(
+    "stats_jackknife_variance",
+    oracle=f"""
+        WITH rows_q AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(FLOOR(value * {JACK_FP}) AS BIGINT) AS v_fp
+            FROM events
+        ),
+        blocks AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS x_i,
+                   CAST(SUM(v_fp) AS BIGINT) AS y_i
+            FROM rows_q GROUP BY day
+        ),
+        tot AS (
+            SELECT CAST(SUM(x_i) AS BIGINT) AS n_tot,
+                   CAST(SUM(y_i) AS BIGINT) AS y_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM blocks
+        ),
+        loo AS (
+            SELECT CAST(FLOOR(
+                       (CAST(y_tot - y_i AS DOUBLE)
+                        / CAST(n_tot - x_i AS DOUBLE) / {JACK_FP})
+                       * {JACK_RFP}) AS BIGINT) AS r_fp
+            FROM blocks, tot
+        ),
+        s AS (
+            -- HUGEINT product: r_fp ~ 1e10 here, so the repo's usual
+            -- DECIMAL(19,0) square overflows DuckDB's multiply width
+            -- cap; int128 holds r_fp^2 * k with 14 digits to spare
+            SELECT CAST(SUM(r_fp) AS BIGINT) AS sr,
+                   SUM(CAST(r_fp AS HUGEINT) * CAST(r_fp AS HUGEINT))
+                       AS srr,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM loo
+        )
+        SELECT k AS k_blocks,
+               (SELECT n_tot FROM tot) AS n_rows,
+               ROUND(CAST((SELECT y_tot FROM tot) AS DOUBLE)
+                     / CAST((SELECT n_tot FROM tot) AS DOUBLE)
+                     / {JACK_FP}, 9) AS ratio_overall,
+               ROUND(sqrt(
+                   (CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                        / CAST(k AS DOUBLE))
+                   / {float(JACK_RFP) * float(JACK_RFP)}), 9) AS jack_se,
+               ROUND(CAST((SELECT y_tot FROM tot) AS DOUBLE)
+                     / CAST((SELECT n_tot FROM tot) AS DOUBLE) / {JACK_FP}
+                     - {JACK_Z} * sqrt(
+                   (CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                        / CAST(k AS DOUBLE))
+                   / {float(JACK_RFP) * float(JACK_RFP)}), 9) AS ci_lo,
+               ROUND(CAST((SELECT y_tot FROM tot) AS DOUBLE)
+                     / CAST((SELECT n_tot FROM tot) AS DOUBLE) / {JACK_FP}
+                     + {JACK_Z} * sqrt(
+                   (CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                        / CAST(k AS DOUBLE))
+                   / {float(JACK_RFP) * float(JACK_RFP)}), 9) AS ci_hi
+        FROM s
+    """,
+    tags=("E439",),
+)
+def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-BLOCK JACKKNIFE for a RATIO metric (mean event value),
+    blocks = calendar days: the standard error a naive per-row variance
+    gets WRONG for ratio metrics (numerator and denominator co-vary,
+    and rows within a day are correlated) — the workhorse behind every
+    experimentation platform's "delta method or jackknife" choice.
+    Leave-one-day-out estimates R_i = (Y - y_i)/(N - n_i); Var_jack =
+    (k-1)/k * Σ(R_i - R̄)².
+
+    Exact: per-row values FLOOR-quantized to micros (exact BIGINT block
+    sums), each R_i re-quantized to 1e-9 BEFORE the cross-block square
+    sum (the repo's FLOOR-fixed-point discipline — a raw double Σ over
+    engine-ordered blocks would differ in the last ulps), decimal(19,0)
+    squares for headroom.  The finale is one double expression over
+    exact integers, identical on both engines, ROUND 9.
+
+    Plan: one groupBy day (map-side combined), a 1-row totals cross
+    join (broadcast), a k-row second aggregate.  100 TB: k = days is
+    tiny; all corpus-scale work is the one combinable aggregation —
+    jackknife over blocks costs the same as the metric itself."""
+    e = load_table(spark, sf_dir, "events")
+    rows_q = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * JACK_FP).cast("bigint").alias("v_fp"),
+    )
+    blocks = rows_q.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x_i"),
+        F.sum("v_fp").cast("bigint").alias("y_i"),
+    )
+    tot = blocks.agg(
+        F.sum("x_i").cast("bigint").alias("n_tot"),
+        F.sum("y_i").cast("bigint").alias("y_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    loo = blocks.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (
+                (F.col("y_tot") - F.col("y_i")).cast("double")
+                / (F.col("n_tot") - F.col("x_i")).cast("double")
+                / JACK_FP
+            )
+            * JACK_RFP
+        )
+        .cast("bigint")
+        .alias("r_fp")
+    )
+    s = loo.agg(
+        F.sum("r_fp").cast("bigint").alias("sr"),
+        F.sum(
+            F.col("r_fp").cast("decimal(19,0)") * F.col("r_fp").cast("decimal(19,0)")
+        ).alias("srr"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).crossJoin(F.broadcast(tot.select("n_tot", "y_tot")))
+    kd = F.col("k").cast("double")
+    ratio = F.col("y_tot").cast("double") / F.col("n_tot").cast("double") / JACK_FP
+    var_j = (
+        (kd - 1.0) / kd
+        * (
+            F.col("srr").cast("double")
+            - F.col("sr").cast("double") * F.col("sr").cast("double") / kd
+        )
+        / (float(JACK_RFP) * float(JACK_RFP))
+    )
+    se = F.sqrt(var_j)
+    return s.select(
+        F.col("k").alias("k_blocks"),
+        F.col("n_tot").alias("n_rows"),
+        F.round(ratio, 9).alias("ratio_overall"),
+        F.round(se, 9).alias("jack_se"),
+        F.round(ratio - JACK_Z * se, 9).alias("ci_lo"),
+        F.round(ratio + JACK_Z * se, 9).alias("ci_hi"),
+    )
+
+
+@query(
+    "stats_cochran_q",
+    oracle="""
+        WITH cnt AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        x AS (
+            SELECT user_id, event_type FROM cnt WHERE c >= 3
+        ),
+        k AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r_i
+            FROM x GROUP BY user_id
+        ),
+        c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_j
+            FROM x GROUP BY event_type
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+        num AS (
+            SELECT CAST(SUM((k.k * c_j - n.n) * (k.k * c_j - n.n))
+                        AS BIGINT) AS ss_col
+            FROM c, k, n
+        ),
+        den AS (
+            SELECT CAST(SUM(r_i * (k.k - r_i)) AS BIGINT) AS ss_row
+            FROM r, k
+        )
+        SELECT k.k AS k_treatments,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS b_blocks,
+               n.n AS n_ones,
+               ROUND(CAST((k.k - 1) * num.ss_col AS DOUBLE)
+                     / CAST(NULLIF(k.k * den.ss_row, 0) AS DOUBLE), 9)
+                   AS q_stat,
+               k.k - 1 AS df
+        FROM k, n, num, den
+    """,
+    tags=("E440",),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q TEST for k related binary outcomes: blocks = users,
+    treatments = event types, x_ij = 1 iff user i emitted type j at
+    least 3 times (plain ever-touched saturates — at every SF most
+    users touch all types once, making all rows R_i = k and the
+    denominator zero) — "do the k heavy-use rates differ?", the
+    binary-outcome sibling of the Friedman test (and McNemar's k-way
+    generalization), run before any pairwise comparison of adoption
+    rates across features.  Degenerate case (all blocks uniform)
+    yields NULL on both engines via NULLIF/conditional.
+
+    Entirely INTEGER until one final division: with column totals C_j,
+    row totals R_i, N = ΣC_j,
+
+        Q = (k-1) * Σ_j (k*C_j - N)² / (k * Σ_i R_i (k - R_i))
+
+    (the textbook Σ(C_j - N/k)² form cross-multiplied by k² so both
+    engines sum exact BIGINTs — no double ever crosses a row boundary).
+    Plan: one distinct projection of (user, type), then two tiny
+    aggregates over its marginals.  100 TB: the distinct is the only
+    corpus-scale shuffle; marginals are map-side-combined counts."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("user_id", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    k_df = e.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    r = x.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("r_i"))
+    c = x.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c_j"))
+    n_df = x.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    num = (
+        c.crossJoin(F.broadcast(k_df))
+        .crossJoin(F.broadcast(n_df))
+        .agg(
+            F.sum(
+                (F.col("k") * F.col("c_j") - F.col("n"))
+                * (F.col("k") * F.col("c_j") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("ss_col")
+        )
+    )
+    den = (
+        r.crossJoin(F.broadcast(k_df))
+        .agg(
+            F.sum(F.col("r_i") * (F.col("k") - F.col("r_i")))
+            .cast("bigint")
+            .alias("ss_row")
+        )
+    )
+    b = r.agg(F.count(F.lit(1)).cast("bigint").alias("b_blocks"))
+    return (
+        k_df.crossJoin(n_df)
+        .crossJoin(num)
+        .crossJoin(den)
+        .crossJoin(b)
+        .select(
+            F.col("k").alias("k_treatments"),
+            "b_blocks",
+            F.col("n").alias("n_ones"),
+            F.round(
+                F.when(
+                    F.col("ss_row") > 0,
+                    ((F.col("k") - 1) * F.col("ss_col")).cast("double")
+                    / (F.col("k") * F.col("ss_row")).cast("double"),
+                ),
+                9,
+            ).alias("q_stat"),
+            (F.col("k") - 1).alias("df"),
+        )
+    )
