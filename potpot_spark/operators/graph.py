@@ -2574,3 +2574,72 @@ def graph_eccentricity_seed_sample(
         )
         .orderBy("seed")
     )
+
+
+@query(
+    "graph_butterfly_count_bipartite",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        w AS (
+            SELECT a.l_partkey AS p, b.l_partkey AS q,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_part_pairs,
+               CAST(SUM(c) AS BIGINT) AS n_wedges,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies,
+               CAST(SUM(c * (c - 1) // 2) * 1000000
+                    // SUM(c) AS BIGINT) AS butterflies_per_million_wedges
+        FROM w
+    """,
+    tags=("E441",),
+)
+def graph_butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUTTERFLY (4-cycle) COUNT of the bipartite order-part graph —
+    THE motif metric for bipartite networks, where triangles cannot
+    exist by construction: a butterfly is two orders sharing the same
+    two parts, the smallest unit of "co-purchasing is systematic, not
+    coincidental", and the quantity every bipartite clustering
+    coefficient and peeling (k-wing) algorithm is built on.
+
+    Exact integers end to end: wedges are enumerated from the ORDER
+    side (per order with degree d, C(d,2) part pairs — TPC-H order
+    degree is bounded by the 7-lineitem cap, so the quadratic step is
+    constant-bounded per row), pair supports c are exact counts, and
+    butterflies = Σ C(c,2) uses integer `div` (the product c(c-1) is
+    even, so the halving is exact; double division then cast would
+    drift cross-engine past ~1/ulp).  The reference has no joins at
+    all (/root/reference/src/query.rs:3-9) — this is the engine's
+    declared graph surface extended to bipartite motifs.
+
+    100 TB: identical shape to the co-purchase edge builder the
+    CC/BFS family shares — one self-join on the order key blocked by
+    the bounded order degree, one map-side-combined pair count, one
+    scalar aggregate.  For graphs with unbounded side degrees the
+    standard fix is Chiba-Nishizeki degree-ordering (enumerate wedges
+    from the lower-degree endpoint), a WHERE-clause change."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("q"))
+    w = (
+        a.join(b, "k")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part_pairs"),
+        F.sum("c").cast("bigint").alias("n_wedges"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("n_butterflies"),
+        F.expr(
+            "CAST(sum(c * (c - 1) div 2) * 1000000 div sum(c) AS BIGINT)"
+        ).alias("butterflies_per_million_wedges"),
+    )

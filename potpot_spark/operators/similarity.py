@@ -1708,3 +1708,105 @@ def embedding_anisotropy_mean_cosine(
             ).alias("mean_pairwise_cosine"),
         )
     )
+
+
+BHAM_QUERY_MOD = 100  # probe set: every 100th vec_id
+BHAM_TOPK = 5
+
+_BHAM_WORD = (
+    "CAST(aggregate(transform(slice(embedding, {off}, 32), (x, i) -> "
+    "IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+    "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
+)
+
+
+@query(
+    "embedding_binary_hamming_search",
+    oracle=f"""
+        WITH words AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(embedding[1:32],
+                        (x, i) -> CASE WHEN x > 0
+                                  THEN CAST(1 AS BIGINT) << (i - 1)
+                                  ELSE CAST(0 AS BIGINT) END))
+                        AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(embedding[33:64],
+                        (x, i) -> CASE WHEN x > 0
+                                  THEN CAST(1 AS BIGINT) << (i - 1)
+                                  ELSE CAST(0 AS BIGINT) END))
+                        AS BIGINT) AS hi
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM words WHERE vec_id % {BHAM_QUERY_MOD} = 0),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q.lo, c.lo))
+                        + bit_count(xor(q.hi, c.hi)) AS INT) AS hamming
+            FROM q JOIN words c ON c.vec_id <> q.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY hamming, neighbor_id
+            ) AS rnk
+            FROM d
+        )
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, hamming
+        FROM r WHERE rnk <= {BHAM_TOPK}
+        ORDER BY query_id, rank
+    """,
+    tags=("E442",),
+)
+def embedding_binary_hamming_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIGN-BINARIZED HAMMING SEARCH: pack each 64-dim embedding into
+    two 32-bit sign words (bit = component > 0) and rank neighbors by
+    Hamming distance ``bit_count(xor)`` — the classic 32×-compression
+    retrieval fallback (SimHash's dense-vector sibling): sign bits
+    preserve angular order in expectation (Goemans-Williamson:
+    P[bit differs] = angle/π), so Hamming rank ≈ cosine rank at 1/32
+    the bytes and pure integer ALU cost.
+
+    Exact and portable: float32 sign tests on identical parquet values
+    decide identical bits on both engines; packing is an integer
+    shift-sum (bits 0..31 per word — never bit 63, whose 2^63 shift
+    wraps signed BIGINT); distances are exact ints; top-{BHAM_TOPK}
+    per probe breaks ties on neighbor id.  Plan: the tiny probe set
+    broadcasts across the corpus scan (BroadcastNestedLoopJoin by
+    construction, bounded at |probes| x |corpus| — NOT an all-pairs
+    join), WindowGroupLimit bounds ranking state to k rows per probe.
+    100 TB: binary codes turn a 25 TB float32 corpus into 0.8 TB of
+    codes — scan-speed brute force per probe batch; for full kNN (all
+    vecs as queries) escalate to the banded-Hamming LSH dedup recipe
+    (dedup_image_ahash_stub) or IVF cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        F.expr(_BHAM_WORD.format(off=1)).alias("lo"),
+        F.expr(_BHAM_WORD.format(off=33)).alias("hi"),
+    )
+    q = words.where(F.col("vec_id") % BHAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    d = (
+        words.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= BHAM_TOPK)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+        .orderBy("query_id", "rank")
+    )
