@@ -4656,3 +4656,166 @@ def ml_regression_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ml_fisher_lda_two_feature",
+    oracle="""
+        WITH r AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS cls,
+                   CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                       AS x2
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        ),
+        m AS (
+            SELECT cls,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12
+            FROM r GROUP BY cls
+        ),
+        p AS (
+            SELECT MAX(CASE WHEN cls = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN cls = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN cls = 0 THEN s1 END) AS a1,
+                   MAX(CASE WHEN cls = 0 THEN s2 END) AS a2,
+                   MAX(CASE WHEN cls = 1 THEN s1 END) AS b1,
+                   MAX(CASE WHEN cls = 1 THEN s2 END) AS b2,
+                   MAX(CASE WHEN cls = 0 THEN s11 END) AS a11,
+                   MAX(CASE WHEN cls = 0 THEN s22 END) AS a22,
+                   MAX(CASE WHEN cls = 0 THEN s12 END) AS a12,
+                   MAX(CASE WHEN cls = 1 THEN s11 END) AS b11,
+                   MAX(CASE WHEN cls = 1 THEN s22 END) AS b22,
+                   MAX(CASE WHEN cls = 1 THEN s12 END) AS b12
+            FROM m
+        ),
+        sw AS (
+            SELECT n0, n1,
+                   CAST(a1 AS DOUBLE) / n0 AS m01,
+                   CAST(a2 AS DOUBLE) / n0 AS m02,
+                   CAST(b1 AS DOUBLE) / n1 AS m11,
+                   CAST(b2 AS DOUBLE) / n1 AS m12,
+                   (CAST(a11 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n0)
+                 + (CAST(b11 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n1)
+                       AS sw11,
+                   (CAST(a22 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n0)
+                 + (CAST(b22 AS DOUBLE) - CAST(b2 AS DOUBLE) * b2 / n1)
+                       AS sw22,
+                   (CAST(a12 AS DOUBLE) - CAST(a1 AS DOUBLE) * a2 / n0)
+                 + (CAST(b12 AS DOUBLE) - CAST(b1 AS DOUBLE) * b2 / n1)
+                       AS sw12
+            FROM p
+        ),
+        w AS (
+            SELECT n0, n1, m01, m02, m11, m12,
+                   (sw22 * (m11 - m01) - sw12 * (m12 - m02))
+                       / (sw11 * sw22 - sw12 * sw12) AS w1r,
+                   (sw11 * (m12 - m02) - sw12 * (m11 - m01))
+                       / (sw11 * sw22 - sw12 * sw12) AS w2r
+            FROM sw
+        )
+        SELECT n0 AS n_class0, n1 AS n_class1,
+               ROUND(w1r / sqrt(w1r * w1r + w2r * w2r), 9) AS w_quantity,
+               ROUND(w2r / sqrt(w1r * w1r + w2r * w2r), 9) AS w_discount,
+               ROUND(w1r * (m11 - m01) + w2r * (m12 - m02), 9)
+                   AS fisher_j,
+               ROUND((w1r * (m01 + m11) / 2 + w2r * (m02 + m12) / 2)
+                     / sqrt(w1r * w1r + w2r * w2r), 9) AS threshold
+        FROM w
+    """,
+    tags=("E444",),
+)
+def ml_fisher_lda_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER LINEAR DISCRIMINANT for returned-vs-kept lineitems on
+    (quantity, discount-cents): the closed-form two-class projection
+    w ∝ Sw⁻¹(μ1 - μ0) that maximizes between-class over within-class
+    scatter — the oldest supervised direction there is, and the sane
+    first look before logistic regression (it IS logistic's decision
+    boundary under equal-covariance Gaussians).  Reports the unit
+    direction, the Fisher criterion J = dᵀSw⁻¹d (squared Mahalanobis
+    separation of the means), and the midpoint threshold.
+
+    Exact: both features are exact integers (quantity; discount via
+    DECIMAL(4,2)·100, never double·100), the five per-class moments
+    are BIGINT sums, and the 2x2 inverse + normalization is one fixed
+    double expression over those integers, identical text on both
+    engines, ROUND 9.  Plan: ONE map-side-combined groupBy over 2
+    classes, O(1) finale.  100 TB: same single pass; d features cost a
+    d² moment vector per class (the covariance-matrix op's pattern),
+    nothing iterative."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    r = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("cls"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+    )
+    m = r.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+    )
+
+    def pick(c, col):
+        return F.max(F.when(F.col("cls") == c, F.col(col)))
+
+    p = m.agg(
+        pick(0, "n").alias("n0"), pick(1, "n").alias("n1"),
+        pick(0, "s1").alias("a1"), pick(0, "s2").alias("a2"),
+        pick(1, "s1").alias("b1"), pick(1, "s2").alias("b2"),
+        pick(0, "s11").alias("a11"), pick(0, "s22").alias("a22"),
+        pick(0, "s12").alias("a12"), pick(1, "s11").alias("b11"),
+        pick(1, "s22").alias("b22"), pick(1, "s12").alias("b12"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sw = p.select(
+        "n0", "n1",
+        (d("a1") / F.col("n0")).alias("m01"),
+        (d("a2") / F.col("n0")).alias("m02"),
+        (d("b1") / F.col("n1")).alias("m11"),
+        (d("b2") / F.col("n1")).alias("m12"),
+        ((d("a11") - d("a1") * F.col("a1") / F.col("n0"))
+         + (d("b11") - d("b1") * F.col("b1") / F.col("n1"))).alias("sw11"),
+        ((d("a22") - d("a2") * F.col("a2") / F.col("n0"))
+         + (d("b22") - d("b2") * F.col("b2") / F.col("n1"))).alias("sw22"),
+        ((d("a12") - d("a1") * F.col("a2") / F.col("n0"))
+         + (d("b12") - d("b1") * F.col("b2") / F.col("n1"))).alias("sw12"),
+    )
+    det = F.col("sw11") * F.col("sw22") - F.col("sw12") * F.col("sw12")
+    w = sw.select(
+        "n0", "n1", "m01", "m02", "m11", "m12",
+        ((F.col("sw22") * (F.col("m11") - F.col("m01"))
+          - F.col("sw12") * (F.col("m12") - F.col("m02"))) / det).alias("w1r"),
+        ((F.col("sw11") * (F.col("m12") - F.col("m02"))
+          - F.col("sw12") * (F.col("m11") - F.col("m01"))) / det).alias("w2r"),
+    )
+    norm = F.sqrt(F.col("w1r") * F.col("w1r") + F.col("w2r") * F.col("w2r"))
+    return w.select(
+        F.col("n0").alias("n_class0"),
+        F.col("n1").alias("n_class1"),
+        F.round(F.col("w1r") / norm, 9).alias("w_quantity"),
+        F.round(F.col("w2r") / norm, 9).alias("w_discount"),
+        F.round(
+            F.col("w1r") * (F.col("m11") - F.col("m01"))
+            + F.col("w2r") * (F.col("m12") - F.col("m02")),
+            9,
+        ).alias("fisher_j"),
+        F.round(
+            (
+                F.col("w1r") * (F.col("m01") + F.col("m11")) / 2
+                + F.col("w2r") * (F.col("m02") + F.col("m12")) / 2
+            )
+            / norm,
+            9,
+        ).alias("threshold"),
+    )

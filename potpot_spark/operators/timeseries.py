@@ -7604,3 +7604,209 @@ def stats_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             nn * (nn + 2.0) * (F.col("q_fp").cast("double") / float(LB_FP)), 9
         ).alias("ljung_box_q"),
     )
+
+
+HURST_SCALES = (8, 16, 32, 64)
+HURST_RS_FP = 10**9   # per-block R/S quantization before the mean
+HURST_Y_FP = 10**12   # log2(mean R/S) quantization before the OLS
+
+
+def _hurst_oracle() -> str:
+    scales = ", ".join(f"({n})" for n in HURST_SCALES)
+    k = len(HURST_SCALES)
+    sx = sum(n.bit_length() - 1 for n in HURST_SCALES)           # Σ log2
+    sxx = sum((n.bit_length() - 1) ** 2 for n in HURST_SCALES)   # Σ log2²
+    denom = k * sxx - sx * sx
+    rs_cols = ",\n               ".join(
+        f"ROUND(MAX(CASE WHEN scale = {n} THEN mean_rs END), 9) AS rs_{n}"
+        for n in HURST_SCALES
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY hour) AS rn,
+                   COUNT(*) OVER () AS n_hours
+            FROM hourly
+        ),
+        blocks AS (
+            SELECT s.scale, q.cnt, q.n_hours,
+                   (q.rn - 1) // s.scale AS blk,
+                   (q.rn - 1) % s.scale + 1 AS j
+            FROM seq q, (VALUES {scales}) s(scale)
+            WHERE (q.rn - 1) // s.scale < q.n_hours // s.scale
+        ),
+        devs AS (
+            SELECT scale, blk, n_hours,
+                   scale * SUM(cnt) OVER (
+                       PARTITION BY scale, blk ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) - j * SUM(cnt) OVER (
+                       PARTITION BY scale, blk) AS d_j,
+                   cnt,
+                   SUM(cnt) OVER (PARTITION BY scale, blk) AS sx_b
+            FROM blocks
+        ),
+        per_block AS (
+            SELECT scale, blk, MAX(n_hours) AS n_hours,
+                   CAST(MAX(d_j) - MIN(d_j) AS BIGINT) AS rng,
+                   CAST(MAX(scale) * SUM(cnt * cnt)
+                        - MAX(sx_b) * MAX(sx_b) AS BIGINT) AS den2
+            FROM devs GROUP BY scale, blk
+        ),
+        rs AS (
+            SELECT scale, MAX(n_hours) AS n_hours,
+                   CAST(SUM(CAST(FLOOR(CAST(rng AS DOUBLE)
+                        / sqrt(CAST(den2 AS DOUBLE)) * {HURST_RS_FP})
+                        AS BIGINT)) AS BIGINT) AS rs_fp_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM per_block
+            WHERE den2 > 0
+            GROUP BY scale
+        ),
+        scaled AS (
+            SELECT scale, n_hours,
+                   CAST(rs_fp_sum AS DOUBLE)
+                       / CAST(n_blocks AS DOUBLE) / {HURST_RS_FP} AS mean_rs,
+                   CAST(FLOOR(log2(CAST(rs_fp_sum AS DOUBLE)
+                        / CAST(n_blocks AS DOUBLE) / {HURST_RS_FP})
+                        * {HURST_Y_FP}) AS BIGINT) AS y_fp,
+                   CAST(log2(scale) AS BIGINT) AS x
+            FROM rs
+        )
+        SELECT MAX(n_hours) AS n_hours,
+               {rs_cols},
+               ROUND(CAST({k} * SUM(x * y_fp) - {sx} * SUM(y_fp) AS DOUBLE)
+                     / ({denom}.0 * {HURST_Y_FP}), 6) AS hurst_h
+        FROM scaled
+    """
+
+
+@query("timeseries_hurst_rs", oracle=_hurst_oracle(), tags=("E443",))
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of the hourly event-count series by RESCALED
+    RANGE (R/S) analysis: split the series into blocks of n ∈
+    {HURST_SCALES} hours, per block compute the range of cumulative
+    mean-deviations over the (population) std, average R/S per scale,
+    and fit log2(R/S) ~ H·log2(n).  H ≈ 0.5 is memoryless, H > 0.5
+    long-range dependent (bursts cluster — capacity planning must not
+    assume Poisson), H < 0.5 mean-reverting; the classic Mandelbrot/
+    Wallis diagnostic behind "self-similar network traffic".
+
+    Exact by integer algebra: with integer counts, n·cumdev_j =
+    n·C_j - j·Σx and n²·S² = n·Σx² - (Σx)² are exact BIGINTs, and the
+    scale cancels: R/S = (maxD - minD)/sqrt(n·Σx² - (Σx)²) — ONE
+    double op per block, FLOOR-quantized to 1e-9 before the per-scale
+    mean (cross-block sums are integer), log2 re-quantized to 1e-12
+    before the 4-point OLS (cross-scale sums integer).  Constant
+    blocks (S = 0) are excluded identically on both engines.
+
+    Plan: corpus → 720-row hourly rollup (map-side combined); all R/S
+    machinery is windows over |scales|·|hours| tiny rows.  100 TB:
+    the rollup is the only corpus-scale pass — R/S cost is independent
+    of raw volume."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seq = hourly.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("hour")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_hours"),
+    )
+    scales = F.explode(
+        F.array(*[F.lit(n) for n in HURST_SCALES])
+    ).alias("scale")
+    blocks = (
+        seq.select("cnt", "rn", "n_hours", scales)
+        .where(
+            F.expr("(rn - 1) div scale") < F.expr("n_hours div scale")
+        )
+        .select(
+            "scale",
+            "cnt",
+            "n_hours",
+            F.expr("(rn - 1) div scale").alias("blk"),
+            ((F.col("rn") - 1) % F.col("scale") + 1).alias("j"),
+        )
+    )
+    wb = Window.partitionBy("scale", "blk")
+    wcum = wb.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    devs = blocks.select(
+        "scale",
+        "blk",
+        "n_hours",
+        "cnt",
+        (
+            F.col("scale") * F.sum("cnt").over(wcum)
+            - F.col("j") * F.sum("cnt").over(wb)
+        ).alias("d_j"),
+        F.sum("cnt").over(wb).alias("sx_b"),
+    )
+    per_block = devs.groupBy("scale", "blk").agg(
+        F.max("n_hours").alias("n_hours"),
+        (F.max("d_j") - F.min("d_j")).cast("bigint").alias("rng"),
+        (
+            F.max("scale") * F.sum(F.col("cnt") * F.col("cnt"))
+            - F.max("sx_b") * F.max("sx_b")
+        )
+        .cast("bigint")
+        .alias("den2"),
+    )
+    rs = (
+        per_block.where(F.col("den2") > 0)
+        .groupBy("scale")
+        .agg(
+            F.max("n_hours").alias("n_hours"),
+            F.sum(
+                F.floor(
+                    F.col("rng").cast("double")
+                    / F.sqrt(F.col("den2").cast("double"))
+                    * HURST_RS_FP
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rs_fp_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        )
+    )
+    mean_rs = (
+        F.col("rs_fp_sum").cast("double")
+        / F.col("n_blocks").cast("double")
+        / HURST_RS_FP
+    )
+    scaled = rs.select(
+        "scale",
+        "n_hours",
+        mean_rs.alias("mean_rs"),
+        F.floor(F.log2(mean_rs) * HURST_Y_FP).cast("bigint").alias("y_fp"),
+        F.log2("scale").cast("bigint").alias("x"),
+    )
+    k = len(HURST_SCALES)
+    sx = sum(n.bit_length() - 1 for n in HURST_SCALES)
+    sxx = sum((n.bit_length() - 1) ** 2 for n in HURST_SCALES)
+    denom = k * sxx - sx * sx
+    rs_cols = [
+        F.round(
+            F.max(F.when(F.col("scale") == n, F.col("mean_rs"))), 9
+        ).alias(f"rs_{n}")
+        for n in HURST_SCALES
+    ]
+    return scaled.agg(
+        F.max("n_hours").alias("n_hours"),
+        *rs_cols,
+        F.round(
+            (
+                k * F.sum(F.col("x") * F.col("y_fp"))
+                - sx * F.sum("y_fp")
+            ).cast("double")
+            / (float(denom) * HURST_Y_FP),
+            6,
+        ).alias("hurst_h"),
+    )
