@@ -2643,3 +2643,290 @@ def graph_butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST(sum(c * (c - 1) div 2) * 1000000 div sum(c) AS BIGINT)"
         ).alias("butterflies_per_million_wedges"),
     )
+
+
+BC_FP = 10**6        # δ fixed-point scale (dependency accumulation)
+BC_SIGMA_CAP = 10**6  # σ saturation (declared, identical both engines)
+BC_TOP = 20
+
+
+def _betweenness_oracle() -> str:
+    return f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        ),
+        s0 AS (
+            SELECT seed, node, CAST(1 AS BIGINT) AS sigma
+            FROM best WHERE dist = 0
+        ),
+        s1 AS (
+            SELECT b.seed, b.node,
+                   LEAST(CAST(SUM(p.sigma) AS BIGINT),
+                         {BC_SIGMA_CAP}) AS sigma
+            FROM best b
+            JOIN sym ed ON ed.dst = b.node
+            JOIN s0 p ON p.seed = b.seed AND p.node = ed.src
+            WHERE b.dist = 1 GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT b.seed, b.node,
+                   LEAST(CAST(SUM(p.sigma) AS BIGINT),
+                         {BC_SIGMA_CAP}) AS sigma
+            FROM best b
+            JOIN sym ed ON ed.dst = b.node
+            JOIN s1 p ON p.seed = b.seed AND p.node = ed.src
+            WHERE b.dist = 2 GROUP BY 1, 2
+        ),
+        s3 AS (
+            SELECT b.seed, b.node,
+                   LEAST(CAST(SUM(p.sigma) AS BIGINT),
+                         {BC_SIGMA_CAP}) AS sigma
+            FROM best b
+            JOIN sym ed ON ed.dst = b.node
+            JOIN s2 p ON p.seed = b.seed AND p.node = ed.src
+            WHERE b.dist = 3 GROUP BY 1, 2
+        ),
+        sd AS (
+            SELECT s.seed, s.node, s.sigma, b.dist
+            FROM (
+                SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+            ) s JOIN best b ON b.seed = s.seed AND b.node = s.node
+        ),
+        p AS (
+            SELECT su.seed, su.node AS u, sv.node AS v,
+                   su.sigma AS sig_u, sv.sigma AS sig_v,
+                   sv.dist AS dv
+            FROM sd su
+            JOIN sym ed ON ed.src = su.node
+            JOIN sd sv ON sv.seed = su.seed AND sv.node = ed.dst
+                      AND sv.dist = su.dist + 1
+        ),
+        d2 AS (
+            SELECT seed, u,
+                   CAST(SUM(sig_u * {BC_FP} // sig_v) AS BIGINT) AS delta
+            FROM p WHERE dv = 3 GROUP BY 1, 2
+        ),
+        d1 AS (
+            SELECT p.seed, p.u,
+                   CAST(SUM(p.sig_u * ({BC_FP} + COALESCE(d2.delta, 0))
+                            // p.sig_v) AS BIGINT) AS delta
+            FROM p LEFT JOIN d2 ON d2.seed = p.seed AND d2.u = p.v
+            WHERE p.dv = 2 GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT node, CAST(SUM(delta) AS BIGINT) AS b_fp
+            FROM (
+                SELECT seed, u AS node, delta FROM d1
+                UNION ALL
+                SELECT seed, u, delta FROM d2
+            ) GROUP BY node
+        )
+        SELECT node, b_fp,
+               ROUND(CAST(b_fp AS DOUBLE) / {BC_FP}, 6) AS betweenness
+        FROM b
+        ORDER BY b_fp DESC, node
+        LIMIT {BC_TOP}
+    """
+
+
+@query("graph_betweenness_sampled", oracle=_betweenness_oracle(), tags=("E445",))
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY (Brandes) on the co-purchase
+    graph, sources = the shared seed working set, hops capped at
+    {HC_MAX_HOPS}: forward multi-source BFS carries (dist, σ) — σ(v) =
+    number of shortest seed→v paths, accumulated by the level-
+    synchronous invariant that ALL shortest paths enter via the
+    previous level — then Brandes' backward dependency pass
+    δ(u) = Σ_succ σu/σv·(1+δ(v)) folds path counts into per-node
+    centrality WITHOUT touching all O(n²) pairs.  The bridge-detector
+    of the centrality family (degree = popularity, PageRank = flow,
+    harmonic = reach, betweenness = brokerage), estimated exactly the
+    way large-graph practice does: source sampling + hop truncation
+    (Brandes-Pich), both declared knobs here.
+
+    Exact by construction: σ are exact BIGINTs under a declared
+    LEAST-cap (identical both engines); δ rides a {BC_FP} fixed point
+    with INTEGER `div` at every fold — the div-vs-double-floor
+    cross-engine trap — so cross-row sums are integer and the DuckDB
+    twin (same unrolled levels) matches hash-for-hash.  Operand bound:
+    σ_cap·(FP + δ_fp) ≤ 1e6·~1e10 « 2^63 at bench scale; at larger
+    |V| shrink BC_FP — the knob trades δ resolution for headroom.
+
+    Plan: the forward loop is the harmonic-centrality loop widened by
+    one integer column (size-gated broadcast, shuffle fallback past
+    the cap — r7 gate); the predecessor relation and both backward
+    folds are equi-joins on (seed, node).  100 TB: everything shuffles
+    on the (seed, node) pair key; no stage materializes more than the
+    reach set the hop cap already bounds."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % HC_SEED_MOD == 0)
+    )
+    visited = seeds.select(
+        F.col("node").alias("seed"),
+        "node",
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    n_nodes = _part_table_rows(spark, sf_dir)
+    bcast = _state_bcast((n_nodes // HC_SEED_MOD + 1) * n_nodes)
+    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
+    frontier = visited
+    for hop in range(1, HC_MAX_HOPS + 1):
+        cand = (
+            bcast(frontier)
+            .join(sym_j, frontier.node == sym_j.src)
+            .select("seed", F.col("dst").alias("node"), "sigma")
+        )
+        if bcast is F.broadcast:
+            # Map-side visited-exclusion BEFORE the σ fold: by the
+            # saturation hop most frontier-edge targets are already
+            # settled, so the broadcast anti-join kills them at scan
+            # speed and the groupBy aggregates only still-live rows.
+            cand = cand.join(
+                bcast(visited.select("seed", "node")),
+                ["seed", "node"],
+                "left_anti",
+            )
+            new = (
+                cand.groupBy("seed", "node")
+                .agg(
+                    F.least(F.sum("sigma"), F.lit(BC_SIGMA_CAP))
+                    .cast("bigint")
+                    .alias("sigma")
+                )
+                .select("seed", "node", F.lit(hop).alias("dist"), "sigma")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            # Shuffle fallback: aggregate FIRST (map-side combine
+            # shrinks the Σ-degree explosion to (seed, node) keys),
+            # then anti-join at state scale — the opposite order, or
+            # the anti-join itself would shuffle the explosion.
+            agg = cand.groupBy("seed", "node").agg(
+                F.least(F.sum("sigma"), F.lit(BC_SIGMA_CAP))
+                .cast("bigint")
+                .alias("sigma")
+            )
+            new = (
+                agg.join(
+                    visited.select("seed", "node"), ["seed", "node"], "left_anti"
+                )
+                .select("seed", "node", F.lit(hop).alias("dist"), "sigma")
+                .localCheckpoint(eager=False)
+            )
+        visited = visited.union(new)
+        frontier = new
+    sd = visited.localCheckpoint(eager=True)
+    # Predecessor-relation pruning + plan shape: predecessors have
+    # dist in [1, max) (seeds contribute no δ, and the deepest layer —
+    # the largest — can't precede anything), successors have dist >= 1.
+    # Both (seed, node) state tables ride the SAME size-gated
+    # broadcast as the forward loop, so P = su ⋈ edges ⋈ sv is
+    # entirely map-side over the materialized edge list: P explodes to
+    # Σ-degree-over-reached rows (~33M at sf0.1) but is never
+    # shuffled OR checkpointed — the only exchanges downstream are the
+    # two partial-aggregated δ folds.  (An earlier eager checkpoint of
+    # P itself was the cost: 17.1 s median -> 6.5 s after this shape.)
+    def _pred_edges(du: int) -> DataFrame:
+        """Per-level predecessor relation su(dist=du) ⋈ edges ⋈
+        sv(dist=du+1), entirely map-side under the gate: building the
+        two δ folds from PER-LEVEL joins instead of one filtered P
+        means the Σ-degree explosion of the big middle layer is
+        scanned exactly once (the dv=2 fold's input is only the tiny
+        hop-1 layer × degree)."""
+        su = sd.where(F.col("dist") == du).select(
+            F.col("seed"), F.col("node").alias("u"),
+            F.col("sigma").alias("sig_u"),
+        )
+        sv = sd.where(F.col("dist") == du + 1).select(
+            F.col("seed").alias("seed_v"), F.col("node").alias("v"),
+            F.col("sigma").alias("sig_v"),
+        )
+        return (
+            bcast(su).join(sym_j, F.col("u") == sym_j.src)
+            .join(
+                bcast(sv),
+                (F.col("seed") == F.col("seed_v"))
+                & (F.col("dst") == F.col("v")),
+            )
+            .select("seed", "u", "v", "sig_u", "sig_v")
+        )
+
+    d2 = (
+        _pred_edges(HC_MAX_HOPS - 1)
+        .groupBy("seed", "u")
+        .agg(
+            F.sum(F.expr(f"sig_u * {BC_FP} div sig_v"))
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    d1 = (
+        _pred_edges(HC_MAX_HOPS - 2)
+        .join(
+            d2.select(
+                F.col("seed").alias("seed_d"),
+                F.col("u").alias("v_d"),
+                F.col("delta").alias("delta_v"),
+            ),
+            (F.col("seed") == F.col("seed_d")) & (F.col("v") == F.col("v_d")),
+            "left",
+        )
+        .groupBy("seed", "u")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"sig_u * ({BC_FP} + coalesce(delta_v, 0)) div sig_v"
+                )
+            )
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    b = (
+        d1.select("u", "delta")
+        .unionByName(d2.select("u", "delta"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("delta").cast("bigint").alias("b_fp"))
+    )
+    return (
+        b.select(
+            "node",
+            "b_fp",
+            F.round(F.col("b_fp").cast("double") / BC_FP, 6).alias(
+                "betweenness"
+            ),
+        )
+        .orderBy(F.desc("b_fp"), F.asc("node"))
+        .limit(BC_TOP)
+    )
