@@ -7810,3 +7810,248 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst_h"),
     )
+
+
+@query(
+    "timeseries_granger_1lag",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, day, cnt,
+                   LAG(cnt) OVER (PARTITION BY event_type ORDER BY day)
+                       AS cnt_1
+            FROM daily
+        ),
+        pairs AS (
+            SELECT x.event_type AS x_type, y.event_type AS y_type,
+                   y.cnt AS y, y.cnt_1 AS a, x.cnt_1 AS b
+            FROM lagged y
+            JOIN lagged x ON x.day = y.day
+                         AND x.event_type <> y.event_type
+            WHERE y.cnt_1 IS NOT NULL AND x.cnt_1 IS NOT NULL
+        ),
+        m AS (
+            SELECT x_type, y_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(a) AS BIGINT) AS sa,
+                   CAST(SUM(b) AS BIGINT) AS sb,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(a * a) AS BIGINT) AS saa,
+                   CAST(SUM(b * b) AS BIGINT) AS sbb,
+                   CAST(SUM(y * a) AS BIGINT) AS sya,
+                   CAST(SUM(y * b) AS BIGINT) AS syb,
+                   CAST(SUM(a * b) AS BIGINT) AS sab
+            FROM pairs GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT x_type, y_type, n,
+                   CAST(n * saa - sa * sa AS DOUBLE) AS caa,
+                   CAST(n * sbb - sb * sb AS DOUBLE) AS cbb,
+                   CAST(n * sab - sa * sb AS DOUBLE) AS cab,
+                   CAST(n * sya - sy * sa AS DOUBLE) AS cya,
+                   CAST(n * syb - sy * sb AS DOUBLE) AS cyb,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+            FROM m
+        ),
+        fit AS (
+            SELECT x_type, y_type, n,
+                   cyy - cya * cya / caa AS rr,
+                   cyy - ((cbb * cya - cab * cyb)
+                          / (caa * cbb - cab * cab)) * cya
+                       - ((caa * cyb - cab * cya)
+                          / (caa * cbb - cab * cab)) * cyb AS ru,
+                   (caa * cyb - cab * cya)
+                       / (caa * cbb - cab * cab) / n AS beta_x_n
+            FROM c
+        )
+        SELECT x_type, y_type, n AS n_obs,
+               ROUND((rr - ru) * (n - 3) / ru, 6) AS f_stat,
+               ROUND(beta_x_n * n, 9) AS beta_x
+        FROM fit
+        ORDER BY x_type, y_type
+    """,
+    tags=("E446",),
+)
+def timeseries_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY (1 lag) between every ordered pair of
+    event-type daily-count series: does yesterday's X volume improve
+    the AR(1) prediction of today's Y?  F compares the restricted fit
+    y_t ~ 1 + y_{t-1} against the augmented y_t ~ 1 + y_{t-1} +
+    x_{t-1} — the workhorse lead-lag screen (marketing spend → signups,
+    errors → churn) and the honest formulation of "X drives Y" that a
+    plain correlation matrix cannot support.
+
+    Exact: daily counts are integers, so all ten regression moments
+    per pair are exact BIGINTs; both fits are closed-form (centered
+    2x2 inverse, the Fisher-LDA recipe) in ONE double expression over
+    those integers — identical text both engines, ROUND 6/9.  SSR
+    scaling by n cancels inside F, so no division order ambiguity.
+    Plan: corpus → 150-row daily rollup (map-side combined), windows
+    + a 5x4-pair self-join over tiny rows.  100 TB: only the rollup
+    sees raw data; adding lags or pairs never rescans the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "cnt", F.lag("cnt").over(w).alias("cnt_1")
+    )
+    y = lagged.select(
+        F.col("event_type").alias("y_type"),
+        "day",
+        F.col("cnt").alias("y"),
+        F.col("cnt_1").alias("a"),
+    )
+    x = lagged.select(
+        F.col("event_type").alias("x_type"),
+        F.col("day").alias("day_x"),
+        F.col("cnt_1").alias("b"),
+    )
+    pairs = (
+        y.join(
+            x,
+            (F.col("day") == F.col("day_x"))
+            & (F.col("x_type") != F.col("y_type")),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select("x_type", "y_type", "y", "a", "b")
+    )
+    m = pairs.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("y") * F.col("a")).cast("bigint").alias("sya"),
+        F.sum(F.col("y") * F.col("b")).cast("bigint").alias("syb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+    )
+    n = F.col("n")
+    caa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    cbb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    cab = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    cya = (n * F.col("sya") - F.col("sy") * F.col("sa")).cast("double")
+    cyb = (n * F.col("syb") - F.col("sy") * F.col("sb")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    det = caa * cbb - cab * cab
+    b1 = (cbb * cya - cab * cyb) / det
+    b2 = (caa * cyb - cab * cya) / det
+    rr = cyy - cya * cya / caa
+    ru = cyy - b1 * cya - b2 * cyb
+    return (
+        m.select(
+            "x_type",
+            "y_type",
+            F.col("n").alias("n_obs"),
+            F.round((rr - ru) * (n - 3).cast("double") / ru, 6).alias("f_stat"),
+            F.round(b2 / n.cast("double") * n.cast("double"), 9).alias("beta_x"),
+        )
+        .orderBy("x_type", "y_type")
+    )
+
+
+EOQ_ORDER_COST = 75.0       # fixed ordering cost per PO (both engines)
+EOQ_HOLD_FRAC = 0.2         # annual holding cost as fraction of price
+EOQ_LEAD_DAYS = 14          # replenishment lead time
+EOQ_DAYS = 365              # demand observation horizon normalizer
+
+
+@query(
+    "orders_eoq_reorder_points",
+    oracle=f"""
+        WITH d AS (
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS annual_demand,
+                   CAST(SUM(CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+                                 * 100 AS BIGINT)) AS BIGINT)
+                       AS price_cents_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand
+        )
+        SELECT p_brand, annual_demand, n_lines,
+               ROUND(sqrt(2.0 * CAST(annual_demand AS DOUBLE)
+                          * {EOQ_ORDER_COST}
+                          / ({EOQ_HOLD_FRAC}
+                             * CAST(price_cents_sum AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE) / 100.0)), 6)
+                   AS eoq_units,
+               ROUND(CAST(annual_demand AS DOUBLE) / {EOQ_DAYS}
+                     * {EOQ_LEAD_DAYS}, 6) AS reorder_point_units
+        FROM d
+        ORDER BY p_brand
+    """,
+    tags=("E447",),
+)
+def orders_eoq_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECONOMIC ORDER QUANTITY + REORDER POINT per brand — the
+    inventory-policy pair the newsvendor op's single-period model
+    doesn't cover: EOQ = sqrt(2·D·S/H) balances fixed ordering cost
+    against holding cost (H = {EOQ_HOLD_FRAC} of the brand's mean
+    retail price), and the reorder point is lead-time demand at the
+    observed daily rate.  Together they answer "order how much, and
+    when" for the steady-state SKUs that dominate replenishment.
+
+    Exact: demand is an integer quantity sum; mean price rides exact
+    price-cents sums (DECIMAL(12,2)·100, never double·100) divided
+    once; the sqrt formula is a single double expression with shared
+    literal constants, ROUND 6.  Plan: broadcast part join onto the
+    fact scan, one map-side-combined groupBy over 25 brands.  100 TB:
+    one pass, no second stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    d = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("annual_demand"),
+            F.sum("price_cents").cast("bigint").alias("price_cents_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    unit_cost = (
+        EOQ_HOLD_FRAC
+        * F.col("price_cents_sum").cast("double")
+        / F.col("n_lines").cast("double")
+        / 100.0
+    )
+    return d.select(
+        "p_brand",
+        "annual_demand",
+        "n_lines",
+        F.round(
+            F.sqrt(
+                2.0
+                * F.col("annual_demand").cast("double")
+                * EOQ_ORDER_COST
+                / unit_cost
+            ),
+            6,
+        ).alias("eoq_units"),
+        F.round(
+            F.col("annual_demand").cast("double") / EOQ_DAYS * EOQ_LEAD_DAYS, 6
+        ).alias("reorder_point_units"),
+    ).orderBy("p_brand")
