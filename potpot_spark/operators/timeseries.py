@@ -8055,3 +8055,207 @@ def orders_eoq_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("annual_demand").cast("double") / EOQ_DAYS * EOQ_LEAD_DAYS, 6
         ).alias("reorder_point_units"),
     ).orderBy("p_brand")
+
+
+EG_FP = 10**3  # residual quantization (milli-units) before the ADF sums
+
+
+@query(
+    "timeseries_cointegration_eg",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT x.event_type AS x_type, y.event_type AS y_type,
+                   y.day, x.cnt AS x, y.cnt AS y
+            FROM daily y JOIN daily x
+              ON x.day = y.day AND x.event_type <> y.event_type
+        ),
+        m AS (
+            SELECT x_type, y_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs GROUP BY 1, 2
+        ),
+        fit AS (
+            SELECT x_type, y_type, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+                   (CAST(sy AS DOUBLE)
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+            FROM m
+        ),
+        resid AS (
+            SELECT p.x_type, p.y_type, p.day,
+                   CAST(FLOOR((CAST(p.y AS DOUBLE) - f.a
+                               - f.b * CAST(p.x AS DOUBLE)) * {EG_FP})
+                        AS BIGINT) AS e_fp
+            FROM pairs p
+            JOIN fit f ON f.x_type = p.x_type AND f.y_type = p.y_type
+        ),
+        lagd AS (
+            SELECT x_type, y_type,
+                   e_fp - LAG(e_fp) OVER (
+                       PARTITION BY x_type, y_type ORDER BY day) AS de,
+                   LAG(e_fp) OVER (
+                       PARTITION BY x_type, y_type ORDER BY day) AS e1
+            FROM resid
+        ),
+        adf AS (
+            SELECT x_type, y_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_adf,
+                   CAST(SUM(e1 * de) AS BIGINT) AS sde,
+                   CAST(SUM(e1 * e1) AS BIGINT) AS s11,
+                   CAST(SUM(de * de) AS BIGINT) AS sdd
+            FROM lagd WHERE e1 IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT a.x_type, a.y_type, a.n_adf,
+               ROUND(f.b, 9) AS beta,
+               ROUND(CAST(a.sde AS DOUBLE) / CAST(a.s11 AS DOUBLE), 9)
+                   AS gamma,
+               ROUND((CAST(a.sde AS DOUBLE) / CAST(a.s11 AS DOUBLE))
+                     / sqrt((CAST(a.sdd AS DOUBLE)
+                             - CAST(a.sde AS DOUBLE) * CAST(a.sde AS DOUBLE)
+                               / CAST(a.s11 AS DOUBLE))
+                            / CAST(a.n_adf - 1 AS DOUBLE)
+                            / CAST(a.s11 AS DOUBLE)), 6) AS adf_t
+        FROM adf a
+        JOIN fit f ON f.x_type = a.x_type AND f.y_type = a.y_type
+        ORDER BY a.x_type, a.y_type
+    """,
+    tags=("E449",),
+)
+def timeseries_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE-GRANGER COINTEGRATION SCREEN for every ordered pair of
+    event-type daily series: OLS the long-run relation y ~ a + b·x,
+    then a lag-0 Dickey-Fuller regression Δe_t = γ·e_{t-1} on the
+    residuals — a strongly negative ADF t says deviations from the
+    fitted relation MEAN-REVERT, i.e. the two series share a common
+    trend rather than merely correlating (the spread-trading /
+    shared-driver test, and Granger causality's equilibrium sibling:
+    E446 asks "does X lead Y", this asks "are X and Y tied together").
+
+    Exact: the OLS fit is closed-form over exact integer moments;
+    residuals are deterministic doubles FLOOR-quantized to {EG_FP}
+    BEFORE any cross-row sum, so all three ADF sums are exact BIGINTs
+    (the quantization is part of the declared statistic, identical
+    both engines); γ and its t ride one closed double expression —
+    the σ̂² expansion ΣΔe² - (ΣΔe·e₋₁)²/Σe₋₁² keeps γ̂ out of any
+    row-wise sum.  Plan: one daily rollup touches raw data; the pair
+    join, residual join-back, lag window and ADF sums all run over
+    |types|²·|days| tiny rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    y = daily.select(
+        F.col("event_type").alias("y_type"), "day", F.col("cnt").alias("y")
+    )
+    x = daily.select(
+        F.col("event_type").alias("x_type"),
+        F.col("day").alias("day_x"),
+        F.col("cnt").alias("x"),
+    )
+    pairs = (
+        y.join(
+            x,
+            (F.col("day") == F.col("day_x"))
+            & (F.col("x_type") != F.col("y_type")),
+        )
+        .select("x_type", "y_type", "day", "x", "y")
+        .localCheckpoint(eager=True)
+    )
+    m = pairs.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fit = m.select(
+        F.col("x_type").alias("fx"),
+        F.col("y_type").alias("fy"),
+        b.alias("b"),
+        (
+            (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    resid = pairs.join(
+        F.broadcast(fit),
+        (F.col("x_type") == F.col("fx")) & (F.col("y_type") == F.col("fy")),
+    ).select(
+        "x_type",
+        "y_type",
+        "day",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - F.col("a")
+                - F.col("b") * F.col("x").cast("double")
+            )
+            * EG_FP
+        )
+        .cast("bigint")
+        .alias("e_fp"),
+    )
+    w = Window.partitionBy("x_type", "y_type").orderBy("day")
+    lagd = resid.select(
+        "x_type",
+        "y_type",
+        (F.col("e_fp") - F.lag("e_fp").over(w)).alias("de"),
+        F.lag("e_fp").over(w).alias("e1"),
+    ).where(F.col("e1").isNotNull())
+    adf = lagd.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adf"),
+        F.sum(F.col("e1") * F.col("de")).cast("bigint").alias("sde"),
+        F.sum(F.col("e1") * F.col("e1")).cast("bigint").alias("s11"),
+        F.sum(F.col("de") * F.col("de")).cast("bigint").alias("sdd"),
+    )
+    gamma = F.col("sde").cast("double") / F.col("s11").cast("double")
+    ssr = (
+        F.col("sdd").cast("double")
+        - F.col("sde").cast("double")
+        * F.col("sde").cast("double")
+        / F.col("s11").cast("double")
+    )
+    return (
+        adf.join(
+            F.broadcast(fit),
+            (F.col("x_type") == F.col("fx")) & (F.col("y_type") == F.col("fy")),
+        )
+        .select(
+            "x_type",
+            "y_type",
+            "n_adf",
+            F.round(F.col("b"), 9).alias("beta"),
+            F.round(gamma, 9).alias("gamma"),
+            F.round(
+                gamma
+                / F.sqrt(
+                    ssr
+                    / (F.col("n_adf") - 1).cast("double")
+                    / F.col("s11").cast("double")
+                ),
+                6,
+            ).alias("adf_t"),
+        )
+        .orderBy("x_type", "y_type")
+    )
