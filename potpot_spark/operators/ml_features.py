@@ -4819,3 +4819,156 @@ def ml_fisher_lda_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("threshold"),
     )
+
+
+CONF_ALPHA_PCT = 10   # miscoverage target: 90% intervals
+CONF_CAL_MOD = 4      # hash % 4: 3 = calibration, 0 = test, 1-2 = train
+
+
+@query(
+    "ml_conformal_split_intervals",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   CAST(('0x' || substring(
+                       md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {CONF_CAL_MOD} AS fold
+            FROM orders
+        ),
+        model AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE fold IN (1, 2) GROUP BY 1
+        ),
+        cal AS (
+            SELECT CAST(FLOOR(abs(CAST(o.y AS DOUBLE)
+                       - CAST(m.sy AS DOUBLE) / m.n)) AS BIGINT) AS s,
+                   o.o_orderkey
+            FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+            WHERE o.fold = 3
+        ),
+        ranked AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_orderkey) AS rnk,
+                   COUNT(*) OVER () AS n_cal
+            FROM cal
+        ),
+        qhat AS (
+            SELECT s AS q_cents, n_cal FROM ranked
+            WHERE rnk = CAST(CEIL((n_cal + 1)
+                             * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT)
+        ),
+        test AS (
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(COUNT(*) FILTER (
+                       CAST(FLOOR(abs(CAST(o.y AS DOUBLE)
+                            - CAST(m.sy AS DOUBLE) / m.n)) AS BIGINT)
+                       <= (SELECT q_cents FROM qhat)) AS BIGINT)
+                       AS n_covered
+            FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+            WHERE o.fold = 0
+            GROUP BY 1
+        )
+        SELECT o_orderpriority, n_test, n_covered,
+               CAST(n_covered * 1000000 // n_test AS BIGINT)
+                   AS coverage_ppm,
+               (SELECT CAST(n_cal AS BIGINT) FROM qhat) AS n_cal,
+               (SELECT q_cents FROM qhat) AS q_cents
+        FROM test
+        ORDER BY o_orderpriority
+    """,
+    tags=("E451",),
+)
+def ml_conformal_split_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT CONFORMAL PREDICTION intervals for order totals under a
+    per-priority group-mean model: train folds fit the model,
+    the calibration fold's nonconformity scores |y - ŷ| yield q̂ =
+    the ⌈(n+1)(1-α)⌉-th smallest score, and every test prediction
+    gets the interval ŷ ± q̂ — distribution-free finite-sample
+    coverage ≥ 1-α REGARDLESS of how bad the model is (the guarantee
+    is over the exchangeable split, not the model), which is why
+    conformal is the default uncertainty wrapper in production ML.
+    Per-priority test coverage shows the marginal guarantee holding
+    while hinting at the conditional-coverage gaps a group-naive q̂
+    leaves.
+
+    Exact: folds ride the engine-portable md5 hash (phash60 recipe);
+    y is exact cents; scores FLOOR-quantize the |y - mean| double to
+    integer cents before ANY ranking or comparison, so the rank-pick
+    of q̂ (deterministic (s, orderkey) tie-break) and the coverage
+    counts are exact integers.  Plan: one groupBy for the model, one
+    WindowGroupLimit-free rank over the calibration minority, one
+    broadcast of the 1-row q̂ into the test scan.  100 TB: calibration
+    is a fixed hash slice; the global sort is over that slice only —
+    swap in percentile_disc for a fully shuffle-light variant."""
+    from potpot_spark.functions.numeric import phash60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        (phash60(F.col("o_orderkey").cast("string")) % CONF_CAL_MOD).alias(
+            "fold"
+        ),
+    )
+    model = (
+        o.where(F.col("fold").isin(1, 2))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("y").cast("bigint").alias("sy"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    score = F.floor(
+        F.abs(
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("n")
+        )
+    ).cast("bigint")
+    cal = (
+        o.where(F.col("fold") == 3)
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(score.alias("s"), "o_orderkey")
+    )
+    ranked = cal.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "o_orderkey")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cal"),
+    )
+    qhat = ranked.where(
+        F.col("rnk")
+        == F.ceil(
+            (F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT) / 100.0
+        ).cast("bigint")
+    ).select(
+        F.col("s").alias("q_cents"), F.col("n_cal").cast("bigint").alias("n_cal")
+    )
+    test = (
+        o.where(F.col("fold") == 0)
+        .join(F.broadcast(model), "o_orderpriority")
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(score <= F.col("q_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("q_cents").alias("q_cents"),
+        )
+    )
+    return test.select(
+        "o_orderpriority",
+        "n_test",
+        "n_covered",
+        F.expr("CAST(n_covered * 1000000 div n_test AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+        "n_cal",
+        "q_cents",
+    ).orderBy("o_orderpriority")

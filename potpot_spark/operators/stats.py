@@ -6137,3 +6137,176 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") - 1).alias("df"),
         )
     )
+
+
+@query(
+    "stats_distance_correlation",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS t,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT t, x,
+                   ROW_NUMBER() OVER (PARTITION BY t ORDER BY day) AS i
+            FROM daily
+        ),
+        cells AS (
+            SELECT a.t, a.i, b.i AS j, abs(a.x - b.x) AS d
+            FROM idx a JOIN idx b ON a.t = b.t
+        ),
+        rows_s AS (
+            SELECT t, i, CAST(SUM(d) AS BIGINT) AS r_i,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cells GROUP BY t, i
+        ),
+        tot AS (
+            SELECT t, CAST(SUM(d) AS BIGINT) AS tt FROM cells GROUP BY t
+        ),
+        cent AS (
+            SELECT c.t, c.i, c.j,
+                   CAST(r.n * r.n * c.d - r.n * r.r_i - r.n * rj.r_i
+                        + tot.tt AS BIGINT) AS ahat,
+                   r.n AS n
+            FROM cells c
+            JOIN rows_s r ON r.t = c.t AND r.i = c.i
+            JOIN rows_s rj ON rj.t = c.t AND rj.i = c.j
+            JOIN tot ON tot.t = c.t
+        ),
+        prods AS (
+            SELECT p.t AS t_p, q.t AS t_q, p.n,
+                   SUM(CAST(p.ahat AS HUGEINT) * q.ahat) AS spq,
+                   SUM(CAST(p.ahat AS HUGEINT) * p.ahat) AS spp,
+                   SUM(CAST(q.ahat AS HUGEINT) * q.ahat) AS sqq
+            FROM cent p
+            JOIN cent q ON q.i = p.i AND q.j = p.j AND q.t > p.t
+            GROUP BY 1, 2, 3
+        )
+        SELECT t_p AS type_a, t_q AS type_b, CAST(n AS BIGINT) AS n_days,
+               ROUND(sqrt(CAST(spq AS DOUBLE)
+                          / sqrt(CAST(spp AS DOUBLE)
+                                 * CAST(sqq AS DOUBLE))), 9) AS dcor
+        FROM prods
+        ORDER BY type_a, type_b
+    """,
+    tags=("E450",),
+)
+def stats_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTANCE CORRELATION (Székely's dCor) between every unordered
+    pair of event-type daily series: zero iff INDEPENDENT — the
+    dependence measure that catches the nonlinear and non-monotone
+    relationships Pearson and Spearman both miss (a U-shaped load
+    curve has r ≈ 0 but dCor ≫ 0), at the price of the pairwise
+    distance matrix the definition demands.
+
+    Entirely EXACT integers until two final sqrt: distances |x_i-x_j|
+    are integer, and double-centering is cross-multiplied by n² —
+    Â_ij = n²a_ij - n·r_i - n·r_j + T — so the three inner products
+    ΣÂB̂, ΣÂ², ΣB̂² are exact (HUGEINT / decimal(38,0): cell products
+    reach ~1e14 × 900 cells), and the n⁶ normalization CANCELS inside
+    dCor² = ΣÂB̂/√(ΣÂ²·ΣB̂²).  Plan: the O(n²) matrix is built per
+    SERIES (5 × 900 cells), centered once, and pairs only join the
+    centered matrices — the day-grain n is bounded by the calendar,
+    so the quadratic step never touches corpus scale; raw data is
+    seen exactly once by the daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    idx = daily.select(
+        "t",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("t").orderBy("day"))
+        .alias("i"),
+    )
+    a = idx.select("t", F.col("i"), F.col("x"))
+    b = idx.select(
+        F.col("t").alias("t_b"), F.col("i").alias("j"), F.col("x").alias("x_b")
+    )
+    cells = (
+        a.join(b, F.col("t") == F.col("t_b"))
+        .select("t", "i", "j", F.abs(F.col("x") - F.col("x_b")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    rows_s = cells.groupBy("t", "i").agg(
+        F.sum("d").cast("bigint").alias("r_i"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = cells.groupBy("t").agg(F.sum("d").cast("bigint").alias("tt"))
+    rj = rows_s.select(
+        F.col("t").alias("t_j"), F.col("i").alias("j_j"),
+        F.col("r_i").alias("r_j"),
+    )
+    cent = (
+        cells.join(F.broadcast(rows_s), ["t", "i"])
+        .join(
+            F.broadcast(rj),
+            (F.col("t") == F.col("t_j")) & (F.col("j") == F.col("j_j")),
+        )
+        .join(F.broadcast(tot), "t")
+        .select(
+            "t",
+            "i",
+            "j",
+            "n",
+            (
+                F.col("n") * F.col("n") * F.col("d")
+                - F.col("n") * F.col("r_i")
+                - F.col("n") * F.col("r_j")
+                + F.col("tt")
+            )
+            .cast("bigint")
+            .alias("ahat"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = cent.select(
+        F.col("t").alias("t_q"), F.col("i").alias("i_q"),
+        F.col("j").alias("j_q"), F.col("ahat").alias("bhat"),
+    )
+    prods = (
+        cent.join(
+            F.broadcast(q),
+            (F.col("i") == F.col("i_q"))
+            & (F.col("j") == F.col("j_q"))
+            & (F.col("t_q") > F.col("t")),
+        )
+        .groupBy(F.col("t").alias("type_a"), F.col("t_q").alias("type_b"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.sum(
+                F.col("ahat").cast("decimal(19,0)")
+                * F.col("bhat").cast("decimal(19,0)")
+            ).alias("spq"),
+            F.sum(
+                F.col("ahat").cast("decimal(19,0)")
+                * F.col("ahat").cast("decimal(19,0)")
+            ).alias("spp"),
+            F.sum(
+                F.col("bhat").cast("decimal(19,0)")
+                * F.col("bhat").cast("decimal(19,0)")
+            ).alias("sqq"),
+        )
+    )
+    return prods.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.round(
+            F.sqrt(
+                F.col("spq").cast("double")
+                / F.sqrt(
+                    F.col("spp").cast("double") * F.col("sqq").cast("double")
+                )
+            ),
+            9,
+        ).alias("dcor"),
+    ).orderBy("type_a", "type_b")
