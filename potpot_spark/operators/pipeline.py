@@ -2336,3 +2336,90 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class")
     )
+
+
+BON_BUCKET = 100  # n_chars bucket width defining a "prompt" group
+
+
+@query(
+    "pipeline_rejection_sample_best_of_n",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang,
+                   CAST(n_chars // {BON_BUCKET} AS BIGINT) AS len_bucket,
+                   doc_id,
+                   CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        AS BIGINT) * 1000000 + n_chars AS reward
+            FROM documents
+        ),
+        groups AS (
+            SELECT lang, len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(reward) AS BIGINT) AS reward_sum,
+                   MIN({{'main': -reward, 'doc_id': doc_id}}) AS best
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT lang, len_bucket, n_candidates,
+               best.doc_id AS chosen_doc_id,
+               -best.main AS chosen_reward,
+               CAST((-best.main - reward_sum // n_candidates)
+                    * 1000000 // (reward_sum // n_candidates) AS BIGINT)
+                   AS reward_gap_ppm
+        FROM groups
+        ORDER BY lang, len_bucket
+    """,
+    tags=("E452",),
+)
+def pipeline_rejection_sample_best_of_n(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BEST-OF-N REJECTION SAMPLING over candidate groups — the
+    preference-data construction step after pipeline_preference_pairs:
+    treat (lang, length-bucket) as the prompt, every document in the
+    group as a sampled candidate, score each with a deterministic
+    integer reward (vocabulary richness ×1e6 + length as tie-break),
+    and KEEP ONLY the argmax — plus the reward gap over the group
+    mean, the quantity that tells you whether best-of-N is still
+    buying anything or the candidate pool has collapsed.
+
+    Exact: the reward is a pure integer (distinct-word count via JVM
+    array_distinct over the split — no Python, no doubles), argmax is
+    min(struct(-reward, doc_id)) with the repo's tie-break discipline,
+    and the gap uses integer floor-division ppm against the
+    integer-division group mean (same // semantics both engines).
+    Plan: one pass to score (scan-speed string ops), one map-side-
+    combined groupBy carrying a single struct per group — no window,
+    no sort, no second scan.  100 TB: reward scoring is
+    embarrassingly parallel; the argmax struct is the only shuffled
+    state (one row per prompt group)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.expr(f"CAST(n_chars div {BON_BUCKET} AS BIGINT)").alias("len_bucket"),
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
+            .cast("bigint")
+            * 1000000
+            + F.col("n_chars")
+        ).alias("reward"),
+    )
+    groups = scored.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("reward").cast("bigint").alias("reward_sum"),
+        F.min(
+            F.struct((-F.col("reward")).alias("main"), F.col("doc_id"))
+        ).alias("best"),
+    )
+    mean_reward = F.expr("reward_sum div n_candidates")
+    return groups.select(
+        "lang",
+        "len_bucket",
+        "n_candidates",
+        F.col("best.doc_id").alias("chosen_doc_id"),
+        (-F.col("best.main")).alias("chosen_reward"),
+        F.expr(
+            "CAST((-best.main - reward_sum div n_candidates) * 1000000 "
+            "div (reward_sum div n_candidates) AS BIGINT)"
+        ).alias("reward_gap_ppm"),
+    ).orderBy("lang", "len_bucket")

@@ -6310,3 +6310,141 @@ def stats_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dcor"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "stats_mood_median_test",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_orderkey) AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM o
+        ),
+        med AS (
+            SELECT y AS m FROM ranked WHERE rnk = (n + 1) // 2
+        ),
+        cells AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(COUNT(*) FILTER (y > (SELECT m FROM med))
+                        AS BIGINT) AS a_i
+            FROM o GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(a_i) AS BIGINT) AS a
+            FROM cells
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS k_groups,
+               tot.n AS n_total,
+               (SELECT m FROM med) AS grand_median_cents,
+               ROUND(CAST(SUM(CAST(FLOOR((
+                   (CAST(a_i AS DOUBLE)
+                    - CAST(n_i AS DOUBLE) * tot.a / tot.n)
+                   * (CAST(a_i AS DOUBLE)
+                      - CAST(n_i AS DOUBLE) * tot.a / tot.n)
+                   / (CAST(n_i AS DOUBLE) * tot.a / tot.n)
+                 + (CAST(n_i - a_i AS DOUBLE)
+                    - CAST(n_i AS DOUBLE) * (tot.n - tot.a) / tot.n)
+                   * (CAST(n_i - a_i AS DOUBLE)
+                      - CAST(n_i AS DOUBLE) * (tot.n - tot.a) / tot.n)
+                   / (CAST(n_i AS DOUBLE) * (tot.n - tot.a) / tot.n)
+                   ) * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000, 9)
+                   AS chi2,
+               (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM cells) AS df
+        FROM cells, tot
+        GROUP BY tot.n, tot.a
+    """,
+    tags=("E453",),
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across order priorities: does the share of
+    orders above the GRAND median price differ by priority?  The
+    maximally-robust k-sample location test — it only uses
+    above/below-median indicators, so arbitrary outliers and wildly
+    unequal variances can't touch it (the blunt sibling of
+    Kruskal-Wallis: less power, more armor), and it's the one to
+    reach for when distributions are too pathological to rank.
+
+    Exact: the grand median is a deterministic rank-pick over exact
+    cents (value at position ⌈N/2⌉, (y, orderkey) tie-broken row
+    numbering); cell counts are integers; the χ² is one double
+    expression over six exact integers per group, FLOOR-quantized to 1e-9
+    before the k-row sum (cross-row double sums are order-dependent;
+    the repo discipline).  Plan: one rank to find the
+    median (sort over the value column only), one broadcast of the
+    1-row median into a map-side-combined groupBy.  100 TB: replace
+    the global rank with percentile_disc and the plan loses its only
+    sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        "o_orderkey",
+    )
+    ranked = o.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "o_orderkey")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rnk") == F.expr("(n + 1) div 2")
+    ).select(F.col("y").alias("m"))
+    cells = (
+        o.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.when(F.col("y") > F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_i"),
+            F.max("m").alias("m"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("a_i").cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("m").alias("m"),
+    )
+    j = cells.crossJoin(F.broadcast(tot.select("n", "a", "k")))
+    e_above = F.col("n_i").cast("double") * F.col("a") / F.col("n")
+    e_below = (
+        F.col("n_i").cast("double") * (F.col("n") - F.col("a")) / F.col("n")
+    )
+    term = (
+        (F.col("a_i").cast("double") - e_above)
+        * (F.col("a_i").cast("double") - e_above)
+        / e_above
+        + ((F.col("n_i") - F.col("a_i")).cast("double") - e_below)
+        * ((F.col("n_i") - F.col("a_i")).cast("double") - e_below)
+        / e_below
+    )
+    return (
+        j.groupBy("n", "a", "k")
+        .agg(
+            F.max("m").alias("grand_median_cents"),
+            F.round(
+                F.sum(F.floor(term * 1_000_000_000).cast("bigint")).cast(
+                    "double"
+                )
+                / 1_000_000_000,
+                9,
+            ).alias("chi2"),
+        )
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_total"),
+            "grand_median_cents",
+            "chi2",
+            (F.col("k") - 1).alias("df"),
+        )
+    )
