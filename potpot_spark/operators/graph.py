@@ -2791,17 +2791,48 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("node") % HC_SEED_MOD == 0)
     )
+    n_nodes = _part_table_rows(spark, sf_dir)
+    b = brandes_betweenness(
+        spark, sym, seeds, (n_nodes // HC_SEED_MOD + 1) * n_nodes
+    )
+    return (
+        b.select(
+            "node",
+            "b_fp",
+            F.round(F.col("b_fp").cast("double") / BC_FP, 6).alias(
+                "betweenness"
+            ),
+        )
+        .orderBy(F.desc("b_fp"), F.asc("node"))
+        .limit(BC_TOP)
+    )
+
+
+def brandes_betweenness(
+    spark: SparkSession,
+    sym: DataFrame,
+    seeds: DataFrame,
+    state_bound: int,
+    max_hops: int = HC_MAX_HOPS,
+) -> DataFrame:
+    """Brandes core on an injected graph: ``sym`` = directed (src,
+    dst) edge rows (symmetrize before calling for undirected), ``seeds``
+    = (node,) sources, ``state_bound`` = an upper bound on the
+    (seed, node) state cardinality for the broadcast gate.  Returns
+    the FULL (node, b_fp) table (fp scale BC_FP), no top-k — factored
+    out of the registered query so a property test can run it on a
+    hand-computable graph (path graph: interior-node betweenness is
+    the count of ordered pairs routed through, exactly 6/8/6 on P5)."""
     visited = seeds.select(
         F.col("node").alias("seed"),
         "node",
         F.lit(0).alias("dist"),
         F.lit(1).cast("bigint").alias("sigma"),
     ).localCheckpoint(eager=True)
-    n_nodes = _part_table_rows(spark, sf_dir)
-    bcast = _state_bcast((n_nodes // HC_SEED_MOD + 1) * n_nodes)
+    bcast = _state_bcast(state_bound)
     sym_j = sym if bcast is F.broadcast else sym.repartition("src")
     frontier = visited
-    for hop in range(1, HC_MAX_HOPS + 1):
+    for hop in range(1, max_hops + 1):
         cand = (
             bcast(frontier)
             .join(sym_j, frontier.node == sym_j.src)
@@ -2882,51 +2913,56 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seed", "u", "v", "sig_u", "sig_v")
         )
 
-    d2 = (
-        _pred_edges(HC_MAX_HOPS - 1)
-        .groupBy("seed", "u")
-        .agg(
-            F.sum(F.expr(f"sig_u * {BC_FP} div sig_v"))
-            .cast("bigint")
-            .alias("delta")
+    # Backward dependency accumulation, deepest level first: δ at the
+    # deepest layer is zero, and each shallower fold consumes the
+    # previous level's δ through a left join — the registered query's
+    # two unrolled folds (d2, d1) are the max_hops=3 instance.
+    delta_next: DataFrame | None = None
+    deltas: list[DataFrame] = []
+    if max_hops < 2:
+        # one-hop truncation has no interior vertices at all
+        return visited.select(F.col("node")).limit(0).select(
+            "node", F.lit(0).cast("bigint").alias("b_fp")
         )
-    )
-    d1 = (
-        _pred_edges(HC_MAX_HOPS - 2)
-        .join(
-            d2.select(
-                F.col("seed").alias("seed_d"),
-                F.col("u").alias("v_d"),
-                F.col("delta").alias("delta_v"),
-            ),
-            (F.col("seed") == F.col("seed_d")) & (F.col("v") == F.col("v_d")),
-            "left",
-        )
-        .groupBy("seed", "u")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"sig_u * ({BC_FP} + coalesce(delta_v, 0)) div sig_v"
+    for du in range(max_hops - 1, 0, -1):
+        pe = _pred_edges(du)
+        if delta_next is None:
+            d_h = pe.groupBy("seed", "u").agg(
+                F.sum(F.expr(f"sig_u * {BC_FP} div sig_v"))
+                .cast("bigint")
+                .alias("delta")
+            )
+        else:
+            d_h = (
+                pe.join(
+                    delta_next.select(
+                        F.col("seed").alias("seed_d"),
+                        F.col("u").alias("v_d"),
+                        F.col("delta").alias("delta_v"),
+                    ),
+                    (F.col("seed") == F.col("seed_d"))
+                    & (F.col("v") == F.col("v_d")),
+                    "left",
+                )
+                .groupBy("seed", "u")
+                .agg(
+                    F.sum(
+                        F.expr(
+                            f"sig_u * ({BC_FP} + coalesce(delta_v, 0))"
+                            " div sig_v"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("delta")
                 )
             )
-            .cast("bigint")
-            .alias("delta")
-        )
-    )
-    b = (
-        d1.select("u", "delta")
-        .unionByName(d2.select("u", "delta"))
+        deltas.append(d_h.localCheckpoint(eager=False))
+        delta_next = deltas[-1]
+    all_d = deltas[0]
+    for d_h in deltas[1:]:
+        all_d = all_d.unionByName(d_h)
+    return (
+        all_d.select("u", "delta")
         .groupBy(F.col("u").alias("node"))
         .agg(F.sum("delta").cast("bigint").alias("b_fp"))
-    )
-    return (
-        b.select(
-            "node",
-            "b_fp",
-            F.round(F.col("b_fp").cast("double") / BC_FP, 6).alias(
-                "betweenness"
-            ),
-        )
-        .orderBy(F.desc("b_fp"), F.asc("node"))
-        .limit(BC_TOP)
     )

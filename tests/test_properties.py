@@ -1399,3 +1399,80 @@ def test_eccentricity_bounded_by_hops_and_consistent_with_harmonic(
     for seed, r in ecc.items():
         assert 0 <= r["eccentricity_capped"] <= HC_MAX_HOPS
         assert r["n_reached"] == hc[seed]["n_reached"]
+
+
+def test_brandes_betweenness_path_graph_exact(spark):
+    """Brandes core on P5 (0-1-2-3-4), ALL nodes as sources, hop cap
+    covering the diameter: interior betweenness is hand-computable —
+    B(v) = # ordered pairs (s,t) whose unique path crosses v:
+    B(1) = B(3) = 6, B(2) = 8, endpoints 0.  With unique shortest
+    paths every σ = 1, so the fixed-point integer divisions are exact
+    and b_fp must equal B·BC_FP exactly — no tolerance."""
+    from potpot_spark.operators.graph import BC_FP, brandes_betweenness
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src: long, dst: long"
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "node: long")
+    out = {
+        r["node"]: r["b_fp"]
+        for r in brandes_betweenness(
+            spark, sym, seeds, state_bound=25, max_hops=4
+        ).collect()
+    }
+    assert out == {1: 6 * BC_FP, 2: 8 * BC_FP, 3: 6 * BC_FP}
+
+
+def test_brandes_betweenness_star_graph_exact(spark):
+    """Star K1,4 (hub 0): every leaf pair routes through the hub —
+    B(hub) = 4·3 = 12 ordered pairs, leaves 0.  Exercises σ > 1?  No —
+    paths are unique; what the star adds is a node whose δ folds sum
+    over MULTIPLE seeds and successors at once."""
+    from potpot_spark.operators.graph import BC_FP, brandes_betweenness
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src: long, dst: long"
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "node: long")
+    out = {
+        r["node"]: r["b_fp"]
+        for r in brandes_betweenness(
+            spark, sym, seeds, state_bound=25, max_hops=3
+        ).collect()
+    }
+    assert out == {0: 12 * BC_FP}
+
+
+def test_brandes_betweenness_diamond_sigma_split(spark):
+    """Diamond 0-{1,2}-3: TWO shortest 0→3 paths (σ=2), so each mid
+    node carries half the dependency — the σ-ratio integer division
+    is exercised with sig_v=2: per (0,3) ordered pair each of nodes
+    1,2 gets BC_FP div 2, and by symmetry the (1,2) pairs route half
+    through 0 and half through 3 — every node ends at exactly 1.0.
+    b_fp must be 2 * (BC_FP div 2) for all four."""
+    from potpot_spark.operators.graph import BC_FP, brandes_betweenness
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src: long, dst: long"
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(4)], "node: long")
+    out = {
+        r["node"]: r["b_fp"]
+        for r in brandes_betweenness(
+            spark, sym, seeds, state_bound=16, max_hops=2
+        ).collect()
+    }
+    expected = 2 * (BC_FP // 2)
+    assert out == {0: expected, 1: expected, 2: expected, 3: expected}
