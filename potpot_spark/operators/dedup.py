@@ -1071,3 +1071,141 @@ def dedup_survivorship_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("content_hash")
     )
+
+
+LSH_PLAN_CONFIGS = ((16, 4), (8, 8), (4, 16))  # (bands, rows) at 64 hashes
+
+
+@query(
+    "dedup_lsh_scurve_planner",
+    oracle="""
+        WITH grid AS (
+            SELECT b, r, k, k / 100.0 AS s
+            FROM (VALUES (16, 4), (8, 8), (4, 16)) cfg(b, r),
+                 range(1, 100) g(k)
+        ),
+        powed AS (
+            SELECT b, r, k, s,
+                   s * s AS s2,
+                   (s * s) * (s * s) AS s4
+            FROM grid
+        ),
+        powed2 AS (
+            SELECT b, r, k, s,
+                   CASE r WHEN 4 THEN s4
+                          WHEN 8 THEN s4 * s4
+                          ELSE (s4 * s4) * (s4 * s4) END AS sr
+            FROM powed
+        ),
+        curve AS (
+            SELECT b, r, k,
+                   1.0 - CASE b
+                       WHEN 4 THEN ((1.0 - sr) * (1.0 - sr))
+                                   * ((1.0 - sr) * (1.0 - sr))
+                       WHEN 8 THEN (((1.0 - sr) * (1.0 - sr))
+                                    * ((1.0 - sr) * (1.0 - sr)))
+                                   * (((1.0 - sr) * (1.0 - sr))
+                                      * ((1.0 - sr) * (1.0 - sr)))
+                       ELSE ((((1.0 - sr) * (1.0 - sr))
+                              * ((1.0 - sr) * (1.0 - sr)))
+                             * (((1.0 - sr) * (1.0 - sr))
+                                * ((1.0 - sr) * (1.0 - sr))))
+                            * ((((1.0 - sr) * (1.0 - sr))
+                                * ((1.0 - sr) * (1.0 - sr)))
+                               * (((1.0 - sr) * (1.0 - sr))
+                                  * ((1.0 - sr) * (1.0 - sr)))) END AS p
+            FROM powed2
+        )
+        SELECT b AS bands, r AS rows_per_band,
+               CAST(MIN(CASE WHEN p >= 0.5 THEN k END) AS BIGINT)
+                   AS s50_pct,
+               CAST(MAX(CASE WHEN k = 30
+                        THEN CAST(FLOOR(p * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS p30_ppm,
+               CAST(MAX(CASE WHEN k = 50
+                        THEN CAST(FLOOR(p * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS p50_ppm,
+               CAST(MAX(CASE WHEN k = 70
+                        THEN CAST(FLOOR(p * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS p70_ppm,
+               CAST(MAX(CASE WHEN k = 90
+                        THEN CAST(FLOOR(p * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS p90_ppm
+        FROM curve
+        GROUP BY b, r
+        ORDER BY bands
+    """,
+    tags=("E455",),
+)
+def dedup_lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PARAMETER PLANNER: the banding S-curve P(candidate) =
+    1 - (1 - s^r)^b for every (bands, rows) factorization of the
+    64-hash budget the MinHash family uses — the table you read
+    BEFORE choosing dedup_near_minhash's banding: where the curve
+    crosses 1/2 is the effective Jaccard threshold, and the p@s
+    columns quantify false-candidate mass below it and miss mass
+    above.  (16,4) is the loose-threshold config (~0.5), (4,16) the
+    strict one (~0.92); the planner shows exactly what each buys.
+
+    Exactness trick: NO pow() anywhere — s^r and (1-s^r)^b use
+    explicit dyadic repeated-squaring multiplication trees with
+    identical association order in both engines (pow is a libm
+    transcendental whose last ulp differs across implementations;
+    plain * is IEEE-exact), so the FLOOR-ppm values are bit-stable.
+    Pure derived table — no corpus input; the grid is 3 configs x 99
+    thresholds.  100 TB relevance: this is the op that justifies the
+    banded joins' parameters everywhere else; it costs nothing at
+    any scale."""
+    cfg = spark.createDataFrame(
+        [(b, r) for b, r in LSH_PLAN_CONFIGS], "b: int, r: int"
+    )
+    grid = cfg.crossJoin(
+        spark.range(1, 100).select(F.col("id").cast("int").alias("k"))
+    ).withColumn("s", F.col("k") / 100.0)
+    s2 = F.col("s") * F.col("s")
+    s4 = (F.col("s") * F.col("s")) * (F.col("s") * F.col("s"))
+    powed = grid.withColumn(
+        "sr",
+        F.when(F.col("r") == 4, s4)
+        .when(F.col("r") == 8, s4 * s4)
+        .otherwise((s4 * s4) * (s4 * s4)),
+    )
+    t = 1.0 - F.col("sr")
+    t4 = (t * t) * (t * t)
+    t8 = ((t * t) * (t * t)) * ((t * t) * (t * t))
+    t16 = (((t * t) * (t * t)) * ((t * t) * (t * t))) * (
+        ((t * t) * (t * t)) * ((t * t) * (t * t))
+    )
+    curve = powed.withColumn(
+        "p",
+        1.0
+        - F.when(F.col("b") == 4, t4)
+        .when(F.col("b") == 8, t8)
+        .otherwise(t16),
+    )
+
+    def p_at(k: int):
+        return (
+            F.max(
+                F.when(
+                    F.col("k") == k,
+                    F.floor(F.col("p") * 1000000).cast("bigint"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{k}_ppm")
+        )
+
+    return (
+        curve.groupBy(F.col("b").alias("bands"), F.col("r").alias("rows_per_band"))
+        .agg(
+            F.min(F.when(F.col("p") >= 0.5, F.col("k")))
+            .cast("bigint")
+            .alias("s50_pct"),
+            p_at(30),
+            p_at(50),
+            p_at(70),
+            p_at(90),
+        )
+        .orderBy("bands")
+    )

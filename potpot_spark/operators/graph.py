@@ -2966,3 +2966,102 @@ def brandes_betweenness(
         .groupBy(F.col("u").alias("node"))
         .agg(F.sum("delta").cast("bigint").alias("b_fp"))
     )
+
+
+RICH_CLUB_KS = (4, 8, 16, 32)
+
+
+@query(
+    "graph_rich_club_coefficient",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        ),
+        ks AS (SELECT unnest(ARRAY{list(RICH_CLUB_KS)}) AS k),
+        club AS (
+            SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+            FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+        ),
+        club_edges AS (
+            SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+            FROM ks
+            JOIN e ON TRUE
+            JOIN deg du ON du.node = e.u AND du.d > ks.k
+            JOIN deg dv ON dv.node = e.v AND dv.d > ks.k
+            GROUP BY ks.k
+        )
+        SELECT c.k, c.n_k,
+               COALESCE(ce.e_k, 0) AS e_k,
+               CAST(COALESCE(ce.e_k, 0) * 2000000
+                    // NULLIF(c.n_k * (c.n_k - 1), 0) AS BIGINT)
+                   AS phi_ppm
+        FROM club c LEFT JOIN club_edges ce ON ce.k = c.k
+        ORDER BY c.k
+    """,
+    tags=("E454",),
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT of the co-purchase graph at degree cuts
+    k ∈ {RICH_CLUB_KS}: φ(k) = 2·E_k / (N_k(N_k−1)) — the edge
+    density among nodes of degree > k.  A rising φ(k) says the hubs
+    form a tightly-wired elite (the "rich club" of core router /
+    power-broker networks); a flat one says hubs connect to the
+    periphery, not each other — the two regimes need opposite
+    resilience and caching strategies, which is why the metric sits
+    in every topology survey next to assortativity (E-family sibling
+    `graph_degree_assortativity`, which measures the same tendency as
+    a correlation instead of a density profile).
+
+    Exact: degrees and club-edge counts are integers; φ rides the
+    ppm integer-division discipline with a mirrored NULLIF/guard for
+    sub-2-member clubs.  Plan: degree table once (map-side combined),
+    a |K|-row literal frame joined twice — the edge table is scanned
+    ONCE per cut via broadcast degree lookups, no pair enumeration
+    beyond the existing edge list.  100 TB: identical; the degree
+    join is the only shuffle and K is a literal constant."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).localCheckpoint(eager=True)
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k: int")
+    club = (
+        ks.join(F.broadcast(deg), deg.d > ks.k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    club_edges = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return (
+        club.join(club_edges, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            F.expr(
+                "CAST(coalesce(e_k, 0) * 2000000 div "
+                "nullif(n_k * (n_k - 1), 0) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
