@@ -3065,3 +3065,105 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+KATZ_ALPHA_DEN = 16   # α = 1/16 (dyadic; safely below 1/λ_max risk zone)
+KATZ_FP = 10**6       # score fixed point (β = 1 → 1e6)
+KATZ_ITERS = 3
+KATZ_TOP = 20
+
+
+def _katz_oracle() -> str:
+    steps = []
+    prev = "x0"
+    for i in range(1, KATZ_ITERS + 1):
+        steps.append(f"""x{i} AS (
+            SELECT n.node,
+                   COALESCE(s.acc, 0) // {KATZ_ALPHA_DEN} + {KATZ_FP}
+                       AS score
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.score) AS BIGINT) AS acc
+                FROM sym e JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )""")
+        prev = f"x{i}"
+    return f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        x0 AS (SELECT node, CAST({KATZ_FP} AS BIGINT) AS score FROM nodes),
+        {", ".join(steps)}
+        SELECT node, score AS katz_fp
+        FROM x{KATZ_ITERS}
+        ORDER BY score DESC, node
+        LIMIT {KATZ_TOP}
+    """
+
+
+@query("graph_katz_centrality", oracle=_katz_oracle(), tags=("E456",))
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (truncated), x = Σ_k α^k A^k 1 via {KATZ_ITERS}
+    synchronous iterations x' = α·A·x + β1 with dyadic α = 1/16:
+    the centrality that counts ALL walks, geometrically damped — the
+    continuous interpolation between degree (1 iteration) and
+    eigenvector centrality (the λ_max limit), and the right choice
+    when PageRank's out-degree normalization is wrong for the domain
+    (influence spreads to every neighbor undivided, e.g. content
+    co-occurrence).
+
+    ENTIRELY INTEGER: scores ride a {KATZ_FP} fixed point; each round
+    is one neighbor-sum (exact BIGINT) followed by integer `div`
+    {KATZ_ALPHA_DEN} — the per-round quantization IS the declared
+    semantics, mirrored in the oracle's unrolled CTE layers, so the
+    result is exactly reproducible on any partitioning (the LPA
+    recipe).  Per round: one size-gated broadcast join of the |V|-row
+    score frame onto the cached edge list + one map-side-combined
+    groupBy; isolated nodes keep the β floor via the left join.
+    100 TB: the gate flips the score frame to shuffle-on-partitioned-
+    edges like every other iterative kernel (r7 gate)."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst")).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    x = nodes.select("node", F.lit(KATZ_FP).cast("bigint").alias("score"))
+    x = x.localCheckpoint()
+    bcast = _state_bcast(x.count())
+    sym_j = sym if bcast is F.broadcast else sym.repartition("dst")
+    for _ in range(KATZ_ITERS):
+        acc = (
+            sym_j.join(bcast(x), x.node == sym_j.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("acc"))
+        )
+        x = (
+            nodes.join(acc, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"coalesce(acc, 0) div {KATZ_ALPHA_DEN}")
+                    + KATZ_FP
+                )
+                .cast("bigint")
+                .alias("score"),
+            )
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return (
+        x.select("node", F.col("score").alias("katz_fp"))
+        .orderBy(F.desc("katz_fp"), F.asc("node"))
+        .limit(KATZ_TOP)
+    )

@@ -873,3 +873,128 @@ def win_alerting_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("g")
         .orderBy("event_type", "episode_start")
     )
+
+
+ALLEN_DUR_SQL = """CASE o_orderpriority
+    WHEN '1-URGENT' THEN 2 WHEN '2-HIGH' THEN 4
+    WHEN '3-MEDIUM' THEN 7 WHEN '4-NOT SPECIFIED' THEN 10
+    ELSE 14 END"""
+
+
+@query(
+    "win_allen_interval_census",
+    oracle=f"""
+        WITH iv AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+                   CAST(date_diff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE))
+                        + {ALLEN_DUR_SQL} AS BIGINT) AS e,
+                   o_orderkey
+            FROM orders
+        ),
+        pairs AS (
+            SELECT s AS a_s, e AS a_e,
+                   LEAD(s) OVER w AS b_s, LEAD(e) OVER w AS b_e
+            FROM iv
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY s, o_orderkey)
+        ),
+        rel AS (
+            SELECT CASE
+                WHEN a_e < b_s THEN 'precedes'
+                WHEN a_e = b_s THEN 'meets'
+                WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+                WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+                WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+                WHEN b_e = a_e THEN 'finished_by'
+                WHEN b_e < a_e THEN 'contains'
+                ELSE 'overlaps' END AS relation
+            FROM pairs WHERE b_s IS NOT NULL
+        )
+        SELECT relation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(*) * 1000000
+                    // (SELECT COUNT(*) FROM rel) AS BIGINT) AS share_ppm
+        FROM rel
+        GROUP BY relation
+        ORDER BY relation
+    """,
+    tags=("E457",),
+)
+def win_allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA census over consecutive per-customer
+    order intervals (start = order date, length by priority class):
+    classify each adjacent pair into Allen's relations — precedes /
+    meets / overlaps / starts / started_by / finished_by / contains /
+    equals (the 8 of the 13 reachable once pairs are start-ordered) —
+    the complete, mutually-exclusive vocabulary for temporal joins
+    that 'overlap yes/no' flattens away.  The census is the profiling
+    step before choosing interval-join semantics: a corpus that's 95%
+    'precedes' wants an as-of join, one heavy in 'contains' wants the
+    point-in-interval shape (E-family siblings join_interval_overlap /
+    join_point_in_interval).
+
+    Exact: dates collapse to EPOCH-DAY INTEGERS once (date_diff from
+    a shared literal), so every relation is a pure integer comparison
+    chain, identical both engines, and shares ride the ppm integer
+    div.  Plan: one lead window per customer (single corpus shuffle,
+    WindowGroupLimit-free), one map-side-combined census aggregate.
+    100 TB: the window keys on customer — the same partitioning every
+    sessionization op reuses."""
+    o = load_table(spark, sf_dir, "orders")
+    base = F.lit("1990-01-01").cast("date")
+    dur = F.expr(ALLEN_DUR_SQL)
+    iv = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), base)
+        .cast("bigint")
+        .alias("s"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), base) + dur
+        )
+        .cast("bigint")
+        .alias("e"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    pairs = iv.select(
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.lead("s").over(w).alias("b_s"),
+        F.lead("e").over(w).alias("b_e"),
+    ).where(F.col("b_s").isNotNull())
+    rel = pairs.select(
+        F.when(F.col("a_e") < F.col("b_s"), "precedes")
+        .when(F.col("a_e") == F.col("b_s"), "meets")
+        .when(
+            (F.col("a_s") == F.col("b_s")) & (F.col("a_e") == F.col("b_e")),
+            "equals",
+        )
+        .when(
+            (F.col("a_s") == F.col("b_s")) & (F.col("a_e") < F.col("b_e")),
+            "starts",
+        )
+        .when(
+            (F.col("a_s") == F.col("b_s")) & (F.col("a_e") > F.col("b_e")),
+            "started_by",
+        )
+        .when(F.col("b_e") == F.col("a_e"), "finished_by")
+        .when(F.col("b_e") < F.col("a_e"), "contains")
+        .otherwise("overlaps")
+        .alias("relation")
+    ).localCheckpoint(eager=True)
+    tot = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    return (
+        rel.groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "relation",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 1000000 div n_tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("relation")
+    )
