@@ -6448,3 +6448,246 @@ def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") - 1).alias("df"),
         )
     )
+
+
+RANKD_TOPK = 100
+
+
+@query(
+    "stats_rank_distance_topk",
+    oracle=f"""
+        WITH agg AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_partkey
+        ),
+        top AS (
+            SELECT l_partkey, rev_cents, qty,
+                   ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey)
+                       AS r_rev
+            FROM agg
+            QUALIFY r_rev <= {RANKD_TOPK}
+        ),
+        ranked AS (
+            SELECT l_partkey, r_rev,
+                   ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey)
+                       AS r_qty
+            FROM top
+        ),
+        foot AS (
+            SELECT CAST(SUM(abs(r_rev - r_qty)) AS BIGINT) AS footrule,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM ranked
+        ),
+        disc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_discordant
+            FROM ranked a JOIN ranked b
+              ON a.r_rev < b.r_rev AND a.r_qty > b.r_qty
+        )
+        SELECT foot.k, foot.footrule,
+               CAST(foot.footrule * 1000000
+                    // (foot.k * foot.k // 2) AS BIGINT)
+                   AS footrule_norm_ppm,
+               disc.n_discordant,
+               CAST(disc.n_discordant * 1000000
+                    // (foot.k * (foot.k - 1) // 2) AS BIGINT)
+                   AS kendall_dist_ppm
+        FROM foot, disc
+    """,
+    tags=("E458",),
+)
+def stats_rank_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-AGGREGATION DISTANCES between two rankings of the same
+    top-{RANKD_TOPK} parts — by revenue vs by quantity: Spearman's
+    FOOTRULE Σ|r₁-r₂| and the KENDALL DISTANCE (# discordant pairs),
+    both max-normalized to ppm.  These are the metrics rank-fusion
+    and search-evaluation actually optimize (Kemeny aggregation
+    minimizes Kendall distance; Diaconis-Graham bounds tie the two
+    within a factor of 2) — the ordinal complement to the VALUE
+    correlations (Spearman ρ E-sibling) when only the ordering is
+    trusted.
+
+    Exact: both rankings are deterministic ROW_NUMBERs with id
+    tie-breaks over exact cents/quantity sums; footrule and the
+    discordant-pair count are pure integers (the K² pair join is over
+    the FIXED top-K set, never the corpus), ppm via integer division
+    of even products.  Plan: one map-side-combined part rollup, one
+    top-K rank (TakeOrdered-scale), a K×K self-join of 100 rows.
+    100 TB: the rollup is the only corpus pass; everything ordinal
+    happens on K rows."""
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    top = (
+        agg.select(
+            "l_partkey",
+            "rev_cents",
+            "qty",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")))
+            .alias("r_rev"),
+        )
+        .where(F.col("r_rev") <= RANKD_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    ranked = top.select(
+        "l_partkey",
+        "r_rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("qty"), F.asc("l_partkey")))
+        .alias("r_qty"),
+    ).localCheckpoint(eager=True)
+    foot = ranked.agg(
+        F.sum(F.abs(F.col("r_rev") - F.col("r_qty")))
+        .cast("bigint")
+        .alias("footrule"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    b = ranked.select(
+        F.col("r_rev").alias("r_rev_b"), F.col("r_qty").alias("r_qty_b")
+    )
+    disc = (
+        ranked.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("r_rev") < F.col("r_rev_b"))
+            & (F.col("r_qty") > F.col("r_qty_b"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_discordant"))
+    )
+    return (
+        foot.crossJoin(F.broadcast(disc))
+        .select(
+            "k",
+            "footrule",
+            F.expr(
+                "CAST(footrule * 1000000 div (k * k div 2) AS BIGINT)"
+            ).alias("footrule_norm_ppm"),
+            "n_discordant",
+            F.expr(
+                "CAST(n_discordant * 1000000 div (k * (k - 1) div 2)"
+                " AS BIGINT)"
+            ).alias("kendall_dist_ppm"),
+        )
+    )
+
+
+POT_PCT = 90  # exceedance threshold percentile (rank-picked exact)
+
+
+@query(
+    "stats_pot_gpd_moments",
+    oracle=f"""
+        WITH o AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_orderkey) AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM o
+        ),
+        thr AS (
+            SELECT y AS u FROM ranked
+            WHERE rnk = (n * {POT_PCT} + 99) // 100
+        ),
+        exc AS (
+            SELECT y - (SELECT u FROM thr) AS x
+            FROM o WHERE y > (SELECT u FROM thr)
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+            FROM exc
+        )
+        SELECT (SELECT CAST(u AS BIGINT) FROM thr) AS u_cents,
+               n AS n_exceed,
+               ROUND(0.5 * (1.0
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                     / ((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        / (n - 1))), 9) AS xi_hat,
+               ROUND(0.5 * (CAST(sx AS DOUBLE) / n)
+                     * ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                        / ((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                           / (n - 1)) + 1.0) / 100.0, 6) AS sigma_hat
+        FROM m
+    """,
+    tags=("E459",),
+)
+def stats_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAKS-OVER-THRESHOLD tail fit: exceedances of order totals over
+    the p{POT_PCT} threshold follow a Generalized Pareto Distribution
+    (Pickands-Balkema-de Haan — the OTHER extreme-value theorem, using
+    every large observation instead of one block maximum per period,
+    so the tail estimate has far more data than the block-maxima
+    sibling E-op).  Method-of-moments: ξ̂ = ½(1 - m²/s²), σ̂ =
+    ½m(m²/s² + 1) from the exceedance mean and variance; ξ > 0 is a
+    heavy (power-law) tail where "expected worst case" diverges —
+    the number capacity planning and risk limits actually need.
+
+    Exact: the threshold is a deterministic rank-pick at position
+    ⌈N·{POT_PCT}/100⌉ over exact cents; exceedance moments are exact
+    BIGINT/HUGEINT sums (int128 squares — exceedances reach ~1e7
+    cents); ξ̂/σ̂ are one closed double expression over those
+    integers, ROUND 9/6.  Plan: one rank for the threshold, one
+    filtered map-side-combined moment pass.  100 TB: swap the rank
+    for percentile_disc and the plan is sort-free; the moment pass is
+    the whole cost."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        "o_orderkey",
+    )
+    ranked = o.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "o_orderkey")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    thr = ranked.where(
+        F.col("rnk") == F.expr(f"(n * {POT_PCT} + 99) div 100")
+    ).select(F.col("y").alias("u"))
+    exc = (
+        o.crossJoin(F.broadcast(thr))
+        .where(F.col("y") > F.col("u"))
+        .select((F.col("y") - F.col("u")).alias("x"), "u")
+    )
+    m = exc.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    ) / (F.col("n") - 1)
+    ratio = mean * mean / var
+    return m.select(
+        F.col("u").cast("bigint").alias("u_cents"),
+        F.col("n").alias("n_exceed"),
+        F.round(0.5 * (1.0 - ratio), 9).alias("xi_hat"),
+        F.round(0.5 * mean * (ratio + 1.0) / 100.0, 6).alias("sigma_hat"),
+    )
