@@ -3338,3 +3338,144 @@ def text_lang_id_margin_abstain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ENTR_FP = 10**6  # per-bigram plog term quantization before the sum
+
+
+@query(
+    "text_entropy_rate_bigram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, w, i
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w,
+                       generate_subscripts(
+                           string_split(lower(text), ' '), 1) AS i
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        big AS (
+            SELECT a.w AS w1, b.w AS w2
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ),
+        cb AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big GROUP BY 1, 2
+        ),
+        cu AS (
+            SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM cb GROUP BY 1
+        ),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cb),
+        terms AS (
+            SELECT CAST(FLOOR(cb.c * log2(CAST(cu.cu AS DOUBLE) / cb.c)
+                        * {ENTR_FP}) AS BIGINT) AS t_cond,
+                   cb.c
+            FROM cb JOIN cu ON cu.w1 = cb.w1
+        ),
+        uterms AS (
+            SELECT CAST(FLOOR(cu * log2(CAST((SELECT n FROM n) AS DOUBLE)
+                        / cu) * {ENTR_FP}) AS BIGINT) AS t_uni
+            FROM cu
+        )
+        SELECT (SELECT n FROM n) AS n_bigrams,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cu) AS vocab,
+               ROUND(CAST((SELECT CAST(SUM(t_uni) AS BIGINT) FROM uterms)
+                     AS DOUBLE) / (SELECT n FROM n) / {ENTR_FP}, 9)
+                   AS h_unigram_bits,
+               ROUND(CAST(CAST(SUM(t_cond) AS BIGINT) AS DOUBLE)
+                     / (SELECT n FROM n) / {ENTR_FP}, 9)
+                   AS h_rate_bits,
+               CAST(1000000
+                    - CAST(SUM(t_cond) AS BIGINT) * 1000000
+                      // (SELECT CAST(SUM(t_uni) AS BIGINT) FROM uterms)
+                    AS BIGINT) AS redundancy_ppm
+        FROM terms
+    """,
+    tags=("E460",),
+)
+def text_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS ENTROPY RATE under the word-bigram (Markov-1) model:
+    H(W₂|W₁) = (1/N)·Σ c(w₁w₂)·log2(c(w₁)/c(w₁w₂)) bits/word, next
+    to the unigram entropy H(W) and the REDUNDANCY 1 − H_rate/H_uni —
+    Shannon's original corpus statistics: how predictable is the next
+    word given one word of context, and what fraction of the naive
+    information content that context already removes.  The scalar
+    twin of the per-doc perplexity op (E-sibling
+    text_bigram_lm_perplexity scores documents under a trained LM;
+    this measures the corpus's own information rate — the
+    compression-floor estimate dedup and mixing decisions lean on).
+
+    Exact: counts are integers; each c·log2(·) term is FLOOR-
+    quantized to {ENTR_FP} BEFORE the cross-bigram sum (log2 of a
+    ratio of exact integers is bit-identical cross-engine on IEEE
+    doubles; the order-dependent part — the SUM — happens on exact
+    BIGINTs), redundancy rides integer-div ppm.  Plan: one
+    tokenize+explode pass, bigrams via the (doc, position) self-join
+    both n-gram ops share, two map-side-combined count layers.
+    100 TB: bigram counting IS the corpus pass; the entropy algebra
+    runs on the vocab² count table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    a = toks.select("doc_id", F.col("i"), F.col("w").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("i_b"),
+        F.col("w").alias("w2"),
+    )
+    big = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_id")) & (F.col("i_b") == F.col("i") + 1),
+    ).select("w1", "w2")
+    cb = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    cu = cb.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cu"))
+    n_df = cb.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = cb.join(F.broadcast(cu), "w1").select(
+        F.floor(
+            F.col("c")
+            * F.log2(F.col("cu").cast("double") / F.col("c"))
+            * ENTR_FP
+        )
+        .cast("bigint")
+        .alias("t_cond")
+    )
+    uterms = cu.crossJoin(F.broadcast(n_df)).select(
+        F.floor(
+            F.col("cu")
+            * F.log2(F.col("n").cast("double") / F.col("cu"))
+            * ENTR_FP
+        )
+        .cast("bigint")
+        .alias("t_uni")
+    )
+    s_cond = terms.agg(F.sum("t_cond").cast("bigint").alias("s_cond"))
+    s_uni = uterms.agg(F.sum("t_uni").cast("bigint").alias("s_uni"))
+    vocab = cu.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    return (
+        n_df.crossJoin(s_cond)
+        .crossJoin(s_uni)
+        .crossJoin(vocab)
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "vocab",
+            F.round(
+                F.col("s_uni").cast("double") / F.col("n") / ENTR_FP, 9
+            ).alias("h_unigram_bits"),
+            F.round(
+                F.col("s_cond").cast("double") / F.col("n") / ENTR_FP, 9
+            ).alias("h_rate_bits"),
+            F.expr(
+                "CAST(1000000 - s_cond * 1000000 div s_uni AS BIGINT)"
+            ).alias("redundancy_ppm"),
+        )
+    )

@@ -8259,3 +8259,124 @@ def timeseries_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x_type", "y_type")
     )
+
+
+ELAST_FP = 10**9  # per-part log quantization before the OLS sums
+
+
+@query(
+    "orders_price_elasticity_loglog",
+    oracle=f"""
+        WITH pp AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        pts AS (
+            SELECT CAST(FLOOR(ln(CAST(rev_cents AS DOUBLE) / q)
+                        * {ELAST_FP}) AS BIGINT) AS x,
+                   CAST(FLOOR(ln(CAST(q AS DOUBLE)) * {ELAST_FP})
+                        AS BIGINT) AS y
+            FROM pp WHERE q > 0
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+            FROM pts
+        )
+        SELECT n AS n_parts,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+                   AS elasticity,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / {ELAST_FP}, 9) AS log_intercept
+        FROM m
+    """,
+    tags=("E461",),
+)
+def orders_price_elasticity_loglog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRICE ELASTICITY OF DEMAND via the log-log cross-sectional
+    regression ln(quantity) ~ ε·ln(unit price) across parts: the
+    slope IS the elasticity (percent demand change per percent price
+    change) — the workhorse pricing estimate, with the usual
+    cross-sectional caveat (identification, not causality) left to
+    the DiD/ITS siblings.  ε < −1 means revenue falls when price
+    rises; the single number every pricing review opens with.
+
+    Exact: unit price = exact revenue-cents / exact quantity; each
+    part's (ln p, ln q) pair is FLOOR-quantized to {ELAST_FP} BEFORE
+    the OLS moment sums (ln of a ratio of exact integers is
+    bit-identical cross-engine; the cross-part SUM then runs on
+    BIGINTs, int128 squares), and the slope/intercept are the closed
+    form over those integer moments.  Plan: one map-side-combined
+    part rollup (the only corpus pass), one moment aggregate over
+    |parts| rows.  100 TB: identical — elasticity costs one rollup."""
+    pp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    pts = pp.where(F.col("q") > 0).select(
+        F.floor(
+            F.log(F.col("rev_cents").cast("double") / F.col("q")) * ELAST_FP
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("q").cast("double")) * ELAST_FP)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_parts"),
+        F.round(slope, 9).alias("elasticity"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / nd
+            / ELAST_FP,
+            9,
+        ).alias("log_intercept"),
+    )
