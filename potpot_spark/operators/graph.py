@@ -3141,7 +3141,11 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = nodes.select("node", F.lit(KATZ_FP).cast("bigint").alias("score"))
     x = x.localCheckpoint()
     bcast = _state_bcast(x.count())
-    sym_j = sym if bcast is F.broadcast else sym.repartition("dst")
+    # past-the-cap fallback: pre-partition edges on src — the actual
+    # per-round join key (x.node == sym_j.src) — so the corpus-scale
+    # edge table moves zero bytes per round and only the small score
+    # frame shuffles (r8 fix: was 'dst', a useless repartition)
+    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
     for _ in range(KATZ_ITERS):
         acc = (
             sym_j.join(bcast(x), x.node == sym_j.src)

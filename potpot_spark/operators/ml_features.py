@@ -4857,8 +4857,9 @@ CONF_CAL_MOD = 4      # hash % 4: 3 = calibration, 0 = test, 1-2 = train
         ),
         qhat AS (
             SELECT s AS q_cents, n_cal FROM ranked
-            WHERE rnk = CAST(CEIL((n_cal + 1)
-                             * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT)
+            WHERE rnk = LEAST(CAST(CEIL((n_cal + 1)
+                             * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT),
+                             n_cal)
         ),
         test AS (
             SELECT o.o_orderpriority,
@@ -4940,18 +4941,30 @@ def ml_conformal_split_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("s", "o_orderkey")).alias("rnk"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cal"),
     )
+    # rank clamped to n_cal: when (n+1)(1-alpha) exceeds n (tiny
+    # calibration folds) q-hat = max score — the standard conformal
+    # clamp — so qhat is non-empty whenever cal has >= 1 row, and the
+    # LEFT join below keeps per-priority rows (NULL q_cents/n_cal)
+    # even when cal is EMPTY, mirroring the oracle's scalar
+    # subqueries on an empty qhat (r8 advice fix)
     qhat = ranked.where(
         F.col("rnk")
-        == F.ceil(
-            (F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT) / 100.0
-        ).cast("bigint")
+        == F.least(
+            F.ceil(
+                (F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT) / 100.0
+            ).cast("bigint"),
+            F.col("n_cal"),
+        )
     ).select(
-        F.col("s").alias("q_cents"), F.col("n_cal").cast("bigint").alias("n_cal")
+        F.lit(1).alias("jk"),
+        F.col("s").alias("q_cents"),
+        F.col("n_cal").cast("bigint").alias("n_cal"),
     )
     test = (
         o.where(F.col("fold") == 0)
         .join(F.broadcast(model), "o_orderpriority")
-        .crossJoin(F.broadcast(qhat))
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(qhat), "jk", "left")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_test"),

@@ -857,7 +857,8 @@ def _wds_shards_root(spark: SparkSession, sf_dir: str) -> str:
         import json as _json
         import os as _os
         import tarfile
-        import uuid
+
+        from pyspark import TaskContext
 
         buf = io.BytesIO()
         n = 0
@@ -886,13 +887,17 @@ def _wds_shards_root(spark: SparkSession, sf_dir: str) -> str:
                     )
                 n += 1
         if n:
-            # unique shard name per task: concurrent writers never
-            # collide, retried tasks leave at most a duplicate-free
-            # orphan on rename-less local FS (content is identical)
-            path = _os.path.join(root, f"shard-{uuid.uuid4().hex}.tar")
+            # deterministic shard name per PARTITION (not per task
+            # attempt): a retried or speculatively-executed task
+            # rewrites/renames the SAME path, so the store never
+            # carries two complete shards with the same documents;
+            # the .tmp suffix keeps half-written bytes out of the
+            # reader, which glob-filters to *.tar
+            pid = TaskContext.get().partitionId()
+            path = _os.path.join(root, f"shard-{pid:05d}.tar")
             with open(path + ".tmp", "wb") as f:
                 f.write(buf.getvalue())
-            _os.rename(path + ".tmp", path)
+            _os.replace(path + ".tmp", path)
 
     d.select("doc_id", "lang", "text").repartition(8, "doc_id").foreachPartition(
         write_shard
@@ -945,7 +950,13 @@ def _wds_member_rows(
                 cols["content"] = pd.Series(payloads, dtype="object")
             yield pd.DataFrame(cols)
 
-    bf = spark.read.format("binaryFile").load(root)
+    bf = (
+        spark.read.format("binaryFile")
+        # only complete shards: a crashed writer's .tmp must never
+        # reach tarfile (it would double-count or ReadError)
+        .option("pathGlobFilter", "*.tar")
+        .load(root)
+    )
     return bf.select("content").mapInPandas(expand_members, member_schema)
 
 

@@ -6149,10 +6149,18 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS x
             FROM events GROUP BY 1, 2
         ),
+        days AS (SELECT DISTINCT day FROM daily),
+        types AS (SELECT DISTINCT t FROM daily),
+        dense AS (
+            SELECT ty.t, d.day, COALESCE(dl.x, CAST(0 AS BIGINT)) AS x
+            FROM types ty
+            CROSS JOIN days d
+            LEFT JOIN daily dl ON dl.t = ty.t AND dl.day = d.day
+        ),
         idx AS (
             SELECT t, x,
                    ROW_NUMBER() OVER (PARTITION BY t ORDER BY day) AS i
-            FROM daily
+            FROM dense
         ),
         cells AS (
             SELECT a.t, a.i, b.i AS j, abs(a.x - b.x) AS d
@@ -6211,7 +6219,10 @@ def stats_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SERIES (5 × 900 cells), centered once, and pairs only join the
     centered matrices — the day-grain n is bounded by the calendar,
     so the quadratic step never touches corpus scale; raw data is
-    seen exactly once by the daily rollup."""
+    seen exactly once by the daily rollup.  Series are aligned on a
+    SHARED day dimension (missing days observe 0), so every (i, j)
+    cell compares the same two days in both series and n_days is the
+    true common sample size."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.groupBy(
@@ -6220,7 +6231,24 @@ def stats_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    idx = daily.select(
+    # SHARED day dimension (r8 advice fix): every series is indexed
+    # off the union of observed days (missing (type, day) -> count 0)
+    # so cell (i, j) compares the SAME pair of days in both series —
+    # per-type ROW_NUMBER alone silently misaligned types whose day
+    # sets differ.  types x days is calendar-bounded (5 x ~900);
+    # joined on a constant key to stay a broadcast hash join.
+    days = daily.select("day").distinct().withColumn("jk", F.lit(1))
+    types = daily.select("t").distinct().withColumn("jk", F.lit(1))
+    dense = (
+        types.join(F.broadcast(days), "jk")
+        .join(daily, ["t", "day"], "left")
+        .select(
+            "t",
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    idx = dense.select(
         "t",
         "x",
         F.row_number()
