@@ -118,25 +118,39 @@ def main() -> int:
     # index TRAINING is billed here once, so the timed loop reports
     # probe-only numbers for sim_search_ivf / sim_search_pq_adc and
     # marginal cost for every shared_intermediate consumer.
+    # r7 verdict #7: shared_build_sec grew opaque (40 -> 51 s with the
+    # WDS store) — record PER-BUILDER seconds so growth stays
+    # auditable.  Each entry is (registered query that forces the
+    # build, intermediate name billed).
     _SHARED_BUILDERS = (
-        "pipeline_corpus_filter",      # corpus_filter_survivors
-        "dedup_connected_components",  # dedup_cc_components
-        "analytics_market_basket",     # part_repeat_pairs
-        "graph_triangle_count",        # part_copurchase_edges
-        "dedup_embedding_cosine",      # embedding_cosine_pairs
-        "sim_search_ivf",              # ivf_centroids + ivf_postings
-        "sim_search_pq_adc",           # pq_codebooks + pq_codes
-        "graph_label_propagation",     # lpa_labels (also feeds modularity)
+        ("pipeline_corpus_filter", "corpus_filter_survivors"),
+        ("dedup_connected_components", "dedup_cc_components"),
+        ("analytics_market_basket", "part_repeat_pairs"),
+        ("graph_triangle_count", "part_copurchase_edges"),
+        ("dedup_embedding_cosine", "embedding_cosine_pairs"),
+        ("sim_search_ivf", "ivf_centroids+postings"),
+        ("sim_search_pq_adc", "pq_codebooks+codes"),
+        ("graph_label_propagation", "lpa_labels"),
+        # r7 verdict #1: the forward multi-source sigma-BFS shared by
+        # harmonic / eccentricity / sampled betweenness (warmed via
+        # harmonic, the cheapest consumer: build + one aggregate)
+        ("graph_harmonic_centrality", "hc_seed_reach"),
+        ("multimodal_webdataset_samples", "wds_shard_store"),
     )
+    shared_build_breakdown: dict[str, float] = {}
     t0 = time.perf_counter()
-    for warm_name in _SHARED_BUILDERS:
+    for warm_name, intermediate in _SHARED_BUILDERS:
         spec = registry.specs().get(warm_name)
         if spec is None or (only and not any(f in warm_name for f in only)):
             continue
+        t1 = time.perf_counter()
         try:
             materialize(spec.fn(spark, SF_DIR))
         except Exception:  # noqa: BLE001 - the timed loop reports it
             pass
+        shared_build_breakdown[intermediate] = round(
+            time.perf_counter() - t1, 3
+        )
     shared_build_sec = round(time.perf_counter() - t0, 3)
 
     # r4 verdict #3: single-run numbers on a variably-loaded 32-thread
@@ -193,6 +207,58 @@ def main() -> int:
             "runs": len(times),
         }
         total += med
+    # r7 verdict #3: wake-victim adjudication is now MECHANICAL — a
+    # query sitting downstream of a heavy neighbor in the interleaved
+    # passes can show a 2-3x in-suite median with no code change
+    # (r7: graph_degree_assortativity 3.08 s in-suite vs 0.79-1.0 s
+    # isolated; the judge had to profile it by hand).  Flag any query
+    # whose median is >2x its own min OR >25% over its prior-round
+    # median (newest BENCH_DETAIL_r*.json), re-run each flagged query
+    # once ISOLATED at the end (after a cleaner-drain pause), and
+    # record the number in the detail entry so regressions and wake
+    # noise separate without human adjudication.
+    prior_medians: dict[str, float] = {}
+    if not only:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json")):
+            m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", os.path.basename(p))
+            if m:
+                rounds.append((int(m.group(1)), p))
+        if rounds:
+            _, prior_path = max(rounds)
+            try:
+                with open(prior_path) as f:
+                    prior_medians = {
+                        k: v.get("median", -1.0)
+                        for k, v in json.load(f).get("queries", {}).items()
+                    }
+            except Exception:  # noqa: BLE001 - flagging is best-effort
+                prior_medians = {}
+    flagged = []
+    for name in names:
+        t = timings[name]
+        med, mn = t["median"], t["min"]
+        if med < 0.5:  # sub-noise-floor queries can't be adjudicated
+            continue
+        prior = prior_medians.get(name, -1.0)
+        if med > 2 * mn or (prior > 0 and med > 1.25 * prior):
+            flagged.append(name)
+    # bound the isolated tail: worst offenders first, at most 20
+    flagged.sort(key=lambda n: -timings[n]["median"])
+    for name in flagged[:20]:
+        time.sleep(2.0)  # let ContextCleaner drain neighbors' shuffles
+        spec = registry.specs()[name]
+        t0 = time.perf_counter()
+        try:
+            materialize(spec.fn(spark, SF_DIR))
+            timings[name]["isolated"] = round(time.perf_counter() - t0, 3)
+        except Exception:  # noqa: BLE001 - already counted above
+            pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -212,6 +278,7 @@ def main() -> int:
                 "sf": sf_val,
                 "errors": errors,
                 "shared_build_sec": shared_build_sec,
+                "shared_build_breakdown": shared_build_breakdown,
                 "queries": timings,
             },
             f,

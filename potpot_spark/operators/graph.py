@@ -2207,6 +2207,44 @@ HC_MAX_HOPS = 3
 HC_FP = 10**12     # fixed-point scale for 1/dist contributions
 
 
+def hc_seed_reach(spark: SparkSession, sf_dir: str):
+    """(reach, sym): the (seed, node, dist, sigma) forward multi-source
+    σ-BFS table over the co-purchase graph's shared seed working set
+    (keys divisible by HC_SEED_MOD, HC_MAX_HOPS hop cap), as a SHARED
+    MATERIALIZED INTERMEDIATE (r7 verdict #1: harmonic centrality,
+    eccentricity, and sampled betweenness each rebuilt this exact
+    frontier table — three multi-source BFS passes over identical
+    (seeds, edges) per suite run, ~24 s of a 481 s suite).  Built once
+    per (session, sf_dir) by the Brandes forward pass
+    (_brandes_forward); harmonic/eccentricity read (seed, node, dist)
+    and ignore σ, betweenness feeds the whole table to the backward
+    dependency folds.  dist is the per-(seed, node) MIN hop count by
+    level-synchronous construction, so consumers see exactly the rows
+    their per-op BFS produced — oracle parity unaffected.  At 100 TB
+    this is a real table with a refresh cadence (the materialize.py
+    discipline); in-session the bench pre-warms it and bills the
+    build to shared_build_sec."""
+    from potpot_spark.materialize import shared_intermediate
+
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+    def build() -> DataFrame:
+        seeds = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .where(F.col("node") % HC_SEED_MOD == 0)
+        )
+        n_nodes = _part_table_rows(spark, sf_dir)
+        return _brandes_forward(
+            spark, sym, seeds, (n_nodes // HC_SEED_MOD + 1) * n_nodes
+        )
+
+    return shared_intermediate(spark, sf_dir, "hc_seed_reach", build), sym
+
+
 @query(
     "graph_harmonic_centrality",
     oracle=f"""
@@ -2256,46 +2294,19 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     why it replaced classic closeness in large-graph practice.
 
     Exact: contributions ride as floor(1e12/d) BIGINTs (`div`), so
-    per-seed sums are order-free exact integers.  Plan: multi-source
-    BFS — ONE frontier carrying a (seed, node) pair per live path,
-    all seeds expanding in the same {HC_MAX_HOPS} rounds of map-side
-    broadcast joins against the never-shuffled edge table (the
-    graph_bfs_distances loop, widened by the seed column).  At 100 TB
-    the frontier is seeds x nodes bounded and shuffles on node; the
-    truncation bound is what makes harmonic centrality computable at
-    all on big graphs (exact full-length closeness is a known
-    all-pairs problem)."""
-    edges = part_copurchase_edges(spark, sf_dir)
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    seeds = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .where(F.col("node") % HC_SEED_MOD == 0)
-    )
-    dist = seeds.select(
-        F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
-    # Multi-source state is (seed, node) pairs: bounded by n_seeds x
-    # |V| on every hop (worst case, all seeds reach all nodes — exactly
-    # the size risk).  Both factors come from the cached part row
-    # count with NO extra job: partkeys are 1..|part|, so n_seeds =
-    # |{k : k % MOD == 0}| <= |part| // MOD + 1.  Past the cap the
-    # edge table is pre-partitioned on src once and the pair-state
-    # shuffles to it instead of broadcasting (VERDICT r6 #2 gate).
-    n_nodes = _part_table_rows(spark, sf_dir)
-    bcast = _state_bcast((n_nodes // HC_SEED_MOD + 1) * n_nodes)
-    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
-    frontier = dist
-    for hop in range(1, HC_MAX_HOPS + 1):
-        new = _bfs_round(
-            frontier, sym_j, dist, bcast, hop, ("seed", "node")
-        ).localCheckpoint(eager=False)
-        dist = dist.union(new)
-        frontier = new
+    per-seed sums are order-free exact integers.  Plan: ONE aggregate
+    over the hc_seed_reach shared intermediate — the multi-source
+    forward BFS (one frontier carrying a (seed, node) pair per live
+    path, {HC_MAX_HOPS} rounds of size-gated broadcast joins against
+    the never-shuffled edge table) is built ONCE per session and
+    shared with eccentricity and sampled betweenness (r7 verdict #1);
+    this query's marginal cost is the groupBy.  At 100 TB the reach
+    table is seeds x nodes bounded; the truncation bound is what makes
+    harmonic centrality computable at all on big graphs (exact
+    full-length closeness is a known all-pairs problem)."""
+    reach, _ = hc_seed_reach(spark, sf_dir)
     return (
-        dist.where(F.col("dist") > 0)
+        reach.where(F.col("dist") > 0)
         .groupBy("seed")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
@@ -2535,39 +2546,15 @@ def graph_eccentricity_seed_sample(
     exactly the property their truncation arguments rely on, now
     measured instead of assumed.
 
-    Shares the multi-source BFS machinery and seed convention of
-    graph_harmonic_centrality (one frontier carrying (seed, node),
-    {HC_MAX_HOPS} rounds of map-side broadcast joins, edge table never
-    shuffled); the eccentricity is the MAX of the same per-(seed,
-    node) min-distances whose reciprocals harmonic centrality sums —
-    one extra aggregate, no extra pass when both run in one job."""
-    edges = part_copurchase_edges(spark, sf_dir)
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    seeds = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .where(F.col("node") % HC_SEED_MOD == 0)
-    )
-    dist = seeds.select(
-        F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
-    # Same job-free n_seeds x |V| state bound and shuffle fallback as
-    # graph_harmonic_centrality (shared machinery, shared gate —
-    # VERDICT r6 #2).
-    n_nodes = _part_table_rows(spark, sf_dir)
-    bcast = _state_bcast((n_nodes // HC_SEED_MOD + 1) * n_nodes)
-    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
-    frontier = dist
-    for hop in range(1, HC_MAX_HOPS + 1):
-        new = _bfs_round(
-            frontier, sym_j, dist, bcast, hop, ("seed", "node")
-        ).localCheckpoint(eager=False)
-        dist = dist.union(new)
-        frontier = new
+    Consumes the hc_seed_reach SHARED INTERMEDIATE (one forward
+    multi-source BFS per session, shared with harmonic centrality and
+    sampled betweenness — r7 verdict #1); the eccentricity is the MAX
+    of the same per-(seed, node) min-distances whose reciprocals
+    harmonic centrality sums — this query's marginal cost is one
+    aggregate over the materialized reach table."""
+    reach, _ = hc_seed_reach(spark, sf_dir)
     return (
-        dist.groupBy("seed")
+        reach.groupBy("seed")
         .agg(
             (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
             F.max("dist").cast("int").alias("eccentricity_capped"),
@@ -2776,24 +2763,23 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     σ_cap·(FP + δ_fp) ≤ 1e6·~1e10 « 2^63 at bench scale; at larger
     |V| shrink BC_FP — the knob trades δ resolution for headroom.
 
-    Plan: the forward loop is the harmonic-centrality loop widened by
-    one integer column (size-gated broadcast, shuffle fallback past
-    the cap — r7 gate); the predecessor relation and both backward
-    folds are equi-joins on (seed, node).  100 TB: everything shuffles
-    on the (seed, node) pair key; no stage materializes more than the
-    reach set the hop cap already bounds."""
-    edges = part_copurchase_edges(spark, sf_dir)
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    seeds = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .where(F.col("node") % HC_SEED_MOD == 0)
-    )
+    Plan: the forward (seed, node, dist, σ) table is the hc_seed_reach
+    SHARED INTERMEDIATE (one σ-BFS per session, shared with harmonic
+    centrality and eccentricity — r7 verdict #1), so this query's
+    marginal cost is the backward pass alone: the predecessor relation
+    and both dependency folds, all equi-joins on (seed, node) under
+    the same size-gated broadcast (shuffle fallback past the cap — r7
+    gate).  100 TB: everything shuffles on the (seed, node) pair key;
+    no stage materializes more than the reach set the hop cap already
+    bounds."""
+    reach, sym = hc_seed_reach(spark, sf_dir)
     n_nodes = _part_table_rows(spark, sf_dir)
     b = brandes_betweenness(
-        spark, sym, seeds, (n_nodes // HC_SEED_MOD + 1) * n_nodes
+        spark,
+        sym,
+        None,
+        (n_nodes // HC_SEED_MOD + 1) * n_nodes,
+        forward=reach,
     )
     return (
         b.select(
@@ -2808,21 +2794,21 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def brandes_betweenness(
+def _brandes_forward(
     spark: SparkSession,
     sym: DataFrame,
     seeds: DataFrame,
     state_bound: int,
     max_hops: int = HC_MAX_HOPS,
 ) -> DataFrame:
-    """Brandes core on an injected graph: ``sym`` = directed (src,
-    dst) edge rows (symmetrize before calling for undirected), ``seeds``
-    = (node,) sources, ``state_bound`` = an upper bound on the
-    (seed, node) state cardinality for the broadcast gate.  Returns
-    the FULL (node, b_fp) table (fp scale BC_FP), no top-k — factored
-    out of the registered query so a property test can run it on a
-    hand-computable graph (path graph: interior-node betweenness is
-    the count of ordered pairs routed through, exactly 6/8/6 on P5)."""
+    """Forward multi-source σ-BFS: the (seed, node, dist, sigma) table
+    every member of the seed-sampled centrality family consumes —
+    dist is the per-(seed, node) shortest hop count (level-synchronous
+    anti-join = MIN by construction), sigma the LEAST-capped count of
+    shortest seed→node paths.  Harmonic centrality and eccentricity
+    read (seed, node, dist) and ignore σ; Brandes' backward pass folds
+    σ into dependencies.  Factored out (r7 verdict #1) so the three
+    consumers share ONE pass instead of each rebuilding it."""
     visited = seeds.select(
         F.col("node").alias("seed"),
         "node",
@@ -2877,7 +2863,36 @@ def brandes_betweenness(
             )
         visited = visited.union(new)
         frontier = new
-    sd = visited.localCheckpoint(eager=True)
+    return visited
+
+
+def brandes_betweenness(
+    spark: SparkSession,
+    sym: DataFrame,
+    seeds: DataFrame | None,
+    state_bound: int,
+    max_hops: int = HC_MAX_HOPS,
+    forward: DataFrame | None = None,
+) -> DataFrame:
+    """Brandes core on an injected graph: ``sym`` = directed (src,
+    dst) edge rows (symmetrize before calling for undirected), ``seeds``
+    = (node,) sources, ``state_bound`` = an upper bound on the
+    (seed, node) state cardinality for the broadcast gate.  Returns
+    the FULL (node, b_fp) table (fp scale BC_FP), no top-k — factored
+    out of the registered query so a property test can run it on a
+    hand-computable graph (path graph: interior-node betweenness is
+    the count of ordered pairs routed through, exactly 6/8/6 on P5).
+    ``forward`` injects a precomputed (seed, node, dist, sigma) table
+    (the hc_seed_reach shared intermediate) so the registered query
+    skips the forward pass its two siblings already paid for."""
+    bcast = _state_bcast(state_bound)
+    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
+    if forward is not None:
+        sd = forward
+    else:
+        sd = _brandes_forward(
+            spark, sym, seeds, state_bound, max_hops
+        ).localCheckpoint(eager=True)
     # Predecessor-relation pruning + plan shape: predecessors have
     # dist in [1, max) (seeds contribute no δ, and the deepest layer —
     # the largest — can't precede anything), successors have dist >= 1.
@@ -2921,7 +2936,7 @@ def brandes_betweenness(
     deltas: list[DataFrame] = []
     if max_hops < 2:
         # one-hop truncation has no interior vertices at all
-        return visited.select(F.col("node")).limit(0).select(
+        return sd.select(F.col("node")).limit(0).select(
             "node", F.lit(0).cast("bigint").alias("b_fp")
         )
     for du in range(max_hops - 1, 0, -1):
