@@ -63,3 +63,38 @@ def test_every_registry_key_backticked_in_survey_s2():
         f"{len(missing)} registry keys missing from SURVEY §2: "
         f"{missing[:10]}..."
     )
+
+
+def test_plans_md_covers_every_slow_query():
+    """r7 verdict #8: any query whose sf0.1 in-suite median exceeds
+    2 s must carry a ``## <name>`` section in PLANS.md — the slow tail
+    is exactly where the judge needs plan evidence, and the section
+    requirement keeps cost growth and its rationale landing in the
+    same commit.  Reads the NEWEST BENCH_DETAIL_r*.json so the gate
+    re-evaluates every round at close-out."""
+    import json
+    import re
+
+    rounds = []
+    for p in ROOT.glob("BENCH_DETAIL_r[0-9]*.json"):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    assert rounds, "no BENCH_DETAIL_r*.json present"
+    _, newest = max(rounds)
+    with open(newest) as f:
+        queries = json.load(f)["queries"]
+    plans = set(
+        re.findall(r"^## (\S+)", (ROOT / "PLANS.md").read_text(), re.M)
+    )
+    registry.load_all()
+    live = set(registry.specs())
+    missing = sorted(
+        name
+        for name, t in queries.items()
+        if t["median"] > 2.0 and name in live and name not in plans
+    )
+    assert not missing, (
+        f"queries over 2 s without a PLANS.md section ({newest.name}): "
+        f"{missing}"
+    )
