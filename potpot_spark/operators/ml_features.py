@@ -4985,3 +4985,127 @@ def ml_conformal_split_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cal",
         "q_cents",
     ).orderBy("o_orderpriority")
+
+
+PINBALL_TAUS = (1, 5, 9)  # tau * 10: the 10th / 50th / 90th percentiles
+
+
+@query(
+    "ml_pinball_quantile_eval",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   CAST(('0x' || substring(
+                       md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {CONF_CAL_MOD} AS fold
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderpriority, y,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY y, o_orderkey) AS rnk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM o WHERE fold IN (1, 2)
+        ),
+        taus AS (SELECT unnest(ARRAY{list(PINBALL_TAUS)}) AS t10),
+        q AS (
+            SELECT r.o_orderpriority, taus.t10, r.y AS q_cents
+            FROM ranked r JOIN taus
+              ON r.rnk = (r.n * taus.t10 + 9) // 10
+        ),
+        test AS (
+            SELECT o.o_orderpriority, q.t10, q.q_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(GREATEST(q.t10 * (o.y - q.q_cents),
+                                     (q.t10 - 10) * (o.y - q.q_cents)))
+                        AS BIGINT) AS loss_fp10
+            FROM o JOIN q ON q.o_orderpriority = o.o_orderpriority
+            WHERE o.fold = 0
+            GROUP BY 1, 2, 3
+        )
+        SELECT o_orderpriority, t10 AS tau_x10, q_cents, n_test,
+               CAST(loss_fp10 // (10 * n_test) AS BIGINT)
+                   AS mean_pinball_cents
+        FROM test
+        ORDER BY o_orderpriority, tau_x10
+    """,
+    tags=("E466",),
+)
+def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS EVALUATION of per-priority quantile
+    predictors at τ = 0.1/0.5/0.9 — THE metric for probabilistic
+    forecasts (demand quantiles, latency SLOs, prediction intervals):
+    ρ_τ(y - q) = max(τ(y-q), (τ-1)(y-q)) penalizes under-prediction
+    τ:(1-τ) against over-prediction, so the loss-minimizing constant
+    IS the τ-quantile — evaluating a median model with MAE and a P90
+    model with pinball-0.9 on the same scan is how forecast suites
+    grade a quantile ladder.
+
+    Exact: the predictor is the explicit ⌈τ·n⌉-th order statistic —
+    rank pick (n·t10 + 9) div 10 with deterministic (y, orderkey)
+    tie-break, no interpolation ambiguity cross-engine — and the loss
+    rides a x10 fixed point (t10 integer), summed exactly before one
+    final `div`.  Plan: one window over the train minority, a 3-row
+    tau grid joined ON THE RANK (broadcast), one test-fold aggregate.
+    100 TB: the rank window is per-group; swap the order statistic
+    for percentile_approx when the per-group sort dominates."""
+    from potpot_spark.functions.numeric import phash60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        (phash60(F.col("o_orderkey").cast("string")) % CONF_CAL_MOD).alias(
+            "fold"
+        ),
+    )
+    ranked = (
+        o.where(F.col("fold").isin(1, 2))
+        .select(
+            "o_orderpriority",
+            "y",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    "y", "o_orderkey"
+                )
+            )
+            .alias("rnk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_orderpriority"))
+            .alias("n"),
+        )
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in PINBALL_TAUS], "t10 int"
+    )
+    q = ranked.join(
+        F.broadcast(taus),
+        F.col("rnk") == F.expr("(n * t10 + 9) div 10"),
+    ).select("o_orderpriority", "t10", F.col("y").alias("q_cents"))
+    loss = F.greatest(
+        F.col("t10") * (F.col("y") - F.col("q_cents")),
+        (F.col("t10") - 10) * (F.col("y") - F.col("q_cents")),
+    )
+    test = (
+        o.where(F.col("fold") == 0)
+        .join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "t10", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(loss).cast("bigint").alias("loss_fp10"),
+        )
+    )
+    return test.select(
+        "o_orderpriority",
+        F.col("t10").alias("tau_x10"),
+        "q_cents",
+        "n_test",
+        F.expr("CAST(loss_fp10 div (10 * n_test) AS BIGINT)").alias(
+            "mean_pinball_cents"
+        ),
+    ).orderBy("o_orderpriority", "tau_x10")

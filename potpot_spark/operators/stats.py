@@ -6719,3 +6719,543 @@ def stats_pot_gpd_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (1.0 - ratio), 9).alias("xi_hat"),
         F.round(0.5 * mean * (ratio + 1.0) / 100.0, 6).alias("sigma_hat"),
     )
+
+
+# Shared dense-daily fixture for the dependence-measure family: every
+# event-type series indexed off the UNION of observed days (missing
+# (type, day) observes 0) so any two series compare the same days —
+# the stats_distance_correlation alignment discipline, factored for
+# reuse (r8).  Day-grain is calendar-bounded, so the quadratic /
+# windowed steps downstream never touch corpus scale.
+DENSE_DAILY_SQL = """
+daily AS (
+    SELECT event_type AS t,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT t FROM daily),
+dense AS (
+    SELECT ty.t, d.day, COALESCE(dl.x, CAST(0 AS BIGINT)) AS x
+    FROM types ty CROSS JOIN days d
+    LEFT JOIN daily dl ON dl.t = ty.t AND dl.day = d.day
+)
+"""
+
+
+def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of DENSE_DAILY_SQL: (t, day, x) with a shared day
+    dimension and 0-filled gaps.  types x days is calendar-bounded
+    (5 x ~900); joined on a constant key to stay a broadcast hash
+    join (the plan-hygiene gate rejects CartesianProduct)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    days = daily.select("day").distinct().withColumn("jk", F.lit(1))
+    types = daily.select("t").distinct().withColumn("jk", F.lit(1))
+    return (
+        types.join(F.broadcast(days), "jk")
+        .join(daily, ["t", "day"], "left")
+        .select(
+            "t",
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+
+
+@query(
+    "stats_xi_correlation",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        pairs AS (
+            SELECT a.t AS type_x, b.t AS type_y, a.day,
+                   a.x AS xv, b.x AS yv
+            FROM dense a JOIN dense b ON a.day = b.day AND a.t <> b.t
+        ),
+        rk AS (
+            SELECT type_x, type_y, day, xv, yv,
+                   COUNT(*) OVER (PARTITION BY type_x, type_y ORDER BY yv
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS r,
+                   COUNT(*) OVER (PARTITION BY type_x, type_y
+                       ORDER BY yv DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS l,
+                   COUNT(*) OVER (PARTITION BY type_x, type_y) AS n
+            FROM pairs
+        ),
+        seq AS (
+            SELECT type_x, type_y, n, r, l,
+                   LEAD(r) OVER (PARTITION BY type_x, type_y
+                                 ORDER BY xv, day) AS r_next
+            FROM rk
+        )
+        SELECT type_x, type_y, CAST(MAX(n) AS BIGINT) AS n_days,
+               CAST(1000000 - MAX(n) * SUM(ABS(r_next - r)) * 1000000
+                    // (2 * SUM(l * (n - l))) AS BIGINT) AS xi_ppm
+        FROM seq GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("E462",),
+)
+def stats_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHATTERJEE'S ξ (xi) CORRELATION between every ORDERED pair of
+    event-type daily series — the 2020 rank coefficient that is 0 iff
+    independent and 1 iff y is a measurable FUNCTION of x (any
+    function, not just monotone): ξ(x→y) is asymmetric by design,
+    which is exactly what makes it a DIRECTED dependence screen —
+    ξ(click→purchase) ≫ ξ(purchase→click) says purchase volume is
+    predictable FROM click volume but not conversely, something
+    Pearson, Spearman, and even dCor (all symmetric) cannot express.
+    Formula (ties version): order rows by x, rank y two ways —
+    r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥ y_i} — and
+    ξ = 1 - n·Σ|r_{i+1} - r_i| / (2·Σ l_i(n - l_i)).
+
+    Exact: ranks are window COUNTs over integer counts (RANGE frame =
+    ties included, no arbitrary ordering inside ties), the x-order is
+    made total by the (xv, day) tie-break — declared, identical in
+    both engines — and ξ rides an integer-ppm cross-multiplication.
+    Plan: one broadcast day-dimension join builds the aligned pairs,
+    then three windows partitioned BY PAIR — 20 independent
+    calendar-bounded partitions, no global sort.  100 TB: day-grain
+    input is calendar-bounded regardless of corpus size; the raw scan
+    is the single groupBy behind the shared dense-daily fixture."""
+    dense = _dense_daily(spark, sf_dir)
+    b = dense.select(
+        F.col("t").alias("type_y"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("yv"),
+    )
+    pairs = (
+        dense.select(
+            F.col("t").alias("type_x"), "day", F.col("x").alias("xv")
+        )
+        .join(
+            F.broadcast(b),
+            (F.col("day") == F.col("day_b"))
+            & (F.col("type_x") != F.col("type_y")),
+        )
+        .drop("day_b")
+    )
+    wp = Window.partitionBy("type_x", "type_y")
+    rk = pairs.select(
+        "type_x",
+        "type_y",
+        "day",
+        "xv",
+        F.count(F.lit(1))
+        .over(
+            wp.orderBy("yv").rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(
+            wp.orderBy(F.desc("yv")).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("l"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    seq = rk.withColumn(
+        "r_next", F.lead("r").over(wp.orderBy("xv", "day"))
+    )
+    return (
+        seq.groupBy("type_x", "type_y")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.expr(
+                "CAST(1000000 - max(n) * sum(abs(r_next - r)) * 1000000"
+                " div (2 * sum(l * (n - l))) AS BIGINT)"
+            ).alias("xi_ppm"),
+        )
+        .orderBy("type_x", "type_y")
+    )
+
+
+ENERGY_PAIR = ("click", "purchase")
+
+
+@query(
+    "stats_energy_distance_two_sample",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        comb AS (
+            SELECT t, day, x AS v FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+        ),
+        w AS (
+            SELECT t, v,
+                SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1 ELSE 0 END)
+                    OVER o AS ca,
+                SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN v ELSE 0 END)
+                    OVER o AS sa,
+                SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN 1 ELSE 0 END)
+                    OVER o AS cb,
+                SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN v ELSE 0 END)
+                    OVER o AS sb
+            FROM comb
+            WINDOW o AS (ORDER BY v, t, day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1 ELSE 0 END)
+                       AS na,
+                   SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN v ELSE 0 END)
+                       AS ta,
+                   SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN 1 ELSE 0 END)
+                       AS nb,
+                   SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN v ELSE 0 END)
+                       AS tb
+            FROM comb
+        ),
+        dists AS (
+            SELECT w.t,
+                (w.ca * w.v - w.sa)
+                    + ((tot.ta - w.sa) - (tot.na - w.ca) * w.v) AS da,
+                (w.cb * w.v - w.sb)
+                    + ((tot.tb - w.sb) - (tot.nb - w.cb) * w.v) AS db
+            FROM w CROSS JOIN tot
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN da
+                         ELSE 0 END) AS HUGEINT) AS s_ab,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN da
+                         ELSE 0 END) AS HUGEINT) AS s_aa,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN db
+                         ELSE 0 END) AS HUGEINT) AS s_bb
+            FROM dists
+        )
+        SELECT CAST(tot.na AS BIGINT) AS n_a,
+               CAST(tot.nb AS BIGINT) AS n_b,
+               CAST(s_ab AS BIGINT) AS sum_cross_absdiff,
+               CAST((2 * s_ab * tot.na * tot.nb
+                     - s_aa * tot.nb * tot.nb
+                     - s_bb * tot.na * tot.na) * 1000000
+                    // (tot.na * tot.na * tot.nb * tot.nb) AS BIGINT)
+                   AS energy_fp
+        FROM sums CROSS JOIN tot
+    """,
+    tags=("E463",),
+)
+def stats_energy_distance_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENERGY DISTANCE between the '{ENERGY_PAIR[0]}' and
+    '{ENERGY_PAIR[1]}' daily-count distributions: E = 2·E|X-Y| -
+    E|X-X'| - E|Y-Y'| — Székely's distribution-free two-sample
+    statistic (dCor's sibling), zero iff the distributions are EQUAL,
+    sensitive to ANY difference (location, scale, shape), where KS
+    sees only the largest CDF gap and t-tests only the mean.
+
+    The naive definition is O(n·m) pairwise |x-y|; this computes all
+    three double sums EXACTLY in one O((n+m) log) pass via the sorted
+    prefix-sum identity Σ_a |v - a| = cnt_≤·v - sum_≤ + sum_> -
+    cnt_>·v — running conditional counts/sums over the combined
+    sorted sample (ROWS frame, deterministic (v, t, day) order; tie
+    placement is irrelevant because tied pairs contribute |v-a| = 0).
+    Exact: integer counts end-to-end, the three S sums exact BIGINTs,
+    the statistic an integer-ppm cross-multiplication over a
+    decimal(38,0)/HUGEINT numerator (magnitudes reach ~3e20).
+    Plan: one window over the calendar-bounded combined series + two
+    1-row broadcast joins.  100 TB: day-grain input; the identity is
+    THE way energy statistics scale (pairwise materialization never
+    happens)."""
+    dense = _dense_daily(spark, sf_dir)
+    a, b = ENERGY_PAIR
+    comb = dense.where(F.col("t").isin(a, b)).select("t", "day", F.col("x").alias("v"))
+    o = Window.orderBy("v", "t", "day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_a = F.when(F.col("t") == a, 1).otherwise(0)
+    is_b = F.when(F.col("t") == b, 1).otherwise(0)
+    w = comb.select(
+        "t",
+        "v",
+        F.sum(is_a).over(o).alias("ca"),
+        F.sum(F.when(F.col("t") == a, F.col("v")).otherwise(0)).over(o).alias("sa"),
+        F.sum(is_b).over(o).alias("cb"),
+        F.sum(F.when(F.col("t") == b, F.col("v")).otherwise(0)).over(o).alias("sb"),
+    )
+    tot = comb.agg(
+        F.sum(is_a).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("t") == a, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("ta"),
+        F.sum(is_b).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("t") == b, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("tb"),
+    )
+    da = (
+        F.col("ca") * F.col("v")
+        - F.col("sa")
+        + (F.col("ta") - F.col("sa"))
+        - (F.col("na") - F.col("ca")) * F.col("v")
+    )
+    db = (
+        F.col("cb") * F.col("v")
+        - F.col("sb")
+        + (F.col("tb") - F.col("sb"))
+        - (F.col("nb") - F.col("cb")) * F.col("v")
+    )
+    dists = w.crossJoin(F.broadcast(tot)).select(
+        "t", da.alias("da"), db.alias("db"), "na", "nb"
+    )
+    sums = dists.agg(
+        F.sum(F.when(F.col("t") == b, F.col("da")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_ab"),
+        F.sum(F.when(F.col("t") == a, F.col("da")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_aa"),
+        F.sum(F.when(F.col("t") == b, F.col("db")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_bb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return sums.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("s_ab").cast("bigint").alias("sum_cross_absdiff"),
+        F.expr(
+            "CAST((2 * s_ab * na * nb - s_aa * nb * nb - s_bb * na * na)"
+            " * 1000000 div (na * na * nb * nb) AS BIGINT)"
+        ).alias("energy_fp"),
+    )
+
+
+@query(
+    "stats_cvm_two_sample",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        comb AS (
+            SELECT t, day, x AS v FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+        ),
+        rk AS (
+            SELECT t, v,
+                ROW_NUMBER() OVER (ORDER BY v, t, day) AS r,
+                ROW_NUMBER() OVER (PARTITION BY t ORDER BY v, day) AS i
+            FROM comb
+        ),
+        u AS (
+            SELECT
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}'
+                         THEN (r - i) * (r - i) END) AS BIGINT) AS ux,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}'
+                         THEN (r - i) * (r - i) END) AS BIGINT) AS uy,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN 1
+                         ELSE 0 END) AS BIGINT) AS m
+            FROM rk
+        )
+        SELECT n AS n_a, m AS n_b,
+               CAST(n * ux + m * uy AS BIGINT) AS u_stat,
+               CAST((n * ux + m * uy) * 1000000 // (n * m * (n + m))
+                    - (4 * n * m - 1) * 1000000 // (6 * (n + m))
+                    AS BIGINT) AS cvm_t_fp
+        FROM u
+    """,
+    tags=("E464",),
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR–VON MISES two-sample statistic on the same daily-count
+    pair as the energy distance: T integrates the SQUARED gap between
+    the two empirical CDFs over the whole support — the omnibus
+    companion to KS (max gap, already registered) that accumulates
+    many small persistent differences KS's single supremum misses.
+    Computed via the Anderson rank identity: with joint ranks r and
+    within-sample ranks i, U = n·Σ(r_x - i)² + m·Σ(r_y - j)² and
+    T = U/(nm(n+m)) - (4nm - 1)/(6(n+m)).
+
+    Exact: ranks are ROW_NUMBERs under the declared total order
+    (v, t, day) — the tie convention IS the declared semantics,
+    identical in both engines — U an exact BIGINT, T an integer-ppm
+    with `div` floor on non-negative operands.  Plan: two windows
+    over the calendar-bounded combined series, one 1-row aggregate.
+    100 TB: day-grain input; nothing scales with the corpus."""
+    dense = _dense_daily(spark, sf_dir)
+    a, b = ENERGY_PAIR
+    comb = dense.where(F.col("t").isin(a, b)).select(
+        "t", "day", F.col("x").alias("v")
+    )
+    rk = comb.select(
+        "t",
+        F.row_number().over(Window.orderBy("v", "t", "day")).alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("t").orderBy("v", "day"))
+        .alias("i"),
+    )
+    sq = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    u = rk.agg(
+        F.sum(F.when(F.col("t") == a, sq)).cast("bigint").alias("ux"),
+        F.sum(F.when(F.col("t") == b, sq)).cast("bigint").alias("uy"),
+        F.sum(F.when(F.col("t") == a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("t") == b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return u.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.expr("CAST(n * ux + m * uy AS BIGINT)").alias("u_stat"),
+        F.expr(
+            "CAST((n * ux + m * uy) * 1000000 div (n * m * (n + m))"
+            " - (4 * n * m - 1) * 1000000 div (6 * (n + m)) AS BIGINT)"
+        ).alias("cvm_t_fp"),
+    )
+
+
+@query(
+    "analytics_qini_uplift_deciles",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || substring(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS treated,
+                   CAST(COUNT(*) FILTER (event_type IN ('click', 'view'))
+                        AS BIGINT) AS score,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS converted
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT treated, converted,
+                   NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+            FROM u
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(SUM(treated) AS BIGINT) AS n_t,
+                   CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+                   CAST(SUM(treated * converted) AS BIGINT) AS r_t,
+                   CAST(SUM((1 - treated) * converted) AS BIGINT) AS r_c
+            FROM d GROUP BY 1
+        ),
+        cum AS (
+            SELECT decile, n_t, n_c, r_t, r_c,
+                   SUM(n_t) OVER w AS nt_cum, SUM(n_c) OVER w AS nc_cum,
+                   SUM(r_t) OVER w AS rt_cum, SUM(r_c) OVER w AS rc_cum
+            FROM per
+            WINDOW w AS (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT decile, n_t, n_c, r_t, r_c,
+               CASE WHEN n_t > 0 AND n_c > 0 THEN
+                   CAST(r_t * 1000000 // n_t - r_c * 1000000 // n_c
+                        AS BIGINT) END AS uplift_ppm,
+               CASE WHEN nc_cum > 0 THEN
+                   CAST(rt_cum * 1000000
+                        - rc_cum * nt_cum * 1000000 // nc_cum
+                        AS BIGINT) END AS qini_fp
+        FROM cum
+        ORDER BY decile
+    """,
+    tags=("E465",),
+)
+def analytics_qini_uplift_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QINI CURVE BY DECILE — the standard evaluation of an UPLIFT
+    model (does targeting the top-scored users cause incremental
+    conversions?): users are hash-split into treatment/control,
+    ranked by an engagement score (click+view volume, the
+    deterministic stand-in for a model score), and each cumulative
+    decile reports treated-vs-control response plus the Qini value
+    Q(k) = R_t(k) - R_c(k)·N_t(k)/N_c(k) — the incremental
+    conversions attributable to targeting the first k deciles.  A
+    monotone-then-flat Qini curve is what separates a real uplift
+    signal from a response model that targets sure things.
+
+    Exact: the split rides the engine-portable md5 hash (phash60
+    recipe), the decile assignment is NTILE under the declared total
+    order (score DESC, user_id), all counts integers, uplift and Qini
+    integer-ppm with `div`; zero-denominator deciles (possible at
+    tiny SF) emit NULL in BOTH engines.  Plan: one per-user
+    aggregate, one decile window, one cumulative window over 10 rows.
+    100 TB: the per-user groupBy is the only corpus-scale pass."""
+    from potpot_spark.functions.numeric import phash60
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+    ).select(
+        (phash60(F.col("user_id").cast("string")) % 2).alias("treated"),
+        "score",
+        "converted",
+        "user_id",
+    )
+    d = u.select(
+        "treated",
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per = d.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("r_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("r_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.sum("n_t").over(w).alias("nt_cum"),
+        F.sum("n_c").over(w).alias("nc_cum"),
+        F.sum("r_t").over(w).alias("rt_cum"),
+        F.sum("r_c").over(w).alias("rc_cum"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.expr(
+                "CAST(r_t * 1000000 div n_t - r_c * 1000000 div n_c"
+                " AS BIGINT)"
+            ),
+        ).alias("uplift_ppm"),
+        F.when(
+            F.col("nc_cum") > 0,
+            F.expr(
+                "CAST(rt_cum * 1000000"
+                " - rc_cum * nt_cum * 1000000 div nc_cum AS BIGINT)"
+            ),
+        ).alias("qini_fp"),
+    ).orderBy("decile")

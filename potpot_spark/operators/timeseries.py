@@ -8380,3 +8380,144 @@ def orders_price_elasticity_loglog(
             9,
         ).alias("log_intercept"),
     )
+
+
+@query(
+    "timeseries_pacf_durbin_levinson",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        z AS (
+            SELECT tot.n, tot.n * d.x - tot.s AS z,
+                   LEAD(tot.n * d.x - tot.s, 1)
+                       OVER (ORDER BY d.day) AS z1,
+                   LEAD(tot.n * d.x - tot.s, 2)
+                       OVER (ORDER BY d.day) AS z2,
+                   LEAD(tot.n * d.x - tot.s, 3)
+                       OVER (ORDER BY d.day) AS z3
+            FROM daily d CROSS JOIN tot
+        ),
+        c AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(z * z) AS BIGINT) AS c0,
+                   CAST(SUM(z * z1) AS BIGINT) AS c1,
+                   CAST(SUM(z * z2) AS BIGINT) AS c2,
+                   CAST(SUM(z * z3) AS BIGINT) AS c3
+            FROM z
+        ),
+        rho AS (
+            SELECT n,
+                   CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+                   CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+                   CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+            FROM c
+        ),
+        dl AS (
+            SELECT n, r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+            FROM rho
+        ),
+        dl3 AS (
+            SELECT n, r1, r2, r3, p2,
+                   (r3 - (r1 * (1 - p2)) * r2 - p2 * r1)
+                       / (1 - (r1 * (1 - p2)) * r1 - p2 * r2) AS p3
+            FROM dl
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS INT) AS lag, n AS n_days,
+                   ROUND(r1, 9) AS rho, ROUND(r1, 9) AS pacf FROM dl3
+            UNION ALL
+            SELECT 2, n, ROUND(r2, 9), ROUND(p2, 9) FROM dl3
+            UNION ALL
+            SELECT 3, n, ROUND(r3, 9), ROUND(p3, 9) FROM dl3
+        ) ORDER BY lag
+    """,
+    tags=("E467",),
+)
+def timeseries_pacf_durbin_levinson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTIAL AUTOCORRELATION (PACF) of the daily event-count series
+    at lags 1-3 via the DURBIN-LEVINSON recursion — the Box-Jenkins
+    model-identification companion to the registered ACF: the PACF at
+    lag k is the correlation left after regressing out lags 1..k-1,
+    so an AR(p) process shows a sharp PACF cutoff at p where the ACF
+    only decays — reading both plots IS how AR orders are chosen.
+    φ11 = ρ1; φ22 = (ρ2-ρ1²)/(1-ρ1²); φ33 from the k=3 recursion with
+    φ21 = ρ1(1-φ22).
+
+    Exact: autocovariances are computed on n·x_t - S (integer-exact
+    centering — no double mean subtraction), so c_0..c_3 are exact
+    BIGINTs; the ρ and φ values are then IDENTICAL expression trees
+    over those integers in both engines (single divisions, same
+    parenthesization — IEEE-reproducible), rounded at 1e-9.  Plan:
+    one day-grain rollup, three LEADs over the calendar-bounded
+    series, one 1-row aggregate, scalar algebra — the recursion depth
+    is fixed (3), so it unrolls into closed-form columns instead of
+    a driver loop.  100 TB: only the rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    zc = F.col("n") * F.col("x") - F.col("s")
+    w = Window.orderBy("day")
+    z = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        zc.alias("z"),
+        F.lead(zc, 1).over(w).alias("z1"),
+        F.lead(zc, 2).over(w).alias("z2"),
+        F.lead(zc, 3).over(w).alias("z3"),
+    )
+    c = z.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("c0"),
+        F.sum(F.col("z") * F.col("z1")).cast("bigint").alias("c1"),
+        F.sum(F.col("z") * F.col("z2")).cast("bigint").alias("c2"),
+        F.sum(F.col("z") * F.col("z3")).cast("bigint").alias("c3"),
+    )
+    rho = c.select(
+        "n",
+        (F.col("c1").cast("double") / F.col("c0").cast("double")).alias("r1"),
+        (F.col("c2").cast("double") / F.col("c0").cast("double")).alias("r2"),
+        (F.col("c3").cast("double") / F.col("c0").cast("double")).alias("r3"),
+    )
+    dl = rho.withColumn(
+        "p2",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1) - F.col("r1") * F.col("r1")),
+    )
+    dl3 = dl.withColumn(
+        "p3",
+        (
+            F.col("r3")
+            - (F.col("r1") * (1 - F.col("p2"))) * F.col("r2")
+            - F.col("p2") * F.col("r1")
+        )
+        / (
+            F.lit(1)
+            - (F.col("r1") * (1 - F.col("p2"))) * F.col("r1")
+            - F.col("p2") * F.col("r2")
+        ),
+    )
+    return dl3.select(
+        F.expr(
+            "stack(3,"
+            " 1, n, round(r1, 9), round(r1, 9),"
+            " 2, n, round(r2, 9), round(p2, 9),"
+            " 3, n, round(r3, 9), round(p3, 9)"
+            ") AS (lag, n_days, rho, pacf)"
+        )
+    ).orderBy("lag")
