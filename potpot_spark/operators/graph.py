@@ -3329,3 +3329,95 @@ def graph_node2vec_transition_probs(
         )
         .orderBy("dst_degree_log2")
     )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    oracle=_EDGE_SQL.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+        , edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.label < e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(label) AS component
+            FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM comp)
+        SELECT s.cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * s.cluster_size AS BIGINT) AS n_docs,
+               CAST(COUNT(*) * s.cluster_size * 1000000 // t.n_docs
+                    AS BIGINT) AS docs_share_ppm,
+               CAST(SUM(COUNT(*) * (s.cluster_size - 1))
+                    OVER (ORDER BY s.cluster_size
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT)
+                   AS cum_removable_docs
+        FROM sizes s CROSS JOIN tot t
+        GROUP BY s.cluster_size, t.n_docs
+        ORDER BY s.cluster_size
+    """,
+    tags=("E473",),
+)
+def dedup_cluster_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-DUP CLUSTER-SIZE DISTRIBUTION: how many clusters of each
+    size the connected-components pass produced, what share of the
+    corpus sits in them, and the running count of REMOVABLE documents
+    (size - 1 per cluster) — the observability readout every dedup
+    run is judged by: a long tail of big clusters means boilerplate
+    families the pairwise threshold should have split; a spike at
+    size 2 means mirror pairs; and cum_removable at the max size IS
+    the dedup rate the pipeline will realize.  Web-crawl cluster
+    sizes are known to be heavy-tailed, so this histogram (not a
+    mean) is the quantity of record.
+
+    Consumes the dedup_cc_components SHARED INTERMEDIATE (the same
+    component table keeper-selection reads; billed once to
+    shared_build) — this query's marginal cost is two tiny
+    aggregates.  Exact: sizes and shares are exact integers (`div`
+    ppm), the cumulative sum a window over the handful of distinct
+    sizes.  100 TB: cluster count ≤ |docs|; the histogram is
+    bounded by the largest cluster."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    tot = comp.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per = (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_size", "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )
+    w = Window.orderBy("cluster_size").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("n_clusters") * F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.expr(
+            "CAST(n_clusters * cluster_size * 1000000 div n_docs"
+            " AS BIGINT)"
+        ).alias("docs_share_ppm"),
+        F.sum(F.col("n_clusters") * (F.col("cluster_size") - 1))
+        .over(w)
+        .cast("bigint")
+        .alias("cum_removable_docs"),
+    ).orderBy("cluster_size")

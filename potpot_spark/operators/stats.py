@@ -7259,3 +7259,239 @@ def analytics_qini_uplift_deciles(
             ),
         ).alias("qini_fp"),
     ).orderBy("decile")
+
+
+@query(
+    "stats_mantel_haenszel_or",
+    oracle="""
+        WITH o AS (
+            SELECT c.c_mktsegment AS stratum,
+                   CAST(('0x' || substring(
+                       md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS treated,
+                   CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1
+                        ELSE 0 END AS hit
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(SUM(treated * hit) AS BIGINT) AS a,
+                   CAST(SUM(treated * (1 - hit)) AS BIGINT) AS b,
+                   CAST(SUM((1 - treated) * hit) AS BIGINT) AS c,
+                   CAST(SUM((1 - treated) * (1 - hit)) AS BIGINT) AS d
+            FROM o GROUP BY 1
+        ),
+        terms AS (
+            SELECT a, b, c, d, a + b + c + d AS t,
+                   CAST(a AS HUGEINT) * d * 1000000
+                       // (a + b + c + d) AS num_fp,
+                   CAST(b AS HUGEINT) * c * 1000000
+                       // (a + b + c + d) AS den_fp,
+                   a * 1000000
+                       - CAST(a + b AS HUGEINT) * (a + c) * 1000000
+                         // (a + b + c + d) AS dev_fp,
+                   CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                       * 1000000
+                       // (CAST(a + b + c + d AS HUGEINT)
+                          * (a + b + c + d) * (a + b + c + d - 1))
+                       AS var_fp
+            FROM cells
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(t) AS BIGINT) AS n_total,
+               CAST(SUM(num_fp) * 1000000 // SUM(den_fp) AS BIGINT)
+                   AS mh_or_ppm,
+               CAST(SUM(dev_fp) * SUM(dev_fp) // (SUM(var_fp) * 1000000)
+                   AS BIGINT) AS cmh_chi2_x1e6
+        FROM terms
+    """,
+    tags=("E469",),
+)
+def stats_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANTEL-HAENSZEL common odds ratio + CMH chi-square across
+    market-segment strata: does treatment (a deterministic
+    customer-hash split) associate with urgent-priority orders AFTER
+    stratifying by segment?  THE confounder-adjusted 2x2 machinery —
+    a pooled table can show an association that every stratum
+    contradicts (Simpson's paradox; the registered
+    analytics_simpsons_paradox_check detects it, this op is the
+    estimator you run once it fires): OR_MH = Σ(a·d/T)/Σ(b·c/T),
+    CMH = (Σ(a - E[a]))²/ΣV with the hypergeometric E and V.
+
+    Exact: every per-stratum term is an integer cross-multiplication
+    on a 1e6 fixed point (HUGEINT/decimal(38,0) — the V numerator is
+    a 4-way product reaching ~1e19), summed exactly; the two
+    statistics are integer `div` ratios of those sums.  Plan: one
+    broadcast customer-dim join, one 5-row stratum aggregate, scalar
+    algebra.  100 TB: the fact scan is the only data-sized pass."""
+    from potpot_spark.functions.numeric import phash60
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("stratum"),
+        (phash60(F.col("o_custkey").cast("string")) % 2).alias("treated"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.sum(F.col("treated") * F.col("hit")).cast("bigint").alias("a"),
+        F.sum(F.col("treated") * (1 - F.col("hit")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("treated")) * F.col("hit"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("treated")) * (1 - F.col("hit")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    terms = cells.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("t"),
+        F.expr(
+            "CAST(a AS DECIMAL(38,0)) * d * 1000000 div (a + b + c + d)"
+        ).alias("num_fp"),
+        F.expr(
+            "CAST(b AS DECIMAL(38,0)) * c * 1000000 div (a + b + c + d)"
+        ).alias("den_fp"),
+        F.expr(
+            "a * 1000000 - CAST(a + b AS DECIMAL(38,0)) * (a + c)"
+            " * 1000000 div (a + b + c + d)"
+        ).alias("dev_fp"),
+        F.expr(
+            "CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)"
+            " * 1000000 div (CAST(a + b + c + d AS DECIMAL(38,0))"
+            " * (a + b + c + d) * (a + b + c + d - 1))"
+        ).alias("var_fp"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.expr(
+            "CAST(sum(num_fp) * 1000000 div sum(den_fp) AS BIGINT)"
+        ).alias("mh_or_ppm"),
+        F.expr(
+            "CAST(sum(dev_fp) * sum(dev_fp)"
+            " div (sum(var_fp) * 1000000) AS BIGINT)"
+        ).alias("cmh_chi2_x1e6"),
+    )
+
+
+CIRC_FP = 10**6
+
+
+@query(
+    "stats_circular_hour_stats",
+    oracle=f"""
+        WITH hr AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        trig AS (
+            SELECT event_type, cnt,
+                   cnt * CAST(FLOOR(cos(2 * pi() * h / 24) * {CIRC_FP})
+                              AS BIGINT) AS c_fp,
+                   cnt * CAST(FLOOR(sin(2 * pi() * h / 24) * {CIRC_FP})
+                              AS BIGINT) AS s_fp
+            FROM hr
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(c_fp) AS BIGINT) AS cc,
+                   CAST(SUM(s_fp) AS BIGINT) AS ss
+            FROM trig GROUP BY 1
+        )
+        SELECT event_type, n,
+               ROUND(sqrt(CAST(cc AS HUGEINT) * cc
+                          + CAST(ss AS HUGEINT) * ss)
+                     / n / {CIRC_FP}, 9) AS resultant_rbar,
+               ROUND(((atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))
+                       / (2 * pi()) * 24) + 24) % 24, 6) AS mean_hour,
+               ROUND(n * (CAST(cc AS HUGEINT) * cc
+                          + CAST(ss AS HUGEINT) * ss)
+                     / (CAST(n AS DOUBLE) * n * {CIRC_FP} * {CIRC_FP}),
+                     6) AS rayleigh_z
+        FROM agg
+        ORDER BY event_type
+    """,
+    tags=("E470",),
+)
+def stats_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR STATISTICS of event hour-of-day per type: the mean
+    DIRECTION (peak hour on the 24 h circle), the resultant length
+    R̄ ∈ [0,1] (concentration — 0 = uniform around the clock, 1 = all
+    events at one hour), and the Rayleigh statistic z = n·R̄² whose
+    large values reject uniformity.  Linear statistics are WRONG on
+    circular data — the arithmetic mean of 23:00 and 01:00 is noon —
+    which is why diurnal load profiling uses the embedding into
+    (cos θ, sin θ) and this op is the principled sibling of the
+    registered diurnal harmonic power.
+
+    Exact: only 24 distinct angles exist, so each cos/sin is
+    FLOOR-quantized ONCE at 1e-6 (the entropy-family libm
+    discipline), multiplied by exact integer hour counts, and summed
+    as exact BIGINTs; R̄/atan2/z are then identical expression trees
+    over those integers (squares ride HUGEINT/decimal38 — C² reaches
+    ~4e20), rounded at 1e-9/1e-6.  Plan: one hour-grain rollup (24x5
+    rows), scalar algebra.  100 TB: the rollup is the only
+    corpus-scale pass, map-side combined."""
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    hr = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    theta = 2 * math.pi * F.col("h") / 24
+    trig = hr.select(
+        "event_type",
+        "cnt",
+        (F.col("cnt") * F.floor(F.cos(theta) * CIRC_FP).cast("bigint")).alias(
+            "c_fp"
+        ),
+        (F.col("cnt") * F.floor(F.sin(theta) * CIRC_FP).cast("bigint")).alias(
+            "s_fp"
+        ),
+    )
+    agg = trig.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("c_fp").cast("bigint").alias("cc"),
+        F.sum("s_fp").cast("bigint").alias("ss"),
+    )
+    norm2 = F.expr(
+        "CAST(cc AS DECIMAL(38,0)) * cc + CAST(ss AS DECIMAL(38,0)) * ss"
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(
+            F.sqrt(norm2.cast("double")) / F.col("n") / CIRC_FP, 9
+        ).alias("resultant_rbar"),
+        F.round(
+            (
+                F.atan2(F.col("ss").cast("double"), F.col("cc").cast("double"))
+                / (2 * math.pi)
+                * 24
+                + 24
+            )
+            % 24,
+            6,
+        ).alias("mean_hour"),
+        F.round(
+            F.col("n")
+            * norm2.cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * CIRC_FP
+                * CIRC_FP
+            ),
+            6,
+        ).alias("rayleigh_z"),
+    ).orderBy("event_type")

@@ -3479,3 +3479,165 @@ def text_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("redundancy_ppm"),
         )
     )
+
+
+BURROWS_K = 20  # most-frequent-word panel (classic Delta uses 30-150)
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM tok GROUP BY 1
+        ),
+        gw AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1
+        ),
+        topw AS (
+            SELECT w FROM (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+                FROM gw
+            ) WHERE rnk <= {BURROWS_K}
+        ),
+        cnts AS (
+            SELECT t.w, t.source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok t JOIN topw ON topw.w = t.w
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT topw.w, tot.source,
+                   COALESCE(c.c, 0) * 1000000000 // tot.n_tok AS f
+            FROM topw CROSS JOIN tot
+            LEFT JOIN cnts c ON c.w = topw.w AND c.source = tot.source
+        ),
+        disp AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(f) AS BIGINT) AS s,
+                   SUM(CAST(f AS HUGEINT) * f) AS s2
+            FROM grid GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.w, a.source AS source_a, b.source AS source_b,
+                   CAST(FLOOR(
+                       abs(a.f - b.f) * CAST(d.k AS DOUBLE)
+                       / sqrt(CAST(d.k * d.s2 - CAST(d.s AS HUGEINT) * d.s
+                                   AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS term_fp
+            FROM grid a
+            JOIN grid b ON b.w = a.w AND a.source < b.source
+            JOIN disp d ON d.w = a.w
+            WHERE d.k * d.s2 > CAST(d.s AS HUGEINT) * d.s
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(term_fp) // COUNT(*) AS BIGINT) AS delta_fp
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("E471",),
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA between every pair of document SOURCES — the
+    standard stylometric (authorship-attribution) distance: z-score
+    each source's relative frequency of the {BURROWS_K} most frequent
+    corpus words (function words — style markers that survive topic
+    shifts), then Delta(a,b) = mean_w |z_a - z_b|.  In a training-data
+    pipeline this is the SOURCE-FINGERPRINT matrix: two crawls with
+    near-zero Delta are stylistically the same feed under different
+    names (dedup candidate at the source grain), and a source whose
+    Delta to everything jumps between snapshots changed its generator
+    — both signals operate above the document-level dedup family.
+
+    Exact: relative frequencies are integer ppb (`div`); the z-score
+    difference |z_a - z_b| = |f_a - f_b|·k / √(k·S2 - S²) needs NO
+    mean (μ cancels in the difference) so the only irrational step is
+    one sqrt over exact integers (HUGEINT/decimal38 — S2 reaches
+    ~2e19), FLOOR-quantized per word at 1e-6 BEFORE the cross-word
+    sum (order-free); zero-dispersion words are excluded in both
+    engines.  Plan: one explode + two hash aggregates, a top-K rank
+    over the global vocabulary, a {BURROWS_K}x|sources| grid (tiny,
+    densified via a dimension join), and a grid self-join — after the
+    rollup nothing scales with the corpus.  100 TB: the explode is
+    the one corpus-scale pass; the panel and grid are constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    gw = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    topw = (
+        gw.select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= BURROWS_K)
+        .select("w")
+    )
+    cnts = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("w", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        topw.withColumn("jk", F.lit(1))
+        .join(F.broadcast(tot.withColumn("jk", F.lit(1))), "jk")
+        .join(cnts, ["w", "source"], "left")
+        .select(
+            "w",
+            "source",
+            F.expr(
+                "coalesce(c, 0) * 1000000000 div n_tok"
+            ).alias("f"),
+        )
+    )
+    disp = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("f").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias("s2"),
+    )
+    b = grid.select(
+        F.col("w").alias("w_b"),
+        F.col("source").alias("source_b"),
+        F.col("f").alias("f_b"),
+    )
+    pairs = (
+        grid.join(
+            F.broadcast(b),
+            (F.col("w") == F.col("w_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .join(F.broadcast(disp), "w")
+        .where(F.expr("k * s2 > CAST(s AS DECIMAL(38,0)) * s"))
+        .select(
+            F.col("source").alias("source_a"),
+            "source_b",
+            F.expr(
+                "CAST(FLOOR(abs(f - f_b) * CAST(k AS DOUBLE)"
+                " / sqrt(CAST(k * s2 - CAST(s AS DECIMAL(38,0)) * s"
+                " AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("term_fp"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr("CAST(sum(term_fp) div count(1) AS BIGINT)").alias(
+                "delta_fp"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -8521,3 +8521,95 @@ def timeseries_pacf_durbin_levinson(
             ") AS (lag, n_days, rho, pacf)"
         )
     ).orderBy("lag")
+
+
+@query(
+    "events_interarrival_burstiness",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                   LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS nxt_us
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type, nxt_us - t_us AS g
+            FROM seq WHERE nxt_us IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g) AS BIGINT) AS s,
+                   SUM(CAST(g AS HUGEINT) * g) AS s2
+            FROM gaps GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(s // n AS BIGINT) AS mean_gap_us,
+               ROUND((sqrt(CAST(n * s2 - CAST(s AS HUGEINT) * s
+                                AS DOUBLE)) - CAST(s AS DOUBLE))
+                     / (sqrt(CAST(n * s2 - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)) + CAST(s AS DOUBLE)), 9)
+                   AS burstiness_b,
+               ROUND(sqrt(CAST(n * s2 - CAST(s AS HUGEINT) * s
+                               AS DOUBLE)) / CAST(s AS DOUBLE), 9)
+                   AS cv
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("E472",),
+)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-ARRIVAL BURSTINESS per event type: the Goh-Barabási
+    coefficient B = (σ - μ)/(σ + μ) of the gap distribution — the
+    single number that places a point process on the regular (B→-1,
+    clockwork heartbeats) … Poisson (B = 0) … bursty (B→+1, human
+    activity) axis.  The Fano factor already registered measures
+    count overdispersion per window; B reads the SAME physics off the
+    gaps themselves, window-free, which is why burst detection and
+    bot/organic separation quote B and CV = σ/μ.
+
+    Exact: gaps are exact integer microseconds under the
+    deterministic (ts, event_id) order; n, Σg, Σg² are exact
+    BIGINT/HUGEINT (g² reaches ~1e19 at small SF where gaps are
+    long), and B = (√(nΣg²-(Σg)²) - Σg)/(√(nΣg²-(Σg)²) + Σg) — the
+    n-scaled population form, algebraically equal to (σ-μ)/(σ+μ) —
+    is one identical expression tree over those integers, rounded at
+    1e-9.  Plan: one LEAD window per type partition, one aggregate.
+    100 TB: the window shuffles once on event_type (salt hot types);
+    everything after is 5 rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    gaps = (
+        e.select(
+            "event_type",
+            t_us.alias("t_us"),
+            F.lead(t_us).over(w).alias("nxt_us"),
+        )
+        .where(F.col("nxt_us").isNotNull())
+        .select("event_type", (F.col("nxt_us") - F.col("t_us")).alias("g"))
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("s2"),
+    )
+    sd_num = F.sqrt(
+        F.expr("CAST(n * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_us"),
+        F.round(
+            (sd_num - F.col("s").cast("double"))
+            / (sd_num + F.col("s").cast("double")),
+            9,
+        ).alias("burstiness_b"),
+        F.round(sd_num / F.col("s").cast("double"), 9).alias("cv"),
+    ).orderBy("event_type")
