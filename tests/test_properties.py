@@ -1338,18 +1338,25 @@ def test_bm25_reexecution_bit_identical(spark, sf_dir):
 
 
 def test_heavy_hitters_threshold_contract(spark, sf_dir):
-    """Every reported heavy hitter must clear the integer threshold,
-    the output must be bounded by HH_K, and re-execution reproduces
-    the exact rows."""
+    """Every reported heavy hitter must clear the integer
+    mean-multiple threshold cnt·k·DEN > n·NUM, the output must be
+    NON-EMPTY at every checked SF (r7 verdict #4: the old share
+    threshold passed vacuously on 0 rows) and bounded by the Markov
+    bound k·DEN/NUM, and re-execution reproduces the exact rows."""
     from potpot_spark.operators.aggregates import (
-        HH_K,
+        HH_MULT_DEN,
+        HH_MULT_NUM,
         agg_heavy_hitters_exact,
     )
 
     rows = agg_heavy_hitters_exact(spark, sf_dir).collect()
-    assert 0 < len(rows) <= HH_K
+    assert rows, "heavy hitters must be non-empty at every checked SF"
     for r in rows:
-        assert r["cnt"] * HH_K > r["n"]
+        # cnt*k*DEN > n*NUM implies cnt*k/n > NUM/DEN, so the reported
+        # floor(cnt*k*1e6/n) must be >= NUM/DEN * 1e6
+        assert (
+            r["mean_mult_ppm"] * HH_MULT_DEN >= 1_000_000 * HH_MULT_NUM
+        )
     assert rows == agg_heavy_hitters_exact(spark, sf_dir).collect()
 
 
