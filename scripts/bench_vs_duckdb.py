@@ -40,11 +40,16 @@ from potpot_spark.testing import duck_connection
 
 REPS = 3
 
-# The 10 slowest oracle-carrying queries of the r6 final bench, by
-# in-suite median (BENCH_DETAIL_r06_final.json), streaming sources
-# excluded (DuckDB has no streaming runtime to compare against).
-SLOW10 = [
+# The slowest oracle-carrying queries of the current bench, by
+# in-suite median, streaming sources excluded (DuckDB has no streaming
+# runtime to compare against).  r7 verdict #2: the anchor must track
+# the top of the cost distribution every round — betweenness (13.5 s
+# in r7, THE top cost) and eccentricity landed after the r7 anchor
+# run and are now covered, plus every other >=3 s non-streaming query.
+SLOW_SET = [
+    "graph_betweenness_sampled",
     "text_trigram_name_similarity",
+    "graph_eccentricity_seed_sample",
     "graph_harmonic_centrality",
     "embedding_hubness_knn_graph",
     "sql_api_recursive_cte",
@@ -54,7 +59,22 @@ SLOW10 = [
     "graph_scc_condensation",
     "stats_spearman_rank_corr",
     "graph_pagerank_personalized",
+    "graph_degree_assortativity",
+    "udf_pandas_cogrouped_asof",
 ]
+
+# Queries consuming the hc_seed_reach shared intermediate: their
+# DuckDB oracle recomputes the full forward BFS inside one recursive
+# CTE, so the apples-to-apples Spark number is the STANDALONE cost
+# (fresh intermediates every rep), not the in-suite marginal where the
+# forward pass is billed once to shared_build_sec.  Both numbers are
+# recorded: spark_median here = standalone; the in-suite marginal
+# lives in BENCH_DETAIL (r8: betweenness 6.7 s, harmonic/ecc ~0.3 s).
+FRESH_INTERMEDIATES = {
+    "graph_betweenness_sampled",
+    "graph_eccentricity_seed_sample",
+    "graph_harmonic_centrality",
+}
 
 
 def mat(df) -> None:
@@ -72,10 +92,19 @@ def main() -> int:
         con.execute(f"SET threads TO {int(cpus)}")
     except Exception:
         pass
+    try:
+        # fail fast instead of filling the disk: the betweenness
+        # recursive-CTE twin spilled past 80 GB of temp at sf0.1
+        # before this cap existed (r8) — a query that needs more
+        # than 20 GB of spill for 60 MB of input is a DNF datum,
+        # not a number worth waiting for.
+        con.execute("SET max_temp_directory_size='20GB'")
+    except Exception:
+        pass
 
     keys = ["agg_hash_groupby"] + sorted(
         n for n in registry.specs() if n.startswith("tpch_")
-    ) + SLOW10
+    ) + SLOW_SET
 
     # Spark warmup (bench.py's rationale: JIT + codegen + noop path).
     mat(spark.range(100_000).selectExpr("id % 7 AS k", "id AS v").groupBy("k").sum("v"))
@@ -85,19 +114,43 @@ def main() -> int:
         spec = registry.get(name)
         spark_times, duck_times = [], []
         for _ in range(REPS):
+            if name in FRESH_INTERMEDIATES:
+                from potpot_spark.materialize import clear_intermediates
+
+                clear_intermediates()
             t0 = time.time()
             mat(spec.fn(spark, sf_dir))
             spark_times.append(time.time() - t0)
+        duck_error = None
         for _ in range(REPS):
             t0 = time.time()
-            con.execute(spec.oracle).fetchall()
+            try:
+                con.execute(spec.oracle).fetchall()
+            except Exception as e:  # noqa: BLE001 - DNF is a datum
+                duck_error = f"{type(e).__name__}: {str(e)[:200]}"
+                break
             duck_times.append(time.time() - t0)
+            # rep budget: a single >60 s rep is already the datum
+            # (the declarative twin is orders slower) — burning two
+            # more identical reps on it buys nothing.  Recorded in
+            # duckdb_reps so the table is honest about rep count.
+            if duck_times[-1] > 60:
+                break
         out[name] = {
             "spark_median": round(statistics.median(spark_times), 3),
             "spark_min": round(min(spark_times), 3),
-            "duckdb_median": round(statistics.median(duck_times), 3),
-            "duckdb_min": round(min(duck_times), 3),
+            "duckdb_median": (
+                round(statistics.median(duck_times), 3)
+                if duck_times
+                else -1.0
+            ),
+            "duckdb_min": (
+                round(min(duck_times), 3) if duck_times else -1.0
+            ),
+            "duckdb_reps": len(duck_times),
         }
+        if duck_error:
+            out[name]["duckdb_error"] = duck_error
         print(
             f"# {name}: spark {out[name]['spark_median']}s "
             f"duckdb {out[name]['duckdb_median']}s",
@@ -117,13 +170,13 @@ def main() -> int:
     print("| query | spark med (s) | duckdb med (s) | spark/duckdb |")
     print("|---|---|---|---|")
     for name, r in out.items():
-        ratio = (
-            round(r["spark_median"] / r["duckdb_median"], 2)
-            if r["duckdb_median"] > 0
-            else float("inf")
-        )
+        if r["duckdb_median"] > 0:
+            duck = r["duckdb_median"]
+            ratio = round(r["spark_median"] / duck, 2)
+        else:
+            duck, ratio = "DNF", "—"
         print(
-            f"| {name} | {r['spark_median']} | {r['duckdb_median']} | {ratio} |"
+            f"| {name} | {r['spark_median']} | {duck} | {ratio} |"
         )
     return 0
 
