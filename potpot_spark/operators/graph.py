@@ -3421,3 +3421,100 @@ def dedup_cluster_size_distribution(
         .cast("bigint")
         .alias("cum_removable_docs"),
     ).orderBy("cluster_size")
+
+
+SHARD_DOCS = 25  # ingestion-order shard width (docs per shard)
+
+
+@query(
+    "dedup_shard_locality_audit",
+    oracle=_EDGE_SQL
+    + f"""
+        , shards AS (
+            SELECT doc_id // {SHARD_DOCS} AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_s
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_shards,
+                   CAST(SUM(n_s * (n_s - 1)) AS BIGINT) AS same_pairs2
+            FROM shards
+        ),
+        cls AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) FILTER (
+                       doc_a // {SHARD_DOCS} = doc_b // {SHARD_DOCS})
+                       AS BIGINT) AS n_local
+            FROM pairs
+        )
+        SELECT t.n_shards, c.n_pairs, c.n_local,
+               CASE WHEN c.n_pairs > 0 THEN
+                   CAST(c.n_local * 1000000 // c.n_pairs AS BIGINT)
+               END AS local_ppm,
+               CAST(t.same_pairs2 * 1000000 // (t.n * (t.n - 1))
+                    AS BIGINT) AS expected_local_ppm
+        FROM cls c CROSS JOIN tot t
+    """,
+    tags=("E478",),
+)
+def dedup_shard_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD LOCALITY of the near-dup pair graph: what fraction of
+    duplicate pairs fall WITHIN the same ingestion-order shard
+    (doc_id div {SHARD_DOCS}), against the fraction random pairing
+    would produce (Σ n_s(n_s-1) / N(N-1))?  The decision this number
+    drives at 100 TB: local_ppm ≫ expected means duplication is
+    crawl-batch-local (mirrors re-crawled together, boilerplate from
+    one host in one shard) and a cheap SHARD-LOCAL dedup pass —
+    map-side, no global shuffle — removes most duplicates before the
+    expensive cross-shard banding stage; local_ppm ≈ expected means
+    duplicates spread uniformly and only the global pass works.
+    Every petabyte-scale dedup pipeline stages exactly this split;
+    this audit says which stage carries the weight on THIS corpus.
+
+    Exact: shard ids and pair classification are integer `div`, both
+    rates integer ppm (NULL-guarded when the pair graph is empty at
+    tiny SF, both engines).  Plan: reuses the banded pair join the
+    dedup family shares, one classify-aggregate over pairs, one
+    shard-histogram aggregate.  100 TB: the pair graph is the
+    existing banded/blocked shape; the audit adds two cheap
+    aggregates."""
+    from potpot_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    shards = docs.groupBy(
+        F.expr(f"doc_id div {SHARD_DOCS}").alias("shard")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = shards.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum(F.col("n_s") * (F.col("n_s") - 1))
+        .cast("bigint")
+        .alias("same_pairs2"),
+    )
+    cls = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"doc_a div {SHARD_DOCS} = doc_b div {SHARD_DOCS}"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_local"),
+    )
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "n_shards",
+        "n_pairs",
+        "n_local",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr("CAST(n_local * 1000000 div n_pairs AS BIGINT)"),
+        ).alias("local_ppm"),
+        F.expr(
+            "CAST(same_pairs2 * 1000000 div (n * (n - 1)) AS BIGINT)"
+        ).alias("expected_local_ppm"),
+    )

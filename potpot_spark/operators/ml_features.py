@@ -5109,3 +5109,97 @@ def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pinball_cents"
         ),
     ).orderBy("o_orderpriority", "tau_x10")
+
+
+CB_BETA_NUM = 999    # beta = 0.999 — the Cui et al. default
+CB_FP = 10**12
+
+
+@query(
+    "ml_class_balanced_weights",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT lang, n,
+                   CAST({CB_FP} AS BIGINT)
+                       - CAST(FLOOR(pow({CB_BETA_NUM} / 1000.0, n)
+                              * {CB_FP}) AS BIGINT) AS eff_den_fp
+            FROM c
+        ),
+        raw AS (
+            SELECT lang, n, eff_den_fp,
+                   CAST({CB_FP} AS HUGEINT) * 1000000 // eff_den_fp
+                       AS w_raw_fp
+            FROM w
+        )
+        SELECT lang, n,
+               ROUND(CAST(eff_den_fp AS DOUBLE) / {CB_FP}
+                     / (1 - {CB_BETA_NUM} / 1000.0), 6)
+                   AS effective_n,
+               CAST(w_raw_fp * (SELECT COUNT(*) FROM c) * 1000000
+                    // (SELECT SUM(w_raw_fp) FROM raw) AS BIGINT)
+                   AS weight_ppm
+        FROM raw
+        ORDER BY lang
+    """,
+    tags=("E477",),
+)
+def ml_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED LOSS WEIGHTS (Cui et al. 2019, "effective number
+    of samples") per document language: w_c ∝ (1-β)/(1-β^{n_c}) with
+    β = 0.{CB_BETA_NUM} — the re-weighting that interpolates between
+    no re-weighting (β=0) and inverse-frequency (β→1) by modeling
+    diminishing returns of near-duplicate samples.  This is the
+    training-pipeline knob that pairs with the temperature-mixing
+    sampler already registered: mixing fixes the DATA distribution,
+    these weights fix the LOSS for whatever imbalance remains.
+
+    Exact: the single transcendental β^n is FLOOR-quantized ONCE per
+    class at 1e-12 (the libm discipline — one quantization, then pure
+    integers), raw weights are integer cross-multiplications on
+    HUGEINT/decimal38, and the normalized weight (Σw = k·1e6 ppm) is
+    an integer ratio of sums; effective_n is reported alongside,
+    rounded.  Plan: one per-class aggregate, scalar algebra over
+    |langs| rows.  100 TB: one map-side-combined groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    beta = CB_BETA_NUM / 1000.0
+    w = c.select(
+        "lang",
+        "n",
+        (
+            F.lit(CB_FP).cast("bigint")
+            - F.floor(F.pow(F.lit(beta), F.col("n")) * CB_FP).cast("bigint")
+        ).alias("eff_den_fp"),
+    )
+    raw = w.select(
+        "lang",
+        "n",
+        "eff_den_fp",
+        F.expr(
+            f"CAST({CB_FP} AS DECIMAL(38,0)) * 1000000 div eff_den_fp"
+        ).alias("w_raw_fp"),
+    )
+    tot = raw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("w_raw_fp").alias("sw"),
+    )
+    return (
+        raw.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n",
+            F.round(
+                F.col("eff_den_fp").cast("double") / CB_FP / (1 - beta), 6
+            ).alias("effective_n"),
+            F.expr(
+                "CAST(w_raw_fp * k * 1000000 div sw AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )

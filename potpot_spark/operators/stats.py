@@ -7495,3 +7495,208 @@ def stats_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rayleigh_z"),
     ).orderBy("event_type")
+
+
+@query(
+    "stats_ansari_bradley",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        comb AS (
+            SELECT t, day, x AS v FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+        ),
+        rk AS (
+            SELECT t,
+                ROW_NUMBER() OVER (ORDER BY v, t, day) AS r,
+                COUNT(*) OVER () AS nn
+            FROM comb
+        ),
+        sc AS (
+            SELECT t, LEAST(r, nn + 1 - r) AS score FROM rk
+        )
+        SELECT
+            CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN score
+                     ELSE 0 END) AS BIGINT) AS ab_stat,
+            CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN score
+                     ELSE 0 END) * 1000000
+                 // SUM(score) AS BIGINT) AS score_share_ppm
+        FROM sc
+    """,
+    tags=("E474",),
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI-BRADLEY rank test for SCALE on the same daily-count pair
+    as the energy/CvM siblings: score each joint-rank r as
+    min(r, N+1-r) — extremes score low, the middle scores high — so a
+    sample whose scores sum LOW is the more DISPERSED one.  The
+    registered Levene/Brown-Forsythe test the same hypothesis through
+    deviation means; Ansari-Bradley is the fully rank-based
+    (outlier-immune, distribution-free) member, the scale analog of
+    Mann-Whitney.
+
+    Exact: joint ranks are ROW_NUMBERs under the declared (v, t, day)
+    total order (the repo's tie convention), scores exact integers via
+    LEAST, the statistic and the score share exact BIGINT/ppm.  Plan:
+    one window over the calendar-bounded combined series, one
+    aggregate.  100 TB: day-grain input; nothing scales with the
+    corpus."""
+    dense = _dense_daily(spark, sf_dir)
+    a, b = ENERGY_PAIR
+    comb = dense.where(F.col("t").isin(a, b)).select(
+        "t", "day", F.col("x").alias("v")
+    )
+    rk = comb.select(
+        "t",
+        F.row_number().over(Window.orderBy("v", "t", "day")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    sc = rk.select(
+        "t", F.least(F.col("r"), F.col("nn") + 1 - F.col("r")).alias("score")
+    )
+    return sc.agg(
+        F.sum(F.when(F.col("t") == a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("t") == b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("t") == a, F.col("score")).otherwise(0))
+        .cast("bigint")
+        .alias("ab_stat"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN t = '{a}' THEN score ELSE 0 END)"
+            " * 1000000 div SUM(score) AS BIGINT)"
+        ).alias("score_share_ppm"),
+    )
+
+
+@query(
+    "stats_page_trend_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        wk AS (
+            SELECT day, x,
+                   CAST((day - DATE '1970-01-05') // 7 AS BIGINT)
+                       AS isoweek,
+                   CAST(isodow(day) AS BIGINT) AS dow
+            FROM daily
+        ),
+        full_weeks AS (
+            SELECT isoweek FROM wk GROUP BY 1 HAVING COUNT(*) = 7
+        ),
+        ranked AS (
+            SELECT w.isoweek, w.dow,
+                   ROW_NUMBER() OVER (PARTITION BY w.isoweek
+                                      ORDER BY w.x, w.dow) AS rnk
+            FROM wk w JOIN full_weeks f ON f.isoweek = w.isoweek
+        ),
+        rsum AS (
+            SELECT dow, CAST(SUM(rnk) AS BIGINT) AS r_j,
+                   CAST(COUNT(*) AS BIGINT) AS b
+            FROM ranked GROUP BY 1
+        ),
+        l AS (
+            SELECT CAST(SUM(dow * r_j) AS BIGINT) AS l_stat,
+                   CAST(MAX(b) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM rsum
+        )
+        SELECT l_stat, b AS n_blocks, k AS n_treatments,
+               CAST(b * k * (k + 1) * (k + 1) AS BIGINT) // 4
+                   AS l_expected,
+               ROUND((CAST(l_stat AS DOUBLE)
+                      - CAST(b * k * (k + 1) * (k + 1) AS DOUBLE) / 4)
+                     / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1)
+                            * (k * k - 1) * (k + 1) / 144), 9) AS z
+        FROM l
+    """,
+    tags=("E475",),
+)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S TREND TEST for an ORDERED weekly rhythm: blocks = full
+    ISO weeks, treatments = day-of-week 1..7, within-week ranks of
+    daily event counts, L = Σ_j j·R_j — large L means counts rise
+    monotonically Monday→Sunday.  The registered Friedman test asks
+    "do days differ AT ALL?"; Page's L asks the sharper ordered
+    question ("is there a weekly ramp?") and has more power exactly
+    when the alternative is the monotone one load forecasting cares
+    about.
+
+    Exact: incomplete boundary weeks are excluded in both engines
+    (HAVING COUNT(*) = 7), within-block ranks are ROW_NUMBERs under
+    the declared (count, dow) tie-break, L and E[L] = bk(k+1)²/4 exact
+    integers; the z normalization is one identical expression tree
+    over those integers (variance bk²(k+1)(k²-1)(k+1)/144), rounded at
+    1e-9.  Plan: one day rollup, one per-week rank window
+    (calendar-bounded), two tiny aggregates.  100 TB: only the rollup
+    sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    # week id = whole weeks since Monday 1970-01-05 (epoch-anchored —
+    # Spark 3+ removed week-based datetime patterns, and DuckDB's
+    # strftime %G%V isn't mirrored; integer day arithmetic is exact
+    # and identical in both engines), dow = ISO 1..7 Monday-first
+    wk = daily.select(
+        "x",
+        F.expr(
+            "CAST(datediff(day, DATE '1970-01-05') div 7 AS BIGINT)"
+        ).alias("isoweek"),
+        F.expr("CAST(weekday(day) + 1 AS BIGINT)").alias("dow"),
+    )
+    full_weeks = (
+        wk.groupBy("isoweek")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 7)
+        .select("isoweek")
+    )
+    ranked = wk.join(F.broadcast(full_weeks), "isoweek").select(
+        "isoweek",
+        "dow",
+        F.row_number()
+        .over(Window.partitionBy("isoweek").orderBy("x", "dow"))
+        .alias("rnk"),
+    )
+    rsum = ranked.groupBy("dow").agg(
+        F.sum("rnk").cast("bigint").alias("r_j"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    lrow = rsum.agg(
+        F.sum(F.col("dow") * F.col("r_j")).cast("bigint").alias("l_stat"),
+        F.max("b").cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return lrow.select(
+        "l_stat",
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.expr(
+            "CAST(b * k * (k + 1) * (k + 1) AS BIGINT) div 4"
+        ).alias("l_expected"),
+        F.round(
+            (
+                F.col("l_stat").cast("double")
+                - F.expr(
+                    "CAST(b * k * (k + 1) * (k + 1) AS DOUBLE)"
+                )
+                / 4
+            )
+            / F.sqrt(
+                F.expr(
+                    "CAST(b AS DOUBLE) * k * k * (k + 1)"
+                    " * (k * k - 1) * (k + 1) / 144"
+                )
+            ),
+            9,
+        ).alias("z"),
+    )

@@ -8613,3 +8613,98 @@ def events_interarrival_burstiness(
         ).alias("burstiness_b"),
         F.round(sd_num / F.col("s").cast("double"), 9).alias("cv"),
     ).orderBy("event_type")
+
+
+@query(
+    "timeseries_seasonal_naive_mase",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   LAG(x, 1) OVER w AS x1,
+                   LAG(x, 7) OVER w AS x7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) FILTER (x7 IS NOT NULL) AS BIGINT)
+                       AS n_scored,
+                   CAST(SUM(abs(x - x1)) FILTER (x7 IS NOT NULL)
+                        AS BIGINT) AS mae_naive_sum,
+                   CAST(SUM(abs(x - x7)) FILTER (x7 IS NOT NULL)
+                        AS BIGINT) AS mae_seasonal_sum
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type, n_scored,
+               CAST(mae_naive_sum * 1000000 // n_scored AS BIGINT)
+                   AS mae_naive_x1e6,
+               CAST(mae_seasonal_sum * 1000000 // n_scored AS BIGINT)
+                   AS mae_seasonal_x1e6,
+               CAST(mae_naive_sum * 1000000 // mae_seasonal_sum AS BIGINT)
+                   AS mase_ppm
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("E476",),
+)
+def timeseries_seasonal_naive_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MASE (Mean Absolute Scaled Error) of the one-day-persistence
+    forecast against the SEASONAL-NAIVE (same-day-last-week) scale,
+    per event type — Hyndman's scale-free forecast metric: mase < 1
+    means day-over-day persistence beats weekly seasonality on this
+    series, mase > 1 means the weekly rhythm carries real signal and
+    any model that ignores it starts behind.  THE sanity denominator
+    every forecast suite (including the registered Holt/Holt-Winters/
+    Croston family) should be graded against — a fancy model losing
+    to seasonal-naive is the most common forecasting failure.
+
+    Exact: both error sums are exact integer counts over the SAME
+    scored rows (both lags non-null — identical row set in both
+    engines), the metric an integer-ppm ratio of sums.  Plan: one
+    day-grain rollup, two LAGs in one window pass, one aggregate.
+    100 TB: only the rollup sees the corpus; the window is
+    calendar-bounded per type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    scored = F.col("x7").isNotNull()
+    m = lagged.groupBy("event_type").agg(
+        F.sum(F.when(scored, 1).otherwise(0)).cast("bigint").alias("n_scored"),
+        F.sum(F.when(scored, F.abs(F.col("x") - F.col("x1"))))
+        .cast("bigint")
+        .alias("mae_naive_sum"),
+        F.sum(F.when(scored, F.abs(F.col("x") - F.col("x7"))))
+        .cast("bigint")
+        .alias("mae_seasonal_sum"),
+    )
+    return m.select(
+        "event_type",
+        "n_scored",
+        F.expr("CAST(mae_naive_sum * 1000000 div n_scored AS BIGINT)").alias(
+            "mae_naive_x1e6"
+        ),
+        F.expr(
+            "CAST(mae_seasonal_sum * 1000000 div n_scored AS BIGINT)"
+        ).alias("mae_seasonal_x1e6"),
+        F.expr(
+            "CAST(mae_naive_sum * 1000000 div mae_seasonal_sum AS BIGINT)"
+        ).alias("mase_ppm"),
+    ).orderBy("event_type")
