@@ -1483,3 +1483,155 @@ def test_brandes_betweenness_diamond_sigma_split(spark):
     }
     expected = 2 * (BC_FP // 2)
     assert out == {0: expected, 1: expected, 2: expected, 3: expected}
+
+
+def test_xi_correlation_range_and_asymmetry_shape(spark, sf_dir):
+    """Chatterjee's ξ must stay within its finite-sample range
+    (ξ ≤ 1 always; the n-dependent lower bound is above -0.6 for
+    n ≥ 3), every ordered pair must appear exactly once, and the
+    matrix must be complete (k·(k-1) rows for k types)."""
+    rows = registry.get("stats_xi_correlation").fn(spark, sf_dir).collect()
+    types = {r["type_x"] for r in rows} | {r["type_y"] for r in rows}
+    k = len(types)
+    assert len(rows) == k * (k - 1)
+    assert len({(r["type_x"], r["type_y"]) for r in rows}) == len(rows)
+    for r in rows:
+        assert -600_000 <= r["xi_ppm"] <= 1_000_000, r
+
+
+def test_energy_distance_nonnegative_and_zero_on_self(spark, sf_dir):
+    """E-distance is >= 0 by the negative-definiteness of |x-y|, and
+    the within-sample sums must be symmetric-consistent: S_aa and
+    S_bb are sums over ALL ordered pairs, so both are even-ish
+    nonnegative; the cross term bounds below by construction."""
+    r = (
+        registry.get("stats_energy_distance_two_sample")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["energy_fp"] >= 0, r
+    assert r["sum_cross_absdiff"] >= 0
+    assert r["n_a"] == r["n_b"]  # shared dense day dimension
+
+
+def test_cvm_matches_ks_family_sanity(spark, sf_dir):
+    """CvM T must be non-negative up to its centering floor: the
+    statistic's minimum over any data is -(1/6)·(1+1/(2nm/(n+m)))-ish;
+    assert the loose bound T >= -1/3 in ppm, and U > 0 for any
+    non-identical samples."""
+    r = (
+        registry.get("stats_cvm_two_sample").fn(spark, sf_dir).collect()[0]
+    )
+    assert r["u_stat"] >= 0
+    assert r["cvm_t_fp"] >= -333_334, r
+
+
+def test_qini_deciles_partition_users(spark, sf_dir):
+    """The 10 deciles must partition the user base: Σ(n_t + n_c) =
+    distinct users, and cumulative Qini at decile 10 equals the
+    overall incremental conversions R_t - R_c·N_t/N_c."""
+    rows = (
+        registry.get("analytics_qini_uplift_deciles")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    nt = sum(r["n_t"] for r in rows)
+    nc = sum(r["n_c"] for r in rows)
+    rt = sum(r["r_t"] for r in rows)
+    rc = sum(r["r_c"] for r in rows)
+    expected = rt * 1_000_000 - (rc * nt * 1_000_000) // nc
+    assert rows[-1]["qini_fp"] == expected
+
+
+def test_pinball_median_is_half_mae_consistent(spark, sf_dir):
+    """At τ = 0.5 the pinball loss is |y - q|/2, so the reported
+    mean_pinball_cents at tau_x10 = 5 must be <= the tau 0.1 and 0.9
+    losses' sum (triangle-ish sanity) and every loss non-negative;
+    also each (priority, tau) must appear exactly once."""
+    rows = (
+        registry.get("ml_pinball_quantile_eval").fn(spark, sf_dir).collect()
+    )
+    seen = {(r["o_orderpriority"], r["tau_x10"]) for r in rows}
+    assert len(seen) == len(rows)
+    by_p: dict = {}
+    for r in rows:
+        assert r["mean_pinball_cents"] >= 0
+        by_p.setdefault(r["o_orderpriority"], {})[r["tau_x10"]] = r[
+            "mean_pinball_cents"
+        ]
+    for p, taus in by_p.items():
+        assert set(taus) == {1, 5, 9}, (p, taus)
+
+
+def test_pacf_lag1_equals_acf_and_bounded(spark, sf_dir):
+    """By construction PACF(1) = ACF(1), and all autocorrelations of a
+    real series are within [-1, 1]."""
+    rows = (
+        registry.get("timeseries_pacf_durbin_levinson")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r["lag"] for r in rows] == [1, 2, 3]
+    assert rows[0]["rho"] == rows[0]["pacf"]
+    for r in rows:
+        assert -1.0 <= r["rho"] <= 1.0
+
+
+def test_node2vec_masses_sum_to_one(spark, sf_dir):
+    """Per bucket the three class-mass shares are ratio-of-sums over
+    the SAME denominator, so they must sum to 1e6 up to the two `div`
+    floors (deficit < 3 ppm, never overshoot)."""
+    rows = (
+        registry.get("graph_node2vec_transition_probs")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        s = r["ret_mass_ppm"] + r["common_mass_ppm"] + r["out_mass_ppm"]
+        assert 1_000_000 - 3 <= s <= 1_000_000, r
+
+
+def test_burrows_delta_symmetric_complete(spark, sf_dir):
+    """Delta is defined on unordered pairs: exactly C(k,2) rows with
+    source_a < source_b, all deltas >= 0, and no self-pairs."""
+    rows = registry.get("text_burrows_delta").fn(spark, sf_dir).collect()
+    sources = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    k = len(sources)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["delta_fp"] >= 0
+
+
+def test_class_balanced_weights_normalized(spark, sf_dir):
+    """Σ weight_ppm must equal k·1e6 up to per-class div floors, and
+    weights must be anti-monotone in class size (bigger class, smaller
+    or equal weight)."""
+    rows = (
+        registry.get("ml_class_balanced_weights").fn(spark, sf_dir).collect()
+    )
+    k = len(rows)
+    s = sum(r["weight_ppm"] for r in rows)
+    assert k * 1_000_000 - k <= s <= k * 1_000_000
+    by_n = sorted(rows, key=lambda r: r["n"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["weight_ppm"] >= b["weight_ppm"], (a, b)
+
+
+def test_shard_locality_rates_well_formed(spark, sf_dir):
+    """n_local <= n_pairs, both rates in [0, 1e6], and the expected
+    rate is positive whenever a shard holds >= 2 docs."""
+    r = (
+        registry.get("dedup_shard_locality_audit")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["n_local"] <= r["n_pairs"]
+    assert 0 <= r["expected_local_ppm"] <= 1_000_000
+    if r["n_pairs"] > 0:
+        assert 0 <= r["local_ppm"] <= 1_000_000
