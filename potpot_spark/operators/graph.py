@@ -3518,3 +3518,73 @@ def dedup_shard_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(same_pairs2 * 1000000 div (n * (n - 1)) AS BIGINT)"
         ).alias("expected_local_ppm"),
     )
+
+
+@query(
+    "graph_degree_gini",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        ),
+        rk AS (
+            SELECT d,
+                   ROW_NUMBER() OVER (ORDER BY d, node) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(d) OVER () AS sd
+            FROM deg
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_nodes,
+               CAST(MAX(sd) AS BIGINT) AS sum_degree,
+               CAST(SUM((2 * i - n - 1) * d) * 1000000 // (MAX(n) * MAX(sd))
+                    AS BIGINT) AS degree_gini_ppm
+        FROM rk
+    """,
+    tags=("E481",),
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of the co-purchase DEGREE distribution — the
+    single inequality number for "is this graph hub-dominated?":
+    G = Σ(2i - n - 1)·d_(i) / (n·Σd) over degrees sorted ascending.
+    The registered rich-club coefficient asks whether hubs connect to
+    EACH OTHER; degree Gini asks the prior question — whether hubs
+    exist at all — and is the scalar that decides if the skew
+    machinery (salting, hot-label cells) matters on this graph.
+
+    Exact: degrees are exact counts, ranks deterministic
+    ROW_NUMBERs tie-broken by node id, the Gini an integer-ppm
+    cross-multiplication ((2i-n-1)·d stays well under 2^63 at any
+    realistic |V|).  Plan: one degree aggregate over the shared edge
+    list, one rank window, one aggregate.  100 TB: the rank window
+    sorts |V| degree rows — swap for the binned Lorenz approximation
+    when |V| itself is shuffle-heavy."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    rk = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "node")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("d").over(Window.partitionBy()).alias("sd"),
+    )
+    return rk.agg(
+        F.max("n").cast("bigint").alias("n_nodes"),
+        F.max("sd").cast("bigint").alias("sum_degree"),
+        F.expr(
+            "CAST(SUM((2 * i - n - 1) * d) * 1000000"
+            " div (MAX(n) * MAX(sd)) AS BIGINT)"
+        ).alias("degree_gini_ppm"),
+    )

@@ -7700,3 +7700,206 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z"),
     )
+
+
+@query(
+    "stats_cohens_d_hedges_g",
+    oracle="""
+        WITH o AS (
+            SELECT CAST(('0x' || substring(
+                       md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS treated,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y
+            FROM orders
+        ),
+        m AS (
+            SELECT treated,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s,
+                   SUM(CAST(y AS HUGEINT) * y) AS s2
+            FROM o GROUP BY 1
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 THEN n END) AS n1,
+                MAX(CASE WHEN treated = 1 THEN s END) AS s1,
+                MAX(CASE WHEN treated = 1 THEN s2 END) AS q1,
+                MAX(CASE WHEN treated = 0 THEN n END) AS n0,
+                MAX(CASE WHEN treated = 0 THEN s END) AS s0,
+                MAX(CASE WHEN treated = 0 THEN s2 END) AS q0
+            FROM m
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+               ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                     / sqrt(((CAST(q1 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n1)
+                             + (CAST(q0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * s0 / n0))
+                            / (n1 + n0 - 2)), 9) AS cohens_d,
+               ROUND((1 - 3.0 / (4 * (n1 + n0 - 2) - 1))
+                     * ((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                     / sqrt(((CAST(q1 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n1)
+                             + (CAST(q0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * s0 / n0))
+                            / (n1 + n0 - 2))), 9) AS hedges_g
+        FROM w
+    """,
+    tags=("E479",),
+)
+def stats_cohens_d_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S d and HEDGES' g — the standardized EFFECT SIZES the A/B
+    family's p-values refuse to tell you: the registered Welch t-test
+    says whether the treated/control revenue difference is
+    distinguishable from noise, d says whether it is LARGE (in pooled
+    standard deviations), and g applies the exact small-sample
+    correction J = 1 - 3/(4·df - 1) that de-biases d.  Every power
+    analysis (the registered MDE op) and meta-analysis consumes g,
+    not p.
+
+    Exact: both groups reduce to exact integer moments (n, Σy, Σy² on
+    HUGEINT/decimal38 — y² reaches ~1e15 per row), and d/g are one
+    identical expression tree over those six integers (same
+    parenthesization both engines), rounded at 1e-9; J is rational in
+    the integer df.  Plan: one hash aggregate over the fact scan,
+    scalar algebra on a 2-row frame.  100 TB: single
+    map-side-combined pass."""
+    from potpot_spark.functions.numeric import phash60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (phash60(F.col("o_custkey").cast("string")) % 2).alias("treated"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = o.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treated") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("treated") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("treated") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("treated") == 0, F.col("s2"))).alias("q0"),
+    )
+    mean_diff = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    pooled = F.sqrt(
+        (
+            (
+                F.col("q1").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+            )
+            + (
+                F.col("q0").cast("double")
+                - F.col("s0").cast("double") * F.col("s0") / F.col("n0")
+            )
+        )
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    d = mean_diff / pooled
+    j = 1 - 3.0 / (4 * (F.col("n1") + F.col("n0") - 2) - 1)
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.round(d, 9).alias("cohens_d"),
+        F.round(j * d, 9).alias("hedges_g"),
+    )
+
+
+@query(
+    "stats_cliffs_delta",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        vals AS (
+            SELECT x AS v,
+                   CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1
+                            ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[1]}' THEN 1
+                            ELSE 0 END) AS BIGINT) AS cb
+            FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+            GROUP BY 1
+        ),
+        run AS (
+            SELECT v, ca, cb,
+                   COALESCE(SUM(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS lt_a,
+                   SUM(ca) OVER () AS na,
+                   SUM(cb) OVER () AS nb
+            FROM vals
+        )
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(SUM(cb * (lt_a - (na - lt_a - ca))) AS BIGINT)
+                   AS dominance_sum,
+               CAST(SUM(cb * (lt_a - (na - lt_a - ca))) * 1000000
+                    // (MAX(na) * MAX(nb)) AS BIGINT) AS cliffs_delta_ppm
+        FROM run
+    """,
+    tags=("E480",),
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA between the two benchmark daily-count series:
+    δ = (#{x < y} - #{x > y}) / (n·m) ∈ [-1, 1] — the nonparametric
+    EFFECT SIZE that partners the registered Mann-Whitney U exactly
+    the way Cohen's d partners the t-test: U's p-value says the
+    distributions differ, δ says by how much in pure
+    probability-of-superiority terms (δ = 2·P(X<Y)+P(X=Y)... - 1),
+    robust to any monotone transform and to outliers.
+
+    Exact: values collapse to per-value group counts, the pair counts
+    come from one running sum over the distinct-value ladder
+    (lt = strictly-below prefix, gt = n - prefix - ties), and δ is an
+    integer-ppm cross-multiplication — the O(n·m) pair set is never
+    materialized (the energy-distance identity discipline).  Plan:
+    one value-grain aggregate + one window over distinct values.
+    100 TB: day-grain input; distinct-value ladder is bounded."""
+    dense = _dense_daily(spark, sf_dir)
+    a, b = ENERGY_PAIR
+    vals = (
+        dense.where(F.col("t").isin(a, b))
+        .groupBy(F.col("x").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("t") == a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("t") == b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    run = vals.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum("ca").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("lt_a"),
+        F.sum("ca").over(Window.partitionBy()).alias("na"),
+        F.sum("cb").over(Window.partitionBy()).alias("nb"),
+    )
+    dom = F.col("cb") * (
+        F.col("lt_a") - (F.col("na") - F.col("lt_a") - F.col("ca"))
+    )
+    return run.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sum(dom).cast("bigint").alias("dominance_sum"),
+        F.expr(
+            "CAST(SUM(cb * (lt_a - (na - lt_a - ca))) * 1000000"
+            " div (MAX(na) * MAX(nb)) AS BIGINT)"
+        ).alias("cliffs_delta_ppm"),
+    )

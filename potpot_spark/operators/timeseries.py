@@ -8708,3 +8708,102 @@ def timeseries_seasonal_naive_mase(
             "CAST(mae_naive_sum * 1000000 div mae_seasonal_sum AS BIGINT)"
         ).alias("mase_ppm"),
     ).orderBy("event_type")
+
+
+ENT_FP = 10**6  # fixed point for the c*log2 entropy terms
+
+
+@query(
+    "events_transition_entropy_rate",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS cur,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c_ij
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        rows_c AS (
+            SELECT cur, CAST(SUM(c_ij) AS BIGINT) AS c_i FROM c GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.c_ij,
+                   CAST(FLOOR(c.c_ij * log2(CAST(r.c_i AS DOUBLE) / c.c_ij)
+                              * {ENT_FP}) AS BIGINT) AS h_fp
+            FROM c JOIN rows_c r ON r.cur = c.cur
+        ),
+        tot AS (SELECT CAST(SUM(c_ij) AS BIGINT) AS n FROM terms)
+        SELECT t.n AS n_transitions,
+               ROUND(CAST((SELECT SUM(h_fp) FROM terms) AS DOUBLE)
+                     / t.n / {ENT_FP}, 6) AS entropy_rate_bits,
+               ROUND(CAST((SELECT SUM(h_fp) FROM terms) AS DOUBLE)
+                     / t.n / {ENT_FP}
+                     / log2(CAST((SELECT COUNT(*) FROM rows_c) AS DOUBLE)),
+                     6) AS normalized_rate
+        FROM tot t
+    """,
+    tags=("E482",),
+)
+def events_transition_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENTROPY RATE of the per-user event-type stream: H(next | cur) =
+    -Σ (c_ij/N)·log2(c_ij/c_i) over the observed transition counts —
+    how many bits the NEXT action carries once you know the current
+    one.  The registered transition matrix shows WHERE users go; the
+    entropy rate compresses it to the one number that separates
+    funnel-like behavior (low rate — the next step is nearly
+    determined) from browsing (rate near log2(k)); its normalized
+    form is directly comparable across products and snapshots.  The
+    behavioral sibling of text_entropy_rate_bigram (words), and the
+    predictability ceiling any next-event model is graded against.
+
+    Exact: transitions use the deterministic (ts, event_id) order;
+    each c·log2 term is FLOOR-quantized ONCE at 1e-6 (the entropy
+    family's libm discipline) and summed as exact BIGINTs; the two
+    reported rates are identical final expressions, rounded.  Plan:
+    one LEAD window per user, two hash aggregates over the
+    |types|² transition table.  100 TB: the user window is the only
+    corpus-scale pass (same shape as the registered transition
+    matrix)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ij")
+    )
+    rows_c = c.groupBy("cur").agg(F.sum("c_ij").cast("bigint").alias("c_i"))
+    terms = c.join(F.broadcast(rows_c), "cur").select(
+        "c_ij",
+        F.floor(
+            F.col("c_ij")
+            * F.log2(F.col("c_i").cast("double") / F.col("c_ij"))
+            * ENT_FP
+        )
+        .cast("bigint")
+        .alias("h_fp"),
+    )
+    k = rows_c.agg(F.count(F.lit(1)).alias("k"))
+    agg = terms.agg(
+        F.sum("c_ij").cast("bigint").alias("n"),
+        F.sum("h_fp").cast("bigint").alias("sh"),
+    )
+    return agg.crossJoin(F.broadcast(k)).select(
+        F.col("n").alias("n_transitions"),
+        F.round(
+            F.col("sh").cast("double") / F.col("n") / ENT_FP, 6
+        ).alias("entropy_rate_bits"),
+        F.round(
+            F.col("sh").cast("double")
+            / F.col("n")
+            / ENT_FP
+            / F.log2(F.col("k").cast("double")),
+            6,
+        ).alias("normalized_rate"),
+    )

@@ -128,7 +128,7 @@ def test_broadcast_hint_discipline():
         "operators/stats.py": (61, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
         "operators/ml_features.py": (34, "1-row fit/threshold frames, vocab/centroid tables"),
-        "operators/timeseries.py": (26, "per-series scalar frames, calendars"),
+        "operators/timeseries.py": (28, "per-series scalar frames, calendars"),
         "operators/graph.py": (27, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (22, "query vectors, centroids, bounded pools"),
         "operators/text.py": (21, "df-rank tables, size-gated verify join, stopword dims"),
