@@ -887,17 +887,24 @@ def _wds_shards_root(spark: SparkSession, sf_dir: str) -> str:
                     )
                 n += 1
         if n:
-            # deterministic shard name per PARTITION (not per task
-            # attempt): a retried or speculatively-executed task
-            # rewrites/renames the SAME path, so the store never
-            # carries two complete shards with the same documents;
-            # the .tmp suffix keeps half-written bytes out of the
-            # reader, which glob-filters to *.tar
-            pid = TaskContext.get().partitionId()
+            # deterministic FINAL shard name per PARTITION (not per
+            # task attempt), so a retried or speculatively-executed
+            # task republishes the SAME path and the store never
+            # carries two complete shards with the same documents —
+            # but the TEMP name is per-attempt: two live attempts of
+            # one partition must never interleave writes into a
+            # shared .tmp (os.replace would then publish a truncated
+            # tar as "complete").  Each attempt writes its own temp
+            # file in full, then atomically replaces it onto the
+            # final path; last complete write wins, every visible
+            # *.tar is one attempt's complete bytes.
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
             path = _os.path.join(root, f"shard-{pid:05d}.tar")
-            with open(path + ".tmp", "wb") as f:
+            tmp = f"{path}.tmp-{ctx.taskAttemptId()}"
+            with open(tmp, "wb") as f:
                 f.write(buf.getvalue())
-            _os.replace(path + ".tmp", path)
+            _os.replace(tmp, path)
 
     d.select("doc_id", "lang", "text").repartition(8, "doc_id").foreachPartition(
         write_shard

@@ -7301,7 +7301,7 @@ def analytics_qini_uplift_deciles(
                CAST(SUM(t) AS BIGINT) AS n_total,
                CAST(SUM(num_fp) * 1000000 // SUM(den_fp) AS BIGINT)
                    AS mh_or_ppm,
-               CAST(SUM(dev_fp) * SUM(dev_fp) // (SUM(var_fp) * 1000000)
+               CAST(SUM(dev_fp) * SUM(dev_fp) // SUM(var_fp)
                    AS BIGINT) AS cmh_chi2_x1e6
         FROM terms
     """,
@@ -7375,7 +7375,7 @@ def stats_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mh_or_ppm"),
         F.expr(
             "CAST(sum(dev_fp) * sum(dev_fp)"
-            " div (sum(var_fp) * 1000000) AS BIGINT)"
+            " div sum(var_fp) AS BIGINT)"
         ).alias("cmh_chi2_x1e6"),
     )
 
@@ -7616,7 +7616,7 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND((CAST(l_stat AS DOUBLE)
                       - CAST(b * k * (k + 1) * (k + 1) AS DOUBLE) / 4)
                      / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1)
-                            * (k * k - 1) * (k + 1) / 144), 9) AS z
+                            * (k * k - 1) / 144), 9) AS z
         FROM l
     """,
     tags=("E475",),
@@ -7635,7 +7635,9 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HAVING COUNT(*) = 7), within-block ranks are ROW_NUMBERs under
     the declared (count, dow) tie-break, L and E[L] = bk(k+1)²/4 exact
     integers; the z normalization is one identical expression tree
-    over those integers (variance bk²(k+1)(k²-1)(k+1)/144), rounded at
+    over those integers (variance bk²(k+1)(k²-1)/144 — the classical
+    null variance of Page's L; verified against the k=3,b=1 hand case
+    Var(L)=2 and scipy's page_trend_test normalization), rounded at
     1e-9.  Plan: one day rollup, one per-week rank window
     (calendar-bounded), two tiny aggregates.  100 TB: only the rollup
     sees the corpus."""
@@ -7694,7 +7696,7 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(
                 F.expr(
                     "CAST(b AS DOUBLE) * k * k * (k + 1)"
-                    " * (k * k - 1) * (k + 1) / 144"
+                    " * (k * k - 1) / 144"
                 )
             ),
             9,

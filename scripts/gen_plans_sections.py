@@ -51,18 +51,34 @@ def doc_excerpt(fn) -> str:
     return "\n".join(out) if out else flat[:400]
 
 
+def newest_bench_detail() -> str:
+    """Newest BENCH_DETAIL_r*.json in the repo root, resolved relative
+    to this script (NOT the cwd) — mirrors the glob discipline in
+    tests/test_docs.py::test_plans_md_covers_every_slow_query so the
+    skeletons always cite the latest round's medians."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "BENCH_DETAIL_r[0-9]*.json")))
+    if not paths:
+        raise FileNotFoundError("no BENCH_DETAIL_r*.json in repo root")
+    return paths[-1]
+
+
 def main() -> int:
     names = sys.argv[1:]
     spark = get_session("potpot_plans")
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
-    with open("BENCH_DETAIL_r07.json") as f:
+    detail_path = newest_bench_detail()
+    rtag = re.search(r"BENCH_DETAIL_(r\d+)", detail_path).group(1)
+    with open(detail_path) as f:
         medians = {k: v["median"] for k, v in json.load(f)["queries"].items()}
     for name in names:
         spec = registry.specs()[name]
         df = spec.fn(spark, SF_DIR)
         print(f"## {name}\n")
-        print(f"**r7 sf0.1 median:** {medians.get(name, '?')} s\n")
+        print(f"**{rtag} sf0.1 median:** {medians.get(name, '?')} s\n")
         print(f"**Docstring rationale:** {doc_excerpt(spec.fn)}\n")
         print("```")
         print(plan_tree(df))

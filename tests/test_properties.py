@@ -1635,3 +1635,69 @@ def test_shard_locality_rates_well_formed(spark, sf_dir):
     assert 0 <= r["expected_local_ppm"] <= 1_000_000
     if r["n_pairs"] > 0:
         assert 0 <= r["local_ppm"] <= 1_000_000
+
+
+def test_page_trend_z_uses_classical_variance(spark, sf_dir):
+    """Page's L null variance is Var(L) = b·k²·(k+1)·(k²-1)/144 — the
+    r8 advisor found an extra (k+1) factor that understated z by
+    √(k+1) on BOTH engine sides (parity hid it).  Gate the formula
+    itself: (a) hand case k=3, b=1, perfect trend L=14, E=12, Var=2,
+    z=√2 (scipy.stats.page_trend_test's normalization); (b) the
+    operator's returned z must equal the same closed form recomputed
+    in Python from its own integer (l_stat, b, k) outputs."""
+    import math
+
+    def z_of(l_stat: int, b: int, k: int) -> float:
+        exp = b * k * (k + 1) * (k + 1) / 4
+        var = b * k * k * (k + 1) * (k * k - 1) / 144
+        return (l_stat - exp) / math.sqrt(var)
+
+    # hand-computed small case: one block, ranks equal treatments
+    assert abs(z_of(14, 1, 3) - math.sqrt(2.0)) < 1e-12
+
+    r = registry.get("stats_page_trend_test").fn(spark, sf_dir).collect()[0]
+    want = round(z_of(r["l_stat"], r["n_blocks"], r["n_treatments"]), 9)
+    assert abs(r["z"] - want) < 1e-9, (r, want)
+
+
+def test_mantel_haenszel_chi2_scale_and_value(spark, sf_dir):
+    """cmh_chi2_x1e6 must really be chi²·1e6 (the r8 advisor found it
+    off by exactly 1e6, truncating a ~0-10 statistic to an integer).
+    Rebuild the per-stratum 2×2 cells with the operator's own treated
+    split and recompute CMH chi² in Python floats; the fixed-point
+    output must agree to ~1e-4 (fp quantization of per-stratum terms)."""
+    from potpot_spark.functions.numeric import phash60
+
+    r = (
+        registry.get("stats_mantel_haenszel_or").fn(spark, sf_dir).collect()[0]
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("stratum"),
+            (phash60(F.col("o_custkey").cast("string")) % 2).alias("t"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("h"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("t") * F.col("h")).alias("a"),
+            F.sum(F.col("t") * (1 - F.col("h"))).alias("b"),
+            F.sum((1 - F.col("t")) * F.col("h")).alias("c"),
+            F.sum((1 - F.col("t")) * (1 - F.col("h"))).alias("d"),
+        )
+        .collect()
+    )
+    dev = var = 0.0
+    for row in cells:
+        a, b, cc, d = row["a"], row["b"], row["c"], row["d"]
+        t = a + b + cc + d
+        dev += a - (a + b) * (a + cc) / t
+        var += (a + b) * (cc + d) * (a + cc) * (b + d) / (t * t * (t - 1))
+    chi2 = dev * dev / var
+    assert abs(r["cmh_chi2_x1e6"] / 1e6 - chi2) < 1e-3, (r, chi2)
