@@ -1030,6 +1030,134 @@ def _knn_celled_candidates(
     )
 
 
+_KNN_EDGES_SCHEMA = "src bigint, dst bigint, cos double"
+
+
+def _knn_edge_kernel(k: int):
+    """Per-(label, cell_s, cell_t) EXACT top-k kernel (r9, closing the
+    r8 anchor residual — the expression-tree scoring of 400k candidate
+    pairs through F.aggregate/zip_with HOF lambdas was the measured
+    hotspot at 2.4 s; an unrolled 64-term codegen expression measured
+    WORSE at 6.9 s, JIT bails on the generated method size).  One
+    Arrow batch per cell ships the bounded vector block (≤ 2·cap
+    rows); inside, the pair cosines build DIMENSION-BY-DIMENSION —
+    S = ((0 + x₁y₁) + x₂y₂) + … via accumulated outer products, the
+    squared norms likewise — so every per-pair double reproduces the
+    exact left-fold IEEE order of the DuckDB list_reduce oracle
+    (np.dot/BLAS would reorder the summation; at the 12-dp ranking
+    grain that is a latent near-tie hazard this kernel never takes).
+    Emits per-src top-k edges under the (cos desc, dst asc) tie-break
+    — identical to the window ranking it replaces — so the cross-cell
+    merge window downstream sees ≤ nsub·k rows per src, not the full
+    candidate rectangle.  NOTE the thresholded shared intermediate
+    `embedding_cosine_pairs` (cos ≥ 0.35) CANNOT serve this operator:
+    a src with < k neighbors above the threshold takes sub-threshold
+    edges into its exact kNN, which the truncated pair graph has
+    discarded."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def cell_knn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, cell_s, cell_t = key
+        a = pdf[pdf["role"] == 0]
+        b = a if cell_s == cell_t else pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ida = a["vec_id"].to_numpy()
+        idb = b["vec_id"].to_numpy()
+        A = np.stack(a["e"].to_numpy()).astype(np.float64)
+        B = (
+            A
+            if b is a
+            else np.stack(b["e"].to_numpy()).astype(np.float64)
+        )
+        d = A.shape[1]
+        S = np.zeros((len(ida), len(idb)))
+        na = np.zeros(len(ida))
+        nb_ = np.zeros(len(idb))
+        for i in range(d):
+            S = S + np.outer(A[:, i], B[:, i])
+            na = na + A[:, i] * A[:, i]
+            nb_ = nb_ + B[:, i] * B[:, i]
+        cs = np.round(S / np.outer(np.sqrt(na), np.sqrt(nb_)), 12)
+        srcs: list = []
+        dsts: list = []
+        coss: list = []
+        for p in range(len(ida)):
+            order = np.lexsort((idb, -cs[p]))
+            taken = 0
+            for q in order:
+                if idb[q] == ida[p]:
+                    continue
+                srcs.append(ida[p])
+                dsts.append(idb[q])
+                coss.append(cs[p, q])
+                taken += 1
+                if taken == k:
+                    break
+        return pd.DataFrame(
+            {
+                "src": pd.Series(srcs, dtype="int64"),
+                "dst": pd.Series(dsts, dtype="int64"),
+                "cos": pd.Series(coss, dtype="float64"),
+            }
+        )
+
+    return cell_knn
+
+
+def _knn_edges_salted(
+    v: DataFrame, k: int, cap: int = EMB_BLOCK_CAP
+) -> DataFrame:
+    """Hash-salted (src-cell, dst-cell) routing for the exact kNN
+    kernel: vector u (sub s) serves as the SRC side of cells (s, t)
+    for every t and as the DST side of cells (s', sub) for every
+    s' ≠ sub (the same-cell case reuses the src rows as both sides,
+    halving the Arrow transfer in the nsub == 1 common case).  Every
+    ordered (u, v) pair meets in exactly one cell (sub_u, sub_v); the
+    per-cell top-k under-approximates nothing because a src's true
+    top-k is the top-k of its per-cell top-k union."""
+    sizes = v.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("nsub")
+    )
+    base = v.join(F.broadcast(sizes), "label").select(
+        "label",
+        "vec_id",
+        "e",
+        "nsub",
+        F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int").alias("sub"),
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.col("nsub") - 1))
+    a_side = base.select(
+        "label",
+        "vec_id",
+        "e",
+        F.col("sub").alias("cell_s"),
+        grid.alias("cell_t"),
+        F.lit(0).alias("role"),
+    )
+    b_side = base.select(
+        "label",
+        "vec_id",
+        "e",
+        grid.alias("cell_s"),
+        F.col("sub").alias("cell_t"),
+        F.lit(1).alias("role"),
+    ).where(F.col("cell_s") != F.col("cell_t"))
+    routed = a_side.unionByName(b_side)
+    return routed.groupBy("label", "cell_s", "cell_t").applyInPandas(
+        _knn_edge_kernel(k), _KNN_EDGES_SCHEMA
+    )
+
+
 def _knn_candidates(
     v: DataFrame,
     cap: int = EMB_BLOCK_CAP,
@@ -1147,40 +1275,65 @@ def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vector norms fold ONCE per vector upstream (same expression, same
     IEEE value as the per-pair fold — division order unchanged).
 
-    Scale (r3 verdict #2 — no full-corpus broadcast): the src side
-    salts into ceil(n/cap) hash sub-blocks per label and the dst side
-    replicates into each sub-block through a SHUFFLE on (label, sub) —
-    the pair join is a plain equi-join whose task size is bounded by
-    (cap x block) regardless of corpus growth, where the old plan
-    broadcast the entire embeddings table.  Replication factor is
-    nsub (1 until a label outgrows cap), the same bounded-memory
-    price dedup_embedding_cosine pays.  A label beyond
+    Scale (r3 verdict #2 — no full-corpus broadcast; r9 rework of the
+    scoring hot path): exact labels route through the salted
+    (src-cell, dst-cell) grid of `_knn_edges_salted`, where an
+    Arrow-batched `applyInPandas` kernel scores each bounded cell and
+    emits ONLY per-src top-k edges — the r8 plan scored every
+    candidate pair through F.aggregate/zip_with HOF lambdas, and that
+    expression-interpreted 64-dim fold over the full candidate
+    rectangle was 2.4 s of the 3.8 s total (an unrolled codegen sum
+    measured worse, 6.9 s — see _knn_edge_kernel).  The kernel's
+    dimension-loop accumulation is IEEE-identical to the oracle's
+    left-fold, so the 12-dp near-tie discipline is preserved
+    bit-for-bit.  The thresholded `embedding_cosine_pairs` shared
+    intermediate was evaluated and REJECTED as the source here: kNN
+    is unthresholded by definition (a src with < k neighbors above
+    0.35 keeps sub-threshold edges), so the truncated pair graph
+    cannot reproduce the exact graph.  A label beyond
     cap * EMB_NSUB_MAX escalates to IVF-cell routing — each src
     probes the union of its HUB_NPROBE nearest coarse cells
-    (_knn_celled_candidates, r5 verdict #4: the kNN twin of the
-    threshold-prune path, nprobe-approximate like sim_search_ivf) —
-    so candidate volume tracks cluster structure, not the label-size
-    square; the split is a scalar branch decision plus broadcast
-    semi/anti joins, and no test-scale corpus triggers it (exactness
-    there is unconditional).  The per-src top-k filter applies
-    below the window exchange (WindowGroupLimit), so only ~k rows
-    per src shuffle into ranking."""
+    (_knn_celled_candidates, r5 verdict #4), JVM-scored, and its
+    edges merge into the same global ranking — the split is a scalar
+    branch decision plus broadcast semi/anti joins, and no test-scale
+    corpus triggers it.  The cross-cell merge window sees ≤ nsub·k
+    rows per src (k rows in the nsub == 1 common case), not the
+    candidate rectangle; no final global sort (the 10-row orderBy
+    cost ~0.6 s in range-partitioner sampling; the compare layer
+    sorts rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
         as_double(F.col("embedding")).alias("e"),
     ).select("vec_id", "label", "e", norm(F.col("e")).alias("nrm"))
-    scored = _knn_candidates(v).select(
-        "label",
-        "src",
-        "dst",
-        F.round(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 12
-        ).alias("cos"),
+    sizes = v.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / EMB_BLOCK_CAP).cast("int").alias("nsub")
     )
+    hot_dir = sizes.where(F.col("nsub") > EMB_NSUB_MAX).select("label")
+    v_exact = v
+    hot_edges = None
+    if hot_dir.count() > 0:
+        v_exact = v.join(F.broadcast(hot_dir), "label", "left_anti")
+        hot_edges = _knn_celled_candidates(
+            v.join(F.broadcast(hot_dir), "label", "left_semi"),
+            cap=EMB_BLOCK_CAP,
+            nprobe=HUB_NPROBE,
+        ).select(
+            "src",
+            "dst",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                12,
+            ).alias("cos"),
+        )
+    edges = _knn_edges_salted(
+        v_exact.select("label", "vec_id", "e"), k=HUB_K
+    )
+    if hot_edges is not None:
+        edges = edges.unionByName(hot_edges)
     wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    knn = scored.withColumn("rn", F.row_number().over(wk)).where(
+    knn = edges.withColumn("rn", F.row_number().over(wk)).where(
         F.col("rn") <= HUB_K
     )
     indeg = v.join(
@@ -1190,22 +1343,18 @@ def embedding_hubness_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("in_degree")
     )
-    return (
-        indeg.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_points"),
-            F.max("in_degree").cast("bigint").alias("max_in_degree"),
-            F.sum(F.when(F.col("in_degree") >= 2 * HUB_K, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_hubs"),
-            F.sum(F.when(F.col("in_degree") == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_antihubs"),
-            F.sum(F.col("in_degree") * F.col("in_degree"))
-            .cast("bigint")
-            .alias("indeg_sq_sum"),
-        )
-        .orderBy("label")
+    return indeg.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("in_degree").cast("bigint").alias("max_in_degree"),
+        F.sum(F.when(F.col("in_degree") >= 2 * HUB_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hubs"),
+        F.sum(F.when(F.col("in_degree") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+        F.sum(F.col("in_degree") * F.col("in_degree"))
+        .cast("bigint")
+        .alias("indeg_sq_sum"),
     )
 
 
