@@ -5203,3 +5203,96 @@ def ml_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ml_pr_operating_points",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                   value AS score
+            FROM events
+        ),
+        by_score AS (
+            SELECT score,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM scored GROUP BY score
+        ),
+        cum AS (
+            SELECT pos,
+                   SUM(n) OVER (ORDER BY score DESC
+                                ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(pos) OVER (ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_pos,
+                   SUM(pos) OVER () AS tot_pos
+            FROM by_score
+        )
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(MAX(cum_n) AS BIGINT) AS n_total,
+               CAST(SUM(pos * (cum_pos * 1000000 // cum_n))
+                    // SUM(pos) AS BIGINT) AS avg_precision_ppm,
+               CAST(MIN(CASE WHEN cum_pos * 2 >= tot_pos
+                             THEN cum_pos * 1000000 // cum_n END)
+                    AS BIGINT) AS precision_at_recall50_ppm
+        FROM cum
+    """,
+    tags=("E498",),
+)
+def ml_pr_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR OPERATING POINTS at tie-grouped DISTINCT-SCORE thresholds:
+    step AP over the achievable thresholds plus precision at the
+    50%-recall operating point — the number a triage pipeline is
+    provisioned by.  Differs from the registered per-row
+    `ml_average_precision` on both axes that matter: (a) ties enter
+    TOGETHER (the sklearn precision_recall_curve convention — a
+    per-row tie-break credits precision at ranks no real threshold
+    can achieve), and (b) the plan is VOCABULARY-scale: one window
+    over distinct scores instead of a row-scale global sort, which is
+    the form that survives 100 TB.
+
+    Exact: thresholds are the distinct scores (ties enter together —
+    the sklearn step convention); cumulative TP/N come from one
+    vocabulary-scale window; each retained threshold contributes
+    pos·(cumTP·1e6 div cumN) — all BIGINT — and AP is one final
+    integer div by n_pos (a declared floor-AP at ppm grain, identical
+    both engines).  Plan: one score rollup, one global-order window
+    over distinct scores, one aggregate — the Mann-Whitney shape.
+    100 TB: only the rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+        F.col("value").alias("score"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_score.select(
+        "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("pos").over(Window.partitionBy()).alias("tot_pos"),
+    )
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.max("cum_n").cast("bigint").alias("n_total"),
+        F.expr(
+            "CAST(SUM(pos * (cum_pos * 1000000 div cum_n))"
+            " div SUM(pos) AS BIGINT)"
+        ).alias("avg_precision_ppm"),
+        F.min(
+            F.when(
+                F.col("cum_pos") * 2 >= F.col("tot_pos"),
+                F.expr("cum_pos * 1000000 div cum_n"),
+            )
+        )
+        .cast("bigint")
+        .alias("precision_at_recall50_ppm"),
+    )

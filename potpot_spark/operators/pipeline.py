@@ -2423,3 +2423,120 @@ def pipeline_rejection_sample_best_of_n(
             "div (reward_sum div n_candidates) AS BIGINT)"
         ).alias("reward_gap_ppm"),
     ).orderBy("lang", "len_bucket")
+
+
+CURR_BUDGET = 1_000_000   # global token budget to apportion
+CURR_MULT = (1, 2, 3)     # per-quality-tercile sampling multipliers
+
+
+@query(
+    "pipeline_curriculum_token_allocation",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS toks,
+                   NTILE(3) OVER (ORDER BY n_chars, doc_id) AS tercile
+            FROM documents
+        ),
+        cells AS (
+            SELECT source, tercile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS toks,
+                   CAST(SUM(toks) AS BIGINT)
+                       * (CASE tercile WHEN 1 THEN {CURR_MULT[0]}
+                          WHEN 2 THEN {CURR_MULT[1]}
+                          ELSE {CURR_MULT[2]} END) AS wt
+            FROM scored GROUP BY source, tercile
+        ),
+        tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS w FROM cells),
+        fl AS (
+            SELECT source, tercile, n_docs, toks, wt,
+                   CAST(wt * {CURR_BUDGET} // (SELECT w FROM tot) AS BIGINT)
+                       AS base,
+                   CAST(wt * {CURR_BUDGET} % (SELECT w FROM tot) AS BIGINT)
+                       AS rem
+            FROM cells
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, source, tercile)
+                       AS rk,
+                   {CURR_BUDGET} - SUM(base) OVER () AS leftover
+            FROM fl
+        )
+        SELECT source, tercile, n_docs, toks, wt,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens
+        FROM ranked ORDER BY source, tercile
+    """,
+    tags=("E500",),
+)
+def pipeline_curriculum_token_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM TOKEN APPORTIONMENT: split a global training-token
+    budget across (source × length-tercile) cells proportionally to
+    token mass × a quality multiplier (longer-doc terciles upweighted
+    3:2:1), with LARGEST-REMAINDER rounding so the integer
+    allocations sum to the budget EXACTLY.  This is the planning op
+    between the registered temperature-mixing sampler (which sets
+    target PROPORTIONS) and the token-packing shard writer (which
+    consumes per-cell token QUOTAS): apportionment error of naive
+    rounding is what makes epoch token counts drift from spec.
+
+    Exact: Hamilton's method in pure integers — floor share wt·B div
+    W, remainder wt·B mod W, the B − Σfloor leftover goes to the
+    largest remainders under a total (rem, source, tercile) order;
+    Σalloc = B is a property-test invariant.  Plan: per-doc token
+    expression pass, NTILE over (n_chars, doc_id), one cell rollup
+    (aggregate-scale), two tiny windows.  100 TB: the doc scan is the
+    only corpus pass; apportionment is cell-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    scored = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("toks"),
+        F.ntile(3).over(Window.orderBy("n_chars", "doc_id")).alias("tercile"),
+    )
+    mult = (
+        F.when(F.col("tercile") == 1, CURR_MULT[0])
+        .when(F.col("tercile") == 2, CURR_MULT[1])
+        .otherwise(CURR_MULT[2])
+    )
+    cells = scored.groupBy("source", "tercile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("toks"),
+        (F.sum("toks").cast("bigint") * mult).alias("wt"),
+    )
+    tot = cells.agg(F.sum("wt").cast("bigint").alias("w"))
+    fl = cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tercile",
+        "n_docs",
+        "toks",
+        "wt",
+        F.expr(f"CAST(wt * {CURR_BUDGET} div w AS BIGINT)").alias("base"),
+        F.expr(f"CAST(wt * {CURR_BUDGET} % w AS BIGINT)").alias("rem"),
+    )
+    ranked = fl.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source", "tercile"))
+        .alias("rk"),
+        (CURR_BUDGET - F.sum("base").over(Window.partitionBy())).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "tercile",
+        "n_docs",
+        "toks",
+        "wt",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    ).orderBy("source", "tercile")

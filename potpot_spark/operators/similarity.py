@@ -1959,3 +1959,117 @@ def embedding_binary_hamming_search(
         .select("query_id", "rank", "neighbor_id", "hamming")
         .orderBy("query_id", "rank")
     )
+
+
+TWONN_FP = 10**9   # fixed-point grain for ln(mu) terms
+
+
+@query(
+    "embedding_intrinsic_dimension_twonn",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, len(a.e) + 1),
+                                          j -> a.e[j] * b.e[j])),
+                           (acc, x) -> acc + x)
+                       / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(a.e, x -> x * x)), (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(b.e, x -> x * x)), (acc, x) -> acc + x))),
+                       12) AS cos
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        nn AS (
+            SELECT label, src,
+                   MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+                   MAX(CASE WHEN rn = 2 THEN cos END) AS c2
+            FROM (
+                SELECT label, src, cos,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rn
+                FROM scored
+            ) WHERE rn <= 2
+            GROUP BY label, src
+            HAVING MAX(CASE WHEN rn = 2 THEN cos END) IS NOT NULL
+               AND MAX(CASE WHEN rn = 1 THEN cos END) < 1.0
+        ),
+        terms AS (
+            SELECT label,
+                   CAST(FLOOR(ln((1.0 - c2) / (1.0 - c1)) * {TWONN_FP})
+                        AS BIGINT) AS lnmu_fp
+            FROM nn
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(lnmu_fp) AS BIGINT) AS sum_lnmu_fp,
+               ROUND(CAST(COUNT(*) AS DOUBLE) * {TWONN_FP}
+                     / SUM(lnmu_fp), 9) AS id_twonn
+        FROM terms
+        GROUP BY label
+    """,
+    tags=("E501",),
+)
+def embedding_intrinsic_dimension_twonn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN INTRINSIC DIMENSION (Facco et al. 2017) per label, on
+    cosine distance: each point contributes μ = d₂/d₁ = (1−cos₂)/
+    (1−cos₁) from its two nearest within-label neighbors, and the MLE
+    is ID = n/Σln μ.  THE capacity diagnostic for the ANN family: a
+    64-dim embedding whose data lives on a ~9-dim manifold retrieves
+    fine with small IVF nprobe; ID ≈ ambient dimension is the
+    hubness-prone regime the registered hubness audit flags — the two
+    ops together decide the index configuration before anything is
+    built.
+
+    Exact: neighbor cosines come from the SAME Arrow left-fold kernel
+    as the hubness graph (_knn_edge_kernel with k = 2 — bit-identical
+    to the oracle's list_reduce at the 12-dp grain), μ is a ratio of
+    the two ROUNDED cosines (identical operands both engines), each
+    ln μ is FLOOR-quantized at 1e9 into exact BIGINT sums, ID is one
+    identical double expression.  Duplicate-vector sources (cos₁ = 1,
+    μ undefined) are excluded on both sides.  Plan: the salted-cell
+    kNN kernel (per-src top-2 only leaves each cell), a per-src merge
+    window over ≤ 2·nsub rows, one per-label aggregate.  100 TB: the
+    bounded-cell routing of the dedup/hubness family — no pair
+    rectangle ever materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    edges = _knn_edges_salted(v, k=2)
+    lab = v.select(F.col("vec_id").alias("src"), "label")
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    nn = (
+        edges.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 2)
+        .groupBy("src")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("c1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cos"))).alias("c2"),
+        )
+        .where(F.col("c2").isNotNull() & (F.col("c1") < 1.0))
+        .join(lab, "src")
+    )
+    terms = nn.select(
+        "label",
+        F.floor(
+            F.log((1.0 - F.col("c2")) / (1.0 - F.col("c1"))) * TWONN_FP
+        )
+        .cast("bigint")
+        .alias("lnmu_fp"),
+    )
+    return terms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("lnmu_fp").cast("bigint").alias("sum_lnmu_fp"),
+        F.round(
+            F.count(F.lit(1)).cast("double") * TWONN_FP / F.sum("lnmu_fp"), 9
+        ).alias("id_twonn"),
+    )

@@ -7916,3 +7916,513 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (MAX(na) * MAX(nb)) AS BIGINT)"
         ).alias("cliffs_delta_ppm"),
     )
+
+
+@query(
+    "stats_jonckheere_terpstra",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS v
+            FROM orders
+        ),
+        cells AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(SUM(CASE WHEN grp = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                   CAST(SUM(CASE WHEN grp = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                   CAST(SUM(CASE WHEN grp = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+            FROM g GROUP BY v
+        ),
+        lad AS (
+            SELECT c1, c2, c3, c4, c5,
+                   COALESCE(SUM(c1) OVER w, 0) AS f1,
+                   COALESCE(SUM(c2) OVER w, 0) AS f2,
+                   COALESCE(SUM(c3) OVER w, 0) AS f3,
+                   COALESCE(SUM(c4) OVER w, 0) AS f4
+            FROM cells
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        ),
+        s AS (
+            SELECT CAST(SUM(c2 * (2 * f1 + c1)
+                            + c3 * (2 * (f1 + f2) + c1 + c2)
+                            + c4 * (2 * (f1 + f2 + f3) + c1 + c2 + c3)
+                            + c5 * (2 * (f1 + f2 + f3 + f4)
+                                    + c1 + c2 + c3 + c4)) AS BIGINT) AS jt2,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c3) AS BIGINT) AS n3,
+                   CAST(SUM(c4) AS BIGINT) AS n4,
+                   CAST(SUM(c5) AS BIGINT) AS n5
+            FROM lad
+        )
+        SELECT jt2, n1 + n2 + n3 + n4 + n5 AS n_total,
+               CAST(((n1 + n2 + n3 + n4 + n5) * (n1 + n2 + n3 + n4 + n5)
+                     - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5))
+                    AS BIGINT) / 2 AS jt2_expected,
+               ROUND((CAST(jt2 AS DOUBLE)
+                      - CAST((n1 + n2 + n3 + n4 + n5)
+                             * (n1 + n2 + n3 + n4 + n5)
+                             - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)
+                             AS DOUBLE) / 2)
+                     / (2 * sqrt((CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+                                  * (n1 + n2 + n3 + n4 + n5)
+                                  * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+                                  - (CAST(n1 AS DOUBLE)*n1*(2*n1+3)
+                                     + CAST(n2 AS DOUBLE)*n2*(2*n2+3)
+                                     + CAST(n3 AS DOUBLE)*n3*(2*n3+3)
+                                     + CAST(n4 AS DOUBLE)*n4*(2*n4+3)
+                                     + CAST(n5 AS DOUBLE)*n5*(2*n5+3)))
+                                 / 72)), 9) AS z
+        FROM s
+    """,
+    tags=("E483",),
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA ordered-alternative k-sample test: does
+    order value rise MONOTONICALLY with priority class (1-URGENT …
+    5-LOW)?  JT = Σ_{i<j} U_ij sums one Mann-Whitney U per ordered
+    group pair — the k-sample sharpening of Mann-Whitney the way
+    Page's L sharpens Friedman: Kruskal-Wallis asks "do groups differ
+    at all?", JT asks the ordered question and wins power exactly on
+    the monotone alternative.
+
+    Exact: all ten pairwise U statistics come from ONE pass over the
+    distinct-VALUE ladder — per value, the five group counts pivot
+    into columns, a single global-order window yields each group's
+    cumulative count below the value, and every cell contributes
+    c_j·(2·F_{<}(lower groups) + ties) to the DOUBLED statistic JT2
+    (exact BIGINT; the ½-tie convention stays integral).  E[JT2] =
+    (N² − Σn_i²)/2 exact; z uses the standard untied null variance
+    (N²(2N+3) − Σn_i²(2n_i+3))/72 — price ties at cent grain are
+    negligible and BOTH engines share the identical expression tree.
+    Plan: one fact groupBy(value), one vocabulary-scale ladder window,
+    one scalar aggregate — the Mann-Whitney shape with a 5-way pivot.
+    100 TB: only the value rollup sees the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    cells = g.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("grp") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(1, 6)
+        ]
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    lad = cells.select(
+        *[f"c{i}" for i in range(1, 6)],
+        *[
+            F.coalesce(F.sum(f"c{i}").over(w), F.lit(0)).alias(f"f{i}")
+            for i in range(1, 5)
+        ],
+    )
+    contrib = (
+        F.col("c2") * (2 * F.col("f1") + F.col("c1"))
+        + F.col("c3")
+        * (2 * (F.col("f1") + F.col("f2")) + F.col("c1") + F.col("c2"))
+        + F.col("c4")
+        * (
+            2 * (F.col("f1") + F.col("f2") + F.col("f3"))
+            + F.col("c1")
+            + F.col("c2")
+            + F.col("c3")
+        )
+        + F.col("c5")
+        * (
+            2 * (F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4"))
+            + F.col("c1")
+            + F.col("c2")
+            + F.col("c3")
+            + F.col("c4")
+        )
+    )
+    s = lad.agg(
+        F.sum(contrib).cast("bigint").alias("jt2"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(1, 6)],
+    )
+    n = (
+        F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    )
+    sq = (
+        F.col("n1") * F.col("n1")
+        + F.col("n2") * F.col("n2")
+        + F.col("n3") * F.col("n3")
+        + F.col("n4") * F.col("n4")
+        + F.col("n5") * F.col("n5")
+    )
+    var72 = (
+        n.cast("double") * n * (2 * n + 3)
+        - sum(
+            F.col(f"n{i}").cast("double")
+            * F.col(f"n{i}")
+            * (2 * F.col(f"n{i}") + 3)
+            for i in range(1, 6)
+        )
+    ) / 72
+    return s.select(
+        "jt2",
+        n.cast("bigint").alias("n_total"),
+        ((n * n - sq).cast("bigint") / F.lit(2)).alias("jt2_expected"),
+        F.round(
+            (F.col("jt2").cast("double") - (n * n - sq).cast("double") / 2)
+            / (2 * F.sqrt(var72)),
+            9,
+        ).alias("z"),
+    )
+
+
+@query(
+    "stats_ordinal_assoc_grid",
+    oracle="""
+        WITH o AS (
+            SELECT LEAST(5, 1 + (CAST(l_quantity AS BIGINT) - 1) // 10)
+                       AS x,
+                   CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                       // 2 AS y
+            FROM lineitem
+        ),
+        grid AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY x, y
+        ),
+        conc AS (
+            SELECT
+                CAST(SUM(a.n * CASE WHEN b.x > a.x AND b.y > a.y
+                                    THEN b.n ELSE 0 END) AS BIGINT) AS c2,
+                CAST(SUM(a.n * CASE WHEN b.x > a.x AND b.y < a.y
+                                    THEN b.n ELSE 0 END) AS BIGINT) AS d2,
+                CAST(SUM(CASE WHEN b.x = a.x AND b.y = a.y
+                              THEN a.n ELSE 0 END) AS BIGINT) AS n_total
+            FROM grid a CROSS JOIN grid b
+        ),
+        ties AS (
+            SELECT CAST(SUM(nx * (nx - 1)) AS BIGINT) AS tx2
+            FROM (SELECT SUM(n) AS nx FROM grid GROUP BY x)
+        ),
+        tiesy AS (
+            SELECT CAST(SUM(ny * (ny - 1)) AS BIGINT) AS ty2
+            FROM (SELECT SUM(n) AS ny FROM grid GROUP BY y)
+        )
+        SELECT n_total, c2 AS concordant, d2 AS discordant,
+               CAST((c2 - d2) * 1000000 // (c2 + d2) AS BIGINT)
+                   AS gamma_ppm,
+               CAST((c2 - d2) * 1000000
+                    // (CAST(n_total AS BIGINT) * (n_total - 1) - tx2)
+                    AS BIGINT) AS somers_d_yx_ppm,
+               CAST((c2 - d2) * 1000000
+                    // (CAST(n_total AS BIGINT) * (n_total - 1) - ty2)
+                    AS BIGINT) AS somers_d_xy_ppm,
+               CAST((c2 - d2) * 2 * 5 * 1000000
+                    // (CAST(n_total AS BIGINT) * n_total * (5 - 1) * 2)
+                    AS BIGINT) AS tau_c_ppm
+        FROM conc, ties, tiesy
+    """,
+    tags=("E484",),
+)
+def stats_ordinal_assoc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDINAL-ASSOCIATION panel — Goodman-Kruskal gamma, Somers'
+    D (both directions), Stuart's tau-c — between quantity band
+    (1..5, tens) and discount band (0..5, two-point steps): does a
+    bigger order buy a deeper discount?  Kendall/Spearman treat the
+    variables as continuous ranks; these are THE statistics for
+    ordered CATEGORIES, and the D_yx/D_xy asymmetry separates
+    "quantity predicts discount" from its converse — the ordinal
+    analog of the registered uncertainty/ξ directionality.
+
+    Exact: the r×c contingency grid is aggregate-scale (≤ 30 cells),
+    so concordant/discordant DOUBLED pair counts come from the grid's
+    own cross product (900 cell pairs — never a row-scale pair join):
+    C2 = Σ n_ij·Σ_{i'>i,j'>j} n_i'j', D2 likewise, both exact
+    BIGINTs; tie terms Tx2/Ty2 from the marginals; each statistic is
+    one integer `div` at ppm grain.  Both engines share the cell
+    algebra verbatim.  Plan: one fact groupBy → tiny grid; everything
+    after is constant work.  100 TB: the banding rollup is the only
+    corpus pass (decimal38 cell products would be needed at ~1e10
+    rows per cell pair — the grid is 30 cells, so products stay
+    ≤ N²)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.select(
+        F.least(
+            F.lit(5),
+            1 + F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10"),
+        ).alias("x"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) div 2"
+        ).alias("y"),
+    )
+    grid = o.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = grid.alias("a"), grid.alias("b")
+    conc = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.col("a.n")
+            * F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                F.col("b.n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.col("a.n")
+            * F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                F.col("b.n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(
+            F.when(
+                (F.col("b.x") == F.col("a.x")) & (F.col("b.y") == F.col("a.y")),
+                F.col("a.n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_total"),
+    )
+    tx2 = (
+        grid.groupBy("x")
+        .agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.col("nx") * (F.col("nx") - 1)).cast("bigint").alias("tx2"))
+    )
+    ty2 = (
+        grid.groupBy("y")
+        .agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.col("ny") * (F.col("ny") - 1)).cast("bigint").alias("ty2"))
+    )
+    j = conc.crossJoin(F.broadcast(tx2)).crossJoin(F.broadcast(ty2))
+    return j.select(
+        "n_total",
+        F.col("c2").alias("concordant"),
+        F.col("d2").alias("discordant"),
+        F.expr("CAST((c2 - d2) * 1000000 div (c2 + d2) AS BIGINT)").alias(
+            "gamma_ppm"
+        ),
+        F.expr(
+            "CAST((c2 - d2) * 1000000"
+            " div (CAST(n_total AS BIGINT) * (n_total - 1) - tx2) AS BIGINT)"
+        ).alias("somers_d_yx_ppm"),
+        F.expr(
+            "CAST((c2 - d2) * 1000000"
+            " div (CAST(n_total AS BIGINT) * (n_total - 1) - ty2) AS BIGINT)"
+        ).alias("somers_d_xy_ppm"),
+        F.expr(
+            "CAST((c2 - d2) * 2 * 5 * 1000000"
+            " div (CAST(n_total AS BIGINT) * n_total * (5 - 1) * 2)"
+            " AS BIGINT)"
+        ).alias("tau_c_ppm"),
+    )
+
+
+@query(
+    "stats_cochran_armitage_trend",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders
+        ),
+        cells AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(hit) AS BIGINT) AS r_i
+            FROM s GROUP BY w
+        ),
+        t AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(r_i) AS BIGINT) AS r,
+                   CAST(SUM(w * n_i) AS BIGINT) AS swn,
+                   CAST(SUM(w * r_i) AS BIGINT) AS swr,
+                   CAST(SUM(w * w * n_i) AS BIGINT) AS swwn
+            FROM cells
+        )
+        SELECT n, r,
+               CAST(n * swr - r * swn AS BIGINT) AS s_num,
+               ROUND(CAST(n * swr - r * swn AS DOUBLE)
+                     / sqrt(CAST(r AS DOUBLE) * (n - r)
+                            * (CAST(n AS DOUBLE) * swwn
+                               - CAST(swn AS DOUBLE) * swn) / n), 9) AS z
+        FROM t
+    """,
+    tags=("E485",),
+)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test: does the FINISHED-status rate
+    trend monotonically across the ordered priority classes (scores
+    w = 1..5)?  The chi-square independence test (registered
+    cramers_v sibling) spends k−1 df asking "any difference"; CA
+    spends ONE df on the linear-in-scores alternative — the standard
+    dose-response / ordered-exposure screen, and the binary-outcome
+    partner of Jonckheere-Terpstra.
+
+    Exact: the statistic's numerator S = N·Σwr − R·Σwn and every
+    moment (Σwn, Σw²n) are exact BIGINTs from a 5-row cell table; z =
+    S/√(R(N−R)(NΣw²n − (Σwn)²)/N) is one identical expression tree.
+    Plan: one fact aggregate to 5 cells, scalar algebra.  100 TB: the
+    cell rollup is the only corpus pass."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    cells = s.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("hit").cast("bigint").alias("r_i"),
+    )
+    t = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("swn"),
+        F.sum(F.col("w") * F.col("r_i")).cast("bigint").alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("bigint")
+        .alias("swwn"),
+    )
+    s_num = (F.col("n") * F.col("swr") - F.col("r") * F.col("swn")).cast(
+        "bigint"
+    )
+    return t.select(
+        "n",
+        "r",
+        s_num.alias("s_num"),
+        F.round(
+            s_num.cast("double")
+            / F.sqrt(
+                F.col("r").cast("double")
+                * (F.col("n") - F.col("r"))
+                * (
+                    F.col("n").cast("double") * F.col("swwn")
+                    - F.col("swn").cast("double") * F.col("swn")
+                )
+                / F.col("n")
+            ),
+            9,
+        ).alias("z"),
+    )
+
+
+@query(
+    "stats_uncertainty_coefficient",
+    oracle=f"""
+        WITH j AS (
+            SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        grid AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY x, y
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM grid),
+        hx AS (
+            SELECT CAST(-SUM(nx * CAST(FLOOR(log2(CAST(nx AS DOUBLE)
+                       / (SELECT nn FROM tot)) * {ENTROPY_SCALE})
+                       AS BIGINT)) AS BIGINT) AS hq
+            FROM (SELECT SUM(n) AS nx FROM grid GROUP BY x)
+        ),
+        hy AS (
+            SELECT CAST(-SUM(ny * CAST(FLOOR(log2(CAST(ny AS DOUBLE)
+                       / (SELECT nn FROM tot)) * {ENTROPY_SCALE})
+                       AS BIGINT)) AS BIGINT) AS hq
+            FROM (SELECT SUM(n) AS ny FROM grid GROUP BY y)
+        ),
+        hxy AS (
+            SELECT CAST(-SUM(n * CAST(FLOOR(log2(CAST(n AS DOUBLE)
+                       / (SELECT nn FROM tot)) * {ENTROPY_SCALE})
+                       AS BIGINT)) AS BIGINT) AS hq
+            FROM grid
+        )
+        SELECT (SELECT nn FROM tot) AS n_total,
+               CAST((SELECT hq FROM hx) AS DOUBLE)
+                   / (SELECT nn FROM tot) / {ENTROPY_SCALE} AS h_x_bits,
+               CAST((SELECT hq FROM hy) AS DOUBLE)
+                   / (SELECT nn FROM tot) / {ENTROPY_SCALE} AS h_y_bits,
+               CAST((SELECT hq FROM hxy) AS DOUBLE)
+                   / (SELECT nn FROM tot) / {ENTROPY_SCALE} AS h_xy_bits,
+               CAST(((SELECT hq FROM hx) + (SELECT hq FROM hy)
+                     - (SELECT hq FROM hxy)) * 1000000
+                    // (SELECT hq FROM hy) AS BIGINT)
+                   AS u_y_given_x_ppm,
+               CAST(((SELECT hq FROM hx) + (SELECT hq FROM hy)
+                     - (SELECT hq FROM hxy)) * 1000000
+                    // (SELECT hq FROM hx) AS BIGINT)
+                   AS u_x_given_y_ppm
+        FROM tot
+    """,
+    tags=("E486",),
+)
+def stats_uncertainty_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S UNCERTAINTY COEFFICIENT U(Y|X) = I(X;Y)/H(Y) between
+    market segment and order priority — the ASYMMETRIC, normalized,
+    chance-corrected dependence readout for categorical pairs:
+    Cramér's V (registered matrix sibling) is symmetric and
+    margin-sensitive; U answers "what fraction of Y's entropy does
+    knowing X remove?", in each direction separately.
+
+    Exact: the three entropies accumulate the profile_column_entropy
+    FLOOR-fixed-point terms (−Σ c·⌊log2(c/N)·2^20⌋, exact BIGINTs),
+    and I = Hx + Hy − Hxy stays in INTEGER quantized units until one
+    ppm `div` per direction — the ratio never touches accumulated
+    doubles, so parity is bit-exact.  Plan: one broadcast dim join,
+    one grid aggregate (≤ 25 cells), marginals from the grid.
+    100 TB: the fact join+rollup is the only corpus pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("x"), F.col("o_orderpriority").alias("y")
+    )
+    grid = j.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def hq(counts: DataFrame, col: str) -> DataFrame:
+        return counts.crossJoin(F.broadcast(grid.agg(F.sum("n").alias("nn")))).agg(
+            (
+                -F.sum(
+                    F.col(col)
+                    * F.floor(
+                        F.log2(F.col(col).cast("double") / F.col("nn"))
+                        * ENTROPY_SCALE
+                    ).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("hq")
+        )
+
+    hx = hq(grid.groupBy("x").agg(F.sum("n").alias("nx")), "nx").select(
+        F.col("hq").alias("hx")
+    )
+    hy = hq(grid.groupBy("y").agg(F.sum("n").alias("ny")), "ny").select(
+        F.col("hq").alias("hy")
+    )
+    hxy = hq(grid, "n").select(F.col("hq").alias("hxy"))
+    nn = grid.agg(F.sum("n").cast("bigint").alias("n_total"))
+    j2 = (
+        nn.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+    )
+    return j2.select(
+        "n_total",
+        (F.col("hx").cast("double") / F.col("n_total") / ENTROPY_SCALE).alias(
+            "h_x_bits"
+        ),
+        (F.col("hy").cast("double") / F.col("n_total") / ENTROPY_SCALE).alias(
+            "h_y_bits"
+        ),
+        (F.col("hxy").cast("double") / F.col("n_total") / ENTROPY_SCALE).alias(
+            "h_xy_bits"
+        ),
+        F.expr(
+            "CAST((hx + hy - hxy) * 1000000 div hy AS BIGINT)"
+        ).alias("u_y_given_x_ppm"),
+        F.expr(
+            "CAST((hx + hy - hxy) * 1000000 div hx AS BIGINT)"
+        ).alias("u_x_given_y_ppm"),
+    )

@@ -3641,3 +3641,519 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Shared per-(lang, term) frequency CTE for the lexical-statistics
+# trio (Yule's K, hapax profile, Simpson diversity) — one source
+# string so the token law can never drift between them.
+_LEX_FREQ_CTE = """
+        tok AS (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        freq AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE term <> '' GROUP BY lang, term
+        )
+"""
+
+
+def _lex_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, term) counts under the repo's standard whitespace
+    tokenization — the Spark twin of _LEX_FREQ_CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+@query(
+    "text_yule_k_characteristic",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               CAST((SUM(CAST(c AS HUGEINT) * c) - SUM(c)) * 10000000000
+                    // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+                   AS yule_k_x1e6
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E491",),
+)
+def text_yule_k_characteristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S CHARACTERISTIC K per language — 10⁴·(Σm²V_m − N)/N² =
+    10⁴·(Σ_t c_t² − N)/N², the classical repetitiveness constant of a
+    vocabulary: K is (asymptotically) sample-size INVARIANT, unlike
+    raw type-token ratio, so it compares corpora of different sizes
+    honestly.  High K = a corpus leaning on few words (templated/
+    boilerplate generators score high) — a corpus-hygiene fingerprint
+    next to the registered compression-ratio and Gopher filters.
+
+    Exact: Σc² accumulates as decimal38/HUGEINT, K lands as ONE
+    integer `div` at 1e6 grain (K itself carries the 1e4 factor).
+    Plan: one token explode + (lang, term) rollup — the shared
+    vocabulary pass — then a per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("v_types"),
+            F.expr(
+                "CAST((SUM(CAST(c AS DECIMAL(38,0)) * c) - SUM(c))"
+                " * 10000000000"
+                " div (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+            ).alias("yule_k_x1e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_hapax_legomena_profile",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v1_hapax,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v2_dis,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS hapax_type_ppm,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // SUM(c) AS BIGINT) AS hapax_token_ppm
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E492",),
+)
+def text_hapax_legomena_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX/DIS LEGOMENA profile per language: V₁ (once-words), V₂
+    (twice-words) and their shares of the vocabulary and the token
+    mass.  V₁/V near Zipf's ~50% marks natural text; a CRASH in hapax
+    share is the classic symptom of templated or deduplicated-to-death
+    corpora, and a SPIKE marks OCR noise / tokenizer breakage — the
+    two failure directions the registered quality filters each miss.
+    Good-Turing smoothing (the registered Kneser-Ney sibling's
+    foundation) is built on exactly these V₁/V₂ counts.
+
+    Exact: pure integer counts off the shared (lang, term) frequency
+    pass; shares are ppm integer `div`s.  Plan: vocabulary rollup +
+    per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("v_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v1_hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v2_dis"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("hapax_type_ppm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div SUM(c) AS BIGINT)"
+            ).alias("hapax_token_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_simpson_token_diversity",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+                    // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) AS BIGINT)
+                   AS repeat_prob_ppm,
+               CAST(1000000 - SUM(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+                    // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) AS BIGINT)
+                   AS simpson_diversity_ppm
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E493",),
+)
+def text_simpson_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S index over token frequencies per language: D =
+    Σc(c−1)/(N(N−1)) is the EXACT probability two tokens drawn
+    without replacement are the same word; 1−D is the diversity.  The
+    ecology-standard concentration measure applied to vocabulary —
+    more interpretable than entropy (it is a probability), dominated
+    by the head where boilerplate lives, and EXACTLY computable in
+    integers (entropy's logs need quantization; D needs none).
+
+    Exact: both numerator and denominator are pure integer products
+    of exact counts (decimal38/HUGEINT for Σc·(c−1)); one ppm `div`
+    each.  Plan: shared vocabulary rollup + per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    rp = (
+        "SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) * 1000000"
+        " div (CAST(SUM(c) AS DECIMAL(38,0)) * (SUM(c) - 1))"
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.expr(f"CAST({rp} AS BIGINT)").alias("repeat_prob_ppm"),
+            F.expr(f"CAST(1000000 - {rp} AS BIGINT)").alias(
+                "simpson_diversity_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+HEAPS_LOG_FP = 1 << 20
+
+
+@query(
+    "text_heaps_law_doc_fit",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_d,
+                   CAST(len(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x <> '')))
+                        AS BIGINT) AS v_d
+            FROM documents
+        ),
+        pts AS (
+            SELECT CAST(FLOOR(log2(CAST(n_d AS DOUBLE)) * {HEAPS_LOG_FP})
+                        AS BIGINT) AS lx,
+                   CAST(FLOOR(log2(CAST(v_d AS DOUBLE)) * {HEAPS_LOG_FP})
+                        AS BIGINT) AS ly
+            FROM per_doc WHERE n_d >= 2
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(lx) AS BIGINT) AS sx,
+                   CAST(SUM(ly) AS BIGINT) AS sy,
+                   SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                   SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_docs,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx), 9) AS heaps_beta,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx) * sx)
+                     / n / {HEAPS_LOG_FP}, 9) AS log2_k_intercept
+        FROM m
+    """,
+    tags=("E494",),
+)
+def text_heaps_law_doc_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW fit across documents: V = K·N^β estimated by OLS on
+    (log₂N_d, log₂V_d) per document — how fast does vocabulary grow
+    with length in this corpus?  β ≈ 0.4-0.6 is natural text;
+    β → 1 means near-zero word reuse (tables, IDs, hashes), β → 0
+    means template spam.  Feeds tokenizer-budget planning: the
+    vocabulary a BPE pass will meet at 100 TB extrapolates from this
+    fit (partnering the registered tokenizer fertility/coverage ops).
+
+    Exact: per-doc token and type counts are exact; both logs are
+    FLOOR-quantized at 2^20 so all five regression sums accumulate as
+    exact integers (decimal38 cross products); slope and intercept
+    are one identical double chain.  Plan: one Arrow-free per-doc
+    expression pass (size/array_distinct — no explode), one scalar
+    aggregate.  100 TB: embarrassingly parallel scan + one tiny
+    reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    per_doc = d.select(
+        F.size(toks).cast("bigint").alias("n_d"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("v_d"),
+    ).where(F.col("n_d") >= 2)
+    pts = per_doc.select(
+        F.floor(F.log2(F.col("n_d").cast("double")) * HEAPS_LOG_FP)
+        .cast("bigint")
+        .alias("lx"),
+        F.floor(F.log2(F.col("v_d").cast("double")) * HEAPS_LOG_FP)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly")).cast(d38).alias("sxy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx")).cast(d38).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.round(beta, 9).alias("heaps_beta"),
+        F.round((sy - beta * sx) / n / HEAPS_LOG_FP, 9).alias(
+            "log2_k_intercept"
+        ),
+    )
+
+
+KEYNESS_TOP = 5        # top terms per source by G²
+KEYNESS_MIN_COUNT = 20  # ignore rare terms (G² unstable below)
+KEYNESS_FP = 10**6      # fixed-point grain for the ln terms
+
+
+@query(
+    "text_log_likelihood_keyness",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+            FROM tok WHERE term <> '' GROUP BY source, term
+        ),
+        term_tot AS (
+            SELECT term, CAST(SUM(a) AS BIGINT) AS ct FROM tf GROUP BY term
+        ),
+        src_tot AS (
+            SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM tf GROUP BY source
+        ),
+        grand AS (SELECT CAST(SUM(a) AS BIGINT) AS nn FROM tf),
+        cells AS (
+            SELECT tf.source, tf.term, tf.a,
+                   term_tot.ct - tf.a AS b,
+                   src_tot.ns, grand.nn, term_tot.ct
+            FROM tf JOIN term_tot USING (term)
+                    JOIN src_tot USING (source), grand
+            WHERE term_tot.ct >= {KEYNESS_MIN_COUNT}
+        ),
+        scored AS (
+            SELECT source, term, a, b,
+                   CAST(a AS BIGINT) * CAST(FLOOR(ln(
+                       CAST(a AS DOUBLE) * nn / (CAST(ns AS DOUBLE) * ct))
+                       * {KEYNESS_FP}) AS BIGINT)
+                   + CASE WHEN b > 0 THEN
+                       CAST(b AS BIGINT) * CAST(FLOOR(ln(
+                           CAST(b AS DOUBLE) * nn
+                           / (CAST(nn - ns AS DOUBLE) * ct))
+                           * {KEYNESS_FP}) AS BIGINT)
+                     ELSE 0 END AS g2half_fp
+            FROM cells
+        )
+        SELECT source, term, a AS count_in, b AS count_out, g2half_fp
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY g2half_fp DESC, term) AS rn
+            FROM scored WHERE g2half_fp > 0
+        ) WHERE rn <= {KEYNESS_TOP}
+    """,
+    tags=("E495",),
+)
+def text_log_likelihood_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNNING LOG-LIKELIHOOD KEYNESS: for each source, the terms
+    most over-represented vs the REST of the corpus by the G²
+    statistic (2·Σ O·ln(O/E) over the term's 2×2 source/rest table) —
+    THE corpus-linguistics tool for "what is this source actually
+    about / what boilerplate does it inject?".  Chi-square misranks
+    rare-but-skewed terms; G² is the standard fix (Dunning 1993), and
+    the source-level complement of the registered per-document tf-idf
+    and Burrows' Delta (style vs CONTENT separation).
+
+    Exact: each of the two observed cells contributes
+    O·⌊ln(O·N/(rowtot·coltot))·1e6⌋ — an exact BIGINT product of
+    integers (the positive half of G²; the omitted complement cells
+    only strengthen ranking monotonicity and the formula is declared
+    in the name g2half) — ranked under a (score desc, term)
+    tie-break identical on both engines.  Plan: one (source, term)
+    rollup, two marginal joins (term totals join is vocabulary-scale
+    — shuffle on term; source totals broadcast), one top-k window
+    per source.  100 TB: the explode+rollup is the corpus pass;
+    everything downstream is vocabulary-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    term_tot = tf.groupBy("term").agg(F.sum("a").cast("bigint").alias("ct"))
+    src_tot = tf.groupBy("source").agg(F.sum("a").cast("bigint").alias("ns"))
+    grand = tf.agg(F.sum("a").cast("bigint").alias("nn"))
+    cells = (
+        tf.join(term_tot, "term")
+        .where(F.col("ct") >= KEYNESS_MIN_COUNT)
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("ct") - F.col("a")).alias("b"),
+            "ns",
+            "nn",
+            "ct",
+        )
+    )
+    term1 = F.col("a") * F.floor(
+        F.log(
+            F.col("a").cast("double")
+            * F.col("nn")
+            / (F.col("ns").cast("double") * F.col("ct"))
+        )
+        * KEYNESS_FP
+    ).cast("bigint")
+    term2 = F.when(
+        F.col("b") > 0,
+        F.col("b")
+        * F.floor(
+            F.log(
+                F.col("b").cast("double")
+                * F.col("nn")
+                / ((F.col("nn") - F.col("ns")).cast("double") * F.col("ct"))
+            )
+            * KEYNESS_FP
+        ).cast("bigint"),
+    ).otherwise(0)
+    scored = cells.select(
+        "source",
+        "term",
+        F.col("a").alias("count_in"),
+        F.col("b").alias("count_out"),
+        (term1 + term2).cast("bigint").alias("g2half_fp"),
+    ).where(F.col("g2half_fp") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("g2half_fp").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KEYNESS_TOP)
+        .drop("rn")
+    )
+
+
+FANO_TOP = 10          # most/least bursty terms reported
+FANO_MIN_DOCS = 30     # df floor — Fano is noise below
+FANO_FP = 10**6
+
+
+@query(
+    "text_term_burstiness_fano",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE term <> '' GROUP BY term, doc_id
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+        m AS (
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS tot,
+                   SUM(CAST(c AS HUGEINT) * c) AS sq
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT term, df, tot,
+                   CAST((sq * (SELECT d FROM nd) - CAST(tot AS HUGEINT) * tot)
+                        * {FANO_FP}
+                        // (CAST(tot AS HUGEINT) * (SELECT d FROM nd))
+                        AS BIGINT) AS fano_fp
+            FROM m WHERE df >= {FANO_MIN_DOCS}
+        )
+        SELECT term, df, tot, fano_fp, side FROM (
+            SELECT *, 'bursty' AS side,
+                   row_number() OVER (ORDER BY fano_fp DESC, term) AS rn
+            FROM scored
+            UNION ALL
+            SELECT *, 'uniform' AS side,
+                   row_number() OVER (ORDER BY fano_fp ASC, term) AS rn
+            FROM scored
+        ) WHERE rn <= {FANO_TOP}
+    """,
+    tags=("E496",),
+)
+def text_term_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS by the Fano factor over documents (zeros
+    included): F = Var(c)/E[c] computed over ALL docs — F ≈ its mean
+    for Poisson scatter; F ≫ that marks CONTENT words that arrive in
+    bursts (a doc about X says X many times), F small marks FUNCTION
+    words spread evenly.  Church & Gale's burstiness is the
+    document-axis complement of the registered events-side
+    interarrival burstiness, and a stopword detector that needs no
+    stopword list — feeds the quality filters' stopword-ratio signal
+    language-agnostically.
+
+    Exact: with zeros included, D·Var·D = sq·D − tot² needs only the
+    NONZERO counts (sq, tot) plus the doc total D, so the Fano at 1e6
+    grain is one integer expression: (sq·D − tot²)·1e6 div (tot·D);
+    both top-10 tails ranked under (score, term).  Plan: (term, doc)
+    rollup, per-term aggregate, two tiny top-k windows.  100 TB: the
+    rollup is the corpus pass; no per-doc zero materialization
+    ever."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    d38 = "decimal(38,0)"
+    m = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("tot"),
+            F.sum(F.col("c").cast(d38) * F.col("c")).cast(d38).alias("sq"),
+        )
+        .where(F.col("df") >= FANO_MIN_DOCS)
+    )
+    scored = m.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        "tot",
+        F.expr(
+            f"CAST((sq * d - CAST(tot AS DECIMAL(38,0)) * tot) * {FANO_FP}"
+            " div (CAST(tot AS DECIMAL(38,0)) * d) AS BIGINT)"
+        ).alias("fano_fp"),
+    )
+    top = (
+        scored.withColumn("side", F.lit("bursty"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("fano_fp").desc(), F.col("term"))
+            ),
+        )
+        .unionByName(
+            scored.withColumn("side", F.lit("uniform")).withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("fano_fp").asc(), F.col("term"))
+                ),
+            )
+        )
+    )
+    return top.where(F.col("rn") <= FANO_TOP).select(
+        "term", "df", "tot", "fano_fp", "side"
+    )

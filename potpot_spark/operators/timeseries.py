@@ -18,6 +18,7 @@ all three stages reuse one partitioning.
 
 from __future__ import annotations
 
+import math
 import os
 
 import pandas as pd
@@ -8807,3 +8808,442 @@ def events_transition_entropy_rate(
             6,
         ).alias("normalized_rate"),
     )
+
+
+DFT_FP = 10**6      # fixed-point grain for cos/sin basis values
+DFT_K_MAX = 8       # evaluated Fourier frequencies k = 1..K
+
+# One CTE string for both DFT consumers (periodogram + spectral
+# entropy) so the basis can never drift between them.
+_DFT_CTE = f"""
+        daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        span AS (
+            SELECT CAST(MIN(d) AS BIGINT) AS d0,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily
+        ),
+        terms AS (
+            SELECT k.k,
+                   CAST(SUM(daily.x * CAST(FLOOR(cos(2 * pi() * k.k
+                            * (daily.d - span.d0) / span.n) * {DFT_FP})
+                            AS BIGINT)) AS BIGINT) AS a_fp,
+                   CAST(SUM(daily.x * CAST(FLOOR(sin(2 * pi() * k.k
+                            * (daily.d - span.d0) / span.n) * {DFT_FP})
+                            AS BIGINT)) AS BIGINT) AS b_fp
+            FROM daily, span, (SELECT UNNEST(range(1, {DFT_K_MAX} + 1)) AS k) k
+            GROUP BY k.k
+        ),
+        power AS (
+            SELECT k,
+                   CAST(a_fp AS HUGEINT) * a_fp
+                       + CAST(b_fp AS HUGEINT) * b_fp AS p
+            FROM terms
+        )
+"""
+
+
+@query(
+    "timeseries_periodogram_dft",
+    oracle=f"""
+        WITH {_DFT_CTE}
+        SELECT k, CAST(p AS DOUBLE) AS power,
+               CAST(p * 1000000 // (SELECT SUM(p) FROM power) AS BIGINT)
+                   AS share_ppm
+        FROM power
+    """,
+    tags=("E487",),
+)
+def timeseries_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM of the daily event-count series at the first
+    {DFT_K_MAX} Fourier frequencies: P_k = |Σ_t x_t e^{{-2πikt/n}}|² —
+    which cycle lengths carry the series' energy?  A dominant k at
+    n/7 days is the weekly rhythm the registered Page/Friedman tests
+    assume; a flat spectrum says the calendar features are noise.
+    This is the frequency-domain complement of the registered
+    ACF/PACF pair (lag domain) — peaks localize PERIOD, not lag decay.
+
+    Exact: the cos/sin basis values are FLOOR-quantized at 1e6 (one
+    double trig call per (day, k) — the circular-stats discipline),
+    so a_k/b_k accumulate as exact BIGINTs, P_k = a² + b² as exact
+    HUGEINT/decimal38, and the share is an integer ppm `div`.  Plan:
+    one day rollup, an 8-row frequency grid cross join (n·K = ~3k
+    quantized terms), one aggregate per k.  100 TB: only the rollup
+    sees the corpus; the spectral pass is calendar-scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    span = daily.agg(
+        F.min("d").cast("bigint").alias("d0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ks = spark.range(1, DFT_K_MAX + 1).select(F.col("id").alias("k"))
+    terms = (
+        daily.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.floor(
+                    F.cos(
+                        2 * F.lit(math.pi) * F.col("k") * (F.col("d") - F.col("d0"))
+                        / F.col("n")
+                    )
+                    * DFT_FP
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("a_fp"),
+            F.sum(
+                F.col("x")
+                * F.floor(
+                    F.sin(
+                        2 * F.lit(math.pi) * F.col("k") * (F.col("d") - F.col("d0"))
+                        / F.col("n")
+                    )
+                    * DFT_FP
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("b_fp"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    power = terms.select(
+        "k",
+        (
+            F.col("a_fp").cast(d38) * F.col("a_fp")
+            + F.col("b_fp").cast(d38) * F.col("b_fp")
+        ).alias("p"),
+    )
+    tot = power.agg(F.sum("p").cast(d38).alias("ptot"))
+    return power.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.col("p").cast("double").alias("power"),
+        F.expr("CAST(p * 1000000 div ptot AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@query(
+    "timeseries_spectral_entropy",
+    oracle=f"""
+        WITH {_DFT_CTE},
+        shares AS (
+            SELECT CAST(p * 1000000 // (SELECT SUM(p) FROM power) AS BIGINT)
+                       AS s_ppm
+            FROM power
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_freqs,
+               CAST(-SUM(CASE WHEN s_ppm > 0 THEN s_ppm *
+                        CAST(FLOOR(log2(CAST(s_ppm AS DOUBLE) / 1000000)
+                                   * 1048576) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS h_fp,
+               ROUND(CAST(-SUM(CASE WHEN s_ppm > 0 THEN s_ppm *
+                         CAST(FLOOR(log2(CAST(s_ppm AS DOUBLE) / 1000000)
+                                    * 1048576) AS BIGINT) ELSE 0 END)
+                          AS DOUBLE) / 1000000 / 1048576
+                     / log2(CAST(COUNT(*) AS DOUBLE)), 9)
+                   AS spectral_entropy_norm
+        FROM shares
+    """,
+    tags=("E488",),
+)
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY of the daily-count periodogram: Shannon
+    entropy of the normalized P_k shares, scaled by log2(K) to [0,1]
+    — ONE number separating "strongly periodic" (entropy → 0, energy
+    in one line) from "white-ish" (→ 1, energy spread flat).  The
+    standard feature-izer of spectra (tsfresh/catch22 both ship it);
+    feeds anomaly triage: a pipeline whose ingest spectrum suddenly
+    flattens lost its weekly cadence.
+
+    Exact: shares are the integer ppm values of the periodogram twin
+    (same _DFT_CTE text, zero drift possible); each entropy term is
+    s·⌊log2(s/1e6)·2^20⌋ — exact BIGINT — and only the final
+    normalization divides in doubles, identically on both engines.
+    Plan: the DFT pass plus one 8-row aggregate.  100 TB: identical
+    to the periodogram — one corpus rollup."""
+    pg = timeseries_periodogram_dft(spark, sf_dir).select("share_ppm")
+    h_term = F.when(
+        F.col("share_ppm") > 0,
+        F.col("share_ppm")
+        * F.floor(
+            F.log2(F.col("share_ppm").cast("double") / 1000000) * 1048576
+        ).cast("bigint"),
+    ).otherwise(0)
+    return pg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_freqs"),
+        (-F.sum(h_term)).cast("bigint").alias("h_fp"),
+        F.round(
+            (-F.sum(h_term)).cast("double")
+            / 1000000
+            / 1048576
+            / F.log2(F.count(F.lit(1)).cast("double")),
+            9,
+        ).alias("spectral_entropy_norm"),
+    )
+
+
+@query(
+    "timeseries_turning_points_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT x,
+                   LAG(x) OVER (ORDER BY d) AS xp,
+                   LEAD(x) OVER (ORDER BY d) AS xn
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN (x > xp AND x > xn)
+                                   OR (x < xp AND x < xn)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lagged WHERE xp IS NOT NULL AND xn IS NOT NULL
+        )
+        SELECT t AS turning_points, n + 2 AS n_days,
+               ROUND((CAST(t AS DOUBLE) - 2.0 * n / 3)
+                     / sqrt((16.0 * (n + 2) - 29) / 90), 9) AS z
+        FROM s
+    """,
+    tags=("E489",),
+)
+def timeseries_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINTS randomness test on the daily count series: T =
+    #{strict local extrema}; under iid the expectation is 2(n−2)/3
+    with Var = (16n−29)/90 — too FEW turning points means trend or
+    positive autocorrelation, too MANY means oscillation/negative
+    autocorrelation.  The cheapest of the classical randomness
+    screens (one lag/lead pass) and the shape-based complement of the
+    registered runs test (level-based) and Ljung-Box (moment-based).
+
+    Exact: extrema are strict integer comparisons on exact counts; T
+    and n are BIGINTs; z is one identical expression.  Plan: day
+    rollup, one calendar-scale window, one aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    ).where(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+    s = lagged.agg(
+        F.sum(
+            F.when(
+                ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+                | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return s.select(
+        F.col("t").alias("turning_points"),
+        (F.col("n") + 2).alias("n_days"),
+        F.round(
+            (F.col("t").cast("double") - 2.0 * F.col("n") / 3)
+            / F.sqrt((16.0 * (F.col("n") + 2) - 29) / 90),
+            9,
+        ).alias("z"),
+    )
+
+
+@query(
+    "timeseries_variance_ratio_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        diffs AS (
+            SELECT x - LAG(x, 1) OVER (ORDER BY d) AS r1,
+                   x - LAG(x, 5) OVER (ORDER BY d) AS r5
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(COUNT(r1) AS BIGINT) AS n1,
+                   CAST(SUM(r1) AS BIGINT) AS s1,
+                   SUM(CAST(r1 AS HUGEINT) * r1) AS q1,
+                   CAST(COUNT(r5) AS BIGINT) AS n5,
+                   CAST(SUM(r5) AS BIGINT) AS s5,
+                   SUM(CAST(r5 AS HUGEINT) * r5) AS q5
+            FROM diffs
+        )
+        SELECT n1 AS n_diffs,
+               ROUND(((CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * s5 / n5)
+                      / n5 / 5)
+                     / ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                        / n1), 9) AS variance_ratio_q5,
+               ROUND((((CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * s5 / n5)
+                       / n5 / 5)
+                      / ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                         / n1) - 1)
+                     * sqrt(CAST(n1 AS DOUBLE))
+                     / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3 * 5)), 9)
+                   AS z_homoskedastic
+        FROM m
+    """,
+    tags=("E490",),
+)
+def timeseries_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO-MACKINLAY VARIANCE-RATIO test (q = 5) on daily count
+    changes: VR(q) = Var(q-day change)/(q·Var(1-day change)) — a
+    random walk gives VR = 1; VR < 1 means mean-reversion, VR > 1
+    means momentum.  THE standard random-walk screen, and the
+    forecast-value gate: a series with VR ≈ 1 is unforecastable
+    beyond its drift no matter the model (partners the registered
+    MASE, which scores a model AFTER this decides one is worth
+    fitting).
+
+    Exact: 1-day and 5-day differences are exact BIGINTs from one
+    lag window; all moments (Σr, Σr²) accumulate as
+    HUGEINT/decimal38; VR and the homoskedastic z are one identical
+    double chain.  Plan: day rollup, one calendar window, one
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        (F.col("x") - F.lag("x", 1).over(w)).alias("r1"),
+        (F.col("x") - F.lag("x", 5).over(w)).alias("r5"),
+    )
+    d38 = "decimal(38,0)"
+    m = diffs.agg(
+        F.count("r1").cast("bigint").alias("n1"),
+        F.sum("r1").cast("bigint").alias("s1"),
+        F.sum(F.col("r1").cast(d38) * F.col("r1")).cast(d38).alias("q1"),
+        F.count("r5").cast("bigint").alias("n5"),
+        F.sum("r5").cast("bigint").alias("s5"),
+        F.sum(F.col("r5").cast(d38) * F.col("r5")).cast(d38).alias("q5"),
+    )
+    var1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / F.col("n1")
+    var5 = (
+        F.col("q5").cast("double")
+        - F.col("s5").cast("double") * F.col("s5") / F.col("n5")
+    ) / F.col("n5") / F.lit(5)
+    vr = var5 / var1
+    return m.select(
+        F.col("n1").alias("n_diffs"),
+        F.round(vr, 9).alias("variance_ratio_q5"),
+        F.round(
+            (vr - 1)
+            * F.sqrt(F.col("n1").cast("double"))
+            / F.sqrt(F.lit(2.0 * (2 * 5 - 1) * (5 - 1) / (3 * 5))),
+            9,
+        ).alias("z_homoskedastic"),
+    )
+
+
+@query(
+    "events_lorenz_user_concentration",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ),
+        dec AS (
+            SELECT c, NTILE(10) OVER (ORDER BY c, user_id) AS decile
+            FROM per_user
+        ),
+        agg AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(c) AS BIGINT) AS n_events
+            FROM dec GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_users, n_events,
+                   SUM(n_events) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING) AS cum_ev,
+                   SUM(n_events) OVER () AS tot_ev
+            FROM agg
+        )
+        SELECT decile, n_users, n_events,
+               CAST(n_events * 1000000 // tot_ev AS BIGINT) AS share_ppm,
+               CAST(cum_ev * 1000000 // tot_ev AS BIGINT) AS cum_share_ppm
+        FROM cum ORDER BY decile
+    """,
+    tags=("E499",),
+)
+def events_lorenz_user_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LORENZ CURVE of per-user event concentration in activity
+    deciles (users ranked ascending by count, deterministic
+    (count, user_id) tie-break): decile 10's share answers "how much
+    of the load do the heaviest 10% generate?" — the full curve the
+    registered scalar Gini integrates away, and the readout capacity
+    planning, abuse triage, and per-user skew budgeting actually use
+    (a 95% top-decile share says the shuffle salt must key on these
+    users).
+
+    Exact: NTILE over exact counts with a total tie-break is
+    deterministic on both engines; shares and cumulative shares are
+    integer ppm `div`s.  Plan: one per-user rollup (the corpus pass),
+    one user-scale NTILE window, a 10-row cumulative window."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    dec = per_user.select(
+        "c",
+        F.ntile(10).over(Window.orderBy("c", "user_id")).alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.sum("n_events").over(wc).alias("cum_ev"),
+        F.sum("n_events").over(Window.partitionBy()).alias("tot_ev"),
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.expr("CAST(n_events * 1000000 div tot_ev AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(cum_ev * 1000000 div tot_ev AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    ).orderBy("decile")

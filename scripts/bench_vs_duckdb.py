@@ -21,7 +21,15 @@ procedural queries the comparison bounds the declarative-SQL cost of
 the semantics, while on the TPC-H 22 both formulations are the natural
 relational plan and the numbers are directly comparable.
 
-Usage: python scripts/bench_vs_duckdb.py [sf_dir]
+Cohort (r8 verdict #2/#3): flagship + TPC-H 22 + every non-streaming
+oracled query whose newest-BENCH_DETAIL median is >= 2 s (derived
+mechanically — a late-landing top-cost query cannot escape) + every
+previously-anchored key (continuity) + an optional seeded uniform
+random draw (--draw N --seed S) that makes the perf claim
+sampling-honest.  Run as the LAST act of a round, after the final
+operator lands.
+
+Usage: python scripts/bench_vs_duckdb.py [sf_dir] [--draw N --seed S]
 """
 
 from __future__ import annotations
@@ -40,28 +48,50 @@ from potpot_spark.testing import duck_connection
 
 REPS = 3
 
-# The slowest oracle-carrying queries of the current bench, by
-# in-suite median, streaming sources excluded (DuckDB has no streaming
-# runtime to compare against).  r7 verdict #2: the anchor must track
-# the top of the cost distribution every round — betweenness (13.5 s
-# in r7, THE top cost) and eccentricity landed after the r7 anchor
-# run and are now covered, plus every other >=3 s non-streaming query.
-SLOW_SET = [
-    "graph_betweenness_sampled",
-    "text_trigram_name_similarity",
-    "graph_eccentricity_seed_sample",
-    "graph_harmonic_centrality",
-    "embedding_hubness_knn_graph",
-    "sql_api_recursive_cte",
-    "timeseries_croston_intermittent",
-    "graph_hits_hubs_authorities",
-    "graph_pagerank_fixed",
-    "graph_scc_condensation",
-    "stats_spearman_rank_corr",
-    "graph_pagerank_personalized",
-    "graph_degree_assortativity",
-    "udf_pandas_cogrouped_asof",
-]
+# Streaming queries have no DuckDB runtime twin to race.
+_STREAM_PREFIXES = ("stream_", "source_stream")
+
+SLOW_MEDIAN_SEC = 2.0
+
+
+def newest_bench_detail() -> tuple[str, dict]:
+    """Newest BENCH_DETAIL_r*.json (repo root, script-relative)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json")):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return "", {}
+    _, path = max(rounds)
+    with open(path) as f:
+        return os.path.basename(path), json.load(f).get("queries", {})
+
+
+def anchorable(name: str) -> bool:
+    spec = registry.specs().get(name)
+    return (
+        spec is not None
+        and spec.oracle is not None
+        and not name.startswith(_STREAM_PREFIXES)
+    )
+
+
+def slow_cohort(detail: dict) -> list[str]:
+    """r8 verdict #2: the anchor must cover 100% of the >=2 s
+    non-streaming oracled cohort of the CURRENT round's detail —
+    derived mechanically from the newest BENCH_DETAIL so a
+    late-landing top-cost query (node2vec in r8, betweenness in r7)
+    can never escape the refresh again."""
+    return sorted(
+        n
+        for n, t in detail.items()
+        if t.get("median", -1.0) >= SLOW_MEDIAN_SEC and anchorable(n)
+    )
 
 # Queries consuming the hc_seed_reach shared intermediate: their
 # DuckDB oracle recomputes the full forward BFS inside one recursive
@@ -82,7 +112,23 @@ def mat(df) -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    draw_n = 0
+    draw_seed = 0
+    if "--draw" in args:
+        i = args.index("--draw")
+        draw_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        draw_seed = int(args[i + 1])
+        del args[i : i + 2]
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1 :]
+        del args[i:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session("potpot_vs_duckdb")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,9 +148,47 @@ def main() -> int:
     except Exception:
         pass
 
-    keys = ["agg_hash_groupby"] + sorted(
-        n for n in registry.specs() if n.startswith("tpch_")
-    ) + SLOW_SET
+    detail_source, detail = newest_bench_detail()
+    cohort = slow_cohort(detail)
+    # keep every previously-anchored key for round-over-round
+    # continuity (a query that drops below the threshold keeps its
+    # external denominator)
+    prior: list[str] = []
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_path = os.path.join(here, "BENCH_VS_DUCKDB.json")
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as f:
+                prior = [
+                    n
+                    for n in json.load(f).get("queries", {})
+                    if anchorable(n)
+                ]
+        except Exception:  # noqa: BLE001 - continuity is best-effort
+            prior = []
+    # r8 verdict #3: a seeded uniform draw over ALL anchorable keys
+    # makes the perf claim sampling-honest the way check_oracles
+    # --sample makes the correctness claim.
+    drawn: list[str] = []
+    if draw_n:
+        import random
+
+        pool = sorted(n for n in registry.specs() if anchorable(n))
+        drawn = sorted(
+            random.Random(draw_seed).sample(pool, min(draw_n, len(pool)))
+        )
+    if only:
+        # incremental mode: bench just these keys and MERGE into the
+        # existing JSON (close-out still runs the full refresh)
+        keys = [n for n in only if anchorable(n)]
+    else:
+        keys = ["agg_hash_groupby"] + sorted(
+            n for n in registry.specs() if n.startswith("tpch_")
+        )
+        for group in (prior, cohort, drawn):
+            for n in group:
+                if n not in keys:
+                    keys.append(n)
 
     # Spark warmup (bench.py's rationale: JIT + codegen + noop path).
     mat(spark.range(100_000).selectExpr("id % 7 AS k", "id AS v").groupBy("k").sum("v"))
@@ -157,13 +241,29 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    payload = {
-        "sf_dir": sf_dir,
-        "cpus": cpus,
-        "reps": REPS,
-        "queries": out,
-    }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if only:
+        try:
+            with open(prior_path) as f:
+                payload = json.load(f)
+        except Exception:  # noqa: BLE001 - no prior file yet
+            payload = {
+                "sf_dir": sf_dir,
+                "cpus": cpus,
+                "reps": REPS,
+                "queries": {},
+            }
+        payload["queries"].update(out)
+        payload["detail_source"] = detail_source
+    else:
+        payload = {
+            "sf_dir": sf_dir,
+            "cpus": cpus,
+            "reps": REPS,
+            "detail_source": detail_source,
+            "slow_cohort": cohort,
+            "random_draw": {"seed": draw_seed, "n": draw_n, "keys": drawn},
+            "queries": out,
+        }
     with open(os.path.join(here, "BENCH_VS_DUCKDB.json"), "w") as f:
         json.dump(payload, f, indent=1)
 

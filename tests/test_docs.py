@@ -98,3 +98,40 @@ def test_plans_md_covers_every_slow_query():
         f"queries over 2 s without a PLANS.md section ({newest.name}): "
         f"{missing}"
     )
+
+
+def test_anchor_covers_every_slow_query():
+    """r8 verdict #2: the DuckDB anchor (BENCH_VS_DUCKDB.json) must
+    cover 100% of the >= 2 s non-streaming oracled cohort of the
+    newest BENCH_DETAIL — the anchor refresh is the round's LAST act,
+    so a top-cost query that lands late (node2vec in r8, betweenness
+    in r7) can no longer escape its external denominator."""
+    import json
+    import re
+
+    rounds = []
+    for p in ROOT.glob("BENCH_DETAIL_r[0-9]*.json"):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    assert rounds, "no BENCH_DETAIL_r*.json present"
+    _, newest = max(rounds)
+    with open(newest) as f:
+        queries = json.load(f)["queries"]
+    with open(ROOT / "BENCH_VS_DUCKDB.json") as f:
+        anchored = set(json.load(f)["queries"])
+    registry.load_all()
+    specs = registry.specs()
+    missing = sorted(
+        name
+        for name, t in queries.items()
+        if t["median"] >= 2.0
+        and name in specs
+        and specs[name].oracle is not None
+        and not name.startswith(("stream_", "source_stream"))
+        and name not in anchored
+    )
+    assert not missing, (
+        f"queries >= 2 s missing from BENCH_VS_DUCKDB.json "
+        f"({newest.name}): {missing}"
+    )

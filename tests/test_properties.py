@@ -1701,3 +1701,150 @@ def test_mantel_haenszel_chi2_scale_and_value(spark, sf_dir):
         var += (a + b) * (cc + d) * (a + cc) * (b + d) / (t * t * (t - 1))
     chi2 = dev * dev / var
     assert abs(r["cmh_chi2_x1e6"] / 1e6 - chi2) < 1e-3, (r, chi2)
+
+
+def test_curriculum_allocation_sums_to_budget_exactly(spark, sf_dir):
+    """Hamilton apportionment invariants: Σalloc == the budget EXACTLY
+    (the whole point over naive rounding), every alloc within 1 of its
+    floor share, and allocations monotone in weight up to the +1
+    remainder step."""
+    from potpot_spark.operators.pipeline import CURR_BUDGET
+
+    rows = (
+        registry.get("pipeline_curriculum_token_allocation")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert sum(r["alloc_tokens"] for r in rows) == CURR_BUDGET
+    w_tot = sum(r["wt"] for r in rows)
+    for r in rows:
+        base = r["wt"] * CURR_BUDGET // w_tot
+        assert base <= r["alloc_tokens"] <= base + 1, r
+
+
+def test_lorenz_deciles_partition_and_monotone(spark, sf_dir):
+    """The Lorenz table must partition users, cumulative shares must
+    be nondecreasing and end at ~1e6, and per-decile shares must be
+    nondecreasing in decile (users ranked ascending by count)."""
+    rows = sorted(
+        registry.get("events_lorenz_user_concentration")
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r["n_users"] for r in rows) == e.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == e.count()
+    cums = [r["cum_share_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert 999_990 <= cums[-1] <= 1_000_000
+    # per-decile SUMS can dip when NTILE gives a decile one fewer
+    # user; the monotone invariant is the per-user average
+    avg = [r["n_events"] / r["n_users"] for r in rows]
+    assert all(a <= b for a, b in zip(avg, avg[1:])), avg
+
+
+def test_periodogram_shares_and_entropy_bounds(spark, sf_dir):
+    """Periodogram ppm shares must sum to ~1e6 over exactly K rows;
+    spectral entropy must land in [0, 1] and agree with a Python
+    recompute from the shares."""
+    import math
+
+    from potpot_spark.operators.timeseries import DFT_K_MAX
+
+    rows = (
+        registry.get("timeseries_periodogram_dft").fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == DFT_K_MAX
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - DFT_K_MAX <= s <= 1_000_000
+    ent = (
+        registry.get("timeseries_spectral_entropy")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert 0.0 <= ent["spectral_entropy_norm"] <= 1.0
+    h = -sum(
+        (r["share_ppm"])
+        * math.floor(math.log2(r["share_ppm"] / 1e6) * 1048576)
+        for r in rows
+        if r["share_ppm"] > 0
+    )
+    want = h / 1e6 / 1048576 / math.log2(len(rows))
+    assert abs(ent["spectral_entropy_norm"] - round(want, 9)) < 1e-9
+
+
+def test_jonckheere_reduces_to_mann_whitney_on_two_groups(spark):
+    """JT with k=2 IS Mann-Whitney: on a hand-built frame (group 1 =
+    {1,2,3}, group 2 = {2,3,4}), JT2 = 2·U₁₂ + ties = 2·7 = 14 with
+    U computed by brute force, and E[JT2] = (N²−Σn²)/2 = (36−18)/2."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"grp": [1, 1, 1, 2, 2, 2], "v": [1, 2, 3, 2, 3, 4]}
+    )
+    jt2 = 0
+    for _, a in pdf[pdf.grp == 1].iterrows():
+        for _, b in pdf[pdf.grp == 2].iterrows():
+            if a.v < b.v:
+                jt2 += 2
+            elif a.v == b.v:
+                jt2 += 1
+    assert jt2 == 14
+    assert (36 - 18) // 2 == 9  # E[JT2] for the hand case
+
+
+def test_ordinal_assoc_grid_statistic_relations(spark, sf_dir):
+    """|gamma| >= |Somers' D| >= |tau-c|-ish ordering holds because
+    gamma's denominator (C+D) is the smallest; all four land in
+    [-1e6, 1e6]; concordant/discordant are consistent with n_total."""
+    r = (
+        registry.get("stats_ordinal_assoc_grid").fn(spark, sf_dir).collect()[0]
+    )
+    for c in ("gamma_ppm", "somers_d_yx_ppm", "somers_d_xy_ppm", "tau_c_ppm"):
+        assert -1_000_000 <= r[c] <= 1_000_000, (c, r[c])
+    assert abs(r["gamma_ppm"]) >= abs(r["somers_d_yx_ppm"]) - 1
+    assert abs(r["gamma_ppm"]) >= abs(r["somers_d_xy_ppm"]) - 1
+    assert r["concordant"] >= 0 and r["discordant"] >= 0
+    n = r["n_total"]
+    assert r["concordant"] + r["discordant"] <= n * (n - 1)
+
+
+def test_twonn_id_positive_and_below_ambient(spark, sf_dir):
+    """TwoNN estimates must be positive and (loosely) below the
+    ambient dimension 64 on every label; ln μ sums must be positive
+    (μ >= 1 by construction since cos₁ >= cos₂)."""
+    rows = (
+        registry.get("embedding_intrinsic_dimension_twonn")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["sum_lnmu_fp"] > 0, r
+        assert 0 < r["id_twonn"] < 64, r
+
+
+def test_hapax_profile_internal_consistency(spark, sf_dir):
+    """V1 + V2 <= V, hapax shares within [0, 1e6], and Yule's K
+    nonnegative with the same (lang, term) universe (token totals
+    must agree across the lexical trio)."""
+    hap = {
+        r["lang"]: r
+        for r in registry.get("text_hapax_legomena_profile")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    yk = {
+        r["lang"]: r
+        for r in registry.get("text_yule_k_characteristic")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(hap) == set(yk)
+    for lang, r in hap.items():
+        assert r["v1_hapax"] + r["v2_dis"] <= r["v_types"]
+        assert 0 <= r["hapax_type_ppm"] <= 1_000_000
+        assert yk[lang]["yule_k_x1e6"] >= 0
+        assert yk[lang]["n_tokens"] == r["n_tokens"]
