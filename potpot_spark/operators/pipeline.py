@@ -2540,3 +2540,125 @@ def pipeline_curriculum_token_allocation(
         .cast("bigint")
         .alias("alloc_tokens"),
     ).orderBy("source", "tercile")
+
+
+# The three ablation filters (deliberately simple, engine-identical):
+# length floor, token floor, mean-word-length band.
+_ABL_FILTERS = ("len_ok", "tok_ok", "mwl_ok")
+
+
+@query(
+    "pipeline_filter_ablation_cube",
+    oracle="""
+        WITH flags AS (
+            SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS len_ok,
+                   CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) >= 30 THEN 1 ELSE 0 END
+                       AS tok_ok,
+                   CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) > 0
+                         AND n_chars * 10 <= 120
+                             * len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> ''))
+                         AND n_chars * 10 >= 30
+                             * len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> ''))
+                        THEN 1 ELSE 0 END AS mwl_ok,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS BIGINT) AS toks
+            FROM documents
+        ),
+        grid AS (
+            SELECT len_ok, tok_ok, mwl_ok,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(toks) AS BIGINT) AS t
+            FROM flags GROUP BY 1, 2, 3
+        ),
+        subsets AS (
+            SELECT s.mask,
+                   CAST(SUM(CASE WHEN (s.mask % 2 = 0 OR len_ok = 1)
+                                  AND ((s.mask // 2) % 2 = 0 OR tok_ok = 1)
+                                  AND ((s.mask // 4) % 2 = 0 OR mwl_ok = 1)
+                            THEN n ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN (s.mask % 2 = 0 OR len_ok = 1)
+                                  AND ((s.mask // 2) % 2 = 0 OR tok_ok = 1)
+                                  AND ((s.mask // 4) % 2 = 0 OR mwl_ok = 1)
+                            THEN t ELSE 0 END) AS BIGINT) AS n_tokens
+            FROM grid, (SELECT UNNEST(range(0, 8)) AS mask) s
+            GROUP BY s.mask
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS d FROM grid)
+        SELECT mask AS filter_mask, n_docs, n_tokens,
+               CAST(n_docs * 1000000 // (SELECT d FROM tot) AS BIGINT)
+                   AS survival_ppm
+        FROM subsets ORDER BY mask
+    """,
+    tags=("E508",),
+)
+def pipeline_filter_ablation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER ABLATION MATRIX: for each of the 2³ subsets of
+    three document filters (length floor, token floor, mean-word-
+    length band — bit 0/1/2 of filter_mask), the docs and tokens
+    surviving ALL filters in the subset.  THE curation planning
+    readout: marginal cost of each filter, overlap between filters
+    (does mwl remove anything length didn't?), and the full-stack
+    survival rate — computed in ONE corpus pass, not 8 (the ablation
+    runs every pipeline team does serially, as algebra over one
+    8-cell flag histogram).
+
+    Exact: per-doc flags and token counts are identical expressions;
+    the histogram is exact integers; subset sums unroll over an
+    8-row mask grid with integer bit tests; survival is a ppm `div`.
+    Plan: one doc scan → 8-cell rollup; everything after is constant
+    work.  100 TB: the scan is the only corpus pass — the 8-subset
+    sweep costs nothing extra."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    flags = d.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("len_ok"),
+        F.when(toks >= 30, 1).otherwise(0).alias("tok_ok"),
+        F.when(
+            (toks > 0)
+            & (F.col("n_chars") * 10 <= 120 * toks)
+            & (F.col("n_chars") * 10 >= 30 * toks),
+            1,
+        )
+        .otherwise(0)
+        .alias("mwl_ok"),
+        toks.cast("bigint").alias("toks"),
+    )
+    grid = flags.groupBy("len_ok", "tok_ok", "mwl_ok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("toks").cast("bigint").alias("t"),
+    )
+    masks = spark.range(0, 8).select(F.col("id").alias("mask"))
+    keep = (
+        ((F.col("mask") % 2 == 0) | (F.col("len_ok") == 1))
+        & ((F.expr("(mask div 2) % 2") == 0) | (F.col("tok_ok") == 1))
+        & ((F.expr("(mask div 4) % 2") == 0) | (F.col("mwl_ok") == 1))
+    )
+    subsets = (
+        grid.crossJoin(F.broadcast(masks))
+        .groupBy("mask")
+        .agg(
+            F.sum(F.when(keep, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(F.when(keep, F.col("t")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = grid.agg(F.sum("n").cast("bigint").alias("d"))
+    return (
+        subsets.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("mask").alias("filter_mask"),
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 div d AS BIGINT)").alias(
+                "survival_ppm"
+            ),
+        )
+        .orderBy("filter_mask")
+    )

@@ -2073,3 +2073,178 @@ def embedding_intrinsic_dimension_twonn(
             F.count(F.lit(1)).cast("double") * TWONN_FP / F.sum("lnmu_fp"), 9
         ).alias("id_twonn"),
     )
+
+
+def _cluster_grid_oracle(dim: int = 64) -> str:
+    """(bucket, label) contingency CTE for the clustering-agreement
+    op: table-0 sign-LSH buckets (the same literal hyperplanes and
+    left folds as the registered LSH search) as the 'clustering',
+    the label column as ground truth."""
+    plane_rows = ",\n                ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}])"
+        for p in range(N_PLANES)
+    )
+    prod = f"list_transform(range({dim}), j -> ve.e[j+1] * plv.coefs[j+1])"
+    return f"""
+        ve AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        plv AS (
+            SELECT * FROM (VALUES
+                {plane_rows}
+            ) AS t(p, coefs)
+        ),
+        bits AS (
+            SELECT ve.vec_id, ve.label, plv.p,
+                   CASE WHEN {_fold_sql(prod)} > 0
+                        THEN CAST(power(2, plv.p) AS BIGINT) ELSE 0 END AS bit
+            FROM ve, plv
+        ),
+        assign AS (
+            SELECT vec_id, label, CAST(SUM(bit) AS BIGINT) AS cell
+            FROM bits GROUP BY vec_id, label
+        ),
+        grid AS (
+            SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assign GROUP BY cell, label
+        )
+    """
+
+
+@query(
+    "embedding_cluster_purity_rand",
+    oracle=f"""
+        WITH {_cluster_grid_oracle()},
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM grid),
+        pur AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS pure_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM (SELECT cell, MAX(n) AS mx FROM grid GROUP BY cell)
+        ),
+        pairs AS (
+            SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS a_pairs FROM grid
+        ),
+        rowp AS (
+            SELECT CAST(SUM(nc * (nc - 1) // 2) AS BIGINT) AS rp
+            FROM (SELECT cell, SUM(n) AS nc FROM grid GROUP BY cell)
+        ),
+        colp AS (
+            SELECT CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS cp
+            FROM (SELECT label, SUM(n) AS nl FROM grid GROUP BY label)
+        )
+        SELECT (SELECT nn FROM tot) AS n_points,
+               (SELECT n_cells FROM pur) AS n_cells,
+               CAST((SELECT pure_n FROM pur) * 1000000
+                    // (SELECT nn FROM tot) AS BIGINT) AS purity_ppm,
+               CAST(((SELECT a_pairs FROM pairs)
+                     + ((SELECT nn FROM tot) * ((SELECT nn FROM tot) - 1) // 2
+                        - (SELECT rp FROM rowp) - (SELECT cp FROM colp)
+                        + (SELECT a_pairs FROM pairs))) * 1000000
+                    // ((SELECT nn FROM tot) * ((SELECT nn FROM tot) - 1) // 2)
+                    AS BIGINT) AS rand_index_ppm,
+               CAST(((SELECT a_pairs FROM pairs)
+                     * ((SELECT nn FROM tot) * ((SELECT nn FROM tot) - 1) // 2)
+                     - CAST((SELECT rp FROM rowp) AS HUGEINT)
+                       * (SELECT cp FROM colp)) * 1000000
+                    // ((((SELECT rp FROM rowp) + (SELECT cp FROM colp))
+                        * ((SELECT nn FROM tot) * ((SELECT nn FROM tot) - 1) // 2)
+                        // 2)
+                       - CAST((SELECT rp FROM rowp) AS HUGEINT)
+                         * (SELECT cp FROM colp))
+                    AS BIGINT) AS adjusted_rand_ppm
+        FROM tot
+    """,
+    tags=("E506",),
+)
+def embedding_cluster_purity_rand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLUSTERING-AGREEMENT panel — purity, Rand index, Adjusted Rand
+    — between the sign-LSH table-0 cell assignment (the SAME literal
+    hyperplanes and left folds as the registered LSH search) and the
+    label ground truth.  THE external-validation readout for any
+    quantizer: purity answers "how label-pure are the buckets the ANN
+    path probes?", ARI corrects Rand for chance (a 64-cell hash of
+    random data scores ≈ 0) — together they quantify how much of the
+    LSH recall comes from true structure vs bucket luck, the
+    diagnostic the recall contracts alone can't give.
+
+    Exact: sign bits are bit-equal folds (the LSH discipline), the
+    (cell, label) grid is exact integers, and purity/RI/ARI are
+    integer pair-count algebra (Σ C(n,2) terms, HUGEINT/decimal38
+    cross products) with one ppm `div` each.  Plan: one projection
+    pass (24→6 plane folds), one grid rollup, constant-size algebra.
+    100 TB: the projection scan is the only corpus pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = F.array(
+        *[
+            F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+            for p in range(N_PLANES)
+        ]
+    )
+    projs = F.transform(
+        planes,
+        lambda pl: F.aggregate(
+            F.zip_with(as_double(F.col("embedding")), pl, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cell = sum(
+        F.when(F.element_at(F.col("_projs"), p + 1) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        for p in range(N_PLANES)
+    )
+    assign = emb.select("label", projs.alias("_projs")).select(
+        "label", cell.cast("bigint").alias("cell")
+    )
+    grid = assign.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = grid.agg(F.sum("n").cast("bigint").alias("nn"))
+    pur = (
+        grid.groupBy("cell")
+        .agg(F.max("n").alias("mx"))
+        .agg(
+            F.sum("mx").cast("bigint").alias("pure_n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    a_pairs = grid.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("a_pairs")
+    )
+    rowp = (
+        grid.groupBy("cell")
+        .agg(F.sum("n").alias("nc"))
+        .agg(F.sum(F.expr("nc * (nc - 1) div 2")).cast("bigint").alias("rp"))
+    )
+    colp = (
+        grid.groupBy("label")
+        .agg(F.sum("n").alias("nl"))
+        .agg(F.sum(F.expr("nl * (nl - 1) div 2")).cast("bigint").alias("cp"))
+    )
+    j = (
+        tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(a_pairs))
+        .crossJoin(F.broadcast(rowp))
+        .crossJoin(F.broadcast(colp))
+    )
+    return j.select(
+        F.col("nn").alias("n_points"),
+        "n_cells",
+        F.expr("CAST(pure_n * 1000000 div nn AS BIGINT)").alias("purity_ppm"),
+        F.expr(
+            "CAST((a_pairs + (nn * (nn - 1) div 2 - rp - cp + a_pairs))"
+            " * 1000000 div (nn * (nn - 1) div 2) AS BIGINT)"
+        ).alias("rand_index_ppm"),
+        F.expr(
+            "CAST((a_pairs * (nn * (nn - 1) div 2)"
+            " - CAST(rp AS DECIMAL(38,0)) * cp) * 1000000"
+            " div (((rp + cp) * (nn * (nn - 1) div 2) div 2)"
+            " - CAST(rp AS DECIMAL(38,0)) * cp) AS BIGINT)"
+        ).alias("adjusted_rand_ppm"),
+    )

@@ -8426,3 +8426,116 @@ def stats_uncertainty_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST((hx + hy - hxy) * 1000000 div hx AS BIGINT)"
         ).alias("u_x_given_y_ppm"),
     )
+
+
+@query(
+    "stats_bowker_symmetry_test",
+    oracle="""
+        WITH halves AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderdate < TIMESTAMP '2024-07-01'
+                        THEN 0 ELSE 1 END AS half,
+                   CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+                   COUNT(*) AS c
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        modal AS (
+            SELECT o_custkey, half, p
+            FROM (
+                SELECT o_custkey, half, p,
+                       row_number() OVER (PARTITION BY o_custkey, half
+                                          ORDER BY c DESC, p) AS rn
+                FROM halves
+            ) WHERE rn = 1
+        ),
+        paired AS (
+            SELECT a.p AS pi, b.p AS pj
+            FROM modal a JOIN modal b
+              ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1
+        ),
+        grid AS (
+            SELECT pi, pj, CAST(COUNT(*) AS BIGINT) AS n
+            FROM paired GROUP BY pi, pj
+        ),
+        cells AS (
+            SELECT a.pi AS i, a.pj AS j,
+                   COALESCE(a.n, 0) AS nij,
+                   COALESCE(b.n, 0) AS nji
+            FROM grid a LEFT JOIN grid b ON b.pi = a.pj AND b.pj = a.pi
+            WHERE a.pi < a.pj
+        )
+        SELECT CAST(SUM(nij + nji) AS BIGINT) AS n_offdiag,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM((nij - nji) * (nij - nji) * 1000000
+                        // (nij + nji)) AS BIGINT) AS bowker_chi2_x1e6
+        FROM cells WHERE nij + nji > 0
+    """,
+    tags=("E502",),
+)
+def stats_bowker_symmetry_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOWKER'S SYMMETRY TEST — the k×k generalization of McNemar:
+    each customer's MODAL priority class in H1 vs H2 of the year
+    forms a paired k×k table; χ² = Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji)
+    asks whether class MIGRATION is symmetric (preference drift has
+    no direction) or directed (customers systematically moving
+    toward urgency).  The registered McNemar op is the binary champion/
+    challenger case; Bowker is what A/B-of-categorical-behavior
+    actually needs.
+
+    Exact: modal class per (customer, half) under a (count desc, p)
+    tie-break; every off-diagonal cell pair contributes an exact
+    integer term at 1e6 grain (df = #off-diagonal pairs observed).
+    Plan: one (cust, half, p) rollup, a per-customer modal window, a
+    self-join at customer grain, a ≤ 10-cell-pair aggregate.
+    100 TB: the rollup is the corpus pass; everything after is
+    per-customer then constant."""
+    o = load_table(spark, sf_dir, "orders")
+    halves = o.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit("2024-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("p"),
+    ).groupBy("o_custkey", "half", "p").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("o_custkey", "half").orderBy(
+        F.col("c").desc(), F.col("p")
+    )
+    modal = (
+        halves.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "half", "p")
+    )
+    a = modal.where(F.col("half") == 0).select(
+        "o_custkey", F.col("p").alias("pi")
+    )
+    b = modal.where(F.col("half") == 1).select(
+        "o_custkey", F.col("p").alias("pj")
+    )
+    grid = (
+        a.join(b, "o_custkey")
+        .groupBy("pi", "pj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ga, gb = grid.alias("ga"), grid.alias("gb")
+    cells = (
+        ga.join(
+            F.broadcast(gb),
+            (F.col("gb.pi") == F.col("ga.pj"))
+            & (F.col("gb.pj") == F.col("ga.pi")),
+            "left",
+        )
+        .where(F.col("ga.pi") < F.col("ga.pj"))
+        .select(
+            F.coalesce(F.col("ga.n"), F.lit(0)).alias("nij"),
+            F.coalesce(F.col("gb.n"), F.lit(0)).alias("nji"),
+        )
+        .where(F.col("nij") + F.col("nji") > 0)
+    )
+    return cells.agg(
+        F.sum(F.col("nij") + F.col("nji")).cast("bigint").alias("n_offdiag"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.expr(
+            "CAST(SUM((nij - nji) * (nij - nji) * 1000000"
+            " div (nij + nji)) AS BIGINT)"
+        ).alias("bowker_chi2_x1e6"),
+    )

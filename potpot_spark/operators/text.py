@@ -4157,3 +4157,69 @@ def text_term_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.where(F.col("rn") <= FANO_TOP).select(
         "term", "df", "tot", "fano_fp", "side"
     )
+
+
+@query(
+    "text_chao1_vocabulary_richness",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS v_observed,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(COUNT(*)
+                    + CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+                      THEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                           * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                           // (2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+                      ELSE SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                           * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) // 2
+                      END AS BIGINT) AS chao1_estimate,
+               CAST(1000000 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    * 1000000 // SUM(c) AS BIGINT)
+                   AS turing_coverage_ppm
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E503",),
+)
+def text_chao1_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 RICHNESS — how many word types does this corpus's
+    language REALLY have, including the ones not yet seen?  Chao1 =
+    V + V₁²/2V₂ (bias-corrected V₁(V₁−1)/2 when V₂ = 0) lower-bounds
+    the asymptotic vocabulary from the hapax/dis spectrum, and the
+    Good-Turing coverage 1 − V₁/N estimates the probability mass of
+    UNSEEN types.  The pair answers the 100 TB curation question
+    directly: "will crawling more of this source still surface new
+    vocabulary, or is it exhausted?" — the marginal-value signal next
+    to the registered Heaps' fit (growth EXPONENT) and dedup rates
+    (duplication).
+
+    Exact: pure integer counts and `div`s off the shared (lang, term)
+    frequency pass — the estimator needs only V, V₁, V₂, N.
+    Plan: shared vocabulary rollup + per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    v1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    v2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint")
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("v_observed"),
+            v1.alias("v1"),
+            v2.alias("v2"),
+            F.expr(
+                "CAST(COUNT(*)"
+                " + CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0"
+                " THEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                "      * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                "      div (2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))"
+                " ELSE SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                "      * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) div 2"
+                " END AS BIGINT)"
+            ).alias("chao1_estimate"),
+            F.expr(
+                "CAST(1000000 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div SUM(c) AS BIGINT)"
+            ).alias("turing_coverage_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -9247,3 +9247,318 @@ def events_lorenz_user_concentration(
             "cum_share_ppm"
         ),
     ).orderBy("decile")
+
+
+SAMPEN_M = 2        # template length
+SAMPEN_R_PPM = 150_000  # tolerance as ppm of the series mean
+
+
+@query(
+    "timeseries_sample_entropy",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tmpl AS (
+            SELECT d, x,
+                   LEAD(x, 1) OVER (ORDER BY d) AS x1,
+                   LEAD(x, 2) OVER (ORDER BY d) AS x2
+            FROM daily
+        ),
+        tol AS (
+            SELECT CAST(SUM(x) * {SAMPEN_R_PPM} // (COUNT(*) * 1000000)
+                        AS BIGINT) AS r
+            FROM daily
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CASE WHEN abs(a.x - b.x) <= tol.r
+                                  AND abs(a.x1 - b.x1) <= tol.r
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b_m,
+                   CAST(SUM(CASE WHEN abs(a.x - b.x) <= tol.r
+                                  AND abs(a.x1 - b.x1) <= tol.r
+                                  AND abs(a.x2 - b.x2) <= tol.r
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a_m1
+            FROM tmpl a JOIN tmpl b ON b.d > a.d, tol
+            WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+        )
+        SELECT b_m AS template_matches_m2,
+               a_m1 AS template_matches_m3,
+               (SELECT r FROM tol) AS tolerance,
+               ROUND(-ln(CAST(a_m1 AS DOUBLE) / b_m), 9) AS sample_entropy
+        FROM pairs
+    """,
+    tags=("E504",),
+)
+def timeseries_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE ENTROPY (Richman-Moorman, m = {SAMPEN_M}, Chebyshev
+    tolerance r = {SAMPEN_R_PPM} ppm of the mean) of the daily count
+    series: −ln(A/B) where B counts m-template pairs within r and A
+    counts those still within r at m+1 — the regularity readout used
+    from physiology to ops telemetry: LOW SampEn = patterns repeat
+    (predictable load), HIGH = each window is novel.  Complements the
+    registered spectral entropy (global frequency spread) with local
+    TEMPLATE recurrence, and unlike approximate entropy it is
+    self-match-free and (at fixed r) unbiased.
+
+    Exact: templates are integer triples from one lead window; the
+    tolerance is an integer `div` of the mean; every match is an
+    integer Chebyshev comparison, so A and B are exact BIGINTs and
+    −ln(A/B) is one identical double op.  The all-template pair join
+    is CALENDAR-scale (n ≈ 365 days → 66k pairs) — the corpus never
+    pairs.  Plan: day rollup, one lead window, one tiny self-join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    tmpl = daily.select(
+        "d",
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).where(F.col("x2").isNotNull())
+    tol = daily.agg(
+        F.expr(
+            f"CAST(SUM(x) * {SAMPEN_R_PPM} div (COUNT(*) * 1000000)"
+            " AS BIGINT)"
+        ).alias("r")
+    )
+    a, b = tmpl.alias("a"), tmpl.alias("b")
+    pairs = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .crossJoin(F.broadcast(tol))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.abs(F.col("a.x") - F.col("b.x")) <= F.col("r"))
+                    & (F.abs(F.col("a.x1") - F.col("b.x1")) <= F.col("r")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b_m"),
+            F.sum(
+                F.when(
+                    (F.abs(F.col("a.x") - F.col("b.x")) <= F.col("r"))
+                    & (F.abs(F.col("a.x1") - F.col("b.x1")) <= F.col("r"))
+                    & (F.abs(F.col("a.x2") - F.col("b.x2")) <= F.col("r")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_m1"),
+            F.max("r").cast("bigint").alias("tolerance"),
+        )
+    )
+    return pairs.select(
+        F.col("b_m").alias("template_matches_m2"),
+        F.col("a_m1").alias("template_matches_m3"),
+        "tolerance",
+        F.round(
+            -F.log(F.col("a_m1").cast("double") / F.col("b_m")), 9
+        ).alias("sample_entropy"),
+    )
+
+
+@query(
+    "timeseries_dow_seasonal_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        dw AS (SELECT d % 7 AS dow, x FROM daily),
+        cells AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(x) AS BIGINT) AS s_i,
+                   SUM(CAST(x AS HUGEINT) * x) AS q_i
+            FROM dw GROUP BY dow
+        ),
+        t AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(s_i) AS BIGINT) AS s,
+                   CAST(SUM(q_i) AS HUGEINT) AS q,
+                   SUM(CAST(s_i AS HUGEINT) * s_i * 1000000 // n_i)
+                       AS between_fp,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM cells
+        )
+        SELECT n AS n_days, k AS n_groups,
+               CAST((between_fp - CAST(s AS HUGEINT) * s * 1000000 // n)
+                    * 1000000
+                    // (q * 1000000 - CAST(s AS HUGEINT) * s * 1000000 // n)
+                    AS BIGINT) AS eta_sq_ppm,
+               ROUND(((CAST(between_fp AS DOUBLE) / 1000000
+                       - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                     / ((CAST(q AS DOUBLE)
+                         - CAST(between_fp AS DOUBLE) / 1000000) / (n - k)),
+                     9) AS f_stat
+        FROM t
+    """,
+    tags=("E505",),
+)
+def timeseries_dow_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL STRENGTH as a one-way variance
+    decomposition of the daily count series: η² = SS_between/SS_total
+    over the 7 weekday groups (the fraction of daily variance the
+    weekly cycle explains) plus the F statistic.  The registered
+    Friedman/Page tests give a YES/NO on weekday effects; η² gives
+    the EFFECT SIZE a forecaster actually allocates model capacity by
+    — η² ≈ 0.8 says seasonal-naive is nearly sufficient, η² ≈ 0.1
+    says the weekly features barely matter.
+
+    Exact: group moments are exact integers; SS_between = Σs_i²/n_i
+    is kept exact by a 1e6 fixed-point `div` per group (HUGEINT /
+    decimal38 products), so η² is one integer div chain; only the
+    F ratio divides in doubles, identically.  Plan: day rollup, a
+    7-cell aggregate, scalar algebra."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    d38 = "decimal(38,0)"
+    cells = daily.select((F.col("d") % 7).alias("dow"), "x").groupBy(
+        "dow"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("x").cast("bigint").alias("s_i"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("q_i"),
+    )
+    t = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.sum("q_i").cast(d38).alias("q"),
+        F.sum(F.expr("CAST(s_i AS DECIMAL(38,0)) * s_i * 1000000 div n_i"))
+        .cast(d38)
+        .alias("between_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            "CAST((between_fp - CAST(s AS DECIMAL(38,0)) * s * 1000000 div n)"
+            " * 1000000"
+            " div (q * 1000000 - CAST(s AS DECIMAL(38,0)) * s * 1000000 div n)"
+            " AS BIGINT)"
+        ).alias("eta_sq_ppm"),
+        F.round(
+            (
+                (
+                    F.col("between_fp").cast("double") / 1000000
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("k") - 1)
+            )
+            / (
+                (
+                    F.col("q").cast("double")
+                    - F.col("between_fp").cast("double") / 1000000
+                )
+                / (F.col("n") - F.col("k"))
+            ),
+            9,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "analytics_churn_hazard_weekly",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        // 7 AS BIGINT) AS wk
+            FROM events
+        ),
+        span AS (
+            SELECT CAST(MIN(wk) AS BIGINT) AS w0,
+                   CAST(MAX(wk) AS BIGINT) AS w1
+            FROM uw
+        ),
+        nxt AS (
+            SELECT a.wk,
+                   CAST(COUNT(*) AS BIGINT) AS active,
+                   CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS churned
+            FROM uw a
+            LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+            WHERE a.wk < (SELECT w1 FROM span)
+            GROUP BY a.wk
+        )
+        SELECT wk AS week,
+               active, churned,
+               CAST(churned * 1000000 // active AS BIGINT) AS hazard_ppm
+        FROM nxt ORDER BY wk
+    """,
+    tags=("E509",),
+)
+def analytics_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY CHURN HAZARD: of the users active in week w, the share
+    NOT seen in week w+1 — the discrete-time hazard function h(w)
+    underneath every retention curve (the registered day-N retention
+    and cohort ops report SURVIVAL; the hazard is its derivative and
+    the quantity churn models actually regress).  A hazard spike at a
+    specific week localizes a product change the smooth survival
+    curve blurs; the final week is excluded (its outcome window
+    hasn't closed — the standard right-censoring guard).
+
+    Exact: (user, week) presence is a distinct rollup; churn is a
+    self anti-join at user grain realized as LEFT JOIN + NULL count;
+    the hazard is an integer ppm `div`.  Plan: one distinct rollup
+    (the corpus pass), one user-grain shuffle join on (user, week),
+    one week-grain aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+    ).distinct()
+    w1 = uw.agg(F.max("wk").cast("bigint").alias("w1"))
+    a = uw.alias("a")
+    b = uw.select(
+        F.col("user_id").alias("b_user"), (F.col("wk") - 1).alias("b_wk")
+    )
+    nxt = (
+        a.crossJoin(F.broadcast(w1))
+        .where(F.col("wk") < F.col("w1"))
+        .join(
+            b,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_wk") == F.col("wk")),
+            "left",
+        )
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active"),
+            F.sum(F.when(F.col("b_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("churned"),
+        )
+    )
+    return nxt.select(
+        F.col("wk").alias("week"),
+        "active",
+        "churned",
+        F.expr("CAST(churned * 1000000 div active AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    ).orderBy("week")

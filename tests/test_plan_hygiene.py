@@ -125,14 +125,14 @@ def test_broadcast_hint_discipline():
     # Reviewed per-file pins (exact counts).  Reason strings document
     # what classes of broadcast each file was audited to contain.
     expected = {
-        "operators/stats.py": (68, "scalar moment/fit frames, dim tables, grids"),
+        "operators/stats.py": (69, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
-        "operators/ml_features.py": (34, "1-row fit/threshold frames, vocab/centroid tables"),
-        "operators/timeseries.py": (31, "per-series scalar frames, calendars"),
+        "operators/ml_features.py": (35, "1-row fit/threshold frames, vocab/centroid tables"),
+        "operators/timeseries.py": (33, "per-series scalar frames, calendars"),
         "operators/graph.py": (28, "seeds/params + _state_bcast-gated state"),
-        "operators/similarity.py": (25, "query vectors, centroids, bounded pools"),
+        "operators/similarity.py": (29, "query vectors, centroids, bounded pools"),
         "operators/text.py": (24, "df-rank tables, size-gated verify join, stopword dims"),
-        "operators/pipeline.py": (14, "quota/threshold scalar frames, bloom bitsets"),
+        "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
         "operators/ivf.py": (9, "trained centroids/codebooks (declared constants)"),
         "operators/joins.py": (6, "dimension build sides (the broadcast-join ops)"),
         "operators/tpch.py": (5, "TPC-H dimension tables"),

@@ -1848,3 +1848,90 @@ def test_hapax_profile_internal_consistency(spark, sf_dir):
         assert 0 <= r["hapax_type_ppm"] <= 1_000_000
         assert yk[lang]["yule_k_x1e6"] >= 0
         assert yk[lang]["n_tokens"] == r["n_tokens"]
+
+
+def test_ablation_cube_monotone_in_mask(spark, sf_dir):
+    """Adding a filter can only shrink the survivor set: for every
+    pair of masks where m2's filters ⊇ m1's, n_docs(m2) <= n_docs(m1);
+    mask 0 (no filters) must equal the corpus size."""
+    rows = {
+        r["filter_mask"]: r
+        for r in registry.get("pipeline_filter_ablation_cube")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(range(8))
+    d = load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_docs"] == d
+    for m1 in range(8):
+        for m2 in range(8):
+            if m1 & m2 == m1:  # m2 applies a superset of m1's filters
+                assert rows[m2]["n_docs"] <= rows[m1]["n_docs"], (m1, m2)
+
+
+def test_cluster_agreement_bounds_and_grid(spark, sf_dir):
+    """Purity in [max-label-share, 1]; RI in [0, 1]; ARI <= RI-ish
+    scale and > -0.5e6; n_points equals the embeddings count."""
+    r = (
+        registry.get("embedding_cluster_purity_rand")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert r["n_points"] == n
+    assert 0 < r["purity_ppm"] <= 1_000_000
+    assert 0 <= r["rand_index_ppm"] <= 1_000_000
+    assert -500_000 <= r["adjusted_rand_ppm"] <= 1_000_000
+
+
+def test_woe_iv_balance_identity(spark, sf_dir):
+    """Σ(g_i) = G and Σ(b_i) = B over retained bins (all quintiles
+    have both classes here), and the WOE-weighted counts balance:
+    bins with positive WOE hold proportionally more goods."""
+    rows = (
+        registry.get("ml_woe_information_value").fn(spark, sf_dir).collect()
+    )
+    gg = sum(r["n_good"] for r in rows)
+    bb = sum(r["n_bad"] for r in rows)
+    for r in rows:
+        lhs = r["n_good"] * bb > r["n_bad"] * gg
+        assert lhs == (r["woe_fp"] > 0), r
+        assert (r["iv_contrib_fp"] >= 0) == True  # IV terms are nonnegative
+
+
+def test_churn_hazard_well_formed(spark, sf_dir):
+    """churned <= active per week, hazard in [0, 1e6], and weeks form
+    a contiguous range ending one before the last observed week."""
+    rows = sorted(
+        registry.get("analytics_churn_hazard_weekly")
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["week"],
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["churned"] <= r["active"]
+        assert 0 <= r["hazard_ppm"] <= 1_000_000
+    weeks = [r["week"] for r in rows]
+    assert weeks == list(range(weeks[0], weeks[0] + len(weeks)))
+
+
+def test_chao1_dominates_observed_vocabulary(spark, sf_dir):
+    """Chao1 >= V (it adds a nonnegative unseen-mass term) and
+    coverage in [0, 1e6]; V1 consistency with the hapax profile."""
+    rows = {
+        r["lang"]: r
+        for r in registry.get("text_chao1_vocabulary_richness")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    hap = {
+        r["lang"]: r
+        for r in registry.get("text_hapax_legomena_profile")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for lang, r in rows.items():
+        assert r["chao1_estimate"] >= r["v_observed"], r
+        assert 0 <= r["turing_coverage_ppm"] <= 1_000_000
+        assert r["v1"] == hap[lang]["v1_hapax"]
