@@ -2248,3 +2248,140 @@ def embedding_cluster_purity_rand(
             " - CAST(rp AS DECIMAL(38,0)) * cp) AS BIGINT)"
         ).alias("adjusted_rand_ppm"),
     )
+
+
+PR_Q = 10**6       # coordinate quantization for the Gram pass
+PR_M_DOWN = 10**6  # downscale of centered-moment cells before squaring
+
+
+@query(
+    "embedding_participation_ratio",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {PR_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        marg AS (
+            SELECT label, i, CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY label, i
+        ),
+        gram AS (
+            SELECT a.label, a.i AS di, b.i AS dj,
+                   SUM(CAST(a.q AS HUGEINT) * b.q) AS sij
+            FROM vals a JOIN vals b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.label, a.i, b.i
+        ),
+        cells AS (
+            SELECT g.label, g.di, g.dj,
+                   (ma.n * g.sij - CAST(ma.s AS HUGEINT) * mb.s)
+                       // {PR_M_DOWN} AS m
+            FROM gram g
+            JOIN marg ma ON ma.label = g.label AND ma.i = g.di
+            JOIN marg mb ON mb.label = g.label AND mb.i = g.dj
+        ),
+        agg AS (
+            SELECT label,
+                   CAST(SUM(CASE WHEN di = dj THEN m ELSE 0 END)
+                        AS HUGEINT) AS tr_q,
+                   SUM(CASE WHEN di = dj THEN CAST(m AS HUGEINT) * m
+                            ELSE 2 * CAST(m AS HUGEINT) * m END) AS tr2_q
+            FROM cells GROUP BY label
+        )
+        SELECT label,
+               CAST(tr_q AS DOUBLE) AS trace_q,
+               CAST(tr_q * tr_q * 1000000 // tr2_q AS BIGINT)
+                   AS participation_ratio_x1e6
+        FROM agg ORDER BY label
+    """,
+    tags=("E510",),
+)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTICIPATION RATIO — the eigensolver-free effective dimension
+    of each label's embedding cloud: PR = (Σλ)²/Σλ² = tr(C)²/tr(C²),
+    computed ENTIRELY from trace identities (tr(C²) = ‖C‖_F², so no
+    eigendecomposition, no iteration — unlike the registered PCA
+    power-iteration op, this is one closed-form pass).  PR ≈ 64 means
+    isotropic use of the space, PR ≈ 3 means the encoder collapsed;
+    read next to TwoNN (manifold dimension of the DATA) — PR is the
+    LINEAR dimension of the representation; a gap between them is
+    nonlinear structure.
+
+    Exact: coordinates FLOOR-quantize at 1e6, the Gram pass S_ij =
+    Σq_iq_j and the marginals are exact integers, each centered cell
+    n·S_ij − s_i·s_j downscales by one integer `div` (declared
+    quantization, identical both engines) before squaring so ‖C‖_F²
+    stays inside decimal38, and PR is one integer ppm ratio.  Plan:
+    one 64-way posexplode (row-local), a vec_id-local self-join for
+    the d(d+1)/2 pair fan-out, one (label, i, j) aggregate (≤ 20,800
+    cells), two dim-table joins.  100 TB: the Gram pass is the corpus
+    pass (at production d, matrix-blocked partial Grams via
+    mapInPandas — same exact integer algebra)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * PR_Q).cast("bigint").alias("q"),
+    )
+    marg = vals.groupBy("label", "i").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    a = vals.select("vec_id", "label", F.col("i").alias("di"), F.col("q").alias("qa"))
+    b = vals.select("vec_id", F.col("i").alias("dj"), F.col("q").alias("qb"))
+    gram = (
+        a.join(b, "vec_id")
+        .where(F.col("di") <= F.col("dj"))
+        .groupBy("label", "di", "dj")
+        .agg(F.sum(F.col("qa").cast(d38) * F.col("qb")).cast(d38).alias("sij"))
+    )
+    ma = marg.select(
+        "label", F.col("i").alias("di"), F.col("s").alias("sa"), "n"
+    )
+    mb = marg.select("label", F.col("i").alias("dj"), F.col("s").alias("sb"))
+    cells = (
+        gram.join(F.broadcast(ma), ["label", "di"])
+        .join(F.broadcast(mb), ["label", "dj"])
+        .select(
+            "label",
+            "di",
+            "dj",
+            F.expr(
+                f"CAST((n * sij - CAST(sa AS DECIMAL(38,0)) * sb)"
+                f" div {PR_M_DOWN} AS DECIMAL(38,0))"
+            ).alias("m"),
+        )
+    )
+    agg = cells.groupBy("label").agg(
+        F.sum(F.when(F.col("di") == F.col("dj"), F.col("m")).otherwise(0))
+        .cast(d38)
+        .alias("tr_q"),
+        F.sum(
+            F.when(
+                F.col("di") == F.col("dj"), F.col("m") * F.col("m")
+            ).otherwise(2 * F.col("m") * F.col("m"))
+        )
+        .cast(d38)
+        .alias("tr2_q"),
+    )
+    return agg.select(
+        "label",
+        F.col("tr_q").cast("double").alias("trace_q"),
+        F.expr(
+            "CAST(tr_q * tr_q * 1000000 div tr2_q AS BIGINT)"
+        ).alias("participation_ratio_x1e6"),
+    ).orderBy("label")
