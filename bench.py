@@ -135,6 +135,10 @@ def main() -> int:
         # harmonic / eccentricity / sampled betweenness (warmed via
         # harmonic, the cheapest consumer: build + one aggregate)
         ("graph_harmonic_centrality", "hc_seed_reach"),
+        # r9: the centered-Gram cell table shared by the trace-identity
+        # spectrum family (participation ratio, CKA) — warmed via the
+        # participation ratio, the cheapest consumer
+        ("embedding_participation_ratio", "emb_gram_cells"),
         ("multimodal_webdataset_samples", "wds_shard_store"),
     )
     shared_build_breakdown: dict[str, float] = {}

@@ -3697,3 +3697,199 @@ def graph_adamic_adar_link_prediction(
         .orderBy(F.desc("aa_fp"), F.asc("a"), F.asc("b"))
         .limit(LP_TOP)
     )
+
+
+CC_FP = 10**12  # closeness fixed-point scale (decimal38/HUGEINT sums)
+
+
+@query(
+    "graph_closeness_centrality",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_nodes FROM nodes),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        ),
+        per_seed AS (
+            SELECT seed,
+                   CAST(COUNT(*) AS HUGEINT) AS r,
+                   CAST(SUM(dist) AS HUGEINT) AS sum_dist
+            FROM best WHERE dist > 0 GROUP BY seed
+        )
+        SELECT seed,
+               CAST(r AS BIGINT) AS n_reached,
+               CAST(sum_dist AS BIGINT) AS sum_dist,
+               CAST(r * r * {CC_FP} // ((n_nodes - 1) * sum_dist)
+                    AS BIGINT) AS closeness_wf_fp
+        FROM per_seed, nn
+        ORDER BY seed
+    """,
+    tags=("E514",),
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WASSERMAN-FAUST CLOSENESS of the BFS seed family on the
+    co-purchase graph, truncated at {HC_MAX_HOPS} hops: C_WF(s) =
+    (r/(N−1))·(r/Σd) where r = |reached(s)| — the disconnected-graph
+    correction of classic closeness (the r/(N−1) factor scales a
+    small reachable component's score down instead of letting a
+    2-node island win), the natural companion readout to harmonic
+    centrality over the SAME forward pass.
+
+    Exact: counts and hop sums are integers; the score lands in one
+    decimal38/HUGEINT fixed-point division (all operands ≥ 0, trunc =
+    floor).  Plan: ONE aggregate over the hc_seed_reach SHARED
+    INTERMEDIATE (zero extra BFS — the multi-source forward table is
+    built once per session for the harmonic/eccentricity/betweenness
+    family, r7 verdict #1) plus a metadata-cheap |V| scalar.  100 TB:
+    marginal cost stays the seed-rows aggregate; the intermediate's
+    refresh cadence owns the heavy lifting."""
+    reach, sym = hc_seed_reach(spark, sf_dir)
+    nn = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_nodes"))
+    )
+    per_seed = (
+        reach.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("r"),
+            F.sum("dist").cast("decimal(38,0)").alias("sum_dist"),
+        )
+    )
+    return (
+        per_seed.crossJoin(F.broadcast(nn))
+        .select(
+            "seed",
+            F.col("r").cast("bigint").alias("n_reached"),
+            F.col("sum_dist").cast("bigint").alias("sum_dist"),
+            F.expr(
+                f"CAST(r * r * {CC_FP} div ((n_nodes - 1) * sum_dist)"
+                " AS BIGINT)"
+            ).alias("closeness_wf_fp"),
+        )
+        .orderBy("seed")
+    )
+
+
+EV_ITERS = 4      # unrolled power-iteration rounds (exact integers)
+EV_U = 1_000_000  # micro-unit score scale, max-normalized per round
+EV_TOP = 20
+
+
+def _eigenvector_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, EV_ITERS + 1):
+        steps.append(
+            f"r{i}r AS MATERIALIZED (SELECT s.v AS u, "
+            f"CAST(SUM(r.s) AS BIGINT) AS s "
+            f"FROM sym s JOIN {prev} r ON s.u = r.u GROUP BY s.v)"
+        )
+        steps.append(
+            f"r{i} AS MATERIALIZED (SELECT u, "
+            f"s * {EV_U} // (SELECT MAX(s) FROM r{i}r) AS s FROM r{i}r)"
+        )
+        prev = f"r{i}"
+    return f"""
+        WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, c.l_partkey AS v
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT u, CAST({EV_U} AS BIGINT) AS s FROM sym
+        ),
+        {", ".join(steps)}
+        SELECT CAST(u AS BIGINT) AS part_key, CAST(s AS BIGINT) AS score_u
+        FROM r{EV_ITERS}
+        ORDER BY s DESC, u
+        LIMIT {EV_TOP}
+    """
+
+
+@query("graph_eigenvector_centrality", oracle=_eigenvector_oracle(), tags=("E515",))
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGENVECTOR CENTRALITY (power iteration, {EV_ITERS} rounds,
+    max-normalized) on the undirected co-purchase graph, top
+    {EV_TOP} parts: x ← A·x/‖A·x‖_∞ — "important because connected
+    to the important", the undirected sibling of HITS (which runs
+    the same mutual recursion on a BIPARTITE graph) and the α→1/λ₁
+    limit Katz centrality approaches; PageRank adds the random-jump
+    teleport.  All four spectral importance measures now ship, each
+    on its natural graph.
+
+    Exact (the HITS recipe on a symmetric adjacency): scores are
+    micro-unit BIGINTs, each round is Σ over edges (exact integer
+    addition) then ONE integer max-normalizing division (operands ≥
+    0, trunc = floor), so every round's vector is bit-identical on
+    any partitioning and in DuckDB's unrolled twin.
+
+    Plan: per round one broadcast join (|V| score rows against the
+    never-reshuffled edge table) + one partial-agg exchange + a
+    1-row max crossJoin; localCheckpoint truncates lineage before
+    the scalar max so round N never replays rounds 1..N−1 (the
+    HITS/pagerank discipline).  100 TB: |V| outgrows broadcast →
+    flip to a shuffle join on pre-partitioned edges, same loop."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    ranks = (
+        sym.select("u")
+        .distinct()
+        .select("u", F.lit(EV_U).cast("bigint").alias("s"))
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(EV_ITERS):
+            # score vector is |V| rows << |E|: broadcast it so the
+            # edge table never re-shuffles (the pagerank loop shape)
+            summed = (
+                sym.join(F.broadcast(ranks), "u")
+                .groupBy(F.col("v").alias("u2"))
+                .agg(F.sum("s").cast("bigint").alias("s"))
+                .withColumnRenamed("u2", "u")
+                .localCheckpoint(eager=True)
+            )
+            mx = summed.agg(F.max("s").alias("mx"))
+            ranks = summed.crossJoin(F.broadcast(mx)).select(
+                "u", F.expr(f"s * {EV_U} div mx").cast("bigint").alias("s")
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (
+        ranks.orderBy(F.col("s").desc(), "u")
+        .limit(EV_TOP)
+        .select(
+            F.col("u").cast("bigint").alias("part_key"),
+            F.col("s").cast("bigint").alias("score_u"),
+        )
+    )

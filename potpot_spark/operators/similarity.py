@@ -2254,6 +2254,78 @@ PR_Q = 10**6       # coordinate quantization for the Gram pass
 PR_M_DOWN = 10**6  # downscale of centered-moment cells before squaring
 
 
+def emb_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, di, dj, m): the per-label CENTERED-GRAM cell table
+    over 1e6-quantized embedding coordinates — m = (n·S_ij −
+    s_i·s_j) div 1e6 on the upper triangle di ≤ dj — as a SHARED
+    MATERIALIZED INTERMEDIATE.  Every trace-identity spectrum op
+    (participation ratio's tr(C)/‖C‖_F², CKA's three HSIC blocks)
+    consumes this one table: the d(d+1)/2 Gram fan-out is the entire
+    corpus-pass cost (~2.2 s each at sf0.1), the downstream block
+    aggregates are ≤20,800-row algebra — the hc_seed_reach
+    discipline applied to the spectral family.  Built once per
+    (session, sf_dir); bench bills it to shared_build_sec."""
+    from potpot_spark.materialize import shared_intermediate
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vals = emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        ).select(
+            "vec_id",
+            "label",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x") * PR_Q).cast("bigint").alias("q"),
+        )
+        marg = vals.groupBy("label", "i").agg(
+            F.sum("q").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        d38 = "decimal(38,0)"
+        a = vals.select(
+            "vec_id", "label", F.col("i").alias("di"), F.col("q").alias("qa")
+        )
+        b = vals.select(
+            "vec_id", F.col("i").alias("dj"), F.col("q").alias("qb")
+        )
+        gram = (
+            a.join(b, "vec_id")
+            .where(F.col("di") <= F.col("dj"))
+            .groupBy("label", "di", "dj")
+            .agg(
+                F.sum(F.col("qa").cast(d38) * F.col("qb"))
+                .cast(d38)
+                .alias("sij")
+            )
+        )
+        ma = marg.select(
+            "label", F.col("i").alias("di"), F.col("s").alias("sa"), "n"
+        )
+        mb = marg.select(
+            "label", F.col("i").alias("dj"), F.col("s").alias("sb")
+        )
+        # marginals are (labels x d)-bounded dim tables — broadcast class
+        return (
+            gram.join(F.broadcast(ma), ["label", "di"])
+            .join(F.broadcast(mb), ["label", "dj"])
+            .select(
+                "label",
+                "di",
+                "dj",
+                F.expr(
+                    f"CAST((n * sij - CAST(sa AS DECIMAL(38,0)) * sb)"
+                    f" div {PR_M_DOWN} AS DECIMAL(38,0))"
+                ).alias("m"),
+            )
+        )
+
+    return shared_intermediate(spark, sf_dir, "emb_gram_cells", build)
+
+
 @query(
     "embedding_participation_ratio",
     oracle=f"""
@@ -2318,54 +2390,14 @@ def embedding_participation_ratio(
     n·S_ij − s_i·s_j downscales by one integer `div` (declared
     quantization, identical both engines) before squaring so ‖C‖_F²
     stays inside decimal38, and PR is one integer ppm ratio.  Plan:
-    one 64-way posexplode (row-local), a vec_id-local self-join for
-    the d(d+1)/2 pair fan-out, one (label, i, j) aggregate (≤ 20,800
-    cells), two dim-table joins.  100 TB: the Gram pass is the corpus
-    pass (at production d, matrix-blocked partial Grams via
-    mapInPandas — same exact integer algebra)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vals = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i0", "x"
-        ),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x") * PR_Q).cast("bigint").alias("q"),
-    )
-    marg = vals.groupBy("label", "i").agg(
-        F.sum("q").cast("bigint").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ONE ≤20,800-row aggregate over the emb_gram_cells SHARED
+    INTERMEDIATE (the 64-way posexplode + vec_id-local self-join
+    Gram pass, built once per session for the whole trace-identity
+    family).  100 TB: the shared Gram pass is the corpus pass (at
+    production d, matrix-blocked partial Grams via mapInPandas —
+    same exact integer algebra)."""
+    cells = emb_gram_cells(spark, sf_dir)
     d38 = "decimal(38,0)"
-    a = vals.select("vec_id", "label", F.col("i").alias("di"), F.col("q").alias("qa"))
-    b = vals.select("vec_id", F.col("i").alias("dj"), F.col("q").alias("qb"))
-    gram = (
-        a.join(b, "vec_id")
-        .where(F.col("di") <= F.col("dj"))
-        .groupBy("label", "di", "dj")
-        .agg(F.sum(F.col("qa").cast(d38) * F.col("qb")).cast(d38).alias("sij"))
-    )
-    ma = marg.select(
-        "label", F.col("i").alias("di"), F.col("s").alias("sa"), "n"
-    )
-    mb = marg.select("label", F.col("i").alias("dj"), F.col("s").alias("sb"))
-    cells = (
-        gram.join(F.broadcast(ma), ["label", "di"])
-        .join(F.broadcast(mb), ["label", "dj"])
-        .select(
-            "label",
-            "di",
-            "dj",
-            F.expr(
-                f"CAST((n * sij - CAST(sa AS DECIMAL(38,0)) * sb)"
-                f" div {PR_M_DOWN} AS DECIMAL(38,0))"
-            ).alias("m"),
-        )
-    )
     agg = cells.groupBy("label").agg(
         F.sum(F.when(F.col("di") == F.col("dj"), F.col("m")).otherwise(0))
         .cast(d38)
@@ -2384,4 +2416,119 @@ def embedding_participation_ratio(
         F.expr(
             "CAST(tr_q * tr_q * 1000000 div tr2_q AS BIGINT)"
         ).alias("participation_ratio_x1e6"),
+    ).orderBy("label")
+
+
+CKA_Q = 10**6      # coordinate quantization for the cross-Gram pass
+CKA_M_DOWN = 10**6 # downscale of centered cells before squaring
+CKA_SPLIT = 32     # dims 1..32 = view X, 33..64 = view Y
+
+
+@query(
+    "embedding_cka_halves",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {CKA_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        marg AS (
+            SELECT label, i, CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY label, i
+        ),
+        gram AS (
+            SELECT a.label, a.i AS di, b.i AS dj,
+                   SUM(CAST(a.q AS HUGEINT) * b.q) AS sij
+            FROM vals a JOIN vals b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.label, a.i, b.i
+        ),
+        cells AS (
+            SELECT g.label, g.di, g.dj,
+                   (ma.n * g.sij - CAST(ma.s AS HUGEINT) * mb.s)
+                       // {CKA_M_DOWN} AS m
+            FROM gram g
+            JOIN marg ma ON ma.label = g.label AND ma.i = g.di
+            JOIN marg mb ON mb.label = g.label AND mb.i = g.dj
+        ),
+        hsic AS (
+            SELECT label,
+                   SUM(CASE WHEN di <= {CKA_SPLIT} AND dj > {CKA_SPLIT}
+                            THEN CAST(m AS HUGEINT) * m ELSE 0 END) AS hxy,
+                   SUM(CASE WHEN di <= {CKA_SPLIT} AND dj <= {CKA_SPLIT}
+                            THEN CASE WHEN di = dj
+                                 THEN CAST(m AS HUGEINT) * m
+                                 ELSE 2 * CAST(m AS HUGEINT) * m END
+                            ELSE 0 END) AS hxx,
+                   SUM(CASE WHEN di > {CKA_SPLIT} AND dj > {CKA_SPLIT}
+                            THEN CASE WHEN di = dj
+                                 THEN CAST(m AS HUGEINT) * m
+                                 ELSE 2 * CAST(m AS HUGEINT) * m END
+                            ELSE 0 END) AS hyy
+            FROM cells GROUP BY label
+        )
+        SELECT label,
+               CAST(((hxy * 1000000 // hxx) * hxy) // hyy AS BIGINT)
+                   AS cka_sq_x1e6
+        FROM hsic ORDER BY label
+    """,
+    tags=("E517",),
+)
+def embedding_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR CKA (centered kernel alignment) between the first and
+    last 32 dimensions of each label's embeddings: CKA(X,Y) =
+    ‖Xc᙭Yc‖_F² / (‖Xc᙭Xc‖_F·‖Yc᙭Yc‖_F) — THE representation-
+    similarity measure of the probing literature (invariant to
+    rotation and isotropic scale), here answering "do the two halves
+    of the vector encode the same structure?" — CKA ≈ 1 flags
+    redundant halves (truncate: the registered Matryoshka op's
+    go-signal), CKA ≈ 0 means the halves carry complementary
+    information.
+
+    Exact: the same trace-identity machinery as
+    embedding_participation_ratio (one 1e6-quantized cross-Gram
+    pass, integer centering n·S_ij − s_i·s_j, one declared 1e6
+    downscale before squaring); the three HSIC blocks are carved
+    from ONE (label, i≤j) cell table by dimension-range CASE, and
+    CKA² lands by staged integer division (all operands ≥ 0 —
+    sums of squares — so trunc = floor).  The √ back to CKA is
+    client-side presentation.
+
+    Plan: ONE ≤20,800-cell aggregate over the emb_gram_cells SHARED
+    INTERMEDIATE — the posexplode + vec_id-local self-join Gram pass
+    is built once per session and split with the participation-ratio
+    op (same quantization constants by construction).  100 TB: the
+    shared Gram pass is the corpus pass; cells stay d²-bounded."""
+    assert (CKA_Q, CKA_M_DOWN) == (PR_Q, PR_M_DOWN)
+    cells = emb_gram_cells(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    m2 = F.col("m") * F.col("m")
+    in_x = F.col("di") <= CKA_SPLIT
+    in_y = F.col("dj") > CKA_SPLIT
+    diag = F.col("di") == F.col("dj")
+    hsic = cells.groupBy("label").agg(
+        F.sum(F.when(in_x & in_y, m2).otherwise(0)).cast(d38).alias("hxy"),
+        F.sum(
+            F.when(
+                in_x & ~in_y, F.when(diag, m2).otherwise(2 * m2)
+            ).otherwise(0)
+        )
+        .cast(d38)
+        .alias("hxx"),
+        F.sum(
+            F.when(
+                ~in_x & in_y, F.when(diag, m2).otherwise(2 * m2)
+            ).otherwise(0)
+        )
+        .cast(d38)
+        .alias("hyy"),
+    )
+    return hsic.select(
+        "label",
+        F.expr(
+            "CAST(((hxy * 1000000 div hxx) * hxy) div hyy AS BIGINT)"
+        ).alias("cka_sq_x1e6"),
     ).orderBy("label")

@@ -8539,3 +8539,345 @@ def stats_bowker_symmetry_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (nij + nji)) AS BIGINT)"
         ).alias("bowker_chi2_x1e6"),
     )
+
+
+@query(
+    "stats_jarque_bera",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag AS grp,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s1,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s2,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s3,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        a AS (
+            SELECT grp, n,
+                   n * s2 - s1 * s1 AS a2,
+                   n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+                   n * n * n * s4 - 4 * n * n * s1 * s3
+                     + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+            FROM s
+        ),
+        b AS (
+            SELECT grp, n,
+                   (ABS(a3) * 1000000 // a2) AS r3,
+                   a2,
+                   (a4 * 1000000) // (a2 * a2) AS b2_x1e6
+            FROM a
+        ),
+        c AS (
+            SELECT grp, n, b2_x1e6,
+                   (r3 * r3) // (a2 * 1000000) AS b1_x1e6
+            FROM b
+        )
+        SELECT grp,
+               CAST(n AS BIGINT) AS n,
+               CAST(b1_x1e6 AS BIGINT) AS skew_sq_x1e6,
+               CAST(b2_x1e6 AS BIGINT) AS kurtosis_x1e6,
+               CAST(n * (b1_x1e6 + ((b2_x1e6 - 3000000)
+                                    * (b2_x1e6 - 3000000)) // 4000000)
+                    // 6 AS BIGINT) AS jb_x1e6
+        FROM c ORDER BY grp
+    """,
+    tags=("E511",),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per return flag: JB = n/6·(b1 +
+    (b2−3)²/4) from the sample skewness-squared b1 = m3²/m2³ and
+    kurtosis b2 = m4/m2² — the moments-only omnibus normality check
+    (the reference stores rows and computes nothing,
+    /root/reference/src/query.rs:3-9; this is the distribution-shape
+    audit every feature pipeline runs before z-scoring).
+
+    Exact across engines with ZERO doubles: l_quantity is
+    integer-valued, so the raw power sums s1..s4 are exact integers
+    (decimal38/HUGEINT); the centered aggregates arrive by integer
+    algebra (A2 = n·s2−s1² = n²m2, A3 = n²s3−3ns1s2+2s1³ = n³m3,
+    A4 = n³s4−4n²s1s3+6ns1²s2−3s1⁴ = n⁴m4 — the n-powers cancel
+    inside b1 = A3²/A2³ and b2 = A4/A2²), and each ratio lands by
+    DECLARED staged integer division: r3 = |A3|·1e6 div A2 then
+    b1·1e6 = r3² div (A2·1e6) keeps every operand inside decimal38
+    where the naive A3² blows 40 digits.  All div operands are
+    non-negative (|A3| squares away the only sign), so Spark's
+    truncating `div` and DuckDB's flooring `//` agree everywhere.
+
+    Plan: ONE mergeable map-side-combinable pass over the fact (four
+    power sums per group), then 3-row algebra.  100 TB: identical —
+    power sums are the textbook mergeable aggregate; at production n
+    the A4 headroom moves the downscale constant, same algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    d38 = "decimal(38,0)"
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(q).cast(d38).alias("s1"),
+        F.sum(q * q).cast(d38).alias("s2"),
+        F.sum(q * q * q).cast(d38).alias("s3"),
+        F.sum(q * q * q * q).cast(d38).alias("s4"),
+    )
+    a = s.select(
+        "grp",
+        "n",
+        F.expr("n * s2 - s1 * s1").cast(d38).alias("a2"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
+        .cast(d38)
+        .alias("a3"),
+        F.expr(
+            "n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"
+        )
+        .cast(d38)
+        .alias("a4"),
+    )
+    b = a.select(
+        "grp",
+        "n",
+        F.expr("CAST(abs(a3) * 1000000 div a2 AS DECIMAL(38,0))").alias("r3"),
+        "a2",
+        F.expr("CAST(a4 * 1000000 div (a2 * a2) AS DECIMAL(38,0))").alias(
+            "b2_x1e6"
+        ),
+    )
+    c = b.select(
+        "grp",
+        "n",
+        "b2_x1e6",
+        F.expr("CAST(r3 * r3 div (a2 * 1000000) AS DECIMAL(38,0))").alias(
+            "b1_x1e6"
+        ),
+    )
+    return c.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("b1_x1e6").cast("bigint").alias("skew_sq_x1e6"),
+        F.col("b2_x1e6").cast("bigint").alias("kurtosis_x1e6"),
+        F.expr(
+            "CAST(n * (b1_x1e6 + ((b2_x1e6 - 3000000)"
+            " * (b2_x1e6 - 3000000)) div 4000000)"
+            " div 6 AS BIGINT)"
+        ).alias("jb_x1e6"),
+    ).orderBy("grp")
+
+
+@query(
+    "stats_cronbach_alpha",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag AS grp,
+                   CAST(l_quantity AS BIGINT) * 100 AS i1,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS i2,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS i3,
+                   CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS i4
+            FROM lineitem
+        ),
+        s AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(i1) AS HUGEINT) AS m1,
+                   CAST(SUM(CAST(i1 AS HUGEINT) * i1) AS HUGEINT) AS q1,
+                   CAST(SUM(i2) AS HUGEINT) AS m2,
+                   CAST(SUM(CAST(i2 AS HUGEINT) * i2) AS HUGEINT) AS q2,
+                   CAST(SUM(i3) AS HUGEINT) AS m3,
+                   CAST(SUM(CAST(i3 AS HUGEINT) * i3) AS HUGEINT) AS q3,
+                   CAST(SUM(i4) AS HUGEINT) AS m4,
+                   CAST(SUM(CAST(i4 AS HUGEINT) * i4) AS HUGEINT) AS q4,
+                   CAST(SUM(i1 + i2 + i3 + i4) AS HUGEINT) AS mt,
+                   CAST(SUM(CAST(i1 + i2 + i3 + i4 AS HUGEINT)
+                            * (i1 + i2 + i3 + i4)) AS HUGEINT) AS qt
+            FROM r GROUP BY grp
+        ),
+        v AS (
+            SELECT grp, n,
+                   (n * q1 - m1 * m1) + (n * q2 - m2 * m2)
+                     + (n * q3 - m3 * m3) + (n * q4 - m4 * m4) AS v_items,
+                   n * qt - mt * mt AS v_total
+            FROM s
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN 4000000 * (v_total - v_items) >= 0
+                    THEN (4000000 * (v_total - v_items)) // (3 * v_total)
+                    ELSE -((4000000 * (v_items - v_total)) // (3 * v_total))
+                    END AS BIGINT) AS alpha_x1e6
+        FROM v ORDER BY grp
+    """,
+    tags=("E512",),
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency coefficient per return
+    flag over the k=4 lineitem measures (quantity, price, discount,
+    tax as centi-unit items): α = k/(k−1)·(1 − Σvar_items/var_total)
+    — the reliability readout for any multi-item score (quality
+    rubrics, multi-judge LLM evals, composite risk scores); α near 0
+    says the items don't co-vary into one scale.
+
+    Exact: each item is an exact centi-unit BIGINT (prices round
+    through DECIMAL(18,2) first — the repo's double→decimal 2dp
+    discipline), every variance rides as the UNNORMALIZED integer
+    n·Σx²−(Σx)² (the n² scale cancels in the ratio), and α lands in
+    one integer division.  The numerator CAN be negative (anti-
+    correlated items), so both engines take the SIGN-SPLIT division
+    — trunc(x) = sign(x)·floor(|x|) — making Spark's truncating
+    `div` and DuckDB's flooring `//` agree on every input.
+
+    Plan: ONE mergeable pass (10 sums per group), 3-row algebra
+    after.  100 TB: identical shape; the row term i1+…+i4 is
+    row-local so the pass stays map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_quantity").cast("bigint") * 100).alias("i1"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("i2"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("i3"),
+        (F.col("l_tax").cast("decimal(18,2)") * 100).cast("bigint").alias("i4"),
+    ).withColumn("t", F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4"))
+    d38 = "decimal(38,0)"
+    s = items.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        *[
+            c
+            for k in ("i1", "i2", "i3", "i4", "t")
+            for c in (
+                F.sum(k).cast(d38).alias(f"m_{k}"),
+                F.sum(F.col(k).cast(d38) * F.col(k)).cast(d38).alias(f"q_{k}"),
+            )
+        ],
+    )
+    v = s.select(
+        "grp",
+        "n",
+        F.expr(
+            "(n * q_i1 - m_i1 * m_i1) + (n * q_i2 - m_i2 * m_i2)"
+            " + (n * q_i3 - m_i3 * m_i3) + (n * q_i4 - m_i4 * m_i4)"
+        )
+        .cast(d38)
+        .alias("v_items"),
+        F.expr("n * q_t - m_t * m_t").cast(d38).alias("v_total"),
+    )
+    return v.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN 4000000 * (v_total - v_items) >= 0"
+            " THEN (4000000 * (v_total - v_items)) div (3 * v_total)"
+            " ELSE -((4000000 * (v_items - v_total)) div (3 * v_total))"
+            " END AS BIGINT)"
+        ).alias("alpha_x1e6"),
+    ).orderBy("grp")
+
+
+@query(
+    "stats_goodman_kruskal_lambda",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ),
+        tot AS (SELECT SUM(n) AS nt FROM cells),
+        row_max AS (
+            SELECT SUM(mx) AS sum_row_max
+            FROM (SELECT x, MAX(n) AS mx FROM cells GROUP BY x)
+        ),
+        col_max AS (
+            SELECT SUM(mx) AS sum_col_max
+            FROM (SELECT y, MAX(n) AS mx FROM cells GROUP BY y)
+        ),
+        col_marg AS (
+            SELECT MAX(s) AS max_col_marg
+            FROM (SELECT y, SUM(n) AS s FROM cells GROUP BY y)
+        ),
+        row_marg AS (
+            SELECT MAX(s) AS max_row_marg
+            FROM (SELECT x, SUM(n) AS s FROM cells GROUP BY x)
+        )
+        SELECT CAST(nt AS BIGINT) AS n_total,
+               CAST((sum_row_max - max_col_marg) * 1000000
+                    // (nt - max_col_marg) AS BIGINT) AS lambda_y_given_x_x1e6,
+               CAST((sum_col_max - max_row_marg) * 1000000
+                    // (nt - max_row_marg) AS BIGINT) AS lambda_x_given_y_x1e6,
+               CAST(((sum_row_max - max_col_marg)
+                     + (sum_col_max - max_row_marg)) * 1000000
+                    // (2 * nt - max_col_marg - max_row_marg) AS BIGINT)
+                   AS lambda_symmetric_x1e6
+        FROM tot, row_max, col_max, col_marg, row_marg
+    """,
+    tags=("E513",),
+)
+def stats_goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOODMAN-KRUSKAL LAMBDA (proportional reduction in error) for
+    the order-priority × order-status contingency: λ(Y|X) = (Σ_x
+    max_y n_xy − max_y n_·y)/(N − max_y n_·y) — "knowing X cuts my
+    modal-guess errors about Y by λ" — the PRE companion to Cramér's
+    V (association strength) and the uncertainty coefficient
+    (information-theoretic): λ is the one with a decision-rule
+    interpretation, and it's asymmetric, so both directions plus the
+    symmetric pooling ship.
+
+    Exact: pure integer cell counts and one final scaled division
+    per direction (numerators are ≥ 0 by the max ≥ marginal-share
+    argument, so trunc = floor).  Plan: ONE groupBy over the fact to
+    the k×m cell grid (map-side combinable), then all five reductions
+    are over ≤ k·m rows — at 100 TB the cell grid is still tiny, so
+    everything after the first exchange is free."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    row_max = (
+        cells.groupBy("x")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("sum_row_max"))
+    )
+    col_max = (
+        cells.groupBy("y")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("sum_col_max"))
+    )
+    col_marg = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").alias("max_col_marg"))
+    )
+    row_marg = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").alias("max_row_marg"))
+    )
+    joined = (
+        tot.crossJoin(row_max)
+        .crossJoin(col_max)
+        .crossJoin(col_marg)
+        .crossJoin(row_marg)
+    )
+    return joined.select(
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.expr(
+            "CAST((sum_row_max - max_col_marg) * 1000000"
+            " div (nt - max_col_marg) AS BIGINT)"
+        ).alias("lambda_y_given_x_x1e6"),
+        F.expr(
+            "CAST((sum_col_max - max_row_marg) * 1000000"
+            " div (nt - max_row_marg) AS BIGINT)"
+        ).alias("lambda_x_given_y_x1e6"),
+        F.expr(
+            "CAST(((sum_row_max - max_col_marg)"
+            " + (sum_col_max - max_row_marg)) * 1000000"
+            " div (2 * nt - max_col_marg - max_row_marg) AS BIGINT)"
+        ).alias("lambda_symmetric_x1e6"),
+    )

@@ -9562,3 +9562,123 @@ def analytics_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame
             "hazard_ppm"
         ),
     ).orderBy("week")
+
+
+@query(
+    "timeseries_dickey_fuller_unit_root",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT LAG(x, 1) OVER (ORDER BY d) AS xl,
+                   x - LAG(x, 1) OVER (ORDER BY d) AS dz
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(COUNT(xl) AS HUGEINT) AS n,
+                   CAST(SUM(xl) AS HUGEINT) AS sx,
+                   SUM(CAST(xl AS HUGEINT) * xl) AS qx,
+                   CAST(SUM(dz) AS HUGEINT) AS sz,
+                   SUM(CAST(dz AS HUGEINT) * dz) AS qz,
+                   SUM(CAST(xl AS HUGEINT) * dz) AS qxz
+            FROM pairs WHERE xl IS NOT NULL
+        ),
+        t AS (
+            SELECT n,
+                   n * qx - sx * sx AS sxx,
+                   n * qz - sz * sz AS szz,
+                   n * qxz - sx * sz AS sxz
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs,
+               CAST(CASE WHEN sxz >= 0
+                    THEN (sxz * 1000000000) // sxx
+                    ELSE -((-sxz * 1000000000) // sxx)
+                    END AS BIGINT) AS beta_x1e9,
+               CAST(CASE WHEN sxz >= 0
+                    THEN (sxz * sxz * (n - 2) * 1000000)
+                         // (sxx * szz - sxz * sxz)
+                    ELSE -((sxz * sxz * (n - 2) * 1000000)
+                           // (sxx * szz - sxz * sxz))
+                    END AS BIGINT) AS t_sq_signed_x1e6
+        FROM t
+    """,
+    tags=("E516",),
+)
+def timeseries_dickey_fuller_unit_root(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DICKEY-FULLER unit-root regression on the daily event-count
+    series: Δy_t = α + β·y_{t−1} + ε — β near 0 means a unit root
+    (shocks persist; difference before modeling), β < 0 is mean
+    reversion pulling toward the intercept's level.  THE
+    stationarity gate in front of every ARIMA/forecast op the engine
+    ships (Croston/Holt/MASE assume it was checked), and the
+    regression half of the registered Engle-Granger cointegration
+    op run on levels.
+
+    Exact with zero doubles: both regression variables (lagged level,
+    first difference) are integer window outputs; the OLS slope and
+    its t statistic reduce to the three integer cross-moment
+    aggregates via β = Sxz/Sxx and the identity t² =
+    Sxz²(n−2)/(SxxSzz − Sxz²), so both outputs land as HUGEINT/
+    decimal38 fixed-point divisions.  β (and t) carry sign, so both
+    engines take the SIGN-SPLIT division — trunc(x) = sign·floor|x|
+    — keeping Spark `div` and DuckDB `//` identical; t ships as
+    SIGNED t² (the √ is a client-side presentation step, outside
+    the bit-exact surface — DF critical values are looked up, not
+    computed, anyway).
+
+    Plan: day rollup (one exchange), ONE calendar window, one
+    mergeable moment aggregate, 1-row algebra.  100 TB: the rollup
+    is the corpus pass; the window runs over the day-grain series
+    which is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        F.lag("x", 1).over(w).alias("xl"),
+        (F.col("x") - F.lag("x", 1).over(w)).alias("dz"),
+    ).where(F.col("xl").isNotNull())
+    d38 = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("xl").cast(d38).alias("n"),
+        F.sum("xl").cast(d38).alias("sx"),
+        F.sum(F.col("xl").cast(d38) * F.col("xl")).cast(d38).alias("qx"),
+        F.sum("dz").cast(d38).alias("sz"),
+        F.sum(F.col("dz").cast(d38) * F.col("dz")).cast(d38).alias("qz"),
+        F.sum(F.col("xl").cast(d38) * F.col("dz")).cast(d38).alias("qxz"),
+    )
+    t = m.select(
+        "n",
+        F.expr("n * qx - sx * sx").cast(d38).alias("sxx"),
+        F.expr("n * qz - sz * sz").cast(d38).alias("szz"),
+        F.expr("n * qxz - sx * sz").cast(d38).alias("sxz"),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.expr(
+            "CAST(CASE WHEN sxz >= 0"
+            " THEN (sxz * 1000000000) div sxx"
+            " ELSE -((-sxz * 1000000000) div sxx)"
+            " END AS BIGINT)"
+        ).alias("beta_x1e9"),
+        F.expr(
+            "CAST(CASE WHEN sxz >= 0"
+            " THEN (sxz * sxz * (n - 2) * 1000000)"
+            " div (sxx * szz - sxz * sxz)"
+            " ELSE -((sxz * sxz * (n - 2) * 1000000)"
+            " div (sxx * szz - sxz * sxz))"
+            " END AS BIGINT)"
+        ).alias("t_sq_signed_x1e6"),
+    )

@@ -129,7 +129,7 @@ def test_broadcast_hint_discipline():
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
         "operators/ml_features.py": (35, "1-row fit/threshold frames, vocab/centroid tables"),
         "operators/timeseries.py": (33, "per-series scalar frames, calendars"),
-        "operators/graph.py": (28, "seeds/params + _state_bcast-gated state"),
+        "operators/graph.py": (31, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (31, "query vectors, centroids, bounded pools"),
         "operators/text.py": (24, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
