@@ -5422,3 +5422,111 @@ def ml_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(gg AS DECIMAL(38,0)) * bb) AS BIGINT)"
         ).alias("iv_contrib_fp"),
     ).orderBy("bin")
+
+
+from potpot_spark.functions.numeric import phash60_expr  # noqa: E402
+
+ADVV_MOD = 2  # phash60(doc_id) % 2: pseudo train/test split
+
+
+@query(
+    "ml_adversarial_validation_auc",
+    oracle=f"""
+        WITH split AS (
+            SELECT n_chars AS score,
+                   {phash60_expr("CAST(doc_id AS VARCHAR)")} % {ADVV_MOD}
+                       AS is_test
+            FROM documents
+        ),
+        vals AS (
+            SELECT score,
+                   CAST(COUNT(*) FILTER (WHERE is_test = 0) AS BIGINT) AS a,
+                   CAST(COUNT(*) FILTER (WHERE is_test = 1) AS BIGINT) AS b
+            FROM split GROUP BY score
+        ),
+        cum AS (
+            SELECT a, b,
+                   COALESCE(SUM(b) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_b_below
+            FROM vals
+        ),
+        agg AS (
+            SELECT CAST(SUM(a) AS HUGEINT) AS na,
+                   CAST(SUM(b) AS HUGEINT) AS nb,
+                   CAST(SUM(a * (2 * cum_b_below + b)) AS HUGEINT) AS u2
+            FROM cum
+        )
+        SELECT CAST(na AS BIGINT) AS n_train,
+               CAST(nb AS BIGINT) AS n_test,
+               CAST(u2 * 1000000 // (2 * na * nb) AS BIGINT) AS auc_x1e6,
+               CAST(ABS(u2 * 1000000 // (2 * na * nb) - 500000)
+                    AS BIGINT) AS drift_score_x1e6
+        FROM agg
+    """,
+    tags=("E520",),
+)
+def ml_adversarial_validation_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADVERSARIAL VALIDATION: how well does a feature distinguish
+    the "train" split from the "test" split?  AUC of the n_chars
+    feature between the two halves of a portable-hash split — AUC ≈
+    0.5 means the splits are exchangeable (no leakage, no covariate
+    shift); |AUC − 0.5| is the drift score.  THE pre-training sanity
+    check run before trusting any validation metric (here the
+    self-audit of the engine's own hash splitter; in production the
+    two sides are real train vs eval corpora), complementing PSI /
+    total-variation drift (distribution distance) with a
+    DISCRIMINABILITY readout that works on any rankable feature.
+
+    Exact: the split is the engine's portable 60-bit md5 hash
+    (bit-identical in DuckDB), and tie-aware AUC is the Mann-Whitney
+    identity on the DISTINCT-VALUE aggregate — U counts test-below
+    plus half the ties per train value via the doubled integer U2 =
+    Σ_v a_v(2·cumB_< + b_v), one fixed-point division at the end
+    (operands ≥ 0).  The distinct-value pass is the vocabulary-scale
+    trick the rank-test family uses: the window runs over |values|
+    rows, not |rows|.
+
+    Plan: one hash-split projection, one value-grain aggregate, one
+    cumulative window over the value table, 1-row algebra.  100 TB:
+    value-grain is bounded by feature cardinality; for continuous
+    features, bucket to the declared quantization first."""
+    from potpot_spark.functions.numeric import phash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (phash60(F.col("doc_id").cast("string")) % ADVV_MOD).alias("is_test"),
+    )
+    vals = docs.groupBy("score").agg(
+        F.count(F.when(F.col("is_test") == 0, 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("is_test") == 1, 1)).cast("bigint").alias("b"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "a",
+        "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cum_b_below"),
+    )
+    d38 = "decimal(38,0)"
+    agg = cum.agg(
+        F.sum("a").cast(d38).alias("na"),
+        F.sum("b").cast(d38).alias("nb"),
+        F.sum(F.col("a") * (2 * F.col("cum_b_below") + F.col("b")))
+        .cast(d38)
+        .alias("u2"),
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_train"),
+        F.col("nb").cast("bigint").alias("n_test"),
+        F.expr("CAST(u2 * 1000000 div (2 * na * nb) AS BIGINT)").alias(
+            "auc_x1e6"
+        ),
+        F.expr(
+            "CAST(ABS(u2 * 1000000 div (2 * na * nb) - 500000) AS BIGINT)"
+        ).alias("drift_score_x1e6"),
+    )

@@ -2532,3 +2532,120 @@ def embedding_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((hxy * 1000000 div hxx) * hxy) div hyy AS BIGINT)"
         ).alias("cka_sq_x1e6"),
     ).orderBy("label")
+
+
+UNIF_Q = 10**6   # coordinate quantization
+UNIF_MOD_A = 13  # pair-sample strata: a-side vec_id % 13 == 0
+UNIF_MOD_B = 17  # b-side vec_id % 17 == 0
+
+
+@query(
+    "embedding_uniformity_metric",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   [CAST(FLOOR(CAST(x AS DOUBLE) * {UNIF_Q}) AS BIGINT)
+                    FOR x IN embedding] AS qv
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.label,
+                   list_sum([(a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
+                             FOR i IN range(1, 65)]) AS sq
+            FROM q a JOIN q b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.vec_id % {UNIF_MOD_A} = 0
+              AND b.vec_id % {UNIF_MOD_B} = 0
+        ),
+        terms AS (
+            SELECT label,
+                   CAST(FLOOR(EXP(-2.0 * (CAST(sq AS DOUBLE) / 1e12))
+                              * 1000000) AS BIGINT) AS t
+            FROM pairs
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(t) // COUNT(*) AS BIGINT) AS mean_exp_x1e6,
+               CAST(FLOOR(LN((CAST(SUM(t) // COUNT(*) AS DOUBLE)) / 1000000)
+                          * 1000000) AS BIGINT) AS uniformity_x1e6
+        FROM terms GROUP BY label ORDER BY label
+    """,
+    tags=("E522",),
+)
+def embedding_uniformity_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WANG-ISOLA UNIFORMITY of each label's embedding cloud:
+    U = log E[exp(−2‖x−y‖²)] over random pairs — the contrastive-
+    learning diagnostic pairing ALIGNMENT (positives close) with
+    UNIFORMITY (features spread over the sphere).  U near 0 means
+    collapse (everything close — exp terms ≈ 1); more negative
+    is better spread.  Read with anisotropy (mean off-center
+    cosine) and participation ratio: uniformity is the pairwise-
+    distance view of the same collapse pathology.
+
+    Exact: pair distances are exact integers over 1e6-quantized
+    coordinates; each exp(−2d²) is evaluated on a BIT-IDENTICAL
+    double (sq ≤ 2.6e14 < 2^53 casts exactly; /1e12 is correctly
+    rounded on both engines) and immediately FLOOR-quantized at 1e6
+    — the WOE ⌊ln·1e6⌋ discipline — so the per-label sums are exact
+    integer addition in any order.
+
+    Plan: pairs come from a DETERMINISTIC two-strata hash sample
+    (a-side vec_id ≡ 0 mod {UNIF_MOD_A}, b-side ≡ 0 mod
+    {UNIF_MOD_B}) joined per label — an unbiased pair sample at
+    1/221 of the quadratic fan-out, never an all-pairs product (the
+    plan-hygiene gate checks).  100 TB: tighten the strata moduli
+    with n — the estimator needs O(10³) pairs per group, not
+    O(n²)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * UNIF_Q).cast("bigint"),
+        ).alias("qv"),
+    )
+    a = emb.where(F.col("vec_id") % UNIF_MOD_A == 0).select(
+        F.col("vec_id").alias("aid"), "label", F.col("qv").alias("qa")
+    )
+    b = emb.where(F.col("vec_id") % UNIF_MOD_B == 0).select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("lb"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("aid") < F.col("bid"))
+    ).select(
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "qa", "qb", lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("sq"),
+    )
+    terms = pairs.select(
+        "label",
+        F.floor(
+            F.exp(F.lit(-2.0) * (F.col("sq").cast("double") / F.lit(1e12)))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(t) div COUNT(*) AS BIGINT)").alias(
+                "mean_exp_x1e6"
+            ),
+            F.expr(
+                "CAST(FLOOR(LN(CAST(SUM(t) div COUNT(*) AS DOUBLE) / 1000000)"
+                " * 1000000) AS BIGINT)"
+            ).alias("uniformity_x1e6"),
+        )
+        .orderBy("label")
+    )

@@ -8881,3 +8881,250 @@ def stats_goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * nt - max_col_marg - max_row_marg) AS BIGINT)"
         ).alias("lambda_symmetric_x1e6"),
     )
+
+
+FLEISS_N = 3  # fixed ratings per subject (first-N-orders panel)
+
+
+@query(
+    "stats_fleiss_kappa",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+        ),
+        panel AS (
+            SELECT o_custkey, o_orderpriority
+            FROM ranked WHERE cnt >= {FLEISS_N} AND rn <= {FLEISS_N}
+        ),
+        cells AS (
+            SELECT o_custkey, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS nij
+            FROM panel GROUP BY o_custkey, o_orderpriority
+        ),
+        a AS (
+            SELECT CAST(SUM(nij * nij) AS HUGEINT) AS a_sq,
+                   CAST(COUNT(DISTINCT o_custkey) AS HUGEINT) AS n_subj
+            FROM cells
+        ),
+        c AS (
+            SELECT CAST(SUM(CAST(bj AS HUGEINT) * bj) AS HUGEINT) AS c_sq
+            FROM (SELECT o_orderpriority, SUM(nij) AS bj
+                  FROM cells GROUP BY o_orderpriority)
+        )
+        SELECT CAST(n_subj AS BIGINT) AS n_subjects,
+               CAST(CASE WHEN (3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq) >= 0
+                      THEN (3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq) * 1000000
+                           // (2 * (9 * n_subj * n_subj - c_sq))
+                      ELSE -((-(3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq)) * 1000000
+                             // (2 * (9 * n_subj * n_subj - c_sq)))
+                      END AS BIGINT) AS fleiss_kappa_x1e6
+        FROM a, c
+    """,
+    tags=("E518",),
+)
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA chance-corrected agreement over the fixed-panel
+    design: each customer's first {FLEISS_N} orders are "ratings",
+    categories are order priorities — κ = (P̄−P_e)/(1−P_e), the
+    multi-rater generalization of the registered Cohen's kappa
+    (exactly the shape of multi-judge LLM eval agreement: N
+    subjects × n judges × k labels).  κ ≈ 0 says priorities are
+    drawn fresh per order; κ > 0 says customers have sticky
+    priorities.
+
+    Exact: with fixed n = {FLEISS_N}, κ reduces to two integer
+    aggregates — A = ΣᵢΣⱼ nᵢⱼ² and C = Σⱼ(Σᵢ nᵢⱼ)² — via κ =
+    (3N(A−3N) − 2C) / (2(9N² − C)); one SIGN-SPLIT fixed-point
+    division (κ is routinely negative under disagreement) keeps
+    Spark `div` and DuckDB `//` identical.
+
+    Plan: one window to carve the fixed panel (partitioned by the
+    subject key — no global sort), one (subject, category) cell
+    aggregate, then k-row and 1-row algebra.  100 TB: subject-
+    partitioned throughout; the cell table is the only corpus-scale
+    exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    panel = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .where((F.col("cnt") >= FLEISS_N) & (F.col("rn") <= FLEISS_N))
+    )
+    cells = panel.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    d38 = "decimal(38,0)"
+    a = cells.agg(
+        F.sum(F.col("nij") * F.col("nij")).cast(d38).alias("a_sq"),
+        F.count_distinct(F.col("o_custkey")).cast(d38).alias("n_subj"),
+    )
+    c = (
+        cells.groupBy("o_orderpriority")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(F.col("bj").cast(d38) * F.col("bj")).cast(d38).alias("c_sq"))
+    )
+    return a.crossJoin(F.broadcast(c)).select(
+        F.col("n_subj").cast("bigint").alias("n_subjects"),
+        F.expr(
+            "CAST(CASE WHEN (3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq) >= 0"
+            " THEN (3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq) * 1000000"
+            " div (2 * (9 * n_subj * n_subj - c_sq))"
+            " ELSE -((-(3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq)) * 1000000"
+            " div (2 * (9 * n_subj * n_subj - c_sq)))"
+            " END AS BIGINT)"
+        ).alias("fleiss_kappa_x1e6"),
+    )
+
+
+RDD_CUT = 500_000   # cutoff on acctbal cents (5000.00)
+RDD_BW = 300_000    # bandwidth: |x - cutoff| <= 3000.00
+
+
+@query(
+    "analytics_rdd_sharp",
+    oracle=f"""
+        WITH cust AS (
+            SELECT c_custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       - {RDD_CUT} AS x
+            FROM customer
+        ),
+        outc AS (
+            SELECT c.c_custkey, c.x,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+            FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE ABS(c.x) <= {RDD_BW}
+            GROUP BY c.c_custkey, c.x
+        ),
+        sides AS (
+            SELECT CASE WHEN x >= 0 THEN 'right' ELSE 'left' END AS side,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS qx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS qxy
+            FROM outc GROUP BY 1
+        ),
+        fits AS (
+            SELECT side, n,
+                   sy * qx - sx * qxy AS a_num,
+                   n * qxy - sx * sy AS b_num,
+                   n * qx - sx * sx AS den
+            FROM sides
+        ),
+        alphas AS (
+            SELECT side, CAST(n AS BIGINT) AS n,
+                   CASE WHEN a_num >= 0
+                        THEN (a_num * 1000000) // den
+                        ELSE -((-a_num * 1000000) // den) END AS alpha_x1e6,
+                   CASE WHEN b_num >= 0
+                        THEN (b_num * 1000000000) // den
+                        ELSE -((-b_num * 1000000000) // den) END AS beta_x1e9
+            FROM fits
+        )
+        SELECT l.n AS n_left, r.n AS n_right,
+               CAST(l.alpha_x1e6 AS BIGINT) AS alpha_left_x1e6,
+               CAST(r.alpha_x1e6 AS BIGINT) AS alpha_right_x1e6,
+               CAST(l.beta_x1e9 AS BIGINT) AS beta_left_x1e9,
+               CAST(r.beta_x1e9 AS BIGINT) AS beta_right_x1e9,
+               CAST(r.alpha_x1e6 - l.alpha_x1e6 AS BIGINT) AS rdd_effect_x1e6
+        FROM (SELECT * FROM alphas WHERE side = 'left') l,
+             (SELECT * FROM alphas WHERE side = 'right') r
+    """,
+    tags=("E519",),
+)
+def analytics_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARP REGRESSION DISCONTINUITY at the acctbal = 5000 cutoff:
+    local-linear fits of order count on the centered running
+    variable on each side of the cutoff inside a ±3000 bandwidth;
+    the causal effect is the intercept gap α_R − α_L at the
+    threshold — completing the engine's quasi-experimental family
+    (diff-in-diff for parallel trends, interrupted time series for
+    time cutoffs, CEM for selection-on-observables; RDD is the one
+    for ELIGIBILITY-THRESHOLD rules, the most common production
+    launch design).
+
+    Exact: the running variable is exact cents (double→DECIMAL(18,2)
+    discipline), outcomes are counts, and each side's OLS intercept/
+    slope reduce to the closed forms α = (ΣyΣx²−ΣxΣxy)/D, β =
+    (nΣxy−ΣxΣy)/D over D = nΣx²−(Σx)² — five integer moments per
+    side, two SIGN-SPLIT fixed-point divisions (x is negative on the
+    whole left side, so every numerator carries sign).
+
+    Plan: one broadcast-ranged customer filter, one LEFT join to
+    orders (zero-order customers must stay — dropping them biases
+    the left limit), one 2-group moment aggregate, 2-row algebra.
+    100 TB: the join shuffles on the customer key once; the band
+    filter prunes before the join, so the corpus pass is
+    bandwidth-bounded."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+            - RDD_CUT
+        ).alias("x"),
+    ).where(F.abs(F.col("x")) <= RDD_BW)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    outc = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "x")
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+    )
+    d38 = "decimal(38,0)"
+    sides = outc.groupBy(
+        F.when(F.col("x") >= 0, F.lit("right")).otherwise("left").alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("qx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("qxy"),
+    )
+    alphas = sides.select(
+        "side",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN (sy * qx - sx * qxy) >= 0"
+            " THEN ((sy * qx - sx * qxy) * 1000000) div (n * qx - sx * sx)"
+            " ELSE -((-(sy * qx - sx * qxy) * 1000000) div (n * qx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("alpha_x1e6"),
+        F.expr(
+            "CAST(CASE WHEN (n * qxy - sx * sy) >= 0"
+            " THEN ((n * qxy - sx * sy) * 1000000000) div (n * qx - sx * sx)"
+            " ELSE -((-(n * qxy - sx * sy) * 1000000000) div (n * qx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("beta_x1e9"),
+    )
+    left = alphas.where(F.col("side") == "left").select(
+        F.col("n").alias("n_left"),
+        F.col("alpha_x1e6").alias("alpha_left_x1e6"),
+        F.col("beta_x1e9").alias("beta_left_x1e9"),
+    )
+    right = alphas.where(F.col("side") == "right").select(
+        F.col("n").alias("n_right"),
+        F.col("alpha_x1e6").alias("alpha_right_x1e6"),
+        F.col("beta_x1e9").alias("beta_right_x1e9"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        "alpha_left_x1e6",
+        "alpha_right_x1e6",
+        "beta_left_x1e9",
+        "beta_right_x1e9",
+        (F.col("alpha_right_x1e6") - F.col("alpha_left_x1e6")).alias(
+            "rdd_effect_x1e6"
+        ),
+    )

@@ -4223,3 +4223,88 @@ def text_chao1_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+MSTTR_SEG = 25  # tokens per MSTTR segment
+
+
+@query(
+    "text_msttr_lexical_diversity",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang,
+                   (r.i - 1) // {MSTTR_SEG} AS seg,
+                   t[r.i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+        ),
+        full_segs AS (
+            SELECT doc_id, lang, seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_typ
+            FROM pos GROUP BY doc_id, lang, seg
+            HAVING COUNT(*) = {MSTTR_SEG}
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(n_typ * 1000000 // {MSTTR_SEG})
+                    // COUNT(*) AS BIGINT) AS msttr_x1e6
+        FROM full_segs GROUP BY lang ORDER BY lang
+    """,
+    tags=("E521",),
+)
+def text_msttr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MSTTR (mean segmental type-token ratio, segment = {MSTTR_SEG}
+    tokens) per language: raw TTR falls mechanically with document
+    length (Heaps' law — already registered as its own op), so
+    cross-corpus lexical-diversity comparisons MUST length-correct;
+    MSTTR does it the standard way — chop every document into
+    fixed-length segments, average the per-segment TTRs, drop the
+    ragged tail.  The length-robust companion to Yule's K / Simpson
+    diversity (frequency-based) and the lexical-richness signal
+    quality filters consume (low MSTTR = repetitive/templated text).
+
+    Exact: per-segment type counts are integers; each segment's TTR
+    quantizes as n_typ·1e6 div {MSTTR_SEG} (exact — the divisor is a
+    constant), and the per-language mean is one more integer
+    division.  Plan: one row-local posexplode with position (the
+    segment id is a pure projection — no window needed to segment),
+    one (doc, seg) distinct-count aggregate, one language rollup.
+    100 TB: everything keys on (doc_id, seg) — embarrassingly
+    parallel; the language rollup is the only cross-doc exchange
+    and it carries one row per segment."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(i0 div {MSTTR_SEG} AS BIGINT)").alias("seg"),
+        "tok",
+    )
+    full_segs = (
+        pos.groupBy("doc_id", "lang", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.count_distinct("tok").cast("bigint").alias("n_typ"),
+        )
+        .where(F.col("n_tok") == MSTTR_SEG)
+    )
+    return (
+        full_segs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.expr(
+                f"CAST(SUM(n_typ * 1000000 div {MSTTR_SEG})"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("msttr_x1e6"),
+        )
+        .orderBy("lang")
+    )

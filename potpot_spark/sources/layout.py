@@ -327,3 +327,63 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("double").alias("revenue"),
         dsum("l_quantity").alias("total_qty"),
     )
+
+
+BLOOM_KEY = 42  # probed l_partkey (scattered through every row group)
+
+
+@query(
+    "scan_parquet_bloom_pruning",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM lineitem WHERE l_partkey = {BLOOM_KEY}
+    """,
+    tags=("E523",),
+)
+def scan_parquet_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET BLOOM-FILTER point lookup on a NON-CLUSTERED key: the
+    file is sorted by l_suppkey, so every row group's (min, max)
+    envelope spans nearly the full l_partkey domain and zone-map
+    pruning is useless — exactly the case the reference's hash index
+    targets (probe a key without scanning,
+    /root/reference/src/hashtable.rs:90-168).  The columnar answer is
+    a per-row-group BLOOM FILTER on the probe column: the write pays
+    a few bits per value, and an equality scan skips every row group
+    whose bloom says "definitely absent" — min/max prunes SORTED
+    keys, blooms prune SCATTERED keys; an engine needs both.
+
+    Spark-side: parquet.bloom.filter.enabled#l_partkey at write,
+    plain filter pushdown at read (the bloom check happens inside
+    parquet-mr row-group selection — visible as small 'scan rows'
+    metrics, not in the logical plan).  Small parquet.block.size
+    forces many row groups so there is something to skip at test
+    scale.  Results are layout-invariant: the oracle runs the same
+    probe on the original table.  100 TB: this is THE design for
+    needle-in-haystack audits (find one document hash among
+    billions) without maintaining a sorted projection."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    target = os.path.join(scratch_dir("potpot_bloom_"), "lineitem_bloom")
+    (
+        l.repartitionByRange(4, "l_suppkey")
+        .sortWithinPartitions("l_suppkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "200000")
+        .option("parquet.block.size", 262144)
+        .parquet(target)
+    )
+    back = spark.read.parquet(target).where(F.col("l_partkey") == BLOOM_KEY)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
