@@ -1935,3 +1935,317 @@ def test_chao1_dominates_observed_vocabulary(spark, sf_dir):
         assert r["chao1_estimate"] >= r["v_observed"], r
         assert 0 <= r["turing_coverage_ppm"] <= 1_000_000
         assert r["v1"] == hap[lang]["v1_hapax"]
+
+
+def test_jarque_bera_moment_identities(spark, sf_dir):
+    """JB's components must match a Python-float recomputation from
+    the raw data (catches algebra slips the cross-engine parity gate
+    can't — both sides share the formula), and Pearson's inequality
+    kurtosis >= skew^2 + 1 must hold for every group."""
+    rows = registry.get("stats_jarque_bera").fn(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", F.col("l_quantity").cast("double").alias("q"))
+        .toPandas()
+    )
+    assert rows
+    for r in rows:
+        g = li[li.l_returnflag == r["grp"]].q
+        n = len(g)
+        m = g.mean()
+        m2 = ((g - m) ** 2).mean()
+        m3 = ((g - m) ** 3).mean()
+        m4 = ((g - m) ** 4).mean()
+        b1 = (m3 * m3) / (m2 ** 3)
+        b2 = m4 / (m2 ** 2)
+        assert abs(r["skew_sq_x1e6"] / 1e6 - b1) < 1e-3, (r, b1)
+        assert abs(r["kurtosis_x1e6"] / 1e6 - b2) < 1e-3, (r, b2)
+        jb = n / 6.0 * (b1 + (b2 - 3.0) ** 2 / 4.0)
+        assert abs(r["jb_x1e6"] / 1e6 - jb) / max(jb, 1.0) < 1e-3, (r, jb)
+        # Pearson: b2 >= b1 + 1 for any distribution
+        assert r["kurtosis_x1e6"] >= r["skew_sq_x1e6"] + 1_000_000 - 2
+
+
+def test_cronbach_alpha_recompute_and_bound(spark, sf_dir):
+    """alpha <= 1 always, and the fixed-point output matches a float
+    recomputation from the item covariance structure."""
+    rows = registry.get("stats_cronbach_alpha").fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("bigint") * 100).alias("i1"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("i2"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("i3"),
+        (F.col("l_tax").cast("decimal(18,2)") * 100).cast("bigint").alias("i4"),
+    ).toPandas()
+    assert rows
+    for r in rows:
+        g = li[li.l_returnflag == r["grp"]][["i1", "i2", "i3", "i4"]]
+        v_items = sum(g[c].var(ddof=0) for c in g.columns)
+        v_total = g.sum(axis=1).var(ddof=0)
+        alpha = 4.0 / 3.0 * (1.0 - v_items / v_total)
+        assert r["alpha_x1e6"] <= 1_000_000
+        assert abs(r["alpha_x1e6"] / 1e6 - alpha) < 1e-4, (r, alpha)
+
+
+def test_gk_lambda_exact_recompute(spark, sf_dir):
+    """All three lambdas recompute EXACTLY (integer-for-integer) from
+    the pandas crosstab, and live in [0, 1e6]."""
+    r = registry.get("stats_goodman_kruskal_lambda").fn(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).toPandas()
+    ct = o.groupby(["o_orderpriority", "o_orderstatus"]).size().unstack(fill_value=0)
+    nt = int(ct.values.sum())
+    srm = int(ct.max(axis=1).sum())
+    scm = int(ct.max(axis=0).sum())
+    mcm = int(ct.sum(axis=0).max())
+    mrm = int(ct.sum(axis=1).max())
+    assert r["n_total"] == nt
+    assert r["lambda_y_given_x_x1e6"] == (srm - mcm) * 1_000_000 // (nt - mcm)
+    assert r["lambda_x_given_y_x1e6"] == (scm - mrm) * 1_000_000 // (nt - mrm)
+    assert (
+        r["lambda_symmetric_x1e6"]
+        == ((srm - mcm) + (scm - mrm)) * 1_000_000 // (2 * nt - mcm - mrm)
+    )
+    for k in ("lambda_y_given_x_x1e6", "lambda_x_given_y_x1e6", "lambda_symmetric_x1e6"):
+        assert 0 <= r[k] <= 1_000_000
+
+
+def test_closeness_consistent_with_harmonic(spark, sf_dir):
+    """Closeness and harmonic consume the SAME shared forward pass:
+    identical seed sets, identical n_reached, and closeness is
+    positive wherever anything is reached."""
+    cl = {
+        r["seed"]: r
+        for r in registry.get("graph_closeness_centrality").fn(spark, sf_dir).collect()
+    }
+    hc = {
+        r["seed"]: r
+        for r in registry.get("graph_harmonic_centrality").fn(spark, sf_dir).collect()
+    }
+    assert set(cl) == set(hc) and cl
+    for s, r in cl.items():
+        assert r["n_reached"] == hc[s]["n_reached"]
+        assert r["sum_dist"] >= r["n_reached"]  # every dist >= 1
+        assert r["closeness_wf_fp"] > 0
+
+
+def test_eigenvector_centrality_normalized_top(spark, sf_dir):
+    """Max-normalization means the top score is exactly EV_U, every
+    score is in (0, EV_U], and scores are non-increasing."""
+    from potpot_spark.operators.graph import EV_TOP, EV_U
+
+    rows = registry.get("graph_eigenvector_centrality").fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= EV_TOP
+    scores = [r["score_u"] for r in rows]
+    assert scores[0] == EV_U
+    assert all(0 < s <= EV_U for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dickey_fuller_exact_recompute(spark, sf_dir):
+    """beta and signed t^2 recompute exactly from the daily series in
+    Python integers (the whole point of the integer OLS identities),
+    and the t^2 sign equals the beta sign."""
+    r = registry.get("timeseries_dickey_fuller_unit_root").fn(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).groupBy("d").count().orderBy("d").toPandas()
+    xs = e["count"].tolist()
+    pairs = [(xs[i - 1], xs[i] - xs[i - 1]) for i in range(1, len(xs))]
+    n = len(pairs)
+    sx = sum(p[0] for p in pairs)
+    qx = sum(p[0] * p[0] for p in pairs)
+    sz = sum(p[1] for p in pairs)
+    qz = sum(p[1] * p[1] for p in pairs)
+    qxz = sum(p[0] * p[1] for p in pairs)
+    sxx = n * qx - sx * sx
+    szz = n * qz - sz * sz
+    sxz = n * qxz - sx * sz
+
+    def ssplit(num: int, den: int) -> int:
+        return num // den if num >= 0 else -((-num) // den)
+
+    assert r["n_obs"] == n
+    assert r["beta_x1e9"] == ssplit(sxz * 10**9, sxx)
+    want_t = (
+        (sxz * sxz * (n - 2) * 10**6) // (sxx * szz - sxz * sxz)
+        if sxz >= 0
+        else -((sxz * sxz * (n - 2) * 10**6) // (sxx * szz - sxz * sxz))
+    )
+    assert r["t_sq_signed_x1e6"] == want_t
+    assert (r["t_sq_signed_x1e6"] >= 0) == (r["beta_x1e9"] >= 0)
+
+
+def test_cka_bounds_and_float_agreement(spark, sf_dir):
+    """CKA^2 in [0, 1e6] (Cauchy-Schwarz; staged truncation only
+    shrinks), and within quantization error of a numpy recomputation
+    on the raw embeddings."""
+    import numpy as np
+
+    rows = registry.get("embedding_cka_halves").fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    ).toPandas()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cka_sq_x1e6"] <= 1_000_000
+        X = np.array(emb[emb.label == r["label"]].v.tolist())
+        Xc = X - X.mean(axis=0)
+        a, b = Xc[:, :32], Xc[:, 32:]
+        hxy = np.linalg.norm(a.T @ b, "fro") ** 2
+        hxx = np.linalg.norm(a.T @ a, "fro") ** 2
+        hyy = np.linalg.norm(b.T @ b, "fro") ** 2
+        cka2 = hxy * hxy / (hxx * hyy)
+        assert abs(r["cka_sq_x1e6"] / 1e6 - cka2) < 5e-3, (r, cka2)
+
+
+def test_fleiss_kappa_exact_recompute(spark, sf_dir):
+    """kappa recomputes exactly in Python integers from the first-3
+    panel, and sits in the theoretical [-0.5, 1] range for n=3."""
+    r = registry.get("stats_fleiss_kappa").fn(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).toPandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o["rn"] = o.groupby("o_custkey").cumcount()
+    o["cnt"] = o.groupby("o_custkey")["o_orderkey"].transform("size")
+    panel = o[(o.cnt >= 3) & (o.rn < 3)]
+    cells = panel.groupby(["o_custkey", "o_orderpriority"]).size()
+    a_sq = int((cells ** 2).sum())
+    n_subj = int(panel.o_custkey.nunique())
+    bj = panel.groupby("o_orderpriority").size()
+    c_sq = int((bj ** 2).sum())
+    num = 3 * n_subj * (a_sq - 3 * n_subj) - 2 * c_sq
+    den = 2 * (9 * n_subj * n_subj - c_sq)
+    want = num * 10**6 // den if num >= 0 else -((-num) * 10**6 // den)
+    assert r["n_subjects"] == n_subj
+    assert r["fleiss_kappa_x1e6"] == want
+    assert -500_000 <= r["fleiss_kappa_x1e6"] <= 1_000_000
+
+
+def test_rdd_effect_is_intercept_gap(spark, sf_dir):
+    """The reported effect is exactly alpha_right - alpha_left, both
+    intercepts match a numpy least-squares fit per side, and the two
+    side counts partition the bandwidth window."""
+    import numpy as np
+
+    from potpot_spark.operators.stats import RDD_BW, RDD_CUT
+
+    r = registry.get("analytics_rdd_sharp").fn(spark, sf_dir).collect()[0]
+    assert (
+        r["rdd_effect_x1e6"] == r["alpha_right_x1e6"] - r["alpha_left_x1e6"]
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+            - RDD_CUT
+        ).alias("x"),
+    ).where(F.abs(F.col("x")) <= RDD_BW)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    outc = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "x")
+        .agg(F.count("o_orderkey").alias("y"))
+        .toPandas()
+    )
+    assert r["n_left"] + r["n_right"] == len(outc)
+    for side, alpha_key in (("left", "alpha_left_x1e6"), ("right", "alpha_right_x1e6")):
+        g = outc[outc.x < 0] if side == "left" else outc[outc.x >= 0]
+        A = np.vstack([np.ones(len(g)), g.x.to_numpy(float)]).T
+        coef, *_ = np.linalg.lstsq(A, g.y.to_numpy(float), rcond=None)
+        assert abs(r[alpha_key] / 1e6 - coef[0]) < 1e-3, (side, r[alpha_key], coef)
+
+
+def test_adversarial_auc_exact_and_symmetric(spark, sf_dir):
+    """AUC recomputes exactly via the tie-aware pair count in Python,
+    and drift is |auc - 0.5| by construction."""
+    from potpot_spark.functions.numeric import phash60
+
+    r = registry.get("ml_adversarial_validation_auc").fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        (phash60(F.col("doc_id").cast("string")) % 2).alias("is_test"),
+    ).toPandas()
+    a = sorted(docs[docs.is_test == 0].n_chars.tolist())
+    b = sorted(docs[docs.is_test == 1].n_chars.tolist())
+    u2 = 0
+    for v in a:
+        import bisect
+
+        u2 += 2 * bisect.bisect_left(b, v) + (
+            bisect.bisect_right(b, v) - bisect.bisect_left(b, v)
+        )
+    want = u2 * 10**6 // (2 * len(a) * len(b))
+    assert r["n_train"] == len(a) and r["n_test"] == len(b)
+    assert r["auc_x1e6"] == want
+    assert r["drift_score_x1e6"] == abs(r["auc_x1e6"] - 500_000)
+
+
+def test_msttr_exact_recompute(spark, sf_dir):
+    """Per-language MSTTR recomputes exactly from the documents with
+    the same 25-token segmentation, and every value is in (0, 1e6]."""
+    from collections import defaultdict
+
+    from potpot_spark.operators.text import MSTTR_SEG
+
+    rows = registry.get("text_msttr_lexical_diversity").fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    per_lang = defaultdict(list)
+    for _, row in docs.iterrows():
+        toks = row.text.lower().split(" ")
+        for s in range(0, len(toks) - MSTTR_SEG + 1, MSTTR_SEG):
+            seg = toks[s : s + MSTTR_SEG]
+            if len(seg) == MSTTR_SEG:
+                per_lang[row.lang].append(
+                    len(set(seg)) * 10**6 // MSTTR_SEG
+                )
+    assert rows
+    for r in rows:
+        ttrs = per_lang[r["lang"]]
+        assert r["n_segments"] == len(ttrs)
+        assert r["msttr_x1e6"] == sum(ttrs) // len(ttrs)
+        assert 0 < r["msttr_x1e6"] <= 1_000_000
+
+
+def test_uniformity_bounds_and_log_consistency(spark, sf_dir):
+    """mean exp term is in (0, 1e6], uniformity <= 0 (it's log of a
+    mean of values <= 1), and the log output matches math.log of the
+    integer mean to within one fixed-point unit."""
+    import math
+
+    rows = registry.get("embedding_uniformity_metric").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert 0 < r["mean_exp_x1e6"] <= 1_000_000
+        assert r["uniformity_x1e6"] <= 0
+        want = math.floor(math.log(r["mean_exp_x1e6"] / 1e6) * 1e6)
+        assert abs(r["uniformity_x1e6"] - want) <= 1
+
+
+def test_bloom_scan_layout_invariant(spark, sf_dir):
+    """The bloom-filtered rewrite returns exactly what the same probe
+    on the original table returns — layout must never change results."""
+    from potpot_spark.sources.layout import BLOOM_KEY
+
+    r = registry.get("scan_parquet_bloom_pruning").fn(spark, sf_dir).collect()[0]
+    direct = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") == BLOOM_KEY)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert r["n_rows"] == direct["n"]
+    assert r["total_qty"] == direct["q"]
