@@ -9128,3 +9128,517 @@ def analytics_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rdd_effect_x1e6"
         ),
     )
+
+
+@query(
+    "stats_spatial_autocorr_blocks",
+    oracle="""
+        WITH x AS (
+            SELECT s_nationkey AS blk,
+                   CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM supplier
+        ),
+        b AS (
+            SELECT blk,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(v) AS BIGINT) AS sb,
+                   SUM(CAST(v AS HUGEINT) * v) AS qb
+            FROM x GROUP BY blk
+        ),
+        t AS (
+            SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                   CAST(SUM(sb) AS DOUBLE) AS s,
+                   CAST(SUM(qb) AS DOUBLE) AS q,
+                   CAST(SUM(nb * (nb - 1)) AS BIGINT) AS s0,
+                   CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE) AS ss2,
+                   CAST(SUM(CAST(nb AS HUGEINT) * sb) AS DOUBLE) AS ns,
+                   CAST(SUM(nb * nb) AS BIGINT) AS n2,
+                   CAST(SUM(CAST(nb AS HUGEINT) * qb) AS DOUBLE) AS cq
+            FROM b
+        )
+        SELECT n AS n_suppliers,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_blocks,
+               s0 AS s0_pairs,
+               ROUND((CAST(n AS DOUBLE) / NULLIF(s0, 0))
+                     * ((ss2 - 2 * (s / n) * ns + (s / n) * (s / n) * n2)
+                        - (q - 2 * (s / n) * s + n * (s / n) * (s / n)))
+                     / NULLIF(q - (s / n) * s, 0), 9) AS morans_i,
+               ROUND(-1.0 / (n - 1), 9) AS morans_e,
+               ROUND((CAST(n - 1 AS DOUBLE) / (2 * NULLIF(s0, 0)))
+                     * (2 * (cq - ss2))
+                     / NULLIF(q - (s / n) * s, 0), 9) AS gearys_c
+        FROM t
+    """,
+    tags=("E524",),
+)
+def stats_spatial_autocorr_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I and GEARY'S C spatial autocorrelation of supplier
+    account balances under BLOCK contiguity weights (w_ij = 1 iff two
+    suppliers share a nation, i != j) — "are balances clustered within
+    geography?", the autocorrelation question the registered ANOVA
+    family answers only in mean-shift form.  Block weights make the
+    classically O(n^2) double sum collapse to per-block sufficient
+    statistics: sum_{i!=j in b} z_i z_j = (S_b - n_b m)^2 -
+    sum_b z^2, and sum_{i!=j}(x_i - x_j)^2 = 2(n_b Q_b - S_b^2), so
+    Moran's numerator = [SS2 - 2m NS + m^2 N2] - [Q - 2mS + n m^2]
+    and Geary's = 2(CQ - SS2), all from exact integer-cent block
+    aggregates {n_b, S_b, Q_b} (the stats_anova_oneway discipline).
+
+    Exact: one mergeable groupBy over supplier in integer cents, a
+    25-row second aggregate, and a single-row double expression tree
+    written identically on both engines, rounded at 1e-9.  Plan: two
+    hash aggregates, no window, no join.  100 TB: the pair set is
+    NEVER materialized — cost is one pass over the fact table, the
+    same shape as the engine's other sufficient-statistic kernels."""
+    sup = load_table(spark, sf_dir, "supplier")
+    x = sup.select(
+        F.col("s_nationkey").alias("blk"),
+        (F.col("s_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    b = x.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("v").cast("bigint").alias("sb"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("qb"),
+    )
+    t = b.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum("sb").cast("double").alias("s"),
+        F.sum("qb").cast("double").alias("q"),
+        F.sum(F.col("nb") * (F.col("nb") - 1)).cast("bigint").alias("s0"),
+        F.sum(F.col("sb").cast("decimal(38,0)") * F.col("sb"))
+        .cast("double")
+        .alias("ss2"),
+        F.sum(F.col("nb").cast("decimal(38,0)") * F.col("sb"))
+        .cast("double")
+        .alias("ns"),
+        F.sum(F.col("nb") * F.col("nb")).cast("bigint").alias("n2"),
+        F.sum(F.col("nb").cast("decimal(38,0)") * F.col("qb").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("cq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s") / F.col("n")
+    s0 = F.nullif(F.col("s0"), F.lit(0))
+    den = F.nullif(F.col("q") - m * F.col("s"), F.lit(0.0))
+    num_i = (
+        F.col("ss2") - F.lit(2) * m * F.col("ns") + m * m * F.col("n2")
+    ) - (F.col("q") - F.lit(2) * m * F.col("s") + F.col("n") * m * m)
+    return t.select(
+        F.col("n").alias("n_suppliers"),
+        "n_blocks",
+        F.col("s0").alias("s0_pairs"),
+        F.round((n / s0) * num_i / den, 9).alias("morans_i"),
+        F.round(F.lit(-1.0) / (F.col("n") - 1), 9).alias("morans_e"),
+        F.round(
+            ((F.col("n") - 1).cast("double") / (F.lit(2) * s0))
+            * (F.lit(2) * (F.col("cq") - F.col("ss2")))
+            / den,
+            9,
+        ).alias("gearys_c"),
+    )
+
+
+@query(
+    "stats_icc_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                        AS DOUBLE) AS ss
+            FROM orders GROUP BY o_orderpriority
+        ),
+        terms AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE) AS st,
+                   CAST(SUM(ss) AS DOUBLE) AS sst,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(s * s / n ORDER BY grp)),
+                       (a, x) -> a + x) AS sum_sq_over_n
+            FROM g
+        ),
+        ms AS (
+            SELECT k, nt,
+                   (sum_sq_over_n - st * st / nt) / (k - 1) AS msb,
+                   (sst - sum_sq_over_n) / (nt - k) AS msw,
+                   (CAST(nt AS DOUBLE) - CAST(sum_n2 AS DOUBLE) / nt)
+                       / (k - 1) AS kbar
+            FROM terms
+        )
+        SELECT k AS n_groups, nt AS n_total,
+               ROUND(kbar, 9) AS kbar,
+               ROUND((msb - msw) / (msb + (kbar - 1) * msw), 9) AS icc_1
+        FROM ms
+    """,
+    tags=("E525",),
+)
+def stats_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRACLASS CORRELATION ICC(1) of order totals within priority
+    classes — "what share of price variance lives BETWEEN groups?",
+    the variance-decomposition reading of the one-way layout that the
+    registered stats_anova_oneway only tests (its F says the means
+    differ; ICC says how much group membership explains, the number
+    mixed-effects modeling and cluster-randomized power analysis
+    actually consume).  ICC(1) = (MSB - MSW) / (MSB + (kbar - 1) MSW)
+    with the unbalanced-design group size kbar = (N - sum n_j^2 / N)
+    / (J - 1).
+
+    Exact: reuses the ANOVA discipline verbatim — per-group (n, sum,
+    sum-of-squares) trios with the exact decimal rounded to WHOLE
+    units before the double cast (>17-digit decimal-to-double casts
+    round differently across engines, found r3) and the J-row
+    sum(S_j^2/n_j) folded in FIXED grp-sorted order; sum n_j^2 is an
+    exact integer.  Plan: ONE mergeable pass over orders + J-row
+    algebra, no window, no join.  100 TB: identical shape to the
+    other sufficient-statistic kernels."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.round(F.sum(x * x), 0).cast("double").alias("ss"),
+    )
+    g2 = g.withColumn("sq_n", F.col("s") * F.col("s") / F.col("n"))
+    terms = g2.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("s").cast("decimal(28,2)")).cast("double").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_n2"),
+        F.array_sort(F.collect_list(F.struct("grp", "sq_n"))).alias("lst"),
+    ).withColumn(
+        "sum_sq_over_n",
+        F.aggregate(
+            F.transform(F.col("lst"), lambda e: e.sq_n),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    msb = (F.col("sum_sq_over_n") - F.col("st") * F.col("st") / F.col("nt")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("sst") - F.col("sum_sq_over_n")) / (F.col("nt") - F.col("k"))
+    kbar = (
+        F.col("nt").cast("double") - F.col("sum_n2").cast("double") / F.col("nt")
+    ) / (F.col("k") - 1)
+    return terms.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(kbar, 9).alias("kbar"),
+        F.round((msb - msw) / (msb + (kbar - 1) * msw), 9).alias("icc_1"),
+    )
+
+
+@query(
+    "stats_kendalls_w_concordance",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        wk AS (
+            SELECT day, x,
+                   CAST((day - DATE '1970-01-05') // 7 AS BIGINT)
+                       AS isoweek,
+                   CAST(isodow(day) AS BIGINT) AS dow
+            FROM daily
+        ),
+        full_weeks AS (
+            SELECT isoweek FROM wk GROUP BY 1 HAVING COUNT(*) = 7
+        ),
+        ranked AS (
+            SELECT w.isoweek, w.dow,
+                   ROW_NUMBER() OVER (PARTITION BY w.isoweek
+                                      ORDER BY w.x, w.dow) AS rnk
+            FROM wk w JOIN full_weeks f ON f.isoweek = w.isoweek
+        ),
+        rsum AS (
+            SELECT dow, CAST(SUM(rnk) AS BIGINT) AS r_j,
+                   CAST(COUNT(*) AS BIGINT) AS b
+            FROM ranked GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(SUM(r_j * r_j) AS BIGINT) AS sr2,
+                   CAST(MAX(b) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM rsum
+        )
+        SELECT b AS n_blocks, k AS n_treatments, sr2 AS rank_sum_sq,
+               CAST((12 * sr2 - 3 * b * b * k * (k + 1) * (k + 1))
+                    * 1000000
+                    // (b * b * k * (k * k - 1)) AS BIGINT) AS w_ppm,
+               CAST((12 * sr2 - 3 * b * b * k * (k + 1) * (k + 1))
+                    * (k - 1) * 1000000
+                    // (b * k * (k * k - 1)) AS BIGINT) AS chi2_x1e6
+        FROM t
+    """,
+    tags=("E526",),
+)
+def stats_kendalls_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S W coefficient of concordance over the weekly layout
+    (blocks = full ISO weeks as "judges", treatments = days-of-week as
+    "items", within-week ranks of daily event counts): W =
+    (12 SUM R_j^2 - 3 b^2 k (k+1)^2) / (b^2 k (k^2-1)) in [0, 1] —
+    "do the weeks AGREE on which days are busy?".  The registered
+    Friedman test on the same layout answers significance; W is its
+    EFFECT SIZE (chi2_F = b(k-1)W, pinned as a property test), the
+    agreement number scheduling and capacity models consume directly.
+
+    Exact: within-block ranks are ROW_NUMBERs under the declared
+    (count, dow) tie-break (the page-trend discipline, no tie
+    correction needed by construction), R_j and SUM R_j^2 exact
+    integers, W and chi2 integer-ppm cross-multiplications — no
+    doubles anywhere.  Plan: one day rollup, one per-week rank window
+    (calendar-bounded), two tiny aggregates.  100 TB: only the day
+    rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wk = daily.select(
+        "x",
+        F.expr(
+            "CAST(datediff(day, DATE '1970-01-05') div 7 AS BIGINT)"
+        ).alias("isoweek"),
+        F.expr("CAST(weekday(day) + 1 AS BIGINT)").alias("dow"),
+    )
+    full_weeks = (
+        wk.groupBy("isoweek")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 7)
+        .select("isoweek")
+    )
+    ranked = wk.join(F.broadcast(full_weeks), "isoweek").select(
+        "isoweek",
+        "dow",
+        F.row_number()
+        .over(Window.partitionBy("isoweek").orderBy("x", "dow"))
+        .alias("rnk"),
+    )
+    rsum = ranked.groupBy("dow").agg(
+        F.sum("rnk").cast("bigint").alias("r_j"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    t = rsum.agg(
+        F.sum(F.col("r_j") * F.col("r_j")).cast("bigint").alias("sr2"),
+        F.max("b").cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return t.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.col("sr2").alias("rank_sum_sq"),
+        F.expr(
+            "CAST((12 * sr2 - 3 * b * b * k * (k + 1) * (k + 1))"
+            " * 1000000 div (b * b * k * (k * k - 1)) AS BIGINT)"
+        ).alias("w_ppm"),
+        F.expr(
+            "CAST((12 * sr2 - 3 * b * b * k * (k + 1) * (k + 1))"
+            " * (k - 1) * 1000000 div (b * k * (k * k - 1)) AS BIGINT)"
+        ).alias("chi2_x1e6"),
+    )
+
+
+@query(
+    "stats_gini_mean_difference",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS v
+            FROM lineitem
+        ),
+        ladder AS (
+            SELECT flag, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM x GROUP BY flag, v
+        ),
+        run AS (
+            SELECT flag, v, c,
+                   COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS p,
+                   SUM(c) OVER (PARTITION BY flag) AS n,
+                   SUM(c * v) OVER (PARTITION BY flag) AS s
+            FROM ladder
+        )
+        SELECT flag,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               ROUND(2.0 * CAST(SUM(CAST(v AS HUGEINT) * c
+                                    * (2 * p + c - n)) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE) * (MAX(n) - 1)), 6)
+                   AS gmd_cents,
+               ROUND(CAST(SUM(CAST(v AS HUGEINT) * c
+                              * (2 * p + c - n)) AS DOUBLE)
+                     / ((CAST(MAX(n) AS DOUBLE) - 1) * MAX(s)), 9)
+                   AS gini
+        FROM run
+        GROUP BY flag
+        ORDER BY flag
+    """,
+    tags=("E527",),
+)
+def stats_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI MEAN DIFFERENCE (and the Gini coefficient it induces) of
+    line-item revenue per return flag: GMD = E|X - X'| =
+    2/(n(n-1)) * SUM_i (2i - n - 1) x_(i) — the L-moment dispersion
+    measure that is robust where variance is not (finite under heavy
+    tails with only E|X| < inf) and the exact-pair counterpart of the
+    registered analytics_gini_concentration (which measures
+    concentration of per-customer TOTALS; this measures pairwise
+    dispersion of the raw fact rows).
+
+    Exact, pair-free: rows collapse to the per-(flag, value) distinct
+    ladder; a tie group of size c starting above p prior rows
+    contributes v*c*(2p + c - n) to the rank sum (the tie-group
+    closed form — SUM over its ranks of (2i-n-1)), so the O(n^2) pair
+    set is never materialized and every accumulation is an exact
+    HUGEINT/DECIMAL(38) integer; the two outputs are single double
+    expressions over exact operands, rounded 1e-6 / 1e-9.  Plan: one
+    value-grain aggregate, one flag-partitioned RANGE... ROWS window
+    over the ladder, one final aggregate — the Mann-Whitney /
+    Cliff's-delta vocabulary-scale discipline.  100 TB: ladder is
+    distinct-value bounded and flag-partitioned; for unbounded
+    domains bucket values first (the HDR-histogram path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    ladder = x.groupBy("flag", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("flag")
+    wo = w.orderBy("v")
+    run = ladder.select(
+        "flag",
+        "v",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("p"),
+        F.sum("c").over(w).alias("n"),
+        F.sum(F.col("c") * F.col("v")).over(w).alias("s"),
+    )
+    num = F.sum(
+        F.col("v").cast("decimal(38,0)")
+        * F.col("c")
+        * (F.lit(2) * F.col("p") + F.col("c") - F.col("n"))
+    ).cast("double")
+    return (
+        run.groupBy("flag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.lit(2.0)
+                * num
+                / (F.max("n").cast("double") * (F.max("n") - 1)),
+                6,
+            ).alias("gmd_cents"),
+            F.round(
+                num
+                / ((F.max("n").cast("double") - 1) * F.max("s")),
+                9,
+            ).alias("gini"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "stats_kuiper_test_circular",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        run AS (
+            SELECT hr, c,
+                   SUM(c) OVER (ORDER BY hr) AS cum,
+                   SUM(c) OVER () AS n
+            FROM h
+        ),
+        d AS (
+            SELECT hr, 24 * cum - (hr + 1) * n AS dnum, n
+            FROM run
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(MAX(dnum) AS BIGINT) AS d_plus_num,
+               CAST(MIN(dnum) AS BIGINT) AS d_minus_num,
+               CAST((MAX(dnum) - MIN(dnum)) * 1000000
+                    // (24 * MAX(n)) AS BIGINT) AS v_ppm,
+               ROUND((CAST(MAX(dnum) - MIN(dnum) AS DOUBLE)
+                      / (24 * MAX(n)))
+                     * sqrt(CAST(MAX(n) AS DOUBLE)), 9) AS v_scaled
+        FROM d
+    """,
+    tags=("E528",),
+)
+def stats_kuiper_test_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KUIPER'S V test of hour-of-day uniformity: V = D+ + D- over the
+    24 hourly ECDF edges — the CIRCULAR variant of Kolmogorov-Smirnov
+    whose value is invariant to rotating the origin (a midnight-vs-noon
+    phase shift changes KS's D but not Kuiper's V), which is exactly
+    the right invariance for diurnal-load questions; partners the
+    registered stats_circular_hour_stats (resultant direction) with a
+    distribution-level uniformity statistic.  Contract: edge
+    differences d_h = F_emp(h) - (h+1)/24 are evaluated at the
+    OBSERVED hour edges; V = max d - min d (sqrt(n)-scaled variant
+    alongside for the asymptotic reading).
+
+    Exact: d_h rides as the integer numerator 24*cum_h - (h+1)*n, V
+    as an integer-ppm cross-multiplication; the only double is the
+    final sqrt(n) scaling (IEEE-exact sqrt over exact operands),
+    rounded 1e-9.  Plan: one 24-row aggregate off the corpus + one
+    24-row window.  100 TB: only the hour rollup sees the data."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.hour(F.col("ts")).cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    run = h.select(
+        "hr",
+        "c",
+        F.sum("c").over(Window.orderBy("hr")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    d = run.select(
+        "hr",
+        (F.lit(24) * F.col("cum") - (F.col("hr") + 1) * F.col("n")).alias(
+            "dnum"
+        ),
+        "n",
+    )
+    return d.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max("dnum").cast("bigint").alias("d_plus_num"),
+        F.min("dnum").cast("bigint").alias("d_minus_num"),
+        F.expr(
+            "CAST((MAX(dnum) - MIN(dnum)) * 1000000"
+            " div (24 * MAX(n)) AS BIGINT)"
+        ).alias("v_ppm"),
+        F.round(
+            (
+                (F.max("dnum") - F.min("dnum")).cast("double")
+                / (F.lit(24) * F.max("n"))
+            )
+            * F.sqrt(F.max("n").cast("double")),
+            9,
+        ).alias("v_scaled"),
+    )

@@ -2249,3 +2249,147 @@ def test_bloom_scan_layout_invariant(spark, sf_dir):
     )
     assert r["n_rows"] == direct["n"]
     assert r["total_qty"] == direct["q"]
+
+
+def test_spatial_autocorr_blocks_brute_force(spark, sf_dir):
+    """Moran's I / Geary's C from the block sufficient-statistic
+    collapse must equal the literal O(n²) double sums over same-nation
+    pairs (numpy recompute on the small fixture); degenerate fixtures
+    (all blocks singleton → S0 = 0) must yield NULL, not a crash."""
+    import numpy as np
+
+    r = (
+        registry.get("stats_spatial_autocorr_blocks")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    rows = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_nationkey", "s_acctbal")
+        .collect()
+    )
+    blk = np.array([w["s_nationkey"] for w in rows])
+    x = np.array([round(w["s_acctbal"] * 100) for w in rows], dtype=float)
+    n = len(x)
+    z = x - x.mean()
+    s0 = num_i = num_c = 0.0
+    for b in np.unique(blk):
+        zb = z[blk == b]
+        xb = x[blk == b]
+        nb = len(zb)
+        s0 += nb * (nb - 1)
+        num_i += zb.sum() ** 2 - (zb**2).sum()
+        num_c += 2 * (nb * (xb**2).sum() - xb.sum() ** 2)
+    assert r["n_suppliers"] == n
+    assert r["s0_pairs"] == int(s0)
+    if s0 == 0:
+        assert r["morans_i"] is None and r["gearys_c"] is None
+    else:
+        den = (z**2).sum()
+        assert abs(r["morans_i"] - (n / s0) * num_i / den) < 1e-6
+        assert abs(r["gearys_c"] - ((n - 1) / (2 * s0)) * num_c / den) < 1e-6
+
+
+def test_icc_oneway_matches_anova_f(spark, sf_dir):
+    """ICC(1) and the one-way F statistic are the same decomposition:
+    ICC = (F - 1) / (F + kbar - 1).  The two operators compute their
+    mean squares independently (ICC re-derives them); the identity
+    must hold to rounding."""
+    icc = registry.get("stats_icc_oneway").fn(spark, sf_dir).collect()[0]
+    anova = registry.get("stats_anova_oneway").fn(spark, sf_dir).collect()[0]
+    f = anova["f_stat"]
+    want = (f - 1.0) / (f + icc["kbar"] - 1.0)
+    assert abs(icc["icc_1"] - want) < 1e-6
+    assert icc["n_total"] == anova["n_total"]
+    assert -1.0 <= icc["icc_1"] <= 1.0
+
+
+def test_kendalls_w_formula_and_friedman_link(spark, sf_dir):
+    """W recomputed from the operator's own integer (sr2, b, k)
+    outputs must match its ppm value (gates formula drift the way the
+    page-trend variance test does), chi2_F = b(k-1)W must agree with
+    the chi2 output to integer-floor slack, and W ∈ [0, 1]."""
+    r = (
+        registry.get("stats_kendalls_w_concordance")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    if r["n_blocks"] is None:
+        return  # no full weeks in the fixture
+    b, k, sr2 = r["n_blocks"], r["n_treatments"], r["rank_sum_sq"]
+    num = 12 * sr2 - 3 * b * b * k * (k + 1) * (k + 1)
+    assert r["w_ppm"] == num * 1000000 // (b * b * k * (k * k - 1))
+    assert 0 <= r["w_ppm"] <= 1000000
+    assert abs(r["chi2_x1e6"] - b * (k - 1) * r["w_ppm"]) <= b * (k - 1)
+
+
+def test_gini_mean_difference_sorted_recompute(spark, sf_dir):
+    """GMD per flag from the distinct-value ladder must equal the
+    classical sorted-order formula 2/(n(n-1))·Σ(2i-n-1)x_(i) (numpy,
+    O(n log n)) and the induced Gini must equal GMD/(2·mean)."""
+    import numpy as np
+
+    got = {
+        w["flag"]: w
+        for w in registry.get("stats_gini_mean_difference")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list[int]] = {}
+    for w in rows:
+        by_flag.setdefault(w["l_returnflag"], []).append(
+            round(w["l_extendedprice"] * 100)
+        )
+    for flag, vals in by_flag.items():
+        x = np.sort(np.array(vals, dtype=np.int64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        gmd = 2.0 * num / (n * (n - 1))
+        assert got[flag]["n_rows"] == n
+        assert abs(got[flag]["gmd_cents"] - gmd) < 1e-3
+        assert abs(got[flag]["gini"] - gmd / (2 * x.mean())) < 1e-6
+
+
+def test_kuiper_v_recompute_and_rotation_invariance(spark, sf_dir):
+    """V recomputed from the raw hourly counts must match, and the
+    DEFINING property must hold: rotating the hour origin (h → (h+12)
+    mod 24) leaves Kuiper's V unchanged while plain KS D⁺ generally
+    moves."""
+    r = (
+        registry.get("stats_kuiper_test_circular")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hr"))
+        .count()
+        .collect()
+    )
+    counts = {w["hr"]: w["count"] for w in rows}
+    n = sum(counts.values())
+
+    def v_of(shift: int) -> int:
+        cum = 0
+        ds = []
+        for h in sorted((k + shift) % 24 for k in counts):
+            cum += counts[(h - shift) % 24]
+            ds.append(24 * cum - (h + 1) * n)
+        return max(ds) - min(ds)
+
+    assert r["n_events"] == n
+    assert max(
+        24 * c - (h + 1) * n
+        for h, c in [
+            (h, sum(v for k, v in counts.items() if k <= h))
+            for h in sorted(counts)
+        ]
+    ) == r["d_plus_num"]
+    assert v_of(0) == r["d_plus_num"] - r["d_minus_num"]
+    assert v_of(12) == v_of(0)
