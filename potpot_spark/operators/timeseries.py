@@ -9682,3 +9682,709 @@ def timeseries_dickey_fuller_unit_root(
             " END AS BIGINT)"
         ).alias("t_sq_signed_x1e6"),
     )
+
+
+@query(
+    "timeseries_kpss_stationarity",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT d, x,
+                   SUM(x) OVER () AS s,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ),
+        dt AS (
+            SELECT d, n, n * x - s AS dd
+            FROM c
+        ),
+        seq AS (
+            SELECT d, n, dd,
+                   SUM(dd) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS p,
+                   LAG(dd, 1) OVER (ORDER BY d) AS l1,
+                   LAG(dd, 2) OVER (ORDER BY d) AS l2,
+                   LAG(dd, 3) OVER (ORDER BY d) AS l3,
+                   LAG(dd, 4) OVER (ORDER BY d) AS l4,
+                   LAG(dd, 5) OVER (ORDER BY d) AS l5,
+                   LAG(dd, 6) OVER (ORDER BY d) AS l6,
+                   LAG(dd, 7) OVER (ORDER BY d) AS l7
+            FROM dt
+        ),
+        m AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   SUM(CAST(p AS HUGEINT) * p) AS sp2,
+                   SUM(CAST(dd AS HUGEINT) * dd) AS g0,
+                   SUM(CAST(dd AS HUGEINT) * l1) AS g1,
+                   SUM(CAST(dd AS HUGEINT) * l2) AS g2,
+                   SUM(CAST(dd AS HUGEINT) * l3) AS g3,
+                   SUM(CAST(dd AS HUGEINT) * l4) AS g4,
+                   SUM(CAST(dd AS HUGEINT) * l5) AS g5,
+                   SUM(CAST(dd AS HUGEINT) * l6) AS g6,
+                   SUM(CAST(dd AS HUGEINT) * l7) AS g7
+            FROM seq
+        )
+        SELECT n AS n_days,
+               CAST(8 * sp2 * 1000000000
+                    // NULLIF(n * (8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3
+                                   + 4 * g4 + 3 * g5 + 2 * g6 + 1 * g7)), 0)
+                    AS BIGINT) AS kpss_eta_x1e9,
+               CAST(8 * sp2 * 1000000000
+                    // NULLIF(n * (8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3
+                                   + 4 * g4 + 3 * g5 + 2 * g6 + 1 * g7)), 0)
+                    AS BIGINT) > 463000000 AS reject_level_stationary_5pct
+        FROM m
+    """,
+    tags=("E529",),
+)
+def timeseries_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the daily event-count series —
+    the NULL-REVERSED complement of the registered Dickey-Fuller: DF's
+    null is a unit root (failure to reject says little on short
+    series), KPSS's null is stationarity, so running both gives the
+    standard four-quadrant verdict.  eta = n^-2 SUM S_t^2 / lrv with
+    S_t the partial sums of demeaned counts and lrv the Bartlett
+    (Newey-West, l = 7) long-run variance; 5%% critical value 0.463.
+
+    Exact, all-integer: demeaned values ride as d_t = n*x_t - S
+    (n-scaled to stay integral), partial sums and the eight
+    autocovariance terms accumulate as HUGEINT/DECIMAL(38), the
+    Bartlett weights (1 - j/8) clear denominators via the x8
+    multiplier, and eta ships as one integer-1e9 cross-multiplied
+    division — no doubles anywhere (Bartlett guarantees lrv >= 0, so
+    only a zero guard is needed).  Plan: day rollup, one ordered
+    window pass (cumsum + 7 lags share one sort), one aggregate.
+    100 TB: only the rollup sees the corpus; the window runs over the
+    calendar-bounded day series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wall = Window.partitionBy()
+    c = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dt = c.select(
+        "d", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dd")
+    )
+    w = Window.orderBy("d")
+    seq = dt.select(
+        "n",
+        "dd",
+        F.sum("dd").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        *[F.lag("dd", j).over(w).alias(f"l{j}") for j in range(1, 8)],
+    )
+    d38 = "decimal(38,0)"
+    m = seq.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("p").cast(d38) * F.col("p")).alias("sp2"),
+        F.sum(F.col("dd").cast(d38) * F.col("dd")).alias("g0"),
+        *[
+            F.sum(F.col("dd").cast(d38) * F.col(f"l{j}")).alias(f"g{j}")
+            for j in range(1, 8)
+        ],
+    )
+    eta = F.expr(
+        "CAST(8 * sp2 * 1000000000"
+        " div nullif(n * (8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3"
+        " + 4 * g4 + 3 * g5 + 2 * g6 + 1 * g7)), 0) AS BIGINT)"
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        eta.alias("kpss_eta_x1e9"),
+        (eta > F.lit(463000000)).alias("reject_level_stationary_5pct"),
+    )
+
+
+PE_LOG_SCALE = 1 << 20  # fixed-point grain for log2 terms
+PE_LOG2_6 = 2.584962500721156  # log2(6), hardcoded identically both sides
+
+
+@query(
+    "timeseries_permutation_entropy",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tri AS (
+            SELECT x AS x0,
+                   LEAD(x, 1) OVER (ORDER BY d) AS x1,
+                   LEAD(x, 2) OVER (ORDER BY d) AS x2
+            FROM daily
+        ),
+        coded AS (
+            SELECT (CASE WHEN x1 < x0 THEN 1 ELSE 0 END
+                    + CASE WHEN x2 < x0 THEN 1 ELSE 0 END) * 9
+                   + (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END
+                      + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3
+                   + (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END
+                      + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS code
+            FROM tri WHERE x2 IS NOT NULL
+        ),
+        pat AS (
+            SELECT code, CAST(COUNT(*) AS BIGINT) AS c
+            FROM coded GROUP BY code
+        ),
+        withn AS (
+            SELECT code, c, SUM(c) OVER () AS ntot FROM pat
+        ),
+        t AS (
+            SELECT CAST(MAX(ntot) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_patterns,
+                   CAST(SUM(c * CAST(FLOOR(log2(CAST(ntot AS DOUBLE) / c)
+                                           * {PE_LOG_SCALE})
+                                     AS BIGINT)) AS BIGINT) AS qsum
+            FROM withn
+        )
+        SELECT n AS n_triples, n_patterns,
+               ROUND(CAST(qsum AS DOUBLE) / (n * {PE_LOG_SCALE}), 9)
+                   AS pe_bits,
+               ROUND(CAST(qsum AS DOUBLE) / (n * {PE_LOG_SCALE})
+                     / {PE_LOG2_6}, 9) AS pe_normalized
+        FROM t
+    """,
+    tags=("E530",),
+)
+def timeseries_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION ENTROPY (order m = 3) of the daily event-count
+    series: embed consecutive triples, map each to its ordinal pattern
+    (one of 3! = 6), and take the Shannon entropy of the pattern
+    distribution, normalized by log2(6) — the complexity measure that
+    sees only the ORDER STRUCTURE (robust to any monotone transform
+    and to observational noise in the values), complementing the
+    registered sample entropy (which needs a scale tolerance r) and
+    the turning-points test (which uses only m = 3's two extreme
+    patterns).
+
+    Exact: ranks use the (value, position) lexicographic tie-break
+    (earlier position wins ties — ties get a deterministic pattern,
+    not a dropped triple), pattern code = 9 r0 + 3 r1 + r2 from six
+    boolean comparisons, entropy terms ride as floor(log2(N/c) * 2^20)
+    BIGINTs (the engine's fixed-point log discipline), and the two
+    outputs are single double expressions over exact integers with
+    log2(6) hardcoded identically on both sides.  Plan: day rollup,
+    one ordered window (two leads), one 6-row aggregate.  100 TB:
+    only the rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    tri = daily.select(
+        F.col("x").alias("x0"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).where(F.col("x2").isNotNull())
+    b = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    code = (
+        (b(F.col("x1") < F.col("x0")) + b(F.col("x2") < F.col("x0"))) * 9
+        + (b(F.col("x0") <= F.col("x1")) + b(F.col("x2") < F.col("x1"))) * 3
+        + (b(F.col("x0") <= F.col("x2")) + b(F.col("x1") <= F.col("x2")))
+    ).alias("code")
+    pat = tri.select(code).groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wall = Window.partitionBy()
+    withn = pat.select(
+        "code", "c", F.sum("c").over(wall).alias("ntot")
+    )
+    q = (
+        F.floor(
+            F.log2(F.col("ntot").cast("double") / F.col("c"))
+            * F.lit(PE_LOG_SCALE)
+        )
+        .cast("bigint")
+    )
+    t = withn.agg(
+        F.max("ntot").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.sum(F.col("c") * q).cast("bigint").alias("qsum"),
+    )
+    pe = F.col("qsum").cast("double") / (F.col("n") * F.lit(PE_LOG_SCALE))
+    return t.select(
+        F.col("n").alias("n_triples"),
+        "n_patterns",
+        F.round(pe, 9).alias("pe_bits"),
+        F.round(pe / F.lit(PE_LOG2_6), 9).alias("pe_normalized"),
+    )
+
+
+CCF_PAIR = ("click", "purchase")
+CCF_MAX_LAG = 7
+
+
+@query(
+    "timeseries_ccf_cross_correlation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS t,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events
+            WHERE event_type IN ('{CCF_PAIR[0]}', '{CCF_PAIR[1]}')
+            GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM daily),
+        a AS (
+            SELECT d.day, COALESCE(dl.x, CAST(0 AS BIGINT)) AS x
+            FROM days d LEFT JOIN daily dl
+              ON dl.day = d.day AND dl.t = '{CCF_PAIR[0]}'
+        ),
+        b AS (
+            SELECT d.day, COALESCE(dl.x, CAST(0 AS BIGINT)) AS y
+            FROM days d LEFT JOIN daily dl
+              ON dl.day = d.day AND dl.t = '{CCF_PAIR[1]}'
+        ),
+        lags AS (
+            SELECT CAST(UNNEST(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1))
+                        AS BIGINT) AS lag
+        ),
+        pairs AS (
+            SELECT l.lag, a.x, b.y
+            FROM lags l
+            JOIN a ON TRUE
+            JOIN b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        ),
+        m AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pairs GROUP BY lag
+        )
+        SELECT lag, n AS n_days,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                     9) AS ccf
+        FROM m ORDER BY lag
+    """,
+    tags=("E531",),
+)
+def timeseries_ccf_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between the {CCF_PAIR[0]} and
+    {CCF_PAIR[1]} daily-count series at lags -7..+7: ccf(l) =
+    corr(x_t, y_(t+l)) — the lead/lag detector ("do clicks today
+    predict purchases in l days?") that the registered Granger test
+    answers only at one fixed lag and only directionally; the full
+    CCF profile is what attribution and forecasting feature selection
+    read (peak location = the transfer delay).
+
+    Exact: both series are zero-filled on the shared observed-day
+    calendar, per-lag sufficient statistics (n, Sx, Sy, Sxx, Syy,
+    Sxy) accumulate as exact HUGEINT/DECIMAL(38) integers, and each
+    correlation is one identical double expression, rounded 1e-9.
+    Plan: one filtered day rollup, a 15-row broadcast lag dimension
+    fanned over the calendar-bounded day series, one (lag) aggregate
+    — the corpus is scanned ONCE.  100 TB: the fan-out happens after
+    the rollup, on day-grain data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type").isin(*CCF_PAIR))
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    days = daily.select("day").distinct()
+    a = days.join(
+        daily.where(F.col("t") == CCF_PAIR[0]).select("day", "x"),
+        "day",
+        "left",
+    ).select("day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+    bseries = days.join(
+        daily.where(F.col("t") == CCF_PAIR[1]).select("day", "x"),
+        "day",
+        "left",
+    ).select(
+        F.col("day").alias("bday"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("y"),
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag"), F.lit(1).alias("jk")
+    )
+    fan = a.withColumn("jk", F.lit(1)).join(F.broadcast(lags), "jk")
+    pairs = fan.join(
+        bseries,
+        bseries["bday"]
+        == F.expr("date_add(day, CAST(lag AS INT))"),
+    )
+    d38 = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+@query(
+    "timeseries_arch_lm_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT d, x,
+                   SUM(x) OVER () // COUNT(*) OVER () AS m0
+            FROM daily
+        ),
+        sq AS (
+            SELECT d, CAST((x - m0) * (x - m0) AS BIGINT) AS s
+            FROM c
+        ),
+        pairs AS (
+            SELECT s AS y, LAG(s, 1) OVER (ORDER BY d) AS x
+            FROM sq
+        ),
+        m AS (
+            SELECT CAST(COUNT(x) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(CASE WHEN x IS NOT NULL THEN y END)
+                        AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CASE WHEN x IS NOT NULL
+                            THEN CAST(y AS HUGEINT) * y END) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pairs
+        )
+        SELECT n AS n_obs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                     9) AS lag1_autocorr,
+               ROUND(n * POWER(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                     2), 9) AS lm_stat,
+               n * POWER(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                     2) > 3.841 AS reject_no_arch_5pct
+        FROM m
+    """,
+    tags=("E532",),
+)
+def timeseries_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH LM TEST (one lag) on the daily event-count series:
+    center the counts, square them, and regress s_t on s_(t-1) — LM =
+    n R^2 ~ chi2(1) under "no ARCH".  Volatility CLUSTERING is
+    invisible to every level-series test the engine registers (ACF,
+    Ljung-Box, runs test all see the mean equation); ARCH LM is the
+    standard screen for "do calm days follow calm days?", the
+    prerequisite question before any variance-forecasting model.
+
+    Exact: the mean is cleared by the FLOOR-divided integer mean (no
+    engine-dependent half-rounding), squared deviations and all five
+    regression sufficient statistics accumulate as HUGEINT/
+    DECIMAL(38) integers, and r, LM ship as one identical double
+    chain, rounded 1e-9.  Plan: day rollup, one lag window, one
+    aggregate.  100 TB: only the rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wall = Window.partitionBy()
+    c = daily.select(
+        "d",
+        "x",
+        F.expr(
+            "sum(x) OVER () div count(1) OVER ()"
+        ).alias("m0"),
+    )
+    sq = c.select(
+        "d",
+        ((F.col("x") - F.col("m0")) * (F.col("x") - F.col("m0")))
+        .cast("bigint")
+        .alias("s"),
+    )
+    w = Window.orderBy("d")
+    pairs = sq.select(
+        F.col("s").alias("y"), F.lag("s", 1).over(w).alias("x")
+    )
+    d38 = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("x").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.when(F.col("x").isNotNull(), F.col("y")))
+        .cast("bigint")
+        .alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(
+            F.when(
+                F.col("x").isNotNull(),
+                F.col("y").cast(d38) * F.col("y"),
+            )
+        ).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    lm = F.col("n") * F.pow(r, F.lit(2))
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(r, 9).alias("lag1_autocorr"),
+        F.round(lm, 9).alias("lm_stat"),
+        (lm > F.lit(3.841)).alias("reject_no_arch_5pct"),
+    )
+
+
+@query(
+    "timeseries_theil_u2_forecast",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT x,
+                   LAG(x, 1) OVER (ORDER BY d) AS l1,
+                   LAG(x, 7) OVER (ORDER BY d) AS l7
+            FROM daily
+        ),
+        scored AS (
+            SELECT x, l1, l7 FROM lagged WHERE l7 IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CAST(l7 - x AS HUGEINT) * (l7 - x)) AS BIGINT)
+                   AS sse_snaive7,
+               CAST(SUM(CAST(l1 - x AS HUGEINT) * (l1 - x)) AS BIGINT)
+                   AS sse_naive1,
+               ROUND(sqrt(CAST(SUM(CAST(l7 - x AS HUGEINT) * (l7 - x))
+                               AS DOUBLE)
+                          / NULLIF(CAST(SUM(CAST(l1 - x AS HUGEINT)
+                                            * (l1 - x)) AS DOUBLE), 0)), 9)
+                   AS theil_u2
+        FROM scored
+    """,
+    tags=("E533",),
+)
+def timeseries_theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S U2 for the seasonal-naive (lag-7) forecaster of daily
+    event counts against the no-change (lag-1) benchmark: U2 =
+    sqrt(SSE_model / SSE_naive) — U2 < 1 means the weekly-rhythm
+    forecast genuinely beats "tomorrow = today", the SCALE-FREE model
+    comparison that partners the registered MASE (MASE scores
+    absolute error against in-sample naive; U2 is the square-error
+    out-of-sample ratio Theil's original forecast-evaluation
+    literature defined).  Scoring window: days where the lag-7 value
+    exists (the lag-1 always does there).
+
+    Exact: both error sums are HUGEINT/DECIMAL(38) integer
+    accumulations off ONE lag window; U2 is one sqrt over their
+    ratio, rounded 1e-9.  Plan: day rollup, one window, one
+    aggregate.  100 TB: only the rollup sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 7).over(w).alias("l7"),
+    ).where(F.col("l7").isNotNull())
+    d38 = "decimal(38,0)"
+    e7 = (F.col("l7") - F.col("x")).cast(d38)
+    e1 = (F.col("l1") - F.col("x")).cast(d38)
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(e7 * (F.col("l7") - F.col("x"))).cast("bigint").alias(
+            "sse_snaive7"
+        ),
+        F.sum(e1 * (F.col("l1") - F.col("x"))).cast("bigint").alias(
+            "sse_naive1"
+        ),
+        F.round(
+            F.sqrt(
+                F.sum(e7 * (F.col("l7") - F.col("x"))).cast("double")
+                / F.nullif(
+                    F.sum(e1 * (F.col("l1") - F.col("x"))).cast("double"),
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("theil_u2"),
+    )
+
+
+RSI_WINDOW = 14
+
+
+@query(
+    "timeseries_rsi_simple",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT day,
+                   rev - LAG(rev, 1) OVER (ORDER BY day) AS delta,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM daily
+        ),
+        gl AS (
+            SELECT day, rn,
+                   GREATEST(delta, 0) AS gain,
+                   GREATEST(-delta, 0) AS loss
+            FROM diffs WHERE delta IS NOT NULL
+        ),
+        roll AS (
+            SELECT day,
+                   CAST(SUM(gain) OVER (ORDER BY rn
+                       ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS g,
+                   CAST(SUM(loss) OVER (ORDER BY rn
+                       ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS l,
+                   COUNT(*) OVER (ORDER BY rn
+                       ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW) AS cnt
+            FROM gl
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               g AS gain_cents, l AS loss_cents,
+               CAST(g * 1000000 // NULLIF(g + l, 0) AS BIGINT) AS rsi_ppm
+        FROM roll
+        WHERE cnt = {RSI_WINDOW}
+        ORDER BY day
+    """,
+    tags=("E534",),
+)
+def timeseries_rsi_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX (simple {RSI_WINDOW}-day cutler
+    variant) of daily order revenue: RSI = 100 * avg_gain /
+    (avg_gain + avg_loss) over the trailing window of daily revenue
+    changes — the bounded momentum oscillator (overbought > 70,
+    oversold < 30) that complements the registered EWMA crossover
+    (trend direction) with a mean-reversion signal.  The SMA (Cutler)
+    variant is chosen deliberately: Wilder's smoothing is an infinite
+    recursion whose value depends on the series start, while the
+    windowed form is shift-invariant and exactly distributable.
+
+    Exact: revenue rides as integer cents, gains/losses as exact
+    BIGINTs, the rolling sums are ROWS-frame windows over the
+    observed-day sequence, and RSI ships as an integer-ppm division
+    (gain share of total movement — the 0..1e6 scaling of the 0-100
+    convention).  Plan: day rollup, one ordered window pass (lag +
+    two rolling sums share the sort), emit only full windows.
+    100 TB: only the rollup sees the corpus; the window runs at day
+    grain."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        "day",
+        (F.col("rev") - F.lag("rev", 1).over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gl = diffs.where(F.col("delta").isNotNull()).select(
+        "day",
+        "rn",
+        F.greatest(F.col("delta"), F.lit(0)).alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0)).alias("loss"),
+    )
+    wr = Window.orderBy("rn").rowsBetween(-(RSI_WINDOW - 1), 0)
+    roll = gl.select(
+        "day",
+        F.sum("gain").over(wr).cast("bigint").alias("g"),
+        F.sum("loss").over(wr).cast("bigint").alias("l"),
+        F.count(F.lit(1)).over(wr).alias("cnt"),
+    )
+    return (
+        roll.where(F.col("cnt") == RSI_WINDOW)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("g").alias("gain_cents"),
+            F.col("l").alias("loss_cents"),
+            F.expr(
+                "CAST(g * 1000000 div nullif(g + l, 0) AS BIGINT)"
+            ).alias("rsi_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -2393,3 +2393,153 @@ def test_kuiper_v_recompute_and_rotation_invariance(spark, sf_dir):
     ) == r["d_plus_num"]
     assert v_of(0) == r["d_plus_num"] - r["d_minus_num"]
     assert v_of(12) == v_of(0)
+
+
+def test_kpss_eta_brute_force(spark, sf_dir):
+    """KPSS eta recomputed in Python from the raw daily counts
+    (classical double arithmetic, Bartlett l=7) must agree with the
+    operator's integer-1e9 fixed point to quantization slack."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    x = [r["count"] for r in rows]
+    n = len(x)
+    mean = sum(x) / n
+    e = [v - mean for v in x]
+    s_partial = []
+    acc = 0.0
+    for v in e:
+        acc += v
+        s_partial.append(acc)
+    lrv = sum(v * v for v in e) / n
+    for j in range(1, 8):
+        g = sum(e[t] * e[t - j] for t in range(j, n)) / n
+        lrv += 2 * (1 - j / 8) * g
+    eta = sum(s * s for s in s_partial) / (n * n) / lrv
+    r = (
+        registry.get("timeseries_kpss_stationarity")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["n_days"] == n
+    assert abs(r["kpss_eta_x1e9"] / 1e9 - eta) < 1e-6
+    assert r["reject_level_stationary_5pct"] == (
+        r["kpss_eta_x1e9"] > 463000000
+    )
+
+
+def test_permutation_entropy_bounds_and_recompute(spark, sf_dir):
+    """PE must lie in [0, 1] normalized, use at most 6 patterns, and
+    match a literal Python recompute of the ordinal-pattern histogram
+    with the declared (value, position) tie-break."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    x = [r["count"] for r in rows]
+    pats: dict[int, int] = {}
+    for i in range(len(x) - 2):
+        w = [(x[i + k], k) for k in range(3)]
+        code = sum(
+            (sum(1 for o in w if o < w[k]) * (9, 3, 1)[k]) for k in range(3)
+        )
+        pats[code] = pats.get(code, 0) + 1
+    n = sum(pats.values())
+    r = (
+        registry.get("timeseries_permutation_entropy")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["n_triples"] == n
+    assert r["n_patterns"] == len(pats) <= 6
+    h = sum(c * math.log2(n / c) for c in pats.values()) / n
+    assert abs(r["pe_bits"] - h) < 1e-4  # floor-1e-6-grain quantization
+    assert 0.0 <= r["pe_normalized"] <= 1.0 + 1e-12
+
+
+def test_ccf_lag0_is_pearson_and_symmetric_window(spark, sf_dir):
+    """ccf at lag 0 must equal the plain Pearson correlation of the two
+    zero-filled daily series (numpy recompute), and every |ccf| <= 1."""
+    import numpy as np
+
+    from potpot_spark.operators.timeseries import CCF_PAIR
+
+    got = {
+        r["lag"]: r
+        for r in registry.get("timeseries_ccf_cross_correlation")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(range(-7, 8))
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*CCF_PAIR))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    days = sorted({r["day"] for r in rows})
+    a = {r["day"]: r["count"] for r in rows if r["event_type"] == CCF_PAIR[0]}
+    b = {r["day"]: r["count"] for r in rows if r["event_type"] == CCF_PAIR[1]}
+    xv = np.array([a.get(d, 0) for d in days], dtype=float)
+    yv = np.array([b.get(d, 0) for d in days], dtype=float)
+    want = np.corrcoef(xv, yv)[0, 1]
+    assert abs(got[0]["ccf"] - want) < 1e-9
+    for r in got.values():
+        if r["ccf"] is not None:
+            assert abs(r["ccf"]) <= 1.0 + 1e-12
+
+
+def test_arch_lm_equals_n_r_squared(spark, sf_dir):
+    """LM must equal n * r^2 of the operator's own reported lag-1
+    autocorrelation of squared deviations, and the rejection flag must
+    match the 3.841 chi2(1) cutoff."""
+    r = (
+        registry.get("timeseries_arch_lm_test").fn(spark, sf_dir).collect()[0]
+    )
+    assert abs(r["lm_stat"] - r["n_obs"] * r["lag1_autocorr"] ** 2) < 1e-6
+    assert r["reject_no_arch_5pct"] == (r["lm_stat"] > 3.841)
+    assert abs(r["lag1_autocorr"]) <= 1.0
+
+
+def test_theil_u2_is_sse_ratio(spark, sf_dir):
+    """U2 must equal sqrt(sse_snaive7 / sse_naive1) of its own integer
+    outputs, and the two SSEs must be non-negative."""
+    import math
+
+    r = (
+        registry.get("timeseries_theil_u2_forecast")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["sse_snaive7"] >= 0 and r["sse_naive1"] >= 0
+    if r["sse_naive1"] > 0:
+        assert (
+            abs(r["theil_u2"] - math.sqrt(r["sse_snaive7"] / r["sse_naive1"]))
+            < 1e-9
+        )
+
+
+def test_rsi_bounds_and_window_exactness(spark, sf_dir):
+    """Every RSI value lies in [0, 1e6]; gains and losses are
+    non-negative; and the gain share recomputes from the row's own
+    integers."""
+    rows = (
+        registry.get("timeseries_rsi_simple").fn(spark, sf_dir).collect()
+    )
+    assert rows, "expected at least one full RSI window"
+    for r in rows:
+        assert r["gain_cents"] >= 0 and r["loss_cents"] >= 0
+        tot = r["gain_cents"] + r["loss_cents"]
+        if tot:
+            assert r["rsi_ppm"] == r["gain_cents"] * 1000000 // tot
+            assert 0 <= r["rsi_ppm"] <= 1000000
