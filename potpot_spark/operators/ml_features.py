@@ -5530,3 +5530,812 @@ def ml_adversarial_validation_auc(
             "CAST(ABS(u2 * 1000000 div (2 * na * nb) - 500000) AS BIGINT)"
         ).alias("drift_score_x1e6"),
     )
+
+
+@query(
+    "ml_mrr_reciprocal_rank",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey,
+                   o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey) AS rn
+            FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   MIN(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN rn END) AS first_rel
+            FROM ranked GROUP BY o_custkey
+        ),
+        seg AS (
+            SELECT c.c_mktsegment,
+                   first_rel,
+                   CASE WHEN first_rel IS NOT NULL
+                        THEN CAST(ROUND(1.0 / first_rel, 12)
+                                  AS DECIMAL(20,12)) END AS rr
+            FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(rr) AS BIGINT) AS n_with_relevant,
+               ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(rr), 9) AS mrr,
+               ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 9)
+                   AS mrr_all_queries
+        FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("E535",),
+)
+def ml_mrr_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK of the "rank a customer's orders by price"
+    heuristic against urgent-priority relevance, per market segment —
+    the first-hit retrieval metric that completes the registered
+    ranking-eval triple: NDCG@5 (graded, top-k), average precision
+    (all relevant positions), MRR (POSITION OF THE FIRST relevant
+    item — what navigational search and agentic tool-choice eval
+    read).  Both conventions ship: mrr over queries with >= 1
+    relevant, and mrr_all_queries counting barren queries as 0.
+
+    Exact: the predicted ranking reuses ml_ndcg_at_k's deterministic
+    (price DESC, orderkey) tie-break; each reciprocal rank rounds
+    ONCE to DECIMAL(20,12) (double->decimal rounding is
+    deterministic) so per-segment sums are order-free; the two means
+    are single double divisions, rounded 1e-9.  Plan: ONE custkey
+    window (rank + min fold share the shuffle), a broadcast segment
+    join, one aggregate.  100 TB: per-query state is one rank
+    scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+    )
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("rn"))
+        ).alias("first_rel")
+    )
+    seg = per_cust.join(
+        F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel"), 12).cast(
+                "decimal(20,12)"
+            ),
+        ).alias("rr"),
+    )
+    return (
+        seg.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.count("rr").cast("bigint").alias("n_with_relevant"),
+            F.round(
+                F.sum("rr").cast("double") / F.count("rr"), 9
+            ).alias("mrr"),
+            F.round(
+                F.sum("rr").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mrr_all_queries"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "ml_tweedie_deviance_eval",
+    oracle="""
+        WITH y AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y
+            FROM orders
+        ),
+        mu AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu
+            FROM y GROUP BY grp
+        ),
+        terms AS (
+            SELECT y.grp, m.n, m.mu,
+                   CAST(ROUND(4 * sqrt(m.mu) + 4 * (y.y / sqrt(m.mu))
+                              - 8 * sqrt(CAST(y.y AS DOUBLE)), 9)
+                        AS DECIMAL(24,9)) AS d
+            FROM y JOIN mu m ON m.grp = y.grp
+        )
+        SELECT grp AS priority, CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(MAX(mu), 9) AS mu_cents,
+               ROUND(CAST(SUM(d) AS DOUBLE) / MAX(n), 9)
+                   AS mean_tweedie_dev_p15
+        FROM terms GROUP BY grp ORDER BY grp
+    """,
+    tags=("E536",),
+)
+def ml_tweedie_deviance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN TWEEDIE DEVIANCE (power p = 1.5) of the per-priority
+    group-mean model of order totals — the compound-Poisson loss that
+    sits BETWEEN the registered regression suite's squared error
+    (p = 0, gaussian) and the pinball family: for positive,
+    right-skewed, mass-at-small-values targets (revenue, claim
+    amounts, tokens-per-doc) Tweedie deviance is the standard GLM
+    objective, and evaluating a fitted model's deviance per segment
+    is how actuarial/revenue models are compared.  At p = 1.5 the
+    unit deviance closed form is d(y, mu) = 4 sqrt(mu) + 4 y /
+    sqrt(mu) - 8 sqrt(y) >= 0 (AM-GM).
+
+    Exact: y rides as integer cents; mu is one double division of
+    exact integers; each deviance term (sqrt is IEEE-exact) rounds
+    ONCE to DECIMAL(24,9), making per-group sums order-free; the mean
+    is a single double division, rounded 1e-9.  Plan: one group
+    aggregate for mu, one broadcast join back (5-row build side), one
+    mergeable aggregate.  100 TB: standard two-pass model-eval
+    shape."""
+    o = load_table(spark, sf_dir, "orders")
+    y = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    mu = y.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    terms = y.join(F.broadcast(mu), "grp").select(
+        "grp",
+        "n",
+        "mu",
+        F.round(
+            F.lit(4) * F.sqrt(F.col("mu"))
+            + F.lit(4) * (F.col("y") / F.sqrt(F.col("mu")))
+            - F.lit(8) * F.sqrt(F.col("y").cast("double")),
+            9,
+        )
+        .cast("decimal(24,9)")
+        .alias("d"),
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.max("mu"), 9).alias("mu_cents"),
+            F.round(F.sum("d").cast("double") / F.max("n"), 9).alias(
+                "mean_tweedie_dev_p15"
+            ),
+        )
+        .select(
+            F.col("grp").alias("priority"),
+            "n",
+            "mu_cents",
+            "mean_tweedie_dev_p15",
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "ml_chi2_feature_selection",
+    oracle="""
+        WITH base AS (
+            SELECT o.o_orderpriority, c.c_mktsegment,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR)
+                       AS oyear,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 'F'
+                        ELSE 'NF' END AS label
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        long AS (
+            SELECT 'priority' AS feat, o_orderpriority AS val, label
+            FROM base
+            UNION ALL
+            SELECT 'segment', c_mktsegment, label FROM base
+            UNION ALL
+            SELECT 'order_year', oyear, label FROM base
+        ),
+        cells AS (
+            SELECT feat, val, label, COUNT(*) AS o
+            FROM long GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT feat, val, label, o,
+                   SUM(o) OVER (PARTITION BY feat, val) AS rt,
+                   SUM(o) OVER (PARTITION BY feat, label) AS ct,
+                   SUM(o) OVER (PARTITION BY feat) AS g
+            FROM cells
+        ),
+        per_feat AS (
+            SELECT feat,
+                   CAST(SUM(CAST(
+                       (o - CAST(rt * ct AS DOUBLE) / g)
+                       * (o - CAST(rt * ct AS DOUBLE) / g)
+                       / (CAST(rt * ct AS DOUBLE) / g)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
+                   (COUNT(DISTINCT val) - 1)
+                       * (COUNT(DISTINCT label) - 1) AS dof
+            FROM tot GROUP BY feat
+        )
+        SELECT feat, ROUND(chi2, 9) AS chi2, CAST(dof AS BIGINT) AS dof,
+               ROUND(chi2 / dof, 9) AS chi2_per_dof,
+               CAST(row_number() OVER (ORDER BY chi2 / dof DESC, feat)
+                    AS BIGINT) AS rank
+        FROM per_feat ORDER BY rank
+    """,
+    tags=("E537",),
+)
+def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE FEATURE SELECTION: score three candidate categorical
+    features (order priority, customer segment, order year) against
+    the finished-order label in ONE pass and rank them by chi2/dof —
+    the filter-method ranking (sklearn's SelectKBest(chi2) shape)
+    that decides which features enter a model BEFORE any training,
+    where the registered WoE/IV operator scores binnable numerics and
+    mutual information scores a single pairing.  chi2/dof (not raw
+    chi2) is the comparable number across features with different
+    cardinalities.
+
+    Exact: the long (feature, value, label) table is a 3-way stack of
+    the SAME scan (one corpus pass, unioned after projection);
+    per-cell expected counts and (O-E)^2/E terms follow the
+    stats_chi_square_independence discipline verbatim (one
+    double->DECIMAL(28,12) rounding per cell makes the sum
+    order-free); the ranking window runs over 3 rows.  Plan: one
+    join + stack, one cell aggregate, per-feature windows over the
+    tiny contingency tables.  100 TB: contingency cells are
+    |values| x 2 regardless of corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderpriority",
+        "c_mktsegment",
+        F.year("o_orderdate").cast("string").alias("oyear"),
+        F.when(F.col("o_orderstatus") == "F", "F")
+        .otherwise("NF")
+        .alias("label"),
+    )
+    long = base.selectExpr(
+        "stack(3, 'priority', o_orderpriority,"
+        " 'segment', c_mktsegment,"
+        " 'order_year', oyear) AS (feat, val)",
+        "label",
+    )
+    cells = long.groupBy("feat", "val", "label").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.select(
+        "feat",
+        "val",
+        "label",
+        "o",
+        F.sum("o").over(Window.partitionBy("feat", "val")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("feat", "label")).alias("ct"),
+        F.sum("o").over(Window.partitionBy("feat")).alias("g"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("g")
+    term = ((F.col("o") - exp) * (F.col("o") - exp) / exp).cast(
+        "decimal(28,12)"
+    )
+    per_feat = tot.groupBy("feat").agg(
+        F.sum(term).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("val") - 1) * (F.countDistinct("label") - 1)
+        ).alias("dof"),
+    )
+    return per_feat.select(
+        "feat",
+        F.round("chi2", 9).alias("chi2"),
+        F.col("dof").cast("bigint").alias("dof"),
+        F.round(F.col("chi2") / F.col("dof"), 9).alias("chi2_per_dof"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("chi2") / F.col("dof")), "feat"))
+        .cast("bigint")
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+CV_Q = 1 << 24  # fixed-point grain for embedding components (float32-exact)
+
+
+@query(
+    "ml_calinski_harabasz_index",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {CV_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        perld AS (
+            SELECT label, i, CAST(SUM(q) AS BIGINT) AS sfx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY label, i
+        ),
+        perl AS (
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+                   SUM(CAST(sfx AS HUGEINT) * sfx) AS ssq
+            FROM perld GROUP BY label
+        ),
+        sq AS (
+            SELECT label, SUM(CAST(q AS HUGEINT) * q) AS sqsum
+            FROM vals GROUP BY label
+        ),
+        gdim AS (
+            SELECT i, CAST(SUM(sfx) AS BIGINT) AS gs
+            FROM perld GROUP BY i
+        ),
+        ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                        CAST(COUNT(*) AS BIGINT) AS k FROM perl),
+        bnum AS (
+            SELECT p.label,
+                   SUM((CAST(p.sfx AS HUGEINT) * t.nt - CAST(g.gs AS HUGEINT) * p.n)
+                       * (CAST(p.sfx AS HUGEINT) * t.nt - CAST(g.gs AS HUGEINT) * p.n))
+                       AS bn
+            FROM perld p JOIN gdim g ON g.i = p.i
+            CROSS JOIN ntot t
+            GROUP BY p.label
+        ),
+        terms AS (
+            SELECT l.label,
+                   b.bn // (l.n * t.nt * t.nt) AS bq,
+                   (l.n * s.sqsum - l.ssq) // l.n AS wq
+            FROM perl l
+            JOIN bnum b ON b.label = l.label
+            JOIN sq s ON s.label = l.label
+            CROSS JOIN ntot t
+        ),
+        agg AS (
+            SELECT CAST(SUM(bq) AS HUGEINT) AS bsum,
+                   CAST(SUM(wq) AS HUGEINT) AS wsum
+            FROM terms
+        )
+        SELECT t.k AS n_labels, t.nt AS n_vectors,
+               ROUND(CAST(a.bsum AS DOUBLE) / {CV_Q} / {CV_Q}, 6) AS ssb,
+               ROUND(CAST(a.wsum AS DOUBLE) / {CV_Q} / {CV_Q}, 6) AS ssw,
+               CAST(a.bsum * (t.nt - t.k) * 1000000
+                    // NULLIF(a.wsum * (t.k - 1), 0) AS BIGINT)
+                   AS ch_index_x1e6
+        FROM agg a CROSS JOIN ntot t
+    """,
+    tags=("E538",),
+)
+def ml_calinski_harabasz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALINSKI-HARABASZ (variance ratio) index of the label
+    clustering of the embedding space: CH = [SSB/(k-1)] / [SSW/(N-k)]
+    — the first of the three classical internal cluster-validity
+    indices (CH here, Davies-Bouldin and simplified silhouette as
+    siblings), the number a kmeans-k sweep or an embedding-space
+    label audit actually ranks by.  SSB uses the centered-moment
+    identity SUM_l n_l ||c_l - c||^2 with centroids never
+    materialized as floats: per-(label, dim) fixed-point sums S_ld
+    give the exact numerator (S_ld N - G_d n_l)^2 / (n_l N^2); SSW =
+    (n_l Q_l - SUM_d S_ld^2) / n_l from the same pass (the
+    participation-ratio Gram discipline).
+
+    Exact: components quantize at 2^-24 (float32-lossless for
+    |x| >= 0.5, deterministic floor below); every accumulation is
+    HUGEINT/DECIMAL(38); per-label B/W terms floor-rescale ONCE
+    (relative error ~1e-15, deterministic); CH ships as an integer
+    cross-multiplication.  Plan: one posexplode pass -> three
+    label/dim-grain aggregates -> 10-row algebra; broadcast joins
+    only.  100 TB: everything after the first aggregate is
+    (labels x dims)-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("comp").cast("double") * F.lit(CV_Q))
+        .cast("bigint")
+        .alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    perld = comps.groupBy("label", "i").agg(
+        F.sum("q").cast("bigint").alias("sfx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    perl = perld.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("sfx").cast(d38) * F.col("sfx")).alias("ssq"),
+    )
+    sq = comps.groupBy("label").agg(
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("sqsum")
+    )
+    gdim = perld.groupBy("i").agg(F.sum("sfx").cast("bigint").alias("gs"))
+    ntot = perl.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    bnum = (
+        perld.join(F.broadcast(gdim), "i")
+        .join(F.broadcast(ntot))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (
+                    F.col("sfx").cast(d38) * F.col("nt")
+                    - F.col("gs").cast(d38) * F.col("n")
+                )
+                * (
+                    F.col("sfx").cast(d38) * F.col("nt")
+                    - F.col("gs").cast(d38) * F.col("n")
+                )
+            ).alias("bn")
+        )
+    )
+    terms = (
+        perl.join(bnum, "label")
+        .join(sq, "label")
+        .join(F.broadcast(ntot))
+        .select(
+            "label",
+            F.expr("bn div (n * nt * nt)").alias("bq"),
+            F.expr("(n * sqsum - ssq) div n").alias("wq"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("bq").cast(d38).alias("bsum"),
+        F.sum("wq").cast(d38).alias("wsum"),
+    )
+    return agg.join(F.broadcast(ntot)).select(
+        F.col("k").alias("n_labels"),
+        F.col("nt").alias("n_vectors"),
+        F.round(
+            F.col("bsum").cast("double") / F.lit(CV_Q) / F.lit(CV_Q), 6
+        ).alias("ssb"),
+        F.round(
+            F.col("wsum").cast("double") / F.lit(CV_Q) / F.lit(CV_Q), 6
+        ).alias("ssw"),
+        F.expr(
+            "CAST(bsum * (nt - k) * 1000000"
+            " div nullif(wsum * (k - 1), 0) AS BIGINT)"
+        ).alias("ch_index_x1e6"),
+    )
+
+
+@query(
+    "ml_davies_bouldin_index",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {CV_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        perld AS (
+            SELECT label, i, CAST(SUM(q) AS BIGINT) AS sfx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY label, i
+        ),
+        perl AS (
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+                   SUM(CAST(sfx AS HUGEINT) * sfx) AS ssq
+            FROM perld GROUP BY label
+        ),
+        sq AS (
+            SELECT label, SUM(CAST(q AS HUGEINT) * q) AS sqsum
+            FROM vals GROUP BY label
+        ),
+        w AS (
+            SELECT l.label, l.n,
+                   (l.n * s.sqsum - l.ssq) // l.n AS wq
+            FROM perl l JOIN sq s ON s.label = l.label
+        ),
+        pnum AS (
+            SELECT a.label AS la, b.label AS lb,
+                   SUM((CAST(a.sfx AS HUGEINT) * b.n - CAST(b.sfx AS HUGEINT) * a.n)
+                       * (CAST(a.sfx AS HUGEINT) * b.n - CAST(b.sfx AS HUGEINT) * a.n))
+                       AS pn
+            FROM perld a JOIN perld b
+              ON a.i = b.i AND a.label <> b.label
+            GROUP BY a.label, b.label
+        ),
+        ratios AS (
+            SELECT p.la, p.lb,
+                   (sqrt(CAST(wa.wq AS DOUBLE) / wa.n)
+                    + sqrt(CAST(wb.wq AS DOUBLE) / wb.n))
+                   / sqrt(CAST(p.pn AS DOUBLE)
+                          / (wa.n * wa.n * wb.n * wb.n)) AS r
+            FROM pnum p
+            JOIN w wa ON wa.label = p.la
+            JOIN w wb ON wb.label = p.lb
+        ),
+        worst AS (
+            SELECT la, lb, r,
+                   row_number() OVER (PARTITION BY la
+                                      ORDER BY r DESC, lb) AS rn
+            FROM ratios
+        ),
+        pick AS (
+            SELECT la AS label, lb AS worst_peer, r FROM worst WHERE rn = 1
+        ),
+        final AS (
+            SELECT p.label, w.n, w.wq, p.worst_peer, p.r,
+                   CAST(ROUND(p.r, 12) AS DECIMAL(20,12)) AS rdec
+            FROM pick p JOIN w ON w.label = p.label
+        )
+        SELECT label, n AS n_vectors,
+               ROUND(sqrt(CAST(wq AS DOUBLE) / n) / {CV_Q}, 9) AS sigma,
+               worst_peer,
+               ROUND(r, 9) AS worst_ratio,
+               ROUND(CAST(SUM(rdec) OVER () AS DOUBLE)
+                     / COUNT(*) OVER (), 9) AS db_index
+        FROM final ORDER BY label
+    """,
+    tags=("E539",),
+)
+def ml_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAVIES-BOULDIN index of the label clustering, with the
+    per-label decomposition ranked tools actually read: for each
+    cluster the WORST-SEPARATED peer argmax_j (sigma_i + sigma_j) /
+    d(c_i, c_j) — compactness over separation — and the global DB =
+    mean of those worst ratios (lower is better).  CH (sibling op)
+    answers "how strong is the clustering overall?"; DB answers
+    "WHICH labels are about to merge?", the per-cluster diagnostic.
+
+    Exact: reuses the CH fixed-point machinery — per-(label, dim)
+    integer sums give exact within-dispersion numerators and exact
+    pairwise centroid-gap numerators SUM_d (S_id n_j - S_jd n_i)^2;
+    sigma and d are IEEE-exact sqrt over identical double trees, the
+    argmax tie-breaks on (ratio DESC, peer label), each worst ratio
+    rounds ONCE to DECIMAL(20,12) so the global mean is order-free.
+    Plan: one posexplode pass; the pairwise table is (k^2 x dims)
+    rows — (labels x labels x 64), never points x points.  100 TB:
+    k-bounded algebra after one corpus aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("comp").cast("double") * F.lit(CV_Q))
+        .cast("bigint")
+        .alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    perld = comps.groupBy("label", "i").agg(
+        F.sum("q").cast("bigint").alias("sfx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    perl = perld.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("sfx").cast(d38) * F.col("sfx")).alias("ssq"),
+    )
+    sq = comps.groupBy("label").agg(
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("sqsum")
+    )
+    w = perl.join(sq, "label").select(
+        "label", "n", F.expr("(n * sqsum - ssq) div n").alias("wq")
+    )
+    a = perld.select(
+        F.col("label").alias("la"),
+        "i",
+        F.col("sfx").alias("sfa"),
+        F.col("n").alias("na"),
+    )
+    b = perld.select(
+        F.col("label").alias("lb"),
+        "i",
+        F.col("sfx").alias("sfb"),
+        F.col("n").alias("nb"),
+    )
+    # perld is a (labels x dims)-bounded frame — broadcast class
+    pnum = (
+        a.join(F.broadcast(b), "i")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                (
+                    F.col("sfa").cast(d38) * F.col("nb")
+                    - F.col("sfb").cast(d38) * F.col("na")
+                )
+                * (
+                    F.col("sfa").cast(d38) * F.col("nb")
+                    - F.col("sfb").cast(d38) * F.col("na")
+                )
+            ).alias("pn")
+        )
+    )
+    wa = w.select(
+        F.col("label").alias("la"), F.col("n").alias("na2"),
+        F.col("wq").alias("wqa"),
+    )
+    wb = w.select(
+        F.col("label").alias("lb"), F.col("n").alias("nb2"),
+        F.col("wq").alias("wqb"),
+    )
+    ratios = (
+        pnum.join(F.broadcast(wa), "la")
+        .join(F.broadcast(wb), "lb")
+        .select(
+            "la",
+            "lb",
+            (
+                (
+                    F.sqrt(F.col("wqa").cast("double") / F.col("na2"))
+                    + F.sqrt(F.col("wqb").cast("double") / F.col("nb2"))
+                )
+                / F.sqrt(
+                    F.col("pn").cast("double")
+                    / (
+                        F.col("na2")
+                        * F.col("na2")
+                        * F.col("nb2")
+                        * F.col("nb2")
+                    )
+                )
+            ).alias("r"),
+        )
+    )
+    pick = (
+        ratios.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("la").orderBy(F.desc("r"), "lb")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("la").alias("label"), F.col("lb").alias("worst_peer"), "r")
+    )
+    final = pick.join(w, "label").select(
+        "label",
+        "n",
+        "wq",
+        "worst_peer",
+        "r",
+        F.round("r", 12).cast("decimal(20,12)").alias("rdec"),
+    )
+    wall = Window.partitionBy()
+    return final.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        F.round(
+            F.sqrt(F.col("wq").cast("double") / F.col("n")) / F.lit(CV_Q), 9
+        ).alias("sigma"),
+        "worst_peer",
+        F.round("r", 9).alias("worst_ratio"),
+        F.round(
+            F.sum("rdec").over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall),
+            9,
+        ).alias("db_index"),
+    ).orderBy("label")
+
+
+@query(
+    "ml_simplified_silhouette",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {CV_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        perld AS (
+            SELECT label AS clabel, i, CAST(SUM(q) AS BIGINT) AS sfx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY label, i
+        ),
+        dist AS (
+            SELECT v.vec_id, v.label, c.clabel,
+                   sqrt(CAST(SUM((CAST(v.q AS HUGEINT) * c.n - c.sfx)
+                                 * (CAST(v.q AS HUGEINT) * c.n - c.sfx))
+                             AS DOUBLE)
+                        / (MAX(c.n) * MAX(c.n))) AS d
+            FROM vals v JOIN perld c ON c.i = v.i
+            GROUP BY v.vec_id, v.label, c.clabel
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MAX(CASE WHEN clabel = label THEN d END) AS a,
+                   MIN(CASE WHEN clabel <> label THEN d END) AS b
+            FROM dist GROUP BY vec_id, label
+        ),
+        s AS (
+            SELECT vec_id, label,
+                   CAST(ROUND((b - a) / GREATEST(a, b), 12)
+                        AS DECIMAL(20,12)) AS sil
+            FROM ab WHERE GREATEST(a, b) > 0
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               ROUND(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 9)
+                   AS mean_silhouette,
+               CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative
+        FROM s GROUP BY label ORDER BY label
+    """,
+    tags=("E540",),
+)
+def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE per label: s_i = (b_i - a_i) /
+    max(a_i, b_i) with a = distance to the OWN centroid and b =
+    distance to the nearest FOREIGN centroid — the point-level member
+    of the validity triple (CH: global ratio; DB: per-cluster worst
+    peer; silhouette: per-POINT assignment quality, n_negative =
+    points a reassignment would move).  The simplified (centroid)
+    form is the one that scales: classical silhouette needs all
+    pairwise distances (O(n^2)); this is n x k centroid distances —
+    the standard big-data substitution (it's what Spark MLlib's
+    ClusteringEvaluator computes).
+
+    Exact: distances are sqrt of exact HUGEINT/DECIMAL(38) numerators
+    SUM_d (q n_c - S_cd)^2 / n_c^2 (the CV fixed-point discipline);
+    each silhouette rounds ONCE to DECIMAL(20,12) so per-label means
+    are order-free.  Plan: one posexplode pass, one broadcast join
+    against the (labels x dims) centroid-sum frame, two aggregates —
+    candidate volume is n x k, never n x n.  100 TB: k-bounded
+    fan-out; the per-point rows stay distributed end to end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("comp").cast("double") * F.lit(CV_Q))
+        .cast("bigint")
+        .alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    perld = comps.groupBy(F.col("label").alias("clabel"), F.col("i")).agg(
+        F.sum("q").cast("bigint").alias("sfx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dist = (
+        comps.join(F.broadcast(perld), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("q").cast(d38) * F.col("n") - F.col("sfx"))
+                    * (F.col("q").cast(d38) * F.col("n") - F.col("sfx"))
+                ).cast("double")
+                / (F.max("n") * F.max("n"))
+            ).alias("d")
+        )
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s = ab.where(F.greatest("a", "b") > 0).select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"), 12
+        )
+        .cast("decimal(20,12)")
+        .alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.round(
+                F.sum("sil").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_silhouette"),
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )

@@ -127,7 +127,7 @@ def test_broadcast_hint_discipline():
     expected = {
         "operators/stats.py": (72, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
-        "operators/ml_features.py": (35, "1-row fit/threshold frames, vocab/centroid tables"),
+        "operators/ml_features.py": (46, "1-row fit/threshold frames, vocab/centroid tables"),
         "operators/timeseries.py": (34, "per-series scalar frames, calendars"),
         "operators/graph.py": (31, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (31, "query vectors, centroids, bounded pools"),

@@ -2543,3 +2543,174 @@ def test_rsi_bounds_and_window_exactness(spark, sf_dir):
         if tot:
             assert r["rsi_ppm"] == r["gain_cents"] * 1000000 // tot
             assert 0 <= r["rsi_ppm"] <= 1000000
+
+
+def test_mrr_bounds_and_consistency(spark, sf_dir):
+    """MRR lies in (0, 1]; the all-queries variant never exceeds the
+    scored variant; counts are consistent."""
+    rows = (
+        registry.get("ml_mrr_reciprocal_rank").fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_with_relevant"] <= r["n_customers"]
+        if r["n_with_relevant"]:
+            assert 0.0 < r["mrr"] <= 1.0 + 1e-12
+            assert r["mrr_all_queries"] <= r["mrr"] + 1e-12
+
+
+def test_tweedie_deviance_nonnegative_and_brute(spark, sf_dir):
+    """Every per-group mean deviance is >= 0 (AM-GM identity of the
+    p=1.5 closed form) and matches a Python recompute on the raw
+    rows."""
+    import math
+
+    got = {
+        r["priority"]: r
+        for r in registry.get("ml_tweedie_deviance_eval")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by: dict[str, list[int]] = {}
+    for w in rows:
+        by.setdefault(w["o_orderpriority"], []).append(
+            round(w["o_totalprice"] * 100)
+        )
+    for grp, ys in by.items():
+        mu = sum(ys) / len(ys)
+        dev = sum(
+            round(
+                4 * math.sqrt(mu) + 4 * (y / math.sqrt(mu)) - 8 * math.sqrt(y),
+                9,
+            )
+            for y in ys
+        ) / len(ys)
+        assert got[grp]["n"] == len(ys)
+        assert got[grp]["mean_tweedie_dev_p15"] >= -1e-9
+        assert abs(got[grp]["mean_tweedie_dev_p15"] - dev) < 1e-6
+
+
+def test_chi2_feature_selection_matches_scratch(spark, sf_dir):
+    """Each feature's chi2 must match a pandas contingency recompute,
+    and the rank order must follow chi2/dof descending."""
+    got = {
+        r["feat"]: r
+        for r in registry.get("ml_chi2_feature_selection")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pdf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("string").alias("order_year"),
+            F.when(F.col("o_orderstatus") == "F", "F")
+            .otherwise("NF")
+            .alias("label"),
+        )
+        .toPandas()
+    )
+    for feat in ("priority", "segment", "order_year"):
+        ct = pdf.groupby([feat, "label"]).size().unstack(fill_value=0)
+        n = ct.values.sum()
+        rt = ct.sum(axis=1).values[:, None]
+        ctot = ct.sum(axis=0).values[None, :]
+        e = rt * ctot / n
+        chi2 = float((((ct.values - e) ** 2) / e).sum())
+        assert abs(got[feat]["chi2"] - chi2) < 1e-4, feat
+        assert got[feat]["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    ranked = sorted(got.values(), key=lambda r: r["rank"])
+    per = [r["chi2_per_dof"] for r in ranked]
+    assert per == sorted(per, reverse=True)
+
+
+def test_cluster_validity_triple_against_numpy(spark, sf_dir):
+    """CH, the DB per-label components, and the simplified silhouette
+    must all agree with straightforward numpy recomputes on the
+    quantized embedding matrix (the operators' declared 2^-24
+    contract)."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        * (1 << 24)
+    )
+    y = np.array([r["label"] for r in rows])
+    labels = np.unique(y)
+    cents = {l: X[y == l].mean(axis=0) for l in labels}
+    g = X.mean(axis=0)
+    n, k = len(X), len(labels)
+    ssb = sum((y == l).sum() * ((cents[l] - g) ** 2).sum() for l in labels)
+    ssw = sum(((X[y == l] - cents[l]) ** 2).sum() for l in labels)
+    ch = (ssb / (k - 1)) / (ssw / (n - k))
+
+    r_ch = (
+        registry.get("ml_calinski_harabasz_index")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r_ch["n_labels"] == k and r_ch["n_vectors"] == n
+    assert abs(r_ch["ch_index_x1e6"] / 1e6 - ch) < 1e-3
+
+    sig = {
+        l: np.sqrt(((X[y == l] - cents[l]) ** 2).sum() / (y == l).sum())
+        for l in labels
+    }
+    db_rows = {
+        r["label"]: r
+        for r in registry.get("ml_davies_bouldin_index")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for li in labels:
+        ratios = {
+            lj: (sig[li] + sig[lj])
+            / np.sqrt(((cents[li] - cents[lj]) ** 2).sum())
+            for lj in labels
+            if lj != li
+        }
+        want = max(ratios.values())
+        assert abs(db_rows[li]["worst_ratio"] - want) < 1e-6
+        assert abs(db_rows[li]["sigma"] - sig[li] / (1 << 24)) < 1e-9
+
+    sil_rows = {
+        r["label"]: r
+        for r in registry.get("ml_simplified_silhouette")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cent_mat = np.stack([cents[l] for l in labels])
+    sums = {l: 0.0 for l in labels}
+    cnt = {l: 0 for l in labels}
+    neg = {l: 0 for l in labels}
+    for i in range(n):
+        d = np.sqrt(((cent_mat - X[i]) ** 2).sum(axis=1))
+        own = np.where(labels == y[i])[0][0]
+        a = d[own]
+        b = min(d[j] for j in range(k) if j != own)
+        m = max(a, b)
+        if m > 0:
+            s = round((b - a) / m, 12)
+            sums[y[i]] += s
+            cnt[y[i]] += 1
+            if s < 0:
+                neg[y[i]] += 1
+    for l in labels:
+        assert sil_rows[l]["n_scored"] == cnt[l]
+        assert abs(sil_rows[l]["mean_silhouette"] - sums[l] / cnt[l]) < 1e-6
+        assert sil_rows[l]["n_negative"] == neg[l]
