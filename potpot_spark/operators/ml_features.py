@@ -6339,3 +6339,97 @@ def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+FOCAL_P_SHIFT = 100.0  # score -> probability squash p = s / (s + 100)
+FOCAL_GAMMA = 2
+
+
+@query(
+    "ml_focal_loss_eval",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   CAST(value AS DOUBLE)
+                       / (CAST(value AS DOUBLE) + {FOCAL_P_SHIFT}) AS p
+            FROM events
+            WHERE CAST(value AS DOUBLE) > 0
+        ),
+        terms AS (
+            SELECT y,
+                   CAST(ROUND(CASE WHEN y = 1 THEN -ln(p)
+                                   ELSE -ln(1.0 - p) END, 9)
+                        AS DECIMAL(24,9)) AS ce,
+                   CAST(ROUND(CASE WHEN y = 1
+                                   THEN -(1.0 - p) * (1.0 - p) * ln(p)
+                                   ELSE -p * p * ln(1.0 - p) END, 9)
+                        AS DECIMAL(24,9)) AS fl
+            FROM scored
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_positive,
+               ROUND(CAST(SUM(ce) AS DOUBLE) / COUNT(*), 9)
+                   AS mean_cross_entropy,
+               ROUND(CAST(SUM(fl) AS DOUBLE) / COUNT(*), 9)
+                   AS mean_focal_gamma2,
+               ROUND(CAST(SUM(fl) AS DOUBLE) / CAST(SUM(ce) AS DOUBLE), 9)
+                   AS focal_to_ce_ratio
+        FROM terms
+    """,
+    tags=("E546",),
+)
+def ml_focal_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCAL LOSS (gamma = {FOCAL_GAMMA}) vs plain cross-entropy of
+    the events purchase scorer (p = value / (value + {FOCAL_P_SHIFT}),
+    the declared squash) — the class-imbalance diagnostic pair: focal
+    loss down-weights already-confident examples by (1-p)^gamma, so
+    the focal/CE RATIO measures how much of the loss mass lives in
+    hard examples; a ratio near 1 means the model is uniformly
+    uncertain (imbalance handling won't help), a tiny ratio means a
+    few hard cases dominate (the regime focal training and the
+    registered class-balanced weights exist for).
+
+    Exact: each per-row term is one identical double chain (ln over
+    bit-identical operands, the engine's standing ln-parity contract)
+    rounded ONCE to DECIMAL(24,9) — sums are order-free; the three
+    outputs are single divisions rounded 1e-9.  Plan: row-local
+    codegen + ONE aggregate, no shuffle before it.  100 TB:
+    embarrassingly parallel eval pass."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.where(F.col("value").cast("double") > 0).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            F.col("value").cast("double")
+            / (F.col("value").cast("double") + F.lit(FOCAL_P_SHIFT))
+        ).alias("p"),
+    )
+    ce = F.when(F.col("y") == 1, -F.log(F.col("p"))).otherwise(
+        -F.log(F.lit(1.0) - F.col("p"))
+    )
+    fl = F.when(
+        F.col("y") == 1,
+        -(F.lit(1.0) - F.col("p"))
+        * (F.lit(1.0) - F.col("p"))
+        * F.log(F.col("p")),
+    ).otherwise(
+        -F.col("p") * F.col("p") * F.log(F.lit(1.0) - F.col("p"))
+    )
+    terms = scored.select(
+        "y",
+        F.round(ce, 9).cast("decimal(24,9)").alias("ce"),
+        F.round(fl, 9).cast("decimal(24,9)").alias("fl"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_positive"),
+        F.round(F.sum("ce").cast("double") / F.count(F.lit(1)), 9).alias(
+            "mean_cross_entropy"
+        ),
+        F.round(F.sum("fl").cast("double") / F.count(F.lit(1)), 9).alias(
+            "mean_focal_gamma2"
+        ),
+        F.round(
+            F.sum("fl").cast("double") / F.sum("ce").cast("double"), 9
+        ).alias("focal_to_ce_ratio"),
+    )

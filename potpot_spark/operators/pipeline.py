@@ -2662,3 +2662,103 @@ def pipeline_filter_ablation_cube(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("filter_mask")
     )
+
+
+RESUME_EPOCH = 1
+RESUME_BATCH = 32
+
+
+@query(
+    "pipeline_shuffle_resume_offset",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5(CAST({RESUME_EPOCH} AS VARCHAR) || ':'
+                       || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+                   COUNT(*) OVER () AS n
+            FROM keyed
+        ),
+        resumed AS (
+            SELECT doc_id, pos, n, n // 2 AS res_off
+            FROM ranked WHERE pos > n // 2
+        )
+        SELECT CAST({RESUME_EPOCH} AS BIGINT) AS epoch,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(res_off) AS BIGINT) AS resume_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_remaining,
+               CAST(SUM((pos - res_off) * doc_id) % 1000000007 AS BIGINT)
+                   AS resumed_order_checksum,
+               CAST(SUM(CASE WHEN pos <= res_off + {RESUME_BATCH}
+                             THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS next_batch_id_checksum
+        FROM resumed
+    """,
+    tags=("E549",),
+)
+def pipeline_shuffle_resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-EPOCH RESUME of the deterministic training shuffle: restart
+    epoch {RESUME_EPOCH} at sample offset n//2 and prove the
+    remainder is EXACTLY the suffix of the original permutation —
+    checkpoint-restart correctness for data loading, the property
+    that decides whether a crashed 100 TB training run repeats or
+    skips samples.  The registered epoch-shuffle op pins the full
+    permutation per epoch; this pins the SKIP-K CONTRACT: positions
+    re-number from the offset (pos - offset), the re-numbered order
+    checksum and the next-batch ({RESUME_BATCH} samples) id checksum
+    must both reproduce on any engine/partitioning — which the
+    md5(epoch:doc_id) sort keys guarantee and seeded-RNG shuffles
+    cannot.
+
+    Exact: all checksums exact BIGINT over the deterministic
+    (shuffle_key, doc_id) order.  Plan: one key projection, one rank
+    window, one aggregate.  At 100 TB the resume is a range predicate
+    on the materialized sort keys — no re-shuffle to restart."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(RESUME_EPOCH).cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    ranked = keyed.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("shuffle_key", "doc_id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    resumed = ranked.select(
+        "doc_id",
+        "pos",
+        "n",
+        F.expr("n div 2").alias("offset"),
+    ).where(F.col("pos") > F.col("offset"))
+    return resumed.agg(
+        F.lit(RESUME_EPOCH).cast("bigint").alias("epoch"),
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("offset").cast("bigint").alias("resume_offset"),
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+        (
+            F.sum((F.col("pos") - F.col("offset")) * F.col("doc_id"))
+            % 1000000007
+        )
+        .cast("bigint")
+        .alias("resumed_order_checksum"),
+        F.sum(
+            F.when(
+                F.col("pos") <= F.col("offset") + RESUME_BATCH,
+                F.col("doc_id"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("next_batch_id_checksum"),
+    )

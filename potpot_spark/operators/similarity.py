@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
+from potpot_spark.functions.numeric import phash60_expr
 from potpot_spark.registry import query
 
 N_QUERIES = 5
@@ -2648,4 +2649,260 @@ def embedding_uniformity_metric(
             ).alias("uniformity_x1e6"),
         )
         .orderBy("label")
+    )
+
+
+MAHA_TOP = 20
+
+
+@query(
+    "embedding_mahalanobis_diag_outliers",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {_FIXED_POINT}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        dimstats AS (
+            SELECT i, CAST(SUM(q) AS BIGINT) AS sfx,
+                   SUM(CAST(q AS HUGEINT) * q) AS q2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vals GROUP BY i
+        ),
+        terms AS (
+            SELECT v.vec_id, v.label,
+                   CAST(ROUND(CAST((CAST(v.q AS HUGEINT) * d.n - d.sfx)
+                                   * (CAST(v.q AS HUGEINT) * d.n - d.sfx)
+                                   AS DOUBLE)
+                              / (d.n * d.q2 - CAST(d.sfx AS HUGEINT)
+                                 * d.sfx), 12)
+                        AS DECIMAL(24,12)) AS t
+            FROM vals v JOIN dimstats d ON d.i = v.i
+        ),
+        md AS (
+            SELECT vec_id, label,
+                   CAST(SUM(t) AS DOUBLE) AS md2
+            FROM terms GROUP BY vec_id, label
+        )
+        SELECT vec_id, label, ROUND(md2, 6) AS mahalanobis_sq
+        FROM md
+        ORDER BY md2 DESC, vec_id
+        LIMIT {MAHA_TOP}
+    """,
+    tags=("E547",),
+)
+def embedding_mahalanobis_diag_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIAGONAL-MAHALANOBIS embedding outliers: md2_i = SUM_d
+    (x_id - mean_d)^2 / var_d, top-{MAHA_TOP} by distance — the
+    variance-aware outlier screen that the registered norm audit
+    (raw L2) misses whenever dimensions carry very different scales
+    (one high-variance dimension dominates L2; Mahalanobis whitens
+    per-dim).  The DIAGONAL form is the one that scales: full-matrix
+    Mahalanobis needs a d x d inverse, diagonal needs one pass of
+    per-dim moments — the standard embedding-QA compromise, and the
+    statistical basis of the z-score family.
+
+    Exact: per-dim moments are exact fixed-point integers; each
+    per-(vector, dim) ratio (q N - S_d)^2 / (N Q_d - S_d^2) is
+    scale-free (2^48 cancels) and rounds ONCE to DECIMAL(24,12) so
+    per-vector sums are order-free; ranking ties break on vec_id.
+    Plan: one posexplode pass, a 64-row broadcast moment join, one
+    per-vector aggregate, top-k sort.  100 TB: two corpus passes,
+    no pairwise anything."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("comp").cast("double") * F.lit(_FIXED_POINT))
+        .cast("bigint")
+        .alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    dimstats = comps.groupBy("i").agg(
+        F.sum("q").cast("bigint").alias("sfx"),
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("q2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = comps.join(F.broadcast(dimstats), "i").select(
+        "vec_id",
+        "label",
+        F.round(
+            (
+                (F.col("q").cast(d38) * F.col("n") - F.col("sfx"))
+                * (F.col("q").cast(d38) * F.col("n") - F.col("sfx"))
+            ).cast("double")
+            / (
+                F.col("n") * F.col("q2")
+                - F.col("sfx").cast(d38) * F.col("sfx")
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("t"),
+    )
+    md = terms.groupBy("vec_id", "label").agg(
+        F.sum("t").cast("double").alias("md2")
+    )
+    return (
+        md.select(
+            "vec_id", "label", F.round("md2", 6).alias("mahalanobis_sq")
+        )
+        .orderBy(F.desc("md2"), "vec_id")
+        .limit(MAHA_TOP)
+    )
+
+
+JL_K = 8          # projected dimensionality
+JL_BAND = 300000  # ppm half-width of the declared distortion band
+
+
+@query(
+    "embedding_jl_projection_distortion",
+    oracle=f"""
+        WITH vals AS (
+            SELECT vec_id,
+                   CAST(unnest(range(1, 65)) AS INT) AS i,
+                   CAST(FLOOR(CAST(embedding[unnest(range(1, 65))] AS DOUBLE)
+                              * {_FIXED_POINT}) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        signs AS (
+            SELECT k.k, d.i,
+                   CASE WHEN {phash60_expr("CAST(k.k AS VARCHAR) || ':' || CAST(d.i - 1 AS VARCHAR)")}
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT CAST(unnest(range(0, {JL_K})) AS INT) AS k) k
+            CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) d
+        ),
+        proj AS (
+            SELECT v.vec_id, s.k,
+                   CAST(SUM(s.sgn * v.q) AS BIGINT) AS p
+            FROM vals v JOIN signs s ON s.i = v.i
+            GROUP BY v.vec_id, s.k
+        ),
+        norms AS (
+            SELECT vec_id, SUM(CAST(p AS HUGEINT) * p) AS proj2
+            FROM proj GROUP BY vec_id
+        ),
+        orig AS (
+            SELECT vec_id, SUM(CAST(q AS HUGEINT) * q) AS orig2
+            FROM vals GROUP BY vec_id
+        ),
+        dist AS (
+            SELECT n.vec_id,
+                   CAST(n.proj2 * 1000000 // ({JL_K} * o.orig2) AS BIGINT)
+                       AS distortion_ppm
+            FROM norms n JOIN orig o ON o.vec_id = n.vec_id
+            WHERE o.orig2 > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST({JL_K} AS BIGINT) AS k_proj,
+               CAST(SUM(distortion_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_distortion_ppm,
+               CAST(MIN(distortion_ppm) AS BIGINT) AS min_ppm,
+               CAST(MAX(distortion_ppm) AS BIGINT) AS max_ppm,
+               CAST(SUM(CASE WHEN distortion_ppm
+                             BETWEEN {1000000 - JL_BAND}
+                             AND {1000000 + JL_BAND}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_band
+        FROM dist
+    """,
+    tags=("E548",),
+)
+def embedding_jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS sign-projection DISTORTION AUDIT: project
+    64-dim embeddings to k = {JL_K} with a DETERMINISTIC Rademacher
+    matrix (signs from the portable hash of (k, dim) — reproducible
+    on any engine/cluster, no RNG state), and audit
+    ||Px||^2 / (k ||x||^2) per vector — the norm-preservation ratio
+    the JL lemma bounds.  This is the go/no-go check before shipping
+    hash projections into the LSH/ANN family: the in-band share tells
+    you whether k is large enough for this corpus BEFORE you build
+    buckets on it.
+
+    Exact, all-integer: fixed-point components, exact BIGINT
+    projections (signed sums), HUGEINT/DECIMAL(38) squared norms,
+    integer-ppm ratios; the summary is pure integer arithmetic.
+    Plan: one posexplode pass joined against a broadcast (k x 64)
+    literal sign matrix, two per-vector aggregates — corpus touched
+    once.  100 TB: the sign matrix is constant-size; everything else
+    is mergeable."""
+    from potpot_spark.functions.numeric import phash60
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("comp").cast("double") * F.lit(_FIXED_POINT))
+        .cast("bigint")
+        .alias("q"),
+    )
+    ks = spark.range(JL_K).select(F.col("id").cast("int").alias("k"))
+    ds = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    signs = ks.crossJoin(ds).select(
+        "k",
+        "i",
+        F.when(
+            phash60(
+                F.concat_ws(
+                    ":", F.col("k").cast("string"), F.col("i").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    proj = (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("sgn") * F.col("q")).cast("bigint").alias("p"))
+    )
+    d38 = "decimal(38,0)"
+    norms = proj.groupBy("vec_id").agg(
+        F.sum(F.col("p").cast(d38) * F.col("p")).alias("proj2")
+    )
+    orig = comps.groupBy("vec_id").agg(
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("orig2")
+    )
+    dist = (
+        norms.join(orig, "vec_id")
+        .where(F.col("orig2") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST(proj2 * 1000000 div ({JL_K} * orig2) AS BIGINT)"
+            ).alias("distortion_ppm"),
+        )
+    )
+    return dist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(JL_K).cast("bigint").alias("k_proj"),
+        F.expr(
+            "CAST(SUM(distortion_ppm) div COUNT(1) AS BIGINT)"
+        ).alias("mean_distortion_ppm"),
+        F.min("distortion_ppm").cast("bigint").alias("min_ppm"),
+        F.max("distortion_ppm").cast("bigint").alias("max_ppm"),
+        F.sum(
+            F.when(
+                (F.col("distortion_ppm") >= 1000000 - JL_BAND)
+                & (F.col("distortion_ppm") <= 1000000 + JL_BAND),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_band"),
     )

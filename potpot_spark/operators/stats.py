@@ -9642,3 +9642,199 @@ def stats_kuiper_test_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("v_scaled"),
     )
+
+
+PI_BASE_YEAR = 1995
+PI_CURR_YEAR = 2000
+
+
+@query(
+    "analytics_price_index_lpf",
+    oracle=f"""
+        WITH py AS (
+            SELECT l_partkey,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS y,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem
+            WHERE CAST(EXTRACT(year FROM l_shipdate) AS INT)
+                  IN ({PI_BASE_YEAR}, {PI_CURR_YEAR})
+            GROUP BY 1, 2
+        ),
+        common AS (
+            SELECT b.l_partkey,
+                   b.qty AS q0, b.rev AS r0,
+                   c.qty AS q1, c.rev AS r1
+            FROM py b JOIN py c ON c.l_partkey = b.l_partkey
+            WHERE b.y = {PI_BASE_YEAR} AND c.y = {PI_CURR_YEAR}
+              AND b.qty > 0 AND c.qty > 0
+        ),
+        terms AS (
+            SELECT l_partkey, r0, r1,
+                   CAST(ROUND(CAST(r1 AS DOUBLE) * q0 / q1, 6)
+                        AS DECIMAL(24,6)) AS p1q0,
+                   CAST(ROUND(CAST(r0 AS DOUBLE) * q1 / q0, 6)
+                        AS DECIMAL(24,6)) AS p0q1
+            FROM common
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+               ROUND(CAST(SUM(p1q0) AS DOUBLE) / SUM(r0), 9) AS laspeyres,
+               ROUND(CAST(SUM(r1) AS DOUBLE)
+                     / CAST(SUM(p0q1) AS DOUBLE), 9) AS paasche,
+               ROUND(sqrt((CAST(SUM(p1q0) AS DOUBLE) / SUM(r0))
+                          * (CAST(SUM(r1) AS DOUBLE)
+                             / CAST(SUM(p0q1) AS DOUBLE))), 9) AS fisher
+        FROM terms
+    """,
+    tags=("E550",),
+)
+def analytics_price_index_lpf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES / PAASCHE / FISHER price indices between shipping
+    years {PI_BASE_YEAR} and {PI_CURR_YEAR} over the common part
+    basket (unit price = revenue/quantity per part-year): Laspeyres
+    weights by the BASE basket (tends to overstate inflation),
+    Paasche by the CURRENT one (understates), Fisher is their
+    geometric mean — the "ideal" index national accounts and
+    pricing-power analyses report.  This is the aggregate price-level
+    view the registered log-log elasticity op (per-part slope)
+    doesn't give.
+
+    Exact: part-year quantities and cent revenues are exact integers;
+    SUM p1 q0 = SUM r1 q0/q1 terms are exact rationals rounded ONCE
+    to DECIMAL(24,6) (order-free sums); both denominators in exact
+    integers where algebra allows (SUM p0 q0 = SUM r0 identically);
+    the three indices are single double chains rounded 1e-9.  Plan:
+    one filtered year-pair aggregate, a part-keyed self-join of the
+    two year slices, one aggregate.  100 TB: part-grain state,
+    fact table scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = (
+        li.where(
+            F.year("l_shipdate").isin(PI_BASE_YEAR, PI_CURR_YEAR)
+        )
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").cast("int").alias("y")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    b = py.where((F.col("y") == PI_BASE_YEAR) & (F.col("qty") > 0)).select(
+        "l_partkey", F.col("qty").alias("q0"), F.col("rev").alias("r0")
+    )
+    c = py.where((F.col("y") == PI_CURR_YEAR) & (F.col("qty") > 0)).select(
+        "l_partkey", F.col("qty").alias("q1"), F.col("rev").alias("r1")
+    )
+    terms = b.join(c, "l_partkey").select(
+        "r0",
+        "r1",
+        F.round(F.col("r1").cast("double") * F.col("q0") / F.col("q1"), 6)
+        .cast("decimal(24,6)")
+        .alias("p1q0"),
+        F.round(F.col("r0").cast("double") * F.col("q1") / F.col("q0"), 6)
+        .cast("decimal(24,6)")
+        .alias("p0q1"),
+    )
+    lasp = F.sum("p1q0").cast("double") / F.sum("r0")
+    paas = F.sum("r1").cast("double") / F.sum("p0q1").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.round(lasp, 9).alias("laspeyres"),
+        F.round(paas, 9).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
+    )
+
+
+ATK_LOG_SCALE = 1 << 20
+
+
+@query(
+    "analytics_atkinson_inequality",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        terms AS (
+            SELECT x,
+                   CAST(ROUND(sqrt(CAST(x AS DOUBLE)), 9)
+                        AS DECIMAL(24,9)) AS rx,
+                   CAST(FLOOR(ln(CAST(x AS DOUBLE)) * {ATK_LOG_SCALE})
+                        AS BIGINT) AS lx
+            FROM cust WHERE x > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_cents,
+               ROUND(1.0 - (CAST(SUM(rx) AS DOUBLE) / COUNT(*))
+                           * (CAST(SUM(rx) AS DOUBLE) / COUNT(*))
+                           / (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 9)
+                   AS atkinson_eps05,
+               ROUND(1.0 - exp(CAST(SUM(lx) AS DOUBLE)
+                               / (COUNT(*) * {ATK_LOG_SCALE}.0))
+                           / (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 9)
+                   AS atkinson_eps1
+        FROM terms
+    """,
+    tags=("E551",),
+)
+def analytics_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATKINSON INEQUALITY INDEX of customer lifetime spend at the two
+    canonical aversion levels: A(0.5) = 1 - (mean sqrt x)^2 / mean x
+    and A(1) = 1 - geomean/mean — the WELFARE-GROUNDED inequality
+    family: unlike the registered Gini (rank-geometry), Atkinson's
+    epsilon says WHOSE inequality you care about (eps -> 0 weights
+    the top, eps -> inf the bottom), and A is interpretable as "the
+    share of total spend society would give up for perfect equality".
+    Gini + Theil + Atkinson is the standard inequality triptych;
+    this completes it.
+
+    Exact: spends are integer cents; sqrt terms round ONCE to
+    DECIMAL(24,9) (order-free), log terms ride as floor(ln x * 2^20)
+    BIGINTs (the engine's fixed-point log discipline), exp/ln on
+    bit-identical doubles per the standing parity contract; outputs
+    rounded 1e-9.  Plan: one customer rollup + one aggregate.
+    100 TB: two mergeable passes, no window, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    terms = cust.where(F.col("x") > 0).select(
+        "x",
+        F.round(F.sqrt(F.col("x").cast("double")), 9)
+        .cast("decimal(24,9)")
+        .alias("rx"),
+        F.floor(F.log(F.col("x").cast("double")) * F.lit(ATK_LOG_SCALE))
+        .cast("bigint")
+        .alias("lx"),
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("x").cast("double") / n
+    msqrt = F.sum("rx").cast("double") / n
+    geo = F.exp(
+        F.sum("lx").cast("double") / (n * F.lit(float(ATK_LOG_SCALE)))
+    )
+    return terms.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(mean, 6).alias("mean_cents"),
+        F.round(F.lit(1.0) - msqrt * msqrt / mean, 9).alias(
+            "atkinson_eps05"
+        ),
+        F.round(F.lit(1.0) - geo / mean, 9).alias("atkinson_eps1"),
+    )

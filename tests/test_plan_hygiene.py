@@ -130,7 +130,7 @@ def test_broadcast_hint_discipline():
         "operators/ml_features.py": (46, "1-row fit/threshold frames, vocab/centroid tables"),
         "operators/timeseries.py": (34, "per-series scalar frames, calendars"),
         "operators/graph.py": (32, "seeds/params + _state_bcast-gated state"),
-        "operators/similarity.py": (31, "query vectors, centroids, bounded pools"),
+        "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
         "operators/text.py": (27, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
         "operators/ivf.py": (9, "trained centroids/codebooks (declared constants)"),

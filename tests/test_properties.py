@@ -2801,3 +2801,134 @@ def test_global_efficiency_consistent_with_harmonic(spark, sf_dir):
         eff["n_seeds"] * (eff["n_nodes"] - 1) * 10**12
     )
     assert abs(eff["global_efficiency"] - want) < 1e-9
+
+
+def test_focal_loss_dominated_by_ce(spark, sf_dir):
+    """(1-p)^2 <= 1 pointwise, so mean focal <= mean CE and the ratio
+    lies in (0, 1]; counts are consistent."""
+    r = registry.get("ml_focal_loss_eval").fn(spark, sf_dir).collect()[0]
+    assert 0 < r["n_positive"] <= r["n"]
+    assert r["mean_focal_gamma2"] <= r["mean_cross_entropy"] + 1e-9
+    assert 0.0 < r["focal_to_ce_ratio"] <= 1.0 + 1e-12
+
+
+def test_mahalanobis_outliers_numpy_recompute(spark, sf_dir):
+    """The reported top distances must match the numpy diagonal
+    Mahalanobis on the quantized matrix, including the ranking."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        * (1 << 24)
+    )
+    n = len(X)
+    num = (X * n - X.sum(axis=0)) ** 2
+    den = n * (X**2).sum(axis=0) - X.sum(axis=0) ** 2
+    md2 = (np.round(num / den, 12)).sum(axis=1)
+    got = (
+        registry.get("embedding_mahalanobis_diag_outliers")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    order = np.argsort(-md2, kind="stable")
+    for rank, r in enumerate(got):
+        assert r["vec_id"] == ids[order[rank]]
+        assert abs(r["mahalanobis_sq"] - md2[order[rank]]) < 1e-4
+
+
+def test_jl_distortion_mean_near_unbiased(spark, sf_dir):
+    """E||Px||^2 = k||x||^2 for Rademacher projections: the mean
+    distortion must sit near 1e6 ppm (within a generous band for
+    k = 8) and min <= mean <= max."""
+    r = (
+        registry.get("embedding_jl_projection_distortion")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["min_ppm"] <= r["mean_distortion_ppm"] <= r["max_ppm"]
+    assert 500000 < r["mean_distortion_ppm"] < 2000000
+    assert 0 <= r["n_within_band"] <= r["n_vectors"]
+
+
+def test_shuffle_resume_is_exact_suffix(spark, sf_dir):
+    """The resume op's counts and checksums must recompute from the
+    epoch-shuffle permutation rebuilt in Python (md5 keys)."""
+    import hashlib
+
+    from potpot_spark.operators.pipeline import RESUME_BATCH, RESUME_EPOCH
+
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    keyed = sorted(
+        (
+            hashlib.md5(f"{RESUME_EPOCH}:{d}".encode()).hexdigest(),
+            d,
+        )
+        for d in docs
+    )
+    n = len(keyed)
+    off = n // 2
+    suffix = [d for _, d in keyed[off:]]
+    r = (
+        registry.get("pipeline_shuffle_resume_offset")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["n_docs"] == n and r["resume_offset"] == off
+    assert r["n_remaining"] == n - off
+    assert r["resumed_order_checksum"] == sum(
+        (i + 1) * d for i, d in enumerate(suffix)
+    ) % 1000000007
+    assert r["next_batch_id_checksum"] == sum(suffix[:RESUME_BATCH])
+
+
+def test_price_index_bounds_and_fisher_mean(spark, sf_dir):
+    """Fisher must be the geometric mean of Laspeyres and Paasche, and
+    all three must be positive."""
+    import math
+
+    r = (
+        registry.get("analytics_price_index_lpf").fn(spark, sf_dir).collect()
+    )[0]
+    assert r["n_common_parts"] > 0
+    assert r["laspeyres"] > 0 and r["paasche"] > 0
+    assert (
+        abs(r["fisher"] - math.sqrt(r["laspeyres"] * r["paasche"])) < 1e-6
+    )
+
+
+def test_atkinson_ordering_and_brute(spark, sf_dir):
+    """0 <= A(0.5) <= A(1) < 1 (monotone in aversion), and both match
+    a Python recompute over per-customer spends."""
+    import math
+
+    r = (
+        registry.get("analytics_atkinson_inequality")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")).alias("x"))
+        .collect()
+    )
+    xs = [w["x"] for w in rows if w["x"] > 0]
+    n = len(xs)
+    mean = sum(xs) / n
+    a05 = 1 - (sum(math.sqrt(x) for x in xs) / n) ** 2 / mean
+    a1 = 1 - math.exp(sum(math.log(x) for x in xs) / n) / mean
+    assert r["n_customers"] == n
+    assert abs(r["atkinson_eps05"] - a05) < 1e-6
+    assert abs(r["atkinson_eps1"] - a1) < 1e-4
+    assert -1e-9 <= r["atkinson_eps05"] <= r["atkinson_eps1"] < 1
