@@ -800,3 +800,75 @@ def sql_api_star_except_order_all(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_pivot_unpivot_syntax",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_present,
+               CAST(SUM(c) AS BIGINT) AS total_events,
+               CAST(MAX(c) AS BIGINT) AS peak_day_events
+        FROM daily
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E553",),
+)
+def sql_pivot_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native PIVOT ... FOR ... IN and UNPIVOT ... FOR ... IN
+    clauses, round-tripped: daily event counts pivot WIDE (one column
+    per event type), then UNPIVOT back to long and aggregate — the
+    reshape surface at the SQL FRONT DOOR (the DataFrame reshape ops
+    are registered separately; BI tools and migrating warehouse SQL
+    speak these clauses).  The round trip is the honest test: UNPIVOT
+    drops NULL cells by default, so days where a type never fired
+    vanish again — n_days_present pins that NULL semantics exactly.
+
+    The oracle is the equivalent classic conditional aggregation
+    (engine-neutral text).  Catalyst rewrites PIVOT to the same
+    group-aggregate-with-CASE plan, so pushdown and partial
+    aggregation are unchanged — the clause is front-door sugar, not
+    a new operator, and costs nothing at 100 TB beyond the day-grain
+    rollup it wraps."""
+    from potpot_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT * FROM daily
+            PIVOT (SUM(c) FOR event_type
+                   IN ('click' AS click, 'view' AS view,
+                       'purchase' AS purchase))
+        ),
+        long AS (
+            SELECT day, event_type, c FROM wide
+            UNPIVOT (c FOR event_type IN (click, view, purchase))
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_present,
+               CAST(SUM(c) AS BIGINT) AS total_events,
+               CAST(MAX(c) AS BIGINT) AS peak_day_events
+        FROM long
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

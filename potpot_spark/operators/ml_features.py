@@ -6433,3 +6433,204 @@ def ml_focal_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fl").cast("double") / F.sum("ce").cast("double"), 9
         ).alias("focal_to_ce_ratio"),
     )
+
+
+DBSCAN_EPS = 0.05       # radius in embedding units (dims 0,1)
+DBSCAN_MINPTS = 4       # neighbors (incl. self) to be a core point
+DBSCAN_Q = 1 << 24      # fixed-point grain
+DBSCAN_EPS_FP = int(DBSCAN_EPS * DBSCAN_Q)
+
+
+@query(
+    "ml_dbscan_grid_2d",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id AS id,
+                   CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {DBSCAN_Q})
+                        AS BIGINT) AS x,
+                   CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {DBSCAN_Q})
+                        AS BIGINT) AS y
+            FROM embeddings
+        ),
+        nbr AS (
+            SELECT a.id AS ia, b.id AS ib
+            FROM pts a JOIN pts b
+              ON a.id <> b.id
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= CAST({DBSCAN_EPS_FP} AS HUGEINT) * {DBSCAN_EPS_FP}
+        ),
+        ncount AS (
+            SELECT p.id,
+                   1 + COALESCE(c.n, 0) AS n_nbr
+            FROM pts p LEFT JOIN (
+                SELECT ia AS id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM nbr GROUP BY ia
+            ) c ON c.id = p.id
+        ),
+        cores AS (
+            SELECT id FROM ncount WHERE n_nbr >= {DBSCAN_MINPTS}
+        ),
+        core_edges AS (
+            SELECT n.ia AS u, n.ib AS v
+            FROM nbr n
+            JOIN cores ca ON ca.id = n.ia
+            JOIN cores cb ON cb.id = n.ib
+        ),
+        walk(node, lbl) AS (
+            SELECT id, id FROM cores
+            UNION
+            SELECT e.v, w.lbl
+            FROM walk w JOIN core_edges e ON e.u = w.node
+        ),
+        comp AS (
+            SELECT node AS id, MIN(lbl) AS cluster FROM walk GROUP BY node
+        ),
+        border AS (
+            SELECT n.ia AS id, MIN(c.cluster) AS cluster
+            FROM nbr n
+            JOIN comp c ON c.id = n.ib
+            WHERE n.ia NOT IN (SELECT id FROM cores)
+            GROUP BY n.ia
+        ),
+        assigned AS (
+            SELECT id, cluster, 'core' AS role FROM comp
+            UNION ALL
+            SELECT id, cluster, 'border' FROM border
+        ),
+        labeled AS (
+            SELECT p.id,
+                   COALESCE(a.cluster, -1) AS cluster,
+                   COALESCE(a.role, 'noise') AS role
+            FROM pts p LEFT JOIN assigned a ON a.id = p.id
+        )
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_core,
+               CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_border
+        FROM labeled
+        GROUP BY cluster
+        ORDER BY cluster
+    """,
+    tags=("E554",),
+)
+def ml_dbscan_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding (dim0, dim1) plane, DISTRIBUTED via
+    GRID BLOCKING: eps = {DBSCAN_EPS}, minPts = {DBSCAN_MINPTS}.
+    Density clustering is the one classical family the engine's
+    kmeans/LSH ops don't cover (arbitrary-shape clusters + explicit
+    noise), and its scalable form is exactly this: hash points into
+    eps-sized cells, generate candidate pairs ONLY from 3x3 neighbor
+    cells (the join_grid_epsilon_pairs discipline — candidate volume
+    is density-bounded, never n^2), count eps-neighbors for core
+    status, run the engine's min-label connected components over
+    core-core edges, then attach border points to their MIN-labeled
+    core neighbor (deterministic, engine-independent assignment).
+
+    Exact: coordinates and eps ride as 2^24 fixed-point integers
+    (squared distances in HUGEINT/DECIMAL(38) — no floats anywhere),
+    cluster ids are min core ids, role counts are exact integers.
+    The oracle brute-forces the pair set and walks components with a
+    recursive CTE — same contract, independently derived.  Plan: one
+    9-cell explode join (shuffle on cell), two aggregates, the
+    shared CC fixpoint.  100 TB: candidate pairs are bounded by
+    cell occupancy (the skew knob is the cell size), CC state is
+    size-gated like the dedup components op."""
+    from potpot_spark.operators.graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        F.floor(F.element_at("embedding", 1).cast("double") * DBSCAN_Q)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * DBSCAN_Q)
+        .cast("bigint")
+        .alias("y"),
+    )
+    eps = F.lit(DBSCAN_EPS_FP)
+    cellx = F.expr(f"CAST(floor(x / {DBSCAN_EPS_FP}) AS BIGINT)")
+    celly = F.expr(f"CAST(floor(y / {DBSCAN_EPS_FP}) AS BIGINT)")
+    # each point broadcasts itself into its 9 neighbor cells (probe
+    # side); build side keeps its own cell only
+    probe = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cellx + dx).alias("cx"), (celly + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id", "x", "y", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    build = pts.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cellx.alias("cx"),
+        celly.alias("cy"),
+    )
+    d38 = "decimal(38,0)"
+    nbr = (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("id") != F.col("ib"))
+        .where(
+            (F.col("x") - F.col("bx")).cast(d38)
+            * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")).cast(d38)
+            * (F.col("y") - F.col("by"))
+            <= eps.cast(d38) * eps
+        )
+        .select(F.col("id").alias("ia"), "ib")
+    )
+    ncount = pts.join(
+        nbr.groupBy(F.col("ia").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+        "id",
+        "left",
+    ).select("id", (F.lit(1) + F.coalesce("n", F.lit(0))).alias("n_nbr"))
+    cores = ncount.where(F.col("n_nbr") >= DBSCAN_MINPTS).select("id")
+    core_edges = (
+        nbr.join(cores.select(F.col("id").alias("ia")), "ia")
+        .join(cores.select(F.col("id").alias("ib")), "ib")
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    comp = connected_components(
+        cores.select(F.col("id").alias("node")), core_edges
+    ).select(F.col("node").alias("id"), F.col("component").alias("cluster"))
+    border = (
+        nbr.join(comp.select(F.col("id").alias("ib"), "cluster"), "ib")
+        .join(cores.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = comp.select("id", "cluster", F.lit("core").alias("role")).unionByName(
+        border.select("id", "cluster", F.lit("border").alias("role"))
+    )
+    labeled = pts.select("id").join(assigned, "id", "left").select(
+        "id",
+        F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+        F.coalesce("role", F.lit("noise")).alias("role"),
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_border"),
+        )
+        .orderBy("cluster")
+    )

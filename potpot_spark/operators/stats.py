@@ -9838,3 +9838,117 @@ def analytics_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(F.lit(1.0) - geo / mean, 9).alias("atkinson_eps1"),
     )
+
+
+AD_LOG_SCALE = 1 << 20
+
+
+@query(
+    "stats_anderson_darling_uniformity",
+    oracle=f"""
+        WITH u AS (
+            SELECT (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) % 100 + 0.5) / 100.0 AS u
+            FROM orders
+        ),
+        ladder AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+            FROM u GROUP BY u
+        ),
+        run AS (
+            SELECT u, c,
+                   COALESCE(SUM(c) OVER (ORDER BY u
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS p,
+                   SUM(c) OVER () AS n
+            FROM ladder
+        ),
+        terms AS (
+            SELECT n,
+                   c * (2 * p + c)
+                       * CAST(FLOOR(ln(u) * {AD_LOG_SCALE}) AS BIGINT)
+                   + c * (2 * n - 2 * p - c)
+                       * CAST(FLOOR(ln(1.0 - u) * {AD_LOG_SCALE})
+                              AS BIGINT) AS t
+            FROM run
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(-MAX(n) * 1000000
+                    - CAST(SUM(t) AS HUGEINT) * 1000000
+                      // (MAX(n) * {AD_LOG_SCALE}) AS BIGINT)
+                   AS a2_x1e6,
+               CAST(-MAX(n) * 1000000
+                    - CAST(SUM(t) AS HUGEINT) * 1000000
+                      // (MAX(n) * {AD_LOG_SCALE}) AS BIGINT)
+                   > 2492000 AS reject_uniform_5pct
+        FROM terms
+    """,
+    tags=("E552",),
+)
+def stats_anderson_darling_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANDERSON-DARLING uniformity test of the sub-dollar cent digits
+    of order totals (u = (cents mod 100 + 0.5)/100 — the fraud/
+    fabrication screen that partners the registered Benford
+    first-digit test: Benford checks leading digits against log-law,
+    AD checks TRAILING digits against uniformity, and AD's 1/(F(1-F))
+    weighting makes it the tail-sensitive upgrade over KS for exactly
+    the price-point clustering (x.99 endings) one hunts for.  A2 =
+    -n - (1/n) SUM_i [(2i-1) ln u_(i) + (2n+1-2i) ln(1-u_(i))];
+    5%% critical value 2.492.
+
+    Exact, ladder-scalable: the 100-value cent ladder collapses rank
+    sums via the tie-group closed forms SUM(2i-1) = c(2p+c) and
+    SUM(2n+1-2i) = c(2n-2p-c) (the Gini/Cliff discipline), log terms
+    ride as floor(ln * 2^20) integers, and A2 ships as one integer
+    cross-multiplied division.  Plan: one value-grain aggregate, one
+    100-row window, one aggregate — the corpus is scanned once.
+    100 TB: the ladder is 100 rows regardless of scale."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        (
+            (
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                % 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("u")
+    )
+    ladder = u.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    run = ladder.select(
+        "u",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("u").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("p"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    fln = lambda col: F.floor(F.log(col) * F.lit(AD_LOG_SCALE)).cast(  # noqa: E731
+        "bigint"
+    )
+    terms = run.select(
+        "n",
+        (
+            F.col("c") * (2 * F.col("p") + F.col("c")) * fln(F.col("u"))
+            + F.col("c")
+            * (2 * F.col("n") - 2 * F.col("p") - F.col("c"))
+            * fln(F.lit(1.0) - F.col("u"))
+        ).alias("t"),
+    )
+    a2 = F.expr(
+        f"CAST(-MAX(n) * 1000000 - CAST(SUM(t) AS DECIMAL(38,0)) * 1000000"
+        f" div (MAX(n) * {AD_LOG_SCALE}) AS BIGINT)"
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        a2.alias("a2_x1e6"),
+        (a2 > F.lit(2492000)).alias("reject_uniform_5pct"),
+    )

@@ -2932,3 +2932,141 @@ def test_atkinson_ordering_and_brute(spark, sf_dir):
     assert abs(r["atkinson_eps05"] - a05) < 1e-6
     assert abs(r["atkinson_eps1"] - a1) < 1e-4
     assert -1e-9 <= r["atkinson_eps05"] <= r["atkinson_eps1"] < 1
+
+
+def test_anderson_darling_brute_force(spark, sf_dir):
+    """A2 recomputed in Python from the raw cent digits (classical
+    sorted formula with the same fixed-point log grain) must match the
+    integer output exactly."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            ((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+             .cast("bigint") % 100).alias("d")
+        )
+        .collect()
+    )
+    us = sorted((w["d"] + 0.5) / 100.0 for w in rows)
+    n = len(us)
+    scale = 1 << 20
+    t = sum(
+        (2 * (i + 1) - 1) * math.floor(math.log(us[i]) * scale)
+        + (2 * n + 1 - 2 * (i + 1))
+        * math.floor(math.log(1 - us[i]) * scale)
+        for i in range(n)
+    )
+    def tdiv(a: int, b: int) -> int:  # truncate-toward-zero like SQL div
+        return -((-a) // b) if a < 0 else a // b
+
+    want = -n * 1000000 - tdiv(t * 1000000, n * scale)
+    r = (
+        registry.get("stats_anderson_darling_uniformity")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r["n_rows"] == n
+    assert r["a2_x1e6"] == want
+    assert r["reject_uniform_5pct"] == (want > 2492000)
+
+
+def test_pivot_unpivot_roundtrip_counts(spark, sf_dir):
+    """The round trip must reproduce the plain groupBy counts for each
+    event type (PIVOT/UNPIVOT add no rows, drop only NULL cells)."""
+    got = {
+        r["event_type"]: r
+        for r in registry.get("sql_pivot_unpivot_syntax")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.sum("count").alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for t, r in got.items():
+        assert r["n_days_present"] == direct[t]["days"]
+        assert r["total_events"] == direct[t]["total"]
+
+
+def test_dbscan_matches_sklearn_style_brute(spark, sf_dir):
+    """Cluster memberships recomputed with a literal Python DBSCAN
+    (brute-force neighbors, BFS components, min-core-id labels,
+    min-label border assignment) must match per-cluster counts."""
+    from potpot_spark.operators.ml_features import (
+        DBSCAN_EPS_FP,
+        DBSCAN_MINPTS,
+        DBSCAN_Q,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import math
+
+    pts = {
+        r["vec_id"]: (
+            math.floor(r["embedding"][0] * DBSCAN_Q),
+            math.floor(r["embedding"][1] * DBSCAN_Q),
+        )
+        for r in rows
+    }
+    ids = list(pts)
+    nbrs: dict[int, list[int]] = {i: [] for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dx + dy * dy <= DBSCAN_EPS_FP * DBSCAN_EPS_FP:
+                    nbrs[i].append(j)
+                    nbrs[j].append(i)
+    cores = {i for i in ids if 1 + len(nbrs[i]) >= DBSCAN_MINPTS}
+    cluster: dict[int, int] = {}
+    for c in sorted(cores):
+        if c in cluster:
+            continue
+        comp = [c]
+        seen = {c}
+        while comp:
+            u = comp.pop()
+            for v in nbrs[u]:
+                if v in cores and v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+        lbl = min(seen)
+        for u in seen:
+            cluster[u] = lbl
+    out: dict[int, tuple[int, int, int]] = {}
+    for i in ids:
+        if i in cores:
+            lbl, role = cluster[i], "core"
+        else:
+            core_nb = [cluster[j] for j in nbrs[i] if j in cores]
+            if core_nb:
+                lbl, role = min(core_nb), "border"
+            else:
+                lbl, role = -1, "noise"
+        np_, nc, nb = out.get(lbl, (0, 0, 0))
+        out[lbl] = (
+            np_ + 1,
+            nc + (role == "core"),
+            nb + (role == "border"),
+        )
+    got = {
+        r["cluster"]: (r["n_points"], r["n_core"], r["n_border"])
+        for r in registry.get("ml_dbscan_grid_2d").fn(spark, sf_dir).collect()
+    }
+    assert got == out
