@@ -9952,3 +9952,164 @@ def stats_anderson_darling_uniformity(
         a2.alias("a2_x1e6"),
         (a2 > F.lit(2492000)).alias("reject_uniform_5pct"),
     )
+
+
+GT_LOG_SCALE = 1 << 20
+
+
+@query(
+    "stats_g_test_independence",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                       AS segment
+            FROM events
+        ), cells AS (
+            SELECT event_type, segment, CAST(COUNT(*) AS BIGINT) AS o
+            FROM seg GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, segment, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS rt,
+                   SUM(o) OVER (PARTITION BY segment) AS ct,
+                   SUM(o) OVER () AS g
+            FROM cells
+        )
+        SELECT ROUND(2.0 * CAST(SUM(CAST(
+                   ROUND(o * ln(CAST(o AS DOUBLE)
+                                / (CAST(rt * ct AS DOUBLE) / g)), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE), 9) AS g_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT segment) - 1) AS BIGINT) AS dof
+        FROM tot
+    """,
+    tags=("E555",),
+)
+def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-TEST (likelihood-ratio chi-square) of independence over the
+    SAME event_type x user-parity contingency table as the registered
+    Pearson chi-square: G = 2 SUM O ln(O/E) — the statistic that is
+    ADDITIVE under table partitioning (G of a nested split sums
+    exactly, Pearson's X2 does not), which is why hierarchical
+    log-linear modeling and feature-selection cascades prefer it; G
+    vs X2 divergence also flags small-expected-count cells.
+
+    Exact: observed counts and row/column totals are exact integers;
+    each cell's O ln(O/E) term is one identical double chain rounded
+    ONCE to DECIMAL(28,9) (order-free cross-cell sum, the chi-square
+    discipline with ln in place of the square).  Plan: one cell
+    aggregate + tiny windows — |types| x 2 cells regardless of corpus
+    size."""
+    e = load_table(spark, sf_dir, "events")
+    seg = e.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("segment"),
+    )
+    cells = seg.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    tot = cells.select(
+        "event_type",
+        "segment",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("segment")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("g"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("g")
+    term = F.round(
+        F.col("o") * F.log(F.col("o").cast("double") / exp), 9
+    ).cast("decimal(28,9)")
+    return tot.agg(
+        F.round(F.lit(2.0) * F.sum(term).cast("double"), 9).alias("g_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("segment") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
+@query(
+    "stats_cohens_h_proportions",
+    oracle="""
+        WITH o AS (
+            SELECT CAST(('0x' || substring(
+                       md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS treated,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        m AS (
+            SELECT treated,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM o GROUP BY treated
+        ),
+        w AS (
+            SELECT MAX(CASE WHEN treated = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN treated = 1 THEN s END) AS s1,
+                   MAX(CASE WHEN treated = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN treated = 0 THEN s END) AS s0
+            FROM m
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_treat,
+               CAST(n0 AS BIGINT) AS n_ctrl,
+               CAST(s1 * 1000000 // n1 AS BIGINT) AS p_treat_ppm,
+               CAST(s0 * 1000000 // n0 AS BIGINT) AS p_ctrl_ppm,
+               ROUND(2.0 * asin(sqrt(CAST(s1 AS DOUBLE) / n1))
+                     - 2.0 * asin(sqrt(CAST(s0 AS DOUBLE) / n0)), 9)
+                   AS cohens_h
+        FROM w
+    """,
+    tags=("E556",),
+)
+def stats_cohens_h_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S H effect size for two proportions (finished-order rate
+    in the portable-hash treated/control split — the cohens_d
+    fixture's split applied to a BINARY outcome): h = 2 arcsin sqrt(p1)
+    - 2 arcsin sqrt(p2) — the variance-stabilized gap that makes
+    proportion differences COMPARABLE across baselines (a 1pp lift
+    means different things at p=0.5 vs p=0.01; h doesn't), and the
+    number power calculators actually take for two-proportion tests.
+    Completes the effect-size row: Cohen's d (means), Cliff's delta
+    (ordinal), Cohen's h (proportions).
+
+    Exact: counts and integer-ppm proportions are exact; h is one
+    identical double chain (asin/sqrt over exact-ratio operands)
+    rounded 1e-9.  Plan: one mergeable aggregate + 2-row pivot.
+    100 TB: the standard sufficient-statistic shape."""
+    from potpot_spark.functions.numeric import phash60
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (phash60(F.col("o_custkey").cast("string")) % 2).alias("treated"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    m = base.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treated") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("treated") == 0, F.col("s"))).alias("s0"),
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.expr("CAST(s1 * 1000000 div n1 AS BIGINT)").alias("p_treat_ppm"),
+        F.expr("CAST(s0 * 1000000 div n0 AS BIGINT)").alias("p_ctrl_ppm"),
+        F.round(
+            F.lit(2.0) * F.asin(F.sqrt(F.col("s1").cast("double") / F.col("n1")))
+            - F.lit(2.0)
+            * F.asin(F.sqrt(F.col("s0").cast("double") / F.col("n0"))),
+            9,
+        ).alias("cohens_h"),
+    )

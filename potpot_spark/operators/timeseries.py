@@ -10388,3 +10388,100 @@ def timeseries_rsi_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_runs_up_down_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        sgn AS (
+            SELECT d,
+                   CASE WHEN x > LAG(x) OVER (ORDER BY d) THEN 1
+                        WHEN x < LAG(x) OVER (ORDER BY d) THEN -1
+                   END AS s
+            FROM daily
+        ),
+        seqd AS (
+            SELECT s, LAG(s) OVER (ORDER BY d) AS prev
+            FROM sgn WHERE s IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
+                   CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM seqd
+        )
+        SELECT n AS n_obs, r AS n_runs,
+               ROUND((CAST(r AS DOUBLE) - (2.0 * n - 1) / 3)
+                     / sqrt((16.0 * n - 29) / 90), 9) AS z,
+               ABS((CAST(r AS DOUBLE) - (2.0 * n - 1) / 3)
+                   / sqrt((16.0 * n - 29) / 90)) > 1.96
+                   AS reject_randomness_5pct
+        FROM m
+    """,
+    tags=("E557",),
+)
+def timeseries_runs_up_down_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNS-UP-AND-DOWN randomness test on daily event counts: count
+    maximal monotone runs R among the consecutive differences; under
+    randomness E[R] = (2n-1)/3, Var[R] = (16n-29)/90 — the
+    DIFFERENCE-SIGN randomness screen that detects smooth trends and
+    oscillation, which the registered median-runs test (runs above/
+    below the median) is blind to (a slow sawtooth crosses the median
+    rarely but flips direction constantly — and vice versa); the two
+    runs tests together are the classical nonparametric randomness
+    panel.  Ties (zero differences) are dropped, n = kept signs + 1
+    (the textbook convention, declared).
+
+    Exact: signs, the re-sequenced sign-change count, R and n are
+    exact integers from one ordered window pass; z is a single double
+    chain over them, rounded 1e-9.  Plan: day rollup, two lag windows
+    sharing one sort, one aggregate.  100 TB: only the rollup sees
+    the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    sgn = daily.select(
+        "d",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .alias("s"),
+    )
+    seqd = sgn.where(F.col("s").isNotNull()).select(
+        "s", F.lag("s").over(w).alias("prev")
+    )
+    m = seqd.agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    z = (
+        F.col("r").cast("double") - (F.lit(2.0) * F.col("n") - 1) / 3
+    ) / F.sqrt((F.lit(16.0) * F.col("n") - 29) / 90)
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.col("r").alias("n_runs"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_randomness_5pct"),
+    )

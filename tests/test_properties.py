@@ -3070,3 +3070,77 @@ def test_dbscan_matches_sklearn_style_brute(spark, sf_dir):
         for r in registry.get("ml_dbscan_grid_2d").fn(spark, sf_dir).collect()
     }
     assert got == out
+
+
+def test_g_test_close_to_chi2_and_positive(spark, sf_dir):
+    """G and Pearson X2 are asymptotically equal under H0-ish tables:
+    they must share dof/cells on the same fixture, G >= 0, and agree
+    with a pandas recompute."""
+    import numpy as np
+
+    g = registry.get("stats_g_test_independence").fn(spark, sf_dir).collect()[0]
+    x2 = registry.get("stats_chi_square_independence").fn(spark, sf_dir).collect()[0]
+    assert g["n_cells"] == x2["n_cells"] and g["dof"] == x2["dof"]
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("segment"),
+        )
+        .count()
+        .toPandas()
+        .pivot(index="event_type", columns="segment", values="count")
+        .fillna(0)
+    )
+    o = pdf.values.astype(float)
+    e = o.sum(axis=1, keepdims=True) * o.sum(axis=0, keepdims=True) / o.sum()
+    want = 2 * float((o * np.log(o / e)).sum())
+    assert abs(g["g_stat"] - want) < 1e-4
+    assert g["g_stat"] >= 0
+
+
+def test_cohens_h_recompute_and_sign(spark, sf_dir):
+    """h recomputes from the op's own ppm proportions and has the sign
+    of p_treat - p_ctrl."""
+    import math
+
+    r = (
+        registry.get("stats_cohens_h_proportions").fn(spark, sf_dir).collect()
+    )[0]
+    p1 = r["p_treat_ppm"] / 1e6
+    p0 = r["p_ctrl_ppm"] / 1e6
+    want = 2 * math.asin(math.sqrt(p1)) - 2 * math.asin(math.sqrt(p0))
+    assert abs(r["cohens_h"] - want) < 1e-4  # ppm quantization slack
+    if p1 != p0:
+        assert (r["cohens_h"] > 0) == (p1 > p0)
+
+
+def test_runs_up_down_brute(spark, sf_dir):
+    """R and n recomputed from the raw daily counts with the declared
+    tie convention; z from the closed form."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    x = [r["count"] for r in rows]
+    signs = []
+    for a, b in zip(x, x[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    n = len(signs) + 1
+    r_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    got = (
+        registry.get("timeseries_runs_up_down_test")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_obs"] == n and got["n_runs"] == r_runs
+    import math
+
+    z = (r_runs - (2 * n - 1) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert abs(got["z"] - z) < 1e-9
