@@ -6634,3 +6634,99 @@ def ml_dbscan_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "ml_ks_separation_statistic",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                   value AS score
+            FROM events
+        ), byscore AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS c1,
+                   CAST(SUM(1 - label) AS BIGINT) AS c0
+            FROM scored GROUP BY score
+        ), cum AS (
+            SELECT score,
+                   SUM(c1) OVER (ORDER BY score) AS cum1,
+                   SUM(c0) OVER (ORDER BY score) AS cum0,
+                   SUM(c1) OVER () AS n1,
+                   SUM(c0) OVER () AS n0
+            FROM byscore
+        ), d AS (
+            SELECT score, n1, n0,
+                   ABS(cum1 * n0 - cum0 * n1) AS diff,
+                   MAX(ABS(cum1 * n0 - cum0 * n1)) OVER () AS mx
+            FROM cum
+        )
+        SELECT CAST(MAX(n1) AS BIGINT) AS n_pos,
+               CAST(MAX(n0) AS BIGINT) AS n_neg,
+               CAST(CAST(MAX(mx) AS HUGEINT) * 1000000
+                    // (MAX(n1) * MAX(n0)) AS BIGINT) AS ks_x1e6,
+               ROUND(MIN(score), 9) AS ks_at_score
+        FROM d WHERE diff = mx
+    """,
+    tags=("E562",),
+)
+def ml_ks_separation_statistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS SEPARATION of a scoring model — max_t |F1(t) - F0(t)| between
+    the score CDFs of positives and negatives (the engine's standard
+    purchase-vs-rest / value-as-score eval fixture, the same one the
+    registered rank-AUC reads).  THE credit-scoring industry's
+    headline discriminative metric: unlike AUC (a global rank average)
+    KS localizes WHERE the model separates, and ks_at_score is the
+    operating threshold a single-cutoff policy would pick.  AUC can
+    stay flat while KS collapses at the business-relevant cutoff —
+    which is why scorecard monitoring tracks both.
+
+    Exact: class counts per distinct score, running sums, and the
+    cross-multiplied |cum1*n0 - cum0*n1| are ALL exact integers —
+    the statistic ships as one integer fixed-point division
+    (HUGEINT/DECIMAL(38,0): n1*n0*1e6 passes 9.2e18 near sf 1);
+    ks_at_score breaks argmax ties by MIN(score), deterministic.
+    Plan: one score-grain aggregate (vocabulary-scale, the
+    Mann-Whitney discipline), one ordered window over distinct
+    scores, one aggregate.  100 TB: the corpus is scanned once; the
+    window runs on the distinct-score table."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+        F.col("value").alias("score"),
+    )
+    byscore = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("c0"),
+    )
+    wo = Window.orderBy("score")
+    wall = Window.partitionBy()
+    cum = byscore.select(
+        "score",
+        F.sum("c1").over(wo).alias("cum1"),
+        F.sum("c0").over(wo).alias("cum0"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c0").over(wall).alias("n0"),
+    )
+    diff = F.abs(F.col("cum1") * F.col("n0") - F.col("cum0") * F.col("n1"))
+    d = cum.select(
+        "score",
+        "n1",
+        "n0",
+        diff.alias("diff"),
+        F.max(diff).over(wall).alias("mx"),
+    )
+    return d.where(F.col("diff") == F.col("mx")).agg(
+        F.max("n1").cast("bigint").alias("n_pos"),
+        F.max("n0").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(CAST(MAX(mx) AS DECIMAL(38,0)) * 1000000"
+            " div (MAX(n1) * MAX(n0)) AS BIGINT)"
+        ).alias("ks_x1e6"),
+        F.round(F.min("score"), 9).alias("ks_at_score"),
+    )

@@ -10113,3 +10113,389 @@ def stats_cohens_h_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cohens_h"),
     )
+
+
+CVM_TERM_SQL = (
+    "CAST(ROUND(c * ((u - (2.0 * p + c) / (2.0 * n))"
+    " * (u - (2.0 * p + c) / (2.0 * n)))"
+    " + c * (CAST(c AS DOUBLE) * c - 1.0)"
+    " / (12.0 * CAST(n AS DOUBLE) * n), 12) AS DECIMAL(28,12))"
+)
+
+
+@query(
+    "stats_cvm_one_sample_uniform",
+    oracle=f"""
+        WITH u AS (
+            SELECT (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) % 100 + 0.5) / 100.0 AS u
+            FROM orders
+        ),
+        ladder AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+            FROM u GROUP BY u
+        ),
+        run AS (
+            SELECT u, c,
+                   COALESCE(SUM(c) OVER (ORDER BY u
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS p,
+                   SUM(c) OVER () AS n
+            FROM ladder
+        ),
+        terms AS (
+            SELECT n, {CVM_TERM_SQL} AS t
+            FROM run
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               ROUND(1.0 / (12.0 * MAX(n))
+                     + CAST(SUM(t) AS DOUBLE), 9) AS w2,
+               ROUND(1.0 / (12.0 * MAX(n))
+                     + CAST(SUM(t) AS DOUBLE), 9) > 0.461
+                   AS reject_uniform_5pct
+        FROM terms
+    """,
+    tags=("E558",),
+)
+def stats_cvm_one_sample_uniform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRAMER-VON MISES one-sample uniformity test on the SAME
+    trailing-cent ladder as the registered Anderson-Darling test:
+    W2 = 1/(12n) + SUM_i (u_(i) - (2i-1)/(2n))^2.  Completes the
+    EDF-test panel — KS (sup-norm, registered two-sample), AD
+    (tail-weighted), CvM (unweighted L2): AD over-fires on the extreme
+    cents (0.005, 0.995) by design; when AD rejects and CvM does not,
+    the deviation lives in the tails — a different fraud signature
+    (price-point endings) than a body-wide shift.  5%% critical value
+    0.461.
+
+    Exact, ladder-scalable: within a tie group of c observations at
+    value u starting after p priors, SUM_i (u - (2i-1)/(2n))^2
+    collapses to c*(u - (2p+c)/(2n))^2 + c*(c^2-1)/(12n^2) (the
+    offsets (2i-1)-(2p+c) are the symmetric odd ladder with square sum
+    c(c^2-1)/3) — each group term is ONE identical double chain
+    rounded to DECIMAL(28,12) so the cross-group sum is order-free.
+    Plan: one value-grain aggregate, one 100-row window, one aggregate.
+    100 TB: the ladder is 100 rows regardless of scale."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        (
+            (
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                % 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("u")
+    )
+    ladder = u.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    run = ladder.select(
+        "u",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("u").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("p"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    terms = run.select("n", F.expr(CVM_TERM_SQL).alias("t"))
+    w2 = F.round(
+        1.0 / (12.0 * F.max("n")) + F.sum("t").cast("double"), 9
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        w2.alias("w2"),
+        (w2 > F.lit(0.461)).alias("reject_uniform_5pct"),
+    )
+
+
+@query(
+    "stats_watson_u2_hours",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+            FROM events
+        ),
+        ladder AS (
+            SELECT h, (h + 0.5) / 24.0 AS u,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM h GROUP BY h
+        ),
+        run AS (
+            SELECT h, u, c,
+                   COALESCE(SUM(c) OVER (ORDER BY u
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS p,
+                   SUM(c) OVER () AS n
+            FROM ladder
+        ),
+        terms AS (
+            SELECT n, {CVM_TERM_SQL} AS t,
+                   c * (2 * h + 1) AS co
+            FROM run
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               ROUND(1.0 / (12.0 * MAX(n)) + CAST(SUM(t) AS DOUBLE)
+                     - CAST(SUM(co) - 24 * MAX(n) AS DOUBLE)
+                       * (SUM(co) - 24 * MAX(n))
+                       / (2304.0 * MAX(n)), 9) AS u2,
+               ROUND(1.0 / (12.0 * MAX(n)) + CAST(SUM(t) AS DOUBLE)
+                     - CAST(SUM(co) - 24 * MAX(n) AS DOUBLE)
+                       * (SUM(co) - 24 * MAX(n))
+                       / (2304.0 * MAX(n)), 9) > 0.187
+                   AS reject_uniform_5pct
+        FROM terms
+    """,
+    tags=("E559",),
+)
+def stats_watson_u2_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATSON'S U2 test of hour-of-day uniformity — the
+    ROTATION-INVARIANT CvM: U2 = W2 - n(u_bar - 1/2)^2, so the verdict
+    does not depend on where the 24h circle is cut (a pure phase shift
+    of the daily rhythm changes W2 and KS but NOT U2).  Completes the
+    circular panel: Rayleigh (via the registered circular-hour resultant)
+    detects unimodal departure, Kuiper detects any with cut-invariance,
+    Watson U2 is the L2 counterpart with better power against
+    multimodal departures (AM+PM twin peaks).  5%% critical 0.187.
+
+    Exact: the 24-value hour ladder reuses the CvM tie-group closed
+    form (one identical double chain per group, DECIMAL(28,12)
+    order-free sum); the mean correction n(u_bar-1/2)^2 =
+    (SUM c(2h+1) - 24n)^2 / (2304n) rides as EXACT integers until one
+    final double division.  Plan: one hour rollup, one 24-row window,
+    one aggregate.  100 TB: the ladder is 24 rows at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(F.hour("ts").cast("bigint").alias("h"))
+    ladder = h.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).select("h", ((F.col("h") + 0.5) / 24.0).alias("u"), "c")
+    run = ladder.select(
+        "h",
+        "u",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("u").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("p"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    terms = run.select(
+        "n",
+        F.expr(CVM_TERM_SQL).alias("t"),
+        (F.col("c") * (2 * F.col("h") + 1)).alias("co"),
+    )
+    u2 = F.round(
+        1.0 / (12.0 * F.max("n"))
+        + F.sum("t").cast("double")
+        - (F.sum("co") - 24 * F.max("n")).cast("double")
+        * (F.sum("co") - 24 * F.max("n"))
+        / (2304.0 * F.max("n")),
+        9,
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        u2.alias("u2"),
+        (u2 > F.lit(0.187)).alias("reject_uniform_5pct"),
+    )
+
+
+@query(
+    "stats_sign_test_am_pm",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS day,
+                   CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 12
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS am,
+                   CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 12
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pm
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN pm <> am THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_informative,
+               CAST(SUM(CASE WHEN pm > am THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_plus,
+               ROUND((2.0 * SUM(CASE WHEN pm > am THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN pm <> am THEN 1 ELSE 0 END))
+                     / sqrt(CAST(SUM(CASE WHEN pm <> am THEN 1 ELSE 0
+                                      END) AS DOUBLE)), 9) AS z
+        FROM daily
+    """,
+    tags=("E560",),
+)
+def stats_sign_test_am_pm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED SIGN TEST of the daily AM-vs-PM load split: each day is
+    one matched pair (morning count, evening count); S+ = #days with
+    PM > AM, ties dropped by the textbook convention, z = (2S+ - m)/
+    sqrt(m) under the null median difference 0.  The
+    ASSUMPTION-MINIMAL member of the paired panel — Wilcoxon
+    signed-rank (registered) needs symmetric differences, the paired
+    t needs normality; the sign test needs NOTHING but exchangeable
+    signs, so sign-vs-Wilcoxon disagreement itself diagnoses
+    asymmetric daily rhythm shifts.
+
+    Exact: counts are exact integers; z is one identical double chain
+    rounded 1e-9.  Plan: one day rollup (the only data-sized pass),
+    one tiny aggregate.  100 TB: sufficient-statistic shape."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0))
+        .cast("bigint")
+        .alias("am"),
+        F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pm"),
+    )
+    pos = F.sum(F.when(F.col("pm") > F.col("am"), 1).otherwise(0))
+    inf = F.sum(F.when(F.col("pm") != F.col("am"), 1).otherwise(0))
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        inf.cast("bigint").alias("n_informative"),
+        pos.cast("bigint").alias("s_plus"),
+        F.round(
+            (2.0 * pos - inf) / F.sqrt(inf.cast("double")), 9
+        ).alias("z"),
+    )
+
+
+PD_TERMS_SQL = {
+    "pearson_x2": (
+        "CAST(ROUND((o - e) * (o - e) / e, 9) AS DECIMAL(28,9))"
+    ),
+    "g_stat": (
+        "CAST(ROUND(2.0 * o * ln(CAST(o AS DOUBLE) / e), 9)"
+        " AS DECIMAL(28,9))"
+    ),
+    "freeman_tukey_t2": (
+        "CAST(ROUND(4.0 * (sqrt(CAST(o AS DOUBLE)) - sqrt(e))"
+        " * (sqrt(CAST(o AS DOUBLE)) - sqrt(e)), 9) AS DECIMAL(28,9))"
+    ),
+    "neyman_x2": (
+        "CAST(ROUND((o - e) * (o - e) / o, 9) AS DECIMAL(28,9))"
+    ),
+    "cressie_read_23": (
+        "CAST(ROUND(1.8 * o * (cbrt((CAST(o AS DOUBLE) / e)"
+        " * (CAST(o AS DOUBLE) / e)) - 1.0), 9) AS DECIMAL(28,9))"
+    ),
+}
+
+
+@query(
+    "stats_power_divergence_panel",
+    oracle=f"""
+        WITH seg AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                       AS segment
+            FROM events
+        ), cells AS (
+            SELECT event_type, segment, CAST(COUNT(*) AS BIGINT) AS o
+            FROM seg GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, segment, o,
+                   CAST(SUM(o) OVER (PARTITION BY event_type)
+                        * SUM(o) OVER (PARTITION BY segment) AS DOUBLE)
+                       / SUM(o) OVER () AS e
+            FROM cells
+        ), terms AS (
+            SELECT event_type, segment,
+                   {PD_TERMS_SQL['pearson_x2']} AS t_pearson,
+                   {PD_TERMS_SQL['g_stat']} AS t_g,
+                   {PD_TERMS_SQL['freeman_tukey_t2']} AS t_ft,
+                   {PD_TERMS_SQL['neyman_x2']} AS t_neyman,
+                   {PD_TERMS_SQL['cressie_read_23']} AS t_cr
+            FROM tot
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT segment) - 1) AS BIGINT) AS dof,
+               ROUND(CAST(SUM(t_pearson) AS DOUBLE), 9) AS pearson_x2,
+               ROUND(CAST(SUM(t_g) AS DOUBLE), 9) AS g_stat,
+               ROUND(CAST(SUM(t_ft) AS DOUBLE), 9) AS freeman_tukey_t2,
+               ROUND(CAST(SUM(t_neyman) AS DOUBLE), 9) AS neyman_x2,
+               ROUND(CAST(SUM(t_cr) AS DOUBLE), 9) AS cressie_read_23
+        FROM terms
+    """,
+    tags=("E561",),
+)
+def stats_power_divergence_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRESSIE-READ POWER-DIVERGENCE PANEL over the engine's standard
+    event_type x user-parity contingency table: the five classical
+    members on ONE pass — Pearson X2 (lambda=1), likelihood-ratio G
+    (lambda->0), Freeman-Tukey T2 = 4*SUM(sqrt(O)-sqrt(E))^2
+    (lambda=-1/2), Neyman modified X2 = SUM (O-E)^2/O (lambda=-2), and
+    Cressie-Read's recommended lambda=2/3 (= 1.8*SUM O((O/E)^(2/3)-1)).
+    All five are asymptotically chi-square(dof) under independence;
+    their SPREAD is the diagnostic — they diverge exactly when
+    expected counts are small or a few cells dominate, so
+    pearson-vs-neyman disagreement flags the sparse-cell regime where
+    the asymptotics (and any downstream p-value) stop being trustworthy.
+    One table, five statistics — the panel costs one aggregate more
+    than the registered single-statistic chi-square/G tests it extends.
+
+    Exact: observed counts and margins are exact integers; E and each
+    per-cell term are ONE identical double chain (the lambda=2/3 power
+    rides as cbrt(x^2) — both engines' cbrt on the same double) rounded
+    once to DECIMAL(28,9) so cross-cell sums are order-free.  Plan:
+    one cell aggregate + tiny windows — |types| x 2 cells regardless
+    of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    seg = e.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("segment"),
+    )
+    cells = seg.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    tot = cells.select(
+        "event_type",
+        "segment",
+        "o",
+        (
+            (
+                F.sum("o").over(Window.partitionBy("event_type"))
+                * F.sum("o").over(Window.partitionBy("segment"))
+            ).cast("double")
+            / F.sum("o").over(Window.partitionBy())
+        ).alias("e"),
+    )
+    terms = tot.select(
+        "event_type",
+        "segment",
+        F.expr(PD_TERMS_SQL["pearson_x2"]).alias("t_pearson"),
+        F.expr(PD_TERMS_SQL["g_stat"]).alias("t_g"),
+        F.expr(PD_TERMS_SQL["freeman_tukey_t2"]).alias("t_ft"),
+        F.expr(PD_TERMS_SQL["neyman_x2"]).alias("t_neyman"),
+        F.expr(PD_TERMS_SQL["cressie_read_23"]).alias("t_cr"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("segment") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.sum("t_pearson").cast("double"), 9).alias("pearson_x2"),
+        F.round(F.sum("t_g").cast("double"), 9).alias("g_stat"),
+        F.round(F.sum("t_ft").cast("double"), 9).alias("freeman_tukey_t2"),
+        F.round(F.sum("t_neyman").cast("double"), 9).alias("neyman_x2"),
+        F.round(F.sum("t_cr").cast("double"), 9).alias("cressie_read_23"),
+    )

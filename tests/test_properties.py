@@ -3144,3 +3144,176 @@ def test_runs_up_down_brute(spark, sf_dir):
 
     z = (r_runs - (2 * n - 1) / 3) / math.sqrt((16 * n - 29) / 90)
     assert abs(got["z"] - z) < 1e-9
+
+
+def test_cvm_uniform_matches_python_recompute(spark, sf_dir):
+    """W2 recomputed in Python from the raw per-observation trailing
+    cents (NO tie-group closed form — the naive sorted-sample formula
+    W2 = 1/(12n) + SUM (u_(i) - (2i-1)/2n)^2) must agree with the
+    operator's ladder-collapsed value; also W2 >= 1/(12n) by
+    construction."""
+    vals = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                    .cast("bigint")
+                    % 100
+                    + 0.5
+                )
+                / 100.0
+            ).alias("u")
+        )
+        .collect()
+    )
+    u = sorted(r["u"] for r in vals)
+    n = len(u)
+    w2 = 1.0 / (12 * n) + sum(
+        (ui - (2 * i - 1) / (2.0 * n)) ** 2 for i, ui in enumerate(u, 1)
+    )
+    got = (
+        registry.get("stats_cvm_one_sample_uniform")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_rows"] == n
+    assert abs(got["w2"] - w2) < 1e-6, (got["w2"], w2)
+    assert got["w2"] >= 1.0 / (12 * n)
+
+
+def test_watson_u2_rotation_invariant_and_below_w2(spark, sf_dir):
+    """Watson's whole point: U2 is invariant under rotating the circle
+    cut.  Recompute U2 in Python from raw hours, then again with every
+    hour shifted by +7 mod 24 — both must equal the operator's value;
+    and U2 <= W2 always (it subtracts a square)."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.hour("ts").alias("h"))
+        .collect()
+    )
+    hours = [r["h"] for r in rows]
+
+    def u2_of(hs):
+        u = sorted((h + 0.5) / 24.0 for h in hs)
+        n = len(u)
+        w2 = 1.0 / (12 * n) + sum(
+            (ui - (2 * i - 1) / (2.0 * n)) ** 2
+            for i, ui in enumerate(u, 1)
+        )
+        ubar = sum(u) / n
+        return w2 - n * (ubar - 0.5) ** 2, w2
+
+    got = registry.get("stats_watson_u2_hours").fn(spark, sf_dir).collect()[0]
+    u2_plain, w2_plain = u2_of(hours)
+    u2_rot, _ = u2_of([(h + 7) % 24 for h in hours])
+    assert abs(got["u2"] - u2_plain) < 1e-6, (got["u2"], u2_plain)
+    assert abs(u2_rot - u2_plain) < 1e-9
+    assert got["u2"] <= w2_plain + 1e-12
+
+
+def test_sign_test_brute(spark, sf_dir):
+    """S+, m recomputed from raw daily AM/PM counts; z closed form."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0)).alias("am"),
+            F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0)).alias("pm"),
+        )
+        .collect()
+    )
+    s_plus = sum(1 for r in rows if r["pm"] > r["am"])
+    m = sum(1 for r in rows if r["pm"] != r["am"])
+    got = registry.get("stats_sign_test_am_pm").fn(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(rows)
+    assert got["s_plus"] == s_plus and got["n_informative"] == m
+    assert abs(got["z"] - (2.0 * s_plus - m) / math.sqrt(m)) < 1e-9
+
+
+def test_power_divergence_panel_consistency(spark, sf_dir):
+    """The panel's G must match the registered standalone G-test to
+    quantization (terms rounded at 1e-9 with the factor 2 folded in
+    vs applied post-sum), its Pearson must match a Python recompute
+    from independently rebuilt cells, and all five members are
+    nonnegative chi-square-family statistics."""
+    panel = (
+        registry.get("stats_power_divergence_panel")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    g_op = (
+        registry.get("stats_g_test_independence")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert abs(panel["g_stat"] - g_op["g_stat"]) < 1e-5
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("even"),
+        )
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    rt, ct = defaultdict(int), defaultdict(int)
+    for r in cells:
+        rt[r["event_type"]] += r["count"]
+        ct[r["even"]] += r["count"]
+    g = sum(rt.values())
+    x2 = sum(
+        (r["count"] - rt[r["event_type"]] * ct[r["even"]] / g) ** 2
+        / (rt[r["event_type"]] * ct[r["even"]] / g)
+        for r in cells
+    )
+    assert abs(panel["pearson_x2"] - x2) < 1e-5, (panel["pearson_x2"], x2)
+    for k in (
+        "pearson_x2",
+        "g_stat",
+        "freeman_tukey_t2",
+        "neyman_x2",
+        "cressie_read_23",
+    ):
+        assert panel[k] >= 0.0, (k, panel[k])
+
+
+def test_ks_separation_matches_numpy_ecdf(spark, sf_dir):
+    """KS recomputed with a brute ECDF sweep over every distinct score
+    must match the operator's fixed-point output within 1 ulp of the
+    1e-6 quantization, and the reported threshold must achieve it."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("label"),
+            F.col("value").alias("score"),
+        )
+        .collect()
+    )
+    pos = sorted(r["score"] for r in rows if r["label"] == 1)
+    neg = sorted(r["score"] for r in rows if r["label"] == 0)
+    import bisect
+
+    n1, n0 = len(pos), len(neg)
+    best, best_t = -1, None
+    for t in sorted(set(pos + neg)):
+        d = abs(
+            bisect.bisect_right(pos, t) * n0
+            - bisect.bisect_right(neg, t) * n1
+        )
+        if d > best:
+            best, best_t = d, t
+    got = (
+        registry.get("ml_ks_separation_statistic")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_pos"] == n1 and got["n_neg"] == n0
+    assert got["ks_x1e6"] == best * 1_000_000 // (n1 * n0)
+    assert abs(got["ks_at_score"] - best_t) < 1e-9
