@@ -4648,3 +4648,252 @@ def text_dirichlet_lm_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.orderBy(F.desc("score_fp"), "doc_id").limit(QL_TOP)
+
+
+@query(
+    "text_good_turing_unseen_mass",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE},
+        fof AS (
+            SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS nr
+            FROM freq GROUP BY lang, c
+        )
+        SELECT lang,
+               CAST(SUM(c * nr) AS BIGINT) AS n_tokens,
+               CAST(SUM(nr) AS BIGINT) AS v_types,
+               CAST(COALESCE(SUM(CASE WHEN c = 1 THEN nr END), 0)
+                    AS BIGINT) AS n1,
+               CAST(COALESCE(SUM(CASE WHEN c = 2 THEN nr END), 0)
+                    AS BIGINT) AS n2,
+               CAST(COALESCE(SUM(CASE WHEN c = 1 THEN nr END), 0)
+                    * 1000000 // SUM(c * nr) AS BIGINT)
+                   AS p0_unseen_ppm,
+               CAST(2 * SUM(CASE WHEN c = 2 THEN nr END) * 1000000
+                    // SUM(CASE WHEN c = 1 THEN nr END) AS BIGINT)
+                   AS rstar1_x1e6,
+               CAST(3 * SUM(CASE WHEN c = 3 THEN nr END) * 1000000
+                    // SUM(CASE WHEN c = 2 THEN nr END) AS BIGINT)
+                   AS rstar2_x1e6,
+               CAST(4 * SUM(CASE WHEN c = 4 THEN nr END) * 1000000
+                    // SUM(CASE WHEN c = 3 THEN nr END) AS BIGINT)
+                   AS rstar3_x1e6
+        FROM fof GROUP BY lang ORDER BY lang
+    """,
+    tags=("E563",),
+)
+def text_good_turing_unseen_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOOD-TURING unseen-mass estimate per language over the standard
+    whitespace-token frequency table: P0 = N1/N (the total probability
+    a NEW document will use a token never seen in the corpus) plus the
+    Turing-smoothed adjusted counts r* = (r+1) N_{{r+1}}/N_r for
+    r = 1..3.  THE vocabulary-coverage dial for training-corpus
+    curation: a source whose unseen mass stays high after T tokens is
+    still teaching the tokenizer/model new words (keep sampling it); one
+    whose P0 collapsed is exhausted (down-weight it) — and r*<r
+    quantifies exactly how much probability the plugin MLE over-assigns
+    to rare types.  Language modeling's oldest smoothing (and the
+    backbone of the registered Kneser-Ney twin) as a corpus-audit
+    surface.
+
+    Exact: the frequency-of-frequencies table and every estimate are
+    pure integers (1e6 fixed point, NULL where N_r = 0 by SQL
+    semantics).  Plan: corpus scan -> vocabulary-scale freq table ->
+    ~100-row fof table per lang.  100 TB: the corpus is touched once;
+    everything downstream is sketch-sized."""
+    fof = (
+        _lex_freq(spark, sf_dir)
+        .groupBy("lang", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    )
+    nr_at = lambda r: F.sum(F.when(F.col("c") == r, F.col("nr")))  # noqa: E731
+    return (
+        fof.groupBy("lang")
+        .agg(
+            F.sum(F.col("c") * F.col("nr")).cast("bigint").alias("n_tokens"),
+            F.sum("nr").cast("bigint").alias("v_types"),
+            F.coalesce(nr_at(1), F.lit(0)).cast("bigint").alias("n1"),
+            F.coalesce(nr_at(2), F.lit(0)).cast("bigint").alias("n2"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN c = 1 THEN nr END), 0)"
+                " * 1000000 div SUM(c * nr) AS BIGINT)"
+            ).alias("p0_unseen_ppm"),
+            F.expr(
+                "CAST(2 * SUM(CASE WHEN c = 2 THEN nr END) * 1000000"
+                " div SUM(CASE WHEN c = 1 THEN nr END) AS BIGINT)"
+            ).alias("rstar1_x1e6"),
+            F.expr(
+                "CAST(3 * SUM(CASE WHEN c = 3 THEN nr END) * 1000000"
+                " div SUM(CASE WHEN c = 2 THEN nr END) AS BIGINT)"
+            ).alias("rstar2_x1e6"),
+            F.expr(
+                "CAST(4 * SUM(CASE WHEN c = 4 THEN nr END) * 1000000"
+                " div SUM(CASE WHEN c = 3 THEN nr END) AS BIGINT)"
+            ).alias("rstar3_x1e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_lexical_richness_panel",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               ROUND(COUNT(*) / sqrt(CAST(SUM(c) AS DOUBLE)), 9)
+                   AS guiraud_r,
+               ROUND(ln(CAST(COUNT(*) AS DOUBLE))
+                     / ln(CAST(SUM(c) AS DOUBLE)), 9) AS herdan_c,
+               ROUND(exp(exp(-0.165 * ln(CAST(COUNT(*) AS DOUBLE)))
+                         * ln(CAST(SUM(c) AS DOUBLE))), 6) AS brunet_w,
+               CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         < COUNT(*)
+                    THEN ROUND(100.0 * ln(CAST(SUM(c) AS DOUBLE))
+                         / (1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1
+                                            ELSE 0 END) AS DOUBLE)
+                                  / COUNT(*)), 9)
+               END AS honore_r,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS sichel_s_ppm
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E564",),
+)
+def text_lexical_richness_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLASSICAL LEXICAL-RICHNESS PANEL per language — Guiraud's R
+    = V/sqrt(N), Herdan's C = ln V/ln N, Brunet's W = N^(V^-0.165),
+    Honore's R = 100 ln N/(1 - V1/V), Sichel's S = V2/V — the five
+    length-robust alternatives to raw type-token ratio (TTR collapses
+    as N grows, which is why corpus-size-matched TTR comparisons lie).
+    Together with the registered Yule's K (repeat-rate), hapax profile,
+    and Heaps-law fit, this completes the stylometric vocabulary-
+    richness battery: W and Honore's R are the two used in the
+    classical authorship studies (Brunet's on Moliere/Corneille),
+    and their per-source drift is a cheap synthetic-text detector
+    (generated corpora show depressed hapax share, hence depressed
+    Honore and inflated W).
+
+    Exact: V, N, V1, V2 are exact integers; each index is ONE
+    identical double chain (ln/exp/sqrt over exact-integer operands,
+    Brunet via exp(exp(-0.165 ln V) ln N) so both engines walk the
+    same tree), rounded once; Sichel ships as integer ppm; Honore is
+    NULL when every type is a hapax (V1 = V).  Plan: one corpus scan
+    -> vocabulary-scale freq -> per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    v1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("v_types"),
+            F.round(
+                F.count(F.lit(1)) / F.sqrt(F.sum("c").cast("double")), 9
+            ).alias("guiraud_r"),
+            F.round(
+                F.log(F.count(F.lit(1)).cast("double"))
+                / F.log(F.sum("c").cast("double")),
+                9,
+            ).alias("herdan_c"),
+            F.round(
+                F.exp(
+                    F.exp(-0.165 * F.log(F.count(F.lit(1)).cast("double")))
+                    * F.log(F.sum("c").cast("double"))
+                ),
+                6,
+            ).alias("brunet_w"),
+            F.when(
+                v1 < F.count(F.lit(1)),
+                F.round(
+                    100.0
+                    * F.log(F.sum("c").cast("double"))
+                    / (
+                        1.0
+                        - v1.cast("double") / F.count(F.lit(1))
+                    ),
+                    9,
+                ),
+            ).alias("honore_r"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("sichel_s_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_entropy_miller_madow",
+    oracle=f"""
+        WITH {_LEX_FREQ_CTE}
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(c),
+                     9) AS h_plugin,
+               ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(c)
+                     + (COUNT(*) - 1.0) / (2.0 * SUM(c)), 9)
+                   AS h_miller_madow,
+               CAST(1000000 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    * 1000000 // SUM(c) AS BIGINT) AS coverage_ppm
+        FROM freq GROUP BY lang ORDER BY lang
+    """,
+    tags=("E565",),
+)
+def text_entropy_miller_madow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MILLER-MADOW bias-corrected unigram entropy per language:
+    H_MM = H_plugin + (V-1)/(2N).  The plugin MLE entropy (what the
+    registered profile/diversity ops report) is biased LOW by
+    ~(V-1)/(2N) nats — on a heavy-tailed token distribution with a
+    large vocabulary the correction is material, and the GAP between
+    H_plugin and H_MM is itself the sample-size warning: when the two
+    disagree, the corpus slice is too small for its vocabulary and any
+    entropy-based routing/filtering decision is undercooked.  Ships
+    with the Good-Turing sample coverage 1 - N1/N (the standard
+    companion diagnostic: low coverage = the tail is unobserved).
+
+    Exact: H_plugin = ln N - (SUM c ln c)/N with each c ln c term one
+    identical double chain rounded to DECIMAL(28,9) (order-free
+    vocabulary-scale sum); the correction is exact-integer algebra in
+    doubles; coverage is integer ppm.  Plan: corpus scan ->
+    vocabulary-scale freq -> per-lang aggregate."""
+    freq = _lex_freq(spark, sf_dir)
+    term = F.expr(
+        "CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))"
+    )
+    h_plugin = F.round(
+        F.log(F.sum("c").cast("double"))
+        - F.sum(term).cast("double") / F.sum("c"),
+        9,
+    )
+    h_mm = F.round(
+        F.log(F.sum("c").cast("double"))
+        - F.sum(term).cast("double") / F.sum("c")
+        + (F.count(F.lit(1)) - 1.0) / (2.0 * F.sum("c")),
+        9,
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("v_types"),
+            h_plugin.alias("h_plugin"),
+            h_mm.alias("h_miller_madow"),
+            F.expr(
+                "CAST(1000000 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div SUM(c) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("lang")
+    )

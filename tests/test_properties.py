@@ -3317,3 +3317,165 @@ def test_ks_separation_matches_numpy_ecdf(spark, sf_dir):
     assert got["n_pos"] == n1 and got["n_neg"] == n0
     assert got["ks_x1e6"] == best * 1_000_000 // (n1 * n0)
     assert abs(got["ks_at_score"] - best_t) < 1e-9
+
+
+def test_good_turing_identities(spark, sf_dir):
+    """P0 and r* recomputed from an independently built frequency
+    table; Turing identity r*·N_r = (r+1)·N_{r+1} at the ppm floor."""
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("lang", "t")
+        .count()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    fof = defaultdict(Counter)
+    for r in freq:
+        fof[r["lang"]][r["count"]] += 1
+    got = {
+        r["lang"]: r
+        for r in registry.get("text_good_turing_unseen_mass")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for lang, cnt in fof.items():
+        n = sum(r * nr for r, nr in cnt.items())
+        g = got[lang]
+        assert g["n_tokens"] == n and g["n1"] == cnt.get(1, 0)
+        assert g["p0_unseen_ppm"] == cnt.get(1, 0) * 1_000_000 // n
+        if cnt.get(1) and cnt.get(2):
+            assert g["rstar1_x1e6"] == 2 * cnt[2] * 1_000_000 // cnt[1]
+
+
+def test_lexical_richness_closed_forms(spark, sf_dir):
+    """Each index recomputed in Python from (N, V, V1, V2) pulled from
+    the registered hapax profile (an independent operator)."""
+    import math
+
+    hap = {
+        r["lang"]: r
+        for r in registry.get("text_hapax_legomena_profile")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    got = registry.get("text_lexical_richness_panel").fn(spark, sf_dir)
+    for r in got.collect():
+        h = hap[r["lang"]]
+        n, v, v1, v2 = (
+            h["n_tokens"],
+            h["v_types"],
+            h["v1_hapax"],
+            h["v2_dis"],
+        )
+        assert r["n_tokens"] == n and r["v_types"] == v
+        assert abs(r["guiraud_r"] - v / math.sqrt(n)) < 1e-8
+        assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 1e-8
+        assert abs(r["brunet_w"] - n ** (v**-0.165)) < 1e-4
+        if v1 < v:
+            assert (
+                abs(r["honore_r"] - 100.0 * math.log(n) / (1 - v1 / v))
+                < 1e-6
+            )
+        assert r["sichel_s_ppm"] == v2 * 1_000_000 // v
+
+
+def test_miller_madow_correction_sign_and_value(spark, sf_dir):
+    """H_MM - H_plugin must equal exactly (V-1)/(2N), and H_plugin must
+    match a Python recompute from raw token counts."""
+    import math
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("lang", "t")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in freq:
+        by_lang[r["lang"]].append(r["count"])
+    for r in (
+        registry.get("text_entropy_miller_madow").fn(spark, sf_dir).collect()
+    ):
+        cs = by_lang[r["lang"]]
+        n, v = sum(cs), len(cs)
+        h = math.log(n) - sum(c * math.log(c) for c in cs) / n
+        assert abs(r["h_plugin"] - h) < 1e-6
+        assert (
+            abs((r["h_miller_madow"] - r["h_plugin"]) - (v - 1) / (2.0 * n))
+            < 2e-9
+        )
+
+
+def test_linear_counting_vs_python(spark, sf_dir):
+    """Occupied buckets and the -m ln(z/m) estimate recomputed in
+    Python from the same portable hash."""
+    import hashlib
+    import math
+
+    users = {
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    m = 65536
+    buckets = {
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % m
+        for u in users
+    }
+    got = (
+        registry.get("sketch_linear_counting_portable")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_exact"] == len(users)
+    assert got["occupied"] == len(buckets)
+    z = m - len(buckets)
+    assert got["estimate"] == round(-m * math.log(z / m))
+
+
+def test_ams_f2_matches_python_median_of_means(spark, sf_dir):
+    """The full sketch (signs, counters, group sums, rank-4 lower
+    median) recomputed in Python from the same portable hash family."""
+    import hashlib
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    f = {r["user_id"]: r["count"] for r in rows}
+    z = [0] * 64
+    for u, c in f.items():
+        for j in range(64):
+            h = int(
+                hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:15], 16
+            )
+            z[j] += c * (1 if h % 2 == 0 else -1)
+    sums = sorted(
+        sum(z[g * 8 + i] ** 2 for i in range(8)) for g in range(8)
+    )
+    est = sums[3] // 8
+    exact = sum(c * c for c in f.values())
+    got = (
+        registry.get("sketch_ams_f2_portable").fn(spark, sf_dir).collect()[0]
+    )
+    assert got["f2_exact"] == exact
+    assert got["f2_estimate"] == est
+    # SQL div truncates toward zero (Python // floors) — mirror it
+    assert got["err_ppm"] == int((est - exact) * 1_000_000 / exact)
