@@ -4125,3 +4125,79 @@ def graph_global_efficiency_sampled(spark: SparkSession, sf_dir: str) -> DataFra
             "n_seeds", "n_nodes", "total_h_fp", "global_efficiency"
         )
     )
+
+
+@query(
+    "graph_square_count_c4",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+            SELECT u AS s, v AS d FROM e
+            UNION ALL
+            SELECT v, u FROM e
+        ),
+        cod AS (
+            SELECT x.d AS u, y.d AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM und x JOIN und y ON x.s = y.s AND x.d < y.d
+            GROUP BY 1, 2
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_codegree_pairs,
+               CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT)
+                   AS n_squares
+        FROM cod
+    """,
+    tags=("E570",),
+)
+def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-CYCLE (SQUARE) COUNT on the part co-purchase graph — the
+    quadrilateral sibling of the registered triangle count: #C4 =
+    (1/2) SUM_{u<w} C(codegree(u,w), 2), because every square has
+    exactly two vertex-disjoint diagonals.  Squares are the smallest
+    NON-CLIQUE dense motif: a graph can be triangle-free yet
+    square-rich (bipartite-like redundancy — two parts bridging the
+    same two orders repeatedly), so C4 vs triangle density separates
+    clustering-by-community from clustering-by-co-occurrence, and the
+    same codegree table is the exact unipartite analog of the
+    registered bipartite butterfly count.
+
+    Plan: wedge enumeration via one self-join of the bidirected edge
+    list on the MIDPOINT (SUM deg^2 wedge rows — the honest cost of
+    any exact square count), aggregated to the codegree table, then
+    pure integer pair algebra; c(c-1) is always even so the halvings
+    are exact.  100 TB: wedge volume is bounded by degree skew —
+    the production refinement is midpoint degree-capping + salting
+    (the registered butterfly op documents the same discipline); no
+    CartesianProduct anywhere (the gate checks)."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    x = und.select(F.col("s"), F.col("d").alias("du"))
+    y = und.select(F.col("s"), F.col("d").alias("dw"))
+    cod = (
+        x.join(y, "s")
+        .where(F.col("du") < F.col("dw"))
+        .groupBy("du", "dw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        cod.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codegree_pairs"),
+            F.expr(
+                "CAST(COALESCE(SUM(c * (c - 1) div 2), 0) div 2"
+                " AS BIGINT)"
+            ).alias("n_squares"),
+        )
+        .crossJoin(F.broadcast(ne))
+        .select("n_edges", "n_codegree_pairs", "n_squares")
+    )

@@ -6730,3 +6730,117 @@ def ml_ks_separation_statistic(
         ).alias("ks_x1e6"),
         F.round(F.min("score"), 9).alias("ks_at_score"),
     )
+
+
+WK_R1_SQL = (
+    "CASE WHEN n_chars < 200 THEN 1 WHEN n_chars < 400 THEN 2"
+    " WHEN n_chars < 800 THEN 3 WHEN n_chars < 1600 THEN 4"
+    " ELSE 5 END"
+)
+WK_R2_SQL = (
+    "CASE WHEN wc < 40 THEN 1 WHEN wc < 80 THEN 2"
+    " WHEN wc < 160 THEN 3 WHEN wc < 320 THEN 4 ELSE 5 END"
+)
+
+
+@query(
+    "ml_weighted_kappa_quadratic",
+    oracle=f"""
+        WITH rated AS (
+            SELECT {WK_R1_SQL} AS r1, {WK_R2_SQL} AS r2
+            FROM (SELECT n_chars,
+                         len(string_split(text, ' ')) AS wc
+                  FROM documents)
+        ),
+        cells AS (
+            SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM rated GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT r.i, r.row_n, c.j, c.col_n
+            FROM (SELECT r1 AS i, CAST(SUM(n) AS BIGINT) AS row_n
+                  FROM cells GROUP BY 1) r
+            CROSS JOIN (SELECT r2 AS j, CAST(SUM(n) AS BIGINT) AS col_n
+                        FROM cells GROUP BY 1) c
+        ),
+        sums AS (
+            SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS n_total,
+                   (SELECT CAST(SUM((r1 - r2) * (r1 - r2) * n) AS BIGINT)
+                    FROM cells) AS wo,
+                   (SELECT CAST(SUM((i - j) * (i - j) * row_n * col_n)
+                                AS BIGINT)
+                    FROM marg) AS we
+        )
+        SELECT n_total, wo AS weighted_disagreement,
+               CAST(1000000
+                    - CAST(wo AS HUGEINT) * n_total * 1000000 // we
+                    AS BIGINT) AS kappa_w_x1e6
+        FROM sums
+    """,
+    tags=("E569",),
+)
+def ml_weighted_kappa_quadratic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUADRATICALLY WEIGHTED COHEN'S KAPPA between two ordinal 1-5
+    document-length raters (character-bucket vs word-count-bucket —
+    deliberately correlated raters, so the statistic exercises its
+    full range): kappa_w = 1 - SUM w_ij O_ij / SUM w_ij E_ij with
+    w_ij = (i-j)^2.  THE ordinal-agreement standard (radiology
+    scales, essay scoring, LLM-judge 1-5 rubrics): unweighted kappa
+    (registered, nominal) charges a 1-vs-2 disagreement the same as
+    1-vs-5; quadratic weights charge the SQUARE of the gap, which is
+    what makes kappa_w comparable to a Pearson correlation on the
+    latent scale.  The engine surface an LLM-judge calibration
+    pipeline queries when deciding whether two rubric versions agree.
+
+    Exact: O_ij, marginals, and both weighted sums are exact BIGINTs
+    (the 5x5 weight grid is a CROSS JOIN of two 5-row marginal
+    tables); kappa_w ships as one integer cross-multiplied 1e6 fixed
+    point.  Plan: one corpus pass -> 25-cell aggregate -> scalar
+    algebra.  100 TB: sufficient-statistic shape, nothing downstream
+    of the cell table sees data scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.size(F.split(F.col("text"), " ")).alias("wc")
+    )
+    rated = d.select(
+        F.expr(WK_R1_SQL).alias("r1"), F.expr(WK_R2_SQL).alias("r2")
+    )
+    cells = rated.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rows = cells.groupBy(F.col("r1").alias("i")).agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    cols = cells.groupBy(F.col("r2").alias("j")).agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    marg = rows.crossJoin(F.broadcast(cols))
+    wo_t = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            (F.col("r1") - F.col("r2"))
+            * (F.col("r1") - F.col("r2"))
+            * F.col("n")
+        )
+        .cast("bigint")
+        .alias("wo"),
+    )
+    we_t = marg.agg(
+        F.sum(
+            (F.col("i") - F.col("j"))
+            * (F.col("i") - F.col("j"))
+            * F.col("row_n")
+            * F.col("col_n")
+        )
+        .cast("bigint")
+        .alias("we")
+    )
+    return wo_t.crossJoin(F.broadcast(we_t)).select(
+        "n_total",
+        F.col("wo").alias("weighted_disagreement"),
+        F.expr(
+            "CAST(1000000 - CAST(wo AS DECIMAL(38,0)) * n_total"
+            " * 1000000 div we AS BIGINT)"
+        ).alias("kappa_w_x1e6"),
+    )

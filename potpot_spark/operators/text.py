@@ -4897,3 +4897,129 @@ def text_entropy_miller_madow(
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ml_krippendorff_alpha_nominal",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {SC_EN} AS score_en,
+                   {SC_ES} AS score_es,
+                   {SC_FR} AS score_fr,
+                   {SC_DE} AS score_de,
+                   {SC_ZH} AS score_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang AS a,
+                   CASE
+                       WHEN score_en >= score_es AND score_en >= score_fr
+                            AND score_en >= score_de AND score_en >= score_zh
+                           THEN 'en'
+                       WHEN score_es >= score_fr AND score_es >= score_de
+                            AND score_es >= score_zh THEN 'es'
+                       WHEN score_fr >= score_de AND score_fr >= score_zh
+                           THEN 'fr'
+                       WHEN score_de >= score_zh THEN 'de'
+                       ELSE 'zh'
+                   END AS b
+            FROM scored
+        ),
+        cells AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        vals AS (
+            SELECT lang, CAST(SUM(m) AS BIGINT) AS n_c FROM (
+                SELECT a AS lang, CAST(SUM(n) AS BIGINT) AS m
+                FROM cells GROUP BY 1
+                UNION ALL
+                SELECT b, CAST(SUM(n) AS BIGINT) FROM cells GROUP BY 1
+            ) GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_units,
+                   CAST(SUM(CASE WHEN a <> b THEN n ELSE 0 END)
+                        AS BIGINT) AS n_disagree
+            FROM cells
+        ),
+        v AS (
+            SELECT CAST(SUM(n_c) AS BIGINT) AS n_pool,
+                   CAST(SUM(n_c * n_c) AS BIGINT) AS sum_sq
+            FROM vals
+        )
+        SELECT n_units, n_disagree,
+               CAST(1000000
+                    - CAST(n_pool - 1 AS HUGEINT) * 2 * n_disagree
+                      * 1000000
+                      // (CAST(n_pool AS HUGEINT) * n_pool - sum_sq)
+                    AS BIGINT) AS alpha_x1e6
+        FROM t, v
+    """.replace("{SC_EN}", _sql_count_in(LANG_PROFILES["en"]))
+     .replace("{SC_ES}", _sql_count_in(LANG_PROFILES["es"]))
+     .replace("{SC_FR}", _sql_count_in(LANG_PROFILES["fr"]))
+     .replace("{SC_DE}", _sql_count_in(LANG_PROFILES["de"]))
+     .replace("{SC_ZH}", _sql_count_in(LANG_PROFILES["zh"])),
+    tags=("E568",),
+)
+def ml_krippendorff_alpha_nominal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KRIPPENDORFF'S ALPHA (nominal metric, two raters) between the
+    tagged language labels and the stopword-profile classifier — the
+    SAME rater pair as the registered Cohen's kappa, deliberately:
+    alpha and kappa correct for chance DIFFERENTLY (alpha pools both
+    raters' label distributions into one coincidence margin; kappa
+    keeps per-rater margins), so alpha-vs-kappa divergence detects
+    rater-marginal imbalance that kappa alone hides.  Alpha is also
+    the metric annotation platforms standardize on (it generalizes to
+    missing data and many raters), so an alpha surface is what an
+    LLM-labeling QA pipeline actually asks its engine for.
+
+    For two raters, no missing data: alpha = 1 - (n-1) * SUM_off o_ck
+    / (n^2 - SUM_c n_c^2) with o the symmetric coincidence matrix,
+    n_c the pooled value marginals, n = 2N.
+
+    Exact: every mass is an exact BIGINT; alpha ships as one integer
+    cross-multiplied 1e6 fixed point (HUGEINT/DECIMAL(38,0) guards
+    n^2 near sf 1).  Plan: one classify pass, one confusion-cell
+    aggregate, O(k) marginal algebra — identical shape to the kappa
+    op it partners."""
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("tagged_lang").alias("a"), F.col("predicted_lang").alias("b")
+    )
+    cells = pred.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vals = (
+        cells.groupBy(F.col("a").alias("lang"))
+        .agg(F.sum("n").cast("bigint").alias("m"))
+        .unionAll(
+            cells.groupBy(F.col("b").alias("lang")).agg(
+                F.sum("n").cast("bigint").alias("m")
+            )
+        )
+        .groupBy("lang")
+        .agg(F.sum("m").cast("bigint").alias("n_c"))
+    )
+    t = cells.agg(
+        F.sum("n").cast("bigint").alias("n_units"),
+        F.sum(F.when(F.col("a") != F.col("b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_disagree"),
+    )
+    v = vals.agg(
+        F.sum("n_c").cast("bigint").alias("n_pool"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
+    )
+    return t.crossJoin(F.broadcast(v)).select(
+        "n_units",
+        "n_disagree",
+        F.expr(
+            "CAST(1000000 - CAST(n_pool - 1 AS DECIMAL(38,0)) * 2"
+            " * n_disagree * 1000000"
+            " div (CAST(n_pool AS DECIMAL(38,0)) * n_pool - sum_sq)"
+            " AS BIGINT)"
+        ).alias("alpha_x1e6"),
+    )

@@ -10485,3 +10485,180 @@ def timeseries_runs_up_down_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("reject_randomness_5pct"),
     )
+
+
+@query(
+    "events_inspection_paradox_audit",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                   LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS nxt_us
+            FROM events
+        ),
+        gaps AS (
+            SELECT nxt_us - t_us AS g
+            FROM seq WHERE nxt_us IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g) AS BIGINT) AS s,
+                   SUM(CAST(g AS HUGEINT) * g) AS s2
+            FROM gaps
+        )
+        SELECT n AS n_gaps,
+               CAST(s // n AS BIGINT) AS mean_gap_us,
+               CAST(s2 // s AS BIGINT) AS length_biased_mean_us,
+               CAST(s2 // (2 * s) AS BIGINT) AS mean_residual_life_us,
+               CAST(ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           - 1.0) * 1000000.0) AS BIGINT) AS cv2_x1e6
+        FROM m
+    """,
+    tags=("E571",),
+)
+def events_inspection_paradox_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSPECTION-PARADOX AUDIT of per-user inter-event gaps: the mean
+    gap E[X], the LENGTH-BIASED mean E[X^2]/E[X] (the average gap a
+    randomly-timed probe lands in), and the mean residual life
+    E[X^2]/(2 E[X]) (how long that probe waits for the next event).
+    Renewal theory's least intuitive fact, as a data-quality surface:
+    a "sample users at a random instant" experiment sees gaps
+    (1 + CV^2)x longer than the true mean — for bursty human traffic
+    (CV^2 >> 1, the registered burstiness op measures the same
+    physics) the length-biased mean can be ORDERS larger, which is
+    exactly the bias that corrupts time-sampled engagement metrics
+    and inter-arrival SLAs unless corrected with these three numbers.
+
+    Exact: gap sums and square sums are exact integers
+    (HUGEINT/DECIMAL(38,0) — g^2 reaches ~1e25 on month gaps); every
+    reported figure is an integer fixed-point division, including
+    CV^2 = n*s2/s^2 - 1 rides as ONE identical double chain over the
+    exact integer sums (n*s2 overflows 38 digits times 1e6, so the
+    dimensionless ratio is the float step), rounded to integer ppm.
+    Plan: one per-user LEAD window
+    (partition-local), one global aggregate.  100 TB: the window
+    never crosses users — repartition by user_id and it is
+    embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    gaps = (
+        e.select(
+            t_us.alias("t_us"),
+            F.lead(t_us).over(w).alias("nxt_us"),
+        )
+        .where(F.col("nxt_us").isNotNull())
+        .select((F.col("nxt_us") - F.col("t_us")).alias("g"))
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("s2"),
+    )
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_us"),
+        F.expr("CAST(s2 div s AS BIGINT)").alias("length_biased_mean_us"),
+        F.expr("CAST(s2 div (2 * s) AS BIGINT)").alias(
+            "mean_residual_life_us"
+        ),
+        F.expr(
+            "CAST(ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " - 1.0) * 1000000.0) AS BIGINT)"
+        ).alias("cv2_x1e6"),
+    )
+
+
+@query(
+    "timeseries_bollinger_bands",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                            '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        roll AS (
+            SELECT day, x,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(x) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sx,
+                   SUM(x * x) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sx2
+            FROM daily
+        )
+        SELECT day, x,
+               ROUND(sx / 7.0, 6) AS mean7,
+               ROUND(sx / 7.0 + 2.0 * sqrt((7.0 * sx2
+                     - CAST(sx AS DOUBLE) * sx) / 42.0), 6) AS upper_band,
+               ROUND(sx / 7.0 - 2.0 * sqrt((7.0 * sx2
+                     - CAST(sx AS DOUBLE) * sx) / 42.0), 6) AS lower_band,
+               x > sx / 7.0 + 2.0 * sqrt((7.0 * sx2
+                   - CAST(sx AS DOUBLE) * sx) / 42.0) AS above_upper,
+               x < sx / 7.0 - 2.0 * sqrt((7.0 * sx2
+                   - CAST(sx AS DOUBLE) * sx) / 42.0) AS below_lower
+        FROM roll WHERE rn >= 7
+        ORDER BY day
+    """,
+    tags=("E572",),
+)
+def timeseries_bollinger_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOLLINGER BANDS on the daily event-count series: 7-day rolling
+    mean +/- 2 rolling SAMPLE standard deviations, with breakout flags
+    — the volatility-ADAPTIVE control chart: the registered rolling
+    z-score asks "how far from the mean is today?", Bollinger asks
+    the operationally different "did today exit a band whose WIDTH
+    tracks recent volatility?", which self-tunes alerting through
+    regime changes (a fixed-sigma rule either floods during volatile
+    weeks or sleeps through calm ones).  The standard first chart of
+    anomaly triage on any ops/time-series dashboard.
+
+    Exact: rolling SUM(x) and SUM(x^2) are exact integers over a
+    ROWS-bounded frame (order-unambiguous — counts are integers, no
+    float accumulation), the band is ONE identical double chain
+    sqrt((7*sx2 - sx^2)/42) on exact operands (sqrt is IEEE correctly
+    rounded), rounded 1e-6; partial leading windows are excluded
+    (rn >= 7) in both engines.  Plan: one day rollup, one ordered
+    window over the ~day-count-sized series.  100 TB: the window
+    input is days, not events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.sum("x").over(w7).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w7).alias("sx2"),
+    )
+    band = F.sqrt(
+        (7.0 * F.col("sx2") - F.col("sx").cast("double") * F.col("sx"))
+        / 42.0
+    )
+    mean = F.col("sx") / 7.0
+    return (
+        roll.where(F.col("rn") >= 7)
+        .select(
+            "day",
+            "x",
+            F.round(mean, 6).alias("mean7"),
+            F.round(mean + 2.0 * band, 6).alias("upper_band"),
+            F.round(mean - 2.0 * band, 6).alias("lower_band"),
+            (F.col("x") > mean + 2.0 * band).alias("above_upper"),
+            (F.col("x") < mean - 2.0 * band).alias("below_lower"),
+        )
+        .orderBy("day")
+    )

@@ -127,11 +127,11 @@ def test_broadcast_hint_discipline():
     expected = {
         "operators/stats.py": (74, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
-        "operators/ml_features.py": (46, "1-row fit/threshold frames, vocab/centroid tables"),
+        "operators/ml_features.py": (48, "1-row fit/threshold frames, vocab/centroid tables"),
         "operators/timeseries.py": (34, "per-series scalar frames, calendars"),
-        "operators/graph.py": (32, "seeds/params + _state_bcast-gated state"),
+        "operators/graph.py": (33, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
-        "operators/text.py": (27, "df-rank tables, size-gated verify join, stopword dims"),
+        "operators/text.py": (28, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
         "operators/ivf.py": (9, "trained centroids/codebooks (declared constants)"),
         "operators/joins.py": (6, "dimension build sides (the broadcast-join ops)"),

@@ -3479,3 +3479,191 @@ def test_ams_f2_matches_python_median_of_means(spark, sf_dir):
     assert got["f2_estimate"] == est
     # SQL div truncates toward zero (Python // floors) — mirror it
     assert got["err_ppm"] == int((est - exact) * 1_000_000 / exact)
+
+
+def test_krippendorff_alpha_vs_python(spark, sf_dir):
+    """Alpha recomputed in Python from the registered kappa op's own
+    rater pairs (tagged vs predicted lang) with the textbook 2-rater
+    coincidence formula; also alpha <= 1 always."""
+    from potpot_spark.operators.text import text_lang_id
+
+    pairs = [
+        (r["tagged_lang"], r["predicted_lang"])
+        for r in text_lang_id(spark, sf_dir)
+        .select("tagged_lang", "predicted_lang")
+        .collect()
+    ]
+    from collections import Counter
+
+    n_units = len(pairs)
+    disagree = sum(1 for a, b in pairs if a != b)
+    pooled = Counter()
+    for a, b in pairs:
+        pooled[a] += 1
+        pooled[b] += 1
+    n = 2 * n_units
+    denom = n * n - sum(v * v for v in pooled.values())
+    alpha_x1e6 = 1_000_000 - (n - 1) * 2 * disagree * 1_000_000 // denom
+    got = (
+        registry.get("ml_krippendorff_alpha_nominal")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_units"] == n_units and got["n_disagree"] == disagree
+    assert got["alpha_x1e6"] == alpha_x1e6
+    assert got["alpha_x1e6"] <= 1_000_000
+
+
+def test_weighted_kappa_vs_python(spark, sf_dir):
+    """kappa_w recomputed in Python from independently rebuilt ordinal
+    ratings; perfect agreement on identical raters would be 1e6."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("n_chars", F.size(F.split(F.col("text"), " ")).alias("wc"))
+        .collect()
+    )
+
+    def b1(c):
+        return 1 if c < 200 else 2 if c < 400 else 3 if c < 800 else 4 if c < 1600 else 5
+
+    def b2(w):
+        return 1 if w < 40 else 2 if w < 80 else 3 if w < 160 else 4 if w < 320 else 5
+
+    from collections import Counter
+
+    cells = Counter((b1(r["n_chars"]), b2(r["wc"])) for r in rows)
+    n = sum(cells.values())
+    wo = sum((i - j) ** 2 * c for (i, j), c in cells.items())
+    rowm, colm = Counter(), Counter()
+    for (i, j), c in cells.items():
+        rowm[i] += c
+        colm[j] += c
+    we = sum(
+        (i - j) ** 2 * rowm[i] * colm[j] for i in rowm for j in colm
+    )
+    got = (
+        registry.get("ml_weighted_kappa_quadratic")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_total"] == n and got["weighted_disagreement"] == wo
+    assert got["kappa_w_x1e6"] == 1_000_000 - wo * n * 1_000_000 // we
+
+
+def test_square_count_on_known_graphs(spark, sf_dir):
+    """The codegree identity on hand graphs: C4 (the 4-cycle) has
+    exactly 1 square; K4 has 3; a path has 0.  Verified by running the
+    same pair algebra in Python, then the operator's own output must
+    satisfy the identity against a brute 4-cycle enumeration on the
+    sf0.001 co-purchase graph."""
+    from itertools import combinations
+
+    def squares_bruteforce(edges):
+        nodes = {x for e in edges for x in e}
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = 0
+        for quad in combinations(sorted(nodes), 4):
+            # count 4-cycles on this quad: each cyclic ordering
+            for perm in [
+                (quad[0], quad[1], quad[2], quad[3]),
+                (quad[0], quad[1], quad[3], quad[2]),
+                (quad[0], quad[2], quad[1], quad[3]),
+            ]:
+                a, b, c, d = perm
+                if (
+                    b in adj[a]
+                    and c in adj[b]
+                    and d in adj[c]
+                    and a in adj[d]
+                ):
+                    cnt += 1
+        return cnt
+
+    def squares_codegree(edges):
+        nodes = {x for e in edges for x in e}
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tot = 0
+        for u, w in combinations(sorted(nodes), 2):
+            c = len(adj[u] & adj[w])
+            tot += c * (c - 1) // 2
+        return tot // 2
+
+    c4 = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(1, 2), (2, 3), (3, 4)]
+    for g, want in [(c4, 1), (k4, 3), (path, 0)]:
+        assert squares_bruteforce(g) == want
+        assert squares_codegree(g) == want
+
+    from potpot_spark.operators.graph import part_copurchase_edges
+
+    edges = [
+        (r["u"], r["v"])
+        for r in part_copurchase_edges(spark, sf_dir).collect()
+    ]
+    got = registry.get("graph_square_count_c4").fn(spark, sf_dir).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["n_squares"] == squares_codegree(edges)
+
+
+def test_inspection_paradox_identities(spark, sf_dir):
+    """length_biased = mean*(1+CV^2) up to fixed-point floors, residual
+    = length_biased/2, and length-biased >= mean (Cauchy-Schwarz)."""
+    got = (
+        registry.get("events_inspection_paradox_audit")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["length_biased_mean_us"] >= got["mean_gap_us"]
+    assert (
+        abs(got["mean_residual_life_us"] * 2 - got["length_biased_mean_us"])
+        <= 1
+    )
+    implied = got["mean_gap_us"] * (1.0 + got["cv2_x1e6"] / 1e6)
+    assert (
+        abs(implied - got["length_biased_mean_us"])
+        / got["length_biased_mean_us"]
+        < 1e-3
+    )
+
+
+def test_bollinger_bands_window_math(spark, sf_dir):
+    """Bands recomputed in Python from the daily series with a 7-day
+    trailing window and sample std; band symmetry around the mean."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    xs = [(r["day"], r["count"]) for r in rows]
+    got = {
+        r["day"]: r
+        for r in registry.get("timeseries_bollinger_bands")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == max(0, len(xs) - 6)
+    for i in range(6, len(xs)):
+        day = xs[i][0]
+        w = [x for _, x in xs[i - 6 : i + 1]]
+        mean = sum(w) / 7.0
+        var = sum((v - mean) ** 2 for v in w) / 6.0
+        r = got[day]
+        assert abs(r["mean7"] - mean) < 1e-5
+        assert abs(r["upper_band"] - (mean + 2 * math.sqrt(var))) < 1e-4
+        assert abs(
+            (r["upper_band"] - r["mean7"]) - (r["mean7"] - r["lower_band"])
+        ) < 1e-5
+        assert r["above_upper"] == (w[-1] > mean + 2 * math.sqrt(var)) or abs(
+            w[-1] - (mean + 2 * math.sqrt(var))
+        ) < 1e-9
