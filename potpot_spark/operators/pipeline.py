@@ -2762,3 +2762,79 @@ def pipeline_shuffle_resume_offset(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("next_batch_id_checksum"),
     )
+
+
+def _loop_cond_sql(p: int) -> str:
+    """Tail repeats with period p at least twice: the last 2p chars are
+    two identical p-blocks."""
+    w = 2 * p
+    return (
+        f"(length(s) >= {w} AND substring(right(s, {w}), 1, {p})"
+        f" = substring(right(s, {w}), {p + 1}, {p}))"
+    )
+
+
+_LOOP_MIN_P_SQL = "CASE " + " ".join(
+    f"WHEN {_loop_cond_sql(p)} THEN {p}" for p in range(1, 13)
+) + " END"
+
+
+@query(
+    "pipeline_repetition_loop_detector",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, right(text, 120) AS s FROM documents
+        ),
+        flags AS (
+            SELECT source, {_LOOP_MIN_P_SQL} AS min_p FROM t
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN min_p IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_looping,
+               CAST(SUM(CASE WHEN min_p IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS loop_ppm,
+               CAST(MIN(min_p) AS BIGINT) AS min_period
+        FROM flags GROUP BY source ORDER BY source
+    """,
+    tags=("E575",),
+)
+def pipeline_repetition_loop_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGENERATE-LOOP TAIL DETECTOR per source: a document whose final
+    characters repeat with period p <= 12 ("the end the end", "!!!!",
+    "ababab") — the signature failure mode of greedy/low-temperature
+    LLM decoding and of template-generated spam, checked on the LAST
+    120 chars because loops that reach the end of a document are the
+    ones decoding got stuck in (mid-document repetition is the
+    registered Gopher repetition filter's job; this op is the
+    TERMINAL-loop specialist that flags synthetic contamination in a
+    pretraining corpus).  Reports the smallest repeating period per
+    source — period 1 is character runs, larger periods are phrase
+    loops.
+
+    Exact: pure substring equality on fixed windows (the period-p test
+    compares the last two p-blocks), a 12-arm CASE, integer counts and
+    ppm.  Plan: one corpus scan with column-pruned text tails, one
+    per-source aggregate.  100 TB: embarrassingly parallel, no
+    shuffle beyond the ~|sources| rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.select(
+        "source", F.expr("right(text, 120)").alias("s")
+    ).select("source", F.expr(_LOOP_MIN_P_SQL).alias("min_p"))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("min_p").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_looping"),
+            F.expr(
+                "CAST(SUM(CASE WHEN min_p IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("loop_ppm"),
+            F.min("min_p").cast("bigint").alias("min_period"),
+        )
+        .orderBy("source")
+    )

@@ -2906,3 +2906,127 @@ def embedding_jl_projection_distortion(
         .cast("bigint")
         .alias("n_within_band"),
     )
+
+
+@query(
+    "embedding_triplet_violation_rate",
+    oracle=f"""
+        WITH ve AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        ord AS (
+            SELECT vec_id, label,
+                   LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id)
+                       AS pos_id,
+                   LEAD(vec_id) OVER (ORDER BY vec_id) AS gnext_id,
+                   LEAD(label) OVER (ORDER BY vec_id) AS gnext_label
+            FROM ve
+        ),
+        tri AS (
+            SELECT vec_id AS anchor_id, pos_id, gnext_id AS neg_id
+            FROM ord
+            WHERE pos_id IS NOT NULL AND gnext_label IS NOT NULL
+              AND gnext_label <> label
+        ),
+        scored AS (
+            SELECT CAST(ROUND(
+                {_fold_sql("list_transform(range(64), j -> ae.e[j+1] * pe.e[j+1])")}
+                / (SQRT({_fold_sql("list_transform(range(64), j -> ae.e[j+1] * ae.e[j+1])")})
+                   * SQRT({_fold_sql("list_transform(range(64), j -> pe.e[j+1] * pe.e[j+1])")}))
+                - {_fold_sql("list_transform(range(64), j -> ae.e[j+1] * ne.e[j+1])")}
+                / (SQRT({_fold_sql("list_transform(range(64), j -> ae.e[j+1] * ae.e[j+1])")})
+                   * SQRT({_fold_sql("list_transform(range(64), j -> ne.e[j+1] * ne.e[j+1])")}))
+                , 9) AS DECIMAL(28,9)) AS margin
+            FROM tri
+            JOIN ve ae ON ae.vec_id = tri.anchor_id
+            JOIN ve pe ON pe.vec_id = tri.pos_id
+            JOIN ve ne ON ne.vec_id = tri.neg_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+               CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS violation_ppm,
+               ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 9)
+                   AS avg_margin
+        FROM scored
+    """,
+    tags=("E576",),
+)
+def embedding_triplet_violation_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIPLET-ORDERING AUDIT of the embedding space: deterministic
+    (anchor, positive, negative) triplets — positive = the next vec_id
+    within the anchor's label, negative = the next vec_id globally
+    when its label differs — and the fraction where cos(a,pos) <
+    cos(a,neg).  The metric-learning acceptance test (the triplet loss
+    objective evaluated as a rate): violation_ppm is what a contrastive
+    training run is supposed to drive toward 0, and a RISING rate
+    between two embedding versions is the regression signal that
+    matters even when absolute recall metrics look flat.  The
+    registered cluster-purity and hubness ops grade the space's
+    STRUCTURE; this grades its ORDER — the property retrieval actually
+    uses.  Deterministic id-order pairing keeps the audit reproducible
+    run-over-run (no RNG), the same doctrine as every sampler in the
+    engine.
+
+    Exact: both cosines are the engine's standard left-fold chains
+    (bit-equal in DuckDB via list_reduce), the margin is rounded once
+    to DECIMAL(28,9) so the order-free mean is exact; counts and ppm
+    are integers.  Plan: two LEAD windows (one per-label, one global)
+    + three id-equi joins on the embeddings table.  100 TB: windows
+    are per-label/ordered-scan shapes; the joins are id-hash
+    co-partitionable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    wg = Window.orderBy("vec_id")
+    ordd = ve.select(
+        "vec_id",
+        "label",
+        F.lead("vec_id").over(wl).alias("pos_id"),
+        F.lead("vec_id").over(wg).alias("gnext_id"),
+        F.lead("label").over(wg).alias("gnext_label"),
+    )
+    tri = ordd.where(
+        F.col("pos_id").isNotNull()
+        & F.col("gnext_label").isNotNull()
+        & (F.col("gnext_label") != F.col("label"))
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        "pos_id",
+        F.col("gnext_id").alias("neg_id"),
+    )
+    ae = ve.select(F.col("vec_id").alias("anchor_id"), F.col("e").alias("ea"))
+    pe = ve.select(F.col("vec_id").alias("pos_id"), F.col("e").alias("ep"))
+    ne = ve.select(F.col("vec_id").alias("neg_id"), F.col("e").alias("en"))
+    scored = (
+        tri.join(ae, "anchor_id")
+        .join(pe, "pos_id")
+        .join(ne, "neg_id")
+        .select(
+            F.round(
+                cosine(F.col("ea"), F.col("ep"))
+                - cosine(F.col("ea"), F.col("en")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("margin")
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+        F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.expr(
+            "CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("violation_ppm"),
+        F.round(F.sum("margin").cast("double") / F.count(F.lit(1)), 9).alias(
+            "avg_margin"
+        ),
+    )

@@ -10705,3 +10705,82 @@ def sketch_ams_f2_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("f2_exact", "n_counters", "f2_estimate", "err_ppm")
     )
+
+
+FD_PAIRS = [
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+]
+
+
+def _fd_oracle_one(table: str, det: str, dep: str) -> str:
+    return f"""
+        SELECT '{table}.{det}->{dep}' AS fd,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT det) AS BIGINT) AS n_det_values,
+               CAST((SUM(c) - SUM(mx)) * 1000000 // SUM(c) AS BIGINT)
+                   AS violation_ppm,
+               SUM(mx) = SUM(c) AS holds
+        FROM (
+            SELECT det, MAX(c) AS mx, SUM(c) AS c FROM (
+                SELECT {det} AS det, {dep} AS dep,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM {table} GROUP BY 1, 2
+            ) GROUP BY det
+        )
+    """
+
+
+@query(
+    "profile_functional_dependencies",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_one(t, a, b) for t, a, b in FD_PAIRS
+    )
+    + " ORDER BY fd",
+    tags=("E573",),
+)
+def profile_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPROXIMATE FUNCTIONAL-DEPENDENCY discovery over a declared
+    candidate set: for each A -> B, the violation rate
+    1 - SUM_a max_b |(a,b)| / N — the g3 error of the FD-mining
+    literature (TANE/FDEP lineage), i.e. the minimum fraction of rows
+    one would have to delete for the dependency to hold exactly.
+    THE schema-profiling primitive: exact FDs expose denormalization
+    and candidate keys (o_orderkey -> o_orderstatus holds by key-ness
+    — the built-in control), near-FDs (violation_ppm just above 0)
+    expose dirty dimensions and soft business rules worth enforcing,
+    and the per-pair n_det_values says whether the determinant is
+    key-like or categorical.
+
+    Exact: per-pair cell counts, per-determinant maxima, and the g3
+    numerator are all exact integers; violation ships as integer ppm.
+    Plan: per pair one (det, dep) aggregate -> one det-grain max
+    aggregate — two map-side-combinable shuffles per pair, unioned.
+    100 TB: each pair is one pass over its table's two columns
+    (column-pruned scan); candidate sets in production are pruned by
+    the profiler before this op prices them."""
+    out = None
+    for table, det, dep in FD_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        cells = t.groupBy(
+            F.col(det).alias("det"), F.col(dep).alias("dep")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        per_det = cells.groupBy("det").agg(
+            F.max("c").alias("mx"), F.sum("c").alias("c")
+        )
+        one = per_det.agg(
+            F.lit(f"{table}.{det}->{dep}").alias("fd"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.countDistinct("det").cast("bigint").alias("n_det_values"),
+            F.expr(
+                "CAST((SUM(c) - SUM(mx)) * 1000000 div SUM(c) AS BIGINT)"
+            ).alias("violation_ppm"),
+            (F.sum("mx") == F.sum("c")).alias("holds"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("fd")

@@ -5023,3 +5023,119 @@ def ml_krippendorff_alpha_nominal(
             " AS BIGINT)"
         ).alias("alpha_x1e6"),
     )
+
+
+@query(
+    "text_case_folding_collision_audit",
+    oracle="""
+        WITH norm AS (
+            SELECT text,
+                   lower(text) AS folded,
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g'))
+                       AS squeezed
+            FROM documents
+        ),
+        raw_g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM norm GROUP BY text HAVING COUNT(*) > 1
+        ),
+        fold_g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(DISTINCT text) AS nd
+            FROM norm GROUP BY folded HAVING COUNT(*) > 1
+        ),
+        sq_g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(DISTINCT folded) AS nd
+            FROM norm GROUP BY squeezed HAVING COUNT(*) > 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM norm) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM raw_g)
+                   AS raw_dup_groups,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fold_g)
+                   AS casefold_dup_groups,
+               (SELECT CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                FROM fold_g) AS casefold_only_groups,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sq_g)
+                   AS squeeze_dup_groups,
+               (SELECT CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                FROM sq_g) AS squeeze_only_groups
+    """,
+    tags=("E574",),
+)
+def text_case_folding_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NORMALIZATION-COLLISION AUDIT for the dedup key ladder: how many
+    duplicate groups exist under (a) raw text equality, (b) case
+    folding, (c) case folding + whitespace squeezing — and, the
+    decision-relevant numbers, how many groups collide ONLY because of
+    each normalization step (folded groups containing >1 distinct raw
+    text; squeezed groups containing >1 distinct folded text).  This
+    is the measurement behind choosing dedup_exact's key: if
+    casefold_only_groups is ~0, normalization buys nothing and raw
+    hashing is safe; if it is material, the exact-dedup pass silently
+    under-deduplicates relative to the near-dup pass and the corpus
+    card should say which key was used.  The registered
+    dedup_url_canonicalize applies the same doctrine to URLs; this op
+    prices it for body text.
+
+    Exact: all counts are exact integers from three GROUP BYs on
+    progressively normalized keys.  Plan: three corpus-scan aggregates
+    (hash-groupBy each, map-side combinable); at 100 TB one would hash
+    the normalized keys (the registered portable hash) instead of
+    grouping raw strings — same counts, bounded shuffle width."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "text",
+        F.lower(F.col("text")).alias("folded"),
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), " +", " ")
+        ).alias("squeezed"),
+    )
+    raw_g = (
+        norm.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    fold_g = (
+        norm.groupBy("folded")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("text").alias("nd"),
+        )
+        .where(F.col("n") > 1)
+    )
+    sq_g = (
+        norm.groupBy("squeezed")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("folded").alias("nd"),
+        )
+        .where(F.col("n") > 1)
+    )
+    only = lambda df: df.agg(  # noqa: E731
+        F.coalesce(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    n_docs = norm.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    counts = [
+        raw_g.agg(F.count(F.lit(1)).cast("bigint").alias("raw_dup_groups")),
+        fold_g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("casefold_dup_groups")
+        ),
+        only(fold_g).select(F.col("x").alias("casefold_only_groups")),
+        sq_g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("squeeze_dup_groups")
+        ),
+        only(sq_g).select(F.col("x").alias("squeeze_only_groups")),
+    ]
+    out = n_docs
+    for c in counts:
+        out = out.crossJoin(F.broadcast(c))
+    return out

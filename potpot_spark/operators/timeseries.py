@@ -10662,3 +10662,100 @@ def timeseries_bollinger_bands(
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_record_highs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        run AS (
+            SELECT x,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   MAX(x) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prevmax
+            FROM daily
+        ),
+        terms AS (
+            SELECT CASE WHEN prevmax IS NULL OR x > prevmax
+                        THEN 1 ELSE 0 END AS is_rec,
+                   CAST(ROUND(1.0 / rn, 12) AS DECIMAL(28,12)) AS h1,
+                   CAST(ROUND(1.0 / (CAST(rn AS DOUBLE) * rn), 12)
+                        AS DECIMAL(28,12)) AS h2
+            FROM run
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(is_rec) AS BIGINT) AS n_records,
+               ROUND(CAST(SUM(h1) AS DOUBLE), 9) AS expected_records,
+               ROUND((SUM(is_rec) - CAST(SUM(h1) AS DOUBLE))
+                     / sqrt(CAST(SUM(h1) AS DOUBLE)
+                            - CAST(SUM(h2) AS DOUBLE)), 9) AS z
+        FROM terms
+    """,
+    tags=("E577",),
+)
+def timeseries_record_highs_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECORDS TEST on the daily event-count series: the number of
+    running-maximum records R vs its exchangeability-null moments
+    E[R] = H_n (the harmonic number) and Var[R] = H_n - H_n^(2) —
+    under no trend, the k-th day is a record with probability exactly
+    1/k INDEPENDENTLY (the classical records process), so a z-score on
+    R is a trend test that needs NO distributional assumptions and is
+    invariant to any monotone transform of the values.  Complements
+    the registered Mann-Kendall (all-pairs ordering) and runs tests:
+    records are maximally tail-sensitive — a single regime shift late
+    in the window moves R where pair statistics dilute it.  Ties
+    break conservatively (a tie with the running max is NOT a record),
+    the standard discrete convention.
+
+    Exact: records and ranks are integers; H_n and H_n^(2) accumulate
+    as ROUND(1/k, 12) DECIMAL terms (order-free exact sums of
+    identically quantized per-day values); the z is one double chain.
+    Plan: one day rollup, one ordered window over days, one aggregate.
+    100 TB: the window input is days, not events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    run = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.max("x")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("prevmax"),
+    )
+    terms = run.select(
+        F.when(
+            F.col("prevmax").isNull() | (F.col("x") > F.col("prevmax")), 1
+        )
+        .otherwise(0)
+        .alias("is_rec"),
+        F.expr("CAST(ROUND(1.0 / rn, 12) AS DECIMAL(28,12))").alias("h1"),
+        F.expr(
+            "CAST(ROUND(1.0 / (CAST(rn AS DOUBLE) * rn), 12)"
+            " AS DECIMAL(28,12))"
+        ).alias("h2"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("is_rec").cast("bigint").alias("n_records"),
+        F.round(F.sum("h1").cast("double"), 9).alias("expected_records"),
+        F.round(
+            (F.sum("is_rec") - F.sum("h1").cast("double"))
+            / F.sqrt(
+                F.sum("h1").cast("double") - F.sum("h2").cast("double")
+            ),
+            9,
+        ).alias("z"),
+    )

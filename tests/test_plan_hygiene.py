@@ -131,7 +131,7 @@ def test_broadcast_hint_discipline():
         "operators/timeseries.py": (34, "per-series scalar frames, calendars"),
         "operators/graph.py": (33, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
-        "operators/text.py": (28, "df-rank tables, size-gated verify join, stopword dims"),
+        "operators/text.py": (29, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
         "operators/ivf.py": (9, "trained centroids/codebooks (declared constants)"),
         "operators/joins.py": (6, "dimension build sides (the broadcast-join ops)"),

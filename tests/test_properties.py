@@ -3667,3 +3667,176 @@ def test_bollinger_bands_window_math(spark, sf_dir):
         assert r["above_upper"] == (w[-1] > mean + 2 * math.sqrt(var)) or abs(
             w[-1] - (mean + 2 * math.sqrt(var))
         ) < 1e-9
+
+
+def test_functional_dependencies_g3_semantics(spark, sf_dir):
+    """The key-ness control must hold exactly (o_orderkey is unique in
+    orders), a known-violated pair must not, and every violation rate
+    must match a Python g3 recompute."""
+    from collections import Counter, defaultdict
+
+    got = {
+        r["fd"]: r
+        for r in registry.get("profile_functional_dependencies")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got["orders.o_orderkey->o_orderstatus"]["holds"]
+    assert got["orders.o_orderkey->o_orderstatus"]["violation_ppm"] == 0
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    )
+    per_det = defaultdict(Counter)
+    for r in rows:
+        per_det[r["l_orderkey"]][r["l_returnflag"]] += 1
+    n = len(rows)
+    keep = sum(max(c.values()) for c in per_det.values())
+    want_ppm = (n - keep) * 1_000_000 // n
+    g = got["lineitem.l_orderkey->l_returnflag"]
+    assert g["n_rows"] == n and g["n_det_values"] == len(per_det)
+    assert g["violation_ppm"] == want_ppm
+    assert g["holds"] == (keep == n)
+
+
+def test_case_folding_audit_monotonicity(spark, sf_dir):
+    """Normalization can only merge groups: squeeze groups >= casefold
+    groups >= raw groups in the docs they cover; '-only' counts are
+    bounded by their group counts; and the casefold-only count matches
+    a Python recompute."""
+    from collections import defaultdict
+
+    got = (
+        registry.get("text_case_folding_collision_audit")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    assert got["n_docs"] == len(texts)
+    fold_groups = defaultdict(set)
+    fold_counts = defaultdict(int)
+    for t in texts:
+        fold_groups[t.lower()].add(t)
+        fold_counts[t.lower()] += 1
+    cf_groups = sum(1 for k, n in fold_counts.items() if n > 1)
+    cf_only = sum(
+        1
+        for k, n in fold_counts.items()
+        if n > 1 and len(fold_groups[k]) > 1
+    )
+    assert got["casefold_dup_groups"] == cf_groups
+    assert got["casefold_only_groups"] == cf_only
+    assert got["casefold_only_groups"] <= got["casefold_dup_groups"]
+    assert got["squeeze_only_groups"] <= got["squeeze_dup_groups"]
+
+
+def test_loop_detector_hand_cases_and_rate(spark, sf_dir):
+    """The period test on hand strings (via the same SQL CASE run over
+    a tiny injected frame), and per-source counts are consistent."""
+    from potpot_spark.operators.pipeline import _LOOP_MIN_P_SQL
+
+    cases = [
+        "xxxxxx",            # char run -> period 1
+        "hello ababab",      # "ab" loop -> period 2
+        "the end the end ",  # phrase loop "the end " -> period 8
+        "no loop here!",     # clean tail -> NULL
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], ["text"]).select(
+        F.expr("right(text, 120)").alias("s")
+    )
+    got = [r[0] for r in df.select(F.expr(_LOOP_MIN_P_SQL)).collect()]
+    assert got == [1, 2, 8, None]
+    rows = (
+        registry.get("pipeline_repetition_loop_detector")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    for r in rows:
+        assert 0 <= r["n_looping"] <= r["n_docs"]
+        assert r["loop_ppm"] == r["n_looping"] * 1_000_000 // r["n_docs"]
+        if r["n_looping"] == 0:
+            assert r["min_period"] is None
+
+
+def test_triplet_violation_python_recompute(spark, sf_dir):
+    """Triplets and margins recomputed in Python (same deterministic
+    id-order pairing, same cosine) from the raw embeddings."""
+    import math
+
+    rows = sorted(
+        (
+            (r["vec_id"], r["label"], [float(x) for x in r["embedding"]])
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    by_label = {}
+    emb = {}
+    for vid, lab, e in rows:
+        emb[vid] = e
+        by_label.setdefault(lab, []).append(vid)
+    pos_of = {}
+    for lab, ids in by_label.items():
+        for a, b in zip(ids, ids[1:]):
+            pos_of[a] = b
+    tri = []
+    for (vid, lab, _), (nid, nlab, _) in zip(rows, rows[1:]):
+        if vid in pos_of and nlab != lab:
+            tri.append((vid, pos_of[vid], nid))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(x * x for x in b))
+        )
+
+    margins = [
+        round(cos(emb[a], emb[p]) - cos(emb[a], emb[n]), 9)
+        for a, p, n in tri
+    ]
+    viol = sum(1 for m in margins if m < 0)
+    got = (
+        registry.get("embedding_triplet_violation_rate")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_triplets"] == len(tri)
+    assert got["n_violations"] == viol
+    assert abs(got["avg_margin"] - sum(margins) / len(margins)) < 1e-6
+
+
+def test_record_highs_brute(spark, sf_dir):
+    """Records, H_n, and z recomputed from the raw daily series."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["count"] for r in rows]
+    recs, mx = 0, None
+    for x in xs:
+        if mx is None or x > mx:
+            recs += 1
+            mx = x
+    n = len(xs)
+    h1 = sum(1.0 / k for k in range(1, n + 1))
+    h2 = sum(1.0 / (k * k) for k in range(1, n + 1))
+    got = (
+        registry.get("timeseries_record_highs_test")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_days"] == n and got["n_records"] == recs
+    assert abs(got["expected_records"] - h1) < 1e-6
+    assert abs(got["z"] - (recs - h1) / math.sqrt(h1 - h2)) < 1e-6
