@@ -4201,3 +4201,109 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ne))
         .select("n_edges", "n_codegree_pairs", "n_squares")
     )
+
+
+@query(
+    "graph_effective_diameter_sampled",
+    oracle=f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(seed, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            WHERE node % {HC_SEED_MOD} = 0
+            UNION
+            SELECT r.seed, s.dst, r.dist + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.dist < {HC_MAX_HOPS}
+        ),
+        best AS (
+            SELECT seed, node, MIN(dist) AS dist
+            FROM reach GROUP BY seed, node
+        ),
+        hist AS (
+            SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM best WHERE dist > 0 GROUP BY dist
+        ),
+        cum AS (
+            SELECT dist, n_pairs,
+                   SUM(n_pairs) OVER (ORDER BY dist) AS cum,
+                   SUM(n_pairs) OVER () AS tot,
+                   SUM(dist * n_pairs) OVER () AS dsum
+            FROM hist
+        )
+        SELECT CAST(MAX(tot) AS BIGINT) AS n_pairs,
+               CAST(MAX(dsum) * 1000000 // MAX(tot) AS BIGINT)
+                   AS mean_dist_x1e6,
+               CAST(MIN(CASE WHEN 2 * cum >= tot THEN dist END)
+                    AS BIGINT) AS median_dist,
+               CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN dist END)
+                    AS BIGINT) AS effective_diameter_90,
+               CAST(MAX(dist) AS BIGINT) AS max_dist
+        FROM cum
+    """,
+    tags=("E583",),
+)
+def graph_effective_diameter_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED EFFECTIVE DIAMETER of the co-purchase graph: the
+    distance distribution over (seed, node) shortest-path pairs from
+    the engine's standard seed working set, summarized as mean
+    distance, median, the 90th-percentile "effective diameter" (the
+    number the graph-mining literature reports instead of the
+    outlier-dominated true diameter — ANF/HyperANF's headline output),
+    and the observed max (= eccentricity ceiling under the hop cap).
+    Six-degrees analytics for the catalog: how many hops of
+    "frequently bought together" cover 90%% of reachable parts —
+    THE locality number that prices any graph-join fanout.
+
+    Plan: ONE aggregate over the hc_seed_reach SHARED intermediate
+    (the multi-source BFS built once per session for harmonic/
+    eccentricity/betweenness — this op's marginal cost is a
+    histogram over an already-materialized table, the entire point of
+    the shared-intermediate discipline).  Exact: distances are
+    integers, the histogram and cumulative shares are exact integer
+    algebra (2*cum >= tot median convention, 10*cum >= 9*tot for the
+    90th), mean ships as integer ppm.  100 TB: the reach table is
+    seeds x nodes bounded; the histogram is <= {HC_MAX_HOPS} rows."""
+    reach, _ = hc_seed_reach(spark, sf_dir)
+    best = reach.select("seed", "node", "dist").where(F.col("dist") > 0)
+    hist = best.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    cum = hist.select(
+        "dist",
+        "n_pairs",
+        F.sum("n_pairs").over(Window.orderBy("dist")).alias("cum"),
+        F.sum("n_pairs").over(Window.partitionBy()).alias("tot"),
+        F.sum(F.col("dist") * F.col("n_pairs"))
+        .over(Window.partitionBy())
+        .alias("dsum"),
+    )
+    return cum.agg(
+        F.max("tot").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(MAX(dsum) * 1000000 div MAX(tot) AS BIGINT)"
+        ).alias("mean_dist_x1e6"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("dist")))
+        .cast("bigint")
+        .alias("median_dist"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("dist"))
+        )
+        .cast("bigint")
+        .alias("effective_diameter_90"),
+        F.max("dist").cast("bigint").alias("max_dist"),
+    )

@@ -10784,3 +10784,959 @@ def profile_functional_dependencies(
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("fd")
+
+
+@query(
+    "stats_quade_test",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT d.day, t.event_type, COALESCE(x.c, 0) AS c
+            FROM (SELECT DISTINCT day FROM daily) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+            LEFT JOIN daily x
+              ON x.day = d.day AND x.event_type = t.event_type
+        ),
+        ranked AS (
+            SELECT day, event_type, c,
+                   2 * rank() OVER (PARTITION BY day ORDER BY c)
+                     + COUNT(*) OVER (PARTITION BY day, c) - 1 AS ar2
+            FROM cells
+        ),
+        ranges AS (
+            SELECT day, CAST(MAX(c) - MIN(c) AS BIGINT) AS rng
+            FROM cells GROUP BY day
+        ),
+        weights AS (
+            SELECT day,
+                   2 * rank() OVER (ORDER BY rng)
+                     + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+            FROM ranges
+        ),
+        dims AS (
+            SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+            FROM cells
+        ),
+        sbj AS (
+            SELECT r.event_type,
+                   CAST(w.q2 * (r.ar2 - (d.k + 1)) AS BIGINT) AS s4,
+                   CAST(w.q2 AS BIGINT) * w.q2
+                       * (r.ar2 - (d.k + 1)) * (r.ar2 - (d.k + 1))
+                       AS a16
+            FROM ranked r
+            JOIN weights w ON w.day = r.day
+            CROSS JOIN dims d
+        ),
+        sj AS (
+            SELECT event_type, CAST(SUM(s4) AS BIGINT) AS s_j4,
+                   CAST(SUM(a16) AS BIGINT) AS a16
+            FROM sbj GROUP BY event_type
+        )
+        SELECT d.n AS n_blocks, d.k AS k_treatments,
+               CAST(CAST(d.n - 1 AS HUGEINT)
+                    * (SELECT SUM(CAST(s_j4 AS HUGEINT) * s_j4) FROM sj)
+                    * 1000000
+                    // (d.n * (SELECT SUM(a16) FROM sj)
+                        - (SELECT SUM(CAST(s_j4 AS HUGEINT) * s_j4)
+                           FROM sj)) AS BIGINT) AS quade_f_x1e6
+        FROM dims d
+    """,
+    tags=("E578",),
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADE TEST on the Friedman fixture (blocks = days, treatments =
+    event types): Friedman weighted by block INFORMATIVENESS — each
+    day gets weight Q_b = rank of its within-day range, S_bj =
+    Q_b (r_bj - (k+1)/2), and F = (n-1) SUM_j S_j^2 / (A - SUM S_j^2/n)
+    with A = SUM_bj S_bj^2.  Quade beats Friedman exactly when
+    treatment effects scale with block magnitude (high-traffic days
+    separate event types more) — the standard k<=5-treatments
+    recommendation in the nonparametric texts, and the discrepancy
+    between the two tests is itself the diagnostic for
+    block-proportional effects.
+
+    Exact: midranks ride as the engine's ar2 = 2*rank + ties - 1
+    integers (the Friedman discipline), block weights as the same
+    trick on ranges (q2), S_bj*4 = q2*(ar2-(k+1)) and A*16 are pure
+    integers, and the F statistic ships as ONE integer
+    cross-multiplied 1e6 fixed point (HUGEINT for the squared sums).
+    Plan: the Friedman plan + one range aggregate + one tiny rank
+    window over days.  100 TB: windows run on the day x type grid,
+    not events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    cells = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ranked = cells.select(
+        "day",
+        "event_type",
+        "c",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "c"))
+            - 1
+        ).alias("ar2"),
+    )
+    ranges = cells.groupBy("day").agg(
+        (F.max("c") - F.min("c")).cast("bigint").alias("rng")
+    )
+    weights = ranges.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("rng"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rng"))
+            - 1
+        ).alias("q2"),
+    )
+    dims = cells.agg(
+        F.countDistinct("day").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    sbj = (
+        ranked.join(weights, "day")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "event_type",
+            (F.col("q2") * (F.col("ar2") - (F.col("k") + 1)))
+            .cast("bigint")
+            .alias("s4"),
+            (
+                F.col("q2").cast("bigint")
+                * F.col("q2")
+                * (F.col("ar2") - (F.col("k") + 1))
+                * (F.col("ar2") - (F.col("k") + 1))
+            ).alias("a16"),
+        )
+    )
+    sj = sbj.groupBy("event_type").agg(
+        F.sum("s4").cast("bigint").alias("s_j4"),
+        F.sum("a16").cast("bigint").alias("a16"),
+    )
+    tot = sj.agg(
+        F.sum(F.expr("CAST(s_j4 AS DECIMAL(38,0)) * s_j4")).alias("ss"),
+        F.sum("a16").alias("a16"),
+    )
+    return (
+        dims.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.expr(
+                "CAST(CAST(n - 1 AS DECIMAL(38,0)) * ss * 1000000"
+                " div (n * a16 - ss) AS BIGINT)"
+            ).alias("quade_f_x1e6"),
+        )
+    )
+
+
+@query(
+    "ml_spiegelhalter_z_calibration",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   LEAST(GREATEST(value / 500.0, 0.001), 0.999) AS p
+            FROM events
+        ),
+        terms AS (
+            SELECT CAST(ROUND((y - p) * (1.0 - 2.0 * p), 12)
+                        AS DECIMAL(28,12)) AS num_t,
+                   CAST(ROUND((1.0 - 2.0 * p) * (1.0 - 2.0 * p)
+                              * p * (1.0 - p), 12)
+                        AS DECIMAL(28,12)) AS den_t
+            FROM scored
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(num_t) AS DOUBLE)
+                     / sqrt(CAST(SUM(den_t) AS DOUBLE)), 9) AS z,
+               ABS(CAST(SUM(num_t) AS DOUBLE)
+                   / sqrt(CAST(SUM(den_t) AS DOUBLE))) > 1.96
+                   AS miscalibrated_5pct
+        FROM terms
+    """,
+    tags=("E579",),
+)
+def ml_spiegelhalter_z_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPIEGELHALTER'S Z-TEST of calibration on the engine's standard
+    scored fixture (label = purchase, pseudo-probability p =
+    value/500 clamped): Z = SUM (y-p)(1-2p) / sqrt(SUM (1-2p)^2 p(1-p))
+    — the SIGNIFICANCE companion to the registered descriptive
+    calibration surfaces: calibration_bins draws the reliability
+    diagram, ECE averages its gaps, Brier decomposes the loss, and
+    Spiegelhalter's Z answers the remaining question ("is the
+    miscalibration more than sampling noise?") by isolating exactly
+    the calibration component of the Brier score under the null that
+    every p is correct.  Binning-free, so it cannot be gamed by bin
+    placement — why clinical-model audits report it next to the curve.
+
+    Exact: each row's numerator/denominator term is ONE identical
+    double chain rounded to DECIMAL(28,12) (order-free corpus-wide
+    sums); Z is one final double division.  Plan: one scan, one
+    aggregate — mergeable, no shuffle beyond the 1-row total.
+    100 TB: the canonical sufficient-statistic shape."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(
+            F.greatest(F.col("value") / 500.0, F.lit(0.001)), F.lit(0.999)
+        ).alias("p"),
+    )
+    terms = scored.select(
+        F.expr(
+            "CAST(ROUND((y - p) * (1.0 - 2.0 * p), 12) AS DECIMAL(28,12))"
+        ).alias("num_t"),
+        F.expr(
+            "CAST(ROUND((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p),"
+            " 12) AS DECIMAL(28,12))"
+        ).alias("den_t"),
+    )
+    z = F.round(
+        F.sum("num_t").cast("double") / F.sqrt(F.sum("den_t").cast("double")),
+        9,
+    )
+    zraw = F.sum("num_t").cast("double") / F.sqrt(
+        F.sum("den_t").cast("double")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        z.alias("z"),
+        (F.abs(zraw) > 1.96).alias("miscalibrated_5pct"),
+    )
+
+
+CS_ROWS = 8
+CS_W = 64
+
+CS_QUERY_USERS = 5
+
+
+@query(
+    "sketch_count_sketch_portable",
+    oracle=f"""
+        WITH freq AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+            FROM events GROUP BY user_id
+        ),
+        hashed AS (
+            SELECT r, user_id, f,
+                   {phash60_expr(
+                       "'h' || CAST(r AS VARCHAR) || ':' ||"
+                       " CAST(user_id AS VARCHAR)"
+                   )} % {CS_W} AS b,
+                   ({phash60_expr(
+                       "'s' || CAST(r AS VARCHAR) || ':' ||"
+                       " CAST(user_id AS VARCHAR)"
+                   )} % 2) * 2 - 1 AS s
+            FROM freq
+            CROSS JOIN (SELECT unnest(range(0, {CS_ROWS})) AS r)
+        ),
+        counters AS (
+            SELECT r, b, CAST(SUM(f * s) AS BIGINT) AS z
+            FROM hashed GROUP BY r, b
+        ),
+        queries AS (
+            SELECT user_id, f FROM freq ORDER BY user_id
+            LIMIT {CS_QUERY_USERS}
+        ),
+        est AS (
+            SELECT q.user_id, q.f,
+                   h.s * c.z AS e,
+                   ROW_NUMBER() OVER (PARTITION BY q.user_id
+                                      ORDER BY h.s * c.z, h.r) AS rn
+            FROM queries q
+            JOIN hashed h ON h.user_id = q.user_id
+            JOIN counters c ON c.r = h.r AND c.b = h.b
+        )
+        SELECT user_id,
+               CAST(MAX(f) AS BIGINT) AS f_exact,
+               CAST(MAX(CASE WHEN rn = {CS_ROWS // 2} THEN e END)
+                    AS BIGINT) AS f_estimate,
+               CAST(ABS(MAX(CASE WHEN rn = {CS_ROWS // 2} THEN e END)
+                        - MAX(f)) AS BIGINT) AS abs_err
+        FROM est GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("E581",),
+)
+def sketch_count_sketch_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT-SKETCH (Charikar-Chen-Farach-Colton) per-key frequency
+    estimates on the portable hash family: 8 rows x 64 buckets of
+    signed counters z[r][b] = SUM f_u s_r(u) [h_r(u)=b], per-key
+    estimate = median_r s_r(u) z[r][h_r(u)] (deterministic lower-
+    middle rank-4 of 8, the engine's median convention).  The UNBIASED
+    sibling of the registered Count-Min: CM's one-sided error
+    over-counts every key (bias +eps*N, safest for never-underestimate
+    use), Count-Sketch's signed buckets cancel collision noise to
+    zero mean with variance F2/W — which is why it underlies every
+    heavy-hitters-in-turnstile and feature-hashing-with-signs scheme
+    (the registered ml_feature_hashing uses exactly this sign trick).
+    Audited on the 5 smallest user ids against exact counts.
+
+    Exact-gateable: frequencies, signs, buckets, counters, and the
+    rank-4 median selection are ALL integers.  Plan: corpus scan ->
+    user-grain freq -> x8 explode on the FREQ table -> 512 counters;
+    the query-side join touches 8 counter cells per audited key.
+    100 TB: counters are map-side combinable; the sketch is 512
+    cells at any scale."""
+    from potpot_spark.functions.numeric import phash60
+
+    e = load_table(spark, sf_dir, "events")
+    freq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    hashed = freq.select(
+        "user_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(CS_ROWS - 1))).alias("r"),
+    ).select(
+        "r",
+        "user_id",
+        "f",
+        (
+            phash60(
+                F.concat(
+                    F.lit("h"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CS_W
+        ).alias("b"),
+        (
+            (
+                phash60(
+                    F.concat(
+                        F.lit("s"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("s"),
+    )
+    counters = hashed.groupBy("r", "b").agg(
+        F.sum(F.col("f") * F.col("s")).cast("bigint").alias("z")
+    )
+    queries = freq.orderBy("user_id").limit(CS_QUERY_USERS)
+    probes = hashed.select("user_id", "r", "b", "s")
+    est = (
+        queries.join(probes, "user_id")
+        .join(counters, ["r", "b"])
+        .select(
+            "user_id",
+            "f",
+            (F.col("s") * F.col("z")).alias("e"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("s") * F.col("z"), "r"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    mid = CS_ROWS // 2
+    return (
+        est.groupBy("user_id")
+        .agg(
+            F.max("f").cast("bigint").alias("f_exact"),
+            F.max(F.when(F.col("rn") == mid, F.col("e")))
+            .cast("bigint")
+            .alias("f_estimate"),
+            F.abs(
+                F.max(F.when(F.col("rn") == mid, F.col("e"))) - F.max("f")
+            )
+            .cast("bigint")
+            .alias("abs_err"),
+        )
+        .orderBy("user_id")
+    )
+
+
+BENFORD2_PPM = [
+    119679, 113890, 108821, 104330, 100308,
+    96677, 93375, 90352, 87570, 84997,
+]
+
+
+@query(
+    "stats_benford_second_digit",
+    oracle=f"""
+        WITH d2 AS (
+            SELECT CAST(substring(replace(
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS VARCHAR), '.', ''), 2, 1) AS BIGINT)
+                       AS digit
+            FROM orders
+        ),
+        expected(digit, exp_ppm) AS (VALUES
+            {", ".join(f"({d}, {p})" for d, p in enumerate(BENFORD2_PPM))}
+        ),
+        obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+            FROM d2 GROUP BY digit
+        )
+        SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+               CAST(COALESCE(o.n_obs, 0) * 1000000
+                    // MAX(o.n) OVER () AS BIGINT) AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               ROUND((COALESCE(o.n_obs, 0)
+                      - MAX(o.n) OVER () * (e.exp_ppm / 1000000.0))
+                     / sqrt(MAX(o.n) OVER () * (e.exp_ppm / 1000000.0)
+                            * (1.0 - e.exp_ppm / 1000000.0)), 9) AS z
+        FROM expected e LEFT JOIN obs o ON o.digit = e.digit
+        ORDER BY e.digit
+    """,
+    tags=("E582",),
+)
+def stats_benford_second_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BENFORD SECOND-DIGIT test on order totals: the second
+    significant digit follows P(d) = SUM_k log10(1 + 1/(10k+d)) —
+    a much FLATTER law than the first digit's (11.97%% ... 8.50%%),
+    which is precisely why forensic accounting runs it SECOND: humans
+    fabricating numbers get the first digit roughly right (prices
+    start with 1-2 naturally) but impose round-number second digits
+    (0s and 5s spike), and psychological price points (x.99) bend the
+    second digit where the first stays clean.  Completes the digit
+    forensics battery: Benford-1 (registered), Benford-2 (this op),
+    trailing-digit uniformity (AD + CvM).
+
+    Exact: the digit is STRING-extracted from the DECIMAL(12,2)
+    rendering (substring of the de-dotted text — no log/pow knife
+    edges at power-of-ten boundaries), counts and ppm shares are
+    exact integers against literal expected-ppm constants (computed
+    once offline from the closed form), and the per-digit z is one
+    identical double chain.  Plan: one scan, one 10-cell aggregate.
+    100 TB: sufficient-statistic shape."""
+    o = load_table(spark, sf_dir, "orders")
+    d2 = o.select(
+        F.expr(
+            "CAST(substring(replace(CAST(CAST(o_totalprice"
+            " AS DECIMAL(12,2)) AS STRING), '.', ''), 2, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = d2.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    ).select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(BENFORD2_PPM)], ["digit", "exp_ppm"]
+    )
+    # NOTE: no broadcast hint — the preserved (left) side of a left
+    # outer join cannot be broadcast; both inputs are <= 10 rows.
+    j = expected.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        F.coalesce("n", F.lit(0)).alias("n_raw"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+    )
+    n_tot = F.max("n_raw").over(Window.partitionBy())
+    p = F.col("exp_ppm") / 1000000.0
+    return j.select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "CAST(n_obs * 1000000 div MAX(n_raw) OVER () AS BIGINT)"
+        ).alias("obs_ppm"),
+        "exp_ppm",
+        F.round(
+            (F.col("n_obs") - n_tot * p) / F.sqrt(n_tot * p * (1.0 - p)), 9
+        ).alias("z"),
+    ).orderBy("digit")
+
+
+@query(
+    "stats_lepage_test",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        comb AS (
+            SELECT t, day, x AS v FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+        ),
+        rk AS (
+            SELECT t,
+                ROW_NUMBER() OVER (ORDER BY v, t, day) AS r,
+                COUNT(*) OVER () AS nn
+            FROM rk_src
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1
+                         ELSE 0 END) AS BIGINT) AS m,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN r
+                         ELSE 0 END) AS BIGINT) AS w,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}'
+                         THEN LEAST(r, nn + 1 - r) ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(MAX(nn) AS BIGINT) AS nn
+            FROM rk
+        )
+        SELECT m AS n_a, nn - m AS n_b, w AS wilcoxon_w,
+               a AS ansari_a,
+               ROUND(
+                 POW(w - m * (nn + 1) / 2.0, 2)
+                 / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1) / 12.0)
+                 + CASE WHEN nn % 2 = 0 THEN
+                     POW(a - m * (nn + 2) / 4.0, 2)
+                     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 2)
+                        * (nn - 2) / (48.0 * (nn - 1)))
+                   ELSE
+                     POW(a - m * (nn + 1.0) * (nn + 1) / (4.0 * nn), 2)
+                     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1)
+                        * (3.0 + nn * CAST(nn AS DOUBLE))
+                        / (48.0 * nn * CAST(nn AS DOUBLE)))
+                   END, 9) AS lepage_l,
+               ROUND(
+                 POW(w - m * (nn + 1) / 2.0, 2)
+                 / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1) / 12.0)
+                 + CASE WHEN nn % 2 = 0 THEN
+                     POW(a - m * (nn + 2) / 4.0, 2)
+                     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 2)
+                        * (nn - 2) / (48.0 * (nn - 1)))
+                   ELSE
+                     POW(a - m * (nn + 1.0) * (nn + 1) / (4.0 * nn), 2)
+                     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1)
+                        * (3.0 + nn * CAST(nn AS DOUBLE))
+                        / (48.0 * nn * CAST(nn AS DOUBLE)))
+                   END, 9) > 5.991 AS reject_5pct
+        FROM sums
+    """.replace("rk_src", "comb"),
+    tags=("E584",),
+)
+def stats_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEPAGE TEST on the engine's standard daily-count pair: L =
+    Z_Wilcoxon^2 + Z_AnsariBradley^2 — the classical OMNIBUS
+    location-OR-scale two-sample test, asymptotically chi-square(2).
+    The registered Mann-Whitney only sees location shifts, the
+    registered Ansari-Bradley only scale; each is nearly BLIND to the
+    other's alternative, so a distribution change that shifts AND
+    re-disperses (the typical regime change in traffic data) can slip
+    past both marginal tests at 5%% while Lepage, charging the sum of
+    squares, fires.  The standard two-sample screen in change
+    detection when the direction of change is unknown.
+
+    Exact: joint ranks are ROW_NUMBERs under the engine's declared
+    (v, t, day) total order (the Ansari-Bradley convention), W and A
+    are exact BIGINT sums, and L is one identical double chain over
+    those integers using the textbook no-tie null moments — E[W] =
+    m(N+1)/2, Var mn(N+1)/12; E[A] and Var[A] by N's parity (both
+    moment sets brute-force verified against exhaustive permutation
+    enumeration in tests/test_properties.py).  Plan: one window over
+    the calendar-bounded combined series, one aggregate."""
+    dense = _dense_daily(spark, sf_dir)
+    a_t, b_t = ENERGY_PAIR
+    comb = dense.where(F.col("t").isin(a_t, b_t)).select(
+        "t", "day", F.col("x").alias("v")
+    )
+    rk = comb.select(
+        "t",
+        F.row_number().over(Window.orderBy("v", "t", "day")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    sums = rk.agg(
+        F.sum(F.when(F.col("t") == a_t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.when(F.col("t") == a_t, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("w"),
+        F.sum(
+            F.when(
+                F.col("t") == a_t,
+                F.least(F.col("r"), F.col("nn") + 1 - F.col("r")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.max("nn").cast("bigint").alias("nn"),
+    )
+    l_expr = F.expr(
+        "POW(w - m * (nn + 1) / 2.0, 2)"
+        " / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1) / 12.0)"
+        " + CASE WHEN nn % 2 = 0 THEN"
+        "     POW(a - m * (nn + 2) / 4.0, 2)"
+        "     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 2)"
+        "        * (nn - 2) / (48.0 * (nn - 1)))"
+        "   ELSE"
+        "     POW(a - m * (nn + 1.0) * (nn + 1) / (4.0 * nn), 2)"
+        "     / (CAST(m AS DOUBLE) * (nn - m) * (nn + 1)"
+        "        * (3.0 + nn * CAST(nn AS DOUBLE))"
+        "        / (48.0 * nn * CAST(nn AS DOUBLE)))"
+        "   END"
+    )
+    return sums.select(
+        F.col("m").alias("n_a"),
+        (F.col("nn") - F.col("m")).alias("n_b"),
+        F.col("w").alias("wilcoxon_w"),
+        F.col("a").alias("ansari_a"),
+        F.round(l_expr, 9).alias("lepage_l"),
+        (F.round(l_expr, 9) > 5.991).alias("reject_5pct"),
+    )
+
+
+MOM_GROUPS = 32
+
+
+@query(
+    "agg_median_of_means_robust",
+    oracle=f"""
+        WITH g AS (
+            SELECT {phash60_expr("CAST(event_id AS VARCHAR)")}
+                       % {MOM_GROUPS} AS grp,
+                   CAST(ROUND(value, 9) AS DECIMAL(28,9)) AS v
+            FROM events
+        ),
+        means AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+            FROM g GROUP BY grp
+        ),
+        ranked AS (
+            SELECT mean, n,
+                   ROW_NUMBER() OVER (ORDER BY mean, grp) AS rn,
+                   SUM(n) OVER () AS n_tot,
+                   CAST(SUM(CAST(ROUND(mean, 9) AS DECIMAL(28,9)) * n)
+                        OVER () AS DOUBLE) AS wsum
+            FROM means
+        )
+        SELECT CAST(MAX(n_tot) AS BIGINT) AS n_rows,
+               CAST({MOM_GROUPS} AS BIGINT) AS n_groups,
+               ROUND(MAX(CASE WHEN rn = {MOM_GROUPS // 2} THEN mean END),
+                     9) AS median_of_means,
+               ROUND(MAX(wsum) / MAX(n_tot), 9) AS plain_mean,
+               ROUND(MAX(CASE WHEN rn = {MOM_GROUPS // 2} THEN mean END)
+                     - MAX(wsum) / MAX(n_tot), 9) AS mom_minus_mean
+        FROM ranked
+    """,
+    tags=("E585",),
+)
+def agg_median_of_means_robust(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEDIAN-OF-MEANS robust mean of the event value: hash rows into
+    {MOM_GROUPS} deterministic groups, take each group's mean, report
+    the (lower-middle rank-16) median of those means NEXT TO the plain
+    mean.  THE sub-Gaussian mean estimator under heavy tails — the
+    plain mean's concentration degrades with variance, MoM's is
+    sub-Gaussian whenever the variance is finite, and it tolerates
+    ~k/2 arbitrarily corrupted GROUPS (at 100 TB: whole corrupted
+    partitions/shards — the realistic failure unit, which is exactly
+    why the hash-group construction mirrors the engine's partition
+    model).  mom_minus_mean is the standing skew/contamination
+    indicator: ~0 on clean symmetric data, material when a tail or a
+    bad shard is dragging the plain mean.
+
+    Exact-gateable: per-row values are quantized once (ROUND 1e-9 ->
+    DECIMAL(28,9)) so group sums are order-free exact decimals; group
+    means are one double division; the median is the deterministic
+    rank-{MOM_GROUPS // 2} convention; the plain mean is re-derived
+    from the SAME quantized group sums so the comparison is
+    apples-to-apples.  Plan: one hash aggregate ({MOM_GROUPS} cells,
+    map-side combinable), one {MOM_GROUPS}-row window."""
+    from potpot_spark.functions.numeric import phash60
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        (phash60(F.col("event_id").cast("string")) % MOM_GROUPS).alias(
+            "grp"
+        ),
+        F.expr("CAST(ROUND(value, 9) AS DECIMAL(28,9))").alias("v"),
+    )
+    means = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    ranked = means.select(
+        "mean",
+        "n",
+        F.row_number().over(Window.orderBy("mean", "grp")).alias("rn"),
+        F.sum("n").over(Window.partitionBy()).alias("n_tot"),
+        F.sum(
+            F.expr("CAST(ROUND(mean, 9) AS DECIMAL(28,9))") * F.col("n")
+        )
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("wsum"),
+    )
+    mid = MOM_GROUPS // 2
+    return ranked.agg(
+        F.max("n_tot").cast("bigint").alias("n_rows"),
+        F.lit(MOM_GROUPS).cast("bigint").alias("n_groups"),
+        F.round(
+            F.max(F.when(F.col("rn") == mid, F.col("mean"))), 9
+        ).alias("median_of_means"),
+        F.round(F.max("wsum") / F.max("n_tot"), 9).alias("plain_mean"),
+        F.round(
+            F.max(F.when(F.col("rn") == mid, F.col("mean")))
+            - F.max("wsum") / F.max("n_tot"),
+            9,
+        ).alias("mom_minus_mean"),
+    )
+
+
+@query(
+    "stats_bartels_rank_vn_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        rk AS (
+            SELECT day,
+                   2 * rank() OVER (ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY x) - 1 AS ar2,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ),
+        seq AS (
+            SELECT ar2, n,
+                   LEAD(ar2) OVER (ORDER BY day) AS nxt
+            FROM rk
+        ),
+        sums AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN nxt IS NOT NULL
+                            THEN (nxt - ar2) * (nxt - ar2)
+                            ELSE 0 END) AS BIGINT) AS num4,
+                   CAST(SUM((ar2 - (n + 1)) * (ar2 - (n + 1)))
+                        AS BIGINT) AS den4
+            FROM seq
+        )
+        SELECT n AS n_days,
+               ROUND(CAST(num4 AS DOUBLE) / den4, 9) AS rvn,
+               ROUND((CAST(num4 AS DOUBLE) / den4 - 2.0)
+                     / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                            / (5.0 * n * (n + 1)
+                               * CAST(n - 1 AS DOUBLE)
+                               * (n - 1))), 9) AS z
+        FROM sums
+    """,
+    tags=("E586",),
+)
+def stats_bartels_rank_vn_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BARTELS' RANK VON NEUMANN ratio on the daily event-count
+    series: RVN = SUM (R_{i+1} - R_i)^2 / SUM (R - R_bar)^2 on the
+    day-ordered midranks — the distribution-free randomness-
+    against-serial-correlation test: RVN << 2 means adjacent days
+    have SIMILAR ranks (positive autocorrelation/trend), RVN >> 2
+    means alternation.  The rank twin of the registered Durbin-Watson
+    (which tests residuals and needs the regression's assumptions)
+    and the numeric complement to the runs tests (which binarize the
+    data; RVN keeps rank magnitudes, gaining power against smooth
+    drift).  Null moments are EXACT and value-free on ranks: E = 2,
+    Var = 4(n-2)(5n^2-2n-9)/(5n(n+1)(n-1)^2) — both verified against
+    exhaustive permutation enumeration in tests/test_properties.py.
+
+    Exact: midranks ride as the engine's ar2 integers (numerator and
+    denominator in ar2^2 units, the 4s cancel); RVN and z are one
+    identical double chain.  Ties: midranks, no variance correction
+    (the standard practice; daily counts tie rarely).  Plan: one day
+    rollup, two windows over the day-grain series, one aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rk = daily.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).alias("ar2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    seq = rk.select(
+        "ar2", "n", F.lead("ar2").over(Window.orderBy("day")).alias("nxt")
+    )
+    sums = seq.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                (F.col("nxt") - F.col("ar2"))
+                * (F.col("nxt") - F.col("ar2")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("num4"),
+        F.sum(
+            (F.col("ar2") - (F.col("n") + 1))
+            * (F.col("ar2") - (F.col("n") + 1))
+        )
+        .cast("bigint")
+        .alias("den4"),
+    )
+    rvn = F.col("num4").cast("double") / F.col("den4")
+    return sums.select(
+        F.col("n").alias("n_days"),
+        F.round(rvn, 9).alias("rvn"),
+        F.round(
+            (rvn - 2.0)
+            / F.sqrt(
+                F.expr(
+                    "4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)"
+                    " / (5.0 * n * (n + 1)"
+                    " * CAST(n - 1 AS DOUBLE) * (n - 1))"
+                )
+            ),
+            9,
+        ).alias("z"),
+    )
+
+
+@query(
+    "stats_cucconi_test",
+    oracle=f"""
+        WITH {DENSE_DAILY_SQL},
+        comb AS (
+            SELECT t, day, x AS v FROM dense
+            WHERE t IN ('{ENERGY_PAIR[0]}', '{ENERGY_PAIR[1]}')
+        ),
+        rk AS (
+            SELECT t,
+                ROW_NUMBER() OVER (ORDER BY v, t, day) AS r,
+                COUNT(*) OVER () AS nn
+            FROM comb
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN 1
+                         ELSE 0 END) AS BIGINT) AS m,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}' THEN r * r
+                         ELSE 0 END) AS BIGINT) AS s2,
+                CAST(SUM(CASE WHEN t = '{ENERGY_PAIR[0]}'
+                         THEN (nn + 1 - r) * (nn + 1 - r)
+                         ELSE 0 END) AS BIGINT) AS s2c,
+                CAST(MAX(nn) AS BIGINT) AS nn
+            FROM rk
+        ),
+        uv AS (
+            SELECT m, nn - m AS n2, nn, s2, s2c,
+                   (6.0 * s2 - m * (nn + 1.0) * (2 * nn + 1))
+                   / sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1)
+                          * (2 * nn + 1) * (8 * nn + 11) / 5.0) AS u,
+                   (6.0 * s2c - m * (nn + 1.0) * (2 * nn + 1))
+                   / sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1)
+                          * (2 * nn + 1) * (8 * nn + 11) / 5.0) AS v,
+                   2.0 * (CAST(nn AS DOUBLE) * nn - 4)
+                   / ((2 * nn + 1.0) * (8 * nn + 11)) - 1.0 AS rho
+            FROM sums
+        )
+        SELECT m AS n_a, n2 AS n_b,
+               ROUND(u, 9) AS u_stat, ROUND(v, 9) AS v_stat,
+               ROUND((u * u + v * v - 2.0 * rho * u * v)
+                     / (2.0 * (1.0 - rho * rho)), 9) AS cucconi_c,
+               (u * u + v * v - 2.0 * rho * u * v)
+                   / (2.0 * (1.0 - rho * rho)) > 2.995732274
+                   AS reject_5pct
+        FROM uv
+    """,
+    tags=("E587",),
+)
+def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUCCONI TEST (1968) on the engine's standard daily-count pair —
+    the OTHER classical location-scale omnibus, predating Lepage and
+    per Marozzi's power studies often beating it: U standardizes the
+    squared-rank sum (scale-heavy), V the contrary squared-rank sum,
+    and C = (U^2 + V^2 - 2 rho U V)/(2(1 - rho^2)) folds their exact
+    negative correlation rho = 2(N^2-4)/((2N+1)(8N+11)) - 1 into one
+    Mahalanobis form; under H0 C is asymptotically Exp(1) (5%%
+    critical -ln 0.05 = 2.9957).  Registered NEXT TO Lepage
+    deliberately: the two omnibus tests weight location vs scale
+    differently, and their disagreement localizes WHICH moment moved
+    — the exact moment-attribution question a regime-change triage
+    asks.  E[U] = 0, Var[U] = 1, and the rho closed form are verified
+    against exhaustive combination enumeration in
+    tests/test_properties.py.
+
+    Exact: squared-rank sums are exact BIGINTs under the engine's
+    (v, t, day) total order; U, V, rho, C are one identical double
+    chain.  Plan: one window over the calendar-bounded combined
+    series, one aggregate.  100 TB: day-grain input."""
+    dense = _dense_daily(spark, sf_dir)
+    a_t, b_t = ENERGY_PAIR
+    comb = dense.where(F.col("t").isin(a_t, b_t)).select(
+        "t", "day", F.col("x").alias("v")
+    )
+    rk = comb.select(
+        "t",
+        F.row_number().over(Window.orderBy("v", "t", "day")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    sums = rk.agg(
+        F.sum(F.when(F.col("t") == a_t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(
+            F.when(F.col("t") == a_t, F.col("r") * F.col("r")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("t") == a_t,
+                (F.col("nn") + 1 - F.col("r"))
+                * (F.col("nn") + 1 - F.col("r")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s2c"),
+        F.max("nn").cast("bigint").alias("nn"),
+    )
+    denom = F.sqrt(
+        F.expr(
+            "CAST(m AS DOUBLE) * (nn - m) * (nn + 1)"
+            " * (2 * nn + 1) * (8 * nn + 11) / 5.0"
+        )
+    )
+    u = (
+        6.0 * F.col("s2") - F.col("m") * (F.col("nn") + 1.0) * (2 * F.col("nn") + 1)
+    ) / denom
+    v = (
+        6.0 * F.col("s2c")
+        - F.col("m") * (F.col("nn") + 1.0) * (2 * F.col("nn") + 1)
+    ) / denom
+    rho = F.expr(
+        "2.0 * (CAST(nn AS DOUBLE) * nn - 4)"
+        " / ((2 * nn + 1.0) * (8 * nn + 11)) - 1.0"
+    )
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    return sums.select(
+        F.col("m").alias("n_a"),
+        (F.col("nn") - F.col("m")).alias("n_b"),
+        F.round(u, 9).alias("u_stat"),
+        F.round(v, 9).alias("v_stat"),
+        F.round(c, 9).alias("cucconi_c"),
+        (c > 2.995732274).alias("reject_5pct"),
+    )

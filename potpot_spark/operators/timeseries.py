@@ -10759,3 +10759,115 @@ def timeseries_record_highs_test(
             9,
         ).alias("z"),
     )
+
+
+@query(
+    "timeseries_forecast_error_panel",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   LAG(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x7
+            FROM daily
+        ),
+        ev AS (
+            SELECT event_type, x, x7, ABS(x - x7) AS ae
+            FROM lagged WHERE x7 IS NOT NULL
+        ),
+        terms AS (
+            SELECT event_type, x, x7, ae,
+                   CASE WHEN x + x7 > 0
+                        THEN CAST(ROUND(2.0 * ae / (x + x7), 9)
+                                  AS DECIMAL(28,9))
+                        ELSE CAST(0 AS DECIMAL(28,9)) END AS smape_t,
+                   CASE WHEN x > 0
+                        THEN CAST(ROUND(CAST(ae AS DOUBLE) / x, 9)
+                                  AS DECIMAL(28,9)) END AS mape_t
+            FROM ev
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(ae) * 1000000 // SUM(x) AS BIGINT) AS wape_ppm,
+               ROUND(CAST(SUM(smape_t) AS DOUBLE) / COUNT(*), 9)
+                   AS smape,
+               ROUND(CAST(SUM(mape_t) AS DOUBLE) / COUNT(mape_t), 9)
+                   AS mape_nonzero,
+               CAST(COUNT(mape_t) AS BIGINT) AS n_nonzero_actuals
+        FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("E580",),
+)
+def timeseries_forecast_error_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORECAST-ERROR PANEL for the seasonal-naive baseline (the same
+    lag-7 forecast the registered MASE op scales by): WAPE =
+    SUM|e|/SUM y (the volume-weighted error operations teams quote),
+    sMAPE (the symmetric percentage bounded at 2, with the 0/0 -> 0
+    convention), and MAPE over nonzero actuals (reported WITH its
+    denominator count, because MAPE silently drops zero-demand days —
+    the classic intermittent-demand trap the Croston op exists for).
+    One metric is never enough: WAPE is scale-stable but hides
+    per-day blowups, MAPE explodes on small actuals, sMAPE is bounded
+    but non-intuitive — the PANEL is the deliverable, per event type.
+
+    Exact: absolute errors and WAPE are pure integers (ppm); each
+    sMAPE/MAPE term is one identical double chain rounded to
+    DECIMAL(28,9) (order-free sums).  Plan: one day rollup, one lag
+    window per series, one aggregate.  100 TB: windows on the
+    day-grain table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ev = (
+        daily.select(
+            "event_type", "x", F.lag("x", 7).over(w).alias("x7")
+        )
+        .where(F.col("x7").isNotNull())
+        .select(
+            "event_type",
+            "x",
+            "x7",
+            F.abs(F.col("x") - F.col("x7")).alias("ae"),
+        )
+    )
+    terms = ev.select(
+        "event_type",
+        "x",
+        "ae",
+        F.expr(
+            "CASE WHEN x + x7 > 0 THEN CAST(ROUND(2.0 * ae / (x + x7), 9)"
+            " AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END"
+        ).alias("smape_t"),
+        F.expr(
+            "CASE WHEN x > 0 THEN CAST(ROUND(CAST(ae AS DOUBLE) / x, 9)"
+            " AS DECIMAL(28,9)) END"
+        ).alias("mape_t"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.expr(
+                "CAST(SUM(ae) * 1000000 div SUM(x) AS BIGINT)"
+            ).alias("wape_ppm"),
+            F.round(
+                F.sum("smape_t").cast("double") / F.count(F.lit(1)), 9
+            ).alias("smape"),
+            F.round(
+                F.sum("mape_t").cast("double") / F.count("mape_t"), 9
+            ).alias("mape_nonzero"),
+            F.count("mape_t").cast("bigint").alias("n_nonzero_actuals"),
+        )
+        .orderBy("event_type")
+    )

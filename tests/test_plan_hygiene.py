@@ -125,7 +125,7 @@ def test_broadcast_hint_discipline():
     # Reviewed per-file pins (exact counts).  Reason strings document
     # what classes of broadcast each file was audited to contain.
     expected = {
-        "operators/stats.py": (74, "scalar moment/fit frames, dim tables, grids"),
+        "operators/stats.py": (77, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
         "operators/ml_features.py": (48, "1-row fit/threshold frames, vocab/centroid tables"),
         "operators/timeseries.py": (34, "per-series scalar frames, calendars"),

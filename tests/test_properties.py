@@ -3840,3 +3840,468 @@ def test_record_highs_brute(spark, sf_dir):
     assert got["n_days"] == n and got["n_records"] == recs
     assert abs(got["expected_records"] - h1) < 1e-6
     assert abs(got["z"] - (recs - h1) / math.sqrt(h1 - h2)) < 1e-6
+
+
+def test_quade_test_python_recompute(spark, sf_dir):
+    """The Quade F recomputed in Python from the raw day x type count
+    grid with midranks and range-rank weights."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    grid = defaultdict(dict)
+    types = set()
+    for r in rows:
+        grid[r["day"]][r["event_type"]] = r["count"]
+        types.add(r["event_type"])
+    types = sorted(types)
+    k, n = len(types), len(grid)
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2.0 + 1.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = mr
+            i = j + 1
+        return ranks
+
+    days = sorted(grid)
+    ranges = [
+        max(grid[d].get(t, 0) for t in types)
+        - min(grid[d].get(t, 0) for t in types)
+        for d in days
+    ]
+    q = midranks(ranges)
+    s_j = [0.0] * k
+    a_tot = 0.0
+    for di, d in enumerate(days):
+        vals = [grid[d].get(t, 0) for t in types]
+        r = midranks(vals)
+        for j in range(k):
+            s = q[di] * (r[j] - (k + 1) / 2.0)
+            s_j[j] += s
+            a_tot += s * s
+    b = sum(x * x for x in s_j) / n
+    f_stat = (n - 1) * b / (a_tot - b)
+    got = registry.get("stats_quade_test").fn(spark, sf_dir).collect()[0]
+    assert got["n_blocks"] == n and got["k_treatments"] == k
+    assert abs(got["quade_f_x1e6"] / 1e6 - f_stat) < 1e-4, (
+        got["quade_f_x1e6"] / 1e6,
+        f_stat,
+    )
+
+
+def test_spiegelhalter_z_python_recompute(spark, sf_dir):
+    """Z recomputed in Python floats from raw (y, p) pairs."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.least(
+                F.greatest(F.col("value") / 500.0, F.lit(0.001)),
+                F.lit(0.999),
+            ).alias("p"),
+        )
+        .collect()
+    )
+    num = sum((r["y"] - r["p"]) * (1 - 2 * r["p"]) for r in rows)
+    den = sum(
+        (1 - 2 * r["p"]) ** 2 * r["p"] * (1 - r["p"]) for r in rows
+    )
+    got = (
+        registry.get("ml_spiegelhalter_z_calibration")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_rows"] == len(rows)
+    assert abs(got["z"] - num / math.sqrt(den)) < 1e-5
+
+
+def test_forecast_error_panel_identities(spark, sf_dir):
+    """sMAPE is bounded by 2, WAPE matches a Python recompute, and
+    MAPE's denominator count never exceeds n_eval."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r["count"])
+    got = {
+        r["event_type"]: r
+        for r in registry.get("timeseries_forecast_error_panel")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for t, xs in series.items():
+        if len(xs) <= 7:
+            assert t not in got
+            continue
+        ae = [abs(xs[i] - xs[i - 7]) for i in range(7, len(xs))]
+        ys = xs[7:]
+        r = got[t]
+        assert r["n_eval"] == len(ae)
+        assert r["wape_ppm"] == sum(ae) * 1_000_000 // sum(ys)
+        assert 0.0 <= r["smape"] <= 2.0
+        assert r["n_nonzero_actuals"] <= r["n_eval"]
+
+
+def test_count_sketch_python_recompute(spark, sf_dir):
+    """The full sketch (hashes, signs, counters, rank-4 median) and the
+    5 audited estimates recomputed in Python from the portable hash."""
+    import hashlib
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    f = {r["user_id"]: r["count"] for r in rows}
+
+    def ph(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    R, W = 8, 64
+    z = [[0] * W for _ in range(R)]
+    for u, c in f.items():
+        for r in range(R):
+            b = ph(f"h{r}:{u}") % W
+            s = 1 if ph(f"s{r}:{u}") % 2 == 0 else -1
+            z[r][b] += c * s
+    got = {
+        r["user_id"]: r
+        for r in registry.get("sketch_count_sketch_portable")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == 5
+    for u in sorted(f)[:5]:
+        ests = sorted(
+            (
+                (1 if ph(f"s{r}:{u}") % 2 == 0 else -1)
+                * z[r][ph(f"h{r}:{u}") % W],
+                r,
+            )
+            for r in range(R)
+        )
+        est = ests[3][0]  # rank-4 lower middle of 8
+        g = got[u]
+        assert g["f_exact"] == f[u]
+        assert g["f_estimate"] == est
+        assert g["abs_err"] == abs(est - f[u])
+
+
+def test_benford_second_digit_extraction_and_z(spark, sf_dir):
+    """Digit extraction recomputed from the decimal string rendering;
+    ppm shares sum to ~1e6; per-digit z matches the binomial form."""
+    import math
+    from collections import Counter
+
+    prices = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    digs = Counter()
+    for p in prices:
+        s = f"{p:.2f}".replace(".", "")
+        digs[int(s[1])] += 1
+    n = sum(digs.values())
+    got = {
+        r["digit"]: r
+        for r in registry.get("stats_benford_second_digit")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == 10
+    from potpot_spark.operators.stats import BENFORD2_PPM
+
+    assert abs(sum(r["obs_ppm"] for r in got.values()) - 1_000_000) <= 10
+    for d in range(10):
+        r = got[d]
+        assert r["n_obs"] == digs.get(d, 0), (d, r["n_obs"], digs.get(d))
+        p = BENFORD2_PPM[d] / 1e6
+        z = (digs.get(d, 0) - n * p) / math.sqrt(n * p * (1 - p))
+        assert abs(r["z"] - z) < 1e-6
+
+
+def test_lepage_null_moments_brute_force():
+    """The docstring's claim: the no-tie null moments used for W and A
+    are exact.  Enumerate ALL C(m+n, m) group assignments for small
+    (m, n) and check E/Var of the Wilcoxon rank-sum and the
+    Ansari-Bradley score sum against the closed forms (both N
+    parities)."""
+    from itertools import combinations
+
+    for m, n in [(3, 3), (3, 4), (4, 3), (4, 4)]:
+        nn = m + n
+        scores_w = list(range(1, nn + 1))
+        scores_a = [min(r, nn + 1 - r) for r in scores_w]
+        ws, as_ = [], []
+        for idx in combinations(range(nn), m):
+            ws.append(sum(scores_w[i] for i in idx))
+            as_.append(sum(scores_a[i] for i in idx))
+
+        def mv(xs):
+            mu = sum(xs) / len(xs)
+            return mu, sum((x - mu) ** 2 for x in xs) / len(xs)
+
+        mw, vw = mv(ws)
+        ma, va = mv(as_)
+        assert abs(mw - m * (nn + 1) / 2) < 1e-9
+        assert abs(vw - m * n * (nn + 1) / 12) < 1e-9
+        if nn % 2 == 0:
+            assert abs(ma - m * (nn + 2) / 4) < 1e-9
+            assert (
+                abs(va - m * n * (nn + 2) * (nn - 2) / (48 * (nn - 1)))
+                < 1e-9
+            )
+        else:
+            assert abs(ma - m * (nn + 1) ** 2 / (4 * nn)) < 1e-9
+            assert (
+                abs(va - m * n * (nn + 1) * (3 + nn * nn) / (48 * nn * nn))
+                < 1e-9
+            )
+
+
+def test_lepage_composes_registered_statistics(spark, sf_dir):
+    """L recomputed in Python from the operator's own (W, A, m, N)
+    outputs must equal the reported L; and the Ansari component must
+    agree with the registered standalone Ansari-Bradley statistic."""
+    got = registry.get("stats_lepage_test").fn(spark, sf_dir).collect()[0]
+    m, nb = got["n_a"], got["n_b"]
+    nn = m + nb
+    w, a = got["wilcoxon_w"], got["ansari_a"]
+    zw2 = (w - m * (nn + 1) / 2.0) ** 2 / (m * nb * (nn + 1) / 12.0)
+    if nn % 2 == 0:
+        za2 = (a - m * (nn + 2) / 4.0) ** 2 / (
+            m * nb * (nn + 2) * (nn - 2) / (48.0 * (nn - 1))
+        )
+    else:
+        za2 = (a - m * (nn + 1) ** 2 / (4.0 * nn)) ** 2 / (
+            m * nb * (nn + 1) * (3.0 + nn * nn) / (48.0 * nn * nn)
+        )
+    assert abs(got["lepage_l"] - (zw2 + za2)) < 1e-6
+    ab = registry.get("stats_ansari_bradley").fn(spark, sf_dir).collect()[0]
+    assert ab["ab_stat"] == a and ab["n_a"] == m
+
+
+def test_median_of_means_identities(spark, sf_dir):
+    """MoM recomputed in Python from the same hash grouping; the plain
+    mean matches a direct average within quantization."""
+    import hashlib
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        g = (
+            int(
+                hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:15],
+                16,
+            )
+            % 32
+        )
+        groups[g].append(round(r["value"], 9))
+    means = sorted(
+        (sum(v) / len(v), g) for g, v in groups.items()
+    )
+    mom = means[15][0]  # rank-16 lower middle of 32
+    got = (
+        registry.get("agg_median_of_means_robust")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_rows"] == len(rows)
+    assert abs(got["median_of_means"] - mom) < 1e-6
+    plain = sum(r["value"] for r in rows) / len(rows)
+    assert abs(got["plain_mean"] - plain) < 1e-5
+    assert (
+        abs(
+            got["mom_minus_mean"]
+            - (got["median_of_means"] - got["plain_mean"])
+        )
+        < 2e-9
+    )
+
+
+def test_effective_diameter_consistency(spark, sf_dir):
+    """The distance summary must be internally consistent and agree
+    with a Python BFS from the same seeds under the same hop cap."""
+    from collections import deque
+
+    from potpot_spark.operators.graph import (
+        HC_MAX_HOPS,
+        HC_SEED_MOD,
+        part_copurchase_edges,
+    )
+
+    edges = [
+        (r["u"], r["v"])
+        for r in part_copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dists = []
+    for s in sorted(adj):
+        if s % HC_SEED_MOD != 0:
+            continue
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if seen[u] >= HC_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        dists.extend(d for d in seen.values() if d > 0)
+    got = (
+        registry.get("graph_effective_diameter_sampled")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_pairs"] == len(dists)
+    assert got["max_dist"] == max(dists)
+    assert got["mean_dist_x1e6"] == sum(dists) * 1_000_000 // len(dists)
+    sd = sorted(dists)
+    med = next(
+        d
+        for i, d in enumerate(sd, 1)
+        if 2 * i >= len(sd) or 2 * sum(1 for x in sd if x <= d) >= len(sd)
+    )
+    assert got["median_dist"] in (med, sd[(len(sd) - 1) // 2], sd[len(sd) // 2])
+    assert got["median_dist"] <= got["effective_diameter_90"] <= got["max_dist"]
+
+
+def test_bartels_rvn_moments_brute_force():
+    """The docstring's claim: on ranks, E[RVN] = 2 exactly and
+    Var[RVN] = 4(n-2)(5n^2-2n-9)/(5n(n+1)(n-1)^2) exactly.  Verified
+    by full permutation enumeration for n = 5, 6, 7."""
+    from itertools import permutations
+
+    for n in [5, 6, 7]:
+        etas = []
+        for p in permutations(range(1, n + 1)):
+            num = sum((p[i + 1] - p[i]) ** 2 for i in range(n - 1))
+            xbar = (n + 1) / 2.0
+            den = sum((x - xbar) ** 2 for x in p)
+            etas.append(num / den)
+        mu = sum(etas) / len(etas)
+        var = sum((e - mu) ** 2 for e in etas) / len(etas)
+        assert abs(mu - 2.0) < 1e-12
+        want = 4.0 * (n - 2) * (5 * n * n - 2 * n - 9) / (
+            5.0 * n * (n + 1) * (n - 1) ** 2
+        )
+        assert abs(var - want) < 1e-12, (n, var, want)
+
+
+def test_bartels_rvn_operator_recompute(spark, sf_dir):
+    """RVN and z recomputed in Python from raw daily counts with
+    midranks."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["count"] for r in rows]
+    n = len(xs)
+    order = sorted(range(n), key=lambda i: xs[i])
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        mr = (i + j) / 2.0 + 1.0
+        for t in range(i, j + 1):
+            ranks[order[t]] = mr
+        i = j + 1
+    num = sum((ranks[i + 1] - ranks[i]) ** 2 for i in range(n - 1))
+    rbar = sum(ranks) / n
+    den = sum((r - rbar) ** 2 for r in ranks)
+    rvn = num / den
+    var = 4.0 * (n - 2) * (5 * n * n - 2 * n - 9) / (
+        5.0 * n * (n + 1) * (n - 1) ** 2
+    )
+    got = (
+        registry.get("stats_bartels_rank_vn_test")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_days"] == n
+    assert abs(got["rvn"] - rvn) < 1e-6
+    assert abs(got["z"] - (rvn - 2.0) / math.sqrt(var)) < 1e-6
+
+
+def test_cucconi_constants_brute_force():
+    """E[U] = 0, Var[U] = 1, corr(U,V) = 2(N^2-4)/((2N+1)(8N+11)) - 1
+    exactly, by full combination enumeration."""
+    import math
+    from itertools import combinations
+
+    for m, n in [(4, 4), (4, 5), (5, 4)]:
+        N = m + n
+        den = math.sqrt(m * n * (N + 1) * (2 * N + 1) * (8 * N + 11) / 5)
+        us, vs = [], []
+        for idx in combinations(range(1, N + 1), m):
+            us.append((6 * sum(r * r for r in idx) - m * (N + 1) * (2 * N + 1)) / den)
+            vs.append(
+                (6 * sum((N + 1 - r) ** 2 for r in idx) - m * (N + 1) * (2 * N + 1))
+                / den
+            )
+        k = len(us)
+        mu = sum(us) / k
+        var = sum((u - mu) ** 2 for u in us) / k
+        cov = sum(
+            (u - mu) * (v - sum(vs) / k) for u, v in zip(us, vs)
+        ) / k
+        rho = 2 * (N * N - 4) / ((2 * N + 1) * (8 * N + 11)) - 1
+        assert abs(mu) < 1e-12 and abs(var - 1.0) < 1e-12
+        assert abs(cov / var - rho) < 1e-9
+
+
+def test_cucconi_operator_recompute(spark, sf_dir):
+    """C recomputed in Python from the operator's own (s2-implied U/V)
+    outputs; C >= 0 always (positive-definite quadratic form)."""
+    got = registry.get("stats_cucconi_test").fn(spark, sf_dir).collect()[0]
+    m, nb = got["n_a"], got["n_b"]
+    N = m + nb
+    rho = 2 * (N * N - 4) / ((2 * N + 1) * (8 * N + 11)) - 1
+    u, v = got["u_stat"], got["v_stat"]
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert abs(got["cucconi_c"] - c) < 1e-6
+    assert got["cucconi_c"] >= 0.0
