@@ -6844,3 +6844,167 @@ def ml_weighted_kappa_quadratic(
             " * 1000000 div we AS BIGINT)"
         ).alias("kappa_w_x1e6"),
     )
+
+
+CAL_NEWTON_ITERS = 6
+
+
+def _cal_terms_sql(src: str, params: str) -> str:
+    """One Newton iteration's sufficient statistics over `src` (cols
+    y, l) at the current (a, b) in `params` — identical SQL text on
+    both engines; every per-row term is rounded once to
+    DECIMAL(28,12) so the corpus-wide sums are order-free."""
+    return f"""
+            SELECT
+                CAST(SUM(CAST(ROUND(y - 1.0 / (1.0 + exp(-(a + b * l))),
+                     12) AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+                CAST(SUM(CAST(ROUND(l * (y - 1.0
+                     / (1.0 + exp(-(a + b * l)))), 12)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+                CAST(SUM(CAST(ROUND((1.0 / (1.0 + exp(-(a + b * l))))
+                     * (1.0 - 1.0 / (1.0 + exp(-(a + b * l)))), 12)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS h11,
+                CAST(SUM(CAST(ROUND(l * (1.0 / (1.0 + exp(-(a + b * l))))
+                     * (1.0 - 1.0 / (1.0 + exp(-(a + b * l)))), 12)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS h12,
+                CAST(SUM(CAST(ROUND(l * l
+                     * (1.0 / (1.0 + exp(-(a + b * l))))
+                     * (1.0 - 1.0 / (1.0 + exp(-(a + b * l)))), 12)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS h22,
+                MAX(a) AS a, MAX(b) AS b
+            FROM {src} CROSS JOIN {params}
+    """
+
+
+def _cal_step_sql(terms: str) -> str:
+    """Newton update (a,b) += H^-1 g from one iteration's sums."""
+    return f"""
+            SELECT a + (h22 * g1 - h12 * g2)
+                       / (h11 * h22 - h12 * h12) AS a,
+                   b + (h11 * g2 - h12 * g1)
+                       / (h11 * h22 - h12 * h12) AS b
+            FROM {terms}
+    """
+
+
+def _cal_oracle_sql() -> str:
+    stages = [
+        "it0 AS (SELECT ln(CAST(SUM(y) AS DOUBLE)"
+        " / (COUNT(*) - SUM(y))) AS a,"
+        " CAST(0.0 AS DOUBLE) AS b FROM scored)"
+    ]
+    for i in range(CAL_NEWTON_ITERS):
+        stages.append(
+            f"t{i} AS ({_cal_terms_sql('scored', f'it{i}')})"
+        )
+        stages.append(f"it{i + 1} AS ({_cal_step_sql(f't{i}')})")
+    chain = ",\n        ".join(stages)
+    return f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   ln(LEAST(GREATEST(value / 500.0, 0.001), 0.999)
+                      / (1.0 - LEAST(GREATEST(value / 500.0, 0.001),
+                                     0.999))) AS l
+            FROM events
+        ),
+        {chain}
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_rows,
+               ROUND(a, 6) AS intercept,
+               ROUND(b, 6) AS slope,
+               ABS(b - 1.0) > 0.1 OR ABS(a) > 0.1
+                   AS needs_recalibration
+        FROM it{CAL_NEWTON_ITERS}
+    """
+
+
+@query(
+    "ml_calibration_slope_logistic",
+    oracle=_cal_oracle_sql(),
+    tags=("E588",),
+)
+def ml_calibration_slope_logistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COX CALIBRATION SLOPE AND INTERCEPT (logistic recalibration,
+    Cox 1958): fit y ~ sigmoid(a + b logit(p)) on the engine's
+    standard scored fixture by SIX UNROLLED NEWTON-RAPHSON iterations
+    expressed as ONE declarative plan — each iteration is an
+    aggregate of five sufficient statistics (gradient + Hessian of
+    the logistic likelihood) at the current (a, b), chained through
+    1-row parameter frames; no driver-side loop, no .collect().  THE
+    clinical-model recalibration standard: slope b < 1 means the
+    model is OVERCONFIDENT (predictions too extreme — the signature
+    of overfitting), b > 1 underconfident, intercept a != 0 means
+    base-rate drift; together they complete the calibration suite
+    (bins draw it, ECE averages it, Spiegelhalter tests it, slope
+    DIAGNOSES and FIXES it — (a, b) are literally the recalibration
+    map you deploy).
+
+    Exact: every per-row gradient/Hessian term is one identical
+    double chain rounded to DECIMAL(28,12) (order-free corpus sums);
+    the 2x2 Newton solve is closed-form scalar algebra in the 1-row
+    frame; iterations are pinned so both engines walk the same
+    trajectory.  Plan: {CAL_NEWTON_ITERS} corpus-scan
+    aggregates (Catalyst shares the scan lineage), each mergeable.
+    100 TB: 6 passes of sufficient-statistic shape — the distributed
+    textbook IRLS, with the per-pass scan as the only data-sized
+    cost."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.expr(
+            "ln(LEAST(GREATEST(value / 500.0, 0.001), 0.999)"
+            " / (1.0 - LEAST(GREATEST(value / 500.0, 0.001), 0.999)))"
+        ).alias("l"),
+    )
+    params = scored.agg(
+        F.expr(
+            "ln(CAST(SUM(y) AS DOUBLE) / (COUNT(*) - SUM(y)))"
+        ).alias("a"),
+        F.lit(0.0).alias("b"),
+    )
+    mu_sql = "1.0 / (1.0 + exp(-(a + b * l)))"
+    for _ in range(CAL_NEWTON_ITERS):
+        terms = scored.crossJoin(F.broadcast(params)).agg(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(y - {mu_sql}, 12)"
+                " AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("g1"),
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(l * (y - {mu_sql}), 12)"
+                " AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("g2"),
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(({mu_sql}) * (1.0 - {mu_sql}), 12)"
+                " AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("h11"),
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(l * ({mu_sql}) * (1.0 - {mu_sql}),"
+                " 12) AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("h12"),
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(l * l * ({mu_sql})"
+                f" * (1.0 - {mu_sql}), 12)"
+                " AS DECIMAL(28,12))) AS DOUBLE)"
+            ).alias("h22"),
+            F.max("a").alias("a"),
+            F.max("b").alias("b"),
+        )
+        params = terms.select(
+            F.expr(
+                "a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12)"
+            ).alias("a"),
+            F.expr(
+                "b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12)"
+            ).alias("b"),
+        )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return params.crossJoin(F.broadcast(n)).select(
+        "n_rows",
+        F.round(F.col("a"), 6).alias("intercept"),
+        F.round(F.col("b"), 6).alias("slope"),
+        (
+            (F.abs(F.col("b") - 1.0) > 0.1) | (F.abs(F.col("a")) > 0.1)
+        ).alias("needs_recalibration"),
+    )

@@ -11740,3 +11740,82 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c, 9).alias("cucconi_c"),
         (c > 2.995732274).alias("reject_5pct"),
     )
+
+
+@query(
+    "stats_variance_homogeneity_quick",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        pergrp AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS s2
+            FROM daily GROUP BY 1
+        ),
+        vars AS (
+            SELECT event_type, n,
+                   (n * CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS v
+            FROM pergrp
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(MIN(n) AS BIGINT) AS n_min,
+               CAST(MAX(n) AS BIGINT) AS n_max,
+               ROUND(MAX(v) / MIN(v), 9) AS hartley_fmax,
+               ROUND(MAX(v) / SUM(v), 9) AS cochran_c,
+               ROUND(1.0 / COUNT(*), 9) AS cochran_c_null
+        FROM vars
+    """,
+    tags=("E589",),
+)
+def stats_variance_homogeneity_quick(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HARTLEY'S F-MAX AND COCHRAN'S C on the per-type daily-count
+    series — the two classical QUICK variance-homogeneity screens
+    that predate (and still triage for) the registered Levene/
+    Brown-Forsythe: Fmax = max s^2 / min s^2 reads in one glance how
+    far the most and least volatile event types diverge; Cochran's C
+    = max s^2 / SUM s^2 asks the sharper "is ONE group carrying the
+    variance?" (null value 1/k), which is exactly the
+    single-hot-series skew question a shuffle planner and an ANOVA
+    user both ask before trusting pooled variance.  The quick tests
+    assume near-equal n (reported: n_min/n_max) and normality —
+    Levene is the robust confirmatory step; these are the free
+    screens that decide whether to run it.
+
+    Exact: per-group (n, SUM x, SUM x^2) are exact integers; each
+    sample variance is ONE identical double chain over them; the two
+    ratios are single divisions rounded 1e-9.  Plan: one day rollup,
+    one k-row aggregate.  100 TB: sufficient-statistic shape."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    pergrp = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    vars_ = pergrp.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(n * CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+        ).alias("v"),
+    )
+    return vars_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.min("n").cast("bigint").alias("n_min"),
+        F.max("n").cast("bigint").alias("n_max"),
+        F.round(F.max("v") / F.min("v"), 9).alias("hartley_fmax"),
+        F.round(F.max("v") / F.sum("v"), 9).alias("cochran_c"),
+        F.round(1.0 / F.count(F.lit(1)), 9).alias("cochran_c_null"),
+    )

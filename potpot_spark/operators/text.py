@@ -5139,3 +5139,244 @@ def text_case_folding_collision_audit(
     for c in counts:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+def _rouge_gram_ctes() -> str:
+    """Shared DuckDB CTE text for the adjacent-pair ROUGE op: unigram
+    and bigram count tables plus the per-lang adjacent doc pairing."""
+    return """
+        toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, unnest(t) AS g FROM toks
+        ),
+        uni_c AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM uni GROUP BY 1, 2
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks WHERE len(t) >= 2
+        ),
+        bi_c AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bi GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT lang, doc_id AS cand,
+                   LEAD(doc_id) OVER (PARTITION BY lang
+                                      ORDER BY doc_id) AS ref
+            FROM toks
+        ),
+        live AS (
+            SELECT lang, cand, ref FROM pairs WHERE ref IS NOT NULL
+        )
+    """
+
+
+def _rouge_n_sql(cnt: str) -> str:
+    """Per-pair overlap/recall/precision/F for one gram table."""
+    return f"""
+            SELECT p.lang, p.cand,
+                   COALESCE(SUM(LEAST(a.c, COALESCE(b.c, 0))), 0) AS ov,
+                   (SELECT COALESCE(SUM(c), 0) FROM {cnt} x
+                    WHERE x.doc_id = p.cand) AS ct,
+                   (SELECT COALESCE(SUM(c), 0) FROM {cnt} x
+                    WHERE x.doc_id = p.ref) AS rt
+            FROM live p
+            LEFT JOIN {cnt} a ON a.doc_id = p.cand
+            LEFT JOIN {cnt} b ON b.doc_id = p.ref AND b.g = a.g
+            GROUP BY p.lang, p.cand, p.ref
+    """
+
+
+@query(
+    "text_rouge_n_adjacent_pairs",
+    oracle=f"""
+        WITH {_rouge_gram_ctes()},
+        r1 AS ({_rouge_n_sql("uni_c")}),
+        r2 AS ({_rouge_n_sql("bi_c")}),
+        f1 AS (
+            SELECT lang,
+                   CAST(ROUND(CASE WHEN ov > 0
+                        THEN 2.0 * (CAST(ov AS DOUBLE) / ct)
+                             * (CAST(ov AS DOUBLE) / rt)
+                             / (CAST(ov AS DOUBLE) / ct
+                                + CAST(ov AS DOUBLE) / rt)
+                        ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS f
+            FROM r1
+        ),
+        f2 AS (
+            SELECT lang,
+                   CAST(ROUND(CASE WHEN ov > 0
+                        THEN 2.0 * (CAST(ov AS DOUBLE) / ct)
+                             * (CAST(ov AS DOUBLE) / rt)
+                             / (CAST(ov AS DOUBLE) / ct
+                                + CAST(ov AS DOUBLE) / rt)
+                        ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS f
+            FROM r2 WHERE ct > 0 AND rt > 0
+        )
+        SELECT a.lang,
+               CAST(a.n AS BIGINT) AS n_pairs,
+               a.avg_f AS rouge1_f_avg,
+               COALESCE(b.avg_f, 0.0) AS rouge2_f_avg
+        FROM (SELECT lang, COUNT(*) AS n,
+                     ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*), 9)
+                         AS avg_f
+              FROM f1 GROUP BY lang) a
+        LEFT JOIN (SELECT lang,
+                          ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*), 9)
+                              AS avg_f
+                   FROM f2 GROUP BY lang) b ON b.lang = a.lang
+        ORDER BY a.lang
+    """,
+    tags=("E590",),
+)
+def text_rouge_n_adjacent_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 F-scores over deterministic adjacent-doc
+    pairs per language (candidate = each doc, reference = the next
+    doc_id in its language): the n-gram-overlap summarization metric
+    as a CORPUS-REDUNDANCY surface.  Within-corpus adjacent-pair
+    ROUGE is the textual analog of the embedding triplet audit: a
+    RISING average says neighboring documents share phrasing
+    (template mills, near-duplicate feeds — the registered shingle/
+    boilerplate ops find the culprits; this scores the corpus in the
+    metric the NLP-eval world speaks), and it doubles as the engine
+    surface for ANY candidate/reference ROUGE job — swap the pairing
+    join for a model-output table and the same plan grades
+    summaries.  Multiset semantics throughout: clipped counts
+    min(c_cand, c_ref), the official ROUGE definition.
+
+    Exact: clipped-overlap sums, gram totals are exact integers
+    (grams absent from the reference clip to 0 explicitly —
+    both engines' LEAST skips NULLs, so the naive outer-join spelling
+    silently over-counts; caught by the Python-recompute property
+    test);
+    per-pair F is one identical double chain rounded to
+    DECIMAL(28,9) so per-lang means are order-free; pairs with an
+    empty bigram side are excluded from ROUGE-2 (both engines).
+    Plan: gram-count tables (vocabulary-scale per doc), one
+    adjacent-pair window, two grouped joins on (doc, gram).
+    100 TB: the pairing is a per-lang ordered window; gram joins are
+    doc-bounded — no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "filter(split(lower(text), ' '), x -> x <> '')"
+        ).alias("t"),
+    )
+    uni_c = (
+        toks.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bi_c = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = toks.select(
+        "lang",
+        F.col("doc_id").alias("cand"),
+        F.lead("doc_id")
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("ref"),
+    ).where(F.col("ref").isNotNull())
+
+    def pair_scores(cnt: DataFrame) -> DataFrame:
+        tot = cnt.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias("tot")
+        )
+        a = cnt.select(
+            F.col("doc_id").alias("cand"),
+            F.col("g"),
+            F.col("c").alias("ca"),
+        )
+        b = cnt.select(
+            F.col("doc_id").alias("ref"),
+            F.col("g"),
+            F.col("c").alias("cb"),
+        )
+        ov = (
+            pairs.join(a, "cand", "left")
+            .join(b, ["ref", "g"], "left")
+            .groupBy("lang", "cand", "ref")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.least(
+                            F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("ov")
+            )
+        )
+        ct = tot.select(F.col("doc_id").alias("cand"), F.col("tot").alias("ct"))
+        rt = tot.select(F.col("doc_id").alias("ref"), F.col("tot").alias("rt"))
+        return (
+            ov.join(ct, "cand", "left")
+            .join(rt, "ref", "left")
+            .select(
+                "lang",
+                F.coalesce("ov", F.lit(0)).alias("ov"),
+                F.coalesce("ct", F.lit(0)).alias("ct"),
+                F.coalesce("rt", F.lit(0)).alias("rt"),
+            )
+        )
+
+    f_expr = F.expr(
+        "CAST(ROUND(CASE WHEN ov > 0"
+        " THEN 2.0 * (CAST(ov AS DOUBLE) / ct)"
+        " * (CAST(ov AS DOUBLE) / rt)"
+        " / (CAST(ov AS DOUBLE) / ct + CAST(ov AS DOUBLE) / rt)"
+        " ELSE 0.0 END, 9) AS DECIMAL(28,9))"
+    )
+    f1 = pair_scores(uni_c).select("lang", f_expr.alias("f"))
+    f2 = (
+        pair_scores(bi_c)
+        .where((F.col("ct") > 0) & (F.col("rt") > 0))
+        .select("lang", f_expr.alias("f"))
+    )
+    a1 = f1.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 9).alias(
+            "rouge1_f_avg"
+        ),
+    )
+    a2 = f2.groupBy("lang").agg(
+        F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 9).alias(
+            "r2"
+        )
+    )
+    return (
+        a1.join(a2, "lang", "left")
+        .select(
+            "lang",
+            "n_pairs",
+            "rouge1_f_avg",
+            F.coalesce("r2", F.lit(0.0)).alias("rouge2_f_avg"),
+        )
+        .orderBy("lang")
+    )

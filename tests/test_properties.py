@@ -4305,3 +4305,124 @@ def test_cucconi_operator_recompute(spark, sf_dir):
     c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
     assert abs(got["cucconi_c"] - c) < 1e-6
     assert got["cucconi_c"] >= 0.0
+
+
+def test_calibration_slope_matches_scipy_free_newton(spark, sf_dir):
+    """The fitted (a, b) must match an independent Python Newton run
+    from the same init on raw data, and must satisfy the logistic
+    score equations (gradient ~ 0 at the optimum)."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.expr(
+                "ln(LEAST(GREATEST(value / 500.0, 0.001), 0.999)"
+                " / (1.0 - LEAST(GREATEST(value / 500.0, 0.001),"
+                " 0.999)))"
+            ).alias("l"),
+        )
+        .collect()
+    )
+    ybar = sum(r["y"] for r in rows) / len(rows)
+    a, b = math.log(ybar / (1 - ybar)), 0.0
+    for _ in range(6):
+        g1 = g2 = h11 = h12 = h22 = 0.0
+        for r in rows:
+            mu = 1.0 / (1.0 + math.exp(-(a + b * r["l"])))
+            w = mu * (1 - mu)
+            g1 += r["y"] - mu
+            g2 += r["l"] * (r["y"] - mu)
+            h11 += w
+            h12 += r["l"] * w
+            h22 += r["l"] * r["l"] * w
+        det = h11 * h22 - h12 * h12
+        a += (h22 * g1 - h12 * g2) / det
+        b += (h11 * g2 - h12 * g1) / det
+    got = (
+        registry.get("ml_calibration_slope_logistic")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_rows"] == len(rows)
+    assert abs(got["intercept"] - a) < 1e-4, (got["intercept"], a)
+    assert abs(got["slope"] - b) < 1e-4, (got["slope"], b)
+    # score equations at the reported optimum
+    g1 = sum(
+        r["y"] - 1.0 / (1.0 + math.exp(-(got["intercept"] + got["slope"] * r["l"])))
+        for r in rows
+    )
+    assert abs(g1) < 1e-3 * len(rows)
+
+
+def test_variance_homogeneity_identities(spark, sf_dir):
+    """Fmax >= 1, 1/k <= C <= 1, and both match a Python recompute."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r["count"])
+    vs = []
+    for xs in series.values():
+        n = len(xs)
+        m = sum(xs) / n
+        vs.append(sum((x - m) ** 2 for x in xs) / (n - 1))
+    got = (
+        registry.get("stats_variance_homogeneity_quick")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    k = len(vs)
+    assert got["k_groups"] == k
+    assert abs(got["hartley_fmax"] - max(vs) / min(vs)) < 1e-5
+    assert abs(got["cochran_c"] - max(vs) / sum(vs)) < 1e-7
+    assert got["hartley_fmax"] >= 1.0
+    assert 1.0 / k - 1e-9 <= got["cochran_c"] <= 1.0
+
+
+def test_rouge_pairs_python_recompute(spark, sf_dir):
+    """ROUGE-1 averages recomputed in Python with clipped multiset
+    counts over the same adjacent pairing; bounds [0, 1]."""
+    from collections import Counter, defaultdict
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        by_lang[r["lang"]].append((r["doc_id"], toks))
+    want = {}
+    for lang, items in by_lang.items():
+        fs = []
+        for (ca, ta), (cb, tb) in zip(items, items[1:]):
+            A, B = Counter(ta), Counter(tb)
+            ov = sum(min(A[g], B[g]) for g in A)
+            if ov > 0:
+                p = ov / sum(A.values())
+                r_ = ov / sum(B.values())
+                fs.append(round(2 * p * r_ / (p + r_), 9))
+            else:
+                fs.append(0.0)
+        want[lang] = (len(fs), sum(fs) / len(fs))
+    got = {
+        r["lang"]: r
+        for r in registry.get("text_rouge_n_adjacent_pairs")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for lang, (n, avg) in want.items():
+        assert got[lang]["n_pairs"] == n
+        assert abs(got[lang]["rouge1_f_avg"] - avg) < 1e-6
+        assert 0.0 <= got[lang]["rouge2_f_avg"] <= got[lang]["rouge1_f_avg"] + 1e-9
