@@ -4307,3 +4307,78 @@ def graph_effective_diameter_sampled(
         .alias("effective_diameter_90"),
         F.max("dist").cast("bigint").alias("max_dist"),
     )
+
+
+@query(
+    "graph_avg_neighbor_degree_curve",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+            SELECT u AS s, v AS d FROM e
+            UNION ALL
+            SELECT v, u FROM e
+        ),
+        deg AS (
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS k
+            FROM und GROUP BY s
+        )
+        SELECT ds.k AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+               CAST(SUM(dd.k) * 1000000 // COUNT(*) AS BIGINT)
+                   AS avg_nbr_degree_x1e6
+        FROM und
+        JOIN deg ds ON ds.node = und.s
+        JOIN deg dd ON dd.node = und.d
+        GROUP BY ds.k
+        ORDER BY ds.k
+    """,
+    tags=("E593",),
+)
+def graph_avg_neighbor_degree_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVERAGE NEIGHBOR DEGREE CURVE k_nn(k) on the co-purchase graph:
+    for each degree class k, the mean degree of the neighbors of
+    degree-k nodes (edge-end averaged, the Pastor-Satorras/Vespignani
+    definition).  The registered degree assortativity compresses this
+    whole curve into ONE correlation scalar — and loses exactly the
+    structure that matters: a curve that falls with k (disassortative,
+    hubs touch leaves — typical of catalogs and the internet) vs
+    rises (assortative cores — social graphs) vs is flat-with-a-knee
+    localizes WHERE mixing changes, which decides hub-salting and
+    degree-capped join strategies at 100 TB in a way no scalar can.
+
+    Exact: degrees, edge-end counts, and the per-class mean are exact
+    integers (1e6 fixed point).  Plan: one degree aggregate, two
+    degree joins on the bidirected edge list, one degree-class
+    rollup.  100 TB: the joins are node-key hash joins; the curve is
+    |distinct degrees| rows."""
+    edges = part_copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("k").alias("ks"))
+    dd = deg.select(F.col("node").alias("d"), F.col("k").alias("kd"))
+    return (
+        und.join(ds, "s")
+        .join(dd, "d")
+        .groupBy(F.col("ks").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edge_ends"),
+            F.expr(
+                "CAST(SUM(kd) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("avg_nbr_degree_x1e6"),
+        )
+        .orderBy("degree")
+    )

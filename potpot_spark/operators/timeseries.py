@@ -10871,3 +10871,272 @@ def timeseries_forecast_error_panel(
         )
         .orderBy("event_type")
     )
+
+
+BASS_P_GRID = [0.001, 0.002, 0.005, 0.01, 0.02, 0.03, 0.05, 0.08, 0.12, 0.2]
+BASS_Q_GRID = [0.02, 0.05, 0.08, 0.12, 0.18, 0.25, 0.35, 0.5, 0.7, 1.0]
+
+
+@query(
+    "analytics_bass_diffusion_grid",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT d0, CAST(COUNT(*) AS BIGINT) AS adds
+            FROM firsts GROUP BY d0
+        ),
+        curve AS (
+            SELECT CAST(d0 - MIN(d0) OVER () AS BIGINT) + 1 AS t,
+                   CAST(SUM(adds) OVER (ORDER BY d0) AS BIGINT) AS cum,
+                   CAST(SUM(adds) OVER () AS BIGINT) AS m
+            FROM daily
+        ),
+        grid AS (
+            SELECT p.p, q.q
+            FROM (SELECT unnest([{", ".join(map(str, BASS_P_GRID))}])
+                      AS p) p
+            CROSS JOIN (SELECT unnest([{", ".join(map(str, BASS_Q_GRID))}])
+                      AS q) q
+        ),
+        sse AS (
+            SELECT g.p, g.q,
+                   SUM(CAST(ROUND(POW(CAST(c.cum AS DOUBLE) / c.m
+                       - (1.0 - exp(-(g.p + g.q) * c.t))
+                         / (1.0 + (g.q / g.p)
+                            * exp(-(g.p + g.q) * c.t)), 2), 12)
+                       AS DECIMAL(28,12))) AS e
+            FROM curve c CROSS JOIN grid g
+            GROUP BY g.p, g.q
+        ),
+        best AS (
+            SELECT p, q, e,
+                   ROW_NUMBER() OVER (ORDER BY e, p, q) AS rn
+            FROM sse
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM curve) AS n_days,
+               (SELECT CAST(MAX(m) AS BIGINT) FROM curve) AS n_adopters,
+               p AS best_p, q AS best_q,
+               ROUND(CAST(e AS DOUBLE), 9) AS sse
+        FROM best WHERE rn = 1
+    """,
+    tags=("E591",),
+)
+def analytics_bass_diffusion_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BASS DIFFUSION MODEL fit to the user-adoption curve (first
+    event per user) by an EXHAUSTIVE 10x10 (p, q) GRID SCAN expressed
+    as one declarative plan: F(t) = (1 - e^-(p+q)t)/(1 + (q/p)
+    e^-(p+q)t), SSE against the observed cumulative-adopter share,
+    argmin with a deterministic (sse, p, q) tie-break.  THE
+    product-growth decomposition — p is external influence
+    (marketing), q internal (word of mouth); q/p > 1 says growth is
+    contagion-driven and will peak then crash, q/p < 1 says it is
+    acquisition-driven and saturates smoothly — fitted here the way a
+    distributed engine should fit a 2-parameter nonlinear model at
+    100 TB: the corpus collapses to a day-grain sufficient curve
+    ONCE, then 100 parameter cells evaluate on the tiny curve in
+    parallel (grid-search-as-cross-join — the same pattern the
+    registered elasticity/holt ops use for 1D, lifted to 2D).
+
+    Exact: adoption counts and cumulative shares derive from exact
+    integers; each (cell, day) squared error is one identical double
+    chain rounded to DECIMAL(28,12) (order-free per-cell sums);
+    argmin is integer-ranked.  Plan: one first-event aggregate, one
+    day rollup + two windows, one curve x grid cross join (days x
+    100 rows — broadcast-literal class).  100 TB: only the
+    first-event aggregate sees the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("d0")
+    )
+    daily = firsts.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("adds")
+    )
+    curve = daily.select(
+        (
+            F.datediff(
+                F.col("d0"), F.min("d0").over(Window.partitionBy())
+            ).cast("bigint")
+            + 1
+        ).alias("t"),
+        F.sum("adds").over(Window.orderBy("d0")).cast("bigint").alias("cum"),
+        F.sum("adds").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in BASS_P_GRID])
+            ).alias("p")
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(
+                        F.array(*[F.lit(q) for q in BASS_Q_GRID])
+                    ).alias("q")
+                )
+            )
+        )
+    )
+    sse = (
+        curve.crossJoin(F.broadcast(grid))
+        .groupBy("p", "q")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(POW(CAST(cum AS DOUBLE) / m"
+                    " - (1.0 - exp(-(p + q) * t))"
+                    " / (1.0 + (q / p) * exp(-(p + q) * t)), 2), 12)"
+                    " AS DECIMAL(28,12))"
+                )
+            ).alias("e")
+        )
+    )
+    best = sse.select(
+        "p",
+        "q",
+        "e",
+        F.row_number().over(Window.orderBy("e", "p", "q")).alias("rn"),
+    ).where(F.col("rn") == 1)
+    tot = curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("m").cast("bigint").alias("n_adopters"),
+    )
+    return tot.crossJoin(F.broadcast(best)).select(
+        "n_days",
+        "n_adopters",
+        F.col("p").alias("best_p"),
+        F.col("q").alias("best_q"),
+        F.round(F.col("e").cast("double"), 9).alias("sse"),
+    )
+
+
+PH_DELTA = 5.0
+
+
+@query(
+    "timeseries_page_hinkley_drift",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        run AS (
+            SELECT day, x,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(x) OVER (ORDER BY day) AS cx,
+                   CAST(SUM(x) OVER () AS DOUBLE)
+                       / COUNT(*) OVER () AS gmean
+            FROM daily
+        ),
+        dev AS (
+            SELECT day, rn, gmean,
+                   CAST(ROUND(x - CAST(cx AS DOUBLE) / rn - {PH_DELTA},
+                        9) AS DECIMAL(28,9)) AS d
+            FROM run
+        ),
+        cums AS (
+            SELECT day, rn, gmean,
+                   CAST(SUM(d) OVER (ORDER BY rn) AS DOUBLE) AS cum
+            FROM dev
+        ),
+        ph AS (
+            SELECT day, gmean, cum,
+                   MIN(cum) OVER (ORDER BY rn) AS mn
+            FROM cums
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(MAX(cum - mn), 9) AS max_excursion,
+               strftime(MIN(CASE WHEN ROUND(cum - mn, 9)
+                    = (SELECT ROUND(MAX(cum - mn), 9) FROM ph)
+                    THEN day END), '%Y-%m-%d') AS excursion_peak_day,
+               CAST(SUM(CASE WHEN cum - mn > gmean THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarm_days
+        FROM ph
+    """,
+    tags=("E592",),
+)
+def timeseries_page_hinkley_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAGE-HINKLEY upward-drift detector on the daily event-count
+    series: cumulate d_t = x_t - mean(x_1..x_t) - delta (delta =
+    {PH_DELTA}, the indifference margin), track the running minimum,
+    and alarm when the excursion cum - min exceeds a threshold (here
+    lambda = the series' global mean — a scale-free choice).  THE
+    sequential drift test of the streaming-ML literature (river/MOA's
+    default concept-drift detector): unlike the registered CUSUM
+    (fixed reference mean) the Page-Hinkley reference is the RUNNING
+    mean, so it self-baselines on nonstationary-but-slowly-varying
+    series and fires only on sustained level shifts; unlike
+    changepoint_binseg (retrospective, O(n log n) scans) it is the
+    one-pass ONLINE form — what the streaming counterpart of this
+    engine would run per micro-batch.
+
+    Exact: counts and running sums are exact integers; each deviation
+    term is one identical double chain rounded to DECIMAL(28,9)
+    (ordered-window sums are then exact), the excursion and alarms
+    are deterministic comparisons; the peak day breaks ties by MIN.
+    Plan: one day rollup, ordered windows over the day-grain
+    series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wd = Window.orderBy("day")
+    run = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("x").over(wd).alias("cx"),
+        (
+            F.sum("x").over(Window.partitionBy()).cast("double")
+            / F.count(F.lit(1)).over(Window.partitionBy())
+        ).alias("gmean"),
+    )
+    dev = run.select(
+        "day",
+        "rn",
+        "gmean",
+        F.expr(
+            f"CAST(ROUND(x - CAST(cx AS DOUBLE) / rn - {PH_DELTA}, 9)"
+            " AS DECIMAL(28,9))"
+        ).alias("d"),
+    )
+    wr = Window.orderBy("rn")
+    cums = dev.select(
+        "day",
+        "rn",
+        "gmean",
+        F.sum("d").over(wr).cast("double").alias("cum"),
+    )
+    ph = cums.select(
+        "day", "gmean", "cum", F.min("cum").over(wr).alias("mn")
+    )
+    exc = F.col("cum") - F.col("mn")
+    mx = ph.agg(F.round(F.max(exc), 9).alias("mx"))
+    return (
+        ph.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.max(exc), 9).alias("max_excursion"),
+            F.date_format(
+                F.min(
+                    F.when(F.round(exc, 9) == F.col("mx"), F.col("day"))
+                ),
+                "yyyy-MM-dd",
+            ).alias("excursion_peak_day"),
+            F.sum(F.when(exc > F.col("gmean"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarm_days"),
+        )
+    )

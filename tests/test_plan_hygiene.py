@@ -128,7 +128,7 @@ def test_broadcast_hint_discipline():
         "operators/stats.py": (77, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
         "operators/ml_features.py": (50, "1-row fit/threshold frames, vocab/centroid tables"),
-        "operators/timeseries.py": (34, "per-series scalar frames, calendars"),
+        "operators/timeseries.py": (38, "per-series scalar frames, calendars"),
         "operators/graph.py": (33, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
         "operators/text.py": (29, "df-rank tables, size-gated verify join, stopword dims"),

@@ -4426,3 +4426,129 @@ def test_rouge_pairs_python_recompute(spark, sf_dir):
         assert got[lang]["n_pairs"] == n
         assert abs(got[lang]["rouge1_f_avg"] - avg) < 1e-6
         assert 0.0 <= got[lang]["rouge2_f_avg"] <= got[lang]["rouge1_f_avg"] + 1e-9
+
+
+def test_bass_grid_python_recompute(spark, sf_dir):
+    """The argmin cell recomputed in Python over the same grid from
+    the raw adoption curve."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"))
+        .groupBy("d0")
+        .count()
+        .orderBy("d0")
+        .collect()
+    )
+    from potpot_spark.operators.timeseries import BASS_P_GRID, BASS_Q_GRID
+
+    d0s = [r["d0"] for r in rows]
+    adds = [r["count"] for r in rows]
+    m = sum(adds)
+    cum = 0
+    curve = []
+    for d, a in zip(d0s, adds):
+        cum += a
+        curve.append(((d - d0s[0]).days + 1, cum / m))
+    best = None
+    for p in BASS_P_GRID:
+        for q in BASS_Q_GRID:
+            sse = sum(
+                round(
+                    (
+                        share
+                        - (1 - math.exp(-(p + q) * t))
+                        / (1 + (q / p) * math.exp(-(p + q) * t))
+                    )
+                    ** 2,
+                    12,
+                )
+                for t, share in curve
+            )
+            key = (sse, p, q)
+            if best is None or key < best:
+                best = key
+    got = (
+        registry.get("analytics_bass_diffusion_grid")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_days"] == len(curve) and got["n_adopters"] == m
+    assert (got["best_p"], got["best_q"]) == (best[1], best[2])
+    assert abs(got["sse"] - best[0]) < 1e-6
+
+
+def test_page_hinkley_python_recompute(spark, sf_dir):
+    """Excursion trajectory recomputed in Python with the same delta
+    and running-mean reference."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    xs = [(r["day"], r["count"]) for r in rows]
+    gmean = sum(x for _, x in xs) / len(xs)
+    cum = cx = 0.0
+    csum = 0
+    mn = 0.0
+    best = (-1.0, None)
+    alarms = 0
+    first = True
+    for i, (d, x) in enumerate(xs, 1):
+        csum += x
+        cum += round(x - csum / i - 5.0, 9)
+        if first:
+            mn = cum
+            first = False
+        mn = min(mn, cum)
+        exc = cum - mn
+        if round(exc, 9) > best[0]:
+            best = (round(exc, 9), d)
+        if exc > gmean:
+            alarms += 1
+    got = (
+        registry.get("timeseries_page_hinkley_drift")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_days"] == len(xs)
+    assert abs(got["max_excursion"] - best[0]) < 1e-6
+    assert got["excursion_peak_day"] == best[1].strftime("%Y-%m-%d")
+    assert got["n_alarm_days"] == alarms
+
+
+def test_avg_neighbor_degree_curve_identities(spark, sf_dir):
+    """Edge-end counts sum to 2|E|; per-class means recomputed from a
+    Python adjacency; total-edge-end-weighted mean of k_nn equals the
+    mean neighbor degree."""
+    from collections import defaultdict
+
+    from potpot_spark.operators.graph import part_copurchase_edges
+
+    edges = [
+        (r["u"], r["v"])
+        for r in part_copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    by_k = defaultdict(list)
+    for u, nb in adj.items():
+        for v in nb:
+            by_k[len(nb)].append(len(adj[v]))
+    got = {
+        r["degree"]: r
+        for r in registry.get("graph_avg_neighbor_degree_curve")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert sum(r["n_edge_ends"] for r in got.values()) == 2 * len(edges)
+    for k, ds in by_k.items():
+        r = got[k]
+        assert r["n_edge_ends"] == len(ds)
+        assert r["avg_nbr_degree_x1e6"] == sum(ds) * 1_000_000 // len(ds)
