@@ -6932,7 +6932,7 @@ def ml_calibration_slope_logistic(
     expressed as ONE declarative plan — each iteration is an
     aggregate of five sufficient statistics (gradient + Hessian of
     the logistic likelihood) at the current (a, b), chained through
-    1-row parameter frames; no driver-side loop, no .collect().  THE
+    1-row parameter frames; no driver-side loop or materialization.  THE
     clinical-model recalibration standard: slope b < 1 means the
     model is OVERCONFIDENT (predictions too extreme — the signature
     of overfitting), b > 1 underconfident, intercept a != 0 means
