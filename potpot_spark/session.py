@@ -72,7 +72,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # Cost is driver metaspace for cached classes (bounded, ~KBs per
     # entry); on a 1000-executor cluster the same cache exists per
     # executor and repeated-plan workloads want it just as large.
-    "spark.sql.codegen.cache.maxEntries": "10000",
+    # r9: raised 10000 -> 40000 — at 679 registered queries x ~15
+    # codegen units x 3 interleaved passes the 10k LRU started
+    # thrashing again (the r6 failure mode at the new suite size):
+    # the common-568 min-time sum inflated ~31% round-over-round with
+    # NO per-query plan changes, the uniform-everything signature of
+    # recompilation churn, and re-benching at 40k recovered it.
+    "spark.sql.codegen.cache.maxEntries": "40000",
 }
 
 
