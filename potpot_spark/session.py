@@ -103,7 +103,16 @@ def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | Non
 
     builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # r9: 8g -> 32g default.  In local mode the driver JVM IS the
+    # executor: 32 concurrent task slots + cached shared intermediates
+    # + 679 registered queries x 3 interleaved bench passes outgrew an
+    # 8g heap — the bench showed a UNIFORM ~1.25x multiplicative
+    # min-time inflation across every size class (the GC-fraction
+    # signature; per-plan regressions would be localized).  The host
+    # has 128 GiB; 32g keeps old-gen churn off the timed path.  On a
+    # real cluster this maps to ordinary executor sizing, not a design
+    # change.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     # Shuffle/spill scratch on tmpfs when available: local-mode shuffle
     # files (and their async ContextCleaner deletion) otherwise hit the
     # root disk, and the teardown I/O of a heavy query taxes whatever
