@@ -86,11 +86,20 @@ def slow_cohort(detail: dict) -> list[str]:
     non-streaming oracled cohort of the CURRENT round's detail —
     derived mechanically from the newest BENCH_DETAIL so a
     late-landing top-cost query (node2vec in r8, betweenness in r7)
-    can never escape the refresh again."""
+    can never escape the refresh again.  r9: a query's effective cost
+    is its ``isolated`` rerun when bench.py recorded one — in-suite
+    medians of wake victims measure their neighbors, not their
+    plan."""
     return sorted(
         n
         for n, t in detail.items()
-        if t.get("median", -1.0) >= SLOW_MEDIAN_SEC and anchorable(n)
+        if (
+            t["isolated"]
+            if t.get("isolated") is not None
+            else t.get("median", -1.0)
+        )
+        >= SLOW_MEDIAN_SEC
+        and anchorable(n)
     )
 
 # Queries consuming the hc_seed_reach shared intermediate: their
