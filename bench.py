@@ -22,6 +22,18 @@ statistics.median, and the headline total sums medians (r4 verdict
 host).  Queries that raise are
 recorded with median -1.0 and counted in "errors" so a regression
 from working to erroring is visible in the headline line.
+
+WALL-CLOCK BUDGET (r9 verdict #1): at 679 keys x 3 interleaved
+passes the suite outgrew the driver's bench window — BENCH_r09.json
+is rc=124/parsed:null, so round 9 has NO official perf number.
+$SPARK_GRAFT_BENCH_BUDGET_SEC (default 2400) now bounds the whole
+run: pass 1 always covers EVERY registered query (the artifact must
+report queries_run == registry size), and the remaining passes
+re-rep only the >=1 s cohort (the 500+ sub-second keys contribute
+noise-floor variance that a median cannot improve), stopping early
+— cohort passes first, then the isolated-rerun tail — when the
+budget is nearly spent.  reps_by_name in the detail file records
+what each query actually got.
 """
 
 from __future__ import annotations
@@ -45,8 +57,34 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def drain_cleaner(spark, settle_sec: float = 0.5) -> None:
+    """Force ContextCleaner teardown to happen NOW, not under the next
+    timed query.
+
+    Shuffle files / broadcast blocks are only dereferenced when a
+    driver GC runs; with a 32g heap GC is rare, so teardown arrives in
+    bursts that land under whatever query runs next (r9: 20 wake
+    victims, medians up to 16x their isolated cost — e.g.
+    dedup_shard_locality_audit 14.34 s in-suite vs 0.87 s isolated).
+    An explicit System.gc() enqueues the weak refs immediately and the
+    settle sleep gives the cleaner thread a window to delete the files
+    off the tmpfs local dir before the next measurement starts.
+    """
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - drain is best-effort
+        pass
+    time.sleep(settle_sec)
+
+
 def main() -> int:
     only = sys.argv[1:]
+    bench_start = time.perf_counter()
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
+    # Bench host sizing is the harness's business, not the library's
+    # (ADVICE r9): get_session derives a conservative heap from host
+    # memory; the bench explicitly asks for the measured 32g config.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_session("potpot_bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
@@ -180,21 +218,49 @@ def main() -> int:
     ]
     times_by_name: dict[str, list[float]] = {n: [] for n in names}
     failed: set[str] = set()
-    for _ in range(runs_per_query):
-        for name in names:
-            if name in failed:
+
+    def run_once(name: str) -> None:
+        spec = registry.specs()[name]
+        t0 = time.perf_counter()
+        try:
+            materialize(spec.fn(spark, SF_DIR))
+            times_by_name[name].append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"# BENCH ERROR {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}",
+                file=sys.stderr,
+            )
+            failed.add(name)
+
+    def remaining() -> float:
+        return budget_sec - (time.perf_counter() - bench_start)
+
+    # Pass 1: EVERY query, unconditionally — the driver artifact must
+    # cover the whole registry even if the budget is tight.
+    heavy_drain_sec = 2.5  # force cleaner teardown after explode-heavy keys
+    for name in names:
+        run_once(name)
+        if times_by_name[name] and times_by_name[name][-1] > heavy_drain_sec:
+            drain_cleaner(spark)
+    # Re-rep passes: only the >=1 s cohort (variance lives there; the
+    # sub-second majority's medians don't move with more samples), and
+    # only while the budget — minus a reserve for the isolated-rerun
+    # tail — allows.  Interleaved full cohort passes, same r5 protocol.
+    isolated_reserve_sec = 240.0
+    cohort = [
+        n for n in names
+        if n not in failed and times_by_name[n] and times_by_name[n][0] >= 1.0
+    ]
+    for _ in range(runs_per_query - 1):
+        if remaining() <= isolated_reserve_sec:
+            break
+        drain_cleaner(spark, settle_sec=1.0)
+        for name in cohort:
+            if name in failed or remaining() <= isolated_reserve_sec:
                 continue
-            spec = registry.specs()[name]
-            t0 = time.perf_counter()
-            try:
-                materialize(spec.fn(spark, SF_DIR))
-                times_by_name[name].append(time.perf_counter() - t0)
-            except Exception as e:  # noqa: BLE001
-                print(
-                    f"# BENCH ERROR {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}",
-                    file=sys.stderr,
-                )
-                failed.add(name)
+            run_once(name)
+            if times_by_name[name] and times_by_name[name][-1] > heavy_drain_sec:
+                drain_cleaner(spark)
     timings: dict[str, dict[str, float]] = {}
     total = shared_build_sec
     errors = 0
@@ -251,10 +317,14 @@ def main() -> int:
         prior = prior_medians.get(name, -1.0)
         if med > 2 * mn or (prior > 0 and med > 1.25 * prior):
             flagged.append(name)
-    # bound the isolated tail: worst offenders first, at most 20
+    # bound the isolated tail: worst offenders first, at most 20, and
+    # stop when the wall-clock budget is exhausted (a missing isolated
+    # sample degrades adjudication, never the headline artifact)
     flagged.sort(key=lambda n: -timings[n]["median"])
     for name in flagged[:20]:
-        time.sleep(2.0)  # let ContextCleaner drain neighbors' shuffles
+        if remaining() <= 10.0:
+            break
+        drain_cleaner(spark, settle_sec=2.0)
         spec = registry.specs()[name]
         t0 = time.perf_counter()
         try:
@@ -301,6 +371,8 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_val,
                 "errors": errors,
+                "budget_sec": budget_sec,
+                "elapsed_sec": round(time.perf_counter() - bench_start, 3),
                 "shared_build_sec": shared_build_sec,
                 "shared_build_breakdown": shared_build_breakdown,
                 "queries": timings,

@@ -79,6 +79,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # NO per-query plan changes, the uniform-everything signature of
     # recompilation churn, and re-benching at 40k recovered it.
     "spark.sql.codegen.cache.maxEntries": "40000",
+    # ContextCleaner only tears down dereferenced shuffle files /
+    # broadcast blocks after a driver GC queues their weak refs; with a
+    # large heap GC is rare, so teardown arrives in bursts that land
+    # under whatever query runs next (r9: 20 bench wake victims with
+    # in-suite medians up to 16x their isolated cost).  Shorten the
+    # periodic driver GC from the 30min default so cleanup stays
+    # incremental; the bench harness additionally drains explicitly
+    # between measurement slots (bench.drain_cleaner).
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 
@@ -103,16 +112,23 @@ def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | Non
 
     builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    # r9: 8g -> 32g default.  In local mode the driver JVM IS the
-    # executor: 32 concurrent task slots + cached shared intermediates
-    # + 679 registered queries x 3 interleaved bench passes outgrew an
-    # 8g heap — the bench showed a UNIFORM ~1.25x multiplicative
-    # min-time inflation across every size class (the GC-fraction
-    # signature; per-plan regressions would be localized).  The host
-    # has 128 GiB; 32g keeps old-gen churn off the timed path.  On a
-    # real cluster this maps to ordinary executor sizing, not a design
-    # change.
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    # Local-mode heap: the driver JVM IS the executor, and the r9
+    # bench showed an 8g heap produced a UNIFORM ~1.25x min-time
+    # inflation across every size class (GC-fraction signature) once
+    # 679 queries x 3 interleaved passes shared it.  But a fixed 32g
+    # default bakes the 128 GiB bench host into the library entry
+    # point (ADVICE r9) — on a 16 GB laptop the JVM would swap or be
+    # OOM-killed.  Derive the default from detected host memory
+    # (~1/4 of RAM, clamped to [2g, 32g]); the bench harness pins the
+    # measured figure via SPARK_GRAFT_DRIVER_MEM, which always wins.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not driver_mem:
+        try:
+            total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
+        except (ValueError, OSError, AttributeError):
+            total_gib = 8
+        driver_mem = f"{max(2, min(32, total_gib // 4))}g"
+    builder = builder.config("spark.driver.memory", driver_mem)
     # Shuffle/spill scratch on tmpfs when available: local-mode shuffle
     # files (and their async ContextCleaner deletion) otherwise hit the
     # root disk, and the teardown I/O of a heavy query taxes whatever
