@@ -78,20 +78,26 @@ def _state_bcast(n_rows_bound: int):
     return lambda df: df
 
 
-_PART_ROWS_CACHE: dict[str, int] = {}
+_TABLE_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Metadata-cheap row-count bound for a base table: the parquet
+    count is footer metadata, no data scan.  Cached per (sf_dir,
+    table) — the tables are immutable test data; an isolated A/B
+    showed the ~0.3 s warm count repeated per bench rep was the entire
+    gate overhead — so deciding a plan costs at most one tiny job per
+    session and zero thereafter."""
+    key = (sf_dir, table)
+    if key not in _TABLE_ROWS_CACHE:
+        _TABLE_ROWS_CACHE[key] = load_table(spark, sf_dir, table).count()
+    return _TABLE_ROWS_CACHE[key]
 
 
 def _part_table_rows(spark: SparkSession, sf_dir: str) -> int:
-    """Metadata-cheap |V| upper bound for the partkey graphs: the part
-    table's parquet row count (footer metadata, no data scan) — every
-    co-purchase node is an l_partkey, and partkeys are a subset of
-    part.  Cached per sf_dir (the table is immutable test data; an
-    isolated A/B showed the ~0.3 s warm count repeated per bench rep
-    was the entire gate overhead), so deciding the plan costs at most
-    one tiny job per session and zero thereafter."""
-    if sf_dir not in _PART_ROWS_CACHE:
-        _PART_ROWS_CACHE[sf_dir] = load_table(spark, sf_dir, "part").count()
-    return _PART_ROWS_CACHE[sf_dir]
+    """|V| upper bound for the partkey graphs — every co-purchase node
+    is an l_partkey, and partkeys are a subset of part."""
+    return _table_rows(spark, sf_dir, "part")
 
 # Edge definition shared with dedup_ngram_jaccard's oracle (same
 # blocking + threshold); kept as one source string so the two oracles
@@ -1698,63 +1704,108 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, ties break to the lower key.  Σ stays far inside int64:
     score ≤ 1e6 and bipartite degree is bounded by orders-per-part.
 
-    Scale shape: per round two edge⨝score joins + two aggregates,
-    each shuffling on a node key (the co-partitioning PageRank
-    reuses); max-normalization is one scalar broadcast.  No
-    localCheckpoint at {HITS_ITERS} rounds — the unrolled plan is
-    shallow; at 10+ rounds adopt pagerank's per-round truncation."""
+    Scale shape (r10 rework — the op sat at 2.8x DuckDB for three
+    rounds; the old loop eagerly checkpointed every half-round and ran
+    a separate scalar-max job per normalization, ~15 sequential Spark
+    jobs of which the data justified ~6): round 1's authority sum
+    under the uniform seed is exactly U·indegree(p), so the seed frame
+    never exists; the distinct edge table is cached once and every
+    round joins it map-side against the broadcast score vector
+    (size-gated via ``_state_bcast``); max-normalization folds into
+    the SAME job as the aggregate via a global window over the score
+    vector (≤ max(|C|,|P|) rows — bounded by the same cap that gates
+    the broadcast, so the single-partition window never sees more
+    rows than the broadcast would ship); the whole 2-iteration chain
+    then executes as ONE lazy pipeline, materialized inside the
+    operator so the edge cache can be released deterministically
+    (bench interference discipline).  Past the state cap the same
+    joins degrade to shuffle joins and the window normalization flips
+    to the scalar-broadcast form — one exchange more, identical
+    algebra.  A/B at sf0.1 warm: 3.8 s (r9 shape) → 3.0 s."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # one distinct edge materialization feeds 4 score joins + the seed
-    # frame (5 consumers) — without the checkpoint each one replays
-    # the orders⨝lineitem distinct (A/B at sf0.1: 6.4 s -> 5.3 s; the
-    # per-round checkpoint below takes it to 3.6 s)
+    # one distinct edge materialization feeds 4 score joins — without
+    # it each round replays the orders⨝lineitem distinct
     e = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    # |score vector| ≤ max(|customers|, |parts|); both bounds are
+    # footer-metadata counts (no data scan), cached per sf_dir
+    state_bound = max(
+        _part_table_rows(spark, sf_dir),
+        _table_rows(spark, sf_dir, "customer"),
+    )
+    bcast = _state_bcast(state_bound)
+    cap = int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE",
+                             GRAPH_BCAST_MAX_STATE))
 
     def normalize(scored: DataFrame) -> DataFrame:
-        # checkpoint BEFORE the scalar max: the max is a separate job,
-        # and without truncation it would replay every prior round's
-        # join (the per-round discipline pagerank uses; A/B at sf0.1:
-        # 5.3 s -> 3.6 s warm)
+        if state_bound <= cap:
+            # fused: the max and the division ride the aggregate's job
+            return scored.select(
+                "k", F.expr(f"(s * {HITS_U}) DIV (max(s) OVER ())").alias("s")
+            )
+        # at-scale fallback: tiny scalar aggregate + broadcast, no
+        # single-partition pass over a large score vector
         scored = scored.localCheckpoint(eager=True)
         mx = scored.agg(F.max("s").alias("mx"))
         return scored.crossJoin(F.broadcast(mx)).select(
             "k", F.expr(f"s * {HITS_U} DIV mx").alias("s")
         )
 
-    h = e.select(F.col("c").alias("k")).distinct().select(
-        "k", F.lit(HITS_U).cast("bigint").alias("s")
-    )
-    for _ in range(HITS_ITERS):
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # Round 1: with the uniform seed h₀(c) = U for every customer
+        # in e, the authority sum is exactly U·indegree(p) — same
+        # BIGINT as the oracle's a1r, no join needed.
         a = normalize(
-            e.join(h, e["c"] == h["k"]).groupBy(F.col("p").alias("k2"))
-            .agg(F.sum("s").alias("s")).withColumnRenamed("k2", "k")
+            e.groupBy(F.col("p").alias("k"))
+            .agg((F.count(F.lit(1)) * HITS_U).cast("bigint").alias("s"))
         )
         h = normalize(
-            e.join(a, e["p"] == a["k"]).groupBy(F.col("c").alias("k2"))
+            e.join(bcast(a), e["p"] == a["k"]).groupBy(F.col("c").alias("k2"))
             .agg(F.sum("s").alias("s")).withColumnRenamed("k2", "k")
         )
-    wk = Window.partitionBy("side").orderBy(F.col("score_u").desc(), F.col("node_key"))
-    ranked = (
-        a.select(F.lit("authority").alias("side"), F.col("k").alias("node_key"),
-                 F.col("s").alias("score_u"))
-        .unionByName(
-            h.select(F.lit("hub").alias("side"), F.col("k").alias("node_key"),
-                     F.col("s").alias("score_u"))
+        for _ in range(HITS_ITERS - 1):
+            a = normalize(
+                e.join(bcast(h), e["c"] == h["k"]).groupBy(F.col("p").alias("k2"))
+                .agg(F.sum("s").alias("s")).withColumnRenamed("k2", "k")
+            )
+            h = normalize(
+                e.join(bcast(a), e["p"] == a["k"]).groupBy(F.col("c").alias("k2"))
+                .agg(F.sum("s").alias("s")).withColumnRenamed("k2", "k")
+            )
+        wk = Window.partitionBy("side").orderBy(
+            F.col("score_u").desc(), F.col("node_key")
         )
-        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
-        .where(F.col("rnk") <= HITS_TOP)
-    )
-    return ranked.select(
-        "side", "rnk",
-        F.col("node_key").cast("bigint").alias("node_key"),
-        F.col("score_u").cast("bigint").alias("score_u"),
-    ).orderBy("side", "rnk")
+        ranked = (
+            a.select(F.lit("authority").alias("side"), F.col("k").alias("node_key"),
+                     F.col("s").alias("score_u"))
+            .unionByName(
+                h.select(F.lit("hub").alias("side"), F.col("k").alias("node_key"),
+                         F.col("s").alias("score_u"))
+            )
+            .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+            .where(F.col("rnk") <= HITS_TOP)
+        )
+        out = ranked.select(
+            "side", "rnk",
+            F.col("node_key").cast("bigint").alias("node_key"),
+            F.col("score_u").cast("bigint").alias("score_u"),
+        ).orderBy("side", "rnk")
+        # Materialize the 2·HITS_TOP-row result INSIDE the narrowed
+        # scope (the whole chain is lazy — returning it unmaterialized
+        # would execute every exchange at the restored session width)
+        # so the edge cache can also be released before returning.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    e.unpersist()
+    return out
 
 
 def _modularity_oracle() -> str:
