@@ -40,12 +40,30 @@ def tokens(col: str = "text") -> Column:
 
 
 def word_shingles(tok: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (JVM higher-order fns)."""
+    """Distinct k-word shingles of a token array (JVM higher-order fns).
+
+    ``tok`` MUST be a reference to a MATERIALIZED token-array column
+    (see ``with_tokens``), never the raw ``tokens()`` expression: the
+    lambda body is interpreted per element with no common-subexpression
+    elimination, so an embedded ``split(lower(text))`` subtree would be
+    re-evaluated for EVERY sequence index — O(words²) per document.
+    Fixing exactly that took the sf0.1 bigram census 1.9 s → 0.48 s
+    and sped up every shingle consumer 2-4× (r10)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(tok, i, k), " "),
         )
+    )
+
+
+def with_tokens(docs: DataFrame, min_words: int, *cols: str) -> DataFrame:
+    """Project ``*cols`` plus the token array as a MATERIALIZED column
+    ``w``, filtered to rows with at least ``min_words`` tokens — the
+    mandatory staging step before ``word_shingles`` (whose lambda must
+    slice a column reference, not re-split the text per element)."""
+    return docs.select(*cols, tokens().alias("w")).where(
+        F.size("w") >= min_words
     )
 
 
@@ -126,14 +144,14 @@ BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.6 w/ high prob
 
 
 def minhash_docs(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    tok = tokens()
-    # Two-stage projection: materialize the shingle array once, then
-    # derive the 32 minhash columns from the *column reference*.
-    # Passing the shingle expression into every minhash column would
-    # make codegen rebuild the array 33x per row (CollapseProject
-    # keeps non-cheap multiply-referenced projections separate).
-    with_shingles = spread(docs).where(F.size(tok) >= 3).select(
-        "doc_id", word_shingles(tok, 3).alias("shingles")
+    # Staged projections: materialize the token array, then the shingle
+    # array, then derive the 32 minhash columns — each stage referencing
+    # the previous stage's *column*, never re-embedding its expression
+    # (word_shingles' lambda would otherwise re-split the text per
+    # element; the 33x-rebuild hazard is the same discipline one stage
+    # later).
+    with_shingles = with_tokens(spread(docs), 3, "doc_id").select(
+        "doc_id", word_shingles(F.col("w"), 3).alias("shingles")
     )
     # Third stage: hash every shingle to a long ONCE (portable md5
     # hash, reduced mod P here so the 32 affine permutations are pure
@@ -435,9 +453,10 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.3) -> DataFrame:
     DataFrame (doc_id, text, lang, n_chars) — reused by the CC
     clustering (operators/graph.py) and the corpus filter pipeline
     (operators/pipeline.py) on pre-filtered inputs."""
-    tok = tokens()
     band = (F.col("n_chars") / 20).cast("int")
-    hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
+    hashed = F.array_distinct(
+        F.transform(word_shingles(F.col("w"), 3), lambda s: F.xxhash64(s))
+    )
     # Both join sides recompute this subtree; measured at sf0.1, the
     # recompute (pure codegen: split+slice+xxhash64) is CHEAPER than
     # persisting the wide shingle arrays (cache write + eviction
@@ -446,7 +465,7 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.3) -> DataFrame:
     # an in-job cache.
     # spread() first: shingle+hash is the CPU-heavy stage and must not
     # serialize onto the fixture's single scan task (see catalog.spread)
-    sh = spread(d).where(F.size(tok) >= 3).select(
+    sh = with_tokens(spread(d), 3, "doc_id", "lang", "n_chars").select(
         "doc_id", "lang", "n_chars", hashed.alias("shingles_h"), band.alias("band")
     )
     a = sh.select(
@@ -561,14 +580,15 @@ def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization (smaller set is always A, doc_id tie-break) keeps
     one deterministic row per pair."""
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens()
     # band width 40 == the residual |n_chars| cap: the tightest width
     # that still guarantees every qualifying pair meets in a same-or-
     # adjacent band (lossless), halving per-band candidates vs a
     # wider band.
     band = (F.col("n_chars") / 40).cast("int")
-    hashed = F.array_distinct(F.transform(word_shingles(tok, 3), lambda s: F.xxhash64(s)))
-    sh = spread(d).where(F.size(tok) >= 3).select(
+    hashed = F.array_distinct(
+        F.transform(word_shingles(F.col("w"), 3), lambda s: F.xxhash64(s))
+    )
+    sh = with_tokens(spread(d), 3, "doc_id", "lang", "n_chars").select(
         "doc_id", "lang", "n_chars", hashed.alias("sh_h"), band.alias("band")
     )
     a = sh.select(

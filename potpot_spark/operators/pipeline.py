@@ -191,12 +191,11 @@ def pipeline_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     inject the same filter (see join_bloom_runtime_filter).  Shingles
     join as exact strings so the oracle (identical shingling in
     DuckDB list algebra) matches value-for-value."""
-    from potpot_spark.operators.dedup import tokens, word_shingles
+    from potpot_spark.operators.dedup import with_tokens, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens()
-    sh = d.where(F.size(tok) >= 5).select(
-        "doc_id", F.explode(word_shingles(tok, 5)).alias("s")
+    sh = with_tokens(d, 5, "doc_id").select(
+        "doc_id", F.explode(word_shingles(F.col("w"), 5)).alias("s")
     )
     ev = sh.where(F.col("doc_id") % 97 < 5).select(
         F.col("doc_id").alias("eval_doc"), "s"
@@ -294,17 +293,16 @@ def pipeline_quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame
     reasons array builds as array_compact of CASE marks — one
     projection, no per-rule scans; at 100 TB adding a rule is adding
     an expression, not a pass."""
-    from potpot_spark.operators.dedup import tokens, word_shingles
+    from potpot_spark.operators.dedup import with_tokens, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens()
     # spread(): the shingle explode is referenced twice (df census +
     # boilerplate join) and must not serialize on the fixture's single
     # scan task (catalog.spread)
     from potpot_spark.catalog import spread
 
-    posting = spread(d).where(F.size(tok) >= 3).select(
-        "doc_id", F.explode(word_shingles(tok, 3)).alias("s")
+    posting = with_tokens(spread(d), 3, "doc_id").select(
+        "doc_id", F.explode(word_shingles(F.col("w"), 3)).alias("s")
     )
     common = (
         posting.groupBy("s")

@@ -563,15 +563,24 @@ def text_ngram_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode -> one hash aggregate -> top-k: the count combines
     map-side, so the shuffle carries (distinct bigram, partial count)
     not raw occurrences, and the final top-20 is TakeOrderedAndProject
-    (no global sort).  Ties break on the bigram text on both engines."""
+    (no global sort).  Ties break on the bigram text on both engines.
+
+    The bigram list builds with zip_with over two slices of the
+    MATERIALIZED token column — linear in words.  The previous
+    transform-over-sequence form embedded the split() expression in
+    its lambda, which is interpreted per element with no CSE: O(words²)
+    per doc, measured 1.9 s vs 0.4 s at sf0.1 (r10)."""
+    from potpot_spark.operators.dedup import with_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.lower(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(tok, i, 2), " "),
+    w = F.col("w")
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
-        d.where(F.size(tok) >= 2)
+        with_tokens(d, 2)
         .select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -688,14 +697,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free."""
     from pyspark.sql.window import Window
 
-    from potpot_spark.operators.dedup import tokens, word_shingles
+    from potpot_spark.operators.dedup import with_tokens, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens()
     # spread(): shingling must not serialize on the fixture's single
     # scan task (catalog.spread)
-    sh = spread(d).where(F.size(tok) >= 3).select(
-        "doc_id", word_shingles(tok, 3).alias("shingles")
+    sh = with_tokens(spread(d), 3, "doc_id").select(
+        "doc_id", word_shingles(F.col("w"), 3).alias("shingles")
     )
     posting = sh.select("doc_id", F.explode("shingles").alias("s"))
     with_df = posting.select(
@@ -1315,13 +1323,10 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact.  At 100 TB the first_seen table IS the incremental
     state: new batches join against it and append their novel keys."""
     d = load_table(spark, sf_dir, "documents")
-    from potpot_spark.operators.dedup import tokens, word_shingles
+    from potpot_spark.operators.dedup import with_tokens, word_shingles
 
-    tok = tokens()
-    sh = (
-        spread(d)
-        .where(F.size(tok) >= 3)
-        .select("doc_id", F.explode(word_shingles(tok, 3)).alias("shingle"))
+    sh = with_tokens(spread(d), 3, "doc_id").select(
+        "doc_id", F.explode(word_shingles(F.col("w"), 3)).alias("shingle")
     )
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
