@@ -10521,11 +10521,14 @@ LC_M = 65536
         SELECT n_exact,
                CAST({LC_M} AS BIGINT) AS m_buckets,
                occupied,
-               CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)
-                                         / {LC_M}.0)) AS BIGINT)
-                   AS estimate,
-               CAST((CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)
-                                               / {LC_M}.0)) AS BIGINT)
+               CASE WHEN occupied < {LC_M}
+                    THEN CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)
+                                                   / {LC_M}.0)) AS BIGINT)
+                    END AS estimate,
+               CAST((CASE WHEN occupied < {LC_M}
+                          THEN CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)
+                                                         / {LC_M}.0)) AS BIGINT)
+                          END
                      - n_exact) * 1000000 // n_exact AS BIGINT)
                    AS err_ppm
         FROM x
@@ -10550,10 +10553,16 @@ def sketch_linear_counting_portable(
     Exact-gateable: the bucket set is pure integer hashing (portable
     md5 family, bit-identical in DuckDB), occupied/z are exact
     integers, and the one ln ride is a single identical double chain
-    rounded to an integer estimate.  Plan: one DISTINCT-bucket
-    aggregate (65,536 cells max — map-side combinable) + one exact
-    distinct for the audit.  100 TB: the sketch side is O(m); the
-    exact side is the audit and drops at production scale."""
+    rounded to an integer estimate.  SATURATION GUARD (ADVICE r9):
+    once every bucket is occupied the estimator's ln(0) diverges —
+    exactly the full-sketch regime linear counting is known to hit
+    first — so occupied == m reports a NULL estimate (the honest
+    answer: the sketch carries no information beyond "n ≥ m ln m");
+    production callers switch to the HLL register path well before
+    this point.  Plan: one DISTINCT-bucket aggregate (65,536 cells
+    max — map-side combinable) + one exact distinct for the audit.
+    100 TB: the sketch side is O(m); the exact side is the audit and
+    drops at production scale."""
     e = load_table(spark, sf_dir, "events")
     from potpot_spark.functions.numeric import phash60
 
@@ -10566,8 +10575,9 @@ def sketch_linear_counting_portable(
     )
     x = occupied.crossJoin(F.broadcast(n_exact))
     est = F.expr(
-        f"CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)"
-        f" / {LC_M}.0)) AS BIGINT)"
+        f"CASE WHEN occupied < {LC_M}"
+        f" THEN CAST(ROUND(-{LC_M}.0 * ln(({LC_M}.0 - occupied)"
+        f" / {LC_M}.0)) AS BIGINT) END"
     )
     return x.select(
         "n_exact",

@@ -70,3 +70,23 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert abs(total - n) < 1e-6 * n
     top = registry.get("graph_pagerank_fixed").fn(spark, sf_dir)
     assert top.count() == PR_TOP
+
+
+def test_c4_salted_equals_unsalted(spark, sf_dir):
+    """The C4 hub-salting discipline (r10): splitting each node's
+    2-walk multiset by a hash of the NEIGHBOR VALUE routes every
+    distinct value to exactly one salt group, so partial run-length
+    statistics add exactly — forcing a 4-way salt must reproduce the
+    unsalted result bit-for-bit."""
+    import os
+
+    from potpot_spark import registry
+
+    fn = registry.get("graph_square_count_c4").fn
+    base = fn(spark, sf_dir).collect()
+    os.environ["POTPOT_C4_SALTS"] = "4"
+    try:
+        salted = fn(spark, sf_dir).collect()
+    finally:
+        del os.environ["POTPOT_C4_SALTS"]
+    assert [tuple(r) for r in base] == [tuple(r) for r in salted]
