@@ -88,13 +88,16 @@ def slow_cohort(detail: dict) -> list[str]:
     late-landing top-cost query (node2vec in r8, betweenness in r7)
     can never escape the refresh again.  r9: a query's effective cost
     is its ``isolated`` rerun when bench.py recorded one — in-suite
-    medians of wake victims measure their neighbors, not their
-    plan."""
+    medians of wake victims measure their neighbors, not their plan.
+    r10 (ADVICE r9): the isolated rerun is a single end-of-suite
+    sample with every cache warm, so it is FLOORED at the in-suite
+    min — one optimistic n=1 measurement cannot clear a query out of
+    the enforcement cohort."""
     return sorted(
         n
         for n, t in detail.items()
         if (
-            t["isolated"]
+            max(t["isolated"], t.get("min", -1.0))
             if t.get("isolated") is not None
             else t.get("median", -1.0)
         )

@@ -97,7 +97,14 @@ def test_plans_md_covers_every_slow_query():
     missing = sorted(
         name
         for name, t in queries.items()
-        if (t["isolated"] if t.get("isolated") is not None else t["median"])
+        # effective cost: isolated rerun floored at the in-suite min
+        # (one optimistic warm n=1 sample must not clear a query out
+        # of plan forensics — ADVICE r9)
+        if (
+            max(t["isolated"], t.get("min", -1.0))
+            if t.get("isolated") is not None
+            else t["median"]
+        )
         > 2.0
         and name in live
         and name not in plans
@@ -136,7 +143,14 @@ def test_anchor_covers_every_slow_query():
     missing = sorted(
         name
         for name, t in queries.items()
-        if (t["isolated"] if t.get("isolated") is not None else t["median"])
+        # effective cost floored at the in-suite min, as in the PLANS
+        # gate above (ADVICE r9: a single warm isolated sample must
+        # not exempt a query from its external denominator)
+        if (
+            max(t["isolated"], t.get("min", -1.0))
+            if t.get("isolated") is not None
+            else t["median"]
+        )
         >= 2.0
         and name in specs
         and specs[name].oracle is not None
