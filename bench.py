@@ -242,20 +242,22 @@ def main() -> int:
         run_once(name)
         if times_by_name[name] and times_by_name[name][-1] > heavy_drain_sec:
             drain_cleaner(spark)
-    # Re-rep passes: only the >=1 s cohort (variance lives there; the
-    # sub-second majority's medians don't move with more samples), and
-    # only while the budget — minus a reserve for the isolated-rerun
-    # tail — allows.  Interleaved full cohort passes, same r5 protocol.
+    # Re-rep passes: FULL interleaved passes while the budget — minus
+    # a reserve for the isolated-rerun tail — allows (pass 2 first ran
+    # only the >=1 s cohort, but that left every sub-second query's
+    # median equal to its single pass-1 sample, which carries the
+    # plan's one-time codegen compile: the r10 shakedown showed the
+    # sub-second class inflated 1.78x vs its warm cost while the >=1 s
+    # class sat at 1.33x).  If the budget dies mid-pass the remaining
+    # queries keep their pass-1 sample — reps_by_name records who got
+    # what, degradation is visible, and the artifact still covers the
+    # whole registry.
     isolated_reserve_sec = 240.0
-    cohort = [
-        n for n in names
-        if n not in failed and times_by_name[n] and times_by_name[n][0] >= 1.0
-    ]
     for _ in range(runs_per_query - 1):
         if remaining() <= isolated_reserve_sec:
             break
         drain_cleaner(spark, settle_sec=1.0)
-        for name in cohort:
+        for name in names:
             if name in failed or remaining() <= isolated_reserve_sec:
                 continue
             run_once(name)
@@ -319,7 +321,13 @@ def main() -> int:
             flagged.append(name)
     # bound the isolated tail: worst offenders first, at most 20, and
     # stop when the wall-clock budget is exhausted (a missing isolated
-    # sample degrades adjudication, never the headline artifact)
+    # sample degrades adjudication, never the headline artifact).
+    # A rerun can itself be a wake victim of the PREVIOUS rerun's
+    # teardown (r10 shakedown: node2vec measured 41 s isolated right
+    # after the dbscan explode-join's cleanup, vs 3.6 s in-suite min) —
+    # when the "isolated" sample comes out worse than the in-suite
+    # median it is re-measured once after a longer settle and the
+    # better of the two attempts is kept.
     flagged.sort(key=lambda n: -timings[n]["median"])
     for name in flagged[:20]:
         if remaining() <= 10.0:
@@ -329,7 +337,13 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             materialize(spec.fn(spark, SF_DIR))
-            timings[name]["isolated"] = round(time.perf_counter() - t0, 3)
+            iso = time.perf_counter() - t0
+            if iso > timings[name]["median"] and remaining() > 15.0:
+                drain_cleaner(spark, settle_sec=4.0)
+                t0 = time.perf_counter()
+                materialize(spec.fn(spark, SF_DIR))
+                iso = min(iso, time.perf_counter() - t0)
+            timings[name]["isolated"] = round(iso, 3)
         except Exception:  # noqa: BLE001 - already counted above
             pass
 
@@ -355,7 +369,12 @@ def main() -> int:
         if t["median"] < 0:
             continue
         if "isolated" in t:
-            total_isolated_where_flagged += t["isolated"]
+            # clamp to [min, median]: the substitution exists to strip
+            # wake noise out of the headline, and an isolated sample
+            # that is itself a wake victim must not re-add it
+            total_isolated_where_flagged += max(
+                min(t["isolated"], t["median"]), t["min"]
+            )
             n_isolated += 1
         else:
             total_isolated_where_flagged += t["median"]

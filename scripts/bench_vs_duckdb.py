@@ -90,14 +90,18 @@ def slow_cohort(detail: dict) -> list[str]:
     is its ``isolated`` rerun when bench.py recorded one — in-suite
     medians of wake victims measure their neighbors, not their plan.
     r10 (ADVICE r9): the isolated rerun is a single end-of-suite
-    sample with every cache warm, so it is FLOORED at the in-suite
-    min — one optimistic n=1 measurement cannot clear a query out of
-    the enforcement cohort."""
+    sample, so it is CLAMPED to [in-suite min, in-suite median] — one
+    optimistic warm measurement cannot clear a query out of the
+    enforcement cohort, and one wake-victim rerun cannot drag a fast
+    query in."""
     return sorted(
         n
         for n, t in detail.items()
         if (
-            max(t["isolated"], t.get("min", -1.0))
+            max(
+                min(t["isolated"], t.get("median", t["isolated"])),
+                t.get("min", -1.0),
+            )
             if t.get("isolated") is not None
             else t.get("median", -1.0)
         )

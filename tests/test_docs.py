@@ -97,11 +97,14 @@ def test_plans_md_covers_every_slow_query():
     missing = sorted(
         name
         for name, t in queries.items()
-        # effective cost: isolated rerun floored at the in-suite min
-        # (one optimistic warm n=1 sample must not clear a query out
-        # of plan forensics — ADVICE r9)
+        # effective cost: isolated rerun clamped to [in-suite min,
+        # in-suite median] — one optimistic warm n=1 sample must not
+        # clear a query out of plan forensics (ADVICE r9), and one
+        # wake-victim rerun must not drag it in either (r10: an
+        # "isolated" sample measured 10x its min right after a heavy
+        # neighbor's teardown)
         if (
-            max(t["isolated"], t.get("min", -1.0))
+            max(min(t["isolated"], t["median"]), t.get("min", -1.0))
             if t.get("isolated") is not None
             else t["median"]
         )
@@ -143,11 +146,11 @@ def test_anchor_covers_every_slow_query():
     missing = sorted(
         name
         for name, t in queries.items()
-        # effective cost floored at the in-suite min, as in the PLANS
-        # gate above (ADVICE r9: a single warm isolated sample must
-        # not exempt a query from its external denominator)
+        # effective cost clamped to [in-suite min, in-suite median],
+        # as in the PLANS gate above (ADVICE r9 + the r10 wake-victim
+        # isolated samples)
         if (
-            max(t["isolated"], t.get("min", -1.0))
+            max(min(t["isolated"], t["median"]), t.get("min", -1.0))
             if t.get("isolated") is not None
             else t["median"]
         )
