@@ -48,6 +48,10 @@ from potpot_spark.testing import duck_connection
 
 REPS = 3
 
+# Hard per-rep bound for the DuckDB side (see the watchdog below):
+# past this the twin is a DNF datum, not a number worth waiting for.
+DUCK_REP_CAP_SEC = 90.0
+
 # Streaming queries have no DuckDB runtime twin to race.
 _STREAM_PREFIXES = ("stream_", "source_stream")
 
@@ -223,17 +227,33 @@ def main() -> int:
             spark_times.append(time.time() - t0)
         duck_error = None
         for _ in range(REPS):
+            # r10: a WATCHDOG bounds every DuckDB rep at DUCK_REP_CAP_SEC
+            # via con.interrupt() from a timer thread — the r8 protocol
+            # only stopped AFTER a >60 s rep completed, so a recorded-DNF
+            # twin (betweenness: >14 min before the temp cap) burned its
+            # full runtime again on every refresh.  An interrupted rep
+            # records as a DNF>cap datum; the declarative twin being
+            # orders slower IS the result.
+            import threading
+
             t0 = time.time()
+            timer = threading.Timer(DUCK_REP_CAP_SEC, con.interrupt)
+            timer.start()
             try:
                 con.execute(spec.oracle).fetchall()
             except Exception as e:  # noqa: BLE001 - DNF is a datum
-                duck_error = f"{type(e).__name__}: {str(e)[:200]}"
+                elapsed = time.time() - t0
+                if elapsed >= DUCK_REP_CAP_SEC:
+                    duck_error = f"INTERRUPTED>{DUCK_REP_CAP_SEC:.0f}s"
+                else:
+                    duck_error = f"{type(e).__name__}: {str(e)[:200]}"
                 break
+            finally:
+                timer.cancel()
             duck_times.append(time.time() - t0)
-            # rep budget: a single >60 s rep is already the datum
-            # (the declarative twin is orders slower) — burning two
-            # more identical reps on it buys nothing.  Recorded in
-            # duckdb_reps so the table is honest about rep count.
+            # rep budget: a single >60 s rep is already the datum —
+            # burning two more identical reps on it buys nothing.
+            # Recorded in duckdb_reps so the table is honest.
             if duck_times[-1] > 60:
                 break
         out[name] = {
