@@ -238,10 +238,19 @@ def main() -> int:
     # Pass 1: EVERY query, unconditionally — the driver artifact must
     # cover the whole registry even if the budget is tight.
     heavy_drain_sec = 2.5  # force cleaner teardown after explode-heavy keys
+
+    def drain_after(name: str) -> None:
+        # settle time scales with how heavy the finished query was: a
+        # fixed 0.5 s was not enough for the next measurement to dodge
+        # a 10 GB-shuffle teardown (r10: the query AFTER node2vec
+        # still measured 5.6 s in-suite vs 0.8 s isolated)
+        t = times_by_name[name][-1] if times_by_name[name] else 0.0
+        if t > heavy_drain_sec:
+            drain_cleaner(spark, settle_sec=min(3.0, max(0.5, 0.15 * t)))
+
     for name in names:
         run_once(name)
-        if times_by_name[name] and times_by_name[name][-1] > heavy_drain_sec:
-            drain_cleaner(spark)
+        drain_after(name)
     # Re-rep passes: FULL interleaved passes while the budget — minus
     # a reserve for the isolated-rerun tail — allows (pass 2 first ran
     # only the >=1 s cohort, but that left every sub-second query's
@@ -261,8 +270,7 @@ def main() -> int:
             if name in failed or remaining() <= isolated_reserve_sec:
                 continue
             run_once(name)
-            if times_by_name[name] and times_by_name[name][-1] > heavy_drain_sec:
-                drain_cleaner(spark)
+            drain_after(name)
     timings: dict[str, dict[str, float]] = {}
     total = shared_build_sec
     errors = 0
