@@ -28,12 +28,14 @@ passes the suite outgrew the driver's bench window — BENCH_r09.json
 is rc=124/parsed:null, so round 9 has NO official perf number.
 $SPARK_GRAFT_BENCH_BUDGET_SEC (default 2400) now bounds the whole
 run: pass 1 always covers EVERY registered query (the artifact must
-report queries_run == registry size), and the remaining passes
-re-rep only the >=1 s cohort (the 500+ sub-second keys contribute
-noise-floor variance that a median cannot improve), stopping early
-— cohort passes first, then the isolated-rerun tail — when the
-budget is nearly spent.  reps_by_name in the detail file records
-what each query actually got.
+report queries_run == registry size), and the remaining passes are
+FULL interleaved passes over the whole registry (the r10 shakedown
+showed pass-1-only sub-second medians carry the one-time codegen
+compile, inflating that class 1.78x vs warm), each gated on the
+budget minus a reserve for the isolated-rerun tail: a pass stops
+enqueueing new queries the moment the reserve is reached, so
+degradation is graceful mid-pass.  reps_by_name in the detail file
+records what each query actually got.
 """
 
 from __future__ import annotations

@@ -1803,8 +1803,11 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the edge cache can also be released before returning.
         out = out.localCheckpoint(eager=True)
     finally:
+        # cache release lives in the finally (ADVICE r10): if any job
+        # in the chain throws, a persisted edge table would otherwise
+        # leak into every subsequent query in the same session
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    e.unpersist()
+        e.unpersist()
     return out
 
 
@@ -4288,9 +4291,12 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
     deg_max, sdeg2, n_nodes = _C4_DEG_CACHE[sf_dir]
+    # per-(node,salt) Arrow-group mass target; overridable so the
+    # property test can force the salted path at fixture scale
+    mass_cap = int(os.environ.get("POTPOT_C4_MASS_CAP", "4000000"))
     n_salts = int(os.environ.get(
         "POTPOT_C4_SALTS",
-        str(max(1, min(64, ((deg_max or 0) ** 2) // 4_000_000))),
+        str(max(1, min(64, ((deg_max or 0) ** 2) // mass_cap))),
     ))
     # (u, m) rows joined to m's adjacency array: per-u concat is the
     # multiset {w : u-m-w walks}, containing w with multiplicity
@@ -4300,18 +4306,47 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
     )
     if n_salts > 1:
-        # the Arrow-group key folds (node, salt) into one long — a
-        # single-key pandas groupby is measurably cheaper than a
-        # composite one on millions of rows
-        joined = joined.select(
+        # DEGREE-CAPPED salting (ADVICE r10): a node's multiset mass
+        # is bounded by deg(u)·deg_max, so the salt fan-out is
+        # per-node — k_u = ceil(deg(u)·deg_max / mass_cap) clamped to
+        # [1, n_salts].  Only hubs past the cap pay the explode ×
+        # filter re-scan; low-degree nodes keep one un-filtered row
+        # (a global explode would multiply TOTAL multiset scan work
+        # n_salts× for every node).  Routing w by pmod(hash(w), k_u)
+        # still sends each distinct value to exactly one of the
+        # node's k_u groups, so partial run-length statistics add
+        # exactly — the property test pins salted == unsalted.
+        deg_tbl = und.groupBy("s").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg_s")
+        )
+        joined = joined.join(deg_tbl, "s").select(
             "s",
-            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
             "mnbrs",
+            F.least(
+                F.lit(n_salts),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("deg_s") * F.lit(int(deg_max or 1))
+                        / F.lit(mass_cap)
+                    ).cast("int"),
+                ),
+            ).alias("k_u"),
         ).select(
+            "s", "mnbrs", "k_u",
+            F.explode(F.sequence(F.lit(0), F.col("k_u") - 1)).alias("salt"),
+        ).select(
+            # the Arrow-group key folds (node, salt) into one long — a
+            # single-key pandas groupby is measurably cheaper than a
+            # composite one on millions of rows; salt < k_u <= n_salts
+            # keeps the fold collision-free
             (F.col("s") * n_salts + F.col("salt")).alias("sk"),
-            F.filter(
-                F.col("mnbrs"),
-                lambda x: F.pmod(F.xxhash64(x), F.lit(n_salts)) == F.col("salt"),
+            F.when(F.col("k_u") == 1, F.col("mnbrs")).otherwise(
+                F.filter(
+                    F.col("mnbrs"),
+                    lambda x: F.pmod(F.xxhash64(x), F.col("k_u"))
+                    == F.col("salt"),
+                )
             ).alias("mnbrs"),
         )
     else:

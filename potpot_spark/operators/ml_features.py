@@ -6969,55 +6969,60 @@ def ml_calibration_slope_logistic(
             " / (1.0 - LEAST(GREATEST(value / 500.0, 0.001), 0.999)))"
         ).alias("l"),
     )).persist()
-    params = scored.agg(
-        F.expr(
-            "ln(CAST(SUM(y) AS DOUBLE) / (COUNT(*) - SUM(y)))"
-        ).alias("a"),
-        F.lit(0.0).alias("b"),
-    ).localCheckpoint(eager=True)
-    mu_sql = "1.0 / (1.0 + exp(-(a + b * l)))"
-    for _ in range(CAL_NEWTON_ITERS):
-        terms = scored.crossJoin(F.broadcast(params)).agg(
+    try:
+        params = scored.agg(
             F.expr(
-                f"CAST(SUM(CAST(ROUND(y - {mu_sql}, 12)"
-                " AS DECIMAL(28,12))) AS DOUBLE)"
-            ).alias("g1"),
-            F.expr(
-                f"CAST(SUM(CAST(ROUND(l * (y - {mu_sql}), 12)"
-                " AS DECIMAL(28,12))) AS DOUBLE)"
-            ).alias("g2"),
-            F.expr(
-                f"CAST(SUM(CAST(ROUND(({mu_sql}) * (1.0 - {mu_sql}), 12)"
-                " AS DECIMAL(28,12))) AS DOUBLE)"
-            ).alias("h11"),
-            F.expr(
-                f"CAST(SUM(CAST(ROUND(l * ({mu_sql}) * (1.0 - {mu_sql}),"
-                " 12) AS DECIMAL(28,12))) AS DOUBLE)"
-            ).alias("h12"),
-            F.expr(
-                f"CAST(SUM(CAST(ROUND(l * l * ({mu_sql})"
-                f" * (1.0 - {mu_sql}), 12)"
-                " AS DECIMAL(28,12))) AS DOUBLE)"
-            ).alias("h22"),
-            F.max("a").alias("a"),
-            F.max("b").alias("b"),
-        )
-        params = terms.select(
-            F.expr(
-                "a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12)"
+                "ln(CAST(SUM(y) AS DOUBLE) / (COUNT(*) - SUM(y)))"
             ).alias("a"),
-            F.expr(
-                "b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12)"
-            ).alias("b"),
+            F.lit(0.0).alias("b"),
         ).localCheckpoint(eager=True)
-    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    out = params.crossJoin(F.broadcast(n)).select(
-        "n_rows",
-        F.round(F.col("a"), 6).alias("intercept"),
-        F.round(F.col("b"), 6).alias("slope"),
-        (
-            (F.abs(F.col("b") - 1.0) > 0.1) | (F.abs(F.col("a")) > 0.1)
-        ).alias("needs_recalibration"),
-    ).localCheckpoint(eager=True)  # materialize before releasing the cache
-    scored.unpersist()
+        mu_sql = "1.0 / (1.0 + exp(-(a + b * l)))"
+        for _ in range(CAL_NEWTON_ITERS):
+            terms = scored.crossJoin(F.broadcast(params)).agg(
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(y - {mu_sql}, 12)"
+                    " AS DECIMAL(28,12))) AS DOUBLE)"
+                ).alias("g1"),
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(l * (y - {mu_sql}), 12)"
+                    " AS DECIMAL(28,12))) AS DOUBLE)"
+                ).alias("g2"),
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(({mu_sql}) * (1.0 - {mu_sql}), 12)"
+                    " AS DECIMAL(28,12))) AS DOUBLE)"
+                ).alias("h11"),
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(l * ({mu_sql}) * (1.0 - {mu_sql}),"
+                    " 12) AS DECIMAL(28,12))) AS DOUBLE)"
+                ).alias("h12"),
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(l * l * ({mu_sql})"
+                    f" * (1.0 - {mu_sql}), 12)"
+                    " AS DECIMAL(28,12))) AS DOUBLE)"
+                ).alias("h22"),
+                F.max("a").alias("a"),
+                F.max("b").alias("b"),
+            )
+            params = terms.select(
+                F.expr(
+                    "a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12)"
+                ).alias("a"),
+                F.expr(
+                    "b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12)"
+                ).alias("b"),
+            ).localCheckpoint(eager=True)
+        n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        out = params.crossJoin(F.broadcast(n)).select(
+            "n_rows",
+            F.round(F.col("a"), 6).alias("intercept"),
+            F.round(F.col("b"), 6).alias("slope"),
+            (
+                (F.abs(F.col("b") - 1.0) > 0.1) | (F.abs(F.col("a")) > 0.1)
+            ).alias("needs_recalibration"),
+        ).localCheckpoint(eager=True)  # materialize before releasing the cache
+    finally:
+        # release on every exit path (ADVICE r10): an exception
+        # mid-iteration must not leak the cached projection into
+        # subsequent queries
+        scored.unpersist()
     return out

@@ -124,9 +124,29 @@ def get_session(app_name: str = "potpot_spark", *, shuffle_partitions: int | Non
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if not driver_mem:
         try:
-            total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
+            total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         except (ValueError, OSError, AttributeError):
-            total_gib = 8
+            total = 8 << 30
+        # sysconf reports HOST RAM; inside a memory-limited cgroup
+        # (container) the JVM would size itself against 128 GiB while
+        # the kernel OOM-kills at the 8 GiB limit (ADVICE r10).  Take
+        # the min with the cgroup v2/v1 limit when one is set.
+        for limit_path in (
+            "/sys/fs/cgroup/memory.max",               # v2
+            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+        ):
+            try:
+                with open(limit_path) as fh:
+                    raw = fh.read().strip()
+                if raw and raw != "max":
+                    lim = int(raw)
+                    # v1 reports ~PTRDIFF_MAX when unlimited
+                    if 0 < lim < (1 << 60):
+                        total = min(total, lim)
+                break
+            except (OSError, ValueError):
+                continue
+        total_gib = total >> 30
         driver_mem = f"{max(2, min(32, total_gib // 4))}g"
     builder = builder.config("spark.driver.memory", driver_mem)
     # Shuffle/spill scratch on tmpfs when available: local-mode shuffle

@@ -237,19 +237,37 @@ def main() -> int:
             import threading
 
             t0 = time.time()
-            timer = threading.Timer(DUCK_REP_CAP_SEC, con.interrupt)
+            # ADVICE r10 race: if execute() returns inside the
+            # timer-fire window, interrupt() can land AFTER the query
+            # completed and abort the NEXT rep as a spurious error.
+            # The callback sets `fired` BEFORE interrupting, so (a)
+            # classification keys on the flag, not elapsed time, and
+            # (b) when fired-but-no-exception we issue a throwaway
+            # no-op to absorb any pending interrupt before the next
+            # rep.
+            fired = threading.Event()
+
+            def _interrupt() -> None:
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(DUCK_REP_CAP_SEC, _interrupt)
             timer.start()
             try:
                 con.execute(spec.oracle).fetchall()
             except Exception as e:  # noqa: BLE001 - DNF is a datum
-                elapsed = time.time() - t0
-                if elapsed >= DUCK_REP_CAP_SEC:
+                if fired.is_set():
                     duck_error = f"INTERRUPTED>{DUCK_REP_CAP_SEC:.0f}s"
                 else:
                     duck_error = f"{type(e).__name__}: {str(e)[:200]}"
                 break
             finally:
                 timer.cancel()
+                if fired.is_set():
+                    try:  # absorb a pending interrupt that lost the race
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:  # noqa: BLE001
+                        pass
             duck_times.append(time.time() - t0)
             # rep budget: a single >60 s rep is already the datum —
             # burning two more identical reps on it buys nothing.

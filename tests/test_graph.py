@@ -84,9 +84,16 @@ def test_c4_salted_equals_unsalted(spark, sf_dir):
 
     fn = registry.get("graph_square_count_c4").fn
     base = fn(spark, sf_dir).collect()
-    os.environ["POTPOT_C4_SALTS"] = "4"
-    try:
-        salted = fn(spark, sf_dir).collect()
-    finally:
-        del os.environ["POTPOT_C4_SALTS"]
-    assert [tuple(r) for r in base] == [tuple(r) for r in salted]
+    # r11: salting is degree-capped — k_u = ceil(deg·deg_max/mass_cap)
+    # per node, so exercise BOTH the all-salted path (cap 1: every
+    # node hits the clamp) and a mixed path (mid cap: hubs salt,
+    # low-degree nodes ride the k_u = 1 unfiltered branch).
+    for cap in ("1", "256"):
+        os.environ["POTPOT_C4_SALTS"] = "4"
+        os.environ["POTPOT_C4_MASS_CAP"] = cap
+        try:
+            salted = fn(spark, sf_dir).collect()
+        finally:
+            del os.environ["POTPOT_C4_SALTS"]
+            del os.environ["POTPOT_C4_MASS_CAP"]
+        assert [tuple(r) for r in base] == [tuple(r) for r in salted]
