@@ -1721,17 +1721,21 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench interference discipline).  Past the state cap the same
     joins degrade to shuffle joins and the window normalization flips
     to the scalar-broadcast form — one exchange more, identical
-    algebra.  A/B at sf0.1 warm: 3.8 s (r9 shape) → 3.0 s."""
+    algebra.  A/B at sf0.1 warm: 3.8 s (r9 shape) → 3.0 s.
+
+    r11: two more structural cuts.  (1) AQE is toggled OFF inside the
+    capped chain (restored in the finally): width is pinned and every
+    join is an explicit gated hint, so AQE only added per-exchange
+    stage-materialization sub-jobs — 32 jobs → 8, median 3.7 → 2.8 s.
+    (2) The edge-build join broadcasts the 2-column orders side under
+    the same metadata row-count cap (1.25 → 1.08 s).  Warm
+    decomposition after both (sf0.1): edge build+persist ~1.0 s
+    (real data work the twin also pays), 4 sequential half-rounds
+    ~1.1 s, ranking+checkpoint ~0.4 s.  The half-round cost is
+    dominated by the irreducible barrier chain — see the adjudicated
+    floor entry in BASELINE.md."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # one distinct edge materialization feeds 4 score joins — without
-    # it each round replays the orders⨝lineitem distinct
-    e = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
-    )
     # |score vector| ≤ max(|customers|, |parts|); both bounds are
     # footer-metadata counts (no data scan), cached per sf_dir
     state_bound = max(
@@ -1741,6 +1745,23 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcast = _state_bcast(state_bound)
     cap = int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE",
                              GRAPH_BCAST_MAX_STATE))
+    # one distinct edge materialization feeds 4 score joins — without
+    # it each round replays the orders⨝lineitem distinct.  The orders
+    # side is 2 bigint columns gated by the same metadata row-count
+    # cap as the score vector, so the build join goes map-side at
+    # fixture scale (A/B at sf0.1: 1.25 → 1.08 s) and degrades to the
+    # shuffle join past the cap (100 TB orders is not broadcastable).
+    o_side = (
+        F.broadcast(o)
+        if _table_rows(spark, sf_dir, "orders") <= cap
+        else o
+    )
+    e = (
+        o_side.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
 
     def normalize(scored: DataFrame) -> DataFrame:
         if state_bound <= cap:
@@ -1757,7 +1778,16 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if state_bound <= cap:
+        # AQE contributes nothing inside the capped chain — width is
+        # pinned to 8 and every join strategy is an explicit gated
+        # hint — but it materializes every exchange as its own
+        # sub-job: 32 jobs vs 8 with it off, median 3.7 → 2.8 s at
+        # sf0.1 (r11 A/B).  Past the cap the fallback shuffle joins DO
+        # want AQE's skew handling, so the toggle rides the same gate.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # Round 1: with the uniform seed h₀(c) = U for every customer
         # in e, the authority sum is exactly U·indegree(p) — same
@@ -1807,6 +1837,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in the chain throws, a persisted edge table would otherwise
         # leak into every subsequent query in the same session
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         e.unpersist()
     return out
 
@@ -2092,13 +2123,19 @@ def graph_wedge_sample_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
     in DuckDB (closed_v·(2//sampled_v) keeps the per-node rate exact
     in integers — sampled ∈ {{1, 2}}).
 
-    Scale shape: one window rank over the adjacency (shuffle on
-    center), a 1:1 self-join for pair assembly, one hash join against
-    the edge list for closure, one aggregate.  No d² blowup
-    anywhere."""
+    Scale shape (r11 rework — the rank SELF-JOIN for pair assembly
+    sorted the 2.4M-row ranked adjacency a second time and sat the op
+    at 2.18x its DuckDB twin): one window rank over the adjacency
+    (shuffle on center), then pair assembly is ONE groupBy(c, d) with
+    2k conditional-max columns over the rk <= 2k rows — it rides the
+    window's existing partitioning (no second exchange, no second
+    sort; A/B at sf0.1 warm: self-join 2.0 s, grouped pivot 1.53 s,
+    scripts/ab_wedge.py), one hash join against the edge list for
+    closure, one aggregate.  No d² blowup anywhere."""
     edges = part_copurchase_edges(spark, sf_dir)
     from potpot_spark.functions.numeric import phash60
 
+    k = WEDGE_SAMPLES_PER_NODE
     adj = edges.select(F.col("u").alias("c"), F.col("v").alias("nbr")).union(
         edges.select(F.col("v").alias("c"), F.col("u").alias("nbr"))
     )
@@ -2110,20 +2147,38 @@ def graph_wedge_sample_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
         "nbr",
         F.row_number().over(w_rank).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("c")).alias("d"),
+    ).where(F.col("rk") <= 2 * k)
+    slots = ranked.groupBy("c", "d").agg(
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("nbr"))).alias(f"r{i}")
+            for i in range(1, 2 * k + 1)
+        ]
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    wedges = a.join(
-        b,
-        (F.col("b.c") == F.col("a.c"))
-        & (F.col("a.rk") % 2 == 1)
-        & (F.col("b.rk") == F.col("a.rk") + 1)
-        & (F.col("a.rk") <= 2 * WEDGE_SAMPLES_PER_NODE - 1),
-    ).select(
-        F.col("a.c").alias("c"),
-        F.col("a.d").alias("d"),
-        F.least(F.col("a.nbr"), F.col("b.nbr")).alias("n1"),
-        F.greatest(F.col("a.nbr"), F.col("b.nbr")).alias("n2"),
-    )
+    wedges = slots.select(
+        "c",
+        "d",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(f"r{2 * i + 2}").isNotNull(),
+                            F.struct(
+                                F.least(
+                                    F.col(f"r{2 * i + 1}"), F.col(f"r{2 * i + 2}")
+                                ).alias("n1"),
+                                F.greatest(
+                                    F.col(f"r{2 * i + 1}"), F.col(f"r{2 * i + 2}")
+                                ).alias("n2"),
+                            ),
+                        )
+                        for i in range(k)
+                    ]
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("w"),
+    ).select("c", "d", F.col("w.n1").alias("n1"), F.col("w.n2").alias("n2"))
     checked = (
         wedges.join(
             edges.withColumn("hit", F.lit(1)),
