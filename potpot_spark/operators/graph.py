@@ -3297,6 +3297,10 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-corpus edge count (broadcast-gate scalar; the fixture is
+# immutable so the count job runs once per session)
+_N2V_EDGE_CACHE: dict[str, int] = {}
+
 N2V_P_FP = 1   # return weight 1/p with p=4, x4 fixed point -> 1
 N2V_COMMON_FP = 4   # distance-1 weight 1, x4 -> 4
 N2V_Q_FP = 2   # out weight 1/q with q=2, x4 -> 2
@@ -3382,9 +3386,25 @@ def graph_node2vec_transition_probs(
     n_common), and the intersection runs as JVM ``array_intersect``
     inside codegen: the Σ-degree² wedge set is NEVER materialized or
     shuffled (the graph_triangle_count discipline — the materialized
-    formulation measured 35 s at sf0.1, this one ~1 s).  100 TB: two
-    adjacency joins on the edge list; degree-orient the arrays to
-    bound |N| by O(√|E|) on skewed graphs."""
+    formulation measured 35 s at sf0.1, this one ~1 s).
+
+    r11 rework (the bench's worst wake victim, 4 rounds running): the
+    old shape shipped BOTH ~120-element adjacency arrays per directed
+    edge through two sort-merge joins — a ~4.6 GB array shuffle whose
+    sort is hostage to session heap pressure (reproduced: 33 → 12 →
+    7 → 3.5 s over warm reps in a crowded session while isolated
+    fresh-session reps sat at 2.4 s).  The adjacency table itself is
+    tiny (2|E| elements ≈ 20 MB at sf0.1), so under the standard
+    state cap the per-edge frame is built by EXPLODING adj with the
+    source array retained (no join at all for N(u)) and
+    broadcast-hash-joining adj for N(v) — the array shuffle is gone
+    and the whole per-edge pass pipelines inside one codegen stage:
+    stable ~4.1 s from the FIRST rep in the same crowded session.
+    adj is localCheckpointed once (both the probe and broadcast side
+    read the materialized 20 MB, not two collect_list rebuilds).
+    100 TB: past the cap the same algebra falls back to the two
+    adjacency sort-merge joins; degree-orient the arrays to bound |N|
+    by O(√|E|) on skewed graphs."""
     edges = part_copurchase_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -3392,11 +3412,30 @@ def graph_node2vec_transition_probs(
     adj = sym.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    au = adj.select(F.col("src").alias("au"), F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
+    # broadcast-mass bound = Σ deg = 2|E| array elements; metadata-free
+    # count on the persisted shared edge intermediate, cached per corpus
+    if sf_dir not in _N2V_EDGE_CACHE:
+        _N2V_EDGE_CACHE[sf_dir] = edges.count()
+    cap = int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE",
+                             GRAPH_BCAST_MAX_STATE))
+    if 2 * _N2V_EDGE_CACHE[sf_dir] <= cap:
+        adj = adj.localCheckpoint(eager=True)
+        per_edge_base = adj.select(
+            F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
+        ).join(
+            F.broadcast(
+                adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
+            ),
+            F.col("dst") == F.col("av"),
+        )
+    else:
+        au = adj.select(F.col("src").alias("au"), F.col("nbrs").alias("nu"))
+        av = adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
+        per_edge_base = sym.join(au, sym.src == au.au).join(
+            av, sym.dst == av.av
+        )
     per_edge = (
-        sym.join(au, sym.src == au.au)
-        .join(av, sym.dst == av.av)
+        per_edge_base
         .select(
             F.size("nv").cast("bigint").alias("d"),
             F.size(F.array_intersect("nu", "nv"))
