@@ -783,3 +783,117 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
         )
     )
+
+
+# --- E596: auto-injected runtime filters --------------------------------
+
+# Below this many dim keys a plain broadcast-hash join already prunes
+# the fact map-side, so a bloom adds probe cost for nothing; above the
+# bitmap's design capacity the fill factor makes the filter pass
+# ~everything, so it is again not worth injecting.  ~10 bits/key keeps
+# the false-positive rate in the low percents for a 64 Kbit bitmap.
+RUNTIME_FILTER_MIN_KEYS = 1_000
+RUNTIME_FILTER_MAX_KEYS = BLOOM_BITS // 10
+
+
+def auto_runtime_filter(
+    fact: DataFrame, fact_key: str, dim_keys: DataFrame, dim_key: str
+) -> tuple[DataFrame, str]:
+    """Decide-and-inject runtime filtering of ``fact`` by the key set
+    of a (filtered) dimension — ``join_bloom_pruned``'s hand-built
+    pattern promoted to the helper a query author calls without
+    thinking about mechanics (r10 verdict #6 candidate).  Returns the
+    (possibly pruned) fact plus the decision taken, so callers and
+    tests can pin which path a given shape takes.
+
+    Decision rule, one tiny aggregate job on the dim subset the join
+    needs anyway (the count is aggregate-scale, never row data):
+
+    - ``n <= RUNTIME_FILTER_MIN_KEYS``  -> ``"none_broadcast"``: the
+      exact broadcast join alone already prunes map-side; a bloom
+      would only add K hash probes per fact row.
+    - ``n <= RUNTIME_FILTER_MAX_KEYS``  -> ``"bloom"``: build the
+      64 Kbit bitmap over the dim keys (one aggregate), broadcast
+      ~8 KB, prune the fact inside codegen BEFORE it reaches the
+      join's exchange — at 100 TB this is the difference between
+      shuffling the full fact and shuffling the survivors.
+    - otherwise                         -> ``"none_saturated"``: the
+      bitmap would saturate and pass ~everything; skip.
+
+    False positives cost work, never correctness: the exact join must
+    still run behind the filter, so injecting is always
+    semantics-preserving (bit writes are OR-ed, reads AND-ed — no
+    false negatives)."""
+    n = dim_keys.count()
+    if n <= RUNTIME_FILTER_MIN_KEYS:
+        return fact, "none_broadcast"
+    if n <= RUNTIME_FILTER_MAX_KEYS:
+        return (
+            bloom_prune(fact, fact_key, bloom_bitmap(dim_keys, dim_key)),
+            "bloom",
+        )
+    return fact, "none_saturated"
+
+
+@query(
+    "join_runtime_filter_auto",
+    oracle="""
+        SELECT p.p_brand,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND p.p_size <= 5
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+    tags=("E596", "E8", "E9"),
+)
+def join_runtime_filter_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with AUTO-INJECTED runtime filters on BOTH dimension
+    legs (``auto_runtime_filter``): the orders leg keeps ~30% of keys
+    (past the bitmap-useful floor -> bloom injected), the part leg's
+    size filter keeps a small key set (-> helper declines the bloom
+    and lets the exact broadcast join prune).  The result is the plain
+    three-table join the oracle states — the filters are invisible in
+    the answer, visible only in the plan (what Spark's own
+    spark.sql.optimizer.runtime.bloomFilter.* does internally,
+    surfaced as a testable library call).
+
+    Scale shape: both dim subsets scan once; the fact scans once and
+    is pruned inside whole-stage codegen before any exchange; the
+    survivors join exactly.  At 100 TB the bloom leg is the one that
+    matters — a 30%-selective orders subset is far past any broadcast
+    threshold, but its 8 KB bitmap still ships to every executor."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    okeys = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_orderkey").alias("ok"))
+    pkeys = p.where(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    fact, _ = auto_runtime_filter(li, "l_orderkey", okeys, "ok")
+    fact, _ = auto_runtime_filter(
+        fact, "l_partkey", pkeys.select("pk"), "pk"
+    )
+    # the exact orders-leg join carries no hint: its subset is ~30% of
+    # a FACT table (unbroadcastable at scale; the bloom already pruned
+    # the fact side map-side, and AQE picks broadcast at fixture size
+    # on its own); the part leg is a filtered DIMENSION subset.
+    return (
+        fact.join(okeys, fact["l_orderkey"] == F.col("ok"))
+        .join(F.broadcast(pkeys), F.col("l_partkey") == F.col("pk"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -2836,3 +2836,106 @@ def pipeline_repetition_loop_detector(
         )
         .orderBy("source")
     )
+
+
+# --- E595: crawl frontier politeness schedule ----------------------------
+
+CRAWL_WORKERS = 8          # fetcher slots the frontier schedules onto
+CRAWL_BASE_DELAY_S = 1     # politeness floor between hits to one domain
+
+
+def _crawl_politeness_oracle() -> str:
+    delay = (
+        f"({CRAWL_BASE_DELAY_S} + "
+        f"{phash60_expr('source')} % 5)"
+    )
+    return f"""
+        WITH domains AS (
+            SELECT source AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST({delay} AS BIGINT) AS politeness_delay_s
+            FROM documents GROUP BY source
+        ),
+        sched AS (
+            SELECT *,
+                   CAST(n_urls * politeness_delay_s AS BIGINT)
+                       AS serial_crawl_s,
+                   row_number() OVER (
+                       ORDER BY n_urls * politeness_delay_s DESC, domain
+                   ) AS crawl_rank
+            FROM domains
+        )
+        SELECT domain, n_urls, politeness_delay_s, serial_crawl_s,
+               crawl_rank,
+               CAST((crawl_rank - 1) % {CRAWL_WORKERS} AS BIGINT) AS worker,
+               CAST(SUM(serial_crawl_s) OVER (
+                   PARTITION BY (crawl_rank - 1) % {CRAWL_WORKERS}
+                   ORDER BY crawl_rank
+               ) AS BIGINT) AS worker_finish_s,
+               CAST(MAX(serial_crawl_s)
+                    OVER () AS BIGINT) AS makespan_lower_bound_s
+        FROM sched
+        ORDER BY crawl_rank
+    """
+
+
+@query(
+    "pipeline_crawl_frontier_politeness",
+    oracle=_crawl_politeness_oracle(),
+    tags=("E595",),
+)
+def pipeline_crawl_frontier_politeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRAWL FRONTIER politeness schedule — the capacity plan every
+    large-scale crawler computes before fetching (r10 verdict #6
+    candidate): per domain, the URL backlog, the per-domain politeness
+    delay (crawl-delay; hash-derived here as a stand-in for
+    robots.txt), the SERIAL crawl time that delay implies (one domain
+    can never be fetched in parallel with itself — politeness
+    serializes it), the longest-processing-time-first rank, a
+    round-robin assignment onto CRAWL_WORKERS fetcher slots, each
+    worker's cumulative finish time, and the theoretical makespan
+    floor (the single slowest domain — no worker count beats it,
+    which is WHY frontier schedulers shard by domain, not by URL).
+
+    Scale shape: one groupBy(domain) aggregate (map-side combinable),
+    then all scheduling algebra runs over the DOMAIN-grain table —
+    thousands of rows where the corpus has billions of URLs — so the
+    window passes are aggregate-scale by construction.  Exact: delays
+    are portable-hash integers, times integer seconds."""
+    d = load_table(spark, sf_dir, "documents")
+    domains = d.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+    ).select(
+        "domain",
+        "n_urls",
+        (
+            F.lit(CRAWL_BASE_DELAY_S)
+            + F.pmod(phash60_col(F.col("domain")), F.lit(5))
+        ).cast("bigint").alias("politeness_delay_s"),
+    )
+    sched = domains.select(
+        "*",
+        (F.col("n_urls") * F.col("politeness_delay_s"))
+        .cast("bigint")
+        .alias("serial_crawl_s"),
+    ).withColumn(
+        "crawl_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("serial_crawl_s").desc(), F.col("domain"))
+        ),
+    )
+    worker = ((F.col("crawl_rank") - 1) % CRAWL_WORKERS).cast("bigint")
+    wfin = Window.partitionBy(worker).orderBy("crawl_rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return sched.select(
+        "domain", "n_urls", "politeness_delay_s", "serial_crawl_s",
+        F.col("crawl_rank").cast("bigint").alias("crawl_rank"),
+        worker.alias("worker"),
+        F.sum("serial_crawl_s").over(wfin).cast("bigint")
+        .alias("worker_finish_s"),
+        F.max("serial_crawl_s").over(Window.partitionBy())
+        .cast("bigint").alias("makespan_lower_bound_s"),
+    ).orderBy("crawl_rank")

@@ -11140,3 +11140,157 @@ def timeseries_page_hinkley_drift(
             .alias("n_alarm_days"),
         )
     )
+
+
+# --- E599: time-respecting reachability over the event-type graph -------
+
+TEMPORAL_REACH_SRC = "view"  # walk source type
+TEMPORAL_REACH_HOPS = 3      # unrolled earliest-arrival rounds
+
+
+def _temporal_reach_oracle() -> str:
+    least_nn = (
+        "CASE WHEN {a} IS NULL THEN {b} WHEN {b} IS NULL THEN {a} "
+        "ELSE LEAST({a}, {b}) END"
+    )
+    steps = []
+    prev = "a1"
+    steps.append(f"""
+        a1 AS (
+            SELECT dst AS etype, MIN(arrive_us) AS at_us
+            FROM edges WHERE src = '{TEMPORAL_REACH_SRC}' GROUP BY dst
+        )""")
+    for k in range(2, TEMPORAL_REACH_HOPS + 1):
+        steps.append(f"""
+        s{k} AS (
+            SELECT e.dst AS etype, MIN(e.arrive_us) AS at_us
+            FROM edges e JOIN {prev} p ON e.src = p.etype
+            WHERE e.arrive_us > p.at_us
+            GROUP BY e.dst
+        ),
+        a{k} AS (
+            SELECT COALESCE(p.etype, s.etype) AS etype,
+                   {least_nn.format(a='p.at_us', b='s.at_us')} AS at_us
+            FROM {prev} p FULL OUTER JOIN s{k} s ON p.etype = s.etype
+        )""")
+        prev = f"a{k}"
+    hops = " ".join(
+        f"WHEN a{k}.at_us IS NOT NULL THEN {k}"
+        for k in range(1, TEMPORAL_REACH_HOPS + 1)
+    )
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        edges AS (
+            SELECT prev_type AS src, event_type AS dst, ts_us AS arrive_us
+            FROM ordered WHERE prev_type IS NOT NULL
+        ),
+        types AS (SELECT DISTINCT event_type AS etype FROM events),
+        {", ".join(steps)}
+        SELECT t.etype AS event_type,
+               CAST(a1.at_us AS BIGINT) AS reach_1_us,
+               CAST(a2.at_us AS BIGINT) AS reach_2_us,
+               CAST(a3.at_us AS BIGINT) AS reach_3_us,
+               CAST(CASE {hops} ELSE -1 END AS BIGINT) AS hops_to_reach
+        FROM types t
+        LEFT JOIN a1 ON a1.etype = t.etype
+        LEFT JOIN a2 ON a2.etype = t.etype
+        LEFT JOIN a3 ON a3.etype = t.etype
+        ORDER BY event_type
+    """
+
+
+@query(
+    "events_temporal_reachability",
+    oracle=_temporal_reach_oracle(),
+    tags=("E599", "E4"),
+)
+def events_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING (temporal) reachability over the event-type
+    transition graph: an edge (a -> b at time t) exists when some user
+    emitted b at t immediately after a, and a path is valid only if
+    every hop departs strictly AFTER the previous hop arrived — the
+    temporal-network semantics (Holme & Saramäki) under which static
+    reachability lies: a static path a->b->c is unusable if every
+    b->c transition predates every a->b.  Reports, per event type,
+    the EARLIEST arrival time from 'view' within 1, 2, 3 hops and
+    the hop count at which it first becomes reachable — the
+    propagation-speed question incident analysis asks of error
+    cascades ("how fast can an error state be reached from a view?").
+
+    Exact: earliest-arrival Bellman-Ford unrolled 3 rounds; each
+    round is one inner join of the edge list against the <=|types|-row
+    arrival frame (broadcast) + a MIN aggregate, followed by a
+    null-explicit least-merge — microsecond integers end to end.
+    Scale shape: the edge list stays at events cardinality and is
+    joined map-side (arrival state is bounded by the type alphabet);
+    nothing ever shuffles beyond the per-round MIN aggregate.  At
+    100 TB the same unroll holds with per-user sessionized edges;
+    state stays alphabet-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    edges = ordered.where(F.col("prev_type").isNotNull()).select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        F.col("ts_us").alias("arrive_us"),
+    )
+
+    def least_nn(a, b):
+        return (
+            F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.least(a, b))
+        )
+
+    arr = (
+        edges.where(F.col("src") == TEMPORAL_REACH_SRC)
+        .groupBy(F.col("dst").alias("etype"))
+        .agg(F.min("arrive_us").alias("at_us"))
+    )
+    reaches = [arr]
+    for _ in range(2, TEMPORAL_REACH_HOPS + 1):
+        prev = reaches[-1]
+        step = (
+            edges.join(
+                F.broadcast(prev),
+                (edges["src"] == prev["etype"])
+                & (edges["arrive_us"] > prev["at_us"]),
+            )
+            .groupBy(F.col("dst").alias("etype2"))
+            .agg(F.min("arrive_us").alias("st_us"))
+        )
+        p, s = prev.alias("p"), step.alias("s")
+        merged = p.join(
+            s, F.col("p.etype") == F.col("s.etype2"), "full_outer"
+        ).select(
+            F.coalesce(F.col("p.etype"), F.col("s.etype2")).alias("etype"),
+            least_nn(F.col("p.at_us"), F.col("s.st_us")).alias("at_us"),
+        )
+        reaches.append(merged)
+    types = ev.select(F.col("event_type")).distinct()
+    out = types
+    for k, r in enumerate(reaches, start=1):
+        rk = r.select(
+            F.col("etype").alias(f"e{k}"),
+            F.col("at_us").cast("bigint").alias(f"reach_{k}_us"),
+        )
+        out = out.join(
+            F.broadcast(rk), out["event_type"] == rk[f"e{k}"], "left"
+        ).drop(f"e{k}")
+    hops = F.when(F.col("reach_1_us").isNotNull(), 1)
+    for k in range(2, TEMPORAL_REACH_HOPS + 1):
+        hops = hops.when(F.col(f"reach_{k}_us").isNotNull(), k)
+    return out.select(
+        "event_type",
+        *[f"reach_{k}_us" for k in range(1, TEMPORAL_REACH_HOPS + 1)],
+        hops.otherwise(-1).cast("bigint").alias("hops_to_reach"),
+    ).orderBy("event_type")

@@ -15,11 +15,11 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from potpot_spark.catalog import load_table
-from potpot_spark.functions.numeric import dsum_expr
+from potpot_spark.functions.numeric import dsum, dsum_expr
 from potpot_spark.registry import query
 from potpot_spark.scratch import scratch_dir, scratch_path
 
@@ -355,3 +355,251 @@ def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("codec")
+
+
+@query(
+    "sink_merge_deletion_vectors",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders
+        ),
+        dv AS (  -- rows invalidated in place: deletes + old update versions
+            SELECT o_orderkey FROM base
+            WHERE o_orderkey % 113 = 0 OR o_orderkey % 97 = 0
+        ),
+        appended AS (  -- new versions of updated rows + fresh inserts
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE)
+                       AS o_totalprice,
+                   'P' AS o_orderstatus
+            FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 113 <> 0
+            UNION ALL
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base),
+                   o_custkey, o_totalprice, 'N'
+            FROM base WHERE o_orderkey % 293 = 0
+        ),
+        reconciled AS (
+            SELECT b.* FROM base b LEFT JOIN dv USING (o_orderkey)
+            WHERE dv.o_orderkey IS NULL
+            UNION ALL
+            SELECT * FROM appended
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS n_dv_positions
+        FROM reconciled
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("E594", "E2"),
+)
+def sink_merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE via DELETION VECTORS on plain parquet — the Delta/Iceberg
+    v2 "merge-on-read" mechanism (r10 verdict #6 candidate), distinct
+    from ``sink_merge_upsert``'s copy-on-write full-outer rewrite:
+    base files are IMMUTABLE; a merge writes (a) a deletion vector of
+    (file, row_position) coordinates for rows it invalidates (deletes
+    + prior versions of updates) and (b) an append-only delta of new
+    row versions.  Readers reconstruct the table as
+    base ANTI JOIN dv  UNION ALL  delta — no base rewrite ever
+    happens, which is why a 1%-churn merge on 100 TB costs ~1% I/O
+    instead of a full rewrite.
+
+    The Spark-side plumbing is REAL file coordinates, not simulated:
+    the base snapshot is written to scratch parquet, read back with
+    the ``_metadata.file_path``/``_metadata.row_index`` hidden columns
+    (Spark's stable per-file row coordinates), and the DV is stored
+    grouped per file as sorted position arrays — exactly a DV bitmap's
+    logical content.  The reconciling anti join runs on the
+    coordinate pair, NOT the logical key, because a DV must invalidate
+    physical row slots (two versions of one key can coexist in base +
+    delta; only coordinates disambiguate).  Change set: every 113th
+    key deleted, every 97th updated (new version appended), every
+    293rd inserted fresh past max-key — the merge_upsert discipline
+    extended with deletes.
+
+    The emitted columns are the reconciled table's logical aggregate
+    plus the DV cardinality, so the DuckDB twin states the same MERGE
+    declaratively; the per-file coordinate layout is physical and
+    asserted engine-side in tests (n_dv_positions ties the vector's
+    total mass to the oracle)."""
+    base_src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    root = scratch_dir("potpot_dv_")
+    base_path = os.path.join(root, "base")
+    base_src.write.mode("overwrite").parquet(base_path)
+    base = spark.read.parquet(base_path).select(
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+    )
+    max_key = base_src.agg(F.max("o_orderkey").alias("mx"))
+    # deletion vector: physical coordinates of every invalidated slot,
+    # grouped per file as a sorted position array (a DV bitmap's
+    # logical content; roaring/bitset encoding is a storage detail)
+    invalidated = base.where(
+        (F.col("o_orderkey") % 113 == 0) | (F.col("o_orderkey") % 97 == 0)
+    )
+    dv = invalidated.groupBy("_file").agg(
+        F.sort_array(F.collect_list("_pos")).alias("positions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+    )
+    delta = (
+        base.where(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 113 != 0)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(1.1).cast("decimal(3,2)"),
+                2,
+            ).cast("double").alias("o_totalprice"),
+            F.lit("P").alias("o_orderstatus"),
+        )
+    ).unionByName(
+        base.where(F.col("o_orderkey") % 293 == 0)
+        .join(F.broadcast(max_key))
+        .select(
+            (F.col("o_orderkey") + F.col("mx")).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    # merge-on-read reconstruction: explode the DV back to coordinate
+    # rows and anti-join base on the (file, position) pair
+    dv_rows = dv.select(
+        "_file", F.explode("positions").alias("_pos")
+    )
+    live = base.join(dv_rows, ["_file", "_pos"], "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    reconciled = live.unionByName(delta)
+    n_dv = dv.agg(
+        F.coalesce(F.sum("n_positions"), F.lit(0)).cast("bigint").alias("n_dv")
+    )
+    return (
+        reconciled.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), scale=2).alias("total_price"),
+        )
+        .join(F.broadcast(n_dv))
+        .select(
+            "o_orderstatus", "n_rows", "total_price",
+            F.col("n_dv").alias("n_dv_positions"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+VACUUM_RETAIN_VERSIONS = 2  # retention window for the vacuum audit
+
+
+@query(
+    "maintenance_vacuum_retention_audit",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+        ),
+        v2 AS (  -- snapshot 2: every 57th key deleted
+            SELECT * FROM v1 WHERE o_orderkey % 57 <> 0
+        ),
+        v3 AS (  -- snapshot 3: re-keyed appends past max
+            SELECT * FROM v2
+            UNION ALL
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM v1), 'N'
+            FROM v2 WHERE o_orderkey % 293 = 0
+        ),
+        snaps AS (
+            SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows FROM v1
+            UNION ALL
+            SELECT 2, CAST(COUNT(*) AS BIGINT) FROM v2
+            UNION ALL
+            SELECT 3, CAST(COUNT(*) AS BIGINT) FROM v3
+        )
+        SELECT version, n_rows,
+               CAST(4 AS BIGINT) AS n_files,
+               version <= 3 - {VACUUM_RETAIN_VERSIONS} AS vacuum_eligible,
+               CAST(SUM(CASE WHEN version <= 3 - {VACUUM_RETAIN_VERSIONS}
+                             THEN n_rows ELSE 0 END)
+                    OVER (ORDER BY version) AS BIGINT)
+                   AS cum_reclaimable_rows
+        FROM snaps ORDER BY version
+    """,
+    tags=("E598", "E2"),
+)
+def maintenance_vacuum_retention_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM retention audit over real snapshot directories — the
+    maintenance decision table formats compute before deleting files:
+    which snapshots fall outside the retention window (keep the
+    newest VACUUM_RETAIN_VERSIONS = 2), how many files/rows each holds,
+    and the cumulative row mass a vacuum would reclaim.  Completes the
+    snapshot lifecycle started by ``sink_versioned_snapshots`` (write
+    + time travel) with the retire step — on a real lake this audit
+    runs BEFORE any destructive delete, which is why it is a query,
+    not an action.
+
+    Three REAL snapshot writes land under ``v=N/`` scratch dirs
+    (v1 = base, v2 = every-57th-key delete, v3 = re-keyed appends);
+    per-version file counts come from the actual file listing via the
+    ``_metadata.file_path`` hidden column (pinned deterministic by a
+    repartition(4) writer, so the oracle can state them), and row
+    counts/eligibility are pure relational algebra the DuckDB twin
+    restates.  At 100 TB the same audit is manifest-metadata-only —
+    file listings and footer counts, never data scans; the row-count
+    column here doubles as the correctness witness that each
+    snapshot's content is what its lineage says."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = scratch_dir("potpot_vacuum_")
+    v1 = base
+    v2 = v1.where(F.col("o_orderkey") % 57 != 0)
+    mx = v1.agg(F.max("o_orderkey").alias("mx"))
+    v3 = v2.unionByName(
+        v2.where(F.col("o_orderkey") % 293 == 0)
+        .join(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("mx")).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    latest = 3
+    outs = []
+    for ver, df in ((1, v1), (2, v2), (3, v3)):
+        path = os.path.join(root, f"v={ver}")
+        df.repartition(4).write.mode("overwrite").parquet(path)
+        snap = spark.read.parquet(path)
+        outs.append(
+            snap.agg(
+                F.lit(ver).alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(F.col("_metadata.file_path"))
+                .cast("bigint")
+                .alias("n_files"),
+            )
+        )
+    audit = outs[0].unionByName(outs[1]).unionByName(outs[2]).select(
+        "version",
+        "n_rows",
+        "n_files",
+        (F.col("version") <= latest - VACUUM_RETAIN_VERSIONS).alias(
+            "vacuum_eligible"
+        ),
+    )
+    w = Window.orderBy("version").rowsBetween(Window.unboundedPreceding, 0)
+    return audit.select(
+        "version", "n_rows", "n_files", "vacuum_eligible",
+        F.sum(
+            F.when(F.col("vacuum_eligible"), F.col("n_rows")).otherwise(0)
+        ).over(w).cast("bigint").alias("cum_reclaimable_rows"),
+    ).orderBy("version")

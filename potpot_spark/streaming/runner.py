@@ -71,3 +71,33 @@ def run_to_batch(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_to_batch_with_progress(
+    stream_df: DataFrame,
+    output_mode: str = "update",
+    shuffle_partitions: int = 8,
+) -> tuple[DataFrame, list]:
+    """``run_to_batch`` that ALSO returns the query's recentProgress
+    list, so operators can report state-store metrics (numRowsTotal,
+    numRowsUpdated per stateful operator) — the observability surface
+    a production stream is monitored by."""
+    spark = stream_df.sparkSession
+    name = f"potpot_stream_{next(_counter)}"
+    ckpt = scratch_dir("potpot_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name), progress

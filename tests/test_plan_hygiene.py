@@ -131,20 +131,32 @@ def test_broadcast_hint_discipline():
         "operators/stats.py": (77, "scalar moment/fit frames, dim tables, grids"),
         "operators/tpch_suite.py": (31, "TPC-H dimension tables"),
         "operators/ml_features.py": (50, "1-row fit/threshold frames, vocab/centroid tables"),
-        "operators/timeseries.py": (38, "per-series scalar frames, calendars"),
-        "operators/graph.py": (33, "seeds/params + _state_bcast-gated state"),
+        # +2 in r11: temporal reachability broadcasts its alphabet-sized
+        # arrival frames (<= |event types| rows, class (a)).
+        "operators/timeseries.py": (40, "per-series scalar frames, calendars"),
+        # +2 in r11, both class (b): HITS broadcasts the 2-column
+        # orders side of its edge build under the metadata row-count
+        # cap; node2vec broadcasts the checkpointed adjacency under
+        # the 2|E| <= cap gate (shuffle-join fallbacks pinned equal).
+        "operators/graph.py": (35, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
         "operators/text.py": (29, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
         "operators/ivf.py": (9, "trained centroids/codebooks (declared constants)"),
-        "operators/joins.py": (6, "dimension build sides (the broadcast-join ops)"),
+        # +1 in r11: join_runtime_filter_auto broadcasts a filtered
+        # PART (dimension) subset; its orders-leg join is deliberately
+        # hint-free (fact-derived subset, unbroadcastable at scale).
+        "operators/joins.py": (7, "dimension build sides (the broadcast-join ops)"),
         "operators/tpch.py": (5, "TPC-H dimension tables"),
         "operators/dedup.py": (5, "band/threshold scalar frames"),
         "operators/sampling.py": (4, "per-stratum quota frames"),
         "operators/windows_ext.py": (2, "grid/calendar frames"),
         "operators/aggregates.py": (2, "1-row total frames"),
         "streaming/joins.py": (1, "static dim side of stream-static join"),
-        "sources/sink.py": (1, "merge source keys (bounded delta)"),
+        # +3 in r11: deletion-vector merge's 1-row max-key scalar and
+        # 1-row DV-cardinality frame; vacuum audit's 1-row max-key —
+        # all aggregate-scale.
+        "sources/sink.py": (4, "merge source keys (bounded delta) + 1-row scalars"),
         "sources/layout.py": (1, "1-row point-get key"),
         "sources/formats.py": (1, "schema/dim frame"),
         "operators/multimodal.py": (1, "bounded metadata frame"),
