@@ -275,12 +275,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra degree join to build the orientation key."""
     edges = part_copurchase_edges(spark, sf_dir)
     adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+    # r11: the oriented edge list IS the explosion of the adjacency,
+    # so N⁺(u) attaches by re-deriving the edges from adj with the
+    # source array retained — the first adjacency join (which shipped
+    # one ~120-element array per edge through a sort-merge exchange)
+    # disappears; only N⁺(v) still joins.  Array shuffle mass halves
+    # at every scale (BENCH_SCALING r11: this family was super-linear
+    # from exactly that mass under spill).
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
-    closed = (
-        edges.join(au, edges.u == au.au)
-        .join(av, edges.v == av.av)
-        .select(F.size(F.array_intersect("nu", "nv")).alias("n_common"))
+    eu = adj.select(F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
+    closed = eu.join(av, eu.v == av.av).select(
+        F.size(F.array_intersect("nu", "nv")).alias("n_common")
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         closed.agg(F.sum("n_common").cast("bigint").alias("n_triangles"))
@@ -1214,12 +1219,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     division chains over exact integers."""
     edges = part_copurchase_edges(spark, sf_dir)
     adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+    # r11: source arrays attach by exploding adj (the oriented edge
+    # list is adj's own explosion) — one adjacency array join instead
+    # of two; see graph_triangle_count.
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
-    closed = (
-        edges.join(au, edges.u == au.au)
-        .join(av, edges.v == av.av)
-        .select("u", "v", F.array_intersect("nu", "nv").alias("common"))
+    eu = adj.select(
+        "u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v")
+    )
+    closed = eu.join(av, eu.v == av.av).select(
+        "u", "v", F.array_intersect("nu", "nv").alias("common")
     )
     # One explode fans out all three credit kinds (u and v each earn
     # |common|, every closing w earns 1) so the adjacency joins execute
@@ -1527,12 +1535,15 @@ def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     adj = und.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    a1 = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("n1"))
+    # r11: exploding the SYMMETRIC adjacency yields every directed
+    # edge with its source array attached (one array join removed);
+    # keeping only u < v restores the undirected edge grain.
     a2 = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("n2"))
-    support = (
-        edges.join(a1, edges.u == a1.au)
-        .join(a2, edges.v == a2.av)
-        .select(F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("sup"))
+    e1 = adj.select(
+        "u", F.col("nbrs").alias("n1"), F.explode("nbrs").alias("v")
+    ).where(F.col("u") < F.col("v"))
+    support = e1.join(a2, e1.v == a2.av).select(
+        F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("sup")
     )
     from pyspark.sql.window import Window
 
@@ -3429,11 +3440,16 @@ def graph_node2vec_transition_probs(
             F.col("dst") == F.col("av"),
         )
     else:
-        au = adj.select(F.col("src").alias("au"), F.col("nbrs").alias("nu"))
+        # past-cap fallback, r11: the directed edge list is adj's own
+        # explosion, so N(u) attaches join-free and only N(v) ships
+        # through a sort-merge exchange — half the array shuffle mass
+        # of the r10 two-join shape (BENCH_SCALING: this path measured
+        # 42x at 10x data when both arrays shuffled)
         av = adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
-        per_edge_base = sym.join(au, sym.src == au.au).join(
-            av, sym.dst == av.av
+        eu = adj.select(
+            F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
         )
+        per_edge_base = eu.join(av, eu.dst == av.av)
     per_edge = (
         per_edge_base
         .select(
@@ -4113,31 +4129,37 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("v")).alias("nbrs"),
         F.count(F.lit(1)).cast("bigint").alias("deg"),
     )
-    a1 = adj.select(
-        F.col("u").alias("au"), F.col("nbrs").alias("n1"),
-        F.col("deg").alias("deg_u"),
-    )
+    # r11 rework (BENCH_SCALING: 21x at 10x data): (1) the source
+    # array attaches by exploding the symmetric adjacency (one array
+    # sort-merge join removed — half the shuffle mass whose sort-spill
+    # drove the super-linearity); (2) the edge total comes from a
+    # 1-row aggregate over the cached edge intermediate instead of a
+    # count-over-unpartitioned-window, which funneled every support
+    # row through a single partition.
     a2 = adj.select(
         F.col("u").alias("av"), F.col("nbrs").alias("n2"),
         F.col("deg").alias("deg_v"),
     )
-    support = (
-        edges.join(a1, edges.u == a1.au)
-        .join(a2, edges.v == a2.av)
-        .select(
-            "u",
-            "v",
-            "deg_u",
-            "deg_v",
-            F.size(F.array_intersect("n1", "n2"))
-            .cast("bigint")
-            .alias("sup"),
-        )
+    e1 = adj.select(
+        "u",
+        F.col("nbrs").alias("n1"),
+        F.col("deg").alias("deg_u"),
+        F.explode("nbrs").alias("v"),
+    ).where(F.col("u") < F.col("v"))
+    support = e1.join(a2, e1.v == a2.av).select(
+        "u",
+        "v",
+        "deg_u",
+        "deg_v",
+        F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("sup"),
+    )
+    n_edges_1row = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    bridges = support.where(F.col("sup") == 0).crossJoin(
+        F.broadcast(n_edges_1row)
     )
     wall = Window.partitionBy()
-    bridges = support.withColumn(
-        "n_edges", F.count(F.lit(1)).over(wall)
-    ).where(F.col("sup") == 0)
     ranked = bridges.select(
         "u",
         "v",
@@ -4392,12 +4414,15 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "POTPOT_C4_SALTS",
         str(max(1, min(64, ((deg_max or 0) ** 2) // mass_cap))),
     ))
-    # (u, m) rows joined to m's adjacency array: per-u concat is the
+    # (u, m) rows with m's adjacency array: per-u concat is the
     # multiset {w : u-m-w walks}, containing w with multiplicity
-    # cod(u, w) (and u itself deg(u) times).
-    joined = und.join(
-        adj.select(F.col("node").alias("d"), F.col("nbrs").alias("mnbrs")),
-        "d",
+    # cod(u, w) (and u itself deg(u) times).  r11: the (u, m) edge
+    # rows ARE the explosion of m's own adjacency entry (und is
+    # symmetric), so mnbrs attaches with NO join at all — the 2.4M-row
+    # array sort-merge join (the op's only array shuffle, 15.5x at
+    # 10x data in BENCH_SCALING under sort spill) disappears.
+    joined = adj.select(
+        F.col("nbrs").alias("mnbrs"), F.explode("nbrs").alias("s")
     )
     if n_salts > 1:
         # DEGREE-CAPPED salting (ADVICE r10): a node's multiset mass

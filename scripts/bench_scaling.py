@@ -106,15 +106,22 @@ def main() -> int:
             spec = registry.get(name)
             ts: list[float] = []
             err = None
-            for r in range(reps):
+            # rep 0 is an UNRECORDED warmup (shared-intermediate builds
+            # + cold-cache spill land there, not in the median — the
+            # first artifact's C4 entry mixed a 251 s cold rep into a
+            # 78 s warm steady state) unless it blows the cap, in
+            # which case the cold rep IS the datum and is recorded.
+            for r in range(reps + 1):
                 t0 = time.time()
                 try:
                     mat(spec.fn(spark, sf_dir))
                 except Exception as e:  # noqa: BLE001 - DNF is a datum
                     err = f"{type(e).__name__}: {str(e)[:200]}"
                     break
-                ts.append(time.time() - t0)
-                if ts[-1] > REP_CAP_SEC:
+                dt = time.time() - t0
+                if r > 0 or dt > REP_CAP_SEC:
+                    ts.append(dt)
+                if dt > REP_CAP_SEC:
                     break
             ent = out.setdefault(name, {})
             if ts:
@@ -129,9 +136,10 @@ def main() -> int:
             ent["ratio"] = round(b / a, 2)
     record = {
         "protocol": (
-            f"median of <= {reps} warm noop-sink reps per scale; "
+            f"one unrecorded warmup rep, then median of <= {reps} warm "
+            f"noop-sink reps per scale; "
             f"sf1 = 10x key-offset replicas (scripts/gen_scale_fixtures.py); "
-            f"first sf1 rep > {REP_CAP_SEC:.0f}s short-circuits"
+            f"any rep > {REP_CAP_SEC:.0f}s is recorded and short-circuits"
         ),
         "sf_small": SF_SMALL,
         "sf_big": SF_BIG,

@@ -134,11 +134,12 @@ def test_broadcast_hint_discipline():
         # +2 in r11: temporal reachability broadcasts its alphabet-sized
         # arrival frames (<= |event types| rows, class (a)).
         "operators/timeseries.py": (40, "per-series scalar frames, calendars"),
-        # +2 in r11, both class (b): HITS broadcasts the 2-column
+        # +3 in r11: HITS broadcasts the 2-column
         # orders side of its edge build under the metadata row-count
         # cap; node2vec broadcasts the checkpointed adjacency under
-        # the 2|E| <= cap gate (shuffle-join fallbacks pinned equal).
-        "operators/graph.py": (35, "seeds/params + _state_bcast-gated state"),
+        # the 2|E| <= cap gate (shuffle-join fallbacks pinned equal);
+        # local_bridges attaches a 1-row edge-total scalar.
+        "operators/graph.py": (36, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
         "operators/text.py": (29, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
