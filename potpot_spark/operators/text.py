@@ -5385,3 +5385,101 @@ def text_rouge_n_adjacent_pairs(
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_trigram_collapse_staged",
+    oracle=f"""
+        WITH collapsed AS (
+            SELECT p_brand, lower(p_name) AS lname,
+                   MIN(p_partkey) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS mult
+            FROM part WHERE length(p_name) >= 3
+            GROUP BY p_brand, lower(p_name)
+        ),
+        names AS (
+            SELECT rep_id AS p_partkey, p_brand, mult,
+                   list_distinct(list_transform(
+                       range(1, length(lname) - 1),
+                       i -> substring(lname, i, 3))) AS trgms
+            FROM collapsed
+        ),
+        pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   a.mult AS mult_a, b.mult AS mult_b,
+                   CAST(len(list_intersect(a.trgms, b.trgms)) AS BIGINT)
+                       AS n_common,
+                   CAST(len(a.trgms) + len(b.trgms)
+                        - len(list_intersect(a.trgms, b.trgms)) AS BIGINT)
+                       AS n_union
+            FROM names a JOIN names b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        )
+        SELECT id_a, id_b,
+               CAST(FLOOR(CAST(n_common AS DOUBLE) * 1000000 / n_union)
+                    AS BIGINT) AS sim_u,
+               mult_a, mult_b,
+               CAST(mult_a * mult_b AS BIGINT) AS represented_pairs
+        FROM pairs
+        WHERE CAST(FLOOR(CAST(n_common AS DOUBLE) * 1000000 / n_union)
+                   AS BIGINT) >= {TRGM_MIN_SIM_U}
+        ORDER BY sim_u DESC, id_a, id_b
+        LIMIT {TRGM_TOP}
+    """,
+    tags=("E600", "E35"),
+)
+def text_trigram_collapse_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COLLAPSE STAGING for fuzzy name matching — the standard
+    entity-resolution pipeline shape the r11 scaling proof showed is
+    not optional: on a duplicate-heavy catalog, ANY similarity join's
+    candidate set grows quadratically in duplicate multiplicity
+    (BENCH_SCALING: the unstaged op went 63x at 10x data when every
+    name acquired 10 exact copies).  Stage 1 collapses exact
+    duplicates per (brand, lowercased name) to a representative
+    (min id) carrying its multiplicity — one map-side-combinable
+    aggregate that removes the quadratic axis entirely.  Stage 2 runs
+    the SAME prefix-filtered trigram SSJoin (_trgm_similar_pairs) over
+    representatives only, and each emitted pair carries
+    mult_a x mult_b = the count of underlying name pairs it
+    represents, so no information is lost — the expansion back to id
+    grain is a join consumers do lazily, never materialized here.
+
+    On the replica-heavy sf1 fixture the staged candidate set is
+    exactly the sf0.1 candidate set (collapse absorbs the copies);
+    on real data the collapse is ~free and the stage is pure
+    insurance.  Exactness inherits from the unstaged op: integer
+    micro-unit Jaccard, deterministic ties."""
+    parts = load_table(spark, sf_dir, "part")
+    collapsed = (
+        parts.where(F.length("p_name") >= 3)
+        .groupBy("p_brand", F.lower("p_name").alias("lname"))
+        .agg(
+            F.min("p_partkey").alias("p_partkey"),
+            F.count(F.lit(1)).cast("bigint").alias("mult"),
+        )
+    )
+    names = collapsed.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(lname) - 2), "
+                "i -> substring(lname, i, 3))"
+            )
+        ).alias("trgms"),
+    )
+    mult = collapsed.select(F.col("p_partkey").alias("mid"), "mult")
+    pairs = _trgm_similar_pairs(names, TRGM_MIN_SIM_U)
+    ma = mult.select(F.col("mid").alias("id_a"), F.col("mult").alias("mult_a"))
+    mb = mult.select(F.col("mid").alias("id_b"), F.col("mult").alias("mult_b"))
+    return (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a", "id_b", "sim_u", "mult_a", "mult_b",
+            (F.col("mult_a") * F.col("mult_b")).cast("bigint")
+            .alias("represented_pairs"),
+        )
+        .orderBy(F.col("sim_u").desc(), "id_a", "id_b")
+        .limit(TRGM_TOP)
+    )
