@@ -146,7 +146,24 @@ def main() -> int:
         "queries": out,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_SCALING.json"), "w") as f:
+    out_path = os.path.join(here, "BENCH_SCALING.json")
+    if args and os.path.exists(out_path):
+        # incremental mode (mirrors bench_vs_duckdb --only): explicit
+        # names re-measure and MERGE into the existing artifact; prior
+        # entries for untouched queries survive.  Per-entry `measured`
+        # tags keep provenance honest when a partial refresh follows a
+        # code change.
+        with open(out_path) as f:
+            prior_record = json.load(f)
+        merged = prior_record.get("queries", {})
+        for k in merged:
+            merged[k].setdefault("measured", "prior-run")
+        for k, v in out.items():
+            v["measured"] = "this-run"
+            merged[k] = v
+        record["queries"] = merged
+        record["prior_protocol"] = prior_record.get("protocol")
+    with open(out_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     ratios = sorted(
         (e["ratio"], n) for n, e in out.items() if "ratio" in e
