@@ -34,6 +34,7 @@ same edge set — exact equality with the fixpoint of the propagation.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -78,6 +79,32 @@ def _state_bcast(n_rows_bound: int):
     return lambda df: df
 
 
+@contextmanager
+def _narrow_loop(spark: SparkSession, *, aqe_off: bool, width: int | None = 8):
+    """Scope an iterative node-scale loop: pin the shuffle width (the
+    per-round aggregate output is |V| rows — session width would pay
+    32 near-empty task launches per round) and, when the loop runs on
+    the capped/broadcast path, drop AQE for the scope: with the width
+    pinned and every join strategy an explicit gated hint, AQE
+    contributes nothing but materializes every exchange as its own
+    sub-job (first measured on HITS: 32 jobs → 8, median 3.7 → 2.8 s
+    at sf0.1).  Past the cap the fallback shuffle joins DO want AQE's
+    skew/coalesce handling, so callers gate ``aqe_off`` on the same
+    size gate as the broadcast hint.  Both confs restore in the
+    finally on every exit path (ADVICE r10 discipline)."""
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if width is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 _TABLE_ROWS_CACHE: dict[tuple[str, str], int] = {}
 
 
@@ -98,6 +125,29 @@ def _part_table_rows(spark: SparkSession, sf_dir: str) -> int:
     """|V| upper bound for the partkey graphs — every co-purchase node
     is an l_partkey, and partkeys are a subset of part."""
     return _table_rows(spark, sf_dir, "part")
+
+
+_EDGE_COUNT_CACHE: dict[str, int] = {}
+
+
+def _adj_bcast(spark: SparkSession, sf_dir: str, edges: DataFrame):
+    """Size-gated broadcast hint for the co-purchase ADJACENCY-ARRAY
+    table (one row per node, one array entry per directed edge): its
+    broadcast mass is Σ deg = 2|E| array elements, so the gate bounds
+    ELEMENTS (the node2vec capped-path rule), not rows.  Under the cap
+    the intersection family's exploded (src-array, v) rows hash-probe
+    the broadcast adjacency map-side and the ~2 GB array mass never
+    crosses an exchange; past it the same join degrades to the
+    sort-merge shuffle (the 100 TB path, where the array mass exceeds
+    executor memory).  |E| comes from one count on the checkpointed
+    shared edge intermediate, cached per corpus."""
+    cap = int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE",
+                             GRAPH_BCAST_MAX_STATE))
+    if sf_dir not in _EDGE_COUNT_CACHE:
+        _EDGE_COUNT_CACHE[sf_dir] = edges.count()
+    if 2 * _EDGE_COUNT_CACHE[sf_dir] <= cap:
+        return F.broadcast
+    return lambda df: df
 
 # Edge definition shared with dedup_ngram_jaccard's oracle (same
 # blocking + threshold); kept as one source string so the two oracles
@@ -163,23 +213,29 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     # ever hits the broadcast ceiling (VERDICT r6 #2 gate).
     bcast = _state_bcast(labels.count())
     sym_j = sym if bcast is F.broadcast else sym.repartition("dst")
-    for _ in range(max_rounds):
-        # neighbor labels pulled across edges, then min with own label.
-        neighbor = (
-            sym_j.join(bcast(labels), sym_j.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("component"))
-        )
-        labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate lineage every round
-        )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
+    try:
+        # narrow width + gated AQE off for the fixpoint rounds (see
+        # _narrow_loop): the per-round join is the explicit gated hint
+        with _narrow_loop(nodes.sparkSession, aqe_off=bcast is F.broadcast):
+            for _ in range(max_rounds):
+                # neighbor labels pulled across edges, then min with own
+                # label.
+                neighbor = (
+                    sym_j.join(bcast(labels), sym_j.dst == labels.node)
+                    .select(F.col("src").alias("node"), F.col("component"))
+                )
+                labels = (
+                    labels.unionByName(neighbor)
+                    .groupBy("node")
+                    .agg(F.min("component").alias("component"))
+                    .localCheckpoint()  # truncate lineage every round
+                )
+                cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+    finally:
+        sym.unpersist()
     # Singletons re-enter labelled by themselves.
     return nodes.join(labels, "node", "left").select(
         F.col("node"), F.coalesce("component", "node").alias("component")
@@ -282,9 +338,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disappears; only N⁺(v) still joins.  Array shuffle mass halves
     # at every scale (BENCH_SCALING r11: this family was super-linear
     # from exactly that mass under spill).
+    # r11 opt: the N⁺(v) attach rides the element-mass-gated broadcast
+    # (_adj_bcast — the node2vec capped-path rule): under the cap adj
+    # is checkpointed ONCE (both the exploded probe side and the
+    # broadcast side read the materialized blocks — without it each
+    # side rebuilds the collect_list aggregate) and NOTHING
+    # array-valued crosses an exchange; past it, the former sort-merge
+    # join over the single adjacency subtree.
+    bcast = _adj_bcast(spark, sf_dir, edges)
+    if bcast is F.broadcast:
+        adj = adj.localCheckpoint(eager=True)
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
     eu = adj.select(F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
-    closed = eu.join(av, eu.v == av.av).select(
+    closed = eu.join(bcast(av), eu.v == av.av).select(
         F.size(F.array_intersect("nu", "nv")).alias("n_common")
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
@@ -487,40 +553,44 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     withdeg.count()  # materialize outside the timed rounds' lineage
     ranks = deg.select("u", F.lit(1.0).alias("rank")).localCheckpoint()
-    # The per-round aggregate output is |V| rows — run the loop at a
-    # narrow shuffle width so 8 rounds don't pay 8 × 32 near-empty
-    # task launches (same sizing rule as the streaming state store).
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Narrow width + AQE off while the rank vector broadcasts (the
+    # _narrow_loop discipline): every round's join is the explicit
+    # map-side hint below, so AQE only adds stage-materialization
+    # sub-jobs per checkpoint round; gated off past the broadcast cap
+    # where the fallback shuffle joins want AQE's skew handling.
     try:
-        for i in range(PR_ITERS):
-            # |V| << |E|: broadcast the rank vector so the edge table
-            # never re-shuffles — each round is map-side join + one
-            # partial-agg exchange of |V| group rows.  (When |V| itself
-            # outgrows broadcast range, flip to a shuffle join against
-            # edges pre-partitioned on u — same loop, one exchange more.)
-            contribs = (
-                withdeg.join(F.broadcast(ranks), "u")
-                .select(
-                    F.col("v").alias("u"),
-                    F.floor(F.col("rank") * F.col("w") * PR_SCALE)
-                    .cast("bigint")
-                    .alias("c"),
+        with _narrow_loop(
+            spark,
+            aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast,
+        ):
+            for i in range(PR_ITERS):
+                # |V| << |E|: broadcast the rank vector so the edge table
+                # never re-shuffles — each round is map-side join + one
+                # partial-agg exchange of |V| group rows.  (When |V| itself
+                # outgrows broadcast range, flip to a shuffle join against
+                # edges pre-partitioned on u — same loop, one exchange more.)
+                contribs = (
+                    withdeg.join(F.broadcast(ranks), "u")
+                    .select(
+                        F.col("v").alias("u"),
+                        F.floor(F.col("rank") * F.col("w") * PR_SCALE)
+                        .cast("bigint")
+                        .alias("c"),
+                    )
                 )
-            )
-            ranks = (
-                contribs.groupBy("u")
-                .agg(
-                    (
-                        F.lit(1 - PR_DAMPING)
-                        + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
-                    ).alias("rank")
+                ranks = (
+                    contribs.groupBy("u")
+                    .agg(
+                        (
+                            F.lit(1 - PR_DAMPING)
+                            + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
+                        ).alias("rank")
+                    )
+                    .localCheckpoint()
                 )
-                .localCheckpoint()
-            )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    withdeg.unpersist()
+        # cache release on every exit path (the ADVICE r10 HITS rule)
+        withdeg.unpersist()
     return (
         ranks.orderBy(F.col("rank").desc(), "u")
         .limit(PR_TOP)
@@ -699,9 +769,11 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_edges = sym.count()
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # narrow width + gated AQE off: each peel round's joins are the
+    # explicit broadcast hints below (see _narrow_loop)
+    with _narrow_loop(
+        spark, aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
+    ):
         for _ in range(KCORE_MAX_ROUNDS):
             deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
             keep = deg.where(F.col("deg") >= KCORE_K).select("u")
@@ -716,8 +788,6 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cur_edges == prev_edges:
                 break
             prev_edges = cur_edges
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("u").alias("part_key"), "core_degree"
     )
@@ -1097,9 +1167,9 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
         # labels to it instead of broadcasting (VERDICT r6 #2 gate).
         bcast = _state_bcast(labels.count())
         sym_j = sym if bcast is F.broadcast else sym.repartition("u")
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        # narrow width + AQE off while on the broadcast path (see
+        # _narrow_loop); past the cap AQE stays on for the shuffle rounds
+        with _narrow_loop(spark, aqe_off=bcast is F.broadcast):
             for _ in range(LPA_ITERS):
                 votes = (
                     sym_j.join(bcast(labels), "u")
@@ -1112,8 +1182,6 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
                     .select(F.col("node").alias("u"), F.col("_b.label").alias("label"))
                     .localCheckpoint()
                 )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         return labels
 
     return shared_intermediate(spark, sf_dir, "lpa_labels", build), sym
@@ -1221,12 +1289,17 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     # r11: source arrays attach by exploding adj (the oriented edge
     # list is adj's own explosion) — one adjacency array join instead
-    # of two; see graph_triangle_count.
+    # of two; see graph_triangle_count.  Under the element-mass gate
+    # (_adj_bcast) adj checkpoints once and the remaining join rides a
+    # broadcast, so no array mass crosses an exchange.
+    bcast = _adj_bcast(spark, sf_dir, edges)
+    if bcast is F.broadcast:
+        adj = adj.localCheckpoint(eager=True)
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
     eu = adj.select(
         "u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v")
     )
-    closed = eu.join(av, eu.v == av.av).select(
+    closed = eu.join(bcast(av), eu.v == av.av).select(
         "u", "v", F.array_intersect("nu", "nv").alias("common")
     )
     # One explode fans out all three credit kinds (u and v each earn
@@ -1537,12 +1610,17 @@ def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = und.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     # r11: exploding the SYMMETRIC adjacency yields every directed
     # edge with its source array attached (one array join removed);
-    # keeping only u < v restores the undirected edge grain.
+    # keeping only u < v restores the undirected edge grain.  Under
+    # the element-mass gate (_adj_bcast) adj checkpoints once and the
+    # remaining join rides a broadcast — no array exchange at all.
+    bcast = _adj_bcast(spark, sf_dir, edges)
+    if bcast is F.broadcast:
+        adj = adj.localCheckpoint(eager=True)
     a2 = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("n2"))
     e1 = adj.select(
         "u", F.col("nbrs").alias("n1"), F.explode("nbrs").alias("v")
     ).where(F.col("u") < F.col("v"))
-    support = e1.join(a2, e1.v == a2.av).select(
+    support = e1.join(bcast(a2), e1.v == a2.av).select(
         F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("sup")
     )
     from pyspark.sql.window import Window
@@ -2583,30 +2661,32 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     withdeg.count()
     is_seed = (F.col("u") % PPR_SEED_MOD == 0).cast("double")
     ranks = deg.select("u", is_seed.alias("rank")).localCheckpoint()
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        for _ in range(PPR_ITERS):
-            contribs = withdeg.join(F.broadcast(ranks), "u").select(
-                F.col("v").alias("u"),
-                F.floor(F.col("rank") * F.col("w") * PR_SCALE)
-                .cast("bigint")
-                .alias("c"),
-            )
-            ranks = (
-                contribs.groupBy("u")
-                .agg(
-                    (
-                        F.when(F.col("u") % PPR_SEED_MOD == 0, 1 - PR_DAMPING)
-                        .otherwise(0.0)
-                        + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
-                    ).alias("rank")
+        # same narrow-width + gated-AQE-off scope as graph_pagerank_fixed
+        with _narrow_loop(
+            spark,
+            aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast,
+        ):
+            for _ in range(PPR_ITERS):
+                contribs = withdeg.join(F.broadcast(ranks), "u").select(
+                    F.col("v").alias("u"),
+                    F.floor(F.col("rank") * F.col("w") * PR_SCALE)
+                    .cast("bigint")
+                    .alias("c"),
                 )
-                .localCheckpoint()
-            )
+                ranks = (
+                    contribs.groupBy("u")
+                    .agg(
+                        (
+                            F.when(F.col("u") % PPR_SEED_MOD == 0, 1 - PR_DAMPING)
+                            .otherwise(0.0)
+                            + PR_DAMPING * (F.sum("c").cast("double") / PR_SCALE)
+                        ).alias("rank")
+                    )
+                    .localCheckpoint()
+                )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    withdeg.unpersist()
+        withdeg.unpersist()
     return (
         ranks.where(F.col("rank") > 0.0)
         .orderBy(F.col("rank").desc(), "u")
@@ -3281,26 +3361,31 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge table moves zero bytes per round and only the small score
     # frame shuffles (r8 fix: was 'dst', a useless repartition)
     sym_j = sym if bcast is F.broadcast else sym.repartition("src")
-    for _ in range(KATZ_ITERS):
-        acc = (
-            sym_j.join(bcast(x), x.node == sym_j.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("score").cast("bigint").alias("acc"))
-        )
-        x = (
-            nodes.join(acc, "node", "left")
-            .select(
-                "node",
-                (
-                    F.expr(f"coalesce(acc, 0) div {KATZ_ALPHA_DEN}")
-                    + KATZ_FP
+    try:
+        # narrow width + gated AQE off for the score rounds (see
+        # _narrow_loop); the acc→x left join stays node-scale
+        with _narrow_loop(spark, aqe_off=bcast is F.broadcast):
+            for _ in range(KATZ_ITERS):
+                acc = (
+                    sym_j.join(bcast(x), x.node == sym_j.src)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("score").cast("bigint").alias("acc"))
                 )
-                .cast("bigint")
-                .alias("score"),
-            )
-            .localCheckpoint()
-        )
-    sym.unpersist()
+                x = (
+                    nodes.join(acc, "node", "left")
+                    .select(
+                        "node",
+                        (
+                            F.expr(f"coalesce(acc, 0) div {KATZ_ALPHA_DEN}")
+                            + KATZ_FP
+                        )
+                        .cast("bigint")
+                        .alias("score"),
+                    )
+                    .localCheckpoint()
+                )
+    finally:
+        sym.unpersist()
     return (
         x.select("node", F.col("score").alias("katz_fp"))
         .orderBy(F.desc("katz_fp"), F.asc("node"))
@@ -4030,9 +4115,11 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("u", F.lit(EV_U).cast("bigint").alias("s"))
     )
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # narrow width + gated AQE off (see _narrow_loop): the per-round
+    # join is the explicit broadcast hint below
+    with _narrow_loop(
+        spark, aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
+    ):
         for _ in range(EV_ITERS):
             # score vector is |V| rows << |E|: broadcast it so the
             # edge table never re-shuffles (the pagerank loop shape)
@@ -4047,8 +4134,6 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = summed.crossJoin(F.broadcast(mx)).select(
                 "u", F.expr(f"s * {EV_U} div mx").cast("bigint").alias("s")
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return (
         ranks.orderBy(F.col("s").desc(), "u")
         .limit(EV_TOP)
@@ -4136,6 +4221,11 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row aggregate over the cached edge intermediate instead of a
     # count-over-unpartitioned-window, which funneled every support
     # row through a single partition.
+    # element-mass gate (_adj_bcast): adj checkpoints once, the join
+    # rides a broadcast — no array exchange at all under the cap
+    bcast = _adj_bcast(spark, sf_dir, edges)
+    if bcast is F.broadcast:
+        adj = adj.localCheckpoint(eager=True)
     a2 = adj.select(
         F.col("u").alias("av"), F.col("nbrs").alias("n2"),
         F.col("deg").alias("deg_v"),
@@ -4146,7 +4236,7 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("deg_u"),
         F.explode("nbrs").alias("v"),
     ).where(F.col("u") < F.col("v"))
-    support = e1.join(a2, e1.v == a2.av).select(
+    support = e1.join(bcast(a2), e1.v == a2.av).select(
         "u",
         "v",
         "deg_u",

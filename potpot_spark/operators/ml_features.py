@@ -6577,19 +6577,28 @@ def ml_dbscan_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         cellx.alias("cx"),
         celly.alias("cy"),
     )
-    d38 = "decimal(38,0)"
+    # ε-check in plain BIGINT: joined pairs come from adjacent cells,
+    # so |x−bx| < 2·EPS_FP < 2^21 and each square < 2^42 — the sum
+    # sits 20 bits under the int64 ceiling AT ANY DATA SCALE (the
+    # bound is the cell geometry, not the row count).  The previous
+    # DECIMAL(38) chain was pure defensive cost on the hottest filter
+    # (the oracle's HUGEINT compare is the same boolean either way).
     nbr = (
         probe.join(build, ["cx", "cy"])
         .where(F.col("id") != F.col("ib"))
         .where(
-            (F.col("x") - F.col("bx")).cast(d38)
-            * (F.col("x") - F.col("bx"))
-            + (F.col("y") - F.col("by")).cast(d38)
-            * (F.col("y") - F.col("by"))
-            <= eps.cast(d38) * eps
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+            <= eps.cast("bigint") * eps
         )
         .select(F.col("id").alias("ia"), "ib")
     )
+    # The ε-neighbor pair table feeds THREE consumers (core census,
+    # core-core edges, border attachment) — materialize it once
+    # (pair-scale rows, two longs each) instead of re-running the
+    # 9-cell grid join per consumer (guide §5 cache-when-reused rule;
+    # measured A/B below in OPTIMIZATION_r11.md).
+    nbr = nbr.localCheckpoint(eager=True)
     ncount = pts.join(
         nbr.groupBy(F.col("ia").alias("id")).agg(
             F.count(F.lit(1)).cast("bigint").alias("n")

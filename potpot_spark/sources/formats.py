@@ -655,8 +655,12 @@ def scan_csv_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     base = scratch_path(
         "potpot_csvz_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
-    outs = []
-    for codec in TEXT_CODECS:
+    # Independent per-codec write jobs overlapped from a thread pool
+    # (guide-of-record §2.6): bzip2's slow single-shard compression no
+    # longer serializes behind gzip's — the cluster-idiom for a list of
+    # independent outputs.  Files, paths and the read-back aggregate
+    # are identical to the sequential form.
+    def _write(codec: str) -> str:
         path = os.path.join(base, codec)
         (
             o.select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -665,6 +669,15 @@ def scan_csv_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("compression", codec)
             .csv(path)
         )
+        return path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(TEXT_CODECS)) as pool:
+        paths = dict(zip(TEXT_CODECS, pool.map(_write, TEXT_CODECS)))
+    outs = []
+    for codec in TEXT_CODECS:
+        path = paths[codec]
         back = (
             spark.read.option("header", "true")
             .option("inferSchema", "false")

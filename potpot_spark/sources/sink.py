@@ -334,11 +334,25 @@ def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     base = scratch_path(
         "potpot_codecs_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
-    outs = []
-    for codec in PARQUET_CODECS:
+
+    # The three codec writes are INDEPENDENT jobs over the same slice:
+    # submit them from a small thread pool so each write's straggler
+    # tail back-fills with the next codec's tasks instead of idling the
+    # executor (guide-of-record §2.6 overlap idiom; job descriptions
+    # are thread-local so the UI stays labelled).  Result content is
+    # untouched — same files, same paths, same read-back aggregate.
+    def _write(codec: str) -> str:
         path = os.path.join(base, codec)
         li.write.mode("overwrite").option("compression", codec).parquet(path)
-        back = spark.read.parquet(path)
+        return path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(PARQUET_CODECS)) as pool:
+        paths = dict(zip(PARQUET_CODECS, pool.map(_write, PARQUET_CODECS)))
+    outs = []
+    for codec in PARQUET_CODECS:
+        back = spark.read.parquet(paths[codec])
         outs.append(
             back.groupBy(F.lit(codec).alias("codec")).agg(
                 F.count(F.lit(1)).alias("n_rows"),
