@@ -4511,6 +4511,84 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric), so mnbrs attaches with NO join at all — the 2.4M-row
     # array sort-merge join (the op's only array shuffle, 15.5x at
     # 10x data in BENCH_SCALING under sort spill) disappears.
+    #
+    # r11 opt — SHUFFLE-FREE fold under the element-mass gate: derive
+    # the per-walk rows from the CENTER side instead (explode u's own
+    # adjacency row into (u, m), broadcast-hash-attach nbrs(m) — the
+    # node2vec capped-path shape).  Every (u, *) row then originates
+    # from u's single adj row, so u-groups are CONSECUTIVE within one
+    # task and the RLE fold streams through mapInPandas in the SAME
+    # stage: scan → explode → map-side BHJ → Arrow fold → 1-row-per-
+    # partition partials.  The ~2.3 GB multiset exchange (the op's
+    # dominant cost and the suite's largest teardown source)
+    # disappears; only the Arrow boundary crossing remains, which the
+    # shuffle path paid too.  Gate: same 2|E|-element bound as
+    # _adj_bcast, AND n_salts == 1 — a forced salt fan-out
+    # (POTPOT_C4_SALTS, the property test) must still exercise the
+    # salted shuffle kernel, and past the cap per-u groups are exactly
+    # what must NOT land whole in one worker.
+    bcast_ok = _adj_bcast(spark, sf_dir, edges) is F.broadcast
+    if bcast_ok and n_salts == 1:
+        adj = adj.localCheckpoint(eager=True)
+        walks = adj.select(
+            F.col("node").alias("u"), F.explode("nbrs").alias("m")
+        ).join(
+            F.broadcast(
+                adj.select(F.col("node").alias("m"), F.col("nbrs").alias("mnbrs"))
+            ),
+            "m",
+        ).select("u", "mnbrs")
+
+        def fold_stream(batches):
+            cur_u = None
+            bufs: list = []
+            s2_tot = 0
+            nd_tot = 0
+
+            def flush() -> None:
+                nonlocal s2_tot, nd_tot, bufs
+                if not bufs:
+                    return
+                f = np.sort(np.concatenate(bufs))
+                bufs = []
+                if len(f) == 0:
+                    return
+                b = np.flatnonzero(np.diff(f)) + 1
+                runs = np.diff(np.concatenate(([0], b, [len(f)])))
+                s2_tot += int(np.sum(runs.astype(np.int64) ** 2))
+                nd_tot += int(len(runs))
+
+            for pdf in batches:
+                us = pdf["u"].to_numpy()
+                arrs = pdf["mnbrs"].to_numpy()
+                if len(us) == 0:
+                    continue
+                cuts = np.flatnonzero(us[1:] != us[:-1]) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(us)]))
+                for a, b in zip(starts, ends):
+                    if cur_u is not None and us[a] != cur_u:
+                        flush()
+                    cur_u = us[a]
+                    bufs.append(np.concatenate(arrs[a:b]))
+            flush()
+            yield pd.DataFrame({"s2": [s2_tot], "nd": [nd_tot]})
+
+        fold = walks.mapInPandas(fold_stream, "s2 long, nd long")
+        sums = fold.agg(
+            F.sum("s2").cast("bigint").alias("tr4"),
+            F.sum("nd").cast("bigint").alias("nd_total"),
+        )
+        ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return sums.crossJoin(F.broadcast(ne)).select(
+            "n_edges",
+            F.expr(
+                f"CAST((nd_total - {int(n_nodes)}) div 2 AS BIGINT)"
+            ).alias("n_codegree_pairs"),
+            F.expr(
+                f"CAST((tr4 - 2 * {int(sdeg2)} + 2 * n_edges) div 8 AS BIGINT)"
+            ).alias("n_squares"),
+        )
     joined = adj.select(
         F.col("nbrs").alias("mnbrs"), F.explode("nbrs").alias("s")
     )

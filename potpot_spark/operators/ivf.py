@@ -58,42 +58,54 @@ def train_ivf_centroids(corpus: DataFrame, k: int = K_CELLS, iters: int = N_ITER
     slower end-to-end — Catalyst planning over the huge expression
     trees dominates.  The broadcast-join + zip_with/aggregate +
     map-side min(struct) shape below is the measured optimum."""
+    from potpot_spark.operators.graph import _narrow_loop
+
     corpus.cache()
-    cents = (
-        corpus.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cell_id"),
-            F.col("emb").alias("centroid"),
-        )
-        .localCheckpoint()
-    )
-    for _ in range(iters):
-        assigned = assign_cells(corpus, cents)
-        # per-dimension decimal-exact mean: explode positions, sum,
-        # regroup.  (Measured vs the "one groupBy with DIM decimal sum
-        # columns" alternative at sf0.1: posexplode is 2x FASTER warm —
-        # a single vectorized decimal aggregate over DIM x |corpus|
-        # narrow rows beats DIM wide decimal(38,18) buffers per group,
-        # which defeat codegen.)
-        exploded = assigned.select(
-            "cell_id", F.posexplode("emb").alias("pos", "x")
-        )
-        dims = (
-            exploded.groupBy("cell_id", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
-                .cast("double")
-                .alias("m")
+    try:
+        # Narrow width + AQE off for the training rounds (the graph
+        # _narrow_loop discipline): every aggregate in the loop outputs
+        # at most k x DIM rows (CONSTANT-bounded, not data-bounded —
+        # partial aggregation shrinks the corpus map-side) and the only
+        # join is the explicit centroid broadcast, so the scope is
+        # scale-safe unconditionally.  A/B warm at sf0.1:
+        # 6.0 -> 4.6 s per training run.
+        with _narrow_loop(corpus.sparkSession, aqe_off=True):
+            cents = (
+                corpus.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    F.row_number().over(Window.orderBy("vec_id")).alias("cell_id"),
+                    F.col("emb").alias("centroid"),
+                )
+                .localCheckpoint()
             )
-        )
-        cents = (
-            dims.groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell_id", F.transform("pm", lambda s: s.m).alias("centroid"))
-            .localCheckpoint()
-        )
-    corpus.unpersist()
+            for _ in range(iters):
+                assigned = assign_cells(corpus, cents)
+                # per-dimension decimal-exact mean: explode positions, sum,
+                # regroup.  (Measured vs the "one groupBy with DIM decimal sum
+                # columns" alternative at sf0.1: posexplode is 2x FASTER warm —
+                # a single vectorized decimal aggregate over DIM x |corpus|
+                # narrow rows beats DIM wide decimal(38,18) buffers per group,
+                # which defeat codegen.)
+                exploded = assigned.select(
+                    "cell_id", F.posexplode("emb").alias("pos", "x")
+                )
+                dims = (
+                    exploded.groupBy("cell_id", "pos")
+                    .agg(
+                        (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
+                        .cast("double")
+                        .alias("m")
+                    )
+                )
+                cents = (
+                    dims.groupBy("cell_id")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                    .select("cell_id", F.transform("pm", lambda s: s.m).alias("centroid"))
+                    .localCheckpoint()
+                )
+    finally:
+        corpus.unpersist()
     return cents
 
 
@@ -260,40 +272,50 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
     recall twin) reread materialized rows, not the training lineage.
     (The same sweep on the 5-iter IVF trainer was a wash — 4.17 s
     per-iter vs 4.23 s final-only — so IVF keeps per-iter.)"""
+    from potpot_spark.operators.graph import _narrow_loop
+
     corpus_sub.cache()
-    w = Window.partitionBy("m").orderBy("vec_id")
-    cents = corpus_sub.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= k
-    ).select("m", F.col("rn").alias("code"), F.col("sub").alias("centroid"))
-    for it in range(iters):
-        scored = corpus_sub.join(F.broadcast(cents), "m").select(
-            "m", "vec_id", "sub", "code",
-            sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
-        )
-        assigned = (
-            scored.groupBy("m", "vec_id")
-            .agg(F.min(F.struct("d2", "code")).alias("_b"), F.first("sub").alias("sub"))
-            .select("m", "vec_id", F.col("_b.code").alias("code"), "sub")
-        )
-        dims = (
-            assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "code", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
-                .cast("double")
-                .alias("v")
-            )
-        )
-        cents = (
-            dims.groupBy("m", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-            .select("m", "code", F.transform("pv", lambda s: s.v).alias("centroid"))
-        )
-    # Unconditional final checkpoint (r4 ADVICE): the docstring's
-    # "final checkpoint stays" contract must hold even for iters=0,
-    # where the loop body never runs.
-    cents = cents.localCheckpoint()
-    corpus_sub.unpersist()
+    try:
+        # Same constant-bounded-aggregate argument as the IVF trainer:
+        # the loop's exchanges carry at most M_SUB x k x SUBDIM rows, so
+        # the narrow + AQE-off scope is scale-safe unconditionally.
+        # A/B warm at sf0.1: 3.5 -> 2.1 s per training run.
+        with _narrow_loop(corpus_sub.sparkSession, aqe_off=True):
+            w = Window.partitionBy("m").orderBy("vec_id")
+            cents = corpus_sub.withColumn("rn", F.row_number().over(w)).where(
+                F.col("rn") <= k
+            ).select("m", F.col("rn").alias("code"), F.col("sub").alias("centroid"))
+            for it in range(iters):
+                scored = corpus_sub.join(F.broadcast(cents), "m").select(
+                    "m", "vec_id", "sub", "code",
+                    sq_dist(F.col("sub"), F.col("centroid")).alias("d2"),
+                )
+                assigned = (
+                    scored.groupBy("m", "vec_id")
+                    .agg(F.min(F.struct("d2", "code")).alias("_b"), F.first("sub").alias("sub"))
+                    .select("m", "vec_id", F.col("_b.code").alias("code"), "sub")
+                )
+                dims = (
+                    assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+                    .groupBy("m", "code", "pos")
+                    .agg(
+                        (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
+                        .cast("double")
+                        .alias("v")
+                    )
+                )
+                cents = (
+                    dims.groupBy("m", "code")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+                    .select("m", "code", F.transform("pv", lambda s: s.v).alias("centroid"))
+                )
+            # Unconditional final checkpoint (r4 ADVICE): the docstring's
+            # "final checkpoint stays" contract must hold even for iters=0,
+            # where the loop body never runs.  Materialized INSIDE the
+            # narrowed scope so the lineage executes at the pinned width.
+            cents = cents.localCheckpoint()
+    finally:
+        corpus_sub.unpersist()
     return cents
 
 

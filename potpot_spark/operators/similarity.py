@@ -1582,6 +1582,12 @@ def sim_search_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.round(v.cast("double") * 1048576).cast("bigint"),
         ).alias("q"),
     )
+    # r11 opt: every greedy round (and the seed pick, and each sel
+    # re-derivation) rescanned the parquet + re-ran the quantization
+    # transform; the quantized point table is read 2k+1 times per call,
+    # so materialize it once (the docstring's 100 TB note — cache the
+    # per-point state — applied at fixture scale).
+    pts = pts.localCheckpoint(eager=True)
     seed = (
         pts.orderBy(phash60(F.col("vec_id").cast("string")), "vec_id")
         .limit(1)
