@@ -139,7 +139,10 @@ def test_broadcast_hint_discipline():
         # cap; node2vec broadcasts the checkpointed adjacency under
         # the 2|E| <= cap gate (shuffle-join fallbacks pinned equal);
         # local_bridges attaches a 1-row edge-total scalar.
-        "operators/graph.py": (36, "seeds/params + _state_bcast-gated state"),
+        # r11-opt +2: the C4 shuffle-free fold's adjacency attach
+        # (element-mass-gated via _adj_bcast, shuffle fallback pinned
+        # equal by the salted path) and its 1-row n_edges aggregate
+        "operators/graph.py": (38, "seeds/params + _state_bcast-gated state"),
         "operators/similarity.py": (33, "query vectors, centroids, bounded pools"),
         "operators/text.py": (29, "df-rank tables, size-gated verify join, stopword dims"),
         "operators/pipeline.py": (16, "quota/threshold scalar frames, bloom bitsets"),
