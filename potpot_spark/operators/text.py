@@ -2251,7 +2251,7 @@ def _trgm_ranked(enc: DataFrame, min_sim_u: int) -> DataFrame:
             ),
         )
         .select(
-            "pkey", "p_partkey", "sz",
+            "pkey", "p_partkey", "sz", "rn",
             (F.col("rn") <= F.col("sz") - suffix).alias("in_prefix"),
         )
     )
@@ -2259,9 +2259,11 @@ def _trgm_ranked(enc: DataFrame, min_sim_u: int) -> DataFrame:
 
 def _trgm_prefix_index(enc: DataFrame, min_sim_u: int) -> DataFrame:
     """Prefix-only postings (the candidate index; property-test entry
-    point — see _trgm_ranked for the flag construction + proof)."""
+    point — see _trgm_ranked for the flag construction + proof).  r12:
+    keeps the global-order rank ``rn`` so the candidate join can apply
+    the positional (ppjoin) overlap bounds."""
     return _trgm_ranked(enc, min_sim_u).where("in_prefix").select(
-        "pkey", "p_partkey", "sz"
+        "pkey", "p_partkey", "sz", "rn"
     )
 
 
@@ -2271,18 +2273,88 @@ def _trgm_candidates_from_idx(idx: DataFrame, min_sim_u: int) -> DataFrame:
     checked in exact integer micro-units).  One row per pair with
     ``n_pp`` = |prefix(A) ∩ prefix(B)| — the groupBy that dedups the
     multi-shared-trigram pairs is the SAME shuffle a distinct would
-    cost, but its count is the first third of the verify sum."""
-    a = idx.select("pkey", F.col("p_partkey").alias("id_a"), F.col("sz").alias("sz_a"))
-    b = idx.select("pkey", F.col("p_partkey").alias("id_b"), F.col("sz").alias("sz_b"))
+    cost, but its count is the first third of the verify sum.
+
+    r12 — PPJOIN-STYLE OVERLAP BOUNDS (VERDICT r11 #2, lossless).  The
+    report threshold floor(n_common·1e6/n_union) >= t_u is, for
+    integer t_u, exactly n_common·(1e6+t_u) >= t_u·(sz_a+sz_b) =: the
+    pair needs overlap O >= α.  Three upper bounds on O, any failing
+    one proves the pair can never verify (dropped BEFORE the two
+    correction joins probe it):
+
+    Every name's postings are ranked by ONE global order (dfreq,
+    pkey), so for two names the relative order of shared trigrams is
+    identical on both sides, and suffix tokens (the most frequent)
+    sort after every prefix token of the same name.  Hence the first
+    prefix-shared token w1 = argmin rn_a = argmin rn_b is the globally
+    FIRST shared token of the pair (any S_A∩B token w has pos_A(w) >
+    p_a >= pos_A(w1); any P_A∩S_B token has pos_B > p_b >= pos_B(w1)),
+    and every suffix-involved shared token sorts after the LAST
+    prefix-shared token w_last = argmax rn_a = argmax rn_b on BOTH
+    sides.  With the split-verify identity O = n_pp + |S_A∩B| +
+    |P_A∩S_B| (A = P_A ⊎ S_A partitions every shared trigram once):
+
+      (1) O <= n_pp + s_a + s_b            (counting: |S_X| = s(sz))
+      (2) O <= 1 + min(sz_a − mn_a, sz_b − mn_b)   (all shared tokens
+          except w1 sit after (mn_a, mn_b) on both sides)
+      (3) O <= n_pp + min(sz_a − mx_a, sz_b − mx_b)  (suffix-involved
+          shared tokens all sit after (mx_a, mx_b) on both sides)
+
+    where s(sz) = ceil(sz·t_u/(1e6+t_u)) − 1 is the same ceil the
+    ranking's ``in_prefix`` flag uses.  All integer arithmetic on
+    columns the aggregate already carries (+2 int rank columns through
+    the join); losslessness is pinned by the brute-force property test
+    (test_trigram_prefix_filter_lossless…) plus the oracle."""
+    r_num = int(min_sim_u)
+    r_den = 1_000_000 + int(min_sim_u)
+    a = idx.select(
+        "pkey",
+        F.col("p_partkey").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = idx.select(
+        "pkey",
+        F.col("p_partkey").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    suffix_n = lambda sz: (  # noqa: E731 - |suffix| from sz, exact int
+        F.expr(
+            f"CAST((CAST({sz} AS BIGINT) * {r_num} + {r_den - 1}) DIV {r_den} AS BIGINT) - 1"
+        )
+    )
+    alpha_rhs = F.lit(r_num) * (F.col("sz_a") + F.col("sz_b")).cast("bigint")
+    bound1 = (
+        F.col("n_pp").cast("bigint") + suffix_n("sz_a") + suffix_n("sz_b")
+    )
+    bound2 = 1 + F.least(
+        F.col("sz_a").cast("bigint") - F.col("mn_a"),
+        F.col("sz_b").cast("bigint") - F.col("mn_b"),
+    )
+    bound3 = F.col("n_pp").cast("bigint") + F.least(
+        F.col("sz_a").cast("bigint") - F.col("mx_a"),
+        F.col("sz_b").cast("bigint") - F.col("mx_b"),
+    )
     return (
         a.join(b, "pkey")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.least("sz_a", "sz_b").cast("bigint") * 1_000_000
-            >= F.lit(int(min_sim_u)) * F.greatest("sz_a", "sz_b").cast("bigint")
+            >= F.lit(r_num) * F.greatest("sz_a", "sz_b").cast("bigint")
         )
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_pp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pp"),
+            F.min("rn_a").cast("bigint").alias("mn_a"),
+            F.max("rn_a").cast("bigint").alias("mx_a"),
+            F.min("rn_b").cast("bigint").alias("mn_b"),
+            F.max("rn_b").cast("bigint").alias("mx_b"),
+        )
+        .where(
+            (F.least(bound1, bound2, bound3) * F.lit(r_den)) >= alpha_rhs
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b", "n_pp")
     )
 
 

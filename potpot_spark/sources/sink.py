@@ -338,12 +338,16 @@ def sink_parquet_codecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     # The three codec writes are INDEPENDENT jobs over the same slice:
     # submit them from a small thread pool so each write's straggler
     # tail back-fills with the next codec's tasks instead of idling the
-    # executor (guide-of-record §2.6 overlap idiom; job descriptions
-    # are thread-local so the UI stays labelled).  Result content is
+    # executor (guide-of-record §2.6 overlap idiom).  Result content is
     # untouched — same files, same paths, same read-back aggregate.
     def _write(codec: str) -> str:
+        # setJobDescription is per-thread state, so each pool worker
+        # labels only its own codec's jobs in the UI (guide §1.5;
+        # ADVICE r11 — the label was claimed but never set).
+        spark.sparkContext.setJobDescription(f"sink_parquet_codecs: {codec}")
         path = os.path.join(base, codec)
         li.write.mode("overwrite").option("compression", codec).parquet(path)
+        spark.sparkContext.setJobDescription(None)
         return path
 
     from concurrent.futures import ThreadPoolExecutor

@@ -38,6 +38,19 @@ def test_edge_direction_irrelevant(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_long_chain_converges_via_pointer_jump(spark):
+    # 64-node path with the minimum at one end: plain one-hop min-label
+    # propagation needs 63 rounds — far past the max_rounds=20 cap —
+    # so full collapse within the cap REQUIRES the r12 pointer-jump
+    # step (component <- min(component, prev_label(component))), which
+    # roughly doubles the covered distance per round.  This pins both
+    # the jump's correctness (exact min-reachable labels) and its
+    # round-count effect.
+    n = 64
+    got = _cc(spark, list(range(1, n + 1)), [(i, i + 1) for i in range(1, n)])
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
 def test_pagerank_mass_conservation(spark, sf_dir):
     """PageRank invariants on the co-purchase graph: every returned
     rank positive, top-k cardinality fixed, and total rank mass over
